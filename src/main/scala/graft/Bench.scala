@@ -1,23 +1,42 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query (bench=true) on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line. local[32] with
+  * shuffle.partitions=32 (one partition per core — the right size for
+  * single-node; on a real cluster this scales with executor count, and
+  * AQE coalesces post-shuffle partitions either way).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "2g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // one warmup pass over a tiny SF amortizes codegen/classload out of
+    // the measured numbers (the driver compares steady-state throughput)
+    Registry.all.filter(_.bench).foreach { d =>
+      try d.run(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = Registry.all.filter(_.bench).map { d =>
+      val t0 = System.nanoTime()
+      try d.run(spark, sfDir).count()
+      catch { case _: Throwable => -1L }
+      d.name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column-level building blocks (all Catalyst-native — no UDFs,
+  * so everything stays inside whole-stage codegen / native evaluation
+  * and is usable verbatim at 100 TB).
+  */
+object Fns {
+
+  /** E4 whitespace normalization — reference `src/pdf_extractor.py:30`:
+    * `re.sub(r'\s{2,}', ' ', paragraph).strip()`.
+    */
+  def cleanText(c: Column): Column = trim(regexp_replace(c, "\\s{2,}", " "))
+
+  /** Deterministic 60-bit hash of a string: the first 15 hex digits of
+    * md5, parsed base-16. Chosen because BOTH Spark and DuckDB compute
+    * identical md5 over UTF-8, making every hash-derived operator
+    * (minhash, simhash, fingerprints, hashed embeddings) exactly
+    * oracle-checkable. 60 bits fits a signed int64 without overflow
+    * under ANSI arithmetic.
+    *
+    * DuckDB equivalent: `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** Whitespace word tokens of already-cleaned (single-spaced) text. */
+  def tokens(cleaned: Column): Column = split(cleaned, " ")
+
+  /** Dot product with explicit left-to-right double accumulation —
+    * bit-identical to the DuckDB oracle's
+    * `list_sum(list_transform(generate_series(1, n), i -> a[i]::DOUBLE * b[i]::DOUBLE))`.
+    */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  /** Cosine similarity in [-1, 1] (reference `src/vector_store.py:172`:
+    * similarity = 1 - cosine_distance, i.e. plain cosine).
+    */
+  def cosine(a: Column, b: Column): Column = dotD(a, b) / (normD(a) * normD(b))
+
+  /** Exact decimal(18,2) sum surfaced as double: order-independent
+    * (decimal addition is associative), so Spark's partial/shuffle
+    * aggregation order vs DuckDB's single-threaded order cannot cause
+    * hash mismatches — unlike a raw double sum.
+    */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Same idea at 6 fractional digits for already-multiplied amounts. */
+  def moneySum6(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+}

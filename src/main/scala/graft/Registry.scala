@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine operator exposed through the driver contract
+  * (`SparkEntry.queries` / `SparkEntry.oracleSql`).
+  *
+  * @param name   stable query name (drives CORRECTNESS_r{N}.json keys)
+  * @param run    the Spark-side implementation; `dir` is the scale-factor
+  *               directory holding the parquet tables (TESTDATA.md)
+  * @param oracle equivalent DuckDB SQL over the same tables; None for
+  *               operators that are not SQL-expressible (driver then
+  *               records a weaker rows-only check)
+  * @param bench  whether Bench.scala should time this query (heavy or
+  *               redundant queries can opt out)
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = true)
+
+/** Central registry: every module contributes its QueryDefs here. */
+object Registry {
+  def all: Seq[QueryDef] =
+    operators.TextOps.queries ++
+      operators.Chunker.queries ++
+      operators.Relational.queries ++
+      operators.Events.queries ++
+      operators.Dedup.queries ++
+      operators.Knn.queries ++
+      operators.Qa.queries ++
+      sources.ChunkStore.queries ++
+      multimodal.Multimodal.queries ++
+      operators.Segmenter.queries
+
+  lazy val byName: Map[String, QueryDef] = {
+    val defs = all
+    require(defs.map(_.name).distinct.size == defs.size, "duplicate query names")
+    defs.map(d => d.name -> d).toMap
+  }
+}

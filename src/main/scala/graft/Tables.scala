@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All loads are plain `spark.read.parquet` — schema comes from the
+  * parquet footer, Catalyst prunes columns and pushes filters into the
+  * vectorized parquet reader (verify with `.explain`: `ReadSchema` /
+  * `PushedFilters`). At 100 TB these would be partitioned tables behind
+  * a catalog; the access pattern (scan + prune + push) is identical.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader only
+    * accepts as raw int64 (`spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set by Verify/Bench). Normalize to a micros-precision timestamp —
+    * the same truncation DuckDB applies when it reads nanos parquet, so
+    * both engines see identical values.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+}

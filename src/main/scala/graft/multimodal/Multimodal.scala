@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing — images/audio/video as opaque `binary`
+  * columns with typed metadata (the training-data-pipeline extension).
+  *
+  * The decode step itself is a STUB (no media libs in this container):
+  * `decodeFeatures` computes a deterministic fake feature vector (byte
+  * histogram) so the Spark-side plumbing — schema, batching via
+  * mapPartitions, partition-sized work units — is real and tested, and a
+  * real decoder drops in by replacing one function.
+  *
+  * Scale notes: binary payloads ride in their own column so Parquet
+  * column pruning skips them unless the query touches them; feature
+  * extraction is mapPartitions (per-partition amortization of any model
+  * or codec init) — the Scala analog of `mapInPandas` batch UDFs.
+  */
+object Multimodal {
+
+  /** Typed metadata every media row carries alongside its payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("n_bytes", LongType),
+    StructField("content_md5", StringType)))
+
+  /** Build a media table from any string column (deterministic fake
+    * payloads: the UTF-8 bytes stand in for decoded media bytes).
+    */
+  def mediaFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("image").as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      octet_length(col(textCol)).cast("long").as("n_bytes"),
+      md5(col(textCol)).as("content_md5"))
+
+  /** STUB decoder: a real implementation would decode image/audio bytes
+    * here (per-partition codec init amortized by mapPartitions). The
+    * deterministic fake is a 16-bin byte histogram, L1-normalized —
+    * shaped exactly like a per-frame feature vector.
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields.toSeq :+
+      StructField("features", ArrayType(DoubleType, containsNull = false)))
+    val rdd = media.rdd.mapPartitions { rows =>
+      // real decoder init (e.g. codec, model session) would happen once
+      // per partition here
+      rows.map { row =>
+        val payload = row.getAs[Array[Byte]]("payload")
+        val hist = new Array[Long](16)
+        if (payload != null) payload.foreach(b => hist((b & 0xFF) >> 4) += 1)
+        val total = math.max(hist.sum, 1L).toDouble
+        Row.fromSeq(row.toSeq :+ hist.map(_ / total).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame sampling stub: every k-th byte window stands in for every
+    * k-th video frame — the partitioning/explode shape is the real part.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame =
+    media.select(
+      col("media_id"),
+      posexplode(expr(
+        s"""transform(
+              filter(sequence(0, greatest(cast(n_bytes AS int) - 1, 0), ${frameBytes * everyK}),
+                     i -> i < n_bytes),
+              i -> substring(payload, i + 1, $frameBytes))""")).as(Seq("frame_no", "frame_bytes")))
+
+  def queries: Seq[QueryDef] = Seq(
+    // Oracle-checkable slice of the plumbing: payload sizing + content
+    // hashing over the binary column (md5 here IS over the raw bytes).
+    QueryDef(
+      "mm_binary_meta",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr(
+            "doc_id",
+            "'image' AS kind",
+            "cast(octet_length(text) AS bigint) AS n_bytes",
+            "md5(text) AS content_md5",
+            "cast(length(text) AS bigint) AS n_chars"),
+      Some("""
+        SELECT doc_id, 'image' AS kind,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               md5(text) AS content_md5,
+               length(text)::BIGINT AS n_chars
+        FROM documents"""))
+  )
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+
+/** Event-time analytics over the `events` table — the batch analogs of
+  * the Structured Streaming surface (graft.streaming). The reference's
+  * closest feature is its resumable batch ingest (SURVEY.md §2.6 P1/P2);
+  * these extend it to real event-time processing.
+  *
+  * Timestamps are surfaced as epoch integers (seconds / micros), never
+  * raw timestamps: parquet-vs-DuckDB timezone adornment differs, epoch
+  * integers compare exactly.
+  */
+object Events {
+
+  def queries: Seq[QueryDef] = Seq(
+    // Tumbling 1-hour event-time window per event_type. In streaming this
+    // is `window($"ts", "1 hour")` + watermark; batch-side date_trunc is
+    // the same bucketing. Shuffle key (bucket, type) is high-cardinality
+    // and time-spread ⇒ no skew at scale.
+    QueryDef(
+      "ev_window_agg",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr(
+            "cast(date_trunc('HOUR', ts) AS long) AS window_start",
+            "event_type", "value")
+          .groupBy("window_start", "event_type")
+          .agg(
+            org.apache.spark.sql.functions.expr("count(*) AS n_events"),
+            org.apache.spark.sql.functions.expr(
+              "cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value"),
+            org.apache.spark.sql.functions.expr("cast(min(value) AS double) AS min_value"),
+            org.apache.spark.sql.functions.expr("cast(max(value) AS double) AS max_value")),
+      Some("""
+        SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events
+        GROUP BY 1, 2""")),
+
+    // Sessionization: per-user sessions split on >30 min inactivity.
+    // The batch analog of flatMapGroupsWithState sessionization
+    // (graft.streaming.Sessionizer): lag + running sum of boundaries.
+    // Partition key user_id is high-cardinality ⇒ balanced shuffle; at
+    // 100 TB this is the standard one-shuffle sessionize.
+    QueryDef(
+      "ev_sessionize",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "value")
+          .selectExpr(
+            "user_id", "event_id", "ts_us", "value",
+            """CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                    THEN 1
+                    WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+                    THEN 1 ELSE 0 END AS is_boundary""")
+          .selectExpr(
+            "user_id", "event_id", "ts_us",
+            """sum(is_boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id""")
+          .groupBy("user_id", "session_id")
+          .agg(
+            org.apache.spark.sql.functions.expr("count(*) AS n_events"),
+            org.apache.spark.sql.functions.expr("min(ts_us) AS session_start_us"),
+            org.apache.spark.sql.functions.expr("max(ts_us) AS session_end_us")),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                      THEN 1
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+                      THEN 1 ELSE 0 END AS is_boundary
+          FROM events
+        ), sessioned AS (
+          SELECT user_id, event_id, ts_us,
+                 sum(is_boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        FROM sessioned
+        GROUP BY user_id, session_id""")),
+
+    // Top-N per group: latest 3 events per user — row_number window +
+    // filter, the standard dedup-keep-latest building block.
+    QueryDef(
+      "ev_latest_per_user",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS ts_us")
+          .selectExpr(
+            "user_id", "event_id", "event_type", "ts_us",
+            "cast(row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS bigint) AS rn")
+          .where("rn <= 3"),
+      Some("""
+        SELECT user_id, event_id, event_type, ts_us, rn
+        FROM (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                 row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn <= 3"""))
+  )
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Relational extensions over the TPC-H-ish driver tables.
+  *
+  * The reference has no joins/group-bys (SURVEY.md §2.7) — these queries
+  * are the engine-extension surface that proves the scale design:
+  * broadcast joins for dimension tables, partial aggregation for
+  * group-bys, decimal accumulation for order-independent money sums,
+  * TakeOrderedAndProject for top-k, window functions over properly
+  * partitioned keys.
+  */
+object Relational {
+
+  def queries: Seq[QueryDef] = Seq(
+    // TPC-H Q1 flavor: single scan + partial agg; the shuffle moves only
+    // (flag, status) × partial states — negligible at any scale. Sums use
+    // decimal accumulation (associative ⇒ order-independent ⇒ identical
+    // to the single-threaded DuckDB oracle), surfaced as double.
+    QueryDef(
+      "q1_agg",
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .where("l_shipdate <= timestamp'1998-09-02 00:00:00'")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            expr("cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty"),
+            expr("cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price"),
+            expr("cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,6))) AS double) AS sum_disc_price"),
+            expr("cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS decimal(18,6))) AS double) AS sum_charge"),
+            expr("count(*) AS count_order")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    // TPC-H Q3 flavor: customer (small dim) is broadcast — no shuffle of
+    // the fact table for that join; orders⋈lineitem shuffles on orderkey
+    // (the natural co-partition key). Top-10 goes through
+    // TakeOrderedAndProject (no global sort). Tie-break on o_orderkey
+    // keeps the LIMIT set deterministic across engines.
+    QueryDef(
+      "q3_top_orders",
+      (spark, dir) => {
+        val cust = Tables.customer(spark, dir).where("c_mktsegment = 'BUILDING'")
+        val ord = Tables.orders(spark, dir)
+        val li = Tables.lineitem(spark, dir)
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("l_orderkey"), expr("cast(cast(o_orderdate AS timestamp) AS long)").as("o_orderdate_epoch"))
+          .agg(expr("cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,6))) AS double) AS revenue"))
+          .orderBy(desc("revenue"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, epoch(o_orderdate)::BIGINT AS o_orderdate_epoch,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")),
+
+    // TPC-H Q5 flavor: star join where region/nation/supplier/customer are
+    // all broadcast (each ≪ the 10 MB default threshold even at sf100);
+    // only the orders⋈lineitem edge shuffles.
+    QueryDef(
+      "q5_nation_revenue",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val ord = Tables.orders(spark, dir)
+        val cust = Tables.customer(spark, dir)
+        val nat = Tables.nation(spark, dir)
+        val reg = Tables.region(spark, dir)
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+          .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            expr("cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,6))) AS double) AS revenue"),
+            expr("count(*) AS n_lineitems"))
+      },
+      Some("""
+        SELECT r_name, n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name""")),
+
+    // Window function: running spend per customer. Partitioned by
+    // custkey (high-cardinality ⇒ balanced shuffle), ordered by
+    // (orderdate, orderkey) for a deterministic frame. Running sums in
+    // decimal: a prefix sum is order-FIXED, so decimal keeps every
+    // prefix exact and cross-engine identical.
+    QueryDef(
+      "w1_running_spend",
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .selectExpr(
+            "o_custkey", "o_orderkey",
+            "cast(cast(o_orderdate AS timestamp) AS long) AS o_orderdate_epoch",
+            "cast(o_totalprice AS decimal(18,2)) AS price_d")
+          .selectExpr(
+            "o_custkey", "o_orderkey", "o_orderdate_epoch",
+            """cast(sum(price_d) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate_epoch, o_orderkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS double) AS running_spend""",
+            """cast(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate_epoch, o_orderkey) AS bigint) AS order_seq"""),
+      Some("""
+        SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS o_orderdate_epoch,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY epoch(o_orderdate)::BIGINT, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY epoch(o_orderdate)::BIGINT, o_orderkey) AS order_seq
+        FROM orders""")),
+
+    // Grouping sets / rollup — absent from the reference (SURVEY §2.7),
+    // included as engine surface: per (returnflag, linestatus) with
+    // subtotals. grouping_id disambiguates NULL-as-subtotal from data
+    // NULLs in both engines.
+    QueryDef(
+      "q6_rollup",
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            expr("count(*) AS n_rows"),
+            expr("cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty"),
+            expr("cast(grouping_id(l_returnflag, l_linestatus) AS bigint) AS gid")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               grouping_id(l_returnflag, l_linestatus)::BIGINT AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+  )
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** E1–E3: layout-aware paragraph segmentation — the reference's
+  * "parser" (SURVEY.md §2.2). These are order-dependent folds WITHIN a
+  * page/document, so they are Scala functions applied per row via
+  * `flatMap` (parallelism boundary = document — embarrassingly parallel
+  * at 100 TB), not relational operators. Golden-fixture tested in
+  * SegmenterSpec; the relational surface (`seg_paragraphs`) wires the
+  * fallback splitter into the query contract.
+  */
+object Segmenter {
+
+  /** One text line with layout info, as produced by a PDF text
+    * extractor's block→line→span tree (reference
+    * `src/pdf_extractor.py:60-118`): `text` is the span-joined, stripped
+    * line text; `blockY0` is the BLOCK's top y (constant for all its
+    * lines); `y1` the line's bottom y; `blockType` the block type.
+    */
+  final case class Line(text: String, blockY0: Double, y1: Double, blockType: Int, blockId: Int)
+
+  private val terminal = "[.。?？!！]$".r
+
+  private def endsTerminal(s: String): Boolean = terminal.findFirstIn(s).isDefined
+
+  /** E1 — layout-aware segmentation (reference
+    * `src/pdf_extractor.py:60-124`). New paragraph when:
+    *  (a) line starts with 4 spaces / tab — DEAD CODE in the reference
+    *      (line text is stripped at `:93` before the check at `:101`);
+    *      reproduced faithfully: the branch exists and never fires on
+    *      stripped input;
+    *  (b) |block_y0 - last_line_y1| > 15 (`:105`);
+    *  (c) previous BLOCK's type differs from this block's (`:109`,
+    *      last_block_type updates per block at `:120`);
+    * then E3 short-paragraph merge (`:126-143`).
+    */
+  def segmentLayout(lines: Seq[Line]): Seq[String] = {
+    val paragraphs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val current = scala.collection.mutable.ArrayBuffer.empty[String]
+    var lastBlockType: Option[Int] = None
+    var lastY1 = 0.0 // reference seeds last_y1 = 0, not None (`:72`)
+
+    // group consecutive lines into their blocks, preserving order —
+    // mirrors the reference's nested block→line loop where
+    // last_block_type advances once per BLOCK (`:120`)
+    val blocks = lines.foldLeft(Vector.empty[Vector[Line]]) { (acc, l) =>
+      if (acc.nonEmpty && acc.last.head.blockId == l.blockId) acc.init :+ (acc.last :+ l)
+      else acc :+ Vector(l)
+    }
+    for (block <- blocks) {
+      val blockType = block.head.blockType
+      for (line <- block) {
+        val text = line.text.trim
+        if (text.nonEmpty) {
+          val isNew =
+            if (text.startsWith("    ") || text.startsWith("\t")) true // dead branch, kept for fidelity
+            else if (math.abs(line.blockY0 - lastY1) > 15) true
+            else lastBlockType.exists(_ != blockType)
+          if (isNew && current.nonEmpty) {
+            paragraphs += current.mkString(" ")
+            current.clear()
+          }
+          current += text
+          lastY1 = line.y1
+        }
+      }
+      lastBlockType = Some(blockType)
+    }
+    if (current.nonEmpty) paragraphs += current.mkString(" ")
+    mergeShort(paragraphs.toSeq)
+  }
+
+  /** E3 — short-paragraph merge (reference `src/pdf_extractor.py:126-143`):
+    * paragraphs < 30 chars without sentence-final punctuation accumulate
+    * and glue onto the FOLLOWING paragraph; a trailing accumulation is
+    * emitted as-is.
+    */
+  def mergeShort(paragraphs: Seq[String]): Seq[String] = {
+    val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+    var temp = ""
+    for (p <- paragraphs) {
+      if (p.length < 30 && !endsTerminal(p)) temp += " " + p
+      else if (temp.nonEmpty) {
+        temp += " " + p
+        merged += temp.trim
+        temp = ""
+      } else merged += p
+    }
+    if (temp.nonEmpty) merged += temp.trim
+    merged.toSeq
+  }
+
+  /** E2 — fallback plain-text segmentation (reference
+    * `src/pdf_extractor.py:151-206`): split on blank lines, then
+    * per-line heuristics — list-marker / indent start (`:179`), previous
+    * line sentence-final (`:183`), short lines continue (`:187`, a
+    * no-op branch reproduced faithfully).
+    */
+  def segmentPlain(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val marker = "^(\\d+\\.|•|\\*|-|\t|    )".r
+    for (rawPara <- text.split("\\n\\s*\\n") if rawPara.trim.nonEmpty) {
+      val para = scala.collection.mutable.ArrayBuffer.empty[String]
+      var currentLine = ""
+      for (raw <- rawPara.split("\n")) {
+        val line = raw.trim
+        if (line.isEmpty) {
+          if (currentLine.nonEmpty) { para += currentLine; currentLine = "" }
+        } else {
+          val isNew =
+            if (marker.findFirstIn(line).isDefined) true
+            else if (currentLine.nonEmpty && endsTerminal(currentLine)) true
+            else false // incl. the reference's explicit short-line-continues branch
+          if (isNew && currentLine.nonEmpty) {
+            para += currentLine
+            currentLine = line
+          } else {
+            currentLine = if (currentLine.isEmpty) line else currentLine + " " + line
+          }
+        }
+      }
+      if (currentLine.nonEmpty) para += currentLine
+      out ++= para
+    }
+    out.toSeq
+  }
+
+  /** E4+E5 on a segmented paragraph (reference `src/pdf_extractor.py:30-33`). */
+  def cleanParagraph(p: String): Option[String] = {
+    val cleaned = p.replaceAll("\\s{2,}", " ").trim
+    if (cleaned.length >= 10) Some(cleaned) else None
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    // The fallback splitter over documents, 1-based paragraph numbers
+    // (`src/pdf_extractor.py:39`). The driver corpus is single-line text,
+    // so the oracle is the cleaned single paragraph — the multi-line
+    // behavior is covered by SegmenterSpec goldens (not SQL-expressible).
+    QueryDef(
+      "seg_paragraphs",
+      (spark: SparkSession, dir: String) => {
+        import spark.implicits._
+        val docs = Tables.documents(spark, dir)
+          .select("doc_id", "text").as[(Long, String)]
+        docs.flatMap { case (docId, text) =>
+          segmentPlain(text).zipWithIndex.flatMap { case (p, i) =>
+            cleanParagraph(p).map(c => (docId, i + 1, c))
+          }
+        }.toDF("doc_id", "paragraph_number", "text_clean")
+          .selectExpr("doc_id", "cast(paragraph_number AS int) AS paragraph_number", "text_clean")
+      },
+      Some("""
+        SELECT doc_id, 1::INT AS paragraph_number,
+               trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS text_clean
+        FROM documents
+        WHERE length(trim(regexp_replace(text, '\s{2,}', ' ', 'g'))) >= 10"""))
+  )
+}

@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+
+/** Text normalization / filtering / analysis operators.
+  *
+  * Reference operators covered (SURVEY.md §2.2 / §2.7):
+  *  - E4 whitespace normalization (`src/pdf_extractor.py:30`)
+  *  - E5 min-length paragraph filter (`src/pdf_extractor.py:32-33`)
+  * plus the training-data-pipeline text-analysis extensions: token
+  * counting, language-ID heuristic, quality scoring, document
+  * fingerprinting, per-group text statistics.
+  *
+  * Everything is pure `org.apache.spark.sql.functions` / Catalyst
+  * expressions — single narrow-dependency scans (no shuffle except the
+  * explicit group-bys), codegen-friendly, and safe at any scale.
+  */
+object TextOps {
+
+  private val P = 1000000007L // fold modulus for fingerprints (fits 2^35 * 31 in int64)
+
+  /** Stopword list used by quality scoring + language ID (tiny, inlined
+    * in both Spark and oracle SQL so the two stay in lockstep).
+    */
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+  private val stopSql = stop.map(s => s"'$s'").mkString(", ")
+
+  def queries: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- E4
+    QueryDef(
+      "e4_clean",
+      (spark, dir) =>
+        Tables.documents(spark, dir).selectExpr(
+          "doc_id",
+          "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS text_clean"),
+      Some("""
+        SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS text_clean
+        FROM documents""")),
+
+    // ---------------------------------------------------------------- E5
+    QueryDef(
+      "e5_filter",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr(
+            "doc_id",
+            "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS text_clean")
+          // char_length, NOT octet_length: the reference counts Python
+          // characters (matters for CJK text).
+          .selectExpr("doc_id", "text_clean", "cast(length(text_clean) AS bigint) AS char_len")
+          .where("char_len >= 10"),
+      Some("""
+        SELECT doc_id, text_clean, length(text_clean)::BIGINT AS char_len
+        FROM (SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS text_clean
+              FROM documents)
+        WHERE length(text_clean) >= 10""")),
+
+    // ------------------------------------------------- token counting (extension)
+    QueryDef(
+      "ta_tokens",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+          .selectExpr(
+            "doc_id",
+            "cast(size(split(tc, ' ')) AS bigint) AS n_tokens_ws",
+            "cast(size(filter(split(tc, '[^a-z0-9]+'), t -> t != '')) AS bigint) AS n_tokens_re",
+            // BPE-ish upper bound: ~4 chars/token, exact integer math
+            "cast((length(tc) + 3) div 4 AS bigint) AS n_tokens_bpe"),
+      Some("""
+        SELECT doc_id,
+               len(string_split(tc, ' '))::BIGINT AS n_tokens_ws,
+               len(list_filter(string_split_regex(tc, '[^a-z0-9]+'), t -> t != ''))::BIGINT AS n_tokens_re,
+               ((length(tc) + 3) // 4)::BIGINT AS n_tokens_bpe
+        FROM (SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS tc
+              FROM documents)""")),
+
+    // ------------------------------------------------- language ID (extension)
+    // n-gram/charclass heuristic: CJK-codepoint ratio decides zh; else a
+    // stopword vote (same tiny list both engines). On the synthetic corpus
+    // accuracy is irrelevant — the contract is determinism + identical
+    // semantics in both engines.
+    QueryDef(
+      "ta_langid",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+          .selectExpr(
+            "doc_id",
+            "cast(length(tc) - length(regexp_replace(tc, '[一-鿿]', '')) AS bigint) AS cjk_chars",
+            "cast(length(tc) AS bigint) AS char_len",
+            s"cast(size(filter(split(tc, ' '), t -> t IN ($stopSql))) AS bigint) AS stop_hits")
+          .selectExpr(
+            "doc_id", "cjk_chars", "stop_hits",
+            """CASE WHEN char_len > 0 AND cjk_chars * 5 > char_len THEN 'zh'
+                    WHEN stop_hits >= 3 THEN 'en'
+                    ELSE 'other' END AS lang_pred"""),
+      Some(s"""
+        SELECT doc_id, cjk_chars, stop_hits,
+               CASE WHEN char_len > 0 AND cjk_chars * 5 > char_len THEN 'zh'
+                    WHEN stop_hits >= 3 THEN 'en'
+                    ELSE 'other' END AS lang_pred
+        FROM (SELECT doc_id,
+                     (length(tc) - length(regexp_replace(tc, '[\\x{4e00}-\\x{9fff}]', '', 'g')))::BIGINT AS cjk_chars,
+                     length(tc)::BIGINT AS char_len,
+                     len(list_filter(string_split(tc, ' '), t -> t IN ($stopSql)))::BIGINT AS stop_hits
+              FROM (SELECT doc_id, trim(regexp_replace(text, '\\s{2,}', ' ', 'g')) AS tc
+                    FROM documents))""")),
+
+    // ------------------------------------------------- quality scoring (extension)
+    // All ratios are single IEEE double divisions of exact integers —
+    // bit-identical across engines, no rounding fudge needed.
+    QueryDef(
+      "ta_quality",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+          .selectExpr(
+            "doc_id",
+            "cast(length(tc) AS bigint) AS char_len",
+            "cast(size(split(tc, ' ')) AS bigint) AS n_tokens",
+            "cast(length(tc) - length(regexp_replace(tc, '[.,!?;:]', '')) AS bigint) AS punct_chars",
+            s"cast(size(filter(split(tc, ' '), t -> t IN ($stopSql))) AS bigint) AS stop_tokens")
+          .selectExpr(
+            "doc_id", "char_len", "n_tokens",
+            "cast(char_len - (n_tokens - 1) AS double) / cast(n_tokens AS double) AS avg_token_len",
+            "cast(punct_chars AS double) / cast(char_len AS double) AS punct_ratio",
+            "cast(stop_tokens AS double) / cast(n_tokens AS double) AS stopword_ratio")
+          .selectExpr(
+            "doc_id", "char_len", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio",
+            // toy composite score, exact arithmetic
+            """CASE WHEN char_len >= 50 AND char_len <= 2000 THEN 0.5 ELSE 0.0 END
+               + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN stopword_ratio >= 0.05 THEN 0.2 ELSE 0.0 END AS quality_score"""),
+      Some(s"""
+        SELECT doc_id, char_len, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+               CASE WHEN char_len >= 50 AND char_len <= 2000 THEN 0.5 ELSE 0.0 END
+               + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN stopword_ratio >= 0.05 THEN 0.2 ELSE 0.0 END AS quality_score
+        FROM (
+          SELECT doc_id, char_len, n_tokens,
+                 (char_len - (n_tokens - 1))::DOUBLE / n_tokens::DOUBLE AS avg_token_len,
+                 punct_chars::DOUBLE / char_len::DOUBLE AS punct_ratio,
+                 stop_tokens::DOUBLE / n_tokens::DOUBLE AS stopword_ratio
+          FROM (
+            SELECT doc_id,
+                   length(tc)::BIGINT AS char_len,
+                   len(string_split(tc, ' '))::BIGINT AS n_tokens,
+                   (length(tc) - length(regexp_replace(tc, '[.,!?;:]', '', 'g')))::BIGINT AS punct_chars,
+                   len(list_filter(string_split(tc, ' '), t -> t IN ($stopSql)))::BIGINT AS stop_tokens
+            FROM (SELECT doc_id, trim(regexp_replace(text, '\\s{2,}', ' ', 'g')) AS tc
+                  FROM documents)))""")),
+
+    // ------------------------------------------------- document fingerprint (extension)
+    // Polynomial rolling hash over token hash60 values mod 1e9+7 — a
+    // content fingerprint for exact/near-exact dedup joins. The fold is
+    // seeded with the first element in BOTH engines (Spark: aggregate
+    // over slice(2..); DuckDB: list_reduce) so results match exactly.
+    QueryDef(
+      "ta_fingerprint",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+          .selectExpr(
+            "doc_id",
+            s"transform(split(tc, ' '), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % $P) AS hs")
+          .selectExpr(
+            "doc_id",
+            s"aggregate(slice(hs, 2, size(hs) - 1), hs[0], (acc, x) -> (acc * 31 + x) % $P) AS fingerprint"),
+      Some(s"""
+        SELECT doc_id,
+               list_reduce(hs, (acc, x) -> (acc * 31 + x) % $P) AS fingerprint
+        FROM (
+          SELECT doc_id,
+                 list_transform(string_split(tc, ' '),
+                                t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % $P) AS hs
+          FROM (SELECT doc_id, trim(regexp_replace(text, '\\s{2,}', ' ', 'g')) AS tc
+                FROM documents))""")),
+
+    // ------------------------------------------------- per-group text stats (extension)
+    // One shuffle on a low-cardinality key; partial aggregation
+    // (map-side combine) makes this a safe pattern at 100 TB.
+    QueryDef(
+      "ta_stats",
+      (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+        d.selectExpr("lang", "source", "n_chars")
+          .groupBy("lang")
+          .agg(
+            org.apache.spark.sql.functions.expr("count(*) AS n_docs"),
+            org.apache.spark.sql.functions.expr("sum(n_chars) AS total_chars"),
+            org.apache.spark.sql.functions.expr("min(n_chars) AS min_chars"),
+            org.apache.spark.sql.functions.expr("max(n_chars) AS max_chars"),
+            org.apache.spark.sql.functions.expr(
+              "cast(sum(n_chars) AS double) / cast(count(*) AS double) AS avg_chars"),
+            org.apache.spark.sql.functions.expr("count(DISTINCT source) AS n_sources"))
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               sum(n_chars)::DOUBLE / count(*)::DOUBLE AS avg_chars,
+               count(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang"""))
+  )
+}

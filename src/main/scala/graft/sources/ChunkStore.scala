@@ -1,0 +1,180 @@
+package graft.sources
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources & sinks (SURVEY.md §2.1 S1–S8) — the reference's interchange
+  * surface, with its quirk ledger preserved:
+  *  - S3 CSV sink: header, UTF-8, overwrite (`src/pdf_extractor.py:236-237`)
+  *  - S4 CSV source: reload hardcodes the four metadata fields and
+  *    SILENTLY DROPS `chunk_number` (`src/main.py:58-63`)
+  *  - S5 vector-store sink: positional `chunk_{i}` ids, metadata values
+  *    stringified, NO-OP when the store is non-empty
+  *    (`src/vector_store.py:115-117,127,132-140`)
+  *  - S6 reset: overwrite (`src/vector_store.py:96-107`)
+  *  - S7 JSON dump (`src/vector_store.py:184-205`)
+  *  - S8 stats (`src/vector_store.py:177-182`)
+  */
+object ChunkStore {
+
+  /** The reference's flattened chunk-row schema (FIXTURES.md §1.1). */
+  val chunkSchema: StructType = StructType(Seq(
+    StructField("text", StringType),
+    StructField("source", StringType),
+    StructField("page_number", IntegerType),
+    StructField("paragraph_number", IntegerType),
+    StructField("total_pages", IntegerType),
+    StructField("chunk_number", IntegerType)))
+
+  /** S3 — CSV sink (header, UTF-8, overwrite). The reference writes one
+    * CSV per source PDF; at scale one file per task is the same layout.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("encoding", "UTF-8")
+      .csv(path)
+
+  /** S4 — CSV source with the reference's reload quirk: only the four
+    * hardcoded metadata fields survive; `chunk_number` is dropped.
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(chunkSchema).option("header", "true").csv(path)
+      .select("text", "source", "page_number", "paragraph_number", "total_pages")
+
+  /** S5 — vector-store add: positional ids `chunk_{i}` (i from 0 in the
+    * given ordering), all metadata stringified, idempotence guard (no-op
+    * if the store already has rows). `orderCols` makes the positional id
+    * deterministic — the reference relies on Python list order.
+    *
+    * Scale note: `row_number` over a global window is a single-partition
+    * sort; fine for the reference-fidelity path. The scale path is
+    * `zipWithIndex`-style partition-offset ids — see
+    * [[ChunkStore.withPositionalIds]].
+    */
+  def addDocuments(spark: SparkSession, chunks: DataFrame, storePath: String,
+                   orderCols: Seq[String]): Boolean = {
+    val existing =
+      try spark.read.parquet(storePath).limit(1).count() catch { case _: Exception => 0L }
+    if (existing > 0) false // reference: add is a no-op when non-empty
+    else {
+      withPositionalIds(chunks, orderCols)
+        .write.mode(SaveMode.Append).parquet(storePath)
+      true
+    }
+  }
+
+  /** Positional `chunk_{i}` ids without a global single-partition sort:
+    * sort within partitions after a range-partitioned repartitionByRange
+    * (so order is global), then add per-partition offsets computed from
+    * partition sizes — the standard scalable global-index pattern.
+    */
+  def withPositionalIds(chunks: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val spark = chunks.sparkSession
+    val sorted = chunks.repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val sizes = sorted.rdd.mapPartitionsWithIndex {
+      case (pid, it) => Iterator((pid, it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = sizes.map(_._2).scanLeft(0L)(_ + _)
+    val offsetMap = sizes.map(_._1).zip(offsets).toMap
+    val bc = spark.sparkContext.broadcast(offsetMap)
+    val schema = sorted.schema.add("id", StringType)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val base = bc.value(pid)
+      it.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ s"chunk_${base + i}")
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** S6 — reset: drop + recreate (overwrite with empty). */
+  def reset(spark: SparkSession, storePath: String, schema: StructType): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode(SaveMode.Overwrite).parquet(storePath)
+
+  /** S7 — full-store JSON dump (id, text, metadata). */
+  def dumpJson(store: DataFrame, path: String): Unit =
+    store.write.mode(SaveMode.Overwrite).json(path)
+
+  /** S8 — store stats. */
+  def stats(store: DataFrame, collectionName: String): (Long, String) =
+    (store.count(), collectionName)
+
+  // -------------------------------------------------------------- queries
+
+  def queries: Seq[QueryDef] = Seq(
+    // S5 surface as a pure query: positional ids over the chunk table in
+    // (doc_id, chunk_number) order + the stringification quirk — every
+    // metadata value becomes a string (page_number "3" not 3).
+    QueryDef(
+      "s5_store_entries",
+      (spark, dir) =>
+        graft.operators.Chunker.queries.head.run(spark, dir) // c1_chunk
+          .selectExpr(
+            "doc_id", "chunk_number", "chunk_text",
+            """cast(row_number() OVER (ORDER BY doc_id, coalesce(chunk_number, 0)) - 1 AS bigint) AS pos""")
+          .selectExpr(
+            "concat('chunk_', cast(pos AS string)) AS id",
+            "chunk_text AS text",
+            "cast(doc_id AS string) AS doc_id_str",
+            "cast(chunk_number AS string) AS chunk_number_str"),
+      Some("""
+        WITH ok AS (
+          SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS tc
+          FROM documents
+          WHERE length(trim(regexp_replace(text, '\s{2,}', ' ', 'g'))) >= 10
+        ), chunks AS (
+          SELECT doc_id, NULL::INT AS chunk_number, tc AS chunk_text
+          FROM ok WHERE length(tc) <= 500
+          UNION ALL
+          SELECT doc_id, (i // 450 + 1)::INT AS chunk_number, substring(tc, i + 1, 500) AS chunk_text
+          FROM ok, LATERAL (SELECT unnest(generate_series(0, length(tc) - 1, 450)) AS i) g
+          WHERE length(tc) > 500 AND length(substring(tc, i + 1, 500)) >= 50
+        )
+        SELECT 'chunk_' || (row_number() OVER (ORDER BY doc_id, coalesce(chunk_number, 0)) - 1) AS id,
+               chunk_text AS text,
+               doc_id::VARCHAR AS doc_id_str,
+               chunk_number::VARCHAR AS chunk_number_str
+        FROM chunks""")),
+
+    // S4 reload quirk as a pure query: the metadata projection that
+    // survives a CSV round-trip (chunk_number dropped).
+    QueryDef(
+      "s4_reload_projection",
+      (spark, dir) =>
+        graft.operators.Chunker.queries.head.run(spark, dir)
+          .selectExpr("chunk_text AS text", "cast(doc_id AS string) AS source_doc")
+          .groupBy("source_doc")
+          .agg(expr("count(*) AS n_chunks"),
+               expr("cast(sum(length(text)) AS bigint) AS total_chars")),
+      Some("""
+        WITH ok AS (
+          SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS tc
+          FROM documents
+          WHERE length(trim(regexp_replace(text, '\s{2,}', ' ', 'g'))) >= 10
+        ), chunks AS (
+          SELECT doc_id, tc AS chunk_text FROM ok WHERE length(tc) <= 500
+          UNION ALL
+          SELECT doc_id, substring(tc, i + 1, 500) AS chunk_text
+          FROM ok, LATERAL (SELECT unnest(generate_series(0, length(tc) - 1, 450)) AS i) g
+          WHERE length(tc) > 500 AND length(substring(tc, i + 1, 500)) >= 50
+        )
+        SELECT doc_id::VARCHAR AS source_doc, count(*) AS n_chunks,
+               sum(length(chunk_text))::BIGINT AS total_chars
+        FROM chunks GROUP BY 1""")),
+
+    // S8 — stats query.
+    QueryDef(
+      "s8_stats",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .agg(expr("count(*) AS document_count"))
+          .selectExpr("document_count", "'graft_documents' AS collection_name"),
+      Some("""
+        SELECT count(*) AS document_count, 'graft_documents' AS collection_name
+        FROM documents"""))
+  )
+}
