@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
 object Fns {
 
   /** E4 whitespace normalization — reference `src/pdf_extractor.py:30`:
-    * `re.sub(r'\s{2,}', ' ', paragraph).strip()`.
+    * `re.sub(r'\s{2,}', ' ', paragraph).strip()`. NOT `trim()`: Python
+    * strip removes tabs/newlines too, Spark/DuckDB trim only spaces —
+    * the regex strip matches Python for all ASCII whitespace.
     */
-  def cleanText(c: Column): Column = trim(regexp_replace(c, "\\s{2,}", " "))
+  def cleanText(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\s{2,}", " "), "^\\s+|\\s+$", "")
 
   /** Deterministic 60-bit hash of a string: the first 15 hex digits of
     * md5, parsed base-16. Chosen because BOTH Spark and DuckDB compute

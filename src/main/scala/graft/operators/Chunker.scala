@@ -44,16 +44,16 @@ object Chunker {
       "c1_chunk",
       (spark, dir) =>
         Tables.documents(spark, dir)
-          .selectExpr("doc_id", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+          .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
           .where(s"length(tc) >= $MinParagraph")
           .selectExpr("doc_id", chunksExpr)
           .selectExpr("doc_id", "explode(chunks) AS c")
           .selectExpr("doc_id", "c.chunk_number AS chunk_number", "c.chunk_text AS chunk_text"),
       Some(s"""
         WITH ok AS (
-          SELECT doc_id, trim(regexp_replace(text, '\\s{2,}', ' ', 'g')) AS tc
+          SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
           FROM documents
-          WHERE length(trim(regexp_replace(text, '\\s{2,}', ' ', 'g'))) >= $MinParagraph
+          WHERE length(regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g')) >= $MinParagraph
         )
         SELECT doc_id, NULL::INT AS chunk_number, tc AS chunk_text
         FROM ok WHERE length(tc) <= $ChunkSize
@@ -75,7 +75,7 @@ object Chunker {
       "c2_chunk_meta",
       (spark, dir) =>
         Tables.documents(spark, dir)
-          .selectExpr("doc_id", "source", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+          .selectExpr("doc_id", "source", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
           .where(s"length(tc) >= $MinParagraph")
           .selectExpr("doc_id", "source", "cast(length(tc) AS bigint) AS char_len", chunksExpr)
           .selectExpr("doc_id", "source", "char_len", "explode(chunks) AS c")
@@ -89,9 +89,9 @@ object Chunker {
               .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))),
       Some(s"""
         WITH ok AS (
-          SELECT doc_id, source, trim(regexp_replace(text, '\\s{2,}', ' ', 'g')) AS tc
+          SELECT doc_id, source, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
           FROM documents
-          WHERE length(trim(regexp_replace(text, '\\s{2,}', ' ', 'g'))) >= $MinParagraph
+          WHERE length(regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g')) >= $MinParagraph
         ), chunks AS (
           SELECT doc_id, source, length(tc)::BIGINT AS char_len,
                  NULL::INT AS chunk_number, length(tc)::BIGINT AS chunk_len

@@ -44,7 +44,7 @@ object Dedup {
     */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+      .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
       .selectExpr("doc_id", "split(tc, ' ') AS toks", "tc")
       .selectExpr(
         "doc_id",
@@ -60,7 +60,7 @@ object Dedup {
        |                                              i -> array_to_string(toks[i:i+2], ' ')))
        |       END AS shingles
        |FROM (SELECT doc_id, string_split(tc, ' ') AS toks, tc
-       |      FROM (SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS tc
+       |      FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
        |            FROM documents))""".stripMargin
 
   def queries: Seq[QueryDef] = Seq(
@@ -72,11 +72,11 @@ object Dedup {
       "dd_exact",
       (spark, dir) =>
         Tables.documents(spark, dir)
-          .selectExpr("doc_id", "md5(trim(regexp_replace(text, '\\\\s{2,}', ' '))) AS text_hash")
+          .selectExpr("doc_id", "md5(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '')) AS text_hash")
           .groupBy("text_hash")
           .agg(expr("min(doc_id) AS keep_doc_id"), expr("count(*) AS n_copies")),
       Some("""
-        SELECT md5(trim(regexp_replace(text, '\s{2,}', ' ', 'g'))) AS text_hash,
+        SELECT md5(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g')) AS text_hash,
                min(doc_id) AS keep_doc_id, count(*) AS n_copies
         FROM documents
         GROUP BY 1""")),
@@ -201,7 +201,7 @@ object Dedup {
       "dd_ngram_jaccard",
       (spark, dir) => {
         val d = Tables.documents(spark, dir)
-          .selectExpr("doc_id", "lang", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+          .selectExpr("doc_id", "lang", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
           .selectExpr("doc_id", "lang", "split(tc, ' ') AS toks", "tc")
           .selectExpr(
             "doc_id", "lang", "size(toks) div 10 AS len_band",
@@ -231,7 +231,7 @@ object Dedup {
                                                         i -> array_to_string(toks[i:i+2], ' ')))
                  END AS shingles
           FROM (SELECT doc_id, lang, string_split(tc, ' ') AS toks, tc
-                FROM (SELECT doc_id, lang, trim(regexp_replace(text, '\\s{2,}', ' ', 'g')) AS tc
+                FROM (SELECT doc_id, lang, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
                       FROM documents))
         )
         SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
@@ -282,7 +282,7 @@ object Dedup {
   // ---------------------------------------------------------------------
   private def simhashDf(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+      .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
       .selectExpr(
         "doc_id",
         "transform(split(tc, ' '), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint)) AS hv")
@@ -305,6 +305,6 @@ object Dedup {
       |FROM (SELECT doc_id,
       |             list_transform(string_split(tc, ' '),
       |                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hv
-      |      FROM (SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS tc
+      |      FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
       |            FROM documents))""".stripMargin
 }

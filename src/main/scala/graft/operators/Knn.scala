@@ -148,7 +148,7 @@ object Knn {
       "v1_embed",
       (spark, dir) =>
         Tables.documents(spark, dir)
-          .selectExpr("doc_id", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+          .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
           .selectExpr(
             "doc_id",
             "transform(split(tc, ' '), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % 64) AS bks")
@@ -176,7 +176,7 @@ object Knn {
               SELECT doc_id,
                      list_transform(string_split(tc, ' '),
                                     t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 64) AS bks
-              FROM (SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS tc
+              FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
                     FROM documents))))"""))
   )
 }

@@ -25,7 +25,7 @@ object Qa {
     */
   private def retrieved(spark: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", "source", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+      .selectExpr("doc_id", "source", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
       .selectExpr(
         "doc_id", "source", "tc",
         s"""cast(size(array_intersect(split(tc, ' '), split('$Query', ' '))) AS bigint) AS score""")
@@ -41,7 +41,7 @@ object Qa {
        |  FROM (
        |    SELECT doc_id, source, tc,
        |           len(list_intersect(string_split(tc, ' '), string_split('$Query', ' ')))::BIGINT AS score
-       |    FROM (SELECT doc_id, source, trim(regexp_replace(text, '\\s{2,}', ' ', 'g')) AS tc
+       |    FROM (SELECT doc_id, source, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
        |          FROM documents)))
        |WHERE rn <= $TopK""".stripMargin
 

@@ -153,8 +153,8 @@ object Segmenter {
       },
       Some("""
         SELECT doc_id, 1::INT AS paragraph_number,
-               trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS text_clean
+               regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS text_clean
         FROM documents
-        WHERE length(trim(regexp_replace(text, '\s{2,}', ' ', 'g'))) >= 10"""))
+        WHERE length(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g')) >= 10"""))
   )
 }

@@ -32,9 +32,9 @@ object TextOps {
       (spark, dir) =>
         Tables.documents(spark, dir).selectExpr(
           "doc_id",
-          "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS text_clean"),
+          "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS text_clean"),
       Some("""
-        SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS text_clean
+        SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS text_clean
         FROM documents""")),
 
     // ---------------------------------------------------------------- E5
@@ -44,14 +44,14 @@ object TextOps {
         Tables.documents(spark, dir)
           .selectExpr(
             "doc_id",
-            "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS text_clean")
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS text_clean")
           // char_length, NOT octet_length: the reference counts Python
           // characters (matters for CJK text).
           .selectExpr("doc_id", "text_clean", "cast(length(text_clean) AS bigint) AS char_len")
           .where("char_len >= 10"),
       Some("""
         SELECT doc_id, text_clean, length(text_clean)::BIGINT AS char_len
-        FROM (SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS text_clean
+        FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS text_clean
               FROM documents)
         WHERE length(text_clean) >= 10""")),
 
@@ -60,7 +60,7 @@ object TextOps {
       "ta_tokens",
       (spark, dir) =>
         Tables.documents(spark, dir)
-          .selectExpr("doc_id", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+          .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
           .selectExpr(
             "doc_id",
             "cast(size(split(tc, ' ')) AS bigint) AS n_tokens_ws",
@@ -72,7 +72,7 @@ object TextOps {
                len(string_split(tc, ' '))::BIGINT AS n_tokens_ws,
                len(list_filter(string_split_regex(tc, '[^a-z0-9]+'), t -> t != ''))::BIGINT AS n_tokens_re,
                ((length(tc) + 3) // 4)::BIGINT AS n_tokens_bpe
-        FROM (SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS tc
+        FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
               FROM documents)""")),
 
     // ------------------------------------------------- language ID (extension)
@@ -84,7 +84,7 @@ object TextOps {
       "ta_langid",
       (spark, dir) =>
         Tables.documents(spark, dir)
-          .selectExpr("doc_id", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+          .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
           .selectExpr(
             "doc_id",
             "cast(length(tc) - length(regexp_replace(tc, '[一-鿿]', '')) AS bigint) AS cjk_chars",
@@ -104,7 +104,7 @@ object TextOps {
                      (length(tc) - length(regexp_replace(tc, '[\\x{4e00}-\\x{9fff}]', '', 'g')))::BIGINT AS cjk_chars,
                      length(tc)::BIGINT AS char_len,
                      len(list_filter(string_split(tc, ' '), t -> t IN ($stopSql)))::BIGINT AS stop_hits
-              FROM (SELECT doc_id, trim(regexp_replace(text, '\\s{2,}', ' ', 'g')) AS tc
+              FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
                     FROM documents))""")),
 
     // ------------------------------------------------- quality scoring (extension)
@@ -114,7 +114,7 @@ object TextOps {
       "ta_quality",
       (spark, dir) =>
         Tables.documents(spark, dir)
-          .selectExpr("doc_id", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+          .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
           .selectExpr(
             "doc_id",
             "cast(length(tc) AS bigint) AS char_len",
@@ -148,7 +148,7 @@ object TextOps {
                    len(string_split(tc, ' '))::BIGINT AS n_tokens,
                    (length(tc) - length(regexp_replace(tc, '[.,!?;:]', '', 'g')))::BIGINT AS punct_chars,
                    len(list_filter(string_split(tc, ' '), t -> t IN ($stopSql)))::BIGINT AS stop_tokens
-            FROM (SELECT doc_id, trim(regexp_replace(text, '\\s{2,}', ' ', 'g')) AS tc
+            FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
                   FROM documents)))""")),
 
     // ------------------------------------------------- document fingerprint (extension)
@@ -160,7 +160,7 @@ object TextOps {
       "ta_fingerprint",
       (spark, dir) =>
         Tables.documents(spark, dir)
-          .selectExpr("doc_id", "trim(regexp_replace(text, '\\\\s{2,}', ' ')) AS tc")
+          .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
           .selectExpr(
             "doc_id",
             s"transform(split(tc, ' '), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % $P) AS hs")
@@ -174,7 +174,7 @@ object TextOps {
           SELECT doc_id,
                  list_transform(string_split(tc, ' '),
                                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % $P) AS hs
-          FROM (SELECT doc_id, trim(regexp_replace(text, '\\s{2,}', ' ', 'g')) AS tc
+          FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
                 FROM documents))""")),
 
     // ------------------------------------------------- per-group text stats (extension)

@@ -123,9 +123,9 @@ object ChunkStore {
             "cast(chunk_number AS string) AS chunk_number_str"),
       Some("""
         WITH ok AS (
-          SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS tc
+          SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
           FROM documents
-          WHERE length(trim(regexp_replace(text, '\s{2,}', ' ', 'g'))) >= 10
+          WHERE length(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g')) >= 10
         ), chunks AS (
           SELECT doc_id, NULL::INT AS chunk_number, tc AS chunk_text
           FROM ok WHERE length(tc) <= 500
@@ -152,9 +152,9 @@ object ChunkStore {
                expr("cast(sum(length(text)) AS bigint) AS total_chars")),
       Some("""
         WITH ok AS (
-          SELECT doc_id, trim(regexp_replace(text, '\s{2,}', ' ', 'g')) AS tc
+          SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
           FROM documents
-          WHERE length(trim(regexp_replace(text, '\s{2,}', ' ', 'g'))) >= 10
+          WHERE length(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g')) >= 10
         ), chunks AS (
           SELECT doc_id, tc AS chunk_text FROM ok WHERE length(tc) <= 500
           UNION ALL

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — the scale-native analog of the
+  * reference's resumable batch ingest (SURVEY.md §2.6 P1/P2: the
+  * skip-if-done guards at `src/main.py:27-28,42-43` are exactly what a
+  * streaming checkpoint gives for free), plus event-time windowed
+  * aggregation and stateful sessionization over the `events` shape.
+  *
+  * All transforms are the SAME logical plans as the batch operators
+  * (Events.ev_window_agg / ev_sessionize are the batch twins) — Spark's
+  * unified batch/streaming model means the per-microbatch physical plan
+  * is identical to the batch one, so the 100 TB design notes carry over.
+  */
+object Streaming {
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** P1/P2 analog — resumable document→chunk ingest: a parquet file
+    * stream through the C1 chunker into an append sink. The checkpoint
+    * IS the skip-if-extracted guard: already-processed files are never
+    * re-read, new files are picked up incrementally, a crashed run
+    * resumes exactly-once.
+    */
+  def chunkIngest(spark: SparkSession, inDir: String, outDir: String,
+                  checkpointDir: String): StreamingQuery = {
+    val chunks = spark.readStream
+      .schema(documentsSchema)
+      .parquet(inDir)
+      .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .where("length(tc) >= 10")
+      .selectExpr(
+        "doc_id",
+        """explode(CASE WHEN length(tc) <= 500
+                        THEN array(named_struct('chunk_number', cast(null AS int), 'chunk_text', tc))
+                        ELSE filter(transform(sequence(0, length(tc) - 1, 450),
+                                    i -> named_struct('chunk_number', cast(i div 450 + 1 AS int),
+                                                      'chunk_text', substring(tc, i + 1, 500))),
+                                    s -> length(s.chunk_text) >= 50)
+                   END) AS c""")
+      .selectExpr("doc_id", "c.chunk_number AS chunk_number", "c.chunk_text AS chunk_text")
+    chunks.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Event-time tumbling-window aggregation with a watermark: late rows
+    * beyond 1 hour are dropped, state is bounded — the streaming twin of
+    * Events.ev_window_agg.
+    */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .selectExpr(
+        "cast(window.start AS long) AS window_start", "event_type", "n_events", "sum_value")
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState (the streaming
+    * twin of Events.ev_sessionize): per-user state, 30-minute inactivity
+    * gap closes a session when a later event arrives.
+    *
+    * NoTimeout keeps the operator deterministic (emission depends only
+    * on data, never on wall clock); a production deployment that must
+    * flush idle users would add EventTimeTimeout + a watermark so the
+    * flush itself stays data-driven.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          for (e <- sorted) {
+            val tsUs = e.ts.getTime * 1000
+            sessions match {
+              case cur :: rest if tsUs - cur.end <= gapUs =>
+                sessions = SessionState(cur.start, tsUs, cur.n + 1) :: rest
+              case cur :: rest =>
+                closed += SessionOut(userId, cur.start, cur.end, cur.n)
+                sessions = SessionState(tsUs, tsUs, 1) :: rest
+              case Nil =>
+                sessions = SessionState(tsUs, tsUs, 1) :: Nil
+            }
+          }
+          state.update(sessions)
+          closed.iterator
+      }
+  }
+
+  /** Drain a file-source stream with AvailableNow and wait — the test /
+    * batch-parity entry point.
+    */
+  def runToCompletion(q: StreamingQuery): Unit = {
+    q.awaitTermination()
+  }
+}

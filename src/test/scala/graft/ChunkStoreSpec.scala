@@ -1,0 +1,76 @@
+package graft
+
+import graft.sources.ChunkStore
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** S3–S8 quirk-ledger tests (SURVEY.md §2.1): CSV round-trip drops
+  * chunk_number, add is idempotent, positional ids are deterministic.
+  */
+class ChunkStoreSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_store").toString
+
+  private def sampleChunks() = {
+    import spark.implicits._
+    Seq(
+      ("alpha chunk text", "a.pdf", 1, 1, 3, Some(1)),
+      ("beta chunk text", "a.pdf", 1, 1, 3, Some(2)),
+      ("gamma chunk text", "a.pdf", 2, 1, 3, None: Option[Int]),
+      ("delta chunk text", "b.pdf", 1, 1, 1, None: Option[Int]))
+      .toDF("text", "source", "page_number", "paragraph_number", "total_pages", "chunk_number")
+  }
+
+  test("S3/S4: CSV round-trip preserves the 4 metadata fields and DROPS chunk_number") {
+    val dir = tmp() + "/csv"
+    ChunkStore.writeCsv(sampleChunks(), dir)
+    val back = ChunkStore.readCsv(spark, dir)
+    assert(back.columns.toSeq ==
+      Seq("text", "source", "page_number", "paragraph_number", "total_pages"))
+    assert(back.count() == 4)
+    val row = back.where("text = 'alpha chunk text'").collect().head
+    assert(row.getAs[String]("source") == "a.pdf")
+    assert(row.getAs[Int]("page_number") == 1) // 1-based, preserved
+  }
+
+  test("S5: positional ids chunk_{i} follow the given ordering from 0") {
+    val withIds = ChunkStore.withPositionalIds(sampleChunks(), Seq("source", "page_number", "chunk_number"))
+    val ids = withIds.orderBy("source", "page_number", "chunk_number")
+      .select("id").collect().map(_.getString(0))
+    assert(ids.toSet == Set("chunk_0", "chunk_1", "chunk_2", "chunk_3"))
+    // ordering: a.pdf/1/1, a.pdf/1/2, a.pdf/2/null?  — nulls first in asc
+    val first = withIds.where("text = 'beta chunk text'").collect().head.getAs[String]("id")
+    assert(first.startsWith("chunk_"))
+  }
+
+  test("S5: addDocuments is a NO-OP when the store is non-empty (reference guard)") {
+    val store = tmp() + "/store"
+    assert(ChunkStore.addDocuments(spark, sampleChunks(), store, Seq("source", "text")))
+    val n1 = spark.read.parquet(store).count()
+    // second add must be refused and leave the store untouched
+    assert(!ChunkStore.addDocuments(spark, sampleChunks(), store, Seq("source", "text")))
+    assert(spark.read.parquet(store).count() == n1)
+  }
+
+  test("S6: reset empties the store; a subsequent add succeeds again") {
+    val store = tmp() + "/store"
+    assert(ChunkStore.addDocuments(spark, sampleChunks(), store, Seq("source", "text")))
+    val schema = spark.read.parquet(store).schema
+    ChunkStore.reset(spark, store, schema)
+    assert(spark.read.parquet(store).count() == 0)
+    assert(ChunkStore.addDocuments(spark, sampleChunks(), store, Seq("source", "text")))
+    assert(spark.read.parquet(store).count() == 4)
+  }
+
+  test("S7/S8: JSON dump writes id/text rows; stats counts them") {
+    val store = tmp() + "/store"
+    ChunkStore.addDocuments(spark, sampleChunks(), store, Seq("source", "text"))
+    val df = spark.read.parquet(store)
+    val out = tmp() + "/dump"
+    ChunkStore.dumpJson(df.select("id", "text"), out)
+    assert(spark.read.json(out).count() == 4)
+    assert(ChunkStore.stats(df, "graft_vectors") == (4L, "graft_vectors"))
+  }
+}

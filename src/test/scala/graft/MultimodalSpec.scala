@@ -1,0 +1,46 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing tests: binary payload column + metadata, the
+  * stubbed mapPartitions feature extractor, frame sampling shape.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def media() = {
+    import spark.implicits._
+    val df = Seq((1L, "ab"), (2L, "hello world"), (3L, "中文内容测试")).toDF("id", "txt")
+    Multimodal.mediaFromText(df, "id", "txt")
+  }
+
+  test("mediaFromText: UTF-8 byte sizing and content hash") {
+    val m = media().collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_bytes") == 2)
+    assert(m(2L).getAs[Long]("n_bytes") == 11)
+    assert(m(3L).getAs[Long]("n_bytes") == 18) // 6 CJK chars × 3 bytes
+    assert(m(1L).getAs[String]("content_md5") == "187ef4436122d1cc2f40dc2b92f0eba0")
+    assert(m(1L).getAs[Array[Byte]]("payload").toSeq == "ab".getBytes("UTF-8").toSeq)
+  }
+
+  test("decodeFeatures: deterministic 16-bin byte histogram, L1-normalized") {
+    val feats = Multimodal.decodeFeatures(spark, media())
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[scala.collection.Seq[Double]]("features").toSeq).toMap
+    assert(feats(1L).size == 16)
+    assert(math.abs(feats(1L).sum - 1.0) < 1e-12)
+    // "ab" = 0x61 0x62 → both in bin 6 → bin6 = 1.0
+    assert(feats(1L)(6) == 1.0)
+    // determinism: second run identical
+    val again = Multimodal.decodeFeatures(spark, media())
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[scala.collection.Seq[Double]]("features").toSeq).toMap
+    assert(again == feats)
+  }
+
+  test("sampleFrames: every-k-th fixed-size byte window with frame numbers") {
+    val frames = Multimodal.sampleFrames(media().where("media_id = 2"), frameBytes = 4, everyK = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    val frameNos = frames.map(_.getAs[Int]("frame_no")).toSeq
+    assert(frameNos == frameNos.sorted)
+    frames.foreach(r => assert(r.getAs[Array[Byte]]("frame_bytes").length <= 4))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Structured Streaming tests: checkpoint-resumable chunk ingest
+  * (P1/P2 analog), watermarked windowed aggregation parity with the
+  * batch twin, stateful sessionization.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft_stream").toString
+
+  test("chunkIngest: file-stream chunking matches batch; checkpoint skips processed files") {
+    import spark.implicits._
+    val in = tmp() + "/in"
+    val out = tmp() + "/out"
+    val ck = tmp() + "/ck"
+
+    val batch1 = Seq(
+      (1L, "a short doc that fits in one chunk easily", "en", "s1", 41L),
+      (2L, "x" * 950, "en", "s2", 950L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    batch1.write.mode("append").parquet(in)
+
+    Streaming.runToCompletion(Streaming.chunkIngest(spark, in, out, ck))
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == 4) // doc1: 1 chunk; doc2 (950 chars): 500 + 500 + trailing 50 = 3 chunks
+
+    // second batch: a new file arrives; re-running with the SAME
+    // checkpoint must process ONLY the new file (no duplicates)
+    Seq((3L, "another single-chunk document arrives later", "en", "s3", 44L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(in)
+    Streaming.runToCompletion(Streaming.chunkIngest(spark, in, out, ck))
+    val afterSecond = spark.read.parquet(out)
+    assert(afterSecond.count() == afterFirst + 1)
+    assert(afterSecond.where("doc_id = 1").count() == 1) // not reprocessed
+  }
+
+  test("windowedEventCounts: streaming aggregation equals the batch plan") {
+    import spark.implicits._
+    val dir = tmp() + "/events"
+    val base = 1700000000L // seconds
+    val rows = (0 until 100).map { i =>
+      (i.toLong, new Timestamp((base + i * 137) * 1000L), (i % 7).toLong,
+        Seq("click", "view", "purchase")(i % 3), i * 0.5, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir)
+
+    val stream = spark.readStream.schema(Streaming.eventsSchema).parquet(dir)
+    val q = Streaming.windowedEventCounts(stream)
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("win_test")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = spark.read.parquet(dir)
+      .groupBy(expr("cast(date_trunc('HOUR', ts) AS long)").as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionize: 30-min gaps close sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append")
+      .start()
+
+    def ev(id: Long, user: Long, sec: Long) =
+      Event(id, new Timestamp(sec * 1000L), user, "click", 1.0)
+
+    val t0 = 1700000000L
+    // batch 1: user 1 has a 3-event burst
+    mem.addData(ev(1, 1, t0), ev(2, 1, t0 + 60), ev(3, 1, t0 + 120))
+    q.processAllAvailable()
+    // batch 2: 45 min later — the previous session must close and emit
+    mem.addData(ev(4, 1, t0 + 2820))
+    q.processAllAvailable()
+
+    val sessions = spark.table("sess_test").as[Streaming.SessionOut].collect()
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.user_id == 1L)
+    assert(s.n_events == 3L)
+    assert(s.session_start_us == t0 * 1000000L)
+    assert(s.session_end_us == (t0 + 120) * 1000000L)
+    q.stop()
+  }
+}
