@@ -24,14 +24,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one warmup pass over a tiny SF amortizes codegen/classload out of
     // the measured numbers (the driver compares steady-state throughput)
+    // noop sink: forces FULL evaluation of every output column —
+    // count() would let Catalyst prune projection-only work and
+    // under-measure (a fingerprint query's fold never runs under count)
+    def exhaust(d: QueryDef, dir: String): Unit =
+      d.run(spark, dir).write.mode("overwrite").format("noop").save()
     Registry.all.filter(_.bench).foreach { d =>
-      try d.run(spark, "/root/testdata/sf0.001").count()
+      try exhaust(d, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
     val results = Registry.all.filter(_.bench).map { d =>
       val t0 = System.nanoTime()
-      try d.run(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      try exhaust(d, sfDir)
+      catch { case _: Throwable => () }
       d.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -8,26 +8,47 @@ import org.apache.spark.sql.functions._
   * exact dedup, MinHash+LSH, SimHash, n-gram Jaccard verification, and
   * embedding-cosine near-dup.
   *
-  * Everything is built on [[graft.Fns.hash60]] (md5-derived 60-bit
-  * integers) so Spark results and the DuckDB oracle agree bit-for-bit —
-  * no engine-private hash functions (Spark's `hash`/`xxhash64` have no
+  * Everything is built on md5-derived 60-bit hashes ([[graft.Fns.hash60]])
+  * so Spark results and the DuckDB oracle agree bit-for-bit — no
+  * engine-private hash functions (Spark's `hash`/`xxhash64` have no
   * DuckDB twin).
   *
-  * Scale design: no operator here ever forms the full O(n²) pair set.
-  * Candidates come from LSH band buckets (minhash), band-blocked
-  * fingerprints (simhash), or cluster blocking (embeddings); the
-  * verification join only touches candidate pairs. That is exactly the
-  * 100 TB shape — the band/bucket join is a plain shuffle join on a
-  * high-cardinality key.
+  * Scale design:
+  *  - no operator ever forms the full O(n²) pair set — candidates come
+  *    from LSH band buckets (minhash), 15-bit simhash bands, or
+  *    (lang, length) blocking, and the verification join only touches
+  *    candidate pairs;
+  *  - shingle sets are reduced to DISTINCT int64 hash arrays before any
+  *    join (int set-intersection is ~10× cheaper than string, and the
+  *    shuffle moves 8-byte ints, not text);
+  *  - band self-joins carry ONLY (doc_id, band key); shingle sets are
+  *    joined back per candidate pair afterwards.
   */
 object Dedup {
 
   private val P = 1000000007L
+
+  /** Fan-out for the hash-fold barriers. An explicit partition count is
+    * load-bearing: a bare repartition(col) is AQE-coalesced back to ONE
+    * partition on small inputs (tiny shuffle < advisory size), which
+    * serializes every fold; pinning it keeps all cores busy.
+    */
+  private def Par = org.apache.spark.sql.SparkSession.active
+    .sessionState.conf.numShufflePartitions
   private val NumHashes = 16
   private val Bands = 4
   private val Rows = 4 // NumHashes / Bands
   private val JaccardThreshold = 0.5
+  private val MaxShingleDf = 50
   private val CosineThreshold = 0.35
+  // 60-bit simhash, 4 bands × 15 bits: detection guaranteed for
+  // hamming ≤ 3 (pigeonhole over 4 bands), overwhelmingly likely up to
+  // the ≤ 6 emitted; 2^15 buckets per band keeps common-vocab corpora
+  // from collapsing into hot buckets (8-bit bands did: 10k+ candidate
+  // pairs on 500 docs).
+  private val SimBits = 60
+  private val SimBandBits = 15
+  private val SimBands = 4
   private val HammingMax = 6
 
   /** Deterministic minhash coefficients, inlined as literals into BOTH
@@ -39,29 +60,62 @@ object Dedup {
   private def sparkArr(xs: Seq[Long]) = xs.mkString("array(", "L, ", "L)")
   private def duckArr(xs: Seq[Long]) = xs.mkString("[", ", ", "]")
 
-  /** Cleaned text + distinct word-3-gram shingle set (guarded for short
-    * docs: < 3 tokens → the whole text is the single shingle).
+  /** doc_id + distinct word-3-gram shingle set as int64 hashes (guarded
+    * for short docs: < 3 tokens → the whole text is the single shingle).
     */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-      .selectExpr("doc_id", "split(tc, ' ') AS toks", "tc")
+      .select("doc_id", "lang", "text")
+      // single-file tables scan as ONE task; fan out before the hash
+      // folds so they use every core (at real scale row-group splits
+      // provide this for free, and the tiny text shuffle is noise)
+      .repartition(Par, col("doc_id"))
+      .selectExpr("doc_id", "lang",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .selectExpr("doc_id", "lang", "split(tc, ' ') AS toks", "tc")
       .selectExpr(
-        "doc_id",
-        """CASE WHEN size(toks) < 3 THEN array(tc)
-                ELSE array_distinct(transform(sequence(1, size(toks) - 2, 1),
-                                              i -> concat_ws(' ', slice(toks, i, 3))))
-           END AS shingles""")
+        "doc_id", "lang", "size(toks) AS n_toks",
+        """array_distinct(transform(
+             CASE WHEN size(toks) < 3 THEN array(tc)
+                  ELSE transform(sequence(1, size(toks) - 2, 1), i -> concat_ws(' ', slice(toks, i, 3)))
+             END,
+             s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint))) AS hs""")
+      // second barrier: materialize hs. Without it, projection collapse
+      // nests the whole md5-shingle fold inside every lambda that maps
+      // over hs downstream (the 16 minhash functions re-hash every
+      // shingle 16×: 2 s → 19 s at sf0.1).
+      .repartition(Par, col("doc_id"))
 
-  private val shingledSql: String =
-    """SELECT doc_id,
-       |       CASE WHEN len(toks) < 3 THEN [tc]
-       |            ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
-       |                                              i -> array_to_string(toks[i:i+2], ' ')))
-       |       END AS shingles
-       |FROM (SELECT doc_id, string_split(tc, ' ') AS toks, tc
-       |      FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
-       |            FROM documents))""".stripMargin
+  private val shingleHashesSql: String =
+    """SELECT doc_id, lang, len(toks) AS n_toks,
+      |       list_distinct(list_transform(
+      |         CASE WHEN len(toks) < 3 THEN [tc]
+      |              ELSE list_transform(generate_series(1, len(toks) - 2),
+      |                                  i -> array_to_string(toks[i:i+2], ' '))
+      |         END,
+      |         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+      |FROM (SELECT doc_id, lang, string_split(tc, ' ') AS toks, tc
+      |      FROM (SELECT doc_id, lang, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
+      |            FROM documents))""".stripMargin
+
+  /** Exact Jaccard over two distinct int arrays (SQL fragments). */
+  private val sparkJaccard =
+    """cast(size(array_intersect(hs_a, hs_b)) AS double)
+       / cast(size(array_union(hs_a, hs_b)) AS double)"""
+  private val duckJaccard =
+    """len(list_intersect(a.hs, b.hs))::DOUBLE / len(list_distinct(a.hs || b.hs))::DOUBLE"""
+
+  /** Join candidate (doc_a, doc_b) pairs back to their shingle sets and
+    * emit verified Jaccard pairs ≥ threshold.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val a = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .selectExpr("doc_a", "doc_b", s"$sparkJaccard AS jaccard")
+      .where(s"jaccard >= $JaccardThreshold")
+      .selectExpr("doc_a", "doc_b", "round(jaccard, 6) AS jaccard")
+  }
 
   def queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------- exact dedup
@@ -72,7 +126,8 @@ object Dedup {
       "dd_exact",
       (spark, dir) =>
         Tables.documents(spark, dir)
-          .selectExpr("doc_id", "md5(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '')) AS text_hash")
+          .selectExpr("doc_id",
+            "md5(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '')) AS text_hash")
           .groupBy("text_hash")
           .agg(expr("min(doc_id) AS keep_doc_id"), expr("count(*) AS n_copies")),
       Some("""
@@ -82,56 +137,52 @@ object Dedup {
         GROUP BY 1""")),
 
     // ------------------------------------------------------ MinHash + LSH
-    // shingle → 16 minhashes → 4 bands × 4 rows → bucket self-join →
-    // distinct candidate pairs → exact-Jaccard verification ≥ 0.5.
+    // shingle hashes → 16 minhashes → 4 bands × 4 rows → bucket
+    // self-join on (band, key) only → distinct candidate pairs → exact
+    // Jaccard verification ≥ 0.5 on the int shingle sets.
     QueryDef(
       "dd_minhash_lsh",
       (spark, dir) => {
-        val sh = shingled(spark, dir)
+        val sh = shingleHashes(spark, dir)
         val sig = sh.selectExpr(
-            "doc_id", "shingles",
-            s"transform(shingles, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint) % $P) AS hv")
+            "doc_id",
+            s"transform(hs, h -> h % $P) AS hv")
           .selectExpr(
-            "doc_id", "shingles",
+            "doc_id",
             s"""transform(sequence(0, ${NumHashes - 1}, 1),
                           j -> array_min(transform(hv,
                                  h -> (element_at(${sparkArr(A)}, j + 1) * h
                                        + element_at(${sparkArr(B)}, j + 1)) % $P))) AS mh""")
+          .repartition(Par, col("doc_id"))
         val bands = sig.selectExpr(
-            "doc_id", "shingles",
+            "doc_id",
             s"""explode(transform(sequence(0, ${Bands - 1}, 1),
                         b -> named_struct('band_id', b,
                                           'band_key', array_join(transform(slice(mh, b * $Rows + 1, $Rows),
                                                                            x -> cast(x AS string)), '_')))) AS bk""")
-          .selectExpr("doc_id", "shingles", "bk.band_id AS band_id", "bk.band_key AS band_key")
-        val l = bands.select(col("band_id"), col("band_key"),
-          col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+          .selectExpr("doc_id", "bk.band_id AS band_id", "bk.band_key AS band_key")
+        val l = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
         val r = bands.select(col("band_id").as("band_id_r"), col("band_key").as("band_key_r"),
-          col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-        l.join(r,
+          col("doc_id").as("doc_b"))
+        val cand = l.join(r,
             l("band_id") === r("band_id_r") && l("band_key") === r("band_key_r") &&
               l("doc_a") < r("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-          .dropDuplicates("doc_a", "doc_b")
-          .selectExpr(
-            "doc_a", "doc_b",
-            """cast(size(array_intersect(sh_a, sh_b)) AS double)
-               / cast(size(array_union(sh_a, sh_b)) AS double) AS jaccard""")
-          .where(s"jaccard >= $JaccardThreshold")
-          .selectExpr("doc_a", "doc_b", "round(jaccard, 6) AS jaccard")
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+        verifyJaccard(cand, sh)
       },
       Some(s"""
-        WITH sh AS ($shingledSql),
+        WITH sh AS ($shingleHashesSql),
         sig AS (
-          SELECT doc_id, shingles,
+          SELECT doc_id,
                  list_transform(generate_series(0, ${NumHashes - 1}),
                    j -> list_min(list_transform(
-                          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $P),
+                          list_transform(hs, h -> h % $P),
                           h -> (${duckArr(A)}[j + 1] * h + ${duckArr(B)}[j + 1]) % $P))) AS mh
           FROM sh
         ),
         bands AS (
-          SELECT doc_id, shingles, bb.band_id,
+          SELECT doc_id, bb.band_id,
                  array_to_string(mh[bb.band_id * $Rows + 1 : bb.band_id * $Rows + $Rows], '_') AS band_key
           FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band_id) bb
         ),
@@ -142,29 +193,27 @@ object Dedup {
         )
         SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
         FROM (
-          SELECT c.doc_a, c.doc_b,
-                 len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                 / len(list_distinct(a.shingles || b.shingles))::DOUBLE AS jaccard
+          SELECT c.doc_a, c.doc_b, $duckJaccard AS jaccard
           FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)
         WHERE jaccard >= $JaccardThreshold""")),
 
     // ---------------------------------------------------------- SimHash
-    // 32-bit simhash over term-frequency-weighted token hashes.
+    // 60-bit simhash over term-frequency-weighted token hashes.
     QueryDef(
       "dd_simhash",
       (spark, dir) => simhashDf(spark, dir),
       Some(simhashSql)),
 
-    // SimHash near-dup pairs: 4 × 8-bit band blocking, then Hamming ≤ 6.
+    // SimHash near-dup pairs: 4 × 15-bit band blocking, then Hamming ≤ 6.
     QueryDef(
       "dd_simhash_pairs",
       (spark, dir) => {
         val s = simhashDf(spark, dir)
         val bands = s.selectExpr(
             "doc_id", "simhash",
-            """explode(transform(sequence(0, 3, 1),
+            s"""explode(transform(sequence(0, ${SimBands - 1}, 1),
                        b -> named_struct('band_id', b,
-                                         'band_val', (simhash div shiftleft(cast(1 AS bigint), b * 8)) % 256))) AS bk""")
+                                         'band_val', (simhash div shiftleft(cast(1 AS bigint), b * $SimBandBits)) % ${1 << SimBandBits}))) AS bk""")
           .selectExpr("doc_id", "simhash", "bk.band_id AS band_id", "bk.band_val AS band_val")
         val l = bands.select(col("band_id"), col("band_val"),
           col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
@@ -181,8 +230,9 @@ object Dedup {
       Some(s"""
         WITH s AS ($simhashSql),
         bands AS (
-          SELECT doc_id, simhash, b.band_id, (simhash // (1::BIGINT << (b.band_id * 8))) % 256 AS band_val
-          FROM s, LATERAL (SELECT unnest(generate_series(0, 3)) AS band_id) b
+          SELECT doc_id, simhash, b.band_id,
+                 (simhash // (1::BIGINT << (b.band_id * $SimBandBits))) % ${1 << SimBandBits} AS band_val
+          FROM s, (SELECT unnest(generate_series(0, ${SimBands - 1})) AS band_id) b
         ),
         cand AS (
           SELECT DISTINCT l.doc_id AS doc_a, l.simhash AS sim_a, r.doc_id AS doc_b, r.simhash AS sim_b
@@ -193,88 +243,92 @@ object Dedup {
         FROM cand
         WHERE bit_count(xor(sim_a, sim_b)) <= $HammingMax""")),
 
-    // ------------------------------------------- n-gram Jaccard (blocked)
-    // Direct shingle-Jaccard verification with cheap blocking on (lang,
-    // token-count band) — the honest "no silent O(n²)" variant when no
-    // LSH index exists. Emits pairs ≥ 0.5.
+    // -------------------------------- n-gram Jaccard (inverted index)
+    // Corpus-wide exact Jaccard via the inverted-index shape: explode
+    // shingles → drop shingles with document frequency > 50 (stopword
+    // shingles would otherwise quadratically blow up the posting join;
+    // Jaccard is then over the informative-shingle sets, identically in
+    // both engines) → self-join postings on the shingle hash →
+    // |A∩B| by groupBy(pair) count → J = inter/(|A|+|B|-inter).
+    //
+    // This is the 100 TB shape for pairwise similarity: no per-pair
+    // lambda work, no O(n²) block scan — only codegen'd joins and
+    // aggregations over postings, with cost Σ_shingle C(df, 2) bounded
+    // by the df cap.
     QueryDef(
       "dd_ngram_jaccard",
       (spark, dir) => {
-        val d = Tables.documents(spark, dir)
-          .selectExpr("doc_id", "lang", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-          .selectExpr("doc_id", "lang", "split(tc, ' ') AS toks", "tc")
-          .selectExpr(
-            "doc_id", "lang", "size(toks) div 10 AS len_band",
-            """CASE WHEN size(toks) < 3 THEN array(tc)
-                    ELSE array_distinct(transform(sequence(1, size(toks) - 2, 1),
-                                                  i -> concat_ws(' ', slice(toks, i, 3))))
-               END AS shingles""")
-        val l = d.select(col("lang"), col("len_band"),
-          col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-        val r = d.select(col("lang").as("lang_r"), col("len_band").as("len_band_r"),
-          col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-        l.join(r,
-            l("lang") === r("lang_r") && l("len_band") === r("len_band_r") &&
-              l("doc_a") < r("doc_b"))
-          .selectExpr(
-            "doc_a", "doc_b",
-            """cast(size(array_intersect(sh_a, sh_b)) AS double)
-               / cast(size(array_union(sh_a, sh_b)) AS double) AS jaccard""")
+        val post = shingleHashes(spark, dir)
+          .selectExpr("doc_id", "explode(hs) AS h")
+        val kept = post
+          .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+          .where(s"df <= $MaxShingleDf")
+          .select("doc_id", "h")
+        val sizes = kept.groupBy("doc_id").agg(expr("count(*) AS sz"))
+        val inter = kept.select(col("doc_id").as("doc_a"), col("h"))
+          .join(kept.select(col("doc_id").as("doc_b"), col("h").as("h_r")),
+            col("h") === col("h_r") && col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(expr("count(*) AS inter"))
+        inter
+          .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))), "doc_a")
+          .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))), "doc_b")
+          .selectExpr("doc_a", "doc_b",
+            "cast(inter AS double) / cast(sz_a + sz_b - inter AS double) AS jaccard")
           .where(s"jaccard >= $JaccardThreshold")
           .selectExpr("doc_a", "doc_b", "round(jaccard, 6) AS jaccard")
       },
       Some(s"""
-        WITH d AS (
-          SELECT doc_id, lang, len(toks) // 10 AS len_band,
-                 CASE WHEN len(toks) < 3 THEN [tc]
-                      ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                                                        i -> array_to_string(toks[i:i+2], ' ')))
-                 END AS shingles
-          FROM (SELECT doc_id, lang, string_split(tc, ' ') AS toks, tc
-                FROM (SELECT doc_id, lang, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
-                      FROM documents))
-        )
+        WITH sh AS ($shingleHashesSql),
+        post AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        kept AS (
+          SELECT doc_id, h FROM (
+            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM post)
+          WHERE df <= $MaxShingleDf),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
         SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
         FROM (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                 / len(list_distinct(a.shingles || b.shingles))::DOUBLE AS jaccard
-          FROM d a JOIN d b
-            ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE AS jaccard
+          FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
         WHERE jaccard >= $JaccardThreshold""")),
 
     // ------------------------------------- embedding-cosine near-dup
-    // Cluster-blocked (label) pairwise cosine with left-to-right double
-    // accumulation (Fns.dotD discipline) — identical in both engines.
-    // At 100 TB the label column is the partition key ⇒ partition-local
+    // Cluster-blocked (label) pairwise cosine. Embeddings are
+    // L2-NORMALIZED ONCE before the join (one fold per vector instead of
+    // three per pair), so the pair step is a single dot product. At
+    // 100 TB the label column is the partition key ⇒ partition-local
     // join, no global shuffle of the vector corpus.
     QueryDef(
       "dd_embed_neardup",
       (spark, dir) => {
         val e = Tables.embeddings(spark, dir)
-        val l = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-        val r = e.select(col("label").as("label_r"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+          .selectExpr("label", "vec_id",
+            """transform(embedding, x -> cast(x AS double)
+               / sqrt(aggregate(transform(embedding, y -> cast(y AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v))) AS emb_n""")
+        val l = e.select(col("label"), col("vec_id").as("vec_a"), col("emb_n").as("emb_a"))
+        val r = e.select(col("label").as("label_r"), col("vec_id").as("vec_b"), col("emb_n").as("emb_b"))
         l.join(r, l("label") === r("label_r") && l("vec_a") < r("vec_b"))
           .selectExpr(
             "label", "vec_a", "vec_b",
-            """aggregate(zip_with(emb_a, emb_b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)
-               / (sqrt(aggregate(transform(emb_a, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, v) -> acc + v))
-                  * sqrt(aggregate(transform(emb_b, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, v) -> acc + v))) AS cos""")
+            "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS cos")
           .where(s"cos >= $CosineThreshold")
           .selectExpr("label", "vec_a", "vec_b", "round(cos, 6) AS cosine")
       },
       Some(s"""
         WITH e AS (
           SELECT label, vec_id,
-                 list_transform(embedding, x -> x::DOUBLE) AS emb
+                 list_transform(embedding, x -> x::DOUBLE
+                   / sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS emb_n
           FROM embeddings
         )
         SELECT label, vec_a, vec_b, round(cos, 6) AS cosine
         FROM (
           SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 list_sum(list_transform(generate_series(1, len(a.emb)), i -> a.emb[i] * b.emb[i]))
-                 / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
-                    * sqrt(list_sum(list_transform(b.emb, x -> x * x)))) AS cos
+                 list_sum(list_transform(generate_series(1, len(a.emb_n)), i -> a.emb_n[i] * b.emb_n[i])) AS cos
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cos >= $CosineThreshold"""))
   )
@@ -282,29 +336,33 @@ object Dedup {
   // ---------------------------------------------------------------------
   private def simhashDf(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .select("doc_id", "text")
+      .repartition(Par, col("doc_id")) // parallelize the 60-bit fold (see shingleHashes)
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
       .selectExpr(
         "doc_id",
         "transform(split(tc, ' '), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint)) AS hv")
       .selectExpr(
         "doc_id",
-        """aggregate(
-             transform(sequence(0, 31, 1),
+        s"""aggregate(
+             transform(sequence(0, ${SimBits - 1}, 1),
                j -> CASE WHEN aggregate(hv, 0L,
                             (acc, h) -> acc + CASE WHEN (h div shiftleft(cast(1 AS bigint), j)) % 2 = 1
                                               THEN 1L ELSE -1L END) > 0
                          THEN shiftleft(cast(1 AS bigint), j) ELSE 0L END),
              0L, (acc, v) -> acc + v) AS simhash""")
+      .repartition(Par, col("doc_id")) // materialize the fold (see shingleHashes)
 
   private val simhashSql: String =
-    """SELECT doc_id,
-      |       list_sum(list_transform(generate_series(0, 31),
-      |         j -> CASE WHEN list_sum(list_transform(hv,
-      |                        h -> CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-      |                   THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
-      |FROM (SELECT doc_id,
-      |             list_transform(string_split(tc, ' '),
-      |                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hv
-      |      FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
-      |            FROM documents))""".stripMargin
+    s"""SELECT doc_id,
+       |       list_sum(list_transform(generate_series(0, ${SimBits - 1}),
+       |         j -> CASE WHEN list_sum(list_transform(hv,
+       |                        h -> CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+       |                   THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+       |FROM (SELECT doc_id,
+       |             list_transform(string_split(tc, ' '),
+       |                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hv
+       |      FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+       |            FROM documents))""".stripMargin
 }
