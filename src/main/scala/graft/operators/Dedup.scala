@@ -305,6 +305,7 @@ object Dedup {
     QueryDef(
       "dd_embed_neardup",
       (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
         val e = Tables.embeddings(spark, dir)
           .selectExpr("label", "vec_id",
             """transform(embedding, x -> cast(x AS double)
@@ -314,7 +315,7 @@ object Dedup {
         l.join(r, l("label") === r("label_r") && l("vec_a") < r("vec_b"))
           .selectExpr(
             "label", "vec_a", "vec_b",
-            "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS cos")
+            "dot_f(emb_a, emb_b) AS cos") // native codegen'd loop (graft.plans.DotProduct)
           .where(s"cos >= $CosineThreshold")
           .selectExpr("label", "vec_a", "vec_b", "round(cos, 6) AS cosine")
       },

@@ -19,13 +19,13 @@ object Knn {
 
   private val K = 5
 
-  /** Left-to-right double-accumulation cosine between two array columns
-    * (SQL fragment) — matches the DuckDB oracle bit-for-bit.
+  /** Cosine via the native codegen'd expression (graft.plans.CosineSim):
+    * left-to-right double accumulation — value-identical to the
+    * aggregate(zip_with(...)) formulation and the DuckDB oracle, but it
+    * stays inside WholeStageCodegen instead of interpreting 3 lambda
+    * folds per row.
     */
-  private def cosExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)
-       / (sqrt(aggregate(transform($a, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, v) -> acc + v))
-          * sqrt(aggregate(transform($b, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, v) -> acc + v)))"""
+  private def cosExpr(a: String, b: String): String = s"cosine_f($a, $b)"
 
   private val duckCos: String =
     """list_sum(list_transform(generate_series(1, len(%A)), i -> %A[i]::DOUBLE * %B[i]::DOUBLE))
@@ -44,6 +44,7 @@ object Knn {
     QueryDef(
       "v3_knn_topk",
       (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
         val e = Tables.embeddings(spark, dir)
         val q = e.where("vec_id = 0").select(col("embedding").as("q_emb"))
         e.crossJoin(broadcast(q))
@@ -66,6 +67,7 @@ object Knn {
     QueryDef(
       "v3_knn_batch",
       (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
         val e = Tables.embeddings(spark, dir)
         val q = e.where("vec_id < 8")
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
@@ -103,6 +105,7 @@ object Knn {
     QueryDef(
       "v5_ivf_knn",
       (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
         val e = Tables.embeddings(spark, dir)
         val cent = e.where("vec_id < 8")
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
