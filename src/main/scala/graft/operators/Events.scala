@@ -84,6 +84,30 @@ object Events {
         FROM sessioned
         GROUP BY user_id, session_id""")),
 
+    // JSON scalar extraction over the props column (semi-structured
+    // payloads are the norm in event pipelines): get_json_object stays
+    // codegen'd; aggregation by the extracted value.
+    QueryDef(
+      "ev_props_json",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr(
+            "event_type",
+            "cast(get_json_object(props, '$.k') AS bigint) AS k")
+          .groupBy("event_type")
+          .agg(
+            org.apache.spark.sql.functions.expr("count(*) AS n_events"),
+            org.apache.spark.sql.functions.expr("sum(k) AS sum_k"),
+            org.apache.spark.sql.functions.expr("min(k) AS min_k"),
+            org.apache.spark.sql.functions.expr("max(k) AS max_k")),
+      Some("""
+        SELECT event_type, count(*) AS n_events,
+               sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+               min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+               max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type""")),
+
     // Top-N per group: latest 3 events per user — row_number window +
     // filter, the standard dedup-keep-latest building block.
     QueryDef(

@@ -154,26 +154,99 @@ object Knn {
     // 100 TB (embedding construction as aggregation, not per-row loops).
     QueryDef(
       "v1_embed",
+      (spark, dir) => embedDocs(spark, dir),
+      Some(v1EmbedOracle)),
+
+    // ------------------------- V1+V3 composed: text query → embed → kNN
+    // The reference's actual query path (src/qa_system.py:119 →
+    // src/vector_store.py:152-175): embed the query TEXT with the same
+    // function as the corpus, then cosine top-k. The query embedding is
+    // one row (broadcast); the corpus embedding reuses the scalable
+    // aggregation pipeline; scoring is the native codegen'd cosine.
+    QueryDef(
+      "v2_text_knn",
       (spark, dir) => {
-        val cnt = Tables.documents(spark, dir)
-          .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-          .selectExpr("doc_id", "explode(split(tc, ' ')) AS t")
-          .selectExpr("doc_id", "cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % 64 AS b")
-          .groupBy("doc_id", "b").agg(expr("count(*) AS c"))
-        cnt.groupBy("doc_id")
-          .agg(expr("map_from_entries(collect_list(struct(b, c))) AS m"))
-          .selectExpr(
-            "doc_id",
-            "transform(sequence(0, 63, 1), b -> cast(coalesce(try_element_at(m, cast(b AS bigint)), 0L) AS double)) AS counts")
-          .selectExpr(
-            "doc_id",
-            "sqrt(aggregate(transform(counts, x -> x * x), 0D, (acc, v) -> acc + v)) AS nrm",
-            "counts")
-          .selectExpr(
-            "doc_id",
-            "CASE WHEN nrm = 0D THEN counts ELSE transform(counts, x -> x / nrm) END AS embedding")
+        graft.plans.VectorExprs.register(spark)
+        val q = spark.sql(s"SELECT ${embedLiteralSpark(s"'${graft.operators.Qa.Query}'")} AS q_emb")
+        embedDocs(spark, dir).crossJoin(broadcast(q))
+          .selectExpr("doc_id", "round(cosine_f(embedding, q_emb), 6) AS similarity")
+          .orderBy(desc("similarity"), col("doc_id"))
+          .limit(K)
       },
-      Some("""
+      Some(s"""
+        WITH emb AS ($v1EmbedOracle),
+        q AS (SELECT ${embedLiteralDuck(s"'${graft.operators.Qa.Query}'")} AS q_emb)
+        SELECT doc_id, round(${dCos("embedding", "q_emb")}, 6) AS similarity
+        FROM emb, q
+        ORDER BY similarity DESC, doc_id
+        LIMIT $K"""))
+  )
+
+  /** Corpus embedding pipeline shared by v1_embed / v2_text_knn: hashed
+    * token buckets via explode → groupBy → map assembly (codegen'd
+    * aggregation, not per-row lambdas), L2-normalized.
+    */
+  private def embedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .selectExpr("doc_id", "explode(split(tc, ' ')) AS t")
+      .selectExpr("doc_id", "cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % 64 AS b")
+      .groupBy("doc_id", "b").agg(expr("count(*) AS c"))
+    cnt.groupBy("doc_id")
+      .agg(expr("map_from_entries(collect_list(struct(b, c))) AS m"))
+      .selectExpr(
+        "doc_id",
+        "transform(sequence(0, 63, 1), b -> cast(coalesce(try_element_at(m, cast(b AS bigint)), 0L) AS double)) AS counts")
+      .selectExpr(
+        "doc_id",
+        "sqrt(aggregate(transform(counts, x -> x * x), 0D, (acc, v) -> acc + v)) AS nrm",
+        "counts")
+      .selectExpr(
+        "doc_id",
+        "CASE WHEN nrm = 0D THEN counts ELSE transform(counts, x -> x / nrm) END AS embedding")
+  }
+
+  /** One-row embedding of a SQL text expression (query strings): the
+    * per-row lambda formulation is fine at cardinality 1.
+    */
+  private def embedLiteralSpark(tcExpr: String): String =
+    s"""CASE WHEN sqrt(aggregate(transform(
+          transform(sequence(0, 63, 1),
+            b -> cast(size(filter(transform(split($tcExpr, ' '),
+                   t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % 64),
+                   x -> x = b)) AS double)),
+          x -> x * x), 0D, (acc, v) -> acc + v)) = 0D
+        THEN transform(sequence(0, 63, 1),
+            b -> cast(size(filter(transform(split($tcExpr, ' '),
+                   t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % 64),
+                   x -> x = b)) AS double))
+        ELSE transform(
+          transform(sequence(0, 63, 1),
+            b -> cast(size(filter(transform(split($tcExpr, ' '),
+                   t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % 64),
+                   x -> x = b)) AS double)),
+          x -> x / sqrt(aggregate(transform(
+            transform(sequence(0, 63, 1),
+              b -> cast(size(filter(transform(split($tcExpr, ' '),
+                     t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % 64),
+                     x -> x = b)) AS double)),
+            x -> x * x), 0D, (acc, v) -> acc + v))) END"""
+
+  private def embedLiteralDuck(tcExpr: String): String =
+    s"""(WITH qc AS (
+          SELECT list_transform(generate_series(0, 63),
+                   b -> len(list_filter(list_transform(string_split($tcExpr, ' '),
+                          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 64),
+                          x -> x = b))::DOUBLE) AS counts)
+        SELECT CASE WHEN sqrt(list_sum(list_transform(counts, x -> x * x))) = 0
+                    THEN counts
+                    ELSE list_transform(counts, x -> x / sqrt(list_sum(list_transform(counts, x -> x * x))))
+               END FROM qc)"""
+
+  /** DuckDB oracle body for the corpus embedding (kept in the lambda
+    * formulation — value-identical to the aggregation pipeline).
+    */
+  private val v1EmbedOracle: String = """
         SELECT doc_id,
                CASE WHEN nrm = 0 THEN counts ELSE list_transform(counts, x -> x / nrm) END AS embedding
         FROM (
@@ -188,6 +261,5 @@ object Knn {
                      list_transform(string_split(tc, ' '),
                                     t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 64) AS bks
               FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
-                    FROM documents))))"""))
-  )
+                    FROM documents))))"""
 }

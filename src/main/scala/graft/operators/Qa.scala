@@ -29,10 +29,14 @@ object Qa {
       .selectExpr(
         "doc_id", "source", "tc",
         s"""cast(size(array_intersect(split(tc, ' '), split('$Query', ' '))) AS bigint) AS score""")
+      // top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-
+      // partition heaps, no global sort); the rank window then runs
+      // over k rows instead of single-partitioning the whole corpus
+      .orderBy(org.apache.spark.sql.functions.desc("score"), org.apache.spark.sql.functions.col("doc_id"))
+      .limit(TopK)
       .selectExpr(
         "doc_id", "source", "tc", "score",
         "cast(row_number() OVER (ORDER BY score DESC, doc_id) AS bigint) AS rn")
-      .where(s"rn <= $TopK")
 
   private val retrievedSql: String =
     s"""SELECT doc_id, source, tc, score, rn FROM (

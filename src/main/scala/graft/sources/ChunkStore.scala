@@ -28,6 +28,23 @@ object ChunkStore {
     StructField("total_pages", IntegerType),
     StructField("chunk_number", IntegerType)))
 
+  /** S1/S2 — PDF directory scan (reference
+    * `src/pdf_extractor.py:246-265`): list a directory, keep files whose
+    * LOWERCASED name ends ".pdf" (`:251`), expose filename + raw bytes.
+    * `binaryFile` is Spark's distributed file source — listing and
+    * reads parallelize across executors, and the `pathGlobFilter`-less
+    * lowercase filter reproduces the reference's case-insensitive
+    * match (`Report.PDF` is included, `notes.txt` is not).
+    */
+  def scanPdfDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .where(lower(col("path")).endsWith(".pdf"))
+      .select(
+        substring_index(col("path"), "/", -1).as("file_name"),
+        col("path"),
+        col("length").as("n_bytes"),
+        col("content"))
+
   /** S3 — CSV sink (header, UTF-8, overwrite). The reference writes one
     * CSV per source PDF; at scale one file per task is the same layout.
     */

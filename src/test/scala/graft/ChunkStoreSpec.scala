@@ -23,6 +23,17 @@ class ChunkStoreSpec extends SparkSpec {
       .toDF("text", "source", "page_number", "paragraph_number", "total_pages", "chunk_number")
   }
 
+  test("S1/S2: binaryFile scan keeps only .pdf (case-insensitive), exposes name+bytes") {
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.pdf"), "AAA".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "B.PDF"), "BBBB".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "notes.txt"), "no".getBytes)
+    val got = ChunkStore.scanPdfDir(spark, dir).collect()
+      .map(r => (r.getAs[String]("file_name"), r.getAs[Long]("n_bytes"),
+        new String(r.getAs[Array[Byte]]("content")))).toSet
+    assert(got == Set(("a.pdf", 3L, "AAA"), ("B.PDF", 4L, "BBBB")))
+  }
+
   test("S3/S4: CSV round-trip preserves the 4 metadata fields and DROPS chunk_number") {
     val dir = tmp() + "/csv"
     ChunkStore.writeCsv(sampleChunks(), dir)
