@@ -108,6 +108,53 @@ object Events {
         FROM events
         GROUP BY event_type""")),
 
+    // As-of (backward) join: for every 'error' event, the most recent
+    // 'purchase' by the same user at-or-before it. Spark has no ASOF
+    // JOIN operator; the scalable formulation is the sorted-union
+    // window — tag both sides, order by (ts, side, id) within user, and
+    // carry the last purchase forward with last_value(... , true)
+    // [ignore nulls]. ONE shuffle on user_id, no range cross-product —
+    // this is the shape that survives 100 TB, and the oracle runs the
+    // identical algorithm so tie handling matches exactly.
+    QueryDef(
+      "ev_asof_join",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .where("event_type IN ('error', 'purchase')")
+          .selectExpr(
+            "user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind",
+            "CASE WHEN event_type = 'purchase' THEN event_id END AS p_event_id",
+            "CASE WHEN event_type = 'purchase' THEN unix_micros(ts) END AS p_ts_us")
+          .selectExpr(
+            "user_id", "event_id", "ts_us", "kind",
+            """last_value(p_event_id, true) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_event_id""",
+            """last_value(p_ts_us, true) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_ts_us""")
+          .where("kind = 1")
+          .select("user_id", "event_id", "ts_us", "purchase_event_id", "purchase_ts_us"),
+      Some("""
+        SELECT user_id, event_id, ts_us, purchase_event_id, purchase_ts_us
+        FROM (
+          SELECT user_id, event_id, ts_us, kind,
+                 last_value(p_event_id IGNORE NULLS) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_event_id,
+                 last_value(p_ts_us IGNORE NULLS) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_ts_us
+          FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+                   CASE WHEN event_type = 'purchase' THEN event_id END AS p_event_id,
+                   CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_ts_us
+            FROM events
+            WHERE event_type IN ('error', 'purchase')))
+        WHERE kind = 1""")),
+
     // Top-N per group: latest 3 events per user — row_number window +
     // filter, the standard dedup-keep-latest building block.
     QueryDef(

@@ -133,6 +133,30 @@ object Relational {
                                   ORDER BY epoch(o_orderdate)::BIGINT, o_orderkey) AS order_seq
         FROM orders""")),
 
+    // Set operations — the reference only unions (C3); intersect/except
+    // complete the family. Spark plans these as aggregate-based
+    // semi/anti joins on the hashed key — shuffle on custkey, no
+    // broadcast needed, skew-free for a key that IS the row identity.
+    QueryDef(
+      "set_ops",
+      (spark, dir) => {
+        val building = Tables.customer(spark, dir)
+          .where("c_mktsegment = 'BUILDING'").select("c_custkey")
+        val bigSpenders = Tables.orders(spark, dir)
+          .where("o_totalprice > 200000").select(col("o_custkey").as("c_custkey")).distinct()
+        building.intersect(bigSpenders).selectExpr("'both' AS op", "c_custkey")
+          .unionByName(building.except(bigSpenders).selectExpr("'building_only' AS op", "c_custkey"))
+          .unionByName(bigSpenders.except(building).selectExpr("'big_spender_only' AS op", "c_custkey"))
+      },
+      Some("""
+        WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        big AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000)
+        SELECT 'both' AS op, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM big)
+        UNION ALL
+        SELECT 'building_only' AS op, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM big)
+        UNION ALL
+        SELECT 'big_spender_only' AS op, c_custkey FROM (SELECT * FROM big EXCEPT SELECT * FROM building)""")),
+
     // Grouping sets / rollup — absent from the reference (SURVEY §2.7),
     // included as engine surface: per (returnflag, linestatus) with
     // subtotals. grouping_id disambiguates NULL-as-subtotal from data

@@ -177,6 +177,39 @@ object TextOps {
           FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
                 FROM documents))""")),
 
+    // --------------------------------------- salted aggregation (skew pattern)
+    // Same result as ta_stats (minus the distinct count, which doesn't
+    // decompose), computed as a TWO-STAGE aggregation over a salted key:
+    // stage 1 groups on (lang, salt) — a skewed lang fans out over 8
+    // salt buckets instead of hammering one reducer — stage 2 merges
+    // partials on lang alone. Counts/sums/min/max compose exactly;
+    // decimal partials keep the sums order-independent. This is the
+    // hand-rolled version of what AQE skew-join does for joins.
+    QueryDef(
+      "ta_stats_salted",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("lang", "n_chars", "pmod(doc_id, 8) AS salt")
+          .groupBy("lang", "salt")
+          .agg(
+            org.apache.spark.sql.functions.expr("count(*) AS pc"),
+            org.apache.spark.sql.functions.expr("sum(n_chars) AS ps"),
+            org.apache.spark.sql.functions.expr("min(n_chars) AS pmin"),
+            org.apache.spark.sql.functions.expr("max(n_chars) AS pmax"))
+          .groupBy("lang")
+          .agg(
+            org.apache.spark.sql.functions.expr("sum(pc) AS n_docs"),
+            org.apache.spark.sql.functions.expr("cast(sum(ps) AS bigint) AS total_chars"),
+            org.apache.spark.sql.functions.expr("min(pmin) AS min_chars"),
+            org.apache.spark.sql.functions.expr("max(pmax) AS max_chars"))
+          .selectExpr("lang", "n_docs", "total_chars", "min_chars", "max_chars",
+            "cast(total_chars AS double) / cast(n_docs AS double) AS avg_chars"),
+      Some("""
+        SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               sum(n_chars)::BIGINT::DOUBLE / count(*)::DOUBLE AS avg_chars
+        FROM documents GROUP BY lang""")),
+
     // ------------------------------------------------- per-group text stats (extension)
     // One shuffle on a low-cardinality key; partial aggregation
     // (map-side combine) makes this a safe pattern at 100 TB.
