@@ -1,0 +1,57 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties PLANS.md documents
+  * must survive refactors — broadcasts stay broadcasts, pushdown stays
+  * pushed, top-k never becomes a global sort. A silent regression here
+  * is invisible at test scale and catastrophic at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Registry.byName(name).run(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg: shipdate predicate reaches the parquet scan; columns pruned") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_linenumber"), "unreferenced column not pruned")
+  }
+
+  test("q3_top_orders: dimension broadcast + TakeOrderedAndProject, no global Sort") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q5_nation_revenue: all dims broadcast — only the fact edge may shuffle") {
+    val p = plan("q5_nation_revenue")
+    assert(p.split("BroadcastHashJoin").length >= 4, "expected ≥3 broadcast joins")
+  }
+
+  test("v3_knn_topk: top-k is TakeOrderedAndProject over the native cosine") {
+    graft.plans.VectorExprs.register(spark)
+    val p = plan("v3_knn_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("cosine_f"))
+  }
+
+  test("q1_agg: partial aggregation before the exchange (map-side combine)") {
+    val p = plan("q1_agg")
+    val exchangeIdx = p.indexOf("Exchange")
+    val firstAggIdx = p.indexOf("HashAggregate")
+    assert(exchangeIdx >= 0 && firstAggIdx >= 0)
+    // final agg appears above (before, in toString order) the exchange,
+    // partial below — so HashAggregate must appear on both sides
+    assert(p.indexOf("HashAggregate", exchangeIdx) > 0, "no partial aggregate below exchange")
+  }
+
+  test("dd_exact: single hash-aggregate shuffle on the text hash, no join") {
+    val p = plan("dd_exact")
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate"))
+  }
+}
