@@ -49,6 +49,21 @@ object Fns {
     */
   def cosine(a: Column, b: Column): Column = dotD(a, b) / (normD(a) * normD(b))
 
+  /** V1 — deterministic hashed-token embedding (64-dim, L2-normalized):
+    * the store-side embedding function (reference computes embeddings
+    * inside the store, `src/vector_store.py:143-147`). Same bucket
+    * counts as the scalable explode/groupBy pipeline in Knn.embedDocs —
+    * this per-row form is for low-cardinality uses (store writes, query
+    * strings).
+    */
+  def embedText(c: Column): Column = {
+    val bks = transform(tokens(cleanText(c)), t => pmod(hash60(t), lit(64L)))
+    val counts = transform(sequence(lit(0), lit(63), lit(1)),
+      b => size(filter(bks, x => x === b)).cast("double"))
+    val nrm = sqrt(aggregate(transform(counts, x => x * x), lit(0.0), (acc, v) => acc + v))
+    when(nrm === 0.0, counts).otherwise(transform(counts, x => x / nrm))
+  }
+
   /** Exact decimal(18,2) sum surfaced as double: order-independent
     * (decimal addition is associative), so Spark's partial/shuffle
     * aggregation order vs DuckDB's single-threaded order cannot cause

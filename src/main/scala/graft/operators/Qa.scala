@@ -131,4 +131,55 @@ object Qa {
   def answer(generate: String => String)(prompt: String): String =
     try generate(prompt)
     catch { case e: Exception => s"抱歉，生成回答时出现错误: ${e.getMessage}" }
+
+  // ------------------------------------------------- Q4 full query path
+  // answer_with_sources (`src/qa_system.py:111-138`): retrieve top-k →
+  // format citations → generate → response struct. The library twin of
+  // the oracle-checked q1/q2/q4 queries, operating over a real vector
+  // store written by ChunkStore.addDocuments.
+
+  final case class Source(text: String, metadata: Map[String, String], similarity: Double)
+  final case class Response(query: String, answer: String, sources: Seq[Source])
+
+  /** Q1 — citation context formatting (`src/qa_system.py:22-39`):
+    * missing metadata renders as "Unknown".
+    */
+  def formatContext(sources: Seq[Source]): String =
+    sources.zipWithIndex.map { case (s, i) =>
+      val src = s.metadata.getOrElse("source", "Unknown")
+      val page = s.metadata.getOrElse("page_number", "Unknown")
+      val par = s.metadata.getOrElse("paragraph_number", "Unknown")
+      s"[来源${i + 1}: 文档《$src》第${page}页第${par}段]\n${s.text}\n"
+    }.mkString("\n")
+
+  /** Q2 — prompt assembly (`src/qa_system.py:52-66`). */
+  def buildPrompt(context: String, query: String): String =
+    s"你是一个课程知识问答助手。请严格基于提供的资料回答问题。\n\n资料:\n$context\n\n问题: $query\n请基于上述资料回答:"
+
+  /** Deterministic extractive stub standing in for the LLM call. */
+  def extractiveStub(sources: Seq[Source]): String =
+    sources.headOption
+      .map(s => s"根据资料, ${s.text.take(200)}")
+      .getOrElse("抱歉，没有检索到相关资料。")
+
+  /** Q4 — the reference's whole query lifecycle over a graft vector
+    * store: kNN retrieval (broadcast query vector + TakeOrdered), Q1
+    * context, Q2 prompt, Q3 answer (stub by default, any generator
+    * pluggable), assembled response.
+    */
+  def answerWithSources(spark: org.apache.spark.sql.SparkSession, storePath: String,
+                        query: String, topK: Int = 5,
+                        generate: Option[String => String] = None): Response = {
+    val rows = graft.sources.ChunkStore.similaritySearch(spark, storePath, query, topK).collect()
+    val sources = rows.map { r =>
+      Source(r.getAs[String]("text"), r.getAs[Map[String, String]]("metadata"),
+        r.getAs[Double]("similarity"))
+    }.toSeq
+    val prompt = buildPrompt(formatContext(sources), query)
+    val ans = generate match {
+      case Some(g) => answer(g)(prompt)
+      case None => extractiveStub(sources)
+    }
+    Response(query, ans, sources)
+  }
 }

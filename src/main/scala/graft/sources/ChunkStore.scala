@@ -76,10 +76,39 @@ object ChunkStore {
       try spark.read.parquet(storePath).limit(1).count() catch { case _: Exception => 0L }
     if (existing > 0) false // reference: add is a no-op when non-empty
     else {
+      val metaCols = chunks.columns.filterNot(_ == "text").toSeq
       withPositionalIds(chunks, orderCols)
+        .select(
+          col("id"),
+          col("text"),
+          // FIXTURES §1.2 entry shape: EVERY metadata value stringified
+          // (`src/vector_store.py:132-140` — "3" not 3), and the
+          // embedding computed store-side (`:143-147`)
+          map_from_arrays(
+            array(metaCols.map(lit): _*),
+            array(metaCols.map(c => col(c).cast("string")): _*)).as("metadata"),
+          graft.Fns.embedText(col("text")).as("embedding"))
         .write.mode(SaveMode.Append).parquet(storePath)
       true
     }
+  }
+
+  /** V3/V4 — top-k cosine similarity search over a vector store written
+    * by [[addDocuments]]: embed the query text with the SAME function
+    * the store used, broadcast the 1-row query vector, score with the
+    * native codegen'd cosine, TakeOrderedAndProject the top-k. Output
+    * shape = the reference's search result (`src/vector_store.py:167-175`):
+    * text, all-string metadata, similarity ∈ [-1, 1] (may be negative).
+    */
+  def similaritySearch(spark: SparkSession, storePath: String, query: String,
+                       topK: Int = 5): DataFrame = {
+    graft.plans.VectorExprs.register(spark)
+    val store = spark.read.parquet(storePath)
+    val q = spark.range(1).select(graft.Fns.embedText(lit(query)).as("q_emb"))
+    store.crossJoin(broadcast(q))
+      .selectExpr("id", "text", "metadata", "cosine_f(embedding, q_emb) AS similarity")
+      .orderBy(desc("similarity"), col("id"))
+      .limit(topK)
   }
 
   /** Positional `chunk_{i}` ids without a global single-partition sort:

@@ -75,6 +75,49 @@ class ChunkStoreSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == 4)
   }
 
+  test("S5: store entries have stringified metadata + store-side embeddings (FIXTURES §1.2)") {
+    val store = tmp() + "/store"
+    ChunkStore.addDocuments(spark, sampleChunks(), store, Seq("source", "page_number", "text"))
+    val df = spark.read.parquet(store)
+    assert(df.columns.toSet == Set("id", "text", "metadata", "embedding"))
+    val row = df.where("text = 'alpha chunk text'").collect().head
+    val meta = row.getAs[Map[String, String]]("metadata")
+    assert(meta("page_number") == "1") // stringified, "1" not 1
+    assert(meta("source") == "a.pdf")
+    assert(meta("chunk_number") == "1")
+    val emb = row.getAs[scala.collection.Seq[Double]]("embedding")
+    assert(emb.size == 64)
+    assert(math.abs(emb.map(x => x * x).sum - 1.0) < 1e-9) // L2-normalized
+  }
+
+  test("V3/V4: similaritySearch returns the reference's result shape, ranked") {
+    val store = tmp() + "/store"
+    ChunkStore.addDocuments(spark, sampleChunks(), store, Seq("source", "page_number", "text"))
+    val hits = ChunkStore.similaritySearch(spark, store, "alpha chunk text", topK = 2).collect()
+    assert(hits.length == 2)
+    assert(hits.head.getAs[String]("text") == "alpha chunk text") // exact match ranks first
+    assert(hits.head.getAs[Double]("similarity") > 0.99)
+    hits.foreach { h =>
+      val s = h.getAs[Double]("similarity")
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+  }
+
+  test("Q4: answerWithSources composes retrieval, citations, and the stub answer") {
+    val store = tmp() + "/store"
+    ChunkStore.addDocuments(spark, sampleChunks(), store, Seq("source", "page_number", "text"))
+    // NOTE: "delta", not "gamma" — alpha/gamma md5-hash into the same
+    // 64-bucket, making their embeddings identical (a legitimate
+    // hashed-embedding collision; the tie then breaks by id)
+    val resp = graft.operators.Qa.answerWithSources(spark, store, "delta chunk text", topK = 3)
+    assert(resp.query == "delta chunk text")
+    assert(resp.sources.length == 3)
+    assert(resp.sources.head.text == "delta chunk text")
+    assert(resp.answer.startsWith("根据资料, delta chunk text"))
+    val ctx = graft.operators.Qa.formatContext(resp.sources)
+    assert(ctx.contains("[来源1: 文档《b.pdf》第1页第1段]")) // delta is b.pdf page 1
+  }
+
   test("S7/S8: JSON dump writes id/text rows; stats counts them") {
     val store = tmp() + "/store"
     ChunkStore.addDocuments(spark, sampleChunks(), store, Seq("source", "text"))
