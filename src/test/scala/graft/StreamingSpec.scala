@@ -73,6 +73,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark drops data later than 1 hour behind the max event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.windowedEventCounts(
+        mem.toDS().toDF())
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append")
+      .start()
+
+    def ev(id: Long, sec: Long) =
+      Streaming.Event(id, new Timestamp(sec * 1000L), 1L, "click", 1.0)
+
+    val t0 = 1700000000L // on an hour-ish boundary region
+    mem.addData(ev(1, t0), ev(2, t0 + 60))
+    q.processAllAvailable()
+    // advance event time far enough that the first window closes
+    // (watermark = max(ts) - 1h must pass the first window's end)
+    mem.addData(ev(3, t0 + 3 * 3600))
+    q.processAllAvailable()
+    // this event is ~3h behind the watermark → must be DROPPED
+    mem.addData(ev(4, t0 + 120))
+    q.processAllAvailable()
+    // close everything out
+    mem.addData(ev(5, t0 + 6 * 3600))
+    q.processAllAvailable()
+
+    val w0 = t0 - (t0 % 3600)
+    val w0Rows = spark.table("late_test")
+      .select("window_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 == w0)
+    // first window emitted ONCE with ONLY the 2 on-time events — the
+    // late arrival (id 4) neither reopened nor augmented it
+    assert(w0Rows.toSeq == Seq((w0, 2L)))
+    q.stop()
+  }
+
   test("sessionize: 30-min gaps close sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
