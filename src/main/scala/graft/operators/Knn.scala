@@ -182,6 +182,50 @@ object Knn {
         LIMIT $K"""))
   )
 
+  // ----------------------------------------------- IVF index at rest
+  // The materialized form of v5_ivf_knn's scale path: vectors assigned
+  // to their nearest centroid and written PARTITIONED BY cluster_id.
+  // A query then reads ONLY its probe clusters' directories — Spark's
+  // partition pruning is the index lookup (`PartitionFilters` in the
+  // scan, untouched partitions never opened). With K clusters and
+  // nprobe probes, a search scans nprobe/K of the corpus.
+
+  /** Assign every vector to its nearest centroid (centroids broadcast)
+    * and write the corpus partitioned by cluster_id.
+    */
+  def writeIvfIndex(spark: SparkSession, embeddings: DataFrame, centroids: DataFrame,
+                    path: String): Unit = {
+    graft.plans.VectorExprs.register(spark)
+    val cent = broadcast(centroids.select(col("cent_id"), col("cent_emb")))
+    embeddings.crossJoin(cent)
+      .selectExpr("vec_id", "embedding", "cent_id", "cosine_f(embedding, cent_emb) AS cs")
+      .selectExpr("vec_id", "embedding", "cent_id",
+        "cast(row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS bigint) AS rn")
+      .where("rn = 1")
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+  }
+
+  /** Top-k cosine over the IVF index, probing only the `nprobe`
+    * clusters whose centroids are nearest the query vector. The
+    * cluster filter is a partition-column predicate ⇒ pruned scan.
+    */
+  def ivfSearch(spark: SparkSession, indexPath: String, centroids: DataFrame,
+                queryVec: Seq[Float], k: Int = 5, nprobe: Int = 1): DataFrame = {
+    graft.plans.VectorExprs.register(spark)
+    val qLit = queryVec.map(v => s"cast($v AS float)").mkString("array(", ", ", ")")
+    val probes = centroids
+      .selectExpr("cent_id", s"cosine_f(cent_emb, $qLit) AS cs")
+      .orderBy(desc("cs"), col("cent_id"))
+      .limit(nprobe)
+      .collect().map(_.getAs[Long]("cent_id"))
+    spark.read.parquet(indexPath)
+      .where(col("cluster_id").isin(probes: _*))
+      .selectExpr("vec_id", "cluster_id", s"round(cosine_f(embedding, $qLit), 6) AS similarity")
+      .orderBy(desc("similarity"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Corpus embedding pipeline shared by v1_embed / v2_text_knn: hashed
     * token buckets via explode → groupBy → map assembly (codegen'd
     * aggregation, not per-row lambdas), L2-normalized.
