@@ -75,6 +75,37 @@ object Multimodal {
               i -> substring(payload, i + 1, $frameBytes))""")).as(Seq("frame_no", "frame_bytes")))
 
   def queries: Seq[QueryDef] = Seq(
+    // Frame sampling as an oracle-checked query: every 64th byte offset
+    // yields a 16-byte window over the binary payload (UTF-8 bytes
+    // standing in for decoded media), each frame content-hashed. Frames
+    // are addressed through the hex encoding (byte i ↔ hex chars
+    // 2i+1..2i+32) because DuckDB 1.0 cannot slice BLOBs — byte-exact
+    // in both engines either way.
+    QueryDef(
+      "mm_frame_sample",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "hex(encode(text, 'UTF-8')) AS ph",
+            "cast(octet_length(text) AS int) AS n_bytes")
+          .selectExpr(
+            "doc_id",
+            """explode(transform(
+                 filter(sequence(0, greatest(n_bytes - 1, 0), 64), i -> i < n_bytes),
+                 i -> named_struct('frame_no', cast(i div 64 AS bigint),
+                                   'fh', substring(ph, i * 2 + 1, 32)))) AS f""")
+          .selectExpr(
+            "doc_id",
+            "f.frame_no AS frame_no",
+            "cast(length(f.fh) div 2 AS bigint) AS frame_len",
+            "md5(f.fh) AS frame_md5"),
+      Some("""
+        SELECT doc_id, g.frame_no,
+               (length(substring(ph, g.frame_no * 128 + 1, 32)) // 2)::BIGINT AS frame_len,
+               md5(substring(ph, g.frame_no * 128 + 1, 32)) AS frame_md5
+        FROM (SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n_bytes
+              FROM documents) d,
+        LATERAL (SELECT unnest(generate_series(0, (d.n_bytes - 1) // 64)) AS frame_no) g""")),
+
     // Oracle-checkable slice of the plumbing: payload sizing + content
     // hashing over the binary column (md5 here IS over the raw bytes).
     QueryDef(

@@ -97,17 +97,21 @@ object Streaming {
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000
+    // true microseconds: Timestamp.getTime is millis-only, but the
+    // events carry sub-ms precision (batch twin uses unix_micros)
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var sessions = state.getOption.getOrElse(Nil)
           val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           for (e <- sorted) {
-            val tsUs = e.ts.getTime * 1000
+            val tsUs = micros(e.ts)
             sessions match {
               case cur :: rest if tsUs - cur.end <= gapUs =>
                 sessions = SessionState(cur.start, tsUs, cur.n + 1) :: rest

@@ -35,6 +35,16 @@ class MultimodalSpec extends SparkSpec {
     assert(again == feats)
   }
 
+  test("payload column is pruned when a query doesn't touch it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString + "/media"
+    media().write.parquet(dir)
+    val q = spark.read.parquet(dir).select("media_id", "n_bytes")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("payload"), "binary payload must not be read for a metadata query")
+    assert(q.count() == 3)
+  }
+
   test("sampleFrames: every-k-th fixed-size byte window with frame numbers") {
     val frames = Multimodal.sampleFrames(media().where("media_id = 2"), frameBytes = 4, everyK = 2)
       .collect()

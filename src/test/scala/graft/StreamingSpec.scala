@@ -111,6 +111,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionize agrees with the batch window formulation on real events data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streaming.Event].collect().toSeq
+
+    // feed all events, then a per-user far-future flush event so every
+    // real session closes and is emitted
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val maxTs = events.map(_.ts.getTime).max
+    val flush = events.map(_.user_id).distinct.zipWithIndex.map { case (u, i) =>
+      Streaming.Event(1000000L + i, new java.sql.Timestamp(maxTs + 10L * 3600 * 1000), u, "flush", 0.0)
+    }
+    mem.addData(flush: _*)
+    q.processAllAvailable()
+
+    val streamed = spark.table("sess_parity")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(_.toSeq).toSet
+
+    // batch twin: the oracle-checked ev_sessionize projection
+    val batch = Registry.byName("ev_sessionize").run(spark, sf)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed == batch)
+    assert(streamed.size > 100) // real corpus: hundreds of sessions
+    q.stop()
+  }
+
   test("sessionize: 30-min gaps close sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
