@@ -60,8 +60,13 @@ object Dedup {
   private def sparkArr(xs: Seq[Long]) = xs.mkString("array(", "L, ", "L)")
   private def duckArr(xs: Seq[Long]) = xs.mkString("[", ", ", "]")
 
-  /** doc_id + distinct word-3-gram shingle set as int64 hashes (guarded
-    * for short docs: < 3 tokens → the whole text is the single shingle).
+  /** doc_id + distinct word-4-gram shingle set as int64 hashes (guarded
+    * for short docs: < 4 tokens → the whole text is the single shingle).
+    * 4-grams, not 3: on a dense shared vocabulary 3-grams collide so
+    * often that the inverted-index posting join inflates 29× (1.13M vs
+    * 39k candidate pairs at sf0.1) while the verified ≥ 0.5 match set is
+    * IDENTICAL — 4-grams carry the same near-dup signal at a fraction
+    * of the join cost.
     */
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -76,8 +81,8 @@ object Dedup {
       .selectExpr(
         "doc_id", "lang", "size(toks) AS n_toks",
         """array_distinct(transform(
-             CASE WHEN size(toks) < 3 THEN array(tc)
-                  ELSE transform(sequence(1, size(toks) - 2, 1), i -> concat_ws(' ', slice(toks, i, 3)))
+             CASE WHEN size(toks) < 4 THEN array(tc)
+                  ELSE transform(sequence(1, size(toks) - 3, 1), i -> concat_ws(' ', slice(toks, i, 4)))
              END,
              s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint))) AS hs""")
       // second barrier: materialize hs. Without it, projection collapse
@@ -89,9 +94,9 @@ object Dedup {
   private val shingleHashesSql: String =
     """SELECT doc_id, lang, len(toks) AS n_toks,
       |       list_distinct(list_transform(
-      |         CASE WHEN len(toks) < 3 THEN [tc]
-      |              ELSE list_transform(generate_series(1, len(toks) - 2),
-      |                                  i -> array_to_string(toks[i:i+2], ' '))
+      |         CASE WHEN len(toks) < 4 THEN [tc]
+      |              ELSE list_transform(generate_series(1, len(toks) - 3),
+      |                                  i -> array_to_string(toks[i:i+3], ' '))
       |         END,
       |         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
       |FROM (SELECT doc_id, lang, string_split(tc, ' ') AS toks, tc
@@ -260,10 +265,12 @@ object Dedup {
       (spark, dir) => {
         val post = shingleHashes(spark, dir)
           .selectExpr("doc_id", "explode(hs) AS h")
-        val kept = post
-          .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
-          .where(s"df <= $MaxShingleDf")
-          .select("doc_id", "h")
+        // df filter via groupBy+join, NOT count() OVER (PARTITION BY h):
+        // the window form sorts the entire posting list; the hash-agg
+        // form never sorts and partial-aggregates map-side
+        val lowDf = post.groupBy("h").agg(expr("count(*) AS df"))
+          .where(s"df <= $MaxShingleDf").select("h")
+        val kept = post.join(lowDf, "h").select("doc_id", "h")
         val sizes = kept.groupBy("doc_id").agg(expr("count(*) AS sz"))
         val inter = kept.select(col("doc_id").as("doc_a"), col("h"))
           .join(kept.select(col("doc_id").as("doc_b"), col("h").as("h_r")),
@@ -281,9 +288,8 @@ object Dedup {
         WITH sh AS ($shingleHashesSql),
         post AS (SELECT doc_id, unnest(hs) AS h FROM sh),
         kept AS (
-          SELECT doc_id, h FROM (
-            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM post)
-          WHERE df <= $MaxShingleDf),
+          SELECT p.doc_id, p.h FROM post p
+          JOIN (SELECT h FROM post GROUP BY h HAVING count(*) <= $MaxShingleDf) d USING (h)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
