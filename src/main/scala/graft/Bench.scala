@@ -34,20 +34,31 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // best-of-two per query: absorbs one-off JIT/GC/page-cache noise so
-    // the reported number is steady-state throughput
+    // the reported number is steady-state throughput. A query that fails
+    // BOTH runs is reported as -1 and listed in "errors" — never as a
+    // near-zero time that would inflate apparent throughput.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = Registry.all.filter(_.bench).map { d =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try exhaust(d, sfDir)
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          exhaust(d, sfDir)
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case t: Throwable =>
+            errors(d.name) = s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}"
+            None
+        }
       }
-      d.name -> times.min
+      d.name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

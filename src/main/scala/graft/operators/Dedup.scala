@@ -67,8 +67,13 @@ object Dedup {
     * 39k candidate pairs at sf0.1) while the verified ≥ 0.5 match set is
     * IDENTICAL — 4-grams carry the same near-dup signal at a fraction
     * of the join cost.
+    *
+    * Shingling runs through the native `word_shingles` kernel
+    * (graft.plans.TextHash) — one codegen'd static call per document
+    * instead of an interpreted md5 lambda per shingle.
     */
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExprs.register(spark)
     Tables.documents(spark, dir)
       .select("doc_id", "lang", "text")
       // single-file tables scan as ONE task; fan out before the hash
@@ -77,19 +82,12 @@ object Dedup {
       .repartition(Par, col("doc_id"))
       .selectExpr("doc_id", "lang",
         "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-      .selectExpr("doc_id", "lang", "split(tc, ' ') AS toks", "tc")
-      .selectExpr(
-        "doc_id", "lang", "size(toks) AS n_toks",
-        """array_distinct(transform(
-             CASE WHEN size(toks) < 4 THEN array(tc)
-                  ELSE transform(sequence(1, size(toks) - 3, 1), i -> concat_ws(' ', slice(toks, i, 4)))
-             END,
-             s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint))) AS hs""")
-      // second barrier: materialize hs. Without it, projection collapse
-      // nests the whole md5-shingle fold inside every lambda that maps
-      // over hs downstream (the 16 minhash functions re-hash every
-      // shingle 16×: 2 s → 19 s at sf0.1).
+      .selectExpr("doc_id", "lang", "split(tc, ' ') AS toks")
+      .selectExpr("doc_id", "lang", "size(toks) AS n_toks", "word_shingles(toks, 4) AS hs")
+      // second barrier: materialize hs so projection collapse cannot
+      // re-inline the shingle fold into every downstream consumer
       .repartition(Par, col("doc_id"))
+  }
 
   private val shingleHashesSql: String =
     """SELECT doc_id, lang, len(toks) AS n_toks,
@@ -149,15 +147,9 @@ object Dedup {
       "dd_minhash_lsh",
       (spark, dir) => {
         val sh = shingleHashes(spark, dir)
-        val sig = sh.selectExpr(
-            "doc_id",
-            s"transform(hs, h -> h % $P) AS hv")
-          .selectExpr(
-            "doc_id",
-            s"""transform(sequence(0, ${NumHashes - 1}, 1),
-                          j -> array_min(transform(hv,
-                                 h -> (element_at(${sparkArr(A)}, j + 1) * h
-                                       + element_at(${sparkArr(B)}, j + 1)) % $P))) AS mh""")
+        // native one-pass 16-permutation minhash (graft.plans.TextHash);
+        // coefficients identical to the literal arrays in the oracle SQL
+        val sig = sh.selectExpr("doc_id", "minhash16(hs) AS mh")
           .repartition(Par, col("doc_id"))
         val bands = sig.selectExpr(
             "doc_id",
@@ -312,10 +304,14 @@ object Dedup {
       "dd_embed_neardup",
       (spark, dir) => {
         graft.plans.VectorExprs.register(spark)
+        // zero-norm guard: an all-zero vector stays all-zero (Spark's
+        // Divide would yield NULL, DuckDB NaN — an oracle mismatch)
         val e = Tables.embeddings(spark, dir)
+          .selectExpr("label", "vec_id", "transform(embedding, x -> cast(x AS double)) AS emb_d")
           .selectExpr("label", "vec_id",
-            """transform(embedding, x -> cast(x AS double)
-               / sqrt(aggregate(transform(embedding, y -> cast(y AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v))) AS emb_n""")
+            "sqrt(aggregate(transform(emb_d, y -> y * y), 0D, (acc, v) -> acc + v)) AS nrm", "emb_d")
+          .selectExpr("label", "vec_id",
+            "CASE WHEN nrm = 0D THEN emb_d ELSE transform(emb_d, x -> x / nrm) END AS emb_n")
         val l = e.select(col("label"), col("vec_id").as("vec_a"), col("emb_n").as("emb_a"))
         val r = e.select(col("label").as("label_r"), col("vec_id").as("vec_b"), col("emb_n").as("emb_b"))
         l.join(r, l("label") === r("label_r") && l("vec_a") < r("vec_b"))
@@ -326,11 +322,15 @@ object Dedup {
           .selectExpr("label", "vec_a", "vec_b", "round(cos, 6) AS cosine")
       },
       Some(s"""
-        WITH e AS (
-          SELECT label, vec_id,
-                 list_transform(embedding, x -> x::DOUBLE
-                   / sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS emb_n
+        WITH e0 AS (
+          SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb_d,
+                 sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))) AS nrm
           FROM embeddings
+        ),
+        e AS (
+          SELECT label, vec_id,
+                 CASE WHEN nrm = 0 THEN emb_d ELSE list_transform(emb_d, x -> x / nrm) END AS emb_n
+          FROM e0
         )
         SELECT label, vec_a, vec_b, round(cos, 6) AS cosine
         FROM (
@@ -341,25 +341,20 @@ object Dedup {
   )
 
   // ---------------------------------------------------------------------
-  private def simhashDf(spark: SparkSession, dir: String): DataFrame =
+  /** 60-bit tf-weighted simhash via the native `hash_tokens` +
+    * `simhash60` kernels (graft.plans.TextHash) — the SQL lambda
+    * formulation interprets 60 × n_tokens lambda dispatches per doc.
+    */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExprs.register(spark)
     Tables.documents(spark, dir)
       .select("doc_id", "text")
       .repartition(Par, col("doc_id")) // parallelize the 60-bit fold (see shingleHashes)
       .selectExpr("doc_id",
         "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-      .selectExpr(
-        "doc_id",
-        "transform(split(tc, ' '), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint)) AS hv")
-      .selectExpr(
-        "doc_id",
-        s"""aggregate(
-             transform(sequence(0, ${SimBits - 1}, 1),
-               j -> CASE WHEN aggregate(hv, 0L,
-                            (acc, h) -> acc + CASE WHEN (h div shiftleft(cast(1 AS bigint), j)) % 2 = 1
-                                              THEN 1L ELSE -1L END) > 0
-                         THEN shiftleft(cast(1 AS bigint), j) ELSE 0L END),
-             0L, (acc, v) -> acc + v) AS simhash""")
+      .selectExpr("doc_id", "simhash60(hash_tokens(split(tc, ' '))) AS simhash")
       .repartition(Par, col("doc_id")) // materialize the fold (see shingleHashes)
+  }
 
   private val simhashSql: String =
     s"""SELECT doc_id,

@@ -152,10 +152,21 @@ object Knn {
     // aggregation — a naive 64-passes-over-the-token-array lambda was
     // 19 s at sf0.1, this is ~1 s, and it's the shape that survives
     // 100 TB (embedding construction as aggregation, not per-row loops).
+    //
+    // Output is EXPLODED to (doc_id, dim, val) scalars: the driver's
+    // comparator hashes column values and cannot hash a raw
+    // array<double> (round-1 forfeit); a row per dimension carries the
+    // identical information in comparable form.
     QueryDef(
       "v1_embed",
-      (spark, dir) => embedDocs(spark, dir),
-      Some(v1EmbedOracle)),
+      (spark, dir) =>
+        embedDocs(spark, dir)
+          .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .selectExpr("doc_id", "cast(dim AS bigint) AS dim", "round(v, 6) AS val"),
+      Some(s"""
+        WITH emb AS ($v1EmbedOracle)
+        SELECT doc_id, (g.i - 1)::BIGINT AS dim, round(embedding[g.i], 6) AS val
+        FROM emb, (SELECT unnest(generate_series(1, 64)) AS i) g""")),
 
     // ------------------------- V1+V3 composed: text query → embed → kNN
     // The reference's actual query path (src/qa_system.py:119 →

@@ -123,8 +123,11 @@ object TextOps {
             s"cast(size(filter(split(tc, ' '), t -> t IN ($stopSql))) AS bigint) AS stop_tokens")
           .selectExpr(
             "doc_id", "char_len", "n_tokens",
+            // n_tokens >= 1 always (split of '' is ['']), but char_len
+            // can be 0: Spark's Divide yields NULL there while DuckDB's
+            // IEEE default yields NaN — guard to 0.0 in BOTH engines
             "cast(char_len - (n_tokens - 1) AS double) / cast(n_tokens AS double) AS avg_token_len",
-            "cast(punct_chars AS double) / cast(char_len AS double) AS punct_ratio",
+            "CASE WHEN char_len = 0 THEN 0.0 ELSE cast(punct_chars AS double) / cast(char_len AS double) END AS punct_ratio",
             "cast(stop_tokens AS double) / cast(n_tokens AS double) AS stopword_ratio")
           .selectExpr(
             "doc_id", "char_len", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio",
@@ -140,7 +143,7 @@ object TextOps {
         FROM (
           SELECT doc_id, char_len, n_tokens,
                  (char_len - (n_tokens - 1))::DOUBLE / n_tokens::DOUBLE AS avg_token_len,
-                 punct_chars::DOUBLE / char_len::DOUBLE AS punct_ratio,
+                 CASE WHEN char_len = 0 THEN 0.0 ELSE punct_chars::DOUBLE / char_len::DOUBLE END AS punct_ratio,
                  stop_tokens::DOUBLE / n_tokens::DOUBLE AS stopword_ratio
           FROM (
             SELECT doc_id,

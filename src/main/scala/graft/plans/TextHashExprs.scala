@@ -1,0 +1,223 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native kernels for the text-hashing hot path (dedup family).
+  *
+  * The SQL formulation — `transform(toks, t -> conv(substring(md5(t),1,15),
+  * 16,10))` and the nested minhash / simhash lambda folds — is correct but
+  * interpreted: Catalyst higher-order functions evaluate their lambda per
+  * element through the interpreter, so a 16-permutation minhash over a
+  * ~250-shingle set pays ~4000 interpreted dispatches per document. These
+  * kernels do the same math as one static-call-per-row inside
+  * WholeStageCodegen: codegen emits `TextHash.minhash16(arr)` and the JVM
+  * JITs the tight loop. At 100 TB this is the difference between a
+  * CPU-bound interpreter and a memory-bandwidth-bound scan.
+  *
+  * Numeric contract (bit-for-bit with the DuckDB oracle):
+  *   hash60(s)  = first 15 hex chars of md5(s) as a 60-bit unsigned int,
+  *                i.e. big-endian(md5 bytes[0..7]) >>> 4
+  *   minhash16  = min over hv=h%P of (A(j)*hv + B(j)) % P, j = 0..15
+  *   simhash60  = bit j set iff Σ_tokens (bit_j(h) ? +1 : -1) > 0
+  */
+object TextHash {
+  val P = 1000000007L
+  final val NumHashes = 16
+  // deterministic coefficients — MUST stay in lockstep with the literal
+  // arrays inlined in the DuckDB oracle (graft.operators.Dedup)
+  val A: Array[Long] = Array.tabulate(NumHashes)(j => ((2L * j + 1) * 2654435761L) % P)
+  val B: Array[Long] = Array.tabulate(NumHashes)(j => ((j + 1) * 40503L * 65537L) % P)
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5 == conv(substring(md5(s),1,15),16,10). */
+  def hash60(bytes: Array[Byte]): Long = {
+    val m = md5.get()
+    m.reset()
+    val d = m.digest(bytes)
+    val hi = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    hi >>> 4
+  }
+
+  /** Per-token hash60 (multiset — no dedup; simhash needs tf weights). */
+  def hashTokens(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = hash60(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct hash60 of word n-grams joined by single spaces; for
+    * < n tokens the single shingle is the whole space-joined text
+    * (matches the SQL `CASE WHEN size(toks) < n THEN array(tc)` guard,
+    * since the cleaned text IS its tokens joined by ' ').
+    */
+  def wordShingles(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    def joined(start: Int, len: Int): Array[Byte] = {
+      var sz = if (len > 0) len - 1 else 0
+      var k = start
+      while (k < start + len) { sz += toks(k).length; k += 1 }
+      val out = new Array[Byte](sz)
+      var pos = 0
+      k = start
+      while (k < start + len) {
+        if (k > start) { out(pos) = ' '.toByte; pos += 1 }
+        System.arraycopy(toks(k), 0, out, pos, toks(k).length)
+        pos += toks(k).length
+        k += 1
+      }
+      out
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m < n) seen.add(hash60(joined(0, m)))
+    else {
+      i = 0
+      while (i + n <= m) {
+        seen.add(hash60(joined(i, n)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** All 16 minhash permutations in one pass over the shingle set. */
+  def minhash16(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val hv = arr.getLong(i) % P
+      var j = 0
+      while (j < NumHashes) {
+        val v = (A(j) * hv + B(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 60-bit simhash over tf-weighted token hashes. */
+  def simhash60(arr: ArrayData): Long = {
+    val m = arr.numElements()
+    val counts = new Array[Long](60)
+    var i = 0
+    while (i < m) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) acc |= (1L << j)
+      j += 1
+    }
+    acc
+  }
+}
+
+private[plans] trait TextHashInputCheck { self: Expression =>
+  protected def requireType(e: Expression, ok: DataType => Boolean, what: String)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok(e.dataType)) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects $what, got ${e.dataType.catalogString}")
+
+  protected val isStringArray: DataType => Boolean = {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  protected val isLongArray: DataType => Boolean = {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+}
+
+/** hash_tokens(array<string>) → array<bigint> — per-token hash60. */
+case class HashTokens(child: Expression) extends UnaryExpression with TextHashInputCheck {
+  override def prettyName: String = "hash_tokens"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireType(child, isStringArray, "array<string>")
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.hashTokens(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.hashTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** word_shingles(array<string>, n) → array<bigint> — distinct n-gram hash60. */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression with TextHashInputCheck {
+  override def prettyName: String = "word_shingles"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = requireType(left, isStringArray, "array<string>")
+    if (l != org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess) l
+    else requireType(right, _ == IntegerType, "int n")
+  }
+  override protected def nullSafeEval(a: Any, n: Any): Any =
+    TextHash.wordShingles(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, n) => s"graft.plans.TextHash.wordShingles($a, $n)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** minhash16(array<bigint>) → array<bigint> — 16 permutation minima. */
+case class MinHash16(child: Expression) extends UnaryExpression with TextHashInputCheck {
+  override def prettyName: String = "minhash16"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireType(child, isLongArray, "array<bigint>")
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.minhash16(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.minhash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** simhash60(array<bigint>) → bigint. */
+case class SimHash60(child: Expression) extends UnaryExpression with TextHashInputCheck {
+  override def prettyName: String = "simhash60"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireType(child, isLongArray, "array<bigint>")
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.simhash60(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -142,9 +142,13 @@ case class CosineSim(left: Expression, right: Expression) extends VectorFoldExpr
   * (the driver harness constructs its own sessions).
   */
 object VectorExprs {
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[plans] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_f" -> (c => DotProduct(c.head, c(1))),
-    "cosine_f" -> (c => CosineSim(c.head, c(1))))
+    "cosine_f" -> (c => CosineSim(c.head, c(1))),
+    "hash_tokens" -> (c => HashTokens(c.head)),
+    "word_shingles" -> (c => WordShingles(c.head, c(1))),
+    "minhash16" -> (c => MinHash16(c.head)),
+    "simhash60" -> (c => SimHash60(c.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -159,14 +163,11 @@ object VectorExprs {
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (FunctionIdentifier("dot_f"),
-        new ExpressionInfo(classOf[DotProduct].getName, "dot_f"),
-        (c: Seq[Expression]) => DotProduct(c.head, c(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("cosine_f"),
-        new ExpressionInfo(classOf[CosineSim].getName, "cosine_f"),
-        (c: Seq[Expression]) => CosineSim(c.head, c(1))))
-  }
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    VectorExprs.fns.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo(classOf[DotProduct].getName, name),
+          builder))
+    }
 }

@@ -55,9 +55,15 @@ object ChunkStore {
 
   /** S4 — CSV source with the reference's reload quirk: only the four
     * hardcoded metadata fields survive; `chunk_number` is dropped.
+    * `multiLine` + explicit quote escaping make the round-trip
+    * newline-safe: the sink quotes embedded `\n`, and without multiLine
+    * the reader would split the quoted field at the newline and corrupt
+    * the row.
     */
   def readCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(chunkSchema).option("header", "true").csv(path)
+    spark.read.schema(chunkSchema).option("header", "true")
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(path)
       .select("text", "source", "page_number", "paragraph_number", "total_pages")
 
   /** S5 — vector-store add: positional ids `chunk_{i}` (i from 0 in the
@@ -118,8 +124,13 @@ object ChunkStore {
     */
   def withPositionalIds(chunks: DataFrame, orderCols: Seq[String]): DataFrame = {
     val spark = chunks.sparkSession
+    // persisted before the two passes below (sizes, then id assignment):
+    // recomputing the sort per pass could order orderCols-ties
+    // differently across the two jobs and hand out nondeterministic ids.
+    // ContextCleaner unpersists the blocks once the RDD is unreachable.
     val sorted = chunks.repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sorted.rdd.mapPartitionsWithIndex {
       case (pid, it) => Iterator((pid, it.size.toLong))
     }.collect().sortBy(_._1)
