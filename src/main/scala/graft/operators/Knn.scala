@@ -19,6 +19,35 @@ object Knn {
 
   private val K = 5
 
+  // ------------------------- random-hyperplane LSH (v4_lsh_ann) config
+  // 4 bands × 8 sign-bits from 32 fixed Gaussian hyperplanes. The
+  // planes are generated from a FIXED seed and inlined as %.6f literals
+  // into BOTH engines' SQL (same discipline as the minhash coefficient
+  // arrays) so the signatures cannot diverge.
+  private val LshBandBits = 8
+  private val LshBands = 4
+  private val LshPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(12345)
+    Seq.fill(LshBands * LshBandBits)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+  private def planeSpark(p: Seq[Double]): String =
+    p.map(v => s"${fmt(v)}D").mkString("array(", ", ", ")")
+  private def planeDuck(p: Seq[Double]): String =
+    p.map(fmt).mkString("[", ", ", "]")
+  /** Spark band value: 8 sign bits of dot(embedding, plane) packed LSB-first. */
+  private def bandValSpark(b: Int): String =
+    (0 until LshBandBits).map { j =>
+      s"(CASE WHEN dot_f(embedding, ${planeSpark(LshPlanes(b * LshBandBits + j))}) > 0D THEN ${1L << j}L ELSE 0L END)"
+    }.mkString("(", " + ", ")")
+  private def bandValDuck(b: Int): String =
+    (0 until LshBandBits).map { j =>
+      val p = planeDuck(LshPlanes(b * LshBandBits + j))
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+            i -> embedding[i]::DOUBLE * ($p)[i])) > 0 THEN ${1L << j} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+
   /** Cosine via the native codegen'd expression (graft.plans.CosineSim):
     * left-to-right double accumulation — value-identical to the
     * aggregate(zip_with(...)) formulation and the DuckDB oracle, but it
@@ -141,6 +170,55 @@ object Knn {
         ORDER BY similarity DESC, vec_id
         LIMIT $K""")),
 
+    // ------------------------ LSH-bucketed ANN (the other V2 scale path)
+    // Random-hyperplane LSH: 32 fixed Gaussian planes → 4 bands × 8 sign
+    // bits per vector; candidate pairs share a (band_id, band_val)
+    // bucket; exact cosine re-ranks the candidates, top-20 out. The
+    // 100 TB shape: signatures are one codegen'd scan (dot_f per plane),
+    // the self-join touches only (vec_id, band key) pairs — never the
+    // vectors — and the O(n²) pair space is never formed. Bucket width
+    // (bits) and recall (bands) tune independently.
+    QueryDef(
+      "v4_lsh_ann",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val e = Tables.embeddings(spark, dir)
+        val bandStructs = (0 until LshBands)
+          .map(b => s"named_struct('band_id', $b, 'band_val', ${bandValSpark(b)})")
+          .mkString("array(", ", ", ")")
+        val bands = e.selectExpr("vec_id", s"explode($bandStructs) AS bk")
+          .selectExpr("vec_id", "bk.band_id AS band_id", "bk.band_val AS band_val")
+        val l = bands.select(col("band_id"), col("band_val"), col("vec_id").as("vec_a"))
+        val r = bands.select(col("band_id").as("band_id_r"), col("band_val").as("band_val_r"),
+          col("vec_id").as("vec_b"))
+        val cand = l.join(r,
+            l("band_id") === r("band_id_r") && l("band_val") === r("band_val_r") &&
+              l("vec_a") < r("vec_b"))
+          .select(col("vec_a"), col("vec_b"))
+          .distinct()
+        val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+        val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+          .selectExpr("vec_a", "vec_b", "round(cosine_f(emb_a, emb_b), 6) AS cosine")
+          .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH bands AS (
+          ${(0 until LshBands).map(b =>
+            s"SELECT vec_id, $b AS band_id, ${bandValDuck(b)} AS band_val FROM embeddings")
+            .mkString("\n          UNION ALL\n          ")}
+        ),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+          FROM bands l JOIN bands r
+            ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.vec_id < r.vec_id
+        )
+        SELECT vec_a, vec_b, round(${dCos("a.embedding", "b.embedding")}, 6) AS cosine
+        FROM cand JOIN embeddings a ON vec_a = a.vec_id JOIN embeddings b ON vec_b = b.vec_id
+        ORDER BY cosine DESC, vec_a, vec_b
+        LIMIT 20""")),
+
     // --------------------------- V1: deterministic hashed-n-gram embedding
     // The reference's embedding step is store-side and model-based
     // (SURVEY §2.4 V1 — and its loaded model is dead code); the engine's
@@ -242,7 +320,11 @@ object Knn {
     * aggregation, not per-row lambdas), L2-normalized.
     */
   private def embedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sessionState.conf.numShufflePartitions
     val cnt = Tables.documents(spark, dir)
+      // fan out before the token explode + md5: the single-file scan is
+      // ONE task, and without this the whole hash stage runs on one core
+      .repartition(par, col("doc_id"))
       .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
       .selectExpr("doc_id", "explode(split(tc, ' ')) AS t")
       .selectExpr("doc_id", "cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % 64 AS b")
