@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked run output goes straight to stdout, NOT through sbt's logger:
+// Bench's one-line JSON contract must reach the driver without an
+// "[info] " prefix (BENCH_r01.json recorded parsed:null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
