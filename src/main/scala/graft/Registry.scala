@@ -28,6 +28,7 @@ object Registry {
       operators.Relational.queries ++
       operators.Events.queries ++
       operators.Dedup.queries ++
+      operators.Curation.queries ++
       operators.Knn.queries ++
       operators.Qa.queries ++
       sources.ChunkStore.queries ++

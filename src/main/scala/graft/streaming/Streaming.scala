@@ -127,6 +127,38 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the incremental twin of `dd_exact`: one
+    * row per first-seen normalized-text hash, duplicates dropped ACROSS
+    * microbatches via the state store (the checkpoint carries the
+    * seen-hash set, so a resumed stream never re-admits a duplicate).
+    *
+    * State is unbounded by design here (exact corpus dedup must
+    * remember every hash); a time-bounded deployment would swap in
+    * `dropDuplicatesWithinWatermark` to cap state at the watermark
+    * horizon. The state key is the 32-char md5 — 32 bytes/doc of state,
+    * hash-partitioned across executors, no shuffle beyond the dedup
+    * exchange itself.
+    */
+  def dedupDocuments(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", "lang",
+        "md5(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '')) AS text_hash")
+      .dropDuplicates("text_hash")
+
+  /** File-stream wrapper for [[dedupDocuments]]: parquet in, parquet
+    * out, checkpoint-resumable like [[chunkIngest]].
+    */
+  def dedupIngest(spark: SparkSession, inDir: String, outDir: String,
+                  checkpointDir: String): StreamingQuery =
+    dedupDocuments(spark.readStream.schema(documentsSchema).parquet(inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Drain a file-source stream with AvailableNow and wait — the test /
     * batch-parity entry point.
     */

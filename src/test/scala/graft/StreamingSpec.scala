@@ -42,6 +42,45 @@ class StreamingSpec extends SparkSpec {
     assert(afterSecond.where("doc_id = 1").count() == 1) // not reprocessed
   }
 
+  test("dedupIngest: duplicates dropped within AND across micro-batches via state") {
+    import spark.implicits._
+    val in = tmp() + "/in"
+    val out = tmp() + "/out"
+    val ck = tmp() + "/ck"
+
+    // batch 1: doc 2 duplicates doc 1 after whitespace normalization
+    Seq(
+      (1L, "same text here", "en", "s1", 14L),
+      (2L, "  same   text here ", "en", "s2", 19L),
+      (3L, "a different document", "en", "s3", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(in)
+    Streaming.runToCompletion(Streaming.dedupIngest(spark, in, out, ck))
+    val first = spark.read.parquet(out)
+    assert(first.count() == 2)
+    assert(first.select("text_hash").distinct().count() == 2)
+
+    // batch 2: another copy of doc 1's text (cross-batch dup — only the
+    // state store can catch it) plus one genuinely new doc
+    Seq(
+      (4L, "same text here", "en", "s4", 14L),
+      (5L, "brand new content", "en", "s5", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(in)
+    Streaming.runToCompletion(Streaming.dedupIngest(spark, in, out, ck))
+    val second = spark.read.parquet(out)
+    assert(second.count() == 3) // doc 4 deduped against batch-1 state
+    assert(second.where("doc_id = 4").count() == 0)
+    assert(second.where("doc_id = 5").count() == 1)
+
+    // parity: streaming result = batch dd_exact keep-count on the union
+    val all = spark.read.parquet(in)
+    val batchDistinct = all.selectExpr(
+        "md5(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '')) AS h")
+      .distinct().count()
+    assert(second.count() == batchDistinct)
+  }
+
   test("windowedEventCounts: streaming aggregation equals the batch plan") {
     import spark.implicits._
     val dir = tmp() + "/events"
