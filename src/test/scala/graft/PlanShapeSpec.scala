@@ -54,4 +54,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"))
     assert(p.contains("HashAggregate"))
   }
+
+  test("dedup pipelines: candidate joins are hash/merge joins, never cartesian") {
+    Seq("dd_minhash_lsh", "dd_simhash_pairs", "dd_ngram_jaccard", "v4_lsh_ann").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("native text-hash kernels run inside WholeStageCodegen") {
+    graft.plans.VectorExprs.register(spark)
+    Seq("dd_minhash_lsh" -> "minhash16", "dd_simhash" -> "simhash60").foreach {
+      case (q, fn) =>
+        val df = Registry.byName(q).run(spark, sf)
+        val codegen = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.CodegenMode)
+        assert(codegen.contains("WholeStageCodegen"), s"$q has no codegen stage")
+        assert(plan(q).contains(fn), s"$q does not use $fn")
+    }
+  }
+
+  test("tp_curate: keep/drop sets apply as semi/anti joins") {
+    val p = plan("tp_curate")
+    assert(p.contains("LeftSemi"), "exact-keep is not a semi join")
+    assert(p.contains("LeftAnti"), "near-dup drop is not an anti join")
+  }
+
+  test("tp_sample_stratified: pure scan + filter, no shuffle at all") {
+    val p = plan("tp_sample_stratified")
+    assert(!p.contains("Exchange"), "hash sampling must not shuffle")
+  }
 }
