@@ -51,6 +51,10 @@ object ChunkStore {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true").option("encoding", "UTF-8")
+      // RFC-4180 doubled-quote escaping — what Python's csv module (the
+      // reference sink, src/pdf_extractor.py:236-241) emits, and what
+      // readCsv's multiLine+escape options expect back
+      .option("escape", "\"")
       .csv(path)
 
   /** S4 — CSV source with the reference's reload quirk: only the four

@@ -46,6 +46,20 @@ class ChunkStoreSpec extends SparkSpec {
     assert(row.getAs[Int]("page_number") == 1) // 1-based, preserved
   }
 
+  test("S3/S4: embedded newlines and quotes survive the CSV round-trip intact") {
+    import spark.implicits._
+    val dir = tmp() + "/csv_nl"
+    val tricky = Seq(
+      ("line one\nline two", "a.pdf", 1, 1, 1, None: Option[Int]),
+      ("says \"quoted\" and, commas", "a.pdf", 2, 1, 1, None: Option[Int]))
+      .toDF("text", "source", "page_number", "paragraph_number", "total_pages", "chunk_number")
+    ChunkStore.writeCsv(tricky, dir)
+    val back = ChunkStore.readCsv(spark, dir)
+    assert(back.count() == 2, "newline in a quoted field split a row")
+    val texts = back.select("text").collect().map(_.getString(0)).toSet
+    assert(texts == Set("line one\nline two", "says \"quoted\" and, commas"))
+  }
+
   test("S5: positional ids chunk_{i} follow the given ordering from 0") {
     val withIds = ChunkStore.withPositionalIds(sampleChunks(), Seq("source", "page_number", "chunk_number"))
     val ids = withIds.orderBy("source", "page_number", "chunk_number")
