@@ -123,6 +123,44 @@ object Knn {
               FROM scored)
         WHERE rank <= $K""")),
 
+    // ---------------- batch kNN via the typed bounded-heap Aggregator
+    // Same result set as v3_knn_batch, computed through
+    // TopK.TopKAggregator instead of a rank window: the window SORTS
+    // every query's full candidate list after shuffling ALL of it; the
+    // aggregator keeps ≤ k rows per query at every stage and
+    // partial-merges map-side, so the shuffle carries k×queries rows —
+    // at 100 TB, the difference between shuffling the corpus and
+    // shuffling the answer. Oracle: identical SQL to the window form.
+    QueryDef(
+      "v3_knn_batch_agg",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        import spark.implicits._
+        val e = Tables.embeddings(spark, dir)
+        val q = e.where("vec_id < 8")
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+        val scored = e.crossJoin(broadcast(q))
+          .where("vec_id != q_vec_id")
+          .selectExpr("q_vec_id", "vec_id", s"round(${cosExpr("embedding", "q_emb")}, 6) AS similarity")
+          .as[(Long, Long, Double)]
+        TopK.topKByKey(scored, K)
+          .toDF("q_vec_id", "rank", "vec_id", "similarity")
+          .select("q_vec_id", "vec_id", "similarity", "rank")
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.q_vec_id, e.vec_id,
+                 round(${dCos("e.embedding", "q.q_emb")}, 6) AS similarity
+          FROM embeddings e, q
+          WHERE e.vec_id != q.q_vec_id)
+        SELECT q_vec_id, vec_id, similarity, rank
+        FROM (SELECT q_vec_id, vec_id, similarity,
+                     row_number() OVER (PARTITION BY q_vec_id
+                                        ORDER BY similarity DESC, vec_id)::BIGINT AS rank
+              FROM scored)
+        WHERE rank <= $K""")),
+
     // ------------------------------------ IVF-style partition-pruned ANN
     // Scale path for 100 TB: vectors are assigned to the nearest of a
     // small centroid set (here: the 8 vectors with vec_id < 8, a

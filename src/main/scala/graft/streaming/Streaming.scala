@@ -159,6 +159,16 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-static enrichment join: each microbatch of the stream joins
+    * against a static dimension snapshot. The dim side is broadcast per
+    * microbatch — the streaming twin of the batch star-join rule
+    * (dimensions broadcast, fact never reshuffled), so the stream stays
+    * shuffle-free end-to-end. Left join keeps unmatched stream rows
+    * (dimension lag must not drop events).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Drain a file-source stream with AvailableNow and wait — the test /
     * batch-parity entry point.
     */

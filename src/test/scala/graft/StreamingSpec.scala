@@ -81,6 +81,38 @@ class StreamingSpec extends SparkSpec {
     assert(second.count() == batchDistinct)
   }
 
+  test("enrichStream: stream-static broadcast join, batch parity, keeps unmatched rows") {
+    import spark.implicits._
+    val in = tmp() + "/in"
+    val out = tmp() + "/out"
+    val ck = tmp() + "/ck"
+    Seq(
+      (1L, "alpha text", "en", "s1", 10L),
+      (2L, "beta text", "fr", "s2", 9L),
+      (3L, "gamma text", "xx", "s3", 10L)) // 'xx' has no dim row
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(in)
+    val dim = Seq(("en", "english"), ("fr", "french")).toDF("lang", "lang_name")
+
+    val q = Streaming.enrichStream(
+        spark.readStream.schema(Streaming.documentsSchema).parquet(in), dim, "lang")
+      .select("doc_id", "lang", "lang_name")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    Streaming.runToCompletion(q)
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+    assert(got == Map(1L -> Some("english"), 2L -> Some("french"), 3L -> None))
+    // parity with the batch plan
+    val batch = Streaming.enrichStream(spark.read.parquet(in), dim, "lang")
+      .select("doc_id", "lang", "lang_name").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+    assert(batch == got)
+  }
+
   test("windowedEventCounts: streaming aggregation equals the batch plan") {
     import spark.implicits._
     val dir = tmp() + "/events"
