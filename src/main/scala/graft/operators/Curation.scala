@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation compositions — the end-to-end shapes a training-data
@@ -18,6 +19,44 @@ import org.apache.spark.sql.functions._
   *    and trivially stratifiable by computing the hash per stratum.
   */
 object Curation {
+
+  /** Connected components by min-label propagation over an undirected
+    * edge list `(doc_a, doc_b)`: every vertex repeatedly takes the min
+    * label among itself and its neighbors until no label changes.
+    * Converges in O(component diameter) rounds — each round is one
+    * join + one aggregation. Labels are `localCheckpoint`ed every round:
+    * persist alone is NOT enough for iterative DataFrames — the logical
+    * plan still nests one level per round and analysis blows up
+    * exponentially around ~10 rounds; checkpointing truncates lineage
+    * to the materialized RDD so every round plans O(1) work. Returns
+    * `(doc_id, component)` where component is the min doc_id reachable
+    * — a unique fixpoint, independent of execution order.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.toDF("doc_a", "doc_b")
+      .unionByName(pairs.toDF("doc_a", "doc_b").selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
+      .localCheckpoint(true)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val neighborMin = edges
+        .join(labels.selectExpr("doc_id AS doc_b", "component AS nc"), "doc_b")
+        .groupBy("doc_a").agg(expr("min(nc) AS nmin"))
+        .selectExpr("doc_a AS doc_id", "nmin")
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "least(component, coalesce(nmin, component)) AS component")
+        .localCheckpoint(true)
+      val changed = next.join(labels.selectExpr("doc_id", "component AS old"), "doc_id")
+        .where("component != old").count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+  }
 
   /** Cleaned text + md5 for the gate/dedup stages (shared fragment). */
   private val cleanCols =
@@ -80,6 +119,45 @@ object Curation {
         SELECT q.doc_id, q.lang, q.char_len::BIGINT AS char_len
         FROM quality q
         JOIN exact_keep k ON q.doc_id = k.doc_id
-        WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dup_drop)"""))
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dup_drop)""")),
+
+    // ------------------------------------- duplicate-cluster resolution
+    // Near-dup pairs form a graph; the keep-one-per-cluster decision
+    // needs its CONNECTED COMPONENTS (pair-at-a-time dropping keeps one
+    // doc per EDGE, not per cluster). Spark side: min-label propagation
+    // — each round every vertex takes the min label among itself and
+    // its neighbors; converges in O(component diameter) rounds, each
+    // round one join + one aggregation, labels persisted per round so
+    // lineage stays flat. This is the BSP shape that scales (transitive
+    // closure does not). Oracle: DuckDB recursive-CTE reachability —
+    // a different algorithm, same unique fixpoint (min doc_id per
+    // component), which makes the cross-check meaningful.
+    QueryDef(
+      "dd_cluster",
+      (spark, dir) => {
+        val pairs = Dedup.queries.find(_.name == "dd_minhash_lsh").get
+          .run(spark, dir).select("doc_a", "doc_b")
+        connectedComponents(pairs)
+          .selectExpr("doc_id", "component",
+            "CASE WHEN doc_id = component THEN 1L ELSE 0L END AS keeper")
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b
+          FROM (${Dedup.queries.find(_.name == "dd_minhash_lsh").get.oracle.get}) p
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+        )
+        SELECT v AS doc_id, min(r) AS component,
+               CASE WHEN v = min(r) THEN 1 ELSE 0 END::BIGINT AS keeper
+        FROM reach GROUP BY v"""))
   )
 }
