@@ -74,7 +74,57 @@ object Multimodal {
                      i -> i < n_bytes),
               i -> substring(payload, i + 1, $frameBytes))""")).as(Seq("frame_no", "frame_bytes")))
 
+  /** Resize stub: strided byte selection down to ~targetBytes — the
+    * deterministic stand-in for image resize (a real implementation
+    * replaces the stride select with a decoder + scaler inside the same
+    * column-to-column contract). Adds `payload_resized`; the original
+    * payload column is untouched so parquet pruning still skips it for
+    * metadata-only readers.
+    */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame =
+    media.withColumn("payload_resized", expr(
+      s"""CASE WHEN payload IS NULL THEN NULL ELSE
+            unhex(concat_ws('', transform(
+              filter(sequence(0, greatest(cast(n_bytes AS int) - 1, 0),
+                              greatest(1, cast(n_bytes AS int) div $targetBytes)),
+                     i -> i < n_bytes),
+              i -> substring(hex(payload), i * 2 + 1, 2))))
+          END"""))
+
   def queries: Seq[QueryDef] = Seq(
+    // Resize plumbing as an oracle-checked query: every (n/64)-th byte
+    // of the payload (addressed through hex — DuckDB 1.0 cannot slice
+    // BLOBs), content-hashed. Byte-exact in both engines.
+    QueryDef(
+      "mm_resize",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "hex(encode(text, 'UTF-8')) AS ph",
+            "cast(octet_length(text) AS int) AS n")
+          .selectExpr("doc_id", "ph", "n", "greatest(1, n div 64) AS s")
+          .selectExpr(
+            "doc_id", "cast(n AS bigint) AS n_bytes",
+            """concat_ws('', transform(
+                 filter(sequence(0, greatest(n - 1, 0), s), i -> i < n),
+                 i -> substring(ph, i * 2 + 1, 2))) AS rh""")
+          .selectExpr(
+            "doc_id", "n_bytes",
+            "cast(length(rh) div 2 AS bigint) AS resized_len",
+            "md5(rh) AS resized_md5"),
+      Some("""
+        SELECT doc_id, n_bytes::BIGINT AS n_bytes,
+               (length(rh) // 2)::BIGINT AS resized_len,
+               md5(rh) AS resized_md5
+        FROM (
+          SELECT doc_id, n_bytes,
+                 array_to_string(list_transform(
+                     list_filter(generate_series(0, greatest(n_bytes - 1, 0), s), i -> i < n_bytes),
+                     i -> substring(ph, i * 2 + 1, 2)), '') AS rh
+          FROM (SELECT doc_id, hex(encode(text)) AS ph,
+                       octet_length(encode(text)) AS n_bytes,
+                       greatest(1, octet_length(encode(text)) // 64) AS s
+                FROM documents))""")),
+
     // Frame sampling as an oracle-checked query: every 64th byte offset
     // yields a 16-byte window over the binary payload (UTF-8 bytes
     // standing in for decoded media), each frame content-hashed. Frames

@@ -35,6 +35,21 @@ class MultimodalSpec extends SparkSpec {
     assert(again == feats)
   }
 
+  test("resize: strided byte downsample, exact bytes, null-safe") {
+    import spark.implicits._
+    val big = Seq((1L, "x" * 256), (2L, "abc"), (3L, "")).toDF("id", "txt")
+    val resized = Multimodal.resize(Multimodal.mediaFromText(big, "id", "txt"), 64)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        Option(r.getAs[Array[Byte]]("payload_resized")).map(_.toSeq)).toMap
+    // 256 bytes at stride 256/64 = 4 → bytes 0,4,8,...,252 → 64 bytes
+    assert(resized(1L).get.length == 64)
+    assert(resized(1L).get.forall(_ == 'x'.toByte))
+    // smaller than target → stride 1 → identity
+    assert(resized(2L).get == "abc".getBytes("UTF-8").toSeq)
+    // empty payload → empty resized (not null, payload exists)
+    assert(resized(3L).get.isEmpty)
+  }
+
   test("payload column is pruned when a query doesn't touch it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString + "/media"
     media().write.parquet(dir)
