@@ -154,6 +154,42 @@ object TextOps {
             FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
                   FROM documents)))""")),
 
+    // ----------------------------------------- bigram frequency (extension)
+    // Corpus-wide top-20 word bigrams: explode → hash aggregate (partial
+    // map-side combine) → TakeOrderedAndProject. The shuffle carries one
+    // partial count per distinct bigram per partition — at 100 TB the
+    // n-gram LM / collocation-stats shape. Tie-break on the bigram
+    // string keeps the LIMIT set deterministic (ASCII corpus ⇒ binary
+    // collation agrees across engines).
+    QueryDef(
+      "ta_bigram_freq",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .repartition(spark.sessionState.conf.numShufflePartitions,
+            org.apache.spark.sql.functions.col("doc_id"))
+          .selectExpr("regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("split(tc, ' ') AS toks")
+          .where("size(toks) >= 2")
+          .selectExpr(
+            "explode(transform(sequence(1, size(toks) - 1, 1), i -> concat_ws(' ', slice(toks, i, 2)))) AS bigram")
+          .groupBy("bigram")
+          .agg(org.apache.spark.sql.functions.expr("count(*) AS n"))
+          .orderBy(org.apache.spark.sql.functions.desc("n"),
+            org.apache.spark.sql.functions.col("bigram"))
+          .limit(20),
+      Some("""
+        SELECT bigram, count(*) AS n
+        FROM (
+          SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM (SELECT string_split(tc, ' ') AS toks
+                FROM (SELECT regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
+                      FROM documents))
+          WHERE len(toks) >= 2)
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20""")),
+
     // ------------------------------------------------- document fingerprint (extension)
     // Polynomial rolling hash over token hash60 values mod 1e9+7 — a
     // content fingerprint for exact/near-exact dedup joins. The fold is

@@ -159,6 +159,20 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Watermark-bounded streaming dedup: like [[dedupDocuments]] but
+    * state is capped at the watermark horizon — a duplicate arriving
+    * within `delay` of the original is dropped; state for older keys is
+    * evicted. This is the production shape when the dup window is
+    * bounded (e.g. at-least-once upstream delivery) and state must not
+    * grow with the corpus.
+    */
+  def dedupDocumentsBounded(docs: DataFrame, tsCol: String, delay: String): DataFrame =
+    docs
+      .selectExpr(s"$tsCol AS event_ts", "doc_id", "lang",
+        "md5(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '')) AS text_hash")
+      .withWatermark("event_ts", delay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Stream-static enrichment join: each microbatch of the stream joins
     * against a static dimension snapshot. The dim side is broadcast per
     * microbatch — the streaming twin of the batch star-join rule

@@ -81,6 +81,29 @@ class StreamingSpec extends SparkSpec {
     assert(second.count() == batchDistinct)
   }
 
+  test("dedupDocumentsBounded: dup within watermark dropped, state bounded by horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val deduped = Streaming.dedupDocumentsBounded(
+      input.toDF().toDF("ts", "doc_id", "lang", "text"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000L
+      def t(sec: Long) = new Timestamp((base + sec) * 1000L)
+      // batch 1: original + in-window duplicate
+      input.addData((t(0), 1L, "en", "same text"), (t(60), 2L, "en", "same  text"))
+      q.processAllAvailable()
+      // batch 2: another duplicate still within the 10-min window
+      input.addData((t(300), 3L, "en", "same text"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_bounded").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L), s"expected only the first copy, got $got")
+    } finally q.stop()
+  }
+
   test("enrichStream: stream-static broadcast join, batch parity, keeps unmatched rows") {
     import spark.implicits._
     val in = tmp() + "/in"
