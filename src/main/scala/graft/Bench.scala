@@ -33,13 +33,14 @@ object Bench {
       try exhaust(d, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
-    // best-of-two per query: absorbs one-off JIT/GC/page-cache noise so
-    // the reported number is steady-state throughput. A query that fails
-    // BOTH runs is reported as -1 and listed in "errors" — never as a
-    // near-zero time that would inflate apparent throughput.
+    // best-of-three per query: the host shows 2-10× one-off noise spikes
+    // (page cache, competing load, GC); min-of-3 reports steady-state
+    // throughput. A query that fails ALL runs is reported as -1 and
+    // listed in "errors" — never as a near-zero time that would inflate
+    // apparent throughput.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = Registry.all.filter(_.bench).map { d =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           exhaust(d, sfDir)
