@@ -70,6 +70,19 @@ class ChunkStoreSpec extends SparkSpec {
     assert(first.startsWith("chunk_"))
   }
 
+  test("S5: positional ids are stable across re-materializations even with order ties") {
+    import spark.implicits._
+    // 60 rows, only 3 distinct orderCols values → heavy ties; the
+    // persisted sort must hand out the same ids on every evaluation
+    val ties = (0 until 60).map(i => (s"text_$i", s"src_${i % 3}", 1, 1, 1))
+      .toDF("text", "source", "page_number", "paragraph_number", "total_pages")
+    val withIds = ChunkStore.withPositionalIds(ties, Seq("source"))
+    val first = withIds.select("text", "id").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val second = withIds.select("text", "id").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(first == second, "ids changed between materializations")
+    assert(first.values.toSet == (0 until 60).map(i => s"chunk_$i").toSet)
+  }
+
   test("S5: addDocuments is a NO-OP when the store is non-empty (reference guard)") {
     val store = tmp() + "/store"
     assert(ChunkStore.addDocuments(spark, sampleChunks(), store, Seq("source", "text")))
