@@ -155,6 +155,53 @@ object Events {
             WHERE event_type IN ('error', 'purchase')))
         WHERE kind = 1""")),
 
+    // Range join, binned: count all events inside ±5-minute windows
+    // around the 5 highest-value purchases. Spark has no range-join
+    // operator — a raw `ts BETWEEN start AND end` theta join plans as a
+    // nested-loop scan of events × windows. The scalable formulation
+    // bins time at (≥ window width) granularity: windows explode to the
+    // 10-min bins they overlap, events hash to their single bin, the
+    // join is an EQUI-join on the bin, and the exact BETWEEN is a cheap
+    // residual filter. Each event lands in exactly one bin, so no
+    // dedup is needed. Cost: |events| + Σ bins-per-window, any scale.
+    // The oracle runs the direct theta join — different algorithm, same
+    // result, which makes the cross-check meaningful.
+    QueryDef(
+      "ev_range_join",
+      (spark, dir) => {
+        val binUs = 600000000L // 10 min ≥ window width ⇒ ≤ 2 bins/window
+        val ev = Tables.events(spark, dir)
+          .selectExpr("event_id", "unix_micros(ts) AS ts_us", "event_type", "value")
+        val anchors = ev.where("event_type = 'purchase'")
+          .orderBy(org.apache.spark.sql.functions.desc("value"),
+            org.apache.spark.sql.functions.col("event_id"))
+          .limit(5)
+          .selectExpr("event_id AS w_id",
+            "ts_us - 300000000 AS w_start", "ts_us + 300000000 AS w_end")
+        val wBins = anchors.selectExpr("w_id", "w_start", "w_end",
+          s"explode(sequence(w_start div $binUs, w_end div $binUs, 1)) AS bin")
+        val eBins = ev.selectExpr("event_id", "ts_us", "value", s"ts_us div $binUs AS bin")
+        eBins.join(org.apache.spark.sql.functions.broadcast(wBins), "bin")
+          .where("ts_us BETWEEN w_start AND w_end AND event_id != w_id")
+          .groupBy("w_id")
+          .agg(
+            org.apache.spark.sql.functions.expr("count(*) AS n_events"),
+            org.apache.spark.sql.functions.expr(
+              "cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value"))
+      },
+      Some("""
+        WITH anchors AS (
+          SELECT event_id AS w_id,
+                 epoch_us(ts) - 300000000 AS w_start,
+                 epoch_us(ts) + 300000000 AS w_end
+          FROM events WHERE event_type = 'purchase'
+          ORDER BY value DESC, event_id LIMIT 5)
+        SELECT w_id, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM anchors a JOIN events e
+          ON epoch_us(e.ts) BETWEEN a.w_start AND a.w_end AND e.event_id != a.w_id
+        GROUP BY w_id""")),
+
     // Top-N per group: latest 3 events per user — row_number window +
     // filter, the standard dedup-keep-latest building block.
     QueryDef(
