@@ -21,7 +21,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver records the bench tail, and benign
+    // per-run warnings (e.g. the documented single-partition window in
+    // s5_store_entries) would otherwise drown the JSON line in noise
+    spark.sparkContext.setLogLevel("ERROR")
     // one warmup pass over a tiny SF amortizes codegen/classload out of
     // the measured numbers (the driver compares steady-state throughput)
     // noop sink: forces FULL evaluation of every output column —

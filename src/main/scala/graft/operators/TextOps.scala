@@ -249,6 +249,36 @@ object TextOps {
                sum(n_chars)::BIGINT::DOUBLE / count(*)::DOUBLE AS avg_chars
         FROM documents GROUP BY lang""")),
 
+    // -------------------------------------- length percentiles (extension)
+    // Exact interpolated percentiles of document length per lang —
+    // the corpus-distribution profile a curation pipeline thresholds
+    // against. Spark `percentile` and DuckDB `quantile_cont` both
+    // linearly interpolate over the sorted values, so the results are
+    // comparable to the last ulp (rounded to 6 anyway). Exact
+    // percentile sorts per group — fine for bounded groups; the
+    // unbounded-cardinality path is approx_percentile (GK sketch),
+    // which has no cross-engine oracle and stays out of the gate.
+    QueryDef(
+      "ta_percentiles",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .groupBy("lang")
+          .agg(
+            org.apache.spark.sql.functions.expr("count(*) AS n_docs"),
+            org.apache.spark.sql.functions.expr(
+              "round(percentile(n_chars, 0.5), 6) AS p50"),
+            org.apache.spark.sql.functions.expr(
+              "round(percentile(n_chars, 0.9), 6) AS p90"),
+            org.apache.spark.sql.functions.expr(
+              "round(percentile(n_chars, 0.99), 6) AS p99")),
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50,
+               round(quantile_cont(n_chars, 0.9), 6) AS p90,
+               round(quantile_cont(n_chars, 0.99), 6) AS p99
+        FROM documents
+        GROUP BY lang""")),
+
     // ------------------------------------------------- per-group text stats (extension)
     // One shuffle on a low-cardinality key; partial aggregation
     // (map-side combine) makes this a safe pattern at 100 TB.
