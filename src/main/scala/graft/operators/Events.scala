@@ -155,6 +155,36 @@ object Events {
             WHERE event_type IN ('error', 'purchase')))
         WHERE kind = 1""")),
 
+    // Pivot: per-user event-type counts as columns. Spark's
+    // `groupBy().pivot(col, values)` with EXPLICIT values compiles to a
+    // single pass of conditional aggregation — no second job to
+    // discover the pivot domain, no schema drift between runs, and the
+    // exact plan a hand-written CASE-WHEN aggregation produces (which
+    // is what the oracle runs). At 100 TB: one shuffle on user_id,
+    // partial aggregation map-side, five counters per group.
+    QueryDef(
+      "ev_pivot",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(org.apache.spark.sql.functions.expr("count(*)"))
+          .selectExpr("user_id",
+            "coalesce(click, 0L) AS n_click",
+            "coalesce(error, 0L) AS n_error",
+            "coalesce(purchase, 0L) AS n_purchase",
+            "coalesce(signup, 0L) AS n_signup",
+            "coalesce(view, 0L) AS n_view"),
+      Some("""
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS n_click,
+               count(*) FILTER (event_type = 'error') AS n_error,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (event_type = 'signup') AS n_signup,
+               count(*) FILTER (event_type = 'view') AS n_view
+        FROM events
+        GROUP BY user_id""")),
+
     // Range join, binned: count all events inside ±5-minute windows
     // around the 5 highest-value purchases. Spark has no range-join
     // operator — a raw `ts BETWEEN start AND end` theta join plans as a
