@@ -185,6 +185,30 @@ object Events {
         FROM events
         GROUP BY user_id""")),
 
+    // Unpivot (melt): the inverse reshaping — wide per-user counts back
+    // to long (user_id, event_type, n) rows via stack(). A generator
+    // projection, no shuffle beyond the pivot's own; zero-count cells
+    // are dropped symmetrically in both engines.
+    QueryDef(
+      "ev_unpivot",
+      (spark, dir) => {
+        val wide = Tables.events(spark, dir)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(org.apache.spark.sql.functions.expr("count(*)"))
+        wide.selectExpr("user_id",
+            """stack(5, 'click', coalesce(click, 0L),
+                        'error', coalesce(error, 0L),
+                        'purchase', coalesce(purchase, 0L),
+                        'signup', coalesce(signup, 0L),
+                        'view', coalesce(view, 0L)) AS (event_type, n)""")
+          .where("n > 0")
+      },
+      Some("""
+        SELECT user_id, event_type, count(*) AS n
+        FROM events
+        GROUP BY user_id, event_type""")),
+
     // Range join, binned: count all events inside ±5-minute windows
     // around the 5 highest-value purchases. Spark has no range-join
     // operator — a raw `ts BETWEEN start AND end` theta join plans as a
