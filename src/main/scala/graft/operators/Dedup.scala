@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * exact dedup, MinHash+LSH, SimHash, n-gram Jaccard verification, and
   * embedding-cosine near-dup.
   *
-  * Everything is built on md5-derived 60-bit hashes ([[graft.Fns.hash60]])
-  * so Spark results and the DuckDB oracle agree bit-for-bit — no
-  * engine-private hash functions (Spark's `hash`/`xxhash64` have no
-  * DuckDB twin).
+  * Everything is built on md5-derived 60-bit hashes (the SQL form is
+  * [[graft.Fns.hash60]]; the hot paths run the native kernels in
+  * [[graft.plans.TextHash]], bit-identical and codegen'd) so Spark
+  * results and the DuckDB oracle agree bit-for-bit — no engine-private
+  * hash functions (Spark's `hash`/`xxhash64` have no DuckDB twin).
   *
   * Scale design:
   *  - no operator ever forms the full O(n²) pair set — candidates come
