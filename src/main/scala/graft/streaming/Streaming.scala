@@ -173,6 +173,71 @@ object Streaming {
       .withWatermark("event_ts", delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  final case class BandedDoc(doc_id: Long, hs: Seq[Long], band_key: String)
+  final case class StoredDoc(doc_id: Long, hs: Seq[Long])
+  final case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** Streaming near-dup detection — the incremental twin of
+    * `dd_minhash_lsh`: each document's 4 MinHash band keys (computed by
+    * the same native `word_shingles`/`minhash16` kernels as the batch
+    * pipeline) become state-store keys; the state under a band key is
+    * the shingle sets of every prior document that hashed there. A new
+    * document compares ONLY against its bucket's state (never the
+    * corpus), emits exact-Jaccard-verified pairs ≥ 0.5, and joins the
+    * state. Pairs arrive as a SET deterministically regardless of batch
+    * boundaries; a pair sharing several bands can surface once per
+    * band, so exactly-once delivery adds a downstream dropDuplicates.
+    *
+    * Scale: state is partitioned by band key across executors; per-key
+    * state is one bucket's docs (LSH keeps buckets small by design —
+    * the same property that bounds the batch join bounds this state).
+    */
+  def nearDupPairsStream(spark: SparkSession, docs: DataFrame): Dataset[NearDupPair] = {
+    graft.plans.VectorExprs.register(spark)
+    import spark.implicits._
+    val banded = docs
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .selectExpr("doc_id", "word_shingles(split(tc, ' '), 4) AS hs")
+      .selectExpr("doc_id", "hs", "minhash16(hs) AS mh")
+      .selectExpr("doc_id", "hs",
+        """explode(transform(sequence(0, 3, 1),
+             b -> concat(cast(b AS string), '_',
+                         array_join(slice(mh, b * 4 + 1, 4), '_')))) AS band_key""")
+      .as[BandedDoc]
+    banded.groupByKey(_.band_key)
+      .flatMapGroupsWithState[List[StoredDoc], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[BandedDoc], state: GroupState[List[StoredDoc]]) =>
+          val existing = state.getOption.getOrElse(Nil)
+          val fresh = rows.map(r => StoredDoc(r.doc_id, r.hs)).toList
+            .distinctBy(_.doc_id)
+            .filterNot(f => existing.exists(_.doc_id == f.doc_id))
+          val all = existing ++ fresh
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+          var i = existing.size
+          while (i < all.size) {
+            var j = 0
+            while (j < i) {
+              val sa = all(j).hs.toSet
+              val sb = all(i).hs.toSet
+              val inter = sa.intersect(sb).size
+              val jac = inter.toDouble / (sa.size + sb.size - inter)
+              if (jac >= 0.5) {
+                val (x, y) =
+                  if (all(j).doc_id < all(i).doc_id) (all(j).doc_id, all(i).doc_id)
+                  else (all(i).doc_id, all(j).doc_id)
+                out += NearDupPair(x, y, math.rint(jac * 1e6) / 1e6)
+              }
+              j += 1
+            }
+            i += 1
+          }
+          state.update(all)
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment join: each microbatch of the stream joins
     * against a static dimension snapshot. The dim side is broadcast per
     * microbatch — the streaming twin of the batch star-join rule

@@ -104,6 +104,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupPairsStream: LSH-bucket state finds pairs within and across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val text = (1 to 24).map(i => s"word$i").mkString(" ")
+    val other = (1 to 24).map(i => s"zzz$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val pairs = Streaming.nearDupPairsStream(spark, input.toDF().toDF("doc_id", "text"))
+    val q = pairs.writeStream.format("memory").queryName("near_dup_pairs")
+      .outputMode("append").start()
+    try {
+      // batch 1: docs 1 and 2 identical, doc 3 unrelated
+      input.addData((1L, text), (2L, text), (3L, other))
+      q.processAllAvailable()
+      val afterFirst = spark.table("near_dup_pairs")
+        .select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterFirst == Set((1L, 2L)))
+      // batch 2: doc 4 duplicates doc 1 — both pairs only findable
+      // through the band-bucket STATE from batch 1
+      input.addData((4L, text))
+      q.processAllAvailable()
+      val got = spark.table("near_dup_pairs")
+        .select("doc_a", "doc_b", "jaccard").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 2L, 1.0), (1L, 4L, 1.0), (2L, 4L, 1.0)))
+    } finally q.stop()
+  }
+
   test("enrichStream: stream-static broadcast join, batch parity, keeps unmatched rows") {
     import spark.implicits._
     val in = tmp() + "/in"
