@@ -121,6 +121,64 @@ object Curation {
         JOIN exact_keep k ON q.doc_id = k.doc_id
         WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dup_drop)""")),
 
+    // --------------------------------- cluster-correct corpus curation
+    // tp_curate drops the RIGHT side of each verified pair — simple, but
+    // when dups chain through a middle doc (edges (3,5),(2,5): 2 and 3
+    // never compared directly) it keeps several docs of one duplicate
+    // CLUSTER. This variant drops every non-keeper of each connected
+    // component instead: exactly one survivor per cluster, the min
+    // doc_id. Same semi/anti-join application; the component pass adds
+    // O(diameter) rounds over the (tiny) pair graph only.
+    QueryDef(
+      "tp_curate_cluster",
+      (spark, dir) => {
+        val minhash = Dedup.queries.find(_.name == "dd_minhash_lsh").get
+        val cleaned = Tables.documents(spark, dir)
+          .selectExpr(cleanCols: _*)
+          .selectExpr("doc_id", "lang", "length(tc) AS char_len", "md5(tc) AS th")
+        val quality = cleaned.where("char_len >= 50")
+        val exactKeep = quality.groupBy("th")
+          .agg(expr("min(doc_id) AS doc_id"))
+          .select("doc_id")
+        val clusterDrop = connectedComponents(
+            minhash.run(spark, dir).select("doc_a", "doc_b"))
+          .where("doc_id != component")
+          .select("doc_id")
+        quality
+          .join(exactKeep, Seq("doc_id"), "left_semi")
+          .join(clusterDrop, Seq("doc_id"), "left_anti")
+          .selectExpr("doc_id", "lang", "cast(char_len AS bigint) AS char_len")
+      },
+      Some(s"""
+        WITH RECURSIVE cleaned AS (
+          SELECT doc_id, lang, length(tc) AS char_len, md5(tc) AS th
+          FROM (SELECT doc_id, lang, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                FROM documents)
+        ),
+        quality AS (SELECT * FROM cleaned WHERE char_len >= 50),
+        exact_keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY th),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM (${Dedup.queries.find(_.name == "dd_minhash_lsh").get.oracle.get}) p
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+        ),
+        cluster_drop AS (
+          SELECT v AS doc_id FROM reach GROUP BY v HAVING v != min(r)
+        )
+        SELECT q.doc_id, q.lang, q.char_len::BIGINT AS char_len
+        FROM quality q
+        JOIN exact_keep k ON q.doc_id = k.doc_id
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM cluster_drop)""")),
+
     // ------------------------------------- duplicate-cluster resolution
     // Near-dup pairs form a graph; the keep-one-per-cluster decision
     // needs its CONNECTED COMPONENTS (pair-at-a-time dropping keeps one
