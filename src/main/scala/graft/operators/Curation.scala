@@ -89,7 +89,6 @@ object Curation {
     QueryDef(
       "tp_curate",
       (spark, dir) => {
-        val minhash = Dedup.queries.find(_.name == "dd_minhash_lsh").get
         val cleaned = Tables.documents(spark, dir)
           .selectExpr(cleanCols: _*)
           .selectExpr("doc_id", "lang", "length(tc) AS char_len", "md5(tc) AS th")
@@ -97,7 +96,7 @@ object Curation {
         val exactKeep = quality.groupBy("th")
           .agg(expr("min(doc_id) AS doc_id"))
           .select("doc_id")
-        val nearDupDrop = minhash.run(spark, dir)
+        val nearDupDrop = Dedup.minhashPairs(spark, dir)
           .select(col("doc_b").as("doc_id")).distinct()
         quality
           .join(exactKeep, Seq("doc_id"), "left_semi")
@@ -114,7 +113,7 @@ object Curation {
         exact_keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY th),
         near_dup_drop AS (
           SELECT DISTINCT doc_b AS doc_id
-          FROM (${Dedup.queries.find(_.name == "dd_minhash_lsh").get.oracle.get}) p
+          FROM (${Dedup.minhashPairsSql}) p
         )
         SELECT q.doc_id, q.lang, q.char_len::BIGINT AS char_len
         FROM quality q
@@ -132,7 +131,6 @@ object Curation {
     QueryDef(
       "tp_curate_cluster",
       (spark, dir) => {
-        val minhash = Dedup.queries.find(_.name == "dd_minhash_lsh").get
         val cleaned = Tables.documents(spark, dir)
           .selectExpr(cleanCols: _*)
           .selectExpr("doc_id", "lang", "length(tc) AS char_len", "md5(tc) AS th")
@@ -141,7 +139,7 @@ object Curation {
           .agg(expr("min(doc_id) AS doc_id"))
           .select("doc_id")
         val clusterDrop = connectedComponents(
-            minhash.run(spark, dir).select("doc_a", "doc_b"))
+            Dedup.minhashPairs(spark, dir).select("doc_a", "doc_b"))
           .where("doc_id != component")
           .select("doc_id")
         quality
@@ -159,7 +157,7 @@ object Curation {
         exact_keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY th),
         pairs AS (
           SELECT doc_a, doc_b
-          FROM (${Dedup.queries.find(_.name == "dd_minhash_lsh").get.oracle.get}) p
+          FROM (${Dedup.minhashPairsSql}) p
         ),
         edges AS (
           SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -193,8 +191,7 @@ object Curation {
     QueryDef(
       "dd_cluster",
       (spark, dir) => {
-        val pairs = Dedup.queries.find(_.name == "dd_minhash_lsh").get
-          .run(spark, dir).select("doc_a", "doc_b")
+        val pairs = Dedup.minhashPairs(spark, dir).select("doc_a", "doc_b")
         connectedComponents(pairs)
           .selectExpr("doc_id", "component",
             "CASE WHEN doc_id = component THEN 1L ELSE 0L END AS keeper")
@@ -202,7 +199,7 @@ object Curation {
       Some(s"""
         WITH RECURSIVE pairs AS (
           SELECT doc_a, doc_b
-          FROM (${Dedup.queries.find(_.name == "dd_minhash_lsh").get.oracle.get}) p
+          FROM (${Dedup.minhashPairsSql}) p
         ),
         edges AS (
           SELECT doc_a AS a, doc_b AS b FROM pairs

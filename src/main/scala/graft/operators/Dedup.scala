@@ -121,6 +121,64 @@ object Dedup {
       .selectExpr("doc_a", "doc_b", "round(jaccard, 6) AS jaccard")
   }
 
+  /** The MinHash+LSH verified-pair pipeline, shared by dd_minhash_lsh,
+    * dd_edit_distance, and the curation queries: shingle hashes → 16
+    * native minhashes → 4 bands × 4 rows → bucket self-join on
+    * (band, key) only → distinct candidates → exact Jaccard ≥ 0.5.
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    // native one-pass 16-permutation minhash (graft.plans.TextHash);
+    // coefficients identical to the literal arrays in the oracle SQL
+    val sig = sh.selectExpr("doc_id", "minhash16(hs) AS mh")
+      .repartition(Par, col("doc_id"))
+    val bands = sig.selectExpr(
+        "doc_id",
+        s"""explode(transform(sequence(0, ${Bands - 1}, 1),
+                    b -> named_struct('band_id', b,
+                                      'band_key', array_join(transform(slice(mh, b * $Rows + 1, $Rows),
+                                                                       x -> cast(x AS string)), '_')))) AS bk""")
+      .selectExpr("doc_id", "bk.band_id AS band_id", "bk.band_key AS band_key")
+    val l = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+    val r = bands.select(col("band_id").as("band_id_r"), col("band_key").as("band_key_r"),
+      col("doc_id").as("doc_b"))
+    val cand = l.join(r,
+        l("band_id") === r("band_id_r") && l("band_key") === r("band_key_r") &&
+          l("doc_a") < r("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh)
+  }
+
+  /** DuckDB twin of [[minhashPairs]] (a complete SELECT usable as a
+    * derived table / CTE body).
+    */
+  val minhashPairsSql: String = s"""
+        WITH sh AS ($shingleHashesSql),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, ${NumHashes - 1}),
+                   j -> list_min(list_transform(
+                          list_transform(hs, h -> h % $P),
+                          h -> (${duckArr(A)}[j + 1] * h + ${duckArr(B)}[j + 1]) % $P))) AS mh
+          FROM sh
+        ),
+        bands AS (
+          SELECT doc_id, bb.band_id,
+                 array_to_string(mh[bb.band_id * $Rows + 1 : bb.band_id * $Rows + $Rows], '_') AS band_key
+          FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band_id) bb
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bands l JOIN bands r
+            ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+        )
+        SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+        FROM (
+          SELECT c.doc_a, c.doc_b, $duckJaccard AS jaccard
+          FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)
+        WHERE jaccard >= $JaccardThreshold"""
+
   def queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------- exact dedup
     // Hash-groupBy on normalized text; output is the keep-set
@@ -146,54 +204,8 @@ object Dedup {
     // Jaccard verification ≥ 0.5 on the int shingle sets.
     QueryDef(
       "dd_minhash_lsh",
-      (spark, dir) => {
-        val sh = shingleHashes(spark, dir)
-        // native one-pass 16-permutation minhash (graft.plans.TextHash);
-        // coefficients identical to the literal arrays in the oracle SQL
-        val sig = sh.selectExpr("doc_id", "minhash16(hs) AS mh")
-          .repartition(Par, col("doc_id"))
-        val bands = sig.selectExpr(
-            "doc_id",
-            s"""explode(transform(sequence(0, ${Bands - 1}, 1),
-                        b -> named_struct('band_id', b,
-                                          'band_key', array_join(transform(slice(mh, b * $Rows + 1, $Rows),
-                                                                           x -> cast(x AS string)), '_')))) AS bk""")
-          .selectExpr("doc_id", "bk.band_id AS band_id", "bk.band_key AS band_key")
-        val l = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-        val r = bands.select(col("band_id").as("band_id_r"), col("band_key").as("band_key_r"),
-          col("doc_id").as("doc_b"))
-        val cand = l.join(r,
-            l("band_id") === r("band_id_r") && l("band_key") === r("band_key_r") &&
-              l("doc_a") < r("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
-          .distinct()
-        verifyJaccard(cand, sh)
-      },
-      Some(s"""
-        WITH sh AS ($shingleHashesSql),
-        sig AS (
-          SELECT doc_id,
-                 list_transform(generate_series(0, ${NumHashes - 1}),
-                   j -> list_min(list_transform(
-                          list_transform(hs, h -> h % $P),
-                          h -> (${duckArr(A)}[j + 1] * h + ${duckArr(B)}[j + 1]) % $P))) AS mh
-          FROM sh
-        ),
-        bands AS (
-          SELECT doc_id, bb.band_id,
-                 array_to_string(mh[bb.band_id * $Rows + 1 : bb.band_id * $Rows + $Rows], '_') AS band_key
-          FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band_id) bb
-        ),
-        cand AS (
-          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-          FROM bands l JOIN bands r
-            ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-        )
-        SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
-        FROM (
-          SELECT c.doc_a, c.doc_b, $duckJaccard AS jaccard
-          FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)
-        WHERE jaccard >= $JaccardThreshold""")),
+      (spark, dir) => minhashPairs(spark, dir),
+      Some(minhashPairsSql)),
 
     // ---------------------------------------------------------- SimHash
     // 60-bit simhash over term-frequency-weighted token hashes.
@@ -294,6 +306,38 @@ object Dedup {
                  inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE AS jaccard
           FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
         WHERE jaccard >= $JaccardThreshold""")),
+
+    // ---------------------------------- edit-distance verification
+    // Character-level Levenshtein over the MinHash candidate pairs —
+    // the high-precision second verifier a curation pipeline runs after
+    // the cheap Jaccard pass (token-set Jaccard is order-blind; edit
+    // distance catches reorderings it cannot). Never O(n²): the LSH
+    // candidate set bounds the quadratic-per-pair DP, and both engines
+    // run their native levenshtein. Output = every verified pair with
+    // both scores.
+    QueryDef(
+      "dd_edit_distance",
+      (spark, dir) => {
+        val texts = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+        minhashPairs(spark, dir)
+          .join(texts.selectExpr("doc_id AS doc_a", "tc AS tc_a"), "doc_a")
+          .join(texts.selectExpr("doc_id AS doc_b", "tc AS tc_b"), "doc_b")
+          .selectExpr("doc_a", "doc_b", "jaccard",
+            "cast(levenshtein(tc_a, tc_b) AS bigint) AS edit_dist")
+      },
+      Some(s"""
+        WITH pairs AS ($minhashPairsSql),
+        texts AS (
+          SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+          FROM documents
+        )
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               levenshtein(a.tc, b.tc)::BIGINT AS edit_dist
+        FROM pairs p
+        JOIN texts a ON p.doc_a = a.doc_id
+        JOIN texts b ON p.doc_b = b.doc_id""")),
 
     // ------------------------------------- embedding-cosine near-dup
     // Cluster-blocked (label) pairwise cosine. Embeddings are
