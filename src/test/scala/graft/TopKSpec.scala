@@ -35,6 +35,27 @@ class TopKSpec extends SparkSpec {
     assert(viaAgg.size == 40)
   }
 
+  test("randomized: aggregator equals the window formulation on skewed tie-heavy data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // few distinct scores → heavy ties; skewed key sizes (1..200 rows)
+    val rows = (0 until 2000).map { i =>
+      (rnd.nextInt(20).toLong, i.toLong, (rnd.nextInt(5) / 4.0))
+    }
+    val ds = rows.toDS()
+    val viaWindow = ds.toDF("key", "id", "score")
+      .selectExpr("key", "id", "score",
+        """cast(row_number() OVER (PARTITION BY key
+                                   ORDER BY score DESC, id) AS bigint) AS rank""")
+      .where("rank <= 7")
+      .select("key", "rank", "id", "score")
+      .collect().map(_.toSeq).toSet
+    val viaAgg = TopK.topKByKey(ds, k = 7)
+      .toDF("key", "rank", "id", "score")
+      .collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("ties break by ascending id; groups smaller than k return all rows") {
     import spark.implicits._
     val rows = Seq(
