@@ -175,6 +175,25 @@ object Relational {
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                grouping_id(l_returnflag, l_linestatus)::BIGINT AS gid
         FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // Cube — all 2^n grouping combinations (rollup's sibling; same
+    // Expand-based plan, one extra grouping set). Completes the
+    // grouping-sets family from SURVEY §2.7's absence list.
+    QueryDef(
+      "q6_cube",
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            expr("count(*) AS n_rows"),
+            expr("cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty"),
+            expr("cast(grouping_id(l_returnflag, l_linestatus) AS bigint) AS gid")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               grouping_id(l_returnflag, l_linestatus)::BIGINT AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)"""))
   )
 }
