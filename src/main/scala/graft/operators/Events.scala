@@ -155,6 +155,34 @@ object Events {
             WHERE event_type IN ('error', 'purchase')))
         WHERE kind = 1""")),
 
+    // Cohort retention: users bucketed by first-seen hour; active-user
+    // counts per (cohort, hours-since-first). Two hash aggregations and
+    // one equi-join on user_id — the canonical retention-matrix shape.
+    // The first-seen pass is a min() aggregate (map-side partial), NOT
+    // a window over the full history; at 100 TB that is the difference
+    // between shuffling (user, min) pairs and sorting every event.
+    QueryDef(
+      "ev_retention",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .selectExpr("user_id", "unix_micros(ts) div 3600000000 AS hour_bucket")
+        val first = ev.groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.expr("min(hour_bucket) AS cohort_hour"))
+        ev.join(first, "user_id")
+          .selectExpr("cohort_hour", "hour_bucket - cohort_hour AS hours_since_first", "user_id")
+          .groupBy("cohort_hour", "hours_since_first")
+          .agg(org.apache.spark.sql.functions.expr("count(DISTINCT user_id) AS n_users"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket FROM events
+        ),
+        first AS (SELECT user_id, min(hour_bucket) AS cohort_hour FROM ev GROUP BY user_id)
+        SELECT f.cohort_hour, e.hour_bucket - f.cohort_hour AS hours_since_first,
+               count(DISTINCT e.user_id) AS n_users
+        FROM ev e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2""")),
+
     // Pivot: per-user event-type counts as columns. Spark's
     // `groupBy().pivot(col, values)` with EXPLICIT values compiles to a
     // single pass of conditional aggregation — no second job to

@@ -133,6 +133,34 @@ object Relational {
                                   ORDER BY epoch(o_orderdate)::BIGINT, o_orderkey) AS order_seq
         FROM orders""")),
 
+    // Bounded-frame window: 4-order trailing moving average per
+    // customer (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) — the sliding
+    // frame complements w1's unbounded running sum. A bounded ROWS
+    // frame evaluates incrementally per partition (no re-scan per row);
+    // decimal accumulation keeps the fixed-order prefix arithmetic
+    // identical across engines, surfaced as a rounded double.
+    QueryDef(
+      "w2_moving_avg",
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .selectExpr(
+            "o_custkey", "o_orderkey",
+            "cast(cast(o_orderdate AS timestamp) AS long) AS o_orderdate_epoch",
+            "cast(o_totalprice AS decimal(18,2)) AS price_d")
+          .selectExpr(
+            "o_custkey", "o_orderkey", "o_orderdate_epoch",
+            """round(cast(avg(price_d) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate_epoch, o_orderkey
+                                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                     AS double), 6) AS moving_avg_4"""),
+      Some("""
+        SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS o_orderdate_epoch,
+               round(CAST(avg(CAST(o_totalprice AS DECIMAL(18,2)))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY epoch(o_orderdate)::BIGINT, o_orderkey
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS moving_avg_4
+        FROM orders""")),
+
     // Set operations — the reference only unions (C3); intersect/except
     // complete the family. Spark plans these as aggregate-based
     // semi/anti joins on the hashed key — shuffle on custkey, no
