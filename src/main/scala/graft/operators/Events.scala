@@ -155,6 +155,43 @@ object Events {
             WHERE event_type IN ('error', 'purchase')))
         WHERE kind = 1""")),
 
+    // Funnel: users progressing signup → click → purchase IN ORDER.
+    // One conditional-min aggregation per user (no self-joins, no
+    // window over history), then a single funnel-count row. The
+    // stage-ordering predicate compares the per-stage first timestamps
+    // — at 100 TB this is one shuffle on user_id and a 1-row result.
+    QueryDef(
+      "ev_funnel",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
+          .groupBy("user_id")
+          .agg(
+            org.apache.spark.sql.functions.expr(
+              "min(CASE WHEN event_type = 'signup' THEN ts_us END) AS t_signup"),
+            org.apache.spark.sql.functions.expr(
+              "min(CASE WHEN event_type = 'click' THEN ts_us END) AS t_click"),
+            org.apache.spark.sql.functions.expr(
+              "min(CASE WHEN event_type = 'purchase' THEN ts_us END) AS t_purchase"))
+          .agg(
+            org.apache.spark.sql.functions.expr(
+              "count(t_signup) AS n_signup"),
+            org.apache.spark.sql.functions.expr(
+              "count(CASE WHEN t_click > t_signup THEN 1 END) AS n_signup_click"),
+            org.apache.spark.sql.functions.expr(
+              "count(CASE WHEN t_click > t_signup AND t_purchase > t_click THEN 1 END) AS n_full_funnel")),
+      Some("""
+        SELECT count(t_signup) AS n_signup,
+               count(CASE WHEN t_click > t_signup THEN 1 END) AS n_signup_click,
+               count(CASE WHEN t_click > t_signup AND t_purchase > t_click THEN 1 END) AS n_full_funnel
+        FROM (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+                 min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+          FROM events
+          GROUP BY user_id)""")),
+
     // Cohort retention: users bucketed by first-seen hour; active-user
     // counts per (cohort, hours-since-first). Two hash aggregations and
     // one equi-join on user_id — the canonical retention-matrix shape.
