@@ -85,4 +85,21 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("tp_sample_stratified")
     assert(!p.contains("Exchange"), "hash sampling must not shuffle")
   }
+
+  test("ev_funnel: pure aggregation — no window, no join over the history") {
+    val p = plan("ev_funnel")
+    assert(!p.contains("Window"), "funnel must not sort event history")
+    assert(!p.contains("Join"), "funnel must not self-join")
+  }
+
+  test("ev_retention: first-seen via aggregate + join, never a history window") {
+    val p = plan("ev_retention")
+    assert(!p.contains("Window"), "retention must not sort event history")
+  }
+
+  test("w2_moving_avg: window partitioned by custkey (no single-partition sort)") {
+    val p = plan("w2_moving_avg")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(o_custkey"), "window must partition by key")
+  }
 }
