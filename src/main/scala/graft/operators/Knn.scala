@@ -169,20 +169,23 @@ object Knn {
     // cluster's partition (partition pruning does the index lookup).
     // This query materializes assignment + the pruned search for the
     // query vector vec_id 0.
+    //
+    // Assignment is ROW-LOCAL: the centroid set folds to ONE broadcast
+    // row carrying a sorted array of (cent_id, cent_emb), and the native
+    // argmax_cos expression picks the nearest centroid inside the
+    // projection — zero exchange on the corpus side. The previous
+    // formulation (crossJoin × 8 centroids + row_number OVER (PARTITION
+    // BY vec_id)) shuffled 8 copies of every vector to compute the same
+    // argmin; at 100 TB index-build that shuffle IS the cost.
+    // PlanShapeSpec pins the exchange-free streamed side.
     QueryDef(
       "v5_ivf_knn",
       (spark, dir) => {
         graft.plans.VectorExprs.register(spark)
         val e = Tables.embeddings(spark, dir)
-        val cent = e.where("vec_id < 8")
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-        val assigned = e.crossJoin(broadcast(cent))
-          .selectExpr("vec_id", "embedding", "cent_id",
-            s"${cosExpr("embedding", "cent_emb")} AS cs")
-          .selectExpr("vec_id", "embedding", "cent_id",
-            """cast(row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS bigint) AS rn""")
-          .where("rn = 1")
-          .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster_id"))
+        val assigned = assignToCentroids(
+          e, e.where("vec_id < 8")
+            .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
         val qCluster = assigned.where("vec_id = 0")
           .select(col("cluster_id").as("q_cluster"), col("embedding").as("q_emb"))
         assigned.join(broadcast(qCluster), assigned("cluster_id") === qCluster("q_cluster"))
@@ -317,19 +320,34 @@ object Knn {
   // scan, untouched partitions never opened). With K clusters and
   // nprobe probes, a search scans nprobe/K of the corpus.
 
+  /** Nearest-centroid assignment with NO exchange on the corpus side:
+    * the centroid set (small by IVF's definition) folds to a single row
+    * holding a cent_id-sorted array of (cent_id, cent_emb); that row is
+    * broadcast, and the native `argmax_cos` expression computes the
+    * argmin row-locally inside the projection. Cosines use the same
+    * fused left-to-right loop as `cosine_f`, and first-max-wins ties
+    * match `ORDER BY cs DESC, cent_id` — so this is value-identical to
+    * the rank-window formulation the DuckDB oracle still runs (a
+    * different formulation on each engine, which makes the cross-check
+    * meaningful). Corpus-side plan: scan → broadcast NLJ → project.
+    */
+  def assignToCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.plans.VectorExprs.register(embeddings.sparkSession)
+    val cents = broadcast(
+      centroids.groupBy().agg(
+        expr("sort_array(collect_list(named_struct('cent_id', cent_id, 'cent_emb', cent_emb))) AS cents")))
+    embeddings.crossJoin(cents)
+      .selectExpr("vec_id", "embedding",
+        "element_at(cents.cent_id, argmax_cos(embedding, cents.cent_emb) + 1) AS cluster_id")
+  }
+
   /** Assign every vector to its nearest centroid (centroids broadcast)
     * and write the corpus partitioned by cluster_id.
     */
   def writeIvfIndex(spark: SparkSession, embeddings: DataFrame, centroids: DataFrame,
                     path: String): Unit = {
     graft.plans.VectorExprs.register(spark)
-    val cent = broadcast(centroids.select(col("cent_id"), col("cent_emb")))
-    embeddings.crossJoin(cent)
-      .selectExpr("vec_id", "embedding", "cent_id", "cosine_f(embedding, cent_emb) AS cs")
-      .selectExpr("vec_id", "embedding", "cent_id",
-        "cast(row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS bigint) AS rn")
-      .where("rn = 1")
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster_id"))
+    assignToCentroids(embeddings, centroids.select(col("cent_id"), col("cent_emb")))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
   }
 

@@ -136,26 +136,177 @@ case class CosineSim(left: Expression, right: Expression) extends VectorFoldExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** argmax_cos(q, cands) — 0-based index of the candidate vector (in an
+  * array-of-arrays) with the highest cosine similarity to `q`; ties go
+  * to the LOWEST index, and NaN compares greatest
+  * (`java.lang.Double.compare` — the same total order Spark and DuckDB
+  * use in ORDER BY ... DESC). Each candidate's cosine is the same fused
+  * left-to-right double loop as [[CosineSim]], so replacing a
+  * `crossJoin + row_number ORDER BY cosine_f DESC` argmin with this
+  * expression changes nothing observable — except the plan: the window
+  * formulation shuffles |cands| copies of every row; this is a row-local
+  * projection with ZERO exchange. Returns -1 for an empty candidate
+  * array.
+  */
+case class ArgMaxCos(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "argmax_cos"
+  override def dataType: DataType = IntegerType
+
+  private def vecOk(t: DataType) = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (lt, ArrayType(it, _)) if vecOk(lt) && vecOk(it) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"argmax_cos expects (array<float|double>, array<array<float|double>>), got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+
+  private def innerType: DataType = right.dataType.asInstanceOf[ArrayType].elementType
+
+  private def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val cands = b.asInstanceOf[ArrayData]
+    val qt = left.dataType.asInstanceOf[ArrayType].elementType
+    val it = innerType.asInstanceOf[ArrayType].elementType
+    var best = -1
+    var bestV = 0.0
+    var c = 0
+    while (c < cands.numElements()) {
+      val v = cands.getArray(c)
+      val n = math.min(q.numElements(), v.numElements())
+      var xy = 0.0; var xx = 0.0; var yy = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = get(q, i, qt); val yv = get(v, i, it)
+        xy += xv * yv; xx += xv * xv; yy += yv * yv
+        i += 1
+      }
+      val cs = xy / (math.sqrt(xx) * math.sqrt(yy))
+      if (best < 0 || java.lang.Double.compare(cs, bestV) > 0) { best = c; bestV = cs }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def elemGet(arr: String, i: String, t: DataType): String = t match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+    val qt = left.dataType.asInstanceOf[ArrayType].elementType
+    val it = innerType.asInstanceOf[ArrayType].elementType
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val v = ctx.freshName("v"); val cs = ctx.freshName("cs")
+      val xy = ctx.freshName("xy"); val xx = ctx.freshName("xx"); val yy = ctx.freshName("yy")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val best = ctx.freshName("best"); val bestV = ctx.freshName("bestV")
+      s"""
+         |int $best = -1; double $bestV = 0.0;
+         |for (int $c = 0; $c < $b.numElements(); $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $v = $b.getArray($c);
+         |  int $n = java.lang.Math.min($a.numElements(), $v.numElements());
+         |  double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = ${elemGet(a, i, qt)};
+         |    double $yv = ${elemGet(v, i, it)};
+         |    $xy += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
+         |  }
+         |  double $cs = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+         |  if ($best < 0 || java.lang.Double.compare($cs, $bestV) > 0) { $best = $c; $bestV = $cs; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** byte_stride(payload, s) — every s-th byte of a binary column
+  * (indices 0, s, 2s, … < length), as binary. The byte-native kernel for
+  * the multimodal resize stub: the hex-string formulation
+  * (`substring(hex(payload), i*2+1, 2)` per byte inside a higher-order
+  * lambda) pays a 2× string blowup plus interpreted lambda dispatch per
+  * byte; this is one tight generated loop over the raw bytes. A stride
+  * < 1 is treated as 1 (identity selection).
+  */
+case class ByteStride(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "byte_stride"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"byte_stride expects (binary, int), got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val in = a.asInstanceOf[Array[Byte]]
+    val s = math.max(b.asInstanceOf[Int], 1)
+    val out = new Array[Byte]((in.length + s - 1) / s)
+    var i = 0; var j = 0
+    while (i < in.length) { out(j) = in(i); i += s; j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val out = ctx.freshName("out")
+      s"""
+         |int $s = java.lang.Math.max($b, 1);
+         |byte[] $out = new byte[($a.length + $s - 1) / $s];
+         |int $j = 0;
+         |for (int $i = 0; $i < $a.length; $i += $s) { $out[$j++] = $a[$i]; }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration — both as a [[org.apache.spark.sql.SparkSessionExtensions]]
   * installer (`spark.sql.extensions=graft.plans.GraftExtensions`) and as
   * an idempotent imperative call for sessions built without the config
-  * (the driver harness constructs its own sessions).
+  * (the driver harness constructs its own sessions). Each function
+  * carries its own implementing class so `DESCRIBE FUNCTION` reports
+  * the right one.
   */
 object VectorExprs {
-  private[plans] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_f" -> (c => DotProduct(c.head, c(1))),
-    "cosine_f" -> (c => CosineSim(c.head, c(1))),
-    "hash_tokens" -> (c => HashTokens(c.head)),
-    "word_shingles" -> (c => WordShingles(c.head, c(1))),
-    "minhash16" -> (c => MinHash16(c.head)),
-    "simhash60" -> (c => SimHash60(c.head)))
+  private[plans] val fns: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("dot_f", classOf[DotProduct], c => DotProduct(c.head, c(1))),
+    ("cosine_f", classOf[CosineSim], c => CosineSim(c.head, c(1))),
+    ("argmax_cos", classOf[ArgMaxCos], c => ArgMaxCos(c.head, c(1))),
+    ("byte_stride", classOf[ByteStride], c => ByteStride(c.head, c(1))),
+    ("hash_tokens", classOf[HashTokens], c => HashTokens(c.head)),
+    ("word_shingles", classOf[WordShingles], c => WordShingles(c.head, c(1))),
+    ("minhash16", classOf[MinHash16], c => MinHash16(c.head)),
+    ("simhash60", classOf[SimHash60], c => SimHash60(c.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    fns.foreach { case (name, builder) =>
+    fns.foreach { case (name, cls, builder) =>
       registry.registerFunction(
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[DotProduct].getName, name),
+        new ExpressionInfo(cls.getName, name),
         builder)
     }
   }
@@ -164,10 +315,10 @@ object VectorExprs {
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    VectorExprs.fns.foreach { case (name, builder) =>
+    VectorExprs.fns.foreach { case (name, cls, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
-          new ExpressionInfo(classOf[DotProduct].getName, name),
+          new ExpressionInfo(cls.getName, name),
           builder))
     }
 }
