@@ -64,15 +64,22 @@ object Multimodal {
 
   /** Frame sampling stub: every k-th byte window stands in for every
     * k-th video frame — the partitioning/explode shape is the real part.
+    * Offsets explode FIRST (cheap ints), then one binary `substring`
+    * per frame in the projection — Spark's substring on BinaryType is a
+    * byte-exact `Arrays.copyOfRange`, fully codegen'd; slicing inside
+    * the transform lambda would interpret per element instead.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame =
-    media.select(
-      col("media_id"),
-      posexplode(expr(
-        s"""transform(
-              filter(sequence(0, greatest(cast(n_bytes AS int) - 1, 0), ${frameBytes * everyK}),
-                     i -> i < n_bytes),
-              i -> substring(payload, i + 1, $frameBytes))""")).as(Seq("frame_no", "frame_bytes")))
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
+    val step = frameBytes * everyK
+    media.selectExpr(
+        "media_id", "payload",
+        s"""explode(filter(sequence(0, greatest(cast(n_bytes AS int) - 1, 0), $step),
+                           i -> i < n_bytes)) AS off""")
+      .selectExpr(
+        "media_id",
+        s"cast(off div $step AS int) AS frame_no",
+        s"substring(payload, off + 1, $frameBytes) AS frame_bytes")
+  }
 
   /** Resize stub: strided byte selection down to ~targetBytes — the
     * deterministic stand-in for image resize (a real implementation
@@ -80,41 +87,53 @@ object Multimodal {
     * column-to-column contract). Adds `payload_resized`; the original
     * payload column is untouched so parquet pruning still skips it for
     * metadata-only readers.
+    *
+    * The selection is the native `byte_stride` kernel
+    * (graft.plans.ByteStride) — one generated loop over the raw bytes.
+    * The previous formulation addressed bytes through
+    * `substring(hex(payload), i*2+1, 2)` inside an interpreted lambda:
+    * a 2× string blowup plus per-byte lambda dispatch, per row.
+    * MultimodalSpec pins byte-for-byte equality of the two forms.
+    * Null payload or null n_bytes propagate to a null result (the
+    * kernel is a null-safe BinaryExpression).
     */
-  def resize(media: DataFrame, targetBytes: Int): DataFrame =
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    graft.plans.VectorExprs.register(media.sparkSession)
     media.withColumn("payload_resized", expr(
-      s"""CASE WHEN payload IS NULL THEN NULL ELSE
-            unhex(concat_ws('', transform(
-              filter(sequence(0, greatest(cast(n_bytes AS int) - 1, 0),
-                              greatest(1, cast(n_bytes AS int) div $targetBytes)),
-                     i -> i < n_bytes),
-              i -> substring(hex(payload), i * 2 + 1, 2))))
-          END"""))
+      s"byte_stride(payload, greatest(1, cast(n_bytes AS int) div $targetBytes))"))
+  }
 
   def queries: Seq[QueryDef] = Seq(
     // Resize plumbing as an oracle-checked query: every (n/64)-th byte
-    // of the payload (addressed through hex — DuckDB 1.0 cannot slice
-    // BLOBs), content-hashed. Byte-exact in both engines.
+    // of the payload, content-digested. The Spark side is fully
+    // byte-native — `byte_stride` kernel + md5 over base64 of the raw
+    // bytes, no hex strings anywhere in the plan. The DuckDB oracle
+    // DELIBERATELY keeps the hex-string formulation (DuckDB 1.0 cannot
+    // slice BLOBs) and only converts back with unhex at the digest —
+    // two genuinely different byte-addressing schemes that must agree
+    // byte for byte.
     QueryDef(
       "mm_resize",
-      (spark, dir) =>
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
         Tables.documents(spark, dir)
-          .selectExpr("doc_id", "hex(encode(text, 'UTF-8')) AS ph",
+          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
             "cast(octet_length(text) AS int) AS n")
-          .selectExpr("doc_id", "ph", "n", "greatest(1, n div 64) AS s")
           .selectExpr(
             "doc_id", "cast(n AS bigint) AS n_bytes",
-            """concat_ws('', transform(
-                 filter(sequence(0, greatest(n - 1, 0), s), i -> i < n),
-                 i -> substring(ph, i * 2 + 1, 2))) AS rh""")
+            "byte_stride(payload, greatest(1, n div 64)) AS rb")
           .selectExpr(
             "doc_id", "n_bytes",
-            "cast(length(rh) div 2 AS bigint) AS resized_len",
-            "md5(rh) AS resized_md5"),
+            "cast(octet_length(rb) AS bigint) AS resized_len",
+            // translate strips the CRLFs of Spark's MIME-chunked base64
+            // (chunked at 76 chars in 4.1.2) → canonical RFC-4648 text,
+            // byte-derived on this side, hex-derived on the oracle side
+            "md5(translate(base64(rb), '\r\n', '')) AS resized_md5")
+      },
       Some("""
         SELECT doc_id, n_bytes::BIGINT AS n_bytes,
                (length(rh) // 2)::BIGINT AS resized_len,
-               md5(rh) AS resized_md5
+               md5(to_base64(unhex(rh))) AS resized_md5
         FROM (
           SELECT doc_id, n_bytes,
                  array_to_string(list_transform(
@@ -127,31 +146,36 @@ object Multimodal {
 
     // Frame sampling as an oracle-checked query: every 64th byte offset
     // yields a 16-byte window over the binary payload (UTF-8 bytes
-    // standing in for decoded media), each frame content-hashed. Frames
-    // are addressed through the hex encoding (byte i ↔ hex chars
-    // 2i+1..2i+32) because DuckDB 1.0 cannot slice BLOBs — byte-exact
-    // in both engines either way.
+    // standing in for decoded media), each frame content-digested.
+    // Spark side: explode the offsets (cheap ints), then one byte-exact
+    // binary `substring` per frame — codegen'd, no hex. Oracle side:
+    // frames addressed through the hex encoding (byte i ↔ hex chars
+    // 2i+1..2i+32, DuckDB 1.0 cannot slice BLOBs), unhex'd only at the
+    // digest. Byte-exact in both engines.
     QueryDef(
       "mm_frame_sample",
       (spark, dir) =>
         Tables.documents(spark, dir)
-          .selectExpr("doc_id", "hex(encode(text, 'UTF-8')) AS ph",
+          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
             "cast(octet_length(text) AS int) AS n_bytes")
           .selectExpr(
-            "doc_id",
-            """explode(transform(
-                 filter(sequence(0, greatest(n_bytes - 1, 0), 64), i -> i < n_bytes),
-                 i -> named_struct('frame_no', cast(i div 64 AS bigint),
-                                   'fh', substring(ph, i * 2 + 1, 32)))) AS f""")
+            "doc_id", "payload",
+            """explode(filter(sequence(0, greatest(n_bytes - 1, 0), 64),
+                              i -> i < n_bytes)) AS off""")
           .selectExpr(
             "doc_id",
-            "f.frame_no AS frame_no",
-            "cast(length(f.fh) div 2 AS bigint) AS frame_len",
-            "md5(f.fh) AS frame_md5"),
+            "cast(off div 64 AS bigint) AS frame_no",
+            "substring(payload, off + 1, 16) AS fb")
+          .selectExpr(
+            "doc_id", "frame_no",
+            "cast(octet_length(fb) AS bigint) AS frame_len",
+            // 16-byte frames encode under the 76-char chunk line, but the
+            // CRLF strip keeps this robust if the frame size ever grows
+            "md5(translate(base64(fb), '\r\n', '')) AS frame_md5"),
       Some("""
         SELECT doc_id, g.frame_no,
                (length(substring(ph, g.frame_no * 128 + 1, 32)) // 2)::BIGINT AS frame_len,
-               md5(substring(ph, g.frame_no * 128 + 1, 32)) AS frame_md5
+               md5(to_base64(unhex(substring(ph, g.frame_no * 128 + 1, 32)))) AS frame_md5
         FROM (SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n_bytes
               FROM documents) d,
         LATERAL (SELECT unnest(generate_series(0, (d.n_bytes - 1) // 64)) AS frame_no) g""")),

@@ -330,6 +330,12 @@ object Knn {
     * the rank-window formulation the DuckDB oracle still runs (a
     * different formulation on each engine, which makes the cross-check
     * meaningful). Corpus-side plan: scan → broadcast NLJ → project.
+    *
+    * Empty (or all-null) centroid sets assign NULL, not a runtime error:
+    * `argmax_cos` returns -1 there, `nullif` turns that into a null
+    * index, and `element_at` with a null index is null — evaluated in
+    * ONE pass (a CASE guard would inline the argmax loop twice after
+    * projection collapse).
     */
   def assignToCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     graft.plans.VectorExprs.register(embeddings.sparkSession)
@@ -338,7 +344,7 @@ object Knn {
         expr("sort_array(collect_list(named_struct('cent_id', cent_id, 'cent_emb', cent_emb))) AS cents")))
     embeddings.crossJoin(cents)
       .selectExpr("vec_id", "embedding",
-        "element_at(cents.cent_id, argmax_cos(embedding, cents.cent_emb) + 1) AS cluster_id")
+        "element_at(cents.cent_id, nullif(argmax_cos(embedding, cents.cent_emb), -1) + 1) AS cluster_id")
   }
 
   /** Assign every vector to its nearest centroid (centroids broadcast)

@@ -146,7 +146,8 @@ case class CosineSim(left: Expression, right: Expression) extends VectorFoldExpr
   * expression changes nothing observable — except the plan: the window
   * formulation shuffles |cands| copies of every row; this is a row-local
   * projection with ZERO exchange. Returns -1 for an empty candidate
-  * array.
+  * array; NULL candidate elements are skipped (the window formulation's
+  * null cosine sorts last, so a non-null candidate always won there too).
   */
 case class ArgMaxCos(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "argmax_cos"
@@ -182,7 +183,7 @@ case class ArgMaxCos(left: Expression, right: Expression) extends BinaryExpressi
     var best = -1
     var bestV = 0.0
     var c = 0
-    while (c < cands.numElements()) {
+    while (c < cands.numElements()) if (cands.isNullAt(c)) c += 1 else {
       val v = cands.getArray(c)
       val n = math.min(q.numElements(), v.numElements())
       var xy = 0.0; var xx = 0.0; var yy = 0.0
@@ -215,6 +216,7 @@ case class ArgMaxCos(left: Expression, right: Expression) extends BinaryExpressi
       s"""
          |int $best = -1; double $bestV = 0.0;
          |for (int $c = 0; $c < $b.numElements(); $c++) {
+         |  if ($b.isNullAt($c)) continue;
          |  org.apache.spark.sql.catalyst.util.ArrayData $v = $b.getArray($c);
          |  int $n = java.lang.Math.min($a.numElements(), $v.numElements());
          |  double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
@@ -249,17 +251,21 @@ case class ByteStride(left: Expression, right: Expression) extends BinaryExpress
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (BinaryType, IntegerType) =>
+      // bigint strides are accepted because SQL integer division (`div`)
+      // yields bigint — forcing a cast at every call site would make the
+      // natural `byte_stride(p, n div k)` spelling a type error
+      case (BinaryType, IntegerType | LongType) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"byte_stride expects (binary, int), got " +
+          s"byte_stride expects (binary, int|bigint), got " +
             s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
     }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val in = a.asInstanceOf[Array[Byte]]
-    val s = math.max(b.asInstanceOf[Int], 1)
+    val raw = b match { case l: Long => math.min(l, Int.MaxValue.toLong).toInt; case i: Int => i }
+    val s = math.max(raw, 1)
     val out = new Array[Byte]((in.length + s - 1) / s)
     var i = 0; var j = 0
     while (i < in.length) { out(j) = in(i); i += s; j += 1 }
@@ -271,7 +277,7 @@ case class ByteStride(left: Expression, right: Expression) extends BinaryExpress
       val s = ctx.freshName("s"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val out = ctx.freshName("out")
       s"""
-         |int $s = java.lang.Math.max($b, 1);
+         |int $s = (int) java.lang.Math.max(java.lang.Math.min((long) $b, 2147483647L), 1L);
          |byte[] $out = new byte[($a.length + $s - 1) / $s];
          |int $j = 0;
          |for (int $i = 0; $i < $a.length; $i += $s) { $out[$j++] = $a[$i]; }

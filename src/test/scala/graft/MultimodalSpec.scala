@@ -50,6 +50,29 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(3L).get.isEmpty)
   }
 
+  test("resize: byte_stride kernel ≡ the hex-string formulation, byte for byte") {
+    import spark.implicits._
+    graft.plans.VectorExprs.register(spark)
+    // multi-byte UTF-8 and a stride that doesn't divide the length —
+    // the two addressing schemes must still agree on every byte
+    val df = Seq((1L, "The quick brown fox jumps over the lazy dog " * 8),
+        (2L, "中文内容测试 interleaved ascii 测试"), (3L, "tiny"))
+      .toDF("id", "txt")
+    val media = Multimodal.mediaFromText(df, "id", "txt")
+    val rows = Multimodal.resize(media, 64)
+      .withColumn("hex_form", org.apache.spark.sql.functions.expr(
+        """unhex(concat_ws('', transform(
+             filter(sequence(0, greatest(cast(n_bytes AS int) - 1, 0),
+                             greatest(1, cast(n_bytes AS int) div 64)),
+                    i -> i < n_bytes),
+             i -> substring(hex(payload), i * 2 + 1, 2))))"""))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]]("payload_resized").toSeq ==
+        r.getAs[Array[Byte]]("hex_form").toSeq, s"media ${r.getAs[Long]("media_id")}")
+    }
+  }
+
   test("payload column is pruned when a query doesn't touch it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString + "/media"
     media().write.parquet(dir)

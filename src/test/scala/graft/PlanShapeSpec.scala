@@ -75,6 +75,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("assignToCentroids / v5_ivf_knn: corpus side is exchange-free (broadcast NLJ + argmax_cos, no Window)") {
+    graft.plans.VectorExprs.register(spark)
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val assigned = graft.operators.Knn.assignToCentroids(
+      e, e.where("vec_id < 8")
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
+    val p = assigned.queryExecution.executedPlan.toString
+    // the ONE-row centroid fold broadcasts into a nested-loop join; the
+    // assignment itself is the row-local argmax_cos projection
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroid row not broadcast")
+    assert(p.contains("argmax_cos"), "assignment does not use the native argmax")
+    // the regression this pins: the old crossJoin×K + row_number form
+    // shuffled K copies of the corpus — a Window over hashpartitioning
+    assert(!p.contains("Window"), "rank-window assignment reintroduced")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "corpus-side shuffle reintroduced (only the centroid fold's SinglePartition exchange is allowed)")
+    // and the full v5 query keeps the same property end-to-end
+    val pq = plan("v5_ivf_knn")
+    assert(!pq.contains("Window") && !pq.contains("Exchange hashpartitioning"),
+      "v5_ivf_knn corpus side must stay exchange-free")
+  }
+
+  test("mm_resize / mm_frame_sample: byte-native plans — no hex round-trip") {
+    graft.plans.VectorExprs.register(spark)
+    Seq("mm_resize", "mm_frame_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("hex("), s"$q still addresses bytes through hex strings")
+    }
+    assert(plan("mm_resize").contains("byte_stride"), "mm_resize does not use the byte kernel")
+  }
+
   test("tp_curate: keep/drop sets apply as semi/anti joins") {
     val p = plan("tp_curate")
     assert(p.contains("LeftSemi"), "exact-keep is not a semi join")
