@@ -340,32 +340,15 @@ object Dedup {
         JOIN texts b ON p.doc_b = b.doc_id""")),
 
     // ------------------------------------- embedding-cosine near-dup
-    // Cluster-blocked (label) pairwise cosine. Embeddings are
-    // L2-NORMALIZED ONCE before the join (one fold per vector instead of
-    // three per pair), so the pair step is a single dot product. At
-    // 100 TB the label column is the partition key ⇒ partition-local
-    // join, no global shuffle of the vector corpus.
+    // Label-blocked LSH-banded pairwise cosine: candidates come from a
+    // (label, band) bucket self-join, exact dot re-verifies. The DuckDB
+    // oracle DELIBERATELY stays on the all-pairs-within-label
+    // formulation — a green row therefore proves the banding recalled
+    // EVERY pair above threshold, not just that two copies of the same
+    // code agree. DedupSpec pins the same equality in-engine.
     QueryDef(
       "dd_embed_neardup",
-      (spark, dir) => {
-        graft.plans.VectorExprs.register(spark)
-        // zero-norm guard: an all-zero vector stays all-zero (Spark's
-        // Divide would yield NULL, DuckDB NaN — an oracle mismatch)
-        val e = Tables.embeddings(spark, dir)
-          .selectExpr("label", "vec_id", "transform(embedding, x -> cast(x AS double)) AS emb_d")
-          .selectExpr("label", "vec_id",
-            "sqrt(aggregate(transform(emb_d, y -> y * y), 0D, (acc, v) -> acc + v)) AS nrm", "emb_d")
-          .selectExpr("label", "vec_id",
-            "CASE WHEN nrm = 0D THEN emb_d ELSE transform(emb_d, x -> x / nrm) END AS emb_n")
-        val l = e.select(col("label"), col("vec_id").as("vec_a"), col("emb_n").as("emb_a"))
-        val r = e.select(col("label").as("label_r"), col("vec_id").as("vec_b"), col("emb_n").as("emb_b"))
-        l.join(r, l("label") === r("label_r") && l("vec_a") < r("vec_b"))
-          .selectExpr(
-            "label", "vec_a", "vec_b",
-            "dot_f(emb_a, emb_b) AS cos") // native codegen'd loop (graft.plans.DotProduct)
-          .where(s"cos >= $CosineThreshold")
-          .selectExpr("label", "vec_a", "vec_b", "round(cos, 6) AS cosine")
-      },
+      (spark, dir) => embedNearDupBanded(spark, dir),
       Some(s"""
         WITH e0 AS (
           SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb_d,
@@ -384,6 +367,100 @@ object Dedup {
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cos >= $CosineThreshold"""))
   )
+
+  // ------------------------------------------- embedding near-dup pair
+  // generation. Two formulations over the same normalized embeddings:
+  // all-pairs-within-label (the ground truth + the oracle's shape) and
+  // the LSH-banded version the registered query runs.
+
+  /** (label, vec_id, emb_n): L2-normalized double embeddings. Zero-norm
+    * guard: an all-zero vector stays all-zero (Spark's Divide would
+    * yield NULL, DuckDB NaN — an oracle mismatch).
+    */
+  private def normalizedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExprs.register(spark)
+    Tables.embeddings(spark, dir)
+      .selectExpr("label", "vec_id", "transform(embedding, x -> cast(x AS double)) AS emb_d")
+      .selectExpr("label", "vec_id",
+        "sqrt(aggregate(transform(emb_d, y -> y * y), 0D, (acc, v) -> acc + v)) AS nrm", "emb_d")
+      .selectExpr("label", "vec_id",
+        "CASE WHEN nrm = 0D THEN emb_d ELSE transform(emb_d, x -> x / nrm) END AS emb_n")
+  }
+
+  /** Exact cosine verification of candidate (label, vec_a, vec_b) pairs:
+    * join the normalized vectors back (candidates carry only ids until
+    * here) and keep pairs with dot ≥ threshold. The dot of two
+    * normalized vectors uses the same left-to-right double fold as the
+    * DuckDB oracle — value-identical arithmetic.
+    */
+  private def verifyCosine(cand: DataFrame, e: DataFrame): DataFrame = {
+    val ea = e.select(col("vec_id").as("vec_a"), col("emb_n").as("emb_a"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("emb_n").as("emb_b"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .selectExpr("label", "vec_a", "vec_b",
+        "dot_f(emb_a, emb_b) AS cos") // native codegen'd loop (graft.plans.DotProduct)
+      .where(s"cos >= $CosineThreshold")
+      .selectExpr("label", "vec_a", "vec_b", "round(cos, 6) AS cosine")
+  }
+
+  /** All-pairs within each label block — O(block²) pair space. Correct
+    * at any threshold, but a single hot label degenerates at 100 TB;
+    * kept as the spec's ground-truth formulation, not the registered
+    * query.
+    */
+  private[graft] def embedNearDupAllPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = normalizedEmbeddings(spark, dir)
+    val l = e.select(col("label"), col("vec_id").as("vec_a"))
+    val r = e.select(col("label").as("label_r"), col("vec_id").as("vec_b"))
+    val cand = l.join(r, l("label") === r("label_r") && l("vec_a") < r("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"))
+    verifyCosine(cand, e)
+  }
+
+  // Banding parameters: Knn.LshPlanes' 32 fixed Gaussian hyperplanes
+  // (the SAME planes v4_lsh_ann signs against) regrouped as 16 bands ×
+  // 2 sign bits. Collision probability per band for a pair at angle θ
+  // is (1 - θ/π)²; at this query's LOW threshold (0.35 ⇒ θ ≈ 69°) a
+  // pair collides somewhere among the 16 bands with p > 0.999, and on
+  // the FIXED test corpus the planes are constants — recall is
+  // deterministic and the all-pairs oracle proves it complete. At a
+  // production near-dup threshold (≥ 0.9 ⇒ θ ≤ 26°) the same operator
+  // wants FEWER, WIDER bands (e.g. 4 × 8 exactly as v4 groups them):
+  // bucket count 2^bits must exceed the band count for the candidate
+  // space L·Σbucket² to undercut the all-pairs block².
+  private val EmbBandBits = 2
+  private val EmbBands = 16
+
+  private def embBandVal(b: Int): String =
+    (0 until EmbBandBits).map { j =>
+      s"(CASE WHEN dot_f(embedding, ${Knn.planeSpark(Knn.LshPlanes(b * EmbBandBits + j))}) > 0D THEN ${1L << j}L ELSE 0L END)"
+    }.mkString("(", " + ", ")")
+
+  /** Banded near-dup: sign-bit signatures off the raw embeddings (the
+    * sign of dot(v, plane) is scale-invariant, so normalization is not
+    * needed for banding), bucket self-join on (label, band_id, band_val)
+    * carrying ONLY ids, distinct, exact verify. The pair space is
+    * per-bucket, not per-block: a hot label no longer implies O(block²).
+    */
+  private[graft] def embedNearDupBanded(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExprs.register(spark)
+    val bandStructs = (0 until EmbBands)
+      .map(b => s"named_struct('band_id', $b, 'band_val', ${embBandVal(b)})")
+      .mkString("array(", ", ", ")")
+    val bands = Tables.embeddings(spark, dir)
+      .selectExpr("label", "vec_id", s"explode($bandStructs) AS bk")
+      .selectExpr("label", "vec_id", "bk.band_id AS band_id", "bk.band_val AS band_val")
+    val l = bands.select(col("label"), col("band_id"), col("band_val"),
+      col("vec_id").as("vec_a"))
+    val r = bands.select(col("label").as("label_r"), col("band_id").as("band_id_r"),
+      col("band_val").as("band_val_r"), col("vec_id").as("vec_b"))
+    val cand = l.join(r,
+        l("label") === r("label_r") && l("band_id") === r("band_id_r") &&
+          l("band_val") === r("band_val_r") && l("vec_a") < r("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"))
+      .distinct()
+    verifyCosine(cand, normalizedEmbeddings(spark, dir))
+  }
 
   // ---------------------------------------------------------------------
   /** 60-bit tf-weighted simhash via the native `hash_tokens` +

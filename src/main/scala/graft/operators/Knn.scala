@@ -26,13 +26,17 @@ object Knn {
   // arrays) so the signatures cannot diverge.
   private val LshBandBits = 8
   private val LshBands = 4
-  private val LshPlanes: Seq[Seq[Double]] = {
+  // private[graft]: Dedup's banded embedding near-dup reuses the SAME 32
+  // fixed hyperplanes, regrouped as 16 bands × 2 bits (its cosine
+  // threshold is far lower than an ANN probe's, so recall needs many
+  // narrow bands instead of few wide ones)
+  private[graft] val LshPlanes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(12345)
     Seq.fill(LshBands * LshBandBits)(Seq.fill(64)(rnd.nextGaussian()))
   }
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
-  private def planeSpark(p: Seq[Double]): String =
+  private[graft] def planeSpark(p: Seq[Double]): String =
     p.map(v => s"${fmt(v)}D").mkString("array(", ", ", ")")
   private def planeDuck(p: Seq[Double]): String =
     p.map(fmt).mkString("[", ", ", "]")
