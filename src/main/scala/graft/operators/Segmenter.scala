@@ -133,7 +133,58 @@ object Segmenter {
     if (cleaned.length >= 10) Some(cleaned) else None
   }
 
+  /** Layout fixtures for the seg_layout gate query: every E1 branch
+    * (y-gap split, same-block join, block-type split, dead indentation,
+    * empty-line skip) plus the E3 merge and trailing-stub cases — the
+    * same hand-simulated goldens SegmenterSpec pins, here as driver-gate
+    * rows. The layout fold is order-dependent and not SQL-expressible,
+    * so the DuckDB oracle holds the EXPECTED paragraphs as literal
+    * VALUES; the Spark side must reproduce them through the real fold.
+    */
+  private[graft] val layoutFixtures: Seq[(Long, Seq[Line])] = Seq(
+    1L -> Seq( // vertical gap > 15 → two paragraphs
+      Line("This is the first paragraph of the page.", 0, 10, 0, 0),
+      Line("Second paragraph starts here and is long enough.", 30, 40, 0, 1)),
+    2L -> Seq( // small gap, same block → joined
+      Line("A sentence split across", 0, 10, 0, 0),
+      Line("two layout lines in one block stays joined.", 12, 22, 0, 0)),
+    3L -> Seq( // type change splits, E3 re-merges the short heading
+      Line("Heading text block", 0, 10, 1, 0),
+      Line("Body paragraph follows the heading immediately.", 12, 22, 0, 1)),
+    4L -> Seq( // the indentation rule is dead code (reference strips first)
+      Line("A first line of the running paragraph", 0, 10, 0, 0),
+      Line("    indented continuation should NOT split", 12, 22, 0, 0)),
+    5L -> Seq( // empty lines skipped without touching fold state
+      Line("Opening paragraph with enough length here.", 0, 10, 0, 0),
+      Line("   ", 12, 22, 0, 0),
+      Line("and its continuation stays attached to it.", 13, 23, 0, 0)),
+    6L -> Seq( // E3 trailing accumulation emitted as-is
+      Line("only a stub", 0, 10, 0, 0)))
+
   def queries: Seq[QueryDef] = Seq(
+    // E1+E3 through the driver gate: the layout fold over the fixture
+    // lines vs the literal expected paragraphs (see layoutFixtures).
+    QueryDef(
+      "seg_layout",
+      (spark: SparkSession, _: String) => {
+        import spark.implicits._
+        layoutFixtures.toDS().flatMap { case (fixId, lines) =>
+          segmentLayout(lines).zipWithIndex.map { case (p, i) => (fixId, i + 1, p) }
+        }.toDF("fix_id", "paragraph_number", "paragraph")
+          .selectExpr("fix_id", "cast(paragraph_number AS int) AS paragraph_number", "paragraph")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1::BIGINT, 1::INT, 'This is the first paragraph of the page.'),
+          (1::BIGINT, 2::INT, 'Second paragraph starts here and is long enough.'),
+          (2::BIGINT, 1::INT, 'A sentence split across two layout lines in one block stays joined.'),
+          (3::BIGINT, 1::INT, 'Heading text block Body paragraph follows the heading immediately.'),
+          (4::BIGINT, 1::INT, 'A first line of the running paragraph indented continuation should NOT split'),
+          (5::BIGINT, 1::INT, 'Opening paragraph with enough length here. and its continuation stays attached to it.'),
+          (6::BIGINT, 1::INT, 'only a stub')
+        ) t(fix_id, paragraph_number, paragraph)"""),
+      bench = false),
+
     // The fallback splitter over documents, 1-based paragraph numbers
     // (`src/pdf_extractor.py:39`). The driver corpus is single-line text,
     // so the oracle is the cleaned single paragraph — the multi-line

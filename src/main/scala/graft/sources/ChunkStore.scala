@@ -55,6 +55,12 @@ object ChunkStore {
       // reference sink, src/pdf_extractor.py:236-241) emits, and what
       // readCsv's multiLine+escape options expect back
       .option("escape", "\"")
+      // Spark's CSV writer TRIMS cell whitespace by default — Python's
+      // csv writes strings verbatim; a chunk starting or ending in a
+      // space must survive the round trip (s3_csv_roundtrip caught a
+      // one-char loss on exactly this)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
   /** S4 — CSV source with the reference's reload quirk: only the four
@@ -166,7 +172,128 @@ object ChunkStore {
 
   // -------------------------------------------------------------- queries
 
+  /** DuckDB twin of the chunker pipeline (shared by the sink round-trip
+    * oracles below; s4/s5 carry their own inlined copies from earlier
+    * rounds).
+    */
+  private val chunkCteSql: String = """
+        ok AS (
+          SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
+          FROM documents
+          WHERE length(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g')) >= 10
+        ), chunks AS (
+          SELECT doc_id, NULL::INT AS chunk_number, tc AS chunk_text
+          FROM ok WHERE length(tc) <= 500
+          UNION ALL
+          SELECT doc_id, (i // 450 + 1)::INT AS chunk_number, substring(tc, i + 1, 500) AS chunk_text
+          FROM ok, LATERAL (SELECT unnest(generate_series(0, length(tc) - 1, 450)) AS i) g
+          WHERE length(tc) > 500 AND length(substring(tc, i + 1, 500)) >= 50
+        )"""
+
   def queries: Seq[QueryDef] = Seq(
+    // S3+S4 — the CSV sink/source ROUND TRIP as an oracle-checked query:
+    // chunk rows in the reference's flattened schema go out through the
+    // RFC-4180 sink (header, UTF-8, doubled-quote escaping) and come
+    // back through the reload projection (which drops chunk_number —
+    // the reference quirk), then aggregate per source. The oracle
+    // computes the same aggregates straight from the chunk pipeline —
+    // any byte the sink or source mangles breaks the hash. bench=false:
+    // this measures temp-dir I/O, not engine throughput.
+    QueryDef(
+      "s3_csv_roundtrip",
+      (spark, dir) => {
+        val chunks = graft.operators.Chunker.queries.head.run(spark, dir) // c1_chunk
+          .selectExpr(
+            "chunk_text AS text",
+            "concat('doc_', cast(doc_id AS string)) AS source",
+            "cast(pmod(doc_id, 7) + 1 AS int) AS page_number",
+            "cast(coalesce(chunk_number, 0) AS int) AS paragraph_number",
+            "cast(7 AS int) AS total_pages",
+            "cast(coalesce(chunk_number, 0) AS int) AS chunk_number")
+        val path = java.nio.file.Files.createTempDirectory("graft_s3").toString + "/chunks_csv"
+        writeCsv(chunks, path)
+        readCsv(spark, path)
+          .groupBy("source")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_chunks"),
+            expr("cast(sum(length(text)) AS bigint) AS total_chars"),
+            expr("cast(sum(paragraph_number) AS bigint) AS para_sum"),
+            expr("max(page_number) AS max_page"))
+      },
+      Some(s"""
+        WITH $chunkCteSql
+        SELECT 'doc_' || doc_id::VARCHAR AS source,
+               count(*) AS n_chunks,
+               sum(length(chunk_text))::BIGINT AS total_chars,
+               sum(coalesce(chunk_number, 0))::BIGINT AS para_sum,
+               (doc_id % 7 + 1)::INT AS max_page
+        FROM chunks GROUP BY doc_id"""),
+      bench = false),
+
+    // S5+S8+S6 — store lifecycle round trip: add the chunk table to a
+    // fresh store (positional ids, stringified metadata, store-side
+    // embeddings), count it, reset, count again. The oracle knows only
+    // the chunk pipeline's cardinality — a store that loses or
+    // duplicates rows, or a reset that leaves residue, breaks the row.
+    QueryDef(
+      "s6_reset_roundtrip",
+      (spark, dir) => {
+        val chunks = graft.operators.Chunker.queries.head.run(spark, dir)
+          .selectExpr("chunk_text AS text", "cast(doc_id AS string) AS doc_id_str",
+            "cast(coalesce(chunk_number, 0) AS string) AS chunk_no_str")
+        val store = java.nio.file.Files.createTempDirectory("graft_s6").toString + "/store"
+        addDocuments(spark, chunks, store, Seq("doc_id_str", "chunk_no_str"))
+        val stBefore = spark.read.parquet(store)
+        val before = stats(stBefore, "graft_chunks")._1
+        reset(spark, store, stBefore.schema)
+        val after = stats(spark.read.parquet(store), "graft_chunks")._1
+        spark.range(1).selectExpr(
+          s"cast($before AS bigint) AS docs_before",
+          s"cast($after AS bigint) AS docs_after",
+          "'graft_chunks' AS collection_name")
+      },
+      Some(s"""
+        WITH $chunkCteSql
+        SELECT count(*)::BIGINT AS docs_before, 0::BIGINT AS docs_after,
+               'graft_chunks' AS collection_name
+        FROM chunks"""),
+      bench = false),
+
+    // S7 — JSON dump round trip: store entries (id, text, stringified
+    // metadata map) out through the JSON sink, back through a
+    // schema-pinned JSON source, aggregated. Counts, distinct ids, text
+    // chars, and metadata-entry counts must all survive the format.
+    QueryDef(
+      "s7_json_dump",
+      (spark, dir) => {
+        val store = graft.operators.Chunker.queries.head.run(spark, dir)
+          .selectExpr(
+            "concat(cast(doc_id AS string), '_', cast(coalesce(chunk_number, 0) AS string)) AS id",
+            "chunk_text AS text",
+            """map('doc_id', cast(doc_id AS string),
+                   'chunk_number', cast(coalesce(chunk_number, 0) AS string)) AS metadata""")
+        val path = java.nio.file.Files.createTempDirectory("graft_s7").toString + "/dump"
+        dumpJson(store, path)
+        val schema = StructType(Seq(
+          StructField("id", StringType),
+          StructField("text", StringType),
+          StructField("metadata", MapType(StringType, StringType))))
+        spark.read.schema(schema).json(path)
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_entries"),
+            expr("cast(count(DISTINCT id) AS bigint) AS n_ids"),
+            expr("cast(sum(length(text)) AS bigint) AS total_chars"),
+            expr("cast(sum(size(metadata)) AS bigint) AS meta_entries"))
+      },
+      Some(s"""
+        WITH $chunkCteSql
+        SELECT count(*)::BIGINT AS n_entries,
+               count(DISTINCT doc_id::VARCHAR || '_' || coalesce(chunk_number, 0)::VARCHAR)::BIGINT AS n_ids,
+               sum(length(chunk_text))::BIGINT AS total_chars,
+               (count(*) * 2)::BIGINT AS meta_entries
+        FROM chunks"""),
+      bench = false),
+
     // S5 surface as a pure query: positional ids over the chunk table in
     // (doc_id, chunk_number) order + the stringification quirk — every
     // metadata value becomes a string (page_number "3" not 3).
