@@ -279,6 +279,39 @@ object TextOps {
         FROM documents
         GROUP BY lang""")),
 
+    // ------------------------- approximate percentiles (the scale path)
+    // The exact `percentile` above buffers and sorts every group value —
+    // fine for bounded groups, unusable on an unbounded-cardinality
+    // column at 100 TB. `approx_percentile` is the GK-sketch path:
+    // fixed-size state, partial-merges map-side. At gate scale the
+    // sketch holds every value (group sizes ≪ accuracy), so it
+    // degenerates to EXACT nearest-rank selection — the same
+    // `ceil(p·n)-1` convention DuckDB's quantile_disc implements, which
+    // is what makes a hash-exact oracle row possible at all.
+    // TextOpsSpec separately pins the sketch within quantile-rank error
+    // of the exact percentile under a LOW accuracy (the true sketch
+    // regime the 100 TB path runs in).
+    QueryDef(
+      "ta_percentiles_approx",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .groupBy("lang")
+          .agg(
+            org.apache.spark.sql.functions.expr("count(*) AS n_docs"),
+            org.apache.spark.sql.functions.expr(
+              "cast(approx_percentile(n_chars, 0.5, 10000) AS bigint) AS p50"),
+            org.apache.spark.sql.functions.expr(
+              "cast(approx_percentile(n_chars, 0.9, 10000) AS bigint) AS p90"),
+            org.apache.spark.sql.functions.expr(
+              "cast(approx_percentile(n_chars, 0.99, 10000) AS bigint) AS p99")),
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               quantile_disc(n_chars, 0.5)::BIGINT AS p50,
+               quantile_disc(n_chars, 0.9)::BIGINT AS p90,
+               quantile_disc(n_chars, 0.99)::BIGINT AS p99
+        FROM documents
+        GROUP BY lang""")),
+
     // ------------------------------------------------- per-group text stats (extension)
     // One shuffle on a low-cardinality key; partial aggregation
     // (map-side combine) makes this a safe pattern at 100 TB.

@@ -87,7 +87,8 @@ object ChunkStore {
     * [[ChunkStore.withPositionalIds]].
     */
   def addDocuments(spark: SparkSession, chunks: DataFrame, storePath: String,
-                   orderCols: Seq[String]): Boolean = {
+                   orderCols: Seq[String],
+                   embedder: graft.Embedder = graft.HashedTokenEmbedder): Boolean = {
     val existing =
       try spark.read.parquet(storePath).limit(1).count() catch { case _: Exception => 0L }
     if (existing > 0) false // reference: add is a no-op when non-empty
@@ -99,11 +100,12 @@ object ChunkStore {
           col("text"),
           // FIXTURES §1.2 entry shape: EVERY metadata value stringified
           // (`src/vector_store.py:132-140` — "3" not 3), and the
-          // embedding computed store-side (`:143-147`)
+          // embedding computed store-side (`:143-147`) through the
+          // pluggable embedder seam (default: hashed tokens)
           map_from_arrays(
             array(metaCols.map(lit): _*),
             array(metaCols.map(c => col(c).cast("string")): _*)).as("metadata"),
-          graft.Fns.embedText(col("text")).as("embedding"))
+          embedder.embed(col("text")).as("embedding"))
         .write.mode(SaveMode.Append).parquet(storePath)
       true
     }
@@ -117,10 +119,11 @@ object ChunkStore {
     * text, all-string metadata, similarity ∈ [-1, 1] (may be negative).
     */
   def similaritySearch(spark: SparkSession, storePath: String, query: String,
-                       topK: Int = 5): DataFrame = {
+                       topK: Int = 5,
+                       embedder: graft.Embedder = graft.HashedTokenEmbedder): DataFrame = {
     graft.plans.VectorExprs.register(spark)
     val store = spark.read.parquet(storePath)
-    val q = spark.range(1).select(graft.Fns.embedText(lit(query)).as("q_emb"))
+    val q = spark.range(1).select(embedder.embed(lit(query)).as("q_emb"))
     store.crossJoin(broadcast(q))
       .selectExpr("id", "text", "metadata", "cosine_f(embedding, q_emb) AS similarity")
       .orderBy(desc("similarity"), col("id"))

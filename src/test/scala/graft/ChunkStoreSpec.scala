@@ -130,6 +130,38 @@ class ChunkStoreSpec extends SparkSpec {
     }
   }
 
+  test("V1 seam: a custom Embedder round-trips ingest → search") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    // toy embedding space: ASCII codes of the first 4 characters,
+    // L2-normalized — nothing like the default hashed tokens (and a
+    // space where the sample texts are pairwise distinct), so a pass
+    // proves the seam carries the custom space end to end
+    object PrefixCodeEmbedder extends Embedder {
+      override val dim: Int = 4
+      override def embed(text: Column): Column = {
+        val counts = array((1 to dim).map(i => ascii(substring(text, i, 1))): _*)
+          .cast("array<double>")
+        val nrm = sqrt(aggregate(transform(counts, x => x * x), lit(0.0), (acc, v) => acc + v))
+        when(nrm === 0.0, counts).otherwise(transform(counts, x => x / nrm))
+      }
+    }
+    val store = tmp() + "/store"
+    ChunkStore.addDocuments(spark, sampleChunks(), store, Seq("source", "text"),
+      embedder = PrefixCodeEmbedder)
+    val stored = spark.read.parquet(store)
+    // ingest wrote 4-dim vectors from the CUSTOM space, not 64-dim
+    val emb = stored.where("text = 'delta chunk text'").collect().head
+      .getAs[scala.collection.Seq[Double]]("embedding")
+    assert(emb.size == 4)
+    assert(math.abs(emb.map(x => x * x).sum - 1.0) < 1e-9)
+    // search with the SAME embedder finds the identical text at sim 1
+    val hits = ChunkStore.similaritySearch(spark, store, "delta chunk text",
+      topK = 1, embedder = PrefixCodeEmbedder).collect()
+    assert(hits.head.getAs[String]("text") == "delta chunk text")
+    assert(math.abs(hits.head.getAs[Double]("similarity") - 1.0) < 1e-9)
+  }
+
   test("Q4: answerWithSources composes retrieval, citations, and the stub answer") {
     val store = tmp() + "/store"
     ChunkStore.addDocuments(spark, sampleChunks(), store, Seq("source", "page_number", "text"))

@@ -1,0 +1,42 @@
+package graft
+
+/** Text-analysis scale-path checks. The gate row for
+  * ta_percentiles_approx runs the sketch in its degenerate exact regime
+  * (group sizes ≪ accuracy); this spec exercises the TRUE sketch regime
+  * — accuracy far below the value count — and pins the GK guarantee:
+  * the returned value's rank is within n/accuracy of the target rank.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  test("approx_percentile in the sketch regime honors the rank-error bound") {
+    import spark.implicits._
+    val n = 10000
+    val accuracy = 100
+    val df = (0 until n).toDF("v") // value v has rank v+1 — rank error is readable off the value
+    val row = df.selectExpr(
+        s"approx_percentile(v, 0.5, $accuracy) AS p50",
+        s"approx_percentile(v, 0.99, $accuracy) AS p99")
+      .collect().head
+    val bound = n / accuracy + 1
+    assert(math.abs(row.getInt(0) - (n / 2)) <= bound,
+      s"p50=${row.getInt(0)} violates eps=1/$accuracy rank bound")
+    assert(math.abs(row.getInt(1) - (n * 99 / 100)) <= bound,
+      s"p99=${row.getInt(1)} violates eps=1/$accuracy rank bound")
+  }
+
+  test("approx_percentile with ample accuracy equals exact nearest-rank selection") {
+    import spark.implicits._
+    // the regime the gate row relies on: sketch holds every value →
+    // result is EXACTLY the value at rank ceil(p·n) (quantile_disc)
+    val vals = Seq(5, 1, 9, 3, 7, 2, 8, 4, 6, 10)
+    val df = vals.toDF("v")
+    val row = df.selectExpr(
+        "approx_percentile(v, 0.5, 10000) AS p50",
+        "approx_percentile(v, 0.9, 10000) AS p90")
+      .collect().head
+    val sorted = vals.sorted
+    def nearestRank(p: Double) = sorted(math.ceil(p * sorted.size).toInt - 1)
+    assert(row.getInt(0) == nearestRank(0.5))
+    assert(row.getInt(1) == nearestRank(0.9))
+  }
+}
