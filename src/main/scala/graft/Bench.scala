@@ -25,36 +25,49 @@ object Bench {
     // per-run warnings (e.g. the documented single-partition window in
     // s5_store_entries) would otherwise drown the JSON line in noise
     spark.sparkContext.setLogLevel("ERROR")
-    // one warmup pass over a tiny SF amortizes codegen/classload out of
-    // the measured numbers (the driver compares steady-state throughput)
     // noop sink: forces FULL evaluation of every output column —
     // count() would let Catalyst prune projection-only work and
     // under-measure (a fingerprint query's fold never runs under count)
     def exhaust(d: QueryDef, dir: String): Unit =
       d.run(spark, dir).write.mode("overwrite").format("noop").save()
-    Registry.all.filter(_.bench).foreach { d =>
+    val benched = Registry.all.filter(_.bench)
+    // warmup 1 — tiny SF: classload + codegen out of the measured numbers
+    benched.foreach { d =>
       try exhaust(d, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
-    // best-of-three per query: the host shows 2-10× one-off noise spikes
-    // (page cache, competing load, GC); min-of-3 reports steady-state
-    // throughput. A query that fails ALL runs is reported as -1 and
-    // listed in "errors" — never as a near-zero time that would inflate
-    // apparent throughput.
+    // warmup 2 — the TARGET SF, untimed: page cache and JIT reach
+    // steady state at the measured scale. Without this, pass 1 ran every
+    // query cold, and because the passes used to be CONSECUTIVE
+    // per-query, best-of-3 could still record a 4× cold-start artifact
+    // (round 3: dd_ngram_jaccard 10.9 s recorded vs 2.5 s steady).
+    benched.foreach { d =>
+      try exhaust(d, sfDir)
+      catch { case _: Throwable => () }
+    }
+    // three INTERLEAVED timed passes (all queries ×1, then ×2, ×3): a
+    // transient memory-pressure episode now inflates one PASS, not all
+    // three samples of one query — min-of-3 recovers steady state. A
+    // query that fails ALL runs is reported as -1 and listed in
+    // "errors", never as a near-zero time that would inflate apparent
+    // throughput.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = Registry.all.filter(_.bench).map { d =>
-      val times = (1 to 3).flatMap { _ =>
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    for (_ <- 1 to 3) {
+      System.gc() // start each pass from comparable heap pressure
+      benched.foreach { d =>
         val t0 = System.nanoTime()
         try {
           exhaust(d, sfDir)
-          Some((System.nanoTime() - t0) / 1e9)
+          samples(d.name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(d.name, Nil)
         } catch {
           case t: Throwable =>
             errors(d.name) = s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}"
-            None
         }
       }
-      d.name -> (if (times.nonEmpty) times.min else -1.0)
+    }
+    val results = benched.map { d =>
+      d.name -> samples.get(d.name).filter(_.nonEmpty).map(_.min).getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
