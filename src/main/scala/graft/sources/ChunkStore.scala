@@ -194,6 +194,36 @@ object ChunkStore {
         )"""
 
   def queries: Seq[QueryDef] = Seq(
+    // S1+S2+E1-E5+C1 over REAL PDF BYTES: the fixture corpus (2-page
+    // Flate-compressed + 1-page raw + a decoy .txt) is written to disk,
+    // scanned with the case-insensitive binaryFile source, parsed by the
+    // from-scratch PDF extractor, layout-segmented, cleaned, chunked.
+    // The oracle holds the hand-simulated expected rows as literal
+    // VALUES — the only way real-bytes extraction can be gate-checked
+    // (DuckDB cannot parse PDFs).
+    QueryDef(
+      "s2_pdf_pipeline",
+      (spark, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_pdf_gate").toString
+        PdfFixtures.writeFixtureDir(tmp)
+        PdfText.extractChunks(spark, tmp)
+          .selectExpr("source", "cast(page_number AS int) AS page_number",
+            "cast(paragraph_number AS int) AS paragraph_number",
+            "cast(total_pages AS int) AS total_pages", "chunk_number", "text")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('a.pdf', 1::INT, 1::INT, 2::INT, NULL::INT,
+           'Introduction to distributed query engines for large corpora. This line continues the same opening paragraph cleanly.'),
+          ('a.pdf', 1::INT, 2::INT, 2::INT, NULL::INT,
+           'A clearly separate second paragraph follows after a gap.'),
+          ('a.pdf', 2::INT, 1::INT, 2::INT, NULL::INT,
+           'Second page opens with kerned text runs. And a continuation line via the leading operator arrives.'),
+          ('B.PDF', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Uppercase extension file with one short paragraph inside.')
+        ) t(source, page_number, paragraph_number, total_pages, chunk_number, text)"""),
+      bench = false),
+
     // S3+S4 — the CSV sink/source ROUND TRIP as an oracle-checked query:
     // chunk rows in the reference's flattened schema go out through the
     // RFC-4180 sink (header, UTF-8, doubled-quote escaping) and come

@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.{PdfFixtures, PdfText}
+import java.nio.file.Files
+
+/** S2 extractor tests against REAL on-disk PDF bytes (built by the
+  * deterministic fixture writer): object scan, FlateDecode, content
+  * interpretation, layout-line mapping, and the full distributed
+  * pipeline — the piece the reference gets from PyMuPDF
+  * (`src/pdf_extractor.py:8-23,60-124`).
+  */
+class PdfTextSpec extends SparkSpec {
+
+  test("uncompressed streams: page count and layout paragraphs match goldens") {
+    val bytes = PdfFixtures.buildPdf(PdfFixtures.fixturePages, compress = false)
+    assert(PdfText.pageCount(bytes) == 2)
+    assert(PdfText.extractPageParagraphs(bytes) == PdfFixtures.fixtureParagraphs)
+  }
+
+  test("FlateDecode streams: byte-identical extraction to the raw form") {
+    val bytes = PdfFixtures.buildPdf(PdfFixtures.fixturePages, compress = true)
+    assert(PdfText.pageCount(bytes) == 2)
+    assert(PdfText.extractPageParagraphs(bytes) == PdfFixtures.fixtureParagraphs)
+  }
+
+  test("string escapes: parens, backslash, octal codes decode exactly") {
+    val page =
+      """BT /F1 12 Tf 72 720 Td (Escaped \(parens\) and backslash \\ plus octal \101\102 done.) Tj ET
+        |""".stripMargin
+    val got = PdfText.extractPageParagraphs(PdfFixtures.buildPdf(Seq(page), compress = false))
+    assert(got == Seq(Seq("Escaped (parens) and backslash \\ plus octal AB done.")))
+  }
+
+  test("hex strings decode; same-baseline shows join as spans") {
+    val page =
+      """BT /F1 12 Tf 72 720 Td <48656C6C6F> Tj (continues after hex with sufficient length.) Tj ET
+        |""".stripMargin
+    val got = PdfText.extractPageParagraphs(PdfFixtures.buildPdf(Seq(page), compress = false))
+    assert(got == Seq(Seq("Hello continues after hex with sufficient length.")))
+  }
+
+  test("garbage bytes: zero pages, no crash (tolerant-extractor contract)") {
+    assert(PdfText.pageCount("not a pdf at all".getBytes) == 0)
+    assert(PdfText.extractPageParagraphs(Array.fill[Byte](256)(0x7f)) == Nil)
+  }
+
+  test("long two-line paragraph chunks with the 500/450/50 window rules") {
+    val l1 = ("alpha beta gamma delta epsilon zeta " * 9).trim // 323 chars
+    val l2 = ("omega psi chi phi upsilon tau sigma " * 9).trim
+    val page =
+      s"""BT /F1 12 Tf 72 720 Td 14 TL ($l1) Tj T* ($l2) Tj ET
+         |""".stripMargin
+    val dir = Files.createTempDirectory("graft_pdf_long").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "long.pdf"),
+      PdfFixtures.buildPdf(Seq(page), compress = true))
+    val rows = PdfText.extractChunks(spark, dir)
+      .collect().map(r => (r.getAs[Integer]("chunk_number"), r.getAs[String]("text")))
+      .sortBy(r => Option(r._1).map(_.toInt).getOrElse(0))
+    val para = s"$l1 $l2"
+    assert(para.length > 500)
+    val expected = (0 until para.length by 450)
+      .map(i => (i / 450 + 1, para.slice(i, i + 500))).filter(_._2.length >= 50)
+    assert(rows.map(r => (r._1.toInt, r._2)).toSeq == expected)
+  }
+
+  test("extractChunks: distributed S1→C2 over a mixed-case fixture corpus") {
+    val dir = Files.createTempDirectory("graft_pdf_corpus").toString
+    PdfFixtures.writeFixtureDir(dir)
+    val rows = PdfText.extractChunks(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("page_number"),
+        r.getAs[Int]("paragraph_number"), r.getAs[Int]("total_pages"),
+        r.getAs[String]("text"))).toSet
+    val expected = Set(
+      ("a.pdf", 1, 1, 2, PdfFixtures.fixtureParagraphs.head.head),
+      ("a.pdf", 1, 2, 2, PdfFixtures.fixtureParagraphs.head(1)),
+      ("a.pdf", 2, 1, 2, PdfFixtures.fixtureParagraphs(1).head),
+      ("B.PDF", 1, 1, 1, PdfFixtures.companionParagraph))
+    assert(rows == expected) // notes.txt never parsed; .PDF case-insensitive
+  }
+}
