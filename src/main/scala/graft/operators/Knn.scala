@@ -215,6 +215,34 @@ object Knn {
         ORDER BY similarity DESC, vec_id
         LIMIT $K""")),
 
+    // --------------------- sharded-NSW graph ANN (the V2 HNSW analog)
+    // Build the per-shard navigable-small-world index, then search it at
+    // FULL beam width: coverage is total, so the result must equal the
+    // exact top-k — which is precisely what the oracle computes
+    // (brute-force kNN SQL). A recall regression, a broken graph link,
+    // or nondeterministic construction all surface as a hash mismatch
+    // against an oracle that never saw the graph. Narrow-beam behavior
+    // is spec-tested (GraphAnnSpec recall bound).
+    QueryDef(
+      "v6_graph_ann",
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val idx = java.nio.file.Files.createTempDirectory("graft_gann_gate").toString + "/idx"
+        GraphAnn.buildIndex(e, idx, numParts = 8, m = 8, efC = 64)
+        val q = e.where("vec_id = 0").select("embedding").collect().head
+          .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        GraphAnn.search(spark, idx, q, k = 25, ef = 1 << 20)
+          .selectExpr("vec_id", "round(similarity, 6) AS similarity")
+          .orderBy(desc("similarity"), col("vec_id"))
+          .limit(K)
+      },
+      Some(s"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, round(${dCos("embedding", "q_emb")}, 6) AS similarity
+        FROM embeddings, q
+        ORDER BY similarity DESC, vec_id
+        LIMIT $K""")),
+
     // ------------------------ LSH-bucketed ANN (the other V2 scale path)
     // Random-hyperplane LSH: 32 fixed Gaussian planes → 4 bands × 8 sign
     // bits per vector; candidate pairs share a (band_id, band_val)
