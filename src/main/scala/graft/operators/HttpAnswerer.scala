@@ -1,0 +1,107 @@
+package graft.operators
+
+/** Q3 — the production half of answer generation: an OpenAI-style
+  * chat-completions client over the JDK HTTP stack (the reference calls
+  * its provider through httpx with base URL + API key + model,
+  * `/root/reference/src/qa_system.py:41-76`; Q5's key/endpoint config
+  * becomes this class's constructor). No third-party dependencies: the
+  * request body is assembled with strict JSON string escaping and the
+  * response's `content` field is pulled out by a small, correct JSON
+  * string scanner (full escape set incl. \uXXXX) — not a regex.
+  *
+  * Plug into the error-as-answer seam exactly like the stub:
+  * {{{
+  *   val gen = HttpAnswerer("http://llm.internal/v1/chat/completions", key, "some-model")
+  *   Qa.answer(gen.generate)(prompt) // failures become answer strings
+  * }}}
+  * Driver-side by design: generation happens once per user query (the
+  * reference's REPL), never inside a distributed plan — no executor
+  * should hold API credentials or block on a remote model.
+  */
+final case class HttpAnswerer(endpoint: String, apiKey: String, model: String,
+                              timeoutMs: Long = 60000L) {
+
+  def generate(prompt: String): String = {
+    val body =
+      s"""{"model":${HttpAnswerer.jstr(model)},"messages":[{"role":"user","content":${HttpAnswerer.jstr(prompt)}}]}"""
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .header("Content-Type", "application/json")
+      .header("Authorization", s"Bearer $apiKey")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body, java.nio.charset.StandardCharsets.UTF_8))
+      .build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString(java.nio.charset.StandardCharsets.UTF_8))
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(s"HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+    HttpAnswerer.extractContent(resp.body()).getOrElse(
+      throw new RuntimeException(s"no content field in response: ${resp.body().take(200)}"))
+  }
+}
+
+object HttpAnswerer {
+
+  /** Strict JSON string literal (quotes, backslashes, control chars). */
+  private[graft] def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append("\"").toString
+  }
+
+  /** Pull the first `"content"` string value out of a JSON document —
+    * the `choices[0].message.content` field of a chat-completions
+    * response. A full JSON parser is not warranted for one field; this
+    * scanner is still CORRECT for that field: it decodes the complete
+    * escape set (\" \\ \/ \b \f \n \r \t \uXXXX) and cannot be fooled
+    * by escaped quotes inside the value.
+    */
+  private[graft] def extractContent(json: String): Option[String] = {
+    val key = "\"content\""
+    val at = json.indexOf(key)
+    if (at < 0) None
+    else {
+      var i = at + key.length
+      while (i < json.length && (json.charAt(i) == ' ' || json.charAt(i) == ':' ||
+        json.charAt(i) == '\n' || json.charAt(i) == '\r' || json.charAt(i) == '\t')) i += 1
+      if (i >= json.length || json.charAt(i) != '"') None
+      else {
+        i += 1
+        val sb = new StringBuilder
+        var done = false
+        var ok = true
+        while (!done && i < json.length) {
+          json.charAt(i) match {
+            case '"' => done = true; i += 1
+            case '\\' if i + 1 < json.length =>
+              json.charAt(i + 1) match {
+                case '"' => sb += '"'; i += 2
+                case '\\' => sb += '\\'; i += 2
+                case '/' => sb += '/'; i += 2
+                case 'b' => sb += '\b'; i += 2
+                case 'f' => sb += '\f'; i += 2
+                case 'n' => sb += '\n'; i += 2
+                case 'r' => sb += '\r'; i += 2
+                case 't' => sb += '\t'; i += 2
+                case 'u' if i + 5 < json.length =>
+                  try { sb += Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar; i += 6 }
+                  catch { case _: NumberFormatException => ok = false; done = true }
+                case _ => ok = false; done = true
+              }
+            case c => sb += c; i += 1
+          }
+        }
+        if (done && ok) Some(sb.toString) else None
+      }
+    }
+  }
+}
