@@ -361,6 +361,44 @@ object ChunkStore {
                chunk_number::VARCHAR AS chunk_number_str
         FROM chunks""")),
 
+    // S5, the SCALE path: the same positional-id contract computed by
+    // withPositionalIds (range partition → in-partition sort →
+    // partition-offset ids) instead of the reference-fidelity global
+    // row_number window. Same oracle as s5_store_entries — the driver
+    // gate proves the two formulations hand out IDENTICAL ids, so a
+    // user can switch to the scalable path with zero behavior change.
+    QueryDef(
+      "s5_store_entries_scalable",
+      (spark, dir) => {
+        val chunks = graft.operators.Chunker.queries.head.run(spark, dir)
+          .selectExpr("doc_id", "chunk_number", "chunk_text",
+            "coalesce(chunk_number, 0) AS ord")
+        withPositionalIds(chunks, Seq("doc_id", "ord"))
+          .selectExpr(
+            "id",
+            "chunk_text AS text",
+            "cast(doc_id AS string) AS doc_id_str",
+            "cast(chunk_number AS string) AS chunk_number_str")
+      },
+      Some("""
+        WITH ok AS (
+          SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
+          FROM documents
+          WHERE length(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g')) >= 10
+        ), chunks AS (
+          SELECT doc_id, NULL::INT AS chunk_number, tc AS chunk_text
+          FROM ok WHERE length(tc) <= 500
+          UNION ALL
+          SELECT doc_id, (i // 450 + 1)::INT AS chunk_number, substring(tc, i + 1, 500) AS chunk_text
+          FROM ok, LATERAL (SELECT unnest(generate_series(0, length(tc) - 1, 450)) AS i) g
+          WHERE length(tc) > 500 AND length(substring(tc, i + 1, 500)) >= 50
+        )
+        SELECT 'chunk_' || (row_number() OVER (ORDER BY doc_id, coalesce(chunk_number, 0)) - 1) AS id,
+               chunk_text AS text,
+               doc_id::VARCHAR AS doc_id_str,
+               chunk_number::VARCHAR AS chunk_number_str
+        FROM chunks""")),
+
     // S4 reload quirk as a pure query: the metadata projection that
     // survives a CSV round-trip (chunk_number dropped).
     QueryDef(
