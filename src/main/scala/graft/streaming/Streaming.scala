@@ -248,6 +248,62 @@ object Streaming {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  // ------------------------------------------------- streaming top-k
+
+  final case class ScoredDoc(q_id: Long, doc_id: Long, sim: Double)
+  final case class TopKEntry(q_id: Long, doc_id: Long, sim: Double, rank: Int)
+
+  /** Streaming kNN — the incremental twin of the batch
+    * `TopK.TopKAggregator` (v3_knn_batch_agg): candidates stream in,
+    * each query's bounded top-k heap lives in the state store, and a
+    * microbatch emits a query's CURRENT ranked top-k only when the set
+    * improved (Update semantics). State is O(k) per query — never the
+    * candidate history — so an unbounded corpus stream runs in constant
+    * state; the checkpoint carries the heaps, so a resumed stream
+    * continues ranking where it left off.
+    *
+    * Ordering matches every batch kNN query: similarity DESC with NaN
+    * greatest (`java.lang.Double.compare`), ties to the lower doc_id —
+    * emission depends only on data, never wall clock (NoTimeout).
+    */
+  def topKStream(scored: Dataset[ScoredDoc], k: Int): Dataset[TopKEntry] = {
+    import scored.sparkSession.implicits._
+    def better(a: (Long, Double), b: (Long, Double)): Boolean = {
+      val c = java.lang.Double.compare(a._2, b._2)
+      c > 0 || (c == 0 && a._1 < b._1)
+    }
+    scored
+      .groupByKey(_.q_id)
+      .flatMapGroupsWithState[List[(Long, Double)], TopKEntry](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (qId: Long, rows: Iterator[ScoredDoc], state: GroupState[List[(Long, Double)]]) =>
+          val before = state.getOption.getOrElse(Nil)
+          val merged = (before ++ rows.map(r => (r.doc_id, r.sim)))
+            .distinct.sortWith(better).take(k)
+          if (merged == before) Iterator.empty
+          else {
+            state.update(merged)
+            merged.iterator.zipWithIndex.map { case ((d, s), i) =>
+              TopKEntry(qId, d, s, i + 1)
+            }
+          }
+      }
+  }
+
+  /** Score a streaming document-vector feed against a small static
+    * query set: queries broadcast per microbatch (the stream side never
+    * shuffles), native codegen'd cosine. Feed the result to
+    * [[topKStream]] for end-to-end streaming ANN.
+    */
+  def scoreAgainstQueries(docs: DataFrame, queries: DataFrame): Dataset[ScoredDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.plans.VectorExprs.register(spark)
+    docs.crossJoin(broadcast(queries))
+      .selectExpr("q_id", "doc_id", "cosine_f(embedding, q_emb) AS sim")
+      .as[ScoredDoc]
+  }
+
   /** Drain a file-source stream with AvailableNow and wait — the test /
     * batch-parity entry point.
     */

@@ -15,6 +15,53 @@ class StreamingSpec extends SparkSpec {
 
   private def tmp(): String = Files.createTempDirectory("graft_stream").toString
 
+  test("topKStream: bounded per-query heap improves across micro-batches, O(k) state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val ranked = Streaming.topKStream(
+      input.toDS().map(r => Streaming.ScoredDoc(r._1, r._2, r._3)), k = 2)
+    val q = ranked.writeStream.format("memory").queryName("topk_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: three candidates for query 1 → top-2 kept
+      input.addData((1L, 10L, 0.30), (1L, 11L, 0.90), (1L, 12L, 0.50))
+      q.processAllAvailable()
+      val first = spark.table("topk_stream").collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toSet
+      assert(first == Set((1L, 11L, 1), (1L, 12L, 2)))
+      // batch 2: a better candidate displaces doc 12; an unrelated
+      // query starts its own heap; a non-improving candidate is silent
+      input.addData((1L, 13L, 0.70), (1L, 14L, 0.10), (2L, 20L, 0.40))
+      q.processAllAvailable()
+      val rows = spark.table("topk_stream").collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))
+      // last emission for query 1 must be (11 → 1, 13 → 2): doc 12 displaced
+      val q1Last = rows.filter(_._1 == 1L).takeRight(2).toSet
+      assert(q1Last == Set((1L, 11L, 1), (1L, 13L, 2)))
+      assert(rows.filter(_._1 == 2L).toSet == Set((2L, 20L, 1)))
+    } finally q.stop()
+  }
+
+  test("topKStream composes with stream-static scoring (streaming ANN end to end)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("q_id", "q_emb")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val scored = Streaming.scoreAgainstQueries(
+      input.toDF().toDF("doc_id", "embedding"), queries)
+    val q = Streaming.topKStream(scored, k = 2)
+      .writeStream.format("memory").queryName("topk_ann")
+      .outputMode("update").start()
+    try {
+      input.addData((100L, Seq(0.9f, 0.1f)), (101L, Seq(0.0f, 1.0f)), (102L, Seq(0.7f, 0.7f)))
+      q.processAllAvailable()
+      val last = spark.table("topk_ann").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).takeRight(2).toSet
+      assert(last == Set((100L, 1), (102L, 2))) // cosine order vs (1,0)
+    } finally q.stop()
+  }
+
   test("chunkIngest: file-stream chunking matches batch; checkpoint skips processed files") {
     import spark.implicits._
     val in = tmp() + "/in"
