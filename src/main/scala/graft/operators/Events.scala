@@ -338,6 +338,32 @@ object Events {
           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
                  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
           FROM events)
-        WHERE rn <= 3"""))
+        WHERE rn <= 3""")),
+
+    // --------------------------- lag/lead step analysis (extension)
+    // Per-user event transitions: time since the previous event and the
+    // next event's type — the feature most sequence models extract
+    // first. One window keyed by user_id, deterministic (ts, event_id)
+    // order; lag and lead share a single Window spec so Spark computes
+    // both in ONE pass over each partition (one shuffle, one sort —
+    // check the plan: a single Window node carries both functions).
+    QueryDef(
+      "ev_lag_lead",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS ts_us")
+          .selectExpr(
+            "user_id", "event_id", "event_type",
+            """coalesce(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+                        -1L) AS us_since_prev""",
+            """coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+                        'none') AS next_type"""),
+      Some("""
+        SELECT user_id, event_id, event_type,
+               coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+                        -1)::BIGINT AS us_since_prev,
+               coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+                        'none') AS next_type
+        FROM events"""))
   )
 }

@@ -130,6 +130,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "retention must not sort event history")
   }
 
+  test("ev_lag_lead: lag and lead share ONE window pass (single Window node)") {
+    val p = plan("ev_lag_lead")
+    assert(p.split("\\bWindow\\b").length - 1 == 1,
+      "lag/lead with the same spec must fuse into one Window operator")
+    assert(p.contains("hashpartitioning(user_id"), "window must partition by user")
+  }
+
   test("w2_moving_avg: window partitioned by custkey (no single-partition sort)") {
     val p = plan("w2_moving_avg")
     assert(p.contains("Window"))
