@@ -60,6 +60,17 @@ class ChunkStoreSpec extends SparkSpec {
     assert(texts == Set("line one\nline two", "says \"quoted\" and, commas"))
   }
 
+  test("S3/S4: leading/trailing cell whitespace survives verbatim (Python-csv fidelity)") {
+    import spark.implicits._
+    val dir = tmp() + "/csv_ws"
+    val ws = Seq(("  padded on both ends  ", "a.pdf", 1, 1, 1, None: Option[Int]))
+      .toDF("text", "source", "page_number", "paragraph_number", "total_pages", "chunk_number")
+    ChunkStore.writeCsv(ws, dir)
+    val back = ChunkStore.readCsv(spark, dir).collect().head.getAs[String]("text")
+    assert(back == "  padded on both ends  ",
+      "CSV sink/source must not trim cell whitespace (the writer trims by default!)")
+  }
+
   test("S5: positional ids chunk_{i} follow the given ordering from 0") {
     val withIds = ChunkStore.withPositionalIds(sampleChunks(), Seq("source", "page_number", "chunk_number"))
     val ids = withIds.orderBy("source", "page_number", "chunk_number")
