@@ -80,6 +80,47 @@ object Curation {
         FROM documents
         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 = 0""")),
 
+    // -------------------------------------------- sequence packing
+    // Pack documents into fixed token budgets (2048 BPE-ish tokens) —
+    // the batch-assembly step of an LLM training pipeline. Greedy
+    // in-order packing IS a running-sum bucketing: a doc opens a new
+    // pack when the running total BEFORE it crosses a budget boundary.
+    // The running sum is windowed WITHIN salt partitions (pmod 8), so
+    // the sort is partition-local and the operator scales with the
+    // salt count — never a global single-partition window; packs are
+    // salt-scoped by construction (pack_id embeds the salt).
+    QueryDef(
+      "tp_pack_tokens",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id", "pmod(doc_id, 8) AS salt",
+            "cast((length(tc) + 3) div 4 AS bigint) AS n_tokens")
+          .selectExpr("doc_id", "salt", "n_tokens",
+            """sum(n_tokens) OVER (PARTITION BY salt ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS before_sum""")
+          .selectExpr("salt", "doc_id", "n_tokens",
+            "salt * 1000000 + before_sum div 2048 AS pack_id")
+          .groupBy("pack_id")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(sum(n_tokens) AS bigint) AS pack_tokens"),
+            expr("min(doc_id) AS first_doc"),
+            expr("max(doc_id) AS last_doc")),
+      Some("""
+        SELECT pack_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM (
+          SELECT doc_id, salt, n_tokens,
+                 salt * 1000000 + (sum(n_tokens) OVER (PARTITION BY salt ORDER BY doc_id
+                                                       ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS pack_id
+          FROM (
+            SELECT doc_id, doc_id % 8 AS salt,
+                   ((length(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g')) + 3) // 4)::BIGINT AS n_tokens
+            FROM documents))
+        GROUP BY pack_id""")),
+
     // ------------------------------------------------ corpus curation
     // quality gate (min length) → exact dedup (keep min doc_id per
     // normalized-text hash) → near-dup removal (drop the RIGHT side of

@@ -130,6 +130,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "retention must not sort event history")
   }
 
+  test("tp_pack_tokens: running sum windows by SALT, never a global sort") {
+    val p = plan("tp_pack_tokens")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(salt"), "packing window must partition by salt")
+    assert(!p.contains("SinglePartition"), "global single-partition window reintroduced")
+  }
+
   test("ev_lag_lead: lag and lead share ONE window pass (single Window node)") {
     val p = plan("ev_lag_lead")
     assert(p.split("\\bWindow\\b").length - 1 == 1,
