@@ -109,7 +109,7 @@ object Curation {
             expr("min(doc_id) AS first_doc"),
             expr("max(doc_id) AS last_doc")),
       Some("""
-        SELECT pack_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens,
+        SELECT pack_id::BIGINT AS pack_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM (
           SELECT doc_id, salt, n_tokens,

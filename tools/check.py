@@ -19,13 +19,34 @@ def canon(v):
     if isinstance(v, list): return tuple(canon(x) for x in v)
     if hasattr(v, "isoformat"): return v.isoformat()
     from decimal import Decimal
-    if isinstance(v, Decimal): return float(v)
+    if isinstance(v, Decimal):
+        # NEVER float-coerce: the driver hashes typed values, so a
+        # decimal128 oracle column vs an int64 spark column must FAIL
+        # here too (r4 tp_pack_tokens shipped red because this coerced).
+        return v if v != v.to_integral_value() else ("decimal", int(v))
     return v
+
+def type_family(t):
+    """Coarse arrow-type family: the driver hashes typed values, so a
+    decimal-vs-integer mismatch fails its gate even when values agree.
+    Widths within a family (int32/int64, float32/float64) are tolerated."""
+    import pyarrow.types as pt
+    if pt.is_decimal(t): return "decimal"
+    if pt.is_integer(t): return "int"
+    if pt.is_floating(t): return "float"
+    if pt.is_boolean(t): return "bool"
+    if pt.is_string(t) or pt.is_large_string(t): return "string"
+    if pt.is_binary(t) or pt.is_large_binary(t): return "binary"
+    if pt.is_timestamp(t): return "timestamp"
+    if pt.is_date(t): return "date"
+    if pt.is_list(t) or pt.is_large_list(t): return f"list<{type_family(t.value_type)}>"
+    return str(t)
 
 def rows_of(table):
     cols = sorted(table.column_names)
+    fams = [type_family(table.schema.field(c).type) for c in cols]
     data = [table.column(c).to_pylist() for c in cols]
-    return cols, sorted((tuple(canon(v) for v in row) for row in zip(*data)), key=repr)
+    return cols, fams, sorted((tuple(canon(v) for v in row) for row in zip(*data)), key=repr)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -50,10 +71,14 @@ def main():
             print(f"[FAIL] {name}: oracle error: {e}"); n_fail += 1; continue
         if got is None:
             print(f"[FAIL] {name}: spark output missing"); n_fail += 1; continue
-        gc, gr = rows_of(got)
-        wc, wr = rows_of(want)
+        gc, gf, gr = rows_of(got)
+        wc, wf, wr = rows_of(want)
         if gc != wc:
             print(f"[FAIL] {name}: columns {gc} != {wc}"); n_fail += 1; continue
+        if gf != wf:
+            bad = [(c, a, b) for c, a, b in zip(gc, gf, wf) if a != b]
+            print(f"[FAIL] {name}: type mismatch {bad} (driver hashes typed values)")
+            n_fail += 1; continue
         if len(gr) != len(wr):
             print(f"[FAIL] {name}: rows {len(gr)} != {len(wr)}"); n_fail += 1; continue
         if gr != wr:
