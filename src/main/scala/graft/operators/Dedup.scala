@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication suite — the training-data-pipeline extension family:
   * exact dedup, MinHash+LSH, SimHash, n-gram Jaccard verification, and
@@ -88,6 +89,14 @@ object Dedup {
       // second barrier: materialize hs so projection collapse cannot
       // re-inline the shingle fold into every downstream consumer
       .repartition(Par, col("doc_id"))
+      // the shingle fold feeds at least two DAG branches in every
+      // consumer (band join + Jaccard verify); a repartition fences
+      // projection collapse but does NOT stop Spark recomputing the
+      // fold per branch — persist so it runs once. CacheManager keys
+      // on the canonicalized plan, so every query over the same dir
+      // shares one entry; MEMORY_AND_DISK spills instead of OOMing at
+      // real scale.
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   private val shingleHashesSql: String =
@@ -126,12 +135,22 @@ object Dedup {
     * native minhashes → 4 bands × 4 rows → bucket self-join on
     * (band, key) only → distinct candidates → exact Jaccard ≥ 0.5.
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    verifyJaccard(minhashCandidates(spark, dir), shingleHashes(spark, dir))
+
+  /** The pre-verification LSH candidate pair set — exposed so
+    * PruningSpec can assert the banding actually prunes (candidates ≪
+    * all pairs), a property a recall-only oracle cannot see break.
+    */
+  private[graft] def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashes(spark, dir)
     // native one-pass 16-permutation minhash (graft.plans.TextHash);
     // coefficients identical to the literal arrays in the oracle SQL
     val sig = sh.selectExpr("doc_id", "minhash16(hs) AS mh")
       .repartition(Par, col("doc_id"))
+      // mh explodes into Bands band-key rows; persist keeps the
+      // 16-permutation fold from re-running per band branch
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = sig.selectExpr(
         "doc_id",
         s"""explode(transform(sequence(0, ${Bands - 1}, 1),
@@ -142,12 +161,11 @@ object Dedup {
     val l = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
     val r = bands.select(col("band_id").as("band_id_r"), col("band_key").as("band_key_r"),
       col("doc_id").as("doc_b"))
-    val cand = l.join(r,
+    l.join(r,
         l("band_id") === r("band_id_r") && l("band_key") === r("band_key_r") &&
           l("doc_a") < r("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh)
   }
 
   /** DuckDB twin of [[minhashPairs]] (a complete SELECT usable as a
@@ -217,26 +235,10 @@ object Dedup {
     // SimHash near-dup pairs: 4 × 15-bit band blocking, then Hamming ≤ 6.
     QueryDef(
       "dd_simhash_pairs",
-      (spark, dir) => {
-        val s = simhashDf(spark, dir)
-        val bands = s.selectExpr(
-            "doc_id", "simhash",
-            s"""explode(transform(sequence(0, ${SimBands - 1}, 1),
-                       b -> named_struct('band_id', b,
-                                         'band_val', (simhash div shiftleft(cast(1 AS bigint), b * $SimBandBits)) % ${1 << SimBandBits}))) AS bk""")
-          .selectExpr("doc_id", "simhash", "bk.band_id AS band_id", "bk.band_val AS band_val")
-        val l = bands.select(col("band_id"), col("band_val"),
-          col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-        val r = bands.select(col("band_id").as("band_id_r"), col("band_val").as("band_val_r"),
-          col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-        l.join(r,
-            l("band_id") === r("band_id_r") && l("band_val") === r("band_val_r") &&
-              l("doc_a") < r("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
-          .dropDuplicates("doc_a", "doc_b")
+      (spark, dir) =>
+        simhashCandidates(spark, dir)
           .selectExpr("doc_a", "doc_b", "cast(bit_count(sim_a ^ sim_b) AS bigint) AS hamming")
-          .where(s"hamming <= $HammingMax")
-      },
+          .where(s"hamming <= $HammingMax"),
       Some(s"""
         WITH s AS ($simhashSql),
         bands AS (
@@ -340,15 +342,41 @@ object Dedup {
         JOIN texts b ON p.doc_b = b.doc_id""")),
 
     // ------------------------------------- embedding-cosine near-dup
-    // Label-blocked LSH-banded pairwise cosine: candidates come from a
-    // (label, band) bucket self-join, exact dot re-verifies. The DuckDB
+    // Production-threshold (≥ 0.9) banded near-dup over the derived
+    // twin corpus (embeddings + deterministic near-twins — the driver
+    // tables alone contain no pair above cosine 0.51, so a meaningful
+    // near-dup gate must plant some). Candidates come from a
+    // (label, band) bucket self-join with REAL pruning (34–46× vs
+    // all-pairs, PruningSpec-pinned); exact dot re-verifies. The DuckDB
     // oracle DELIBERATELY stays on the all-pairs-within-label
-    // formulation — a green row therefore proves the banding recalled
-    // EVERY pair above threshold, not just that two copies of the same
-    // code agree. DedupSpec pins the same equality in-engine.
+    // formulation over the same derived corpus — a green row therefore
+    // proves the banding recalled EVERY pair above threshold, not just
+    // that two copies of the same code agree. DedupSpec pins the same
+    // equality in-engine.
     QueryDef(
       "dd_embed_neardup",
       (spark, dir) => embedNearDupBanded(spark, dir),
+      Some(s"""
+        WITH ${embedTwinCorpusSql}
+        SELECT label, vec_a, vec_b, round(cos, 6) AS cosine
+        FROM (
+          SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_sum(list_transform(generate_series(1, len(a.emb_n)), i -> a.emb_n[i] * b.emb_n[i])) AS cos
+          FROM cn a JOIN cn b ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE cos >= $EmbNearDupThreshold""")),
+
+    // ------------------------------- low-threshold similarity pairs
+    // Within-label pairwise cosine at 0.35 — a SIMILARITY-MINING
+    // threshold, not a near-dup one: at θ ≈ 69° no sign-LSH banding
+    // prunes (r4 measured 16 × 2-bit bands admitting ~99% of random
+    // pairs, 7.5× slower than this form) and IVF blocking loses recall
+    // (measured: every (C, nprobe) ≤ (64, 4) misses true pairs on this
+    // corpus). Blocked exact all-pairs IS the honest algorithm here;
+    // the label block bounds the quadratic term, and callers who need
+    // an unblocked low threshold at 100 TB want v3's top-k kNN instead.
+    QueryDef(
+      "dd_embed_simpairs",
+      (spark, dir) => embedNearDupAllPairs(spark, dir),
       Some(s"""
         WITH e0 AS (
           SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb_d,
@@ -381,8 +409,10 @@ object Dedup {
     graft.plans.VectorExprs.register(spark)
     Tables.embeddings(spark, dir)
       .selectExpr("label", "vec_id", "transform(embedding, x -> cast(x AS double)) AS emb_d")
-      .selectExpr("label", "vec_id",
-        "sqrt(aggregate(transform(emb_d, y -> y * y), 0D, (acc, v) -> acc + v)) AS nrm", "emb_d")
+      // dot_f(v, v) is the same left-to-right double fold the DuckDB
+      // oracle's list_sum runs, but codegen'd (the aggregate() HOF
+      // interprets its lambda per element)
+      .selectExpr("label", "vec_id", "sqrt(dot_f(emb_d, emb_d)) AS nrm", "emb_d")
       .selectExpr("label", "vec_id",
         "CASE WHEN nrm = 0D THEN emb_d ELSE transform(emb_d, x -> x / nrm) END AS emb_n")
   }
@@ -393,13 +423,14 @@ object Dedup {
     * normalized vectors uses the same left-to-right double fold as the
     * DuckDB oracle — value-identical arithmetic.
     */
-  private def verifyCosine(cand: DataFrame, e: DataFrame): DataFrame = {
+  private def verifyCosine(cand: DataFrame, e: DataFrame,
+                           threshold: Double = CosineThreshold): DataFrame = {
     val ea = e.select(col("vec_id").as("vec_a"), col("emb_n").as("emb_a"))
     val eb = e.select(col("vec_id").as("vec_b"), col("emb_n").as("emb_b"))
     cand.join(ea, "vec_a").join(eb, "vec_b")
       .selectExpr("label", "vec_a", "vec_b",
         "dot_f(emb_a, emb_b) AS cos") // native codegen'd loop (graft.plans.DotProduct)
-      .where(s"cos >= $CosineThreshold")
+      .where(s"cos >= $threshold")
       .selectExpr("label", "vec_a", "vec_b", "round(cos, 6) AS cosine")
   }
 
@@ -417,49 +448,137 @@ object Dedup {
     verifyCosine(cand, e)
   }
 
-  // Banding parameters: Knn.LshPlanes' 32 fixed Gaussian hyperplanes
-  // (the SAME planes v4_lsh_ann signs against) regrouped as 16 bands ×
-  // 2 sign bits. Collision probability per band for a pair at angle θ
-  // is (1 - θ/π)²; at this query's LOW threshold (0.35 ⇒ θ ≈ 69°) a
-  // pair collides somewhere among the 16 bands with p > 0.999, and on
-  // the FIXED test corpus the planes are constants — recall is
-  // deterministic and the all-pairs oracle proves it complete. At a
-  // production near-dup threshold (≥ 0.9 ⇒ θ ≤ 26°) the same operator
-  // wants FEWER, WIDER bands (e.g. 4 × 8 exactly as v4 groups them):
-  // bucket count 2^bits must exceed the band count for the candidate
-  // space L·Σbucket² to undercut the all-pairs block².
-  private val EmbBandBits = 2
-  private val EmbBands = 16
+  // --------------------------- production-threshold banded near-dup
+  // Sign-LSH can only prune when the threshold is a NEAR-DUP threshold:
+  // at cosine ≥ 0.9 (θ ≤ 26°) a 4 × 8-bit banding (Knn.LshPlanes, the
+  // SAME 32 planes v4_lsh_ann signs against, in the same grouping)
+  // collides true pairs with p ≈ 1 while a random pair (θ ≈ 90°)
+  // collides with p ≈ 4·(1/2)⁸ ≈ 1.6% — measured 34–46× candidate
+  // pruning on this corpus. At the r4 parameters (16 bands × 2 bits,
+  // threshold 0.35 ⇒ θ ≈ 69°) a RANDOM pair collided somewhere with
+  // p ≈ 1−(3/4)¹⁶ ≈ 0.99: the bucket join regenerated ~the whole pair
+  // space plus banding overhead — pruning theater. PruningSpec pins
+  // both facts. Low-threshold similarity mining (dd_embed_simpairs)
+  // stays on blocked-exact all-pairs, the honest algorithm there.
+  private val EmbNearDupThreshold = 0.9
+  private val EmbEps = 0.005
 
-  private def embBandVal(b: Int): String =
-    (0 until EmbBandBits).map { j =>
-      s"(CASE WHEN dot_f(embedding, ${Knn.planeSpark(Knn.LshPlanes(b * EmbBandBits + j))}) > 0D THEN ${1L << j}L ELSE 0L END)"
-    }.mkString("(", " + ", ")")
-
-  /** Banded near-dup: sign-bit signatures off the raw embeddings (the
-    * sign of dot(v, plane) is scale-invariant, so normalization is not
-    * needed for banding), bucket self-join on (label, band_id, band_val)
-    * carrying ONLY ids, distinct, exact verify. The pair space is
-    * per-bucket, not per-block: a hot label no longer implies O(block²).
+  /** Deterministic perturbation direction: the seed-12345 Gaussian
+    * stream CONTINUED past the 32×64 draws Knn.LshPlanes consumed.
+    * (A second Random seeded differently is NOT usable here: Java's
+    * LCG produces cross-seed-correlated early draws, and a perturbation
+    * correlated with the banding planes shifts every sign margin the
+    * same way — measured 7% twin-pair recall loss before this fix.)
     */
-  private[graft] def embedNearDupBanded(spark: SparkSession, dir: String): DataFrame = {
+  private val PerturbDir: Seq[Double] = {
+    val rnd = new scala.util.Random(12345)
+    (0 until 32 * 64 + 64).map(_ => rnd.nextGaussian()).drop(32 * 64)
+  }
+
+  /** The near-dup demo corpus: every (re-normalized) embedding plus a
+    * deterministic near-twin nudged by EmbEps along [[PerturbDir]]
+    * (twin ids offset by 1 000 000). The driver's tables contain no
+    * pairs above cosine 0.51, so a production-threshold gate needs a
+    * corpus that actually CONTAINS near-dups; deriving twins inside the
+    * query keeps the oracle an independent all-pairs computation over
+    * the same derived corpus. Emits (label, vec_id, emb_n) with emb_n
+    * L2-normalized doubles.
+    */
+  private[graft] def embedTwinCorpus(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExprs.register(spark)
-    val bandStructs = (0 until EmbBands)
-      .map(b => s"named_struct('band_id', $b, 'band_val', ${embBandVal(b)})")
+    val base = normalizedEmbeddings(spark, dir)
+    val twins = base.selectExpr("label", "vec_id + 1000000L AS vec_id",
+      s"zip_with(emb_n, ${Knn.planeSpark(PerturbDir)}, (x, d) -> x + ${EmbEps}D * d) AS emb")
+    val corpus = base.selectExpr("label", "cast(vec_id AS bigint) AS vec_id", "emb_n AS emb")
+      .unionAll(twins)
+    corpus
+      .selectExpr("label", "vec_id", "emb", "sqrt(dot_f(emb, emb)) AS nrm")
+      .selectExpr("label", "vec_id",
+        "CASE WHEN nrm = 0D THEN emb ELSE transform(emb, x -> x / nrm) END AS emb_n")
+  }
+
+  /** DuckDB twin of [[embedTwinCorpus]] — same construction, same
+    * left-to-right double folds, same literal perturbation array.
+    */
+  private def embedTwinCorpusSql: String = s"""
+        e0 AS (
+          SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb_d,
+                 sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))) AS nrm
+          FROM embeddings),
+        base AS (
+          SELECT label, vec_id,
+                 CASE WHEN nrm = 0 THEN emb_d ELSE list_transform(emb_d, x -> x / nrm) END AS emb_n
+          FROM e0),
+        corpus AS (
+          SELECT label, vec_id::BIGINT AS vec_id, emb_n AS emb FROM base
+          UNION ALL
+          SELECT label, vec_id + 1000000, list_transform(generate_series(1, len(emb_n)),
+                   i -> emb_n[i] + $EmbEps * (${Knn.planeDuck(PerturbDir)})[i])
+          FROM base),
+        cn0 AS (
+          SELECT label, vec_id, emb,
+                 sqrt(list_sum(list_transform(emb, y -> y * y))) AS nrm
+          FROM corpus),
+        cn AS (
+          SELECT label, vec_id,
+                 CASE WHEN nrm = 0 THEN emb ELSE list_transform(emb, x -> x / nrm) END AS emb_n
+          FROM cn0)"""
+
+  /** Banded candidate generation over a (label, vec_id, emb_n) corpus:
+    * sign-bit band signatures (sign of dot(v, plane) is scale-invariant),
+    * bucket self-join on (label, band_id, band_val) carrying ONLY ids,
+    * distinct. The pair space is per-bucket, not per-block — a hot label
+    * spreads over 2^bits buckets per band instead of degenerating to
+    * O(block²). Parameterized so PruningSpec can demonstrate the
+    * r4-degenerate (16 × 2) grouping against the production (4 × 8) one
+    * over the same 32 planes.
+    */
+  private[graft] def embedBandCandidates(corpus: DataFrame,
+                                         bands: Int, bits: Int): DataFrame = {
+    require(bands * bits <= Knn.LshPlanes.size, "not enough fixed planes")
+    def bandVal(b: Int): String =
+      (0 until bits).map { j =>
+        s"(CASE WHEN dot_f(emb_n, ${Knn.planeSpark(Knn.LshPlanes(b * bits + j))}) > 0D THEN ${1L << j}L ELSE 0L END)"
+      }.mkString("(", " + ", ")")
+    val bandStructs = (0 until bands)
+      .map(b => s"named_struct('band_id', $b, 'band_val', ${bandVal(b)})")
       .mkString("array(", ", ", ")")
-    val bands = Tables.embeddings(spark, dir)
+    val bk = corpus
       .selectExpr("label", "vec_id", s"explode($bandStructs) AS bk")
       .selectExpr("label", "vec_id", "bk.band_id AS band_id", "bk.band_val AS band_val")
-    val l = bands.select(col("label"), col("band_id"), col("band_val"),
-      col("vec_id").as("vec_a"))
-    val r = bands.select(col("label").as("label_r"), col("band_id").as("band_id_r"),
+    val l = bk.select(col("label"), col("band_id"), col("band_val"), col("vec_id").as("vec_a"))
+    val r = bk.select(col("label").as("label_r"), col("band_id").as("band_id_r"),
       col("band_val").as("band_val_r"), col("vec_id").as("vec_b"))
-    val cand = l.join(r,
+    l.join(r,
         l("label") === r("label_r") && l("band_id") === r("band_id_r") &&
           l("band_val") === r("band_val_r") && l("vec_a") < r("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"))
       .distinct()
-    verifyCosine(cand, normalizedEmbeddings(spark, dir))
+  }
+
+  /** The registered dd_embed_neardup pipeline: twin corpus → 4 × 8-bit
+    * banded candidates → exact cosine verify at the production 0.9
+    * threshold.
+    */
+  private[graft] def embedNearDupBanded(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embedTwinCorpus(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds banding AND verify
+    verifyCosine(embedBandCandidates(corpus, bands = 4, bits = 8),
+      corpus.select(col("label"), col("vec_id"), col("emb_n")), EmbNearDupThreshold)
+  }
+
+  /** All-pairs-within-label ground truth over the SAME twin corpus at
+    * the production threshold — DedupSpec's recall reference for
+    * [[embedNearDupBanded]] (the oracle SQL is the cross-engine twin
+    * of this).
+    */
+  private[graft] def embedTwinAllPairs(spark: SparkSession, dir: String): DataFrame = {
+    val c = embedTwinCorpus(spark, dir)
+    val l = c.select(col("label"), col("vec_id").as("vec_a"))
+    val r = c.select(col("label").as("label_r"), col("vec_id").as("vec_b"))
+    val cand = l.join(r, l("label") === r("label_r") && l("vec_a") < r("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"))
+    verifyCosine(cand, c, EmbNearDupThreshold)
   }
 
   // ---------------------------------------------------------------------
@@ -467,6 +586,29 @@ object Dedup {
     * `simhash60` kernels (graft.plans.TextHash) — the SQL lambda
     * formulation interprets 60 × n_tokens lambda dispatches per doc.
     */
+  /** 15-bit-band blocked simhash candidate pairs, pre-Hamming-filter —
+    * the dd_simhash_pairs generator, exposed so PruningSpec can assert
+    * the band blocking prunes (candidates ≪ all pairs).
+    */
+  private[graft] def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val s = simhashDf(spark, dir)
+    val bands = s.selectExpr(
+        "doc_id", "simhash",
+        s"""explode(transform(sequence(0, ${SimBands - 1}, 1),
+                   b -> named_struct('band_id', b,
+                                     'band_val', (simhash div shiftleft(cast(1 AS bigint), b * $SimBandBits)) % ${1 << SimBandBits}))) AS bk""")
+      .selectExpr("doc_id", "simhash", "bk.band_id AS band_id", "bk.band_val AS band_val")
+    val l = bands.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val r = bands.select(col("band_id").as("band_id_r"), col("band_val").as("band_val_r"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    l.join(r,
+        l("band_id") === r("band_id_r") && l("band_val") === r("band_val_r") &&
+          l("doc_a") < r("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExprs.register(spark)
     Tables.documents(spark, dir)

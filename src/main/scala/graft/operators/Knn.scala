@@ -38,7 +38,7 @@ object Knn {
     String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
   private[graft] def planeSpark(p: Seq[Double]): String =
     p.map(v => s"${fmt(v)}D").mkString("array(", ", ", ")")
-  private def planeDuck(p: Seq[Double]): String =
+  private[graft] def planeDuck(p: Seq[Double]): String =
     p.map(fmt).mkString("[", ", ", "]")
   /** Spark band value: 8 sign bits of dot(embedding, plane) packed LSB-first. */
   private def bandValSpark(b: Int): String =
