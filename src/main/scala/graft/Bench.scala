@@ -30,7 +30,11 @@ object Bench {
     // under-measure (a fingerprint query's fold never runs under count)
     def exhaust(d: QueryDef, dir: String): Unit =
       d.run(spark, dir).write.mode("overwrite").format("noop").save()
+    // optional comma-separated subset filter for local profiling runs;
+    // unset (the driver's invocation) benches every registered query
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val benched = Registry.all.filter(_.bench)
+      .filter(d => only.forall(_.contains(d.name)))
     // warmup 1 — tiny SF: classload + codegen out of the measured numbers
     benched.foreach { d =>
       try exhaust(d, "/root/testdata/sf0.001")

@@ -136,7 +136,13 @@ object Dedup {
     * (band, key) only → distinct candidates → exact Jaccard ≥ 0.5.
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    // four consumers (dd_minhash_lsh, dd_edit_distance, dd_cluster, the
+    // tp_curate pair) re-derive this tiny verified-pair set; persisting
+    // the RESULT (not just the folds feeding it) makes the band join +
+    // verify run once per dir — CacheManager shares the entry across
+    // queries because the canonicalized plan is identical
     verifyJaccard(minhashCandidates(spark, dir), shingleHashes(spark, dir))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** The pre-verification LSH candidate pair set — exposed so
     * PruningSpec can assert the banding actually prunes (candidates ≪

@@ -215,6 +215,51 @@ object Knn {
         ORDER BY similarity DESC, vec_id
         LIMIT $K""")),
 
+    // ------------------------------ IVF multi-probe over the index at rest
+    // The recall/cost knob a 100 TB deployment actually tunes: nprobe > 1
+    // widens the probed fraction of the corpus (here 2 of 8 clusters) to
+    // recover neighbors that fell just across a Voronoi boundary. Unlike
+    // v5 (which assigns inline), this row exercises the FULL at-rest path
+    // the scale design prescribes: writeIvfIndex persists the corpus
+    // PARTITIONED BY cluster_id, and ivfSearch's cluster predicate prunes
+    // the scan to the probe partitions (IvfSpec pins both the pruning and
+    // the probe count). Oracle: exact kNN RESTRICTED to the same two
+    // probed clusters, derived from the rank-window assignment — an
+    // independent formulation of both the assignment and the probe set.
+    QueryDef(
+      "v5_ivf_knn_mp",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val e = Tables.embeddings(spark, dir)
+        val cents = e.where("vec_id < 8")
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+        val idx = java.nio.file.Files.createTempDirectory("graft_ivf_gate").toString + "/idx"
+        writeIvfIndex(spark, e, cents, idx)
+        val q = e.where("vec_id = 0").select("embedding").collect().head
+          .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        ivfSearch(spark, idx, cents, q, k = K, nprobe = 2)
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 8),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        probes AS (
+          SELECT cent_id FROM cent, q
+          ORDER BY ${dCos("cent_emb", "q_emb")} DESC, cent_id
+          LIMIT 2),
+        assigned AS (
+          SELECT vec_id, embedding, cent_id AS cluster_id
+          FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ${dCos("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rn
+            FROM embeddings e, cent c)
+          WHERE rn = 1)
+        SELECT vec_id, cluster_id, round(${dCos("embedding", "q_emb")}, 6) AS similarity
+        FROM assigned, q
+        WHERE cluster_id IN (SELECT cent_id FROM probes)
+        ORDER BY similarity DESC, vec_id
+        LIMIT $K""")),
+
     // --------------------- sharded-NSW graph ANN (the V2 HNSW analog)
     // Build the per-shard navigable-small-world index, then search it at
     // FULL beam width: coverage is total, so the result must equal the

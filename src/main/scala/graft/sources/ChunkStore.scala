@@ -195,7 +195,8 @@ object ChunkStore {
 
   def queries: Seq[QueryDef] = Seq(
     // S1+S2+E1-E5+C1 over REAL PDF BYTES: the fixture corpus (2-page
-    // Flate-compressed + 1-page raw + a decoy .txt) is written to disk,
+    // Flate-compressed + 1-page raw + a Type0/CID CJK file + an
+    // ObjStm-packed file + a decoy .txt) is written to disk,
     // scanned with the case-insensitive binaryFile source, parsed by the
     // from-scratch PDF extractor, layout-segmented, cleaned, chunked.
     // The oracle holds the hand-simulated expected rows as literal
@@ -220,7 +221,13 @@ object ChunkStore {
           ('a.pdf', 2::INT, 1::INT, 2::INT, NULL::INT,
            'Second page opens with kerned text runs. And a continuation line via the leading operator arrives.'),
           ('B.PDF', 1::INT, 1::INT, 1::INT, NULL::INT,
-           'Uppercase extension file with one short paragraph inside.')
+           'Uppercase extension file with one short paragraph inside.'),
+          ('cjk.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Unit 01: 数据工程与分布式查询引擎概论。'),
+          ('cjk.pdf', 1::INT, 2::INT, 1::INT, NULL::INT,
+           '本章介绍大规模语料的去重、检索与质量评估方法。'),
+          ('m.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Modern object stream layout parses through the packed table.')
         ) t(source, page_number, paragraph_number, total_pages, chunk_number, text)"""),
       bench = false),
 

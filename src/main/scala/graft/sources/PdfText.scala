@@ -12,13 +12,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * files whose page content streams are plain or FlateDecode (the JDK
   * inflater), with text shown through the standard BT/ET operators.
   *
-  * Scope honestly stated: simple (non-CID) fonts with literal/hex
-  * strings — ASCII/Latin-1 text extracts byte-exactly; CID-keyed CJK
-  * fonts would need embedded CMap decoding (PyMuPDF ships these tables;
-  * a from-scratch port is out of scope and documented as the seam to
-  * extend). No xref parsing: objects are discovered by a tolerant
-  * linear scan, which also survives files with broken cross-reference
-  * tables (a class of real-world PDFs strict parsers reject).
+  * Scope: simple fonts with literal/hex strings extract byte-exactly
+  * (Latin-1), and Type0/CID-keyed fonts (the CJK population — the
+  * reference's own corpus is Chinese course PDFs) decode through their
+  * embedded /ToUnicode CMap: `Tf` switches the active font, a Type0
+  * font's show strings are consumed as 2-byte codes, and bfchar/bfrange
+  * entries map codes to UTF-16BE text — the same mapping PyMuPDF applies
+  * when `page.get_text()` walks a CID font. Fonts with neither a simple
+  * encoding nor a ToUnicode map yield no text (tolerant, like an OCR
+  * gap). Object discovery needs no xref: a tolerant linear scan finds
+  * top-level objects — surviving broken cross-reference tables strict
+  * parsers reject — and additionally expands /Type /ObjStm object
+  * streams, the compressed object tables modern PDF writers emit.
   *
   * The block→line mapping mirrors what the reference reads off
   * PyMuPDF: each BT..ET section is one block; within a block,
@@ -56,9 +61,43 @@ object PdfText {
   /** Tolerant linear scan for `N 0 obj ... endobj` — no xref needed.
     * Stream extents come from a direct /Length when present, else from
     * searching `endstream` (indirect /Length refs are rare in practice
-    * and the fallback stays correct for them).
+    * and the fallback stays correct for them). Objects packed into
+    * `/Type /ObjStm` compressed object streams (the modern-writer
+    * layout) are expanded afterwards; a top-level object with the same
+    * number wins (the incremental-update convention).
     */
   private[sources] def scanObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+    val direct = scanTopLevel(bytes)
+    val packed = direct.values
+      .filter(o => raw"/Type\s*/ObjStm".r.findFirstIn(o.dict).isDefined)
+      .flatMap(expandObjStm)
+      .toMap
+    packed ++ direct
+  }
+
+  /** Unpack one /Type /ObjStm stream: the decoded payload opens with
+    * /N (objnum, offset) integer pairs; object bodies start at /First.
+    * Streams cannot nest inside an ObjStm, so every entry is a plain
+    * dictionary/body object.
+    */
+  private def expandObjStm(obj: PdfObj): Seq[(Int, PdfObj)] = {
+    val n = raw"/N\s+(\d+)".r.findFirstMatchIn(obj.dict).map(_.group(1).toInt)
+    val first = raw"/First\s+(\d+)".r.findFirstMatchIn(obj.dict).map(_.group(1).toInt)
+    (n, first, decodeStream(obj)) match {
+      case (Some(n), Some(first), Some(data)) if first <= data.length =>
+        val s = latin1(data)
+        val header = raw"\d+".r.findAllIn(s.substring(0, first)).map(_.toInt).toSeq
+        val pairs = header.grouped(2).collect { case Seq(num, off) => (num, off) }.toSeq.take(n)
+        pairs.zipWithIndex.map { case ((num, off), i) =>
+          val start = math.min(first + off, s.length)
+          val end = pairs.lift(i + 1).map(p => math.min(first + p._2, s.length)).getOrElse(s.length)
+          num -> PdfObj(s.substring(start, end), None)
+        }
+      case _ => Nil
+    }
+  }
+
+  private def scanTopLevel(bytes: Array[Byte]): Map[Int, PdfObj] = {
     val s = latin1(bytes)
     objRe.findAllMatchIn(s).flatMap { m =>
       val num = m.group(1).toInt
@@ -168,6 +207,102 @@ object PdfText {
       contents.flatMap(n => objs.get(n)).flatMap(decodeStream).map(latin1)
     }.mkString("\n")
 
+  // ------------------------------------------------ font / CMap decoding
+
+  /** Parse a /ToUnicode CMap: `beginbfchar` pairs and `beginbfrange`
+    * runs (both the consecutive-increment and explicit-array forms) map
+    * character codes to UTF-16BE destination text — a destination may
+    * be several UTF-16 units (ligatures, surrogate pairs).
+    */
+  private[graft] def parseToUnicodeCMap(cmap: String): Map[Int, String] = {
+    val hex = raw"<([0-9A-Fa-f]+)>"
+    def code(h: String): Int = java.lang.Integer.parseInt(h, 16)
+    def utf16(h: String): String = {
+      val p = if (h.length % 4 == 0) h else ("0" * (4 - h.length % 4)) + h
+      p.grouped(4).map(g => java.lang.Integer.parseInt(g, 16).toChar).mkString
+    }
+    val out = Map.newBuilder[Int, String]
+    raw"(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(cmap).foreach { m =>
+      raw"$hex\s*$hex".r.findAllMatchIn(m.group(1)).foreach { e =>
+        out += code(e.group(1)) -> utf16(e.group(2))
+      }
+    }
+    raw"(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(cmap).foreach { m =>
+      // explicit-array form first: <lo> <hi> [<d0> <d1> ...]
+      val arrayForm = raw"(?s)$hex\s*$hex\s*\[(.*?)\]".r
+      val body = m.group(1)
+      arrayForm.findAllMatchIn(body).foreach { e =>
+        val lo = code(e.group(1))
+        hex.r.findAllMatchIn(e.group(3)).zipWithIndex.foreach { case (d, i) =>
+          out += (lo + i) -> utf16(d.group(1))
+        }
+      }
+      // increment form on what remains: <lo> <hi> <dst>
+      raw"$hex\s*$hex\s*$hex".r.findAllMatchIn(arrayForm.replaceAllIn(body, " ")).foreach { e =>
+        val (lo, hi) = (code(e.group(1)), code(e.group(2)))
+        val dst = utf16(e.group(3))
+        // increment applies to the LAST UTF-16 unit (PDF 32000 §9.10.3)
+        (0 to (hi - lo)).foreach { i =>
+          out += (lo + i) -> (dst.dropRight(1) + (dst.last + i).toChar)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** A font's show-string decoder: raw string bytes (as Latin-1 chars)
+    * → Unicode text.
+    */
+  private type Decoder = String => String
+  private val Latin1Decoder: Decoder = identity
+
+  /** Build the decoder for one font object. Type0 (CID-keyed) fonts
+    * consume 2-byte codes and REQUIRE a ToUnicode map (Identity-H CIDs
+    * carry no inherent text meaning — emitting raw codes would be
+    * garbage, so an unmapped Type0 yields nothing); simple fonts apply
+    * a 1-byte ToUnicode when present and fall through to Latin-1.
+    */
+  private def fontDecoder(objs: Map[Int, PdfObj], fontObj: Int): Decoder = {
+    objs.get(fontObj).map { o =>
+      val toUni = raw"/ToUnicode\s+(\d+)\s+\d+\s+R".r.findFirstMatchIn(o.dict)
+        .flatMap(m => objs.get(m.group(1).toInt))
+        .flatMap(decodeStream)
+        .map(b => parseToUnicodeCMap(latin1(b)))
+      if (raw"/Subtype\s*/Type0".r.findFirstIn(o.dict).isDefined) {
+        val cmap = toUni.getOrElse(Map.empty[Int, String])
+        (raw2: String) => raw2.grouped(2).collect {
+          case cs if cs.length == 2 =>
+            cmap.getOrElse((cs.charAt(0) << 8) | cs.charAt(1), "")
+        }.mkString
+      } else toUni match {
+        case Some(cmap) =>
+          (raw1: String) => raw1.map(c => cmap.getOrElse(c.toInt, c.toString)).mkString
+        case None => Latin1Decoder
+      }
+    }.getOrElse(Latin1Decoder)
+  }
+
+  /** Resolve a page's /Resources /Font dictionary (inline or indirect,
+    * falling back to any /Pages ancestor) to per-name decoders.
+    */
+  private def pageFontDecoders(objs: Map[Int, PdfObj], page: Int): Map[String, Decoder] = {
+    def fontDict(dict: String): Option[String] =
+      raw"(?s)/Font\s*<<(.*?)>>".r.findFirstMatchIn(dict).map(_.group(1))
+        .orElse(raw"/Font\s+(\d+)\s+\d+\s+R".r.findFirstMatchIn(dict)
+          .flatMap(m => objs.get(m.group(1).toInt)).map(_.dict))
+    def resources(dict: String): Option[String] =
+      fontDict(dict).orElse(
+        raw"/Resources\s+(\d+)\s+\d+\s+R".r.findFirstMatchIn(dict)
+          .flatMap(m => objs.get(m.group(1).toInt)).map(_.dict).flatMap(fontDict))
+    val dict = objs.get(page).flatMap(o => resources(o.dict))
+      .orElse(objs.values.find(_.dict.contains("/Kids")).flatMap(o => resources(o.dict)))
+    dict.toSeq.flatMap { d =>
+      raw"/(\w+)\s+(\d+)\s+\d+\s+R".r.findAllMatchIn(d).map { m =>
+        m.group(1) -> fontDecoder(objs, m.group(2).toInt)
+      }
+    }.toMap
+  }
+
   // ------------------------------------------- content-stream tokenizer
 
   private sealed trait Tok
@@ -273,19 +408,25 @@ object PdfText {
   /** Interpret a page's content stream: BT..ET sections become blocks of
     * shows. Only the vertical text state matters for layout
     * segmentation: Td, TD, Tm, T-star and TL move the baseline; Tj, TJ,
-    * quote and double-quote show text.
+    * quote and double-quote show text. `Tf` additionally switches the
+    * active font's string decoder (Latin-1 for simple fonts, 2-byte
+    * ToUnicode for Type0/CID) — strings decode at show time, so a block
+    * can mix fonts span by span exactly as CJK course PDFs do.
     */
-  private def interpret(content: String): Seq[Seq[Show]] = {
+  private def interpret(content: String,
+                        fonts: Map[String, Decoder] = Map.empty): Seq[Seq[Show]] = {
     val blocks = scala.collection.mutable.ArrayBuffer.empty[Seq[Show]]
     var cur: scala.collection.mutable.ArrayBuffer[Show] = null
     val stack = scala.collection.mutable.ArrayBuffer.empty[Tok] // operand stack
     var y = 0.0; var size = 12.0; var leading = 0.0
     var inText = false; var inlineImage = false
+    var lastName = "" // most recent /Name operand (Tf's font selector)
+    var decoder: Decoder = Latin1Decoder
     def num(k: Int): Double = { // k-th operand from the top (0 = top)
       val nums = stack.reverseIterator.collect { case TNum(v) => v }.toSeq
       if (nums.length > k) nums(k) else 0.0
     }
-    def shows(): Seq[String] = stack.collect { case TStr(t) => t }.toSeq
+    def shows(): Seq[String] = stack.collect { case TStr(t) => decoder(t) }.toSeq
     // ONE show per operator: TJ's kerned segments are parts of the same
     // span — joining them with spaces would corrupt words
     def show(): Unit = if (inText && cur != null) {
@@ -302,7 +443,10 @@ object PdfText {
       case TOp("ET") =>
         if (cur != null && cur.nonEmpty) blocks += cur.toSeq
         cur = null; inText = false; stack.clear()
-      case TOp("Tf") => size = num(0); stack.clear()
+      case TOp("Tf") =>
+        size = num(0)
+        decoder = fonts.getOrElse(lastName, Latin1Decoder)
+        stack.clear()
       case TOp("TL") => leading = num(0); stack.clear()
       case TOp("Td") => y += num(0); stack.clear() // operands tx ty → ty on top
       case TOp("TD") => leading = -num(0); y += num(0); stack.clear()
@@ -313,6 +457,7 @@ object PdfText {
       case TOp("'") => y -= leading; show(); stack.clear()
       case TOp("\"") => y -= leading; show(); stack.clear()
       case TOp("[") | TOp("]") => () // TJ arrays flatten onto the stack
+      case TOp(n) if n.startsWith("/") => lastName = n.substring(1); stack.clear()
       case op @ TOp(_) => stack.clear(); val _ = op // other operators: drop operands
       case t => stack += t
     }
@@ -333,7 +478,8 @@ object PdfText {
     val objs = scanObjects(bytes)
     pageOrder(objs).map { p =>
       val h = pageHeight(objs, p)
-      interpret(pageContent(objs, p)).zipWithIndex.flatMap { case (blockShows, blockId) =>
+      interpret(pageContent(objs, p), pageFontDecoders(objs, p))
+        .zipWithIndex.flatMap { case (blockShows, blockId) =>
         // group same-baseline shows into lines (spans join with " " —
         // the reference's span-concatenation quirk, pdf_extractor.py:92-94)
         val lines = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, StringBuilder)]
@@ -494,14 +640,168 @@ private[graft] object PdfFixtures {
   val companionParagraph: String =
     "Uppercase extension file with one short paragraph inside."
 
+  // ------------------------------------------------------ CJK fixture
+  // The reference's own corpus is CHINESE course PDFs (PyMuPDF decodes
+  // them through each font's ToUnicode CMap); this fixture reproduces
+  // that font shape from scratch: a Type0/Identity-H font whose CMap is
+  // derived from the fixture text itself (distinct chars sorted by code
+  // point, CIDs assigned sequentially), so consecutive code points (、。)
+  // exercise the bfrange increment form and isolated chars the bfchar
+  // form. Paragraph 1 switches fonts mid-baseline (ASCII /F1 span +
+  // CJK /F2 span joining with " ") — the mixed-script line every
+  // bilingual slide deck contains.
+
+  val cjkAsciiSpan: String = "Unit 01:"
+  val cjkSpan1: String = "数据工程与分布式查询引擎概论。"
+  val cjkParagraph2: String = "本章介绍大规模语料的去重、检索与质量评估方法。"
+
+  val cjkParagraphs: Seq[Seq[String]] = Seq(Seq(
+    s"$cjkAsciiSpan $cjkSpan1",
+    cjkParagraph2))
+
+  /** chars shown through the CID font, CID = 1-based rank by code point */
+  private val cidOf: Map[Char, Int] = (cjkSpan1 + cjkParagraph2)
+    .toSeq.distinct.sorted.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+
+  private def cidHex(text: String): String =
+    text.map(c => f"${cidOf(c)}%04X").mkString("<", "", ">")
+
+  /** ToUnicode CMap text: maximal runs of consecutive code points emit
+    * the bfrange increment form; singletons emit bfchar entries.
+    */
+  private def toUnicodeCMap: String = {
+    val sorted = cidOf.toSeq.sortBy(_._2) // (char, cid); cids consecutive
+    val runs = sorted.foldLeft(Vector.empty[Vector[(Char, Int)]]) { (acc, e) =>
+      acc.lastOption match {
+        case Some(run) if run.last._1 + 1 == e._1 => acc.init :+ (run :+ e)
+        case _ => acc :+ Vector(e)
+      }
+    }
+    val (ranges, chars) = runs.partition(_.length > 1)
+    val bfchar = chars.flatten
+      .map { case (c, i) => f"<$i%04X> <${c.toInt}%04X>" }
+      .mkString("\n")
+    val bfrange = ranges
+      .map { r => f"<${r.head._2}%04X> <${r.last._2}%04X> <${r.head._1.toInt}%04X>" }
+      .mkString("\n")
+    s"""/CIDInit /ProcSet findresource begin
+       |12 dict begin
+       |begincmap
+       |/CMapName /Adobe-Identity-UCS def
+       |/CMapType 2 def
+       |1 begincodespacerange
+       |<0000> <FFFF>
+       |endcodespacerange
+       |${chars.flatten.length} beginbfchar
+       |$bfchar
+       |endbfchar
+       |${ranges.length} beginbfrange
+       |$bfrange
+       |endbfrange
+       |endcmap
+       |end
+       |end""".stripMargin
+  }
+
+  /** One-page CJK document: Type0 font + ToUnicode CMap, mixed-font
+    * first paragraph, 60pt block gap splitting the second.
+    */
+  def buildCjkPdf(compress: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    def streamObj(num: Int, text: String, extra: String = ""): Unit = {
+      val raw = text.getBytes(L1)
+      val data = if (compress) deflate(raw) else raw
+      obj(num) {
+        w(s"<< /Length ${data.length}${if (compress) " /Filter /FlateDecode" else ""}$extra >>\nstream\n")
+        bos.write(data)
+        w("\nendstream\n")
+      }
+    }
+    val content =
+      s"""BT /F1 12 Tf 72 720 Td ($cjkAsciiSpan) Tj /F2 12 Tf ${cidHex(cjkSpan1)} Tj ET
+         |BT /F2 12 Tf 72 660 Td ${cidHex(cjkParagraph2)} Tj ET
+         |""".stripMargin
+    w("%PDF-1.4\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\n"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>\n"))
+    streamObj(4, content)
+    obj(5)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    obj(6)(w("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+      "/Encoding /Identity-H /DescendantFonts [7 0 R] /ToUnicode 8 0 R >>\n"))
+    obj(7)(w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /STSong-Light " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+      "/CIDToGIDMap /Identity >>\n"))
+    streamObj(8, toUnicodeCMap)
+    val xref = bos.size()
+    w("xref\n0 9\n0000000000 65535 f \n")
+    (1 to 8).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  // --------------------------------------------------- ObjStm fixture
+
+  val objStmParagraph: String =
+    "Modern object stream layout parses through the packed table."
+
+  /** Modern-writer layout: catalog, page tree, page and font dicts
+    * packed into ONE compressed /Type /ObjStm; only the content stream
+    * stays top-level (streams cannot nest inside an ObjStm).
+    */
+  def buildObjStmPdf(): Array[Byte] = {
+    val bodies = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val offs = bodies.map(_._2.length + 1).scanLeft(0)(_ + _)
+    val header = bodies.zip(offs).map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val payload = header + bodies.map(_._2).mkString("\n") + "\n"
+    val packed = deflate(payload.getBytes(L1))
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.5\n")
+    obj(10) {
+      w(s"<< /Type /ObjStm /N ${bodies.size} /First ${header.length} " +
+        s"/Length ${packed.length} /Filter /FlateDecode >>\nstream\n")
+      bos.write(packed)
+      w("\nendstream\n")
+    }
+    val content = s"BT /F1 12 Tf 72 720 Td ($objStmParagraph) Tj ET\n"
+    obj(4) {
+      w(s"<< /Length ${content.length} >>\nstream\n")
+      w(content)
+      w("\nendstream\n")
+    }
+    val xref = bos.size()
+    w("xref\n0 1\n0000000000 65535 f \n")
+    w(s"trailer\n<< /Size 11 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
   /** Write the fixture corpus (a.pdf two pages Flate'd, B.PDF one page
-    * raw, notes.txt decoy) into a directory; returns the directory.
+    * raw, cjk.pdf Type0/CID, m.pdf ObjStm-packed, notes.txt decoy) into
+    * a directory; returns the directory.
     */
   def writeFixtureDir(dir: String): String = {
     val p = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(p)
     java.nio.file.Files.write(p.resolve("a.pdf"), buildPdf(fixturePages, compress = true))
     java.nio.file.Files.write(p.resolve("B.PDF"), buildPdf(Seq(companionPage), compress = false))
+    java.nio.file.Files.write(p.resolve("cjk.pdf"), buildCjkPdf(compress = true))
+    java.nio.file.Files.write(p.resolve("m.pdf"), buildObjStmPdf())
     java.nio.file.Files.write(p.resolve("notes.txt"), "not a pdf".getBytes(L1))
     dir
   }

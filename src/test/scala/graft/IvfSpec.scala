@@ -40,6 +40,35 @@ class IvfSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("similarity") == 1.0)
   }
 
+  test("multi-probe: exactly nprobe clusters scanned, recall grows with width") {
+    val path = Files.createTempDirectory("graft_ivf").toString + "/index"
+    Knn.writeIvfIndex(spark, embeddings(), centroids(), path)
+    val qVec = embeddings().where("vec_id = 3")
+      .collect().head.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+
+    // probe-count guard: a k large enough to exhaust the probed clusters
+    // must surface rows from exactly nprobe distinct clusters — no more
+    // (pruning broke), no fewer (a probe was dropped)
+    val wide = Knn.ivfSearch(spark, path, centroids(), qVec, k = 100000, nprobe = 2)
+    assert(wide.select("cluster_id").distinct().count() == 2)
+    val widePlan = wide.queryExecution.executedPlan.toString
+    assert(widePlan.contains("PartitionFilters") && widePlan.contains("cluster_id"))
+
+    // monotone recall vs brute force: nprobe=2 finds at least as many of
+    // the true top-5 as nprobe=1
+    graft.plans.VectorExprs.register(spark)
+    val qLit = qVec.map(v => s"cast($v AS float)").mkString("array(", ", ", ")")
+    val brute = embeddings()
+      .selectExpr("vec_id", s"round(cosine_f(embedding, $qLit), 6) AS similarity")
+      .orderBy(desc("similarity"), col("vec_id"))
+      .limit(5).select("vec_id").collect().map(_.getLong(0)).toSet
+    def recall(np: Int) =
+      Knn.ivfSearch(spark, path, centroids(), qVec, k = 5, nprobe = np)
+        .select("vec_id").collect().map(_.getLong(0)).count(brute)
+    assert(recall(2) >= recall(1))
+    assert(recall(8) == 5) // full width IS brute force
+  }
+
   test("IVF with full probe width equals brute force") {
     val path = Files.createTempDirectory("graft_ivf").toString + "/index"
     Knn.writeIvfIndex(spark, embeddings(), centroids(), path)

@@ -39,6 +39,50 @@ class PdfTextSpec extends SparkSpec {
     assert(got == Seq(Seq("Hello continues after hex with sufficient length.")))
   }
 
+  test("ToUnicode CMap: bfchar, increment bfrange, array bfrange, multi-unit dst") {
+    val cmap =
+      """2 beginbfchar
+        |<0003> <6570>
+        |<0004> <D835DC00>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0041>
+        |<0020> <0021> [<0066006C> <4E2D>]
+        |endbfrange""".stripMargin
+    val m = PdfText.parseToUnicodeCMap(cmap)
+    assert(m(0x0003) == "数")
+    assert(m(0x0004) == "𝐀") // surrogate pair rides through as UTF-16 units
+    assert(m(0x0010) == "A" && m(0x0011) == "B" && m(0x0012) == "C")
+    assert(m(0x0020) == "fl" && m(0x0021) == "中") // array form, incl. multi-char dst
+  }
+
+  test("Type0/CID font: CJK decodes via ToUnicode; mixed-font spans join") {
+    for (compress <- Seq(false, true)) {
+      val bytes = PdfFixtures.buildCjkPdf(compress)
+      assert(PdfText.pageCount(bytes) == 1)
+      assert(PdfText.extractPageParagraphs(bytes) == PdfFixtures.cjkParagraphs,
+        s"compress=$compress")
+    }
+  }
+
+  test("ObjStm: dicts packed in a compressed object stream still parse") {
+    val bytes = PdfFixtures.buildObjStmPdf()
+    assert(PdfText.pageCount(bytes) == 1)
+    assert(PdfText.extractPageParagraphs(bytes) ==
+      Seq(Seq(PdfFixtures.objStmParagraph)))
+  }
+
+  test("Type0 font without ToUnicode yields no text, not mojibake") {
+    // same CJK doc with the /ToUnicode entry cut out of the font dict:
+    // CIDs carry no inherent meaning, so the honest answer is nothing
+    val bytes = PdfFixtures.buildCjkPdf(compress = false)
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/ToUnicode 8 0 R ", "")
+    val got = PdfText.extractPageParagraphs(
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(got == Seq(Seq("Unit 01:"))) // the simple-font span survives
+  }
+
   test("garbage bytes: zero pages, no crash (tolerant-extractor contract)") {
     assert(PdfText.pageCount("not a pdf at all".getBytes) == 0)
     assert(PdfText.extractPageParagraphs(Array.fill[Byte](256)(0x7f)) == Nil)
@@ -74,7 +118,10 @@ class PdfTextSpec extends SparkSpec {
       ("a.pdf", 1, 1, 2, PdfFixtures.fixtureParagraphs.head.head),
       ("a.pdf", 1, 2, 2, PdfFixtures.fixtureParagraphs.head(1)),
       ("a.pdf", 2, 1, 2, PdfFixtures.fixtureParagraphs(1).head),
-      ("B.PDF", 1, 1, 1, PdfFixtures.companionParagraph))
+      ("B.PDF", 1, 1, 1, PdfFixtures.companionParagraph),
+      ("cjk.pdf", 1, 1, 1, PdfFixtures.cjkParagraphs.head.head),
+      ("cjk.pdf", 1, 2, 1, PdfFixtures.cjkParagraphs.head(1)),
+      ("m.pdf", 1, 1, 1, PdfFixtures.objStmParagraph))
     assert(rows == expected) // notes.txt never parsed; .PDF case-insensitive
   }
 }
