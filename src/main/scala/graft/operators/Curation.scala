@@ -254,6 +254,81 @@ object Curation {
         )
         SELECT v AS doc_id, min(r) AS component,
                CASE WHEN v = min(r) THEN 1 ELSE 0 END::BIGINT AS keeper
-        FROM reach GROUP BY v"""))
+        FROM reach GROUP BY v""")),
+
+    // --------------------------------------- benchmark contamination check
+    // The eval-overlap gate every training corpus needs: documents whose
+    // word-4-gram shingles overlap a held-out benchmark split leak eval
+    // data into training. The split is the md5 hash bucket (~2% of
+    // docs — deterministic, like tp_sample_stratified); each train doc
+    // reports |shingles ∩ benchmark| / |shingles|.
+    //
+    // 100 TB shape: benchmarks are TINY relative to the corpus, so the
+    // distinct benchmark shingle set BROADCASTS and the corpus-side
+    // plan is scan → explode → broadcast hash join → partial-aggregated
+    // groupBy(doc_id) — the corpus shuffles only (doc_id, count)
+    // partials, never the shingle sets. Shingles reuse the SAME persisted
+    // `shingleHashes` fold as the dedup family (CacheManager shares the
+    // entry), and the df-cap problem doesn't arise: the join is against
+    // the benchmark set, not a postings self-join.
+    QueryDef(
+      "tp_contamination",
+      (spark, dir) => {
+        val sh = Dedup.shingleHashes(spark, dir)
+        val isEval =
+          "pmod(cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint), 50) = 0"
+        val evalSet = sh.where(isEval).selectExpr("explode(hs) AS h").distinct()
+        val train = sh.where(s"NOT ($isEval)")
+        val hits = train.selectExpr("doc_id", "explode(hs) AS h")
+          .join(broadcast(evalSet), "h")
+          .groupBy("doc_id")
+          .agg(expr("count(*) AS hit_shingles")) // hs is distinct per doc ⇒ count = |∩|
+        train.selectExpr("doc_id", "cast(size(hs) AS bigint) AS n_shingles")
+          .join(hits, "doc_id")
+          .selectExpr("doc_id", "n_shingles", "hit_shingles",
+            "round(cast(hit_shingles AS double) / cast(n_shingles AS double), 6) AS contamination")
+      },
+      Some(s"""
+        WITH sh AS (${Dedup.shingleHashesSql}),
+        ev AS (
+          SELECT DISTINCT unnest(hs) AS h FROM sh
+          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 50 = 0),
+        train AS (
+          SELECT * FROM sh
+          WHERE NOT (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 50 = 0)),
+        hits AS (
+          SELECT t.doc_id, count(*) AS hit_shingles
+          FROM (SELECT doc_id, unnest(hs) AS h FROM train) t
+          JOIN ev USING (h)
+          GROUP BY 1)
+        SELECT t.doc_id, len(t.hs)::BIGINT AS n_shingles, h.hit_shingles,
+               round(h.hit_shingles::DOUBLE / len(t.hs)::DOUBLE, 6) AS contamination
+        FROM train t JOIN hits h ON t.doc_id = h.doc_id""")),
+
+    // ----------------------------------------- source-mix weighted sampling
+    // The corpus-mixing knob of a training run: each language stratum
+    // samples at its own target rate (per-mille, inlined literally in
+    // both engines). Membership is pure md5-bucket arithmetic on the
+    // key — the filter evaluates INSIDE the scan (zero shuffle, zero
+    // state), re-runs and stragglers sample identically, and re-weighting
+    // a 100 TB corpus is a config change, not a repartition. This is
+    // tp_sample_stratified generalized from one global rate to a
+    // per-stratum rate map.
+    QueryDef(
+      "tp_mix_weights",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "lang", "n_chars",
+            "coalesce(element_at(map('en', 1000, 'zh', 500, 'de', 250, 'fr', 250, 'es', 125), lang), 0) AS rate_pm")
+          .where("pmod(cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint), 1000) < rate_pm")
+          .selectExpr("doc_id", "lang", "n_chars", "cast(rate_pm AS bigint) AS rate_pm"),
+      Some("""
+        SELECT doc_id, lang, n_chars,
+               (CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 500 WHEN 'de' THEN 250
+                          WHEN 'fr' THEN 250 WHEN 'es' THEN 125 ELSE 0 END)::BIGINT AS rate_pm
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
+              CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 500 WHEN 'de' THEN 250
+                        WHEN 'fr' THEN 250 WHEN 'es' THEN 125 ELSE 0 END"""))
   )
 }

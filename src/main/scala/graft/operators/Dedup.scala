@@ -74,7 +74,7 @@ object Dedup {
     * (graft.plans.TextHash) — one codegen'd static call per document
     * instead of an interpreted md5 lambda per shingle.
     */
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExprs.register(spark)
     Tables.documents(spark, dir)
       .select("doc_id", "lang", "text")
@@ -99,7 +99,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  private val shingleHashesSql: String =
+  private[operators] val shingleHashesSql: String =
     """SELECT doc_id, lang, len(toks) AS n_toks,
       |       list_distinct(list_transform(
       |         CASE WHEN len(toks) < 4 THEN [tc]

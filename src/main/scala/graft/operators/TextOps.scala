@@ -216,6 +216,63 @@ object TextOps {
           FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
                 FROM documents))""")),
 
+    // ------------------------------------ repetition metrics (extension)
+    // The Gopher-style repetition filters a curation pipeline thresholds
+    // on: the duplicate-3-gram fraction (1 − distinct/total 3-grams —
+    // high on boilerplate and template spam) and the top-word fraction
+    // (most frequent token / all tokens — high on keyword stuffing).
+    // Distinct 3-grams come from the native `word_shingles` kernel (one
+    // codegen'd call per doc); the word mode runs as the DISTRIBUTED
+    // explode → two-level hash aggregate — max(count) per doc never
+    // builds a per-row frequency map in a lambda, so a 1 GB document
+    // costs the same per token as a 1 KB one. sum(c) recovers n_toks in
+    // the same aggregate for free.
+    QueryDef(
+      "ta_repetition",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val par = spark.sessionState.conf.numShufflePartitions
+        val toks = Tables.documents(spark, dir)
+          .repartition(par, org.apache.spark.sql.functions.col("doc_id"))
+          .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id", "split(tc, ' ') AS toks")
+        val gram = toks
+          .selectExpr("doc_id", "size(toks) AS n_toks",
+            "cast(size(word_shingles(toks, 3)) AS bigint) AS distinct_3grams")
+          .selectExpr("doc_id", "distinct_3grams",
+            "CASE WHEN n_toks < 3 THEN 1L ELSE cast(n_toks - 2 AS bigint) END AS total_3grams")
+        val word = toks
+          .selectExpr("doc_id", "explode(toks) AS t")
+          .groupBy("doc_id", "t")
+          .agg(org.apache.spark.sql.functions.expr("count(*) AS c"))
+          .groupBy("doc_id")
+          .agg(
+            org.apache.spark.sql.functions.expr("max(c) AS top_cnt"),
+            org.apache.spark.sql.functions.expr("sum(c) AS n_toks"))
+        gram.join(word, "doc_id")
+          .selectExpr("doc_id", "cast(n_toks AS bigint) AS n_toks", "distinct_3grams",
+            "round(1.0D - cast(distinct_3grams AS double) / cast(total_3grams AS double), 6) AS dup_3gram_frac",
+            "round(cast(top_cnt AS double) / cast(n_toks AS double), 6) AS top_word_frac")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ') AS toks
+          FROM documents),
+        gram AS (
+          SELECT doc_id,
+                 (CASE WHEN len(toks) < 3 THEN 1 ELSE len(toks) - 2 END)::BIGINT AS total_3grams,
+                 (CASE WHEN len(toks) < 3 THEN 1
+                       ELSE len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                             i -> array_to_string(toks[i:i+2], ' ')))) END)::BIGINT AS distinct_3grams
+          FROM d),
+        tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+        cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        word AS (SELECT doc_id, max(c)::BIGINT AS top_cnt, sum(c)::BIGINT AS n_toks FROM cnt GROUP BY 1)
+        SELECT g.doc_id, w.n_toks, g.distinct_3grams,
+               round(1.0 - g.distinct_3grams::DOUBLE / g.total_3grams::DOUBLE, 6) AS dup_3gram_frac,
+               round(w.top_cnt::DOUBLE / w.n_toks::DOUBLE, 6) AS top_word_frac
+        FROM gram g JOIN word w ON g.doc_id = w.doc_id""")),
+
     // --------------------------------------- salted aggregation (skew pattern)
     // Same result as ta_stats (minus the distinct count, which doesn't
     // decompose), computed as a TWO-STAGE aggregation over a salted key:

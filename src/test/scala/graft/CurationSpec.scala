@@ -31,4 +31,52 @@ class CurationSpec extends SparkSpec {
   test("edge direction does not matter") {
     assert(components(Seq((5L, 3L), (3L, 9L))) == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def runQuery(name: String) =
+    Curation.queries.find(_.name == name).get.run(spark, sf)
+
+  test("contamination: train split reports only in-range overlap, never eval docs") {
+    val evalIds = Tables.documents(spark, sf)
+      .where("pmod(cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint), 50) = 0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = runQuery("tp_contamination").collect()
+    assert(rows.nonEmpty, "shared-vocab corpus must produce some overlap")
+    rows.foreach { r =>
+      assert(!evalIds(r.getAs[Long]("doc_id")), "an eval doc leaked into the train report")
+      val c = r.getAs[Double]("contamination")
+      assert(c > 0.0 && c <= 1.0)
+      assert(r.getAs[Long]("hit_shingles") <= r.getAs[Long]("n_shingles"))
+    }
+  }
+
+  test("mix weights: rate 1000‰ keeps a stratum whole, lower rates subsample") {
+    val byLang = runQuery("tp_mix_weights").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == totals("en")) // 1000‰ ⇒ the whole stratum
+    assert(byLang("es") < totals("es") / 2) // 125‰ ⇒ a strict subsample
+    // membership is a pure function of doc_id: re-running samples identically
+    val again = runQuery("tp_mix_weights").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == byLang)
+  }
+
+  test("repetition: planted boilerplate scores high, varied text low") {
+    import spark.implicits._
+    graft.plans.VectorExprs.register(spark)
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "every word in this perfectly varied sentence differs completely"))
+      .toDF("doc_id", "toks0")
+      .selectExpr("doc_id", "split(toks0, ' ') AS toks")
+      .selectExpr("doc_id", "size(toks) AS n",
+        "cast(size(word_shingles(toks, 3)) AS bigint) AS d3")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val (n1, d1) = df(1L); val (n2, d2) = df(2L)
+    assert(d1 == 1L && n1 - 2 == 8) // all 3-grams identical ⇒ dup frac 7/8
+    assert(d2 == (n2 - 2).toLong) // all distinct ⇒ dup frac 0
+  }
 }
