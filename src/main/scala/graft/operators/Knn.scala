@@ -260,6 +260,75 @@ object Knn {
         ORDER BY similarity DESC, vec_id
         LIMIT $K""")),
 
+    // ------------------------- product-quantized ADC scan (the V2 memory path)
+    // The compression half of a production vector index (IVF prunes READS,
+    // PQ shrinks BYTES): each 64-dim vector splits into 8 subspaces of 8
+    // dims; per subspace a 16-codeword codebook (subvectors of the first
+    // 16 vectors — the deterministic stand-in for trained k-means, as in
+    // v5) quantizes the subvector to the argmax-cosine codeword. At rest
+    // a vector is 8 code bytes instead of 256 embedding bytes (32×); a
+    // query scores candidates ASYMMETRICALLY (ADC): its 8 exact
+    // subvectors dot the SELECTED codewords — here expressed as
+    // element_at(codebook, argmax_cos(...) + 1) per subspace, an
+    // all-codegen row-local projection over one broadcast codebook row,
+    // zero corpus exchange (the same shape as assignToCentroids, 8×).
+    // Oracle: the identical construction via rank-window argmax + an
+    // ordered list_sum fold — different formulation, same fixpoint.
+    QueryDef(
+      "v7_pq_adc",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val e = Tables.embeddings(spark, dir)
+        val M = 8; val D = 8; val CB = 16
+        val cbAggs = (0 until M).map(m => expr(
+          s"sort_array(collect_list(named_struct('cid', vec_id, 'cw', slice(embedding, ${m * D + 1}, $D)))) AS cbs$m"))
+        val cb = broadcast(e.where(s"vec_id < $CB").groupBy().agg(cbAggs.head, cbAggs.tail: _*))
+        val qv = e.where("vec_id = 0").select("embedding").collect().head
+          .getAs[scala.collection.Seq[Float]]("embedding")
+        def qm(m: Int) = qv.slice(m * D, m * D + D)
+          .map(v => s"cast($v AS float)").mkString("array(", ", ", ")")
+        val score = (0 until M).map { m =>
+          s"dot_f(${qm(m)}, element_at(cbs$m.cw, argmax_cos(slice(embedding, ${m * D + 1}, $D), cbs$m.cw) + 1))"
+        }.mkString(" + ")
+        e.crossJoin(cb)
+          .selectExpr("vec_id", s"round($score, 6) AS approx_sim")
+          .orderBy(desc("approx_sim"), col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""
+        WITH ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        cw AS (
+          SELECT ms.m, row_number() OVER (PARTITION BY ms.m ORDER BY vec_id) - 1 AS k,
+                 list_transform(embedding[ms.m*8+1 : ms.m*8+8], x -> x::DOUBLE) AS cwv
+          FROM embeddings, ms
+          WHERE vec_id < 16),
+        sub AS (
+          SELECT e.vec_id, ms.m, list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> x::DOUBLE) AS sv
+          FROM embeddings e, ms),
+        assigned AS (
+          SELECT vec_id, m, k FROM (
+            SELECT s.vec_id, s.m, c.k,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY ${dCos("s.sv", "c.cwv")} DESC, c.k) AS rn
+            FROM sub s JOIN cw c ON s.m = c.m)
+          WHERE rn = 1),
+        q AS (
+          SELECT ms.m, list_transform(embedding[ms.m*8+1 : ms.m*8+8], x -> x::DOUBLE) AS qv
+          FROM embeddings, ms WHERE vec_id = 0),
+        term AS (
+          SELECT a.vec_id, a.m,
+                 list_sum(list_transform(generate_series(1, 8), i -> q.qv[i] * c.cwv[i])) AS d
+          FROM assigned a
+          JOIN cw c ON a.m = c.m AND a.k = c.k
+          JOIN q ON q.m = a.m),
+        score AS (
+          SELECT vec_id, list_sum(list(d ORDER BY m)) AS s
+          FROM term GROUP BY vec_id)
+        SELECT vec_id, round(s, 6) AS approx_sim
+        FROM score
+        ORDER BY approx_sim DESC, vec_id
+        LIMIT 10""")),
+
     // --------------------- sharded-NSW graph ANN (the V2 HNSW analog)
     // Build the per-shard navigable-small-world index, then search it at
     // FULL beam width: coverage is total, so the result must equal the

@@ -69,6 +69,25 @@ class IvfSpec extends SparkSpec {
     assert(recall(8) == 5) // full width IS brute force
   }
 
+  test("PQ/ADC: self-match ranks first, approx top-10 overlaps exact top-10") {
+    graft.plans.VectorExprs.register(spark)
+    val approx = Knn.queries.find(_.name == "v7_pq_adc").get
+      .run(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(approx.head == 0L) // the query vector survives its own quantization
+    val q = embeddings().where("vec_id = 0")
+      .collect().head.getAs[scala.collection.Seq[Float]]("embedding")
+    val qLit = q.map(v => s"cast($v AS float)").mkString("array(", ", ", ")")
+    val exact = embeddings()
+      .selectExpr("vec_id", s"cosine_f(embedding, $qLit) AS cs")
+      .orderBy(desc("cs"), col("vec_id"))
+      .limit(10).collect().map(_.getAs[Long]("vec_id")).toSet
+    // 8 subspaces × 16 codewords on this corpus recalls 5 of the true
+    // top-10 (measured, deterministic); ≥ 4 guards against silent
+    // quantizer regressions without over-pinning
+    assert(approx.count(exact) >= 4, s"PQ recall degraded: $approx vs $exact")
+  }
+
   test("IVF with full probe width equals brute force") {
     val path = Files.createTempDirectory("graft_ivf").toString + "/index"
     Knn.writeIvfIndex(spark, embeddings(), centroids(), path)
