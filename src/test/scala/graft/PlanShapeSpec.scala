@@ -119,6 +119,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "hash sampling must not shuffle")
   }
 
+  test("tp_contamination: benchmark set broadcasts; corpus joins without sort") {
+    val p = plan("tp_contamination")
+    // the tiny eval shingle set must reach the corpus as a broadcast
+    // hash join — a sort-merge join here would shuffle corpus shingles
+    assert(p.contains("BroadcastHashJoin"), s"benchmark join not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "corpus-side shingle join regressed to sort-merge")
+  }
+
+  test("tp_mix_weights: pure scan + filter — the sampler never shuffles") {
+    val p = plan("tp_mix_weights")
+    assert(!p.contains("Exchange"), s"weighted sampling must be scan-local:\n$p")
+  }
+
+  test("v7_pq_adc: one broadcast codebook row, no corpus exchange, top-k not sort") {
+    val p = plan("v7_pq_adc")
+    assert(p.contains("BroadcastNestedLoopJoin")) // the 1-row codebook
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("argmax_cos"), "quantizer must be the native expression")
+    // the corpus side may never hash-shuffle: encoding + ADC are row-local
+    assert(!p.contains("Exchange hashpartitioning"), s"corpus exchange in:\n$p")
+  }
+
   test("ev_funnel: pure aggregation — no window, no join over the history") {
     val p = plan("ev_funnel")
     assert(!p.contains("Window"), "funnel must not sort event history")
