@@ -180,6 +180,43 @@ object Multimodal {
               FROM documents) d,
         LATERAL (SELECT unnest(generate_series(0, (d.n_bytes - 1) // 64)) AS frame_no) g""")),
 
+    // ViT-style patch extraction: the payload's first bytes stand in for
+    // a W=16-wide byte image; 4×4 patches tile a band of 4 rows, patches
+    // explode on (py, px) grid coordinates — the vision-transformer
+    // tokenizer shape. Unlike frame sampling (contiguous windows), a 2-D
+    // patch is a NON-CONTIGUOUS gather: 4 binary substrings, one per
+    // row, concatenated in the projection — all codegen'd byte ops, no
+    // hex in the plan. Grid capped at 8 bands (512 bytes) so per-doc
+    // fan-out is bounded. Oracle: the same gather addressed through the
+    // hex encoding (byte b ↔ hex chars 2b+1..), unhex'd at the digest.
+    QueryDef(
+      "mm_patchify",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+            "cast(octet_length(text) AS int) AS n_bytes")
+          .where("n_bytes >= 64") // at least one full 4-row patch band
+          .selectExpr("doc_id", "payload",
+            "explode(sequence(0, least(n_bytes div 64, 8) - 1, 1)) AS py")
+          .selectExpr("doc_id", "payload", "py", "explode(sequence(0, 3, 1)) AS px")
+          .selectExpr("doc_id", "cast(py AS bigint) AS py", "cast(px AS bigint) AS px",
+            (0 until 4).map(r => s"substring(payload, (py * 4 + $r) * 16 + px * 4 + 1, 4)")
+              .mkString("concat(", ", ", ") AS pb"))
+          .selectExpr("doc_id", "py", "px",
+            "md5(translate(base64(pb), '\r\n', '')) AS patch_md5"),
+      Some("""
+        SELECT doc_id, py::BIGINT AS py, px::BIGINT AS px,
+               md5(to_base64(unhex(
+                 substring(ph, ((py*4 + 0)*16 + px*4)*2 + 1, 8) ||
+                 substring(ph, ((py*4 + 1)*16 + px*4)*2 + 1, 8) ||
+                 substring(ph, ((py*4 + 2)*16 + px*4)*2 + 1, 8) ||
+                 substring(ph, ((py*4 + 3)*16 + px*4)*2 + 1, 8)))) AS patch_md5
+        FROM (SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n
+              FROM documents) d,
+        LATERAL (SELECT unnest(generate_series(0, least(d.n // 64, 8) - 1)) AS py) g,
+        LATERAL (SELECT unnest(generate_series(0, 3)) AS px) x
+        WHERE d.n >= 64""")),
+
     // Oracle-checkable slice of the plumbing: payload sizing + content
     // hashing over the binary column (md5 here IS over the raw bytes).
     QueryDef(

@@ -91,4 +91,29 @@ class MultimodalSpec extends SparkSpec {
     assert(frameNos == frameNos.sorted)
     frames.foreach(r => assert(r.getAs[Array[Byte]]("frame_bytes").length <= 4))
   }
+
+  test("mm_patchify: patch digests equal a hand-gathered 16-wide byte grid") {
+    val sf = "/root/testdata/sf0.001"
+    val doc = Tables.documents(spark, sf).where("doc_id = 0")
+      .select("text").collect().head.getString(0)
+    val bytes = doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assume(bytes.length >= 64)
+    def md5Hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"$x%02x").mkString
+    val expected = (for {
+      py <- 0 until math.min(bytes.length / 64, 8)
+      px <- 0 until 4
+    } yield {
+      val patch = (0 until 4).flatMap(r =>
+        bytes.slice((py * 4 + r) * 16 + px * 4, (py * 4 + r) * 16 + px * 4 + 4)).toArray
+      (py.toLong, px.toLong) ->
+        md5Hex(java.util.Base64.getEncoder.encodeToString(patch).getBytes)
+    }).toMap
+    val got = Registry.byName("mm_patchify").run(spark, sf)
+      .where("doc_id = 0").collect()
+      .map(r => (r.getAs[Long]("py"), r.getAs[Long]("px")) -> r.getAs[String]("patch_md5"))
+      .toMap
+    assert(got == expected)
+  }
 }
