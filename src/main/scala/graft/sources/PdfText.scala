@@ -127,7 +127,9 @@ object PdfText {
     }.toMap
   }
 
-  /** Decode a stream: FlateDecode via the JDK inflater; unfiltered
+  /** Decode a stream: FlateDecode via the JDK inflater, then any PNG
+    * predictor declared in /DecodeParms (modern writers emit /Predictor
+    * 12 on xref and object streams almost universally); unfiltered
     * streams pass through; unsupported filters yield no text (skip, not
     * crash — tolerant-extractor contract).
     */
@@ -145,10 +147,57 @@ object PdfText {
             if (n > 0) out.write(buf, 0, n)
           }
           inf.end()
-          Some(out.toByteArray)
+          Some(unpredict(out.toByteArray, obj.dict))
         } catch { case _: Exception => None }
       } else None
     }
+
+  /** Reverse the PNG row predictor (PDF 32000 §7.4.4.4 via RFC 2083):
+    * each row of /Columns bytes is prefixed with a filter-type byte
+    * (0 none, 1 sub, 2 up, 3 average, 4 Paeth) and reconstructed
+    * against the previous row. /Predictor < 10 (or absent) is a no-op;
+    * /Colors//BitsPerComponent other than 1×8 only change the pixel
+    * byte width.
+    */
+  private def unpredict(data: Array[Byte], dict: String): Array[Byte] = {
+    val pred = raw"/Predictor\s+(\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(1)
+    if (pred < 10) return data
+    val cols = raw"/Columns\s+(\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(1)
+    val colors = raw"/Colors\s+(\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(1)
+    val bpc = raw"/BitsPerComponent\s+(\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(8)
+    val bpp = math.max(1, colors * bpc / 8) // bytes per pixel
+    val rowLen = cols * bpp
+    val nRows = data.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowLen + 1)) & 0xFF
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val x = data(src + i) & 0xFF
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0 // left
+        val b = if (r > 0) out(dst - rowLen + i) & 0xFF else 0 // up
+        val c = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xFF else 0 // up-left
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => // Paeth
+            val p = a + b - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => x
+        }
+        out(dst + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
 
   // ---------------------------------------------------- page discovery
 
@@ -743,6 +792,69 @@ private[graft] object PdfFixtures {
     w("xref\n0 9\n0000000000 65535 f \n")
     (1 to 8).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  // ----------------------------------------------- predictor fixture
+
+  val predictorParagraph: String =
+    "Predictor coded content stream reconstructs byte for byte here."
+
+  /** Single-page PDF whose content stream is PNG-predicted (rows cycle
+    * filter types sub/up/average/Paeth/none) before FlateDecode —
+    * the /DecodeParms layout modern writers emit on compressed streams.
+    */
+  def buildPredictorPdf(columns: Int = 32): Array[Byte] = {
+    val content0 = s"BT /F1 12 Tf 72 720 Td ($predictorParagraph) Tj ET\n"
+    val pad = (columns - content0.length % columns) % columns
+    val content = content0 + ("\n" * pad)
+    val rows = content.getBytes(L1).grouped(columns).toArray
+    val enc = new java.io.ByteArrayOutputStream()
+    for (r <- rows.indices) {
+      val ft = Array(1, 2, 3, 4, 0)(r % 5)
+      enc.write(ft)
+      val cur = rows(r)
+      for (i <- cur.indices) {
+        val a = if (i >= 1) cur(i - 1) & 0xFF else 0
+        val b = if (r > 0) rows(r - 1)(i) & 0xFF else 0
+        val c = if (r > 0 && i >= 1) rows(r - 1)(i - 1) & 0xFF else 0
+        val p = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val q = a + b - c
+            val (pa, pb, pc) = (math.abs(q - a), math.abs(q - b), math.abs(q - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        enc.write(((cur(i) & 0xFF) - p) & 0xFF)
+      }
+    }
+    val packed = deflate(enc.toByteArray)
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.5\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\n"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>\n"))
+    obj(4) {
+      w(s"<< /Length ${packed.length} /Filter /FlateDecode " +
+        s"/DecodeParms << /Predictor 12 /Columns $columns >> >>\nstream\n")
+      bos.write(packed)
+      w("\nendstream\n")
+    }
+    obj(5)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    val xref = bos.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
     bos.toByteArray
   }
 

@@ -72,6 +72,13 @@ class PdfTextSpec extends SparkSpec {
       Seq(Seq(PdfFixtures.objStmParagraph)))
   }
 
+  test("PNG-predicted Flate stream (all five filter types) reconstructs exactly") {
+    val bytes = PdfFixtures.buildPredictorPdf()
+    assert(PdfText.pageCount(bytes) == 1)
+    assert(PdfText.extractPageParagraphs(bytes) ==
+      Seq(Seq(PdfFixtures.predictorParagraph)))
+  }
+
   test("Type0 font without ToUnicode yields no text, not mojibake") {
     // same CJK doc with the /ToUnicode entry cut out of the font dict:
     // CIDs carry no inherent meaning, so the honest answer is nothing
