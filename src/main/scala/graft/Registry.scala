@@ -33,7 +33,8 @@ object Registry {
       operators.Qa.queries ++
       sources.ChunkStore.queries ++
       multimodal.Multimodal.queries ++
-      operators.Segmenter.queries
+      operators.Segmenter.queries ++
+      streaming.Streaming.queries
 
   lazy val byName: Map[String, QueryDef] = {
     val defs = all

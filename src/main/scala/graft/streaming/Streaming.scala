@@ -310,4 +310,95 @@ object Streaming {
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()
   }
+
+  // ------------------------------------------------- driver-gate rows
+  // Structured Streaming through the DuckDB oracle: a Trigger.AvailableNow
+  // run over the static test tables drains the whole source through the
+  // REAL streaming machinery (file source, checkpoint, state store,
+  // sink) and terminates — and because the chosen transforms are
+  // deterministic as SETS, the drained result must equal the batch
+  // twin the oracle computes. This closes the "streaming is spec-only"
+  // gap: the driver gate itself now exercises the streaming path.
+
+  private val rawEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) surfaces as long under nanosAsLong
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The file-stream source requires a DIRECTORY (basePath); the test
+    * tables are single files — stage a copy into a temp source dir, the
+    * same shape a production landing zone has.
+    */
+  private def stageDir(file: String): String = {
+    val src = java.nio.file.Files.createTempDirectory("graft_st_src")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(file), src.resolve("part-0.parquet"))
+    src.toString
+  }
+
+  def queries: Seq[graft.QueryDef] = Seq(
+    // P1/C1 through the checkpointed stream: documents flow file-source →
+    // chunker → parquet APPEND sink, then the sink directory is read
+    // back. Oracle = the same chunker SQL as c1_chunk — any row the
+    // stream drops, duplicates, or mangles breaks the hash. bench=false:
+    // this measures checkpoint/sink I/O, not engine throughput.
+    graft.QueryDef(
+      "st_chunk_ingest",
+      (spark, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = chunkIngest(spark, stageDir(s"$dir/documents.parquet"), s"$tmp/out", s"$tmp/cp")
+        q.awaitTermination()
+        spark.read
+          .schema("doc_id BIGINT, chunk_number INT, chunk_text STRING")
+          .parquet(s"$tmp/out")
+      },
+      Some("""
+        WITH ok AS (
+          SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
+          FROM documents
+          WHERE length(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g')) >= 10
+        )
+        SELECT doc_id, NULL::INT AS chunk_number, tc AS chunk_text
+        FROM ok WHERE length(tc) <= 500
+        UNION ALL
+        SELECT doc_id, (i // 450 + 1)::INT AS chunk_number,
+               substring(tc, i + 1, 500) AS chunk_text
+        FROM ok, LATERAL (SELECT unnest(generate_series(0, length(tc) - 1, 450)) AS i) g
+        WHERE length(tc) > 500
+          AND length(substring(tc, i + 1, 500)) >= 50"""),
+      bench = false),
+
+    // Event-time windowed aggregation through the state store: the
+    // watermarked tumbling-window count/sum drains under AvailableNow
+    // into a COMPLETE-mode memory sink — final state = the batch
+    // aggregate, windows and all (the watermark bounds state during the
+    // run; complete mode emits everything at the end). Oracle = the
+    // hour-truncated batch aggregation (ev_window_agg minus min/max —
+    // the streaming twin carries count and decimal sum).
+    graft.QueryDef(
+      "st_window_counts",
+      (spark, dir) => {
+        val src = spark.readStream
+          .schema(rawEventsSchema)
+          .parquet(stageDir(s"$dir/events.parquet"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val qn = "st_window_counts_sink"
+        val q = windowedEventCounts(src)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(qn)
+      },
+      Some("""
+        SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2"""),
+      bench = false)
+  )
 }
