@@ -370,6 +370,28 @@ object Streaming {
           AND length(substring(tc, i + 1, 500)) >= 50"""),
       bench = false),
 
+    // Stateful exact dedup through the dropDuplicates state store: which
+    // doc survives per hash is arrival-order-dependent, but the SET of
+    // surviving hashes is not — projecting the hash column alone makes
+    // the drained output deterministic, so the oracle is simply the
+    // distinct normalized-text hashes. Any state-store miss (a dup
+    // passing through) or over-drop breaks row count and hash alike.
+    graft.QueryDef(
+      "st_dedup_ingest",
+      (spark, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = dedupIngest(spark, stageDir(s"$dir/documents.parquet"), s"$tmp/out", s"$tmp/cp")
+        q.awaitTermination()
+        spark.read
+          .schema("doc_id BIGINT, lang STRING, text_hash STRING")
+          .parquet(s"$tmp/out")
+          .select("text_hash")
+      },
+      Some("""
+        SELECT DISTINCT md5(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g')) AS text_hash
+        FROM documents"""),
+      bench = false),
+
     // Event-time windowed aggregation through the state store: the
     // watermarked tumbling-window count/sum drains under AvailableNow
     // into a COMPLETE-mode memory sink — final state = the batch
