@@ -305,6 +305,38 @@ object Curation {
                round(h.hit_shingles::DOUBLE / len(t.hs)::DOUBLE, 6) AS contamination
         FROM train t JOIN hits h ON t.doc_id = h.doc_id""")),
 
+    // --------------------------------------- bottom-k (KMV) sample sketch
+    // The mergeable uniform sample: keep the k documents with the
+    // SMALLEST key hashes. Deterministic (pure function of the key set),
+    // mergeable across partitions/days (union → re-take bottom k — how a
+    // 100 TB pipeline maintains a standing corpus sample), and the k-th
+    // smallest hash doubles as a KMV distinct-count estimator:
+    // D̂ = (k−1)·2⁶⁰/h₍ₖ₎. Plan: TakeOrderedAndProject, never a global
+    // sort; the estimate joins back as a broadcast scalar.
+    QueryDef(
+      "tp_sample_bottomk",
+      (spark, dir) => {
+        val k = 64
+        val s = Tables.documents(spark, dir)
+          .selectExpr("doc_id", "lang",
+            "cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint) AS h")
+          .orderBy(col("h"), col("doc_id"))
+          .limit(k)
+        val hk = s.groupBy().agg(expr("max(h) AS h_k"))
+        s.crossJoin(broadcast(hk))
+          .selectExpr("doc_id", "lang", "h",
+            s"round(cast(${k - 1} AS double) * pow(2D, 60D) / cast(h_k AS double), 6) AS distinct_est")
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, lang, ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM documents
+          ORDER BY h, doc_id
+          LIMIT 64)
+        SELECT doc_id, lang, h,
+               round(63.0 * pow(2, 60) / (SELECT max(h) FROM s)::DOUBLE, 6) AS distinct_est
+        FROM s""")),
+
     // ----------------------------------------- source-mix weighted sampling
     // The corpus-mixing knob of a training run: each language stratum
     // samples at its own target rate (per-mille, inlined literally in

@@ -273,6 +273,64 @@ object TextOps {
                round(w.top_cnt::DOUBLE / w.n_toks::DOUBLE, 6) AS top_word_frac
         FROM gram g JOIN word w ON g.doc_id = w.doc_id""")),
 
+    // ------------------------------------ HyperLogLog distinct sketch
+    // Corpus-distinct shingle count via a from-scratch HLL (m = 256
+    // buckets over the 60-bit md5 hash: top 8 bits route, the rank is
+    // the leading-zero run of the 52-bit suffix). The whole sketch is
+    // ONE aggregation pass with a 256-row state — the mergeable shape
+    // that answers "how many distinct n-grams / urls / users" over
+    // 100 TB without a count(distinct) shuffle of the full key set.
+    //
+    // Cross-engine determinism is the engineered part: the rank is
+    // INTEGER-ONLY (bit length via bin() + leading-zero strip — no
+    // float log2, whose last-ulp could flip a rank at bucket
+    // boundaries), and the harmonic sum folds bucket-ORDERED in both
+    // engines (each 2^-M term is an exact dyadic, but partial-sum
+    // rounding depends on order). The estimate is then bit-identical,
+    // so the driver hash gate can check a SKETCH — normally
+    // impossible across two engines' native HLLs.
+    QueryDef(
+      "ta_vocab_hll",
+      (spark, dir) => {
+        val half = 1L << 52
+        val mb = Dedup.shingleHashes(spark, dir)
+          .selectExpr("explode(hs) AS h")
+          .selectExpr(s"h div ${half}L AS b", s"h % ${half}L AS rem")
+          .selectExpr("b", "53 - length(regexp_replace(bin(rem), '^0+', '')) AS r")
+          .groupBy("b").agg(org.apache.spark.sql.functions.expr("max(r) AS mr"))
+        spark.range(0, 256).selectExpr("cast(id AS bigint) AS b")
+          .join(mb, Seq("b"), "left")
+          .selectExpr("b", "coalesce(mr, 0) AS M")
+          .groupBy()
+          .agg(
+            org.apache.spark.sql.functions.expr("""aggregate(sort_array(collect_list(named_struct('b', b, 'm', M))),
+                              cast(0 AS double), (acc, x) -> acc + pow(2D, -cast(x.m AS double))) AS S"""),
+            org.apache.spark.sql.functions.expr("sum(CASE WHEN M > 0 THEN 1 ELSE 0 END) AS hit"))
+          .selectExpr(
+            "cast(256 AS bigint) AS m_buckets",
+            "cast(hit AS bigint) AS buckets_hit",
+            "round((0.7213D / (1D + 1.079D / 256D)) * 256D * 256D / S, 4) AS hll_est")
+      },
+      Some(s"""
+        WITH sh AS (${Dedup.shingleHashesSql}),
+        post AS (SELECT unnest(hs) AS h FROM sh),
+        rk AS (
+          SELECT h // 4503599627370496 AS b,
+                 53 - length(regexp_replace(bin(h % 4503599627370496), '^0+', '')) AS r
+          FROM post),
+        mb AS (SELECT b, max(r) AS mr FROM rk GROUP BY b),
+        allb AS (
+          SELECT gs.b, coalesce(mb.mr, 0) AS M
+          FROM (SELECT unnest(generate_series(0, 255)) AS b) gs
+          LEFT JOIN mb ON gs.b = mb.b),
+        agg AS (
+          SELECT list_sum(list(pow(2, -M) ORDER BY b)) AS S,
+                 sum(CASE WHEN M > 0 THEN 1 ELSE 0 END) AS hit
+          FROM allb)
+        SELECT 256::BIGINT AS m_buckets, hit::BIGINT AS buckets_hit,
+               round((0.7213 / (1 + 1.079 / 256)) * 256 * 256 / S, 4) AS hll_est
+        FROM agg""")),
+
     // --------------------------------------- salted aggregation (skew pattern)
     // Same result as ta_stats (minus the distinct count, which doesn't
     // decompose), computed as a TWO-STAGE aggregation over a salted key:

@@ -24,6 +24,23 @@ class TextOpsSpec extends SparkSpec {
       s"p99=${row.getInt(1)} violates eps=1/$accuracy rank bound")
   }
 
+  test("ta_vocab_hll: estimate lands inside the m=256 error band") {
+    val sf = "/root/testdata/sf0.001"
+    val row = Registry.byName("ta_vocab_hll").run(spark, sf).collect().head
+    val est = row.getAs[Double]("hll_est")
+    graft.plans.VectorExprs.register(spark)
+    val truth = Tables.documents(spark, sf)
+      .selectExpr("regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .selectExpr("split(tc, ' ') AS toks")
+      .selectExpr("explode(word_shingles(toks, 4)) AS h")
+      .distinct().count().toDouble
+    // theoretical σ ≈ 1.04/√256 = 6.5%; allow 3σ before declaring the
+    // sketch broken (measured: 2.5% on this corpus)
+    assert(math.abs(est / truth - 1.0) < 0.20,
+      s"HLL estimate $est vs true $truth drifted outside the error band")
+    assert(row.getAs[Long]("buckets_hit") == 256L) // dense regime here
+  }
+
   test("approx_percentile with ample accuracy equals exact nearest-rank selection") {
     import spark.implicits._
     // the regime the gate row relies on: sketch holds every value →
