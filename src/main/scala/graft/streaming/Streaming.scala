@@ -392,6 +392,55 @@ object Streaming {
         FROM documents"""),
       bench = false),
 
+    // Streaming ANN index maintenance: embeddings arrive as a file
+    // stream, assign to broadcast centroids ROW-LOCALLY (the same
+    // exchange-free argmax_cos projection as the batch index build) and
+    // append into the cluster_id-partitioned layout — how a 100 TB
+    // vector index stays fresh without rebuilds. The sink directory is
+    // read back with partition pruning intact; oracle = the batch
+    // rank-window assignment over the same corpus and centroid set.
+    graft.QueryDef(
+      "st_ivf_build",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val embSchema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("label", IntegerType)))
+        val cents = graft.Tables.embeddings(spark, dir).where("vec_id < 8")
+          .selectExpr("vec_id AS cent_id", "embedding AS cent_emb")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val src = spark.readStream.schema(embSchema)
+          .parquet(stageDir(s"$dir/embeddings.parquet"))
+        val q = graft.operators.Knn.assignToCentroids(src, cents)
+          .select("vec_id", "cluster_id")
+          .writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .partitionBy("cluster_id")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.schema("vec_id BIGINT, cluster_id BIGINT").parquet(s"$tmp/out")
+      },
+      Some("""
+        WITH cent AS (SELECT vec_id AS cent_id, list_transform(embedding, x -> x::DOUBLE) AS cent_emb
+                      FROM embeddings WHERE vec_id < 8),
+        e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings)
+        SELECT vec_id, cent_id AS cluster_id
+        FROM (
+          SELECT e.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_sum(list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] * c.cent_emb[i]))
+                                             / (sqrt(list_sum(list_transform(e.emb, x -> x * x)))
+                                                * sqrt(list_sum(list_transform(c.cent_emb, x -> x * x)))) DESC,
+                                    c.cent_id) AS rn
+          FROM e, cent c)
+        WHERE rn = 1"""),
+      bench = false),
+
     // Event-time windowed aggregation through the state store: the
     // watermarked tumbling-window count/sum drains under AvailableNow
     // into a COMPLETE-mode memory sink — final state = the batch
