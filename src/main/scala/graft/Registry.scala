@@ -34,6 +34,7 @@ object Registry {
       sources.ChunkStore.queries ++
       multimodal.Multimodal.queries ++
       operators.Segmenter.queries ++
+      operators.Search.queries ++
       streaming.Streaming.queries
 
   lazy val byName: Map[String, QueryDef] = {

@@ -48,6 +48,13 @@ object Dedup {
   // the ≤ 6 emitted; 2^15 buckets per band keeps common-vocab corpora
   // from collapsing into hot buckets (8-bit bands did: 10k+ candidate
   // pairs on 500 docs).
+  // dd_spandup: 20-token windows; the planted boilerplate (24 words,
+  // inlined literally into both engines) yields 24−20+1 = 5 shared
+  // fully-internal spans per planted doc
+  private val SpanTokens = 20
+  private[graft] val SpanBoiler =
+    "this document is provided under the standard corpus license and may be " +
+      "redistributed only with this notice attached in full to every copy made"
   private val SimBits = 60
   private val SimBandBits = 15
   private val SimBands = 4
@@ -370,6 +377,74 @@ object Dedup {
                  list_sum(list_transform(generate_series(1, len(a.emb_n)), i -> a.emb_n[i] * b.emb_n[i])) AS cos
           FROM cn a JOIN cn b ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cos >= $EmbNearDupThreshold""")),
+
+    // ------------------------------- cross-document duplicated spans
+    // Exact substring-level dedup signal (the Lee-et-al "deduplicating
+    // training data" shape, approximated at token granularity): every
+    // 20-token window of every document is hashed, and a window whose
+    // hash occurs in ≥ 2 documents is a duplicated span — boilerplate
+    // footers, license blocks, template text. Output: per-document span
+    // counts + duplicated fraction, the signal a curation pipeline
+    // thresholds on to trim boilerplate.
+    //
+    // The synthetic corpus is random word salad (no 20-token span
+    // repeats by chance), so the gate plants a shared 24-word
+    // boilerplate on every doc_id % 7 == 0 document — derived
+    // identically in both engines, like the embed-twin corpus; a green
+    // row proves the window hashing, df counting, and per-doc rollup
+    // all agree.
+    //
+    // 100 TB shape: windows come from the native `word_shingles` kernel
+    // (one codegen'd call per doc); the duplicated-hash set is the
+    // df ≥ 2 aggregate of the postings — TINY relative to the corpus
+    // (only actually-repeated spans) — so it broadcasts, and the
+    // corpus-side plan is scan → explode → broadcast semi join →
+    // partial-aggregated rollup. No self-join, no pair space at all:
+    // cost is linear in corpus tokens.
+    QueryDef(
+      "dd_spandup",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val spans = Tables.documents(spark, dir)
+          .repartition(Par, col("doc_id"))
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id",
+            s"CASE WHEN doc_id % 7 = 0 THEN concat(tc, ' ', '$SpanBoiler') ELSE tc END AS tc")
+          .selectExpr("doc_id", s"word_shingles(split(tc, ' '), $SpanTokens) AS hs")
+          .repartition(Par, col("doc_id"))
+        val post = spans.selectExpr("doc_id", "explode(hs) AS h")
+        // hs is distinct per doc ⇒ count(*) per h = document frequency
+        val dup = post.groupBy("h").agg(expr("count(*) AS df"))
+          .where("df >= 2").select("h")
+        val hits = post.join(broadcast(dup), "h")
+          .groupBy("doc_id").agg(expr("count(*) AS dup_spans"))
+        spans.selectExpr("doc_id", "cast(size(hs) AS bigint) AS n_spans")
+          .join(hits, "doc_id")
+          .selectExpr("doc_id", "n_spans", "dup_spans",
+            "round(cast(dup_spans AS double) / cast(n_spans AS double), 6) AS dup_frac")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN tc || ' ' || '$SpanBoiler' ELSE tc END AS tc
+          FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                FROM documents)),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   CASE WHEN len(toks) < $SpanTokens THEN [tc]
+                        ELSE list_transform(generate_series(1, len(toks) - ${SpanTokens - 1}),
+                                            i -> array_to_string(toks[i:i+${SpanTokens - 1}], ' '))
+                   END,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+          FROM (SELECT doc_id, tc, string_split(tc, ' ') AS toks FROM c)),
+        post AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        dup AS (SELECT h FROM post GROUP BY h HAVING count(*) >= 2),
+        hits AS (SELECT doc_id, count(*) AS dup_spans FROM post JOIN dup USING (h) GROUP BY 1)
+        SELECT doc_id, n_spans, dup_spans,
+               round(dup_spans::DOUBLE / n_spans::DOUBLE, 6) AS dup_frac
+        FROM (SELECT s.doc_id, len(s.hs)::BIGINT AS n_spans, h.dup_spans
+              FROM sh s JOIN hits h ON s.doc_id = h.doc_id)""")),
 
     // ------------------------------- low-threshold similarity pairs
     // Within-label pairwise cosine at 0.35 — a SIMILARITY-MINING

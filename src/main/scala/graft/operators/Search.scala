@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Keyword search — BM25 ranked retrieval over the documents table.
+  *
+  * The reference retrieves by embedding similarity only
+  * (`/root/reference/src/vector_store.py:158-175`); production RAG
+  * stacks pair that with lexical BM25 and fuse the two rankings, so the
+  * engine carries a first-class BM25 operator as an extension.
+  *
+  * Scale design (the 100 TB shape):
+  *  - term frequencies are computed per document IN THE SCAN
+  *    (`size(filter(toks, ...))` per query term — codegen'd, no explode,
+  *    no shuffle): a q-term query costs q array scans per doc;
+  *  - corpus statistics (N, Σdl, per-term document frequencies) reduce
+  *    to ONE scalar row — a single partial-aggregated pass — and join
+  *    back as a broadcast, so the only wide operation in the whole plan
+  *    is a TakeOrderedAndProject of the top k;
+  *  - the score is a pure projection over (tf…, dl) × the broadcast
+  *    stats row: adding terms changes the expression, not the plan.
+  *
+  * Cross-engine determinism: tf, df, dl, N are exact integers; the
+  * score folds per-term contributions in one FIXED left-to-right
+  * expression (never a groupBy sum over an exploded term table, whose
+  * addition order is nondeterministic), so both engines run the same
+  * IEEE double sequence and the rounded score hash-matches.
+  */
+object Search {
+
+  /** Query terms, inlined as literals into both engines' SQL. */
+  private val Terms = Seq("sort", "hash", "window", "spark")
+  private val K1 = "1.2"
+  private val B = "0.75"
+  private val TopK = 20
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ts_bm25",
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr(Seq("doc_id", "cast(size(split(tc, ' ')) AS bigint) AS dl") ++
+            Terms.zipWithIndex.map { case (t, i) =>
+              s"cast(size(filter(split(tc, ' '), x -> x = '$t')) AS bigint) AS tf$i"
+            }: _*)
+        val stats = toks.groupBy().agg(
+          expr("count(*) AS n_docs"),
+          expr("sum(dl) AS sum_dl") +:
+            Terms.indices.map(i => expr(s"sum(CASE WHEN tf$i > 0 THEN 1L ELSE 0L END) AS df$i")): _*)
+        // norm = (1-b) + b * dl/avgdl, with avgdl division written as
+        // (dl * N / Σdl) so both engines run the identical op sequence
+        val contrib = Terms.indices.map { i =>
+          s"""(ln(1.0D + (cast(n_docs AS double) - cast(df$i AS double) + 0.5D)
+                          / (cast(df$i AS double) + 0.5D))
+               * (cast(tf$i AS double) * (${K1}D + 1.0D))
+               / (cast(tf$i AS double) + ${K1}D * ((1.0D - ${B}D)
+                    + ${B}D * (cast(dl AS double) * cast(n_docs AS double) / cast(sum_dl AS double)))))"""
+        }
+        toks.crossJoin(broadcast(stats))
+          .selectExpr("doc_id", "dl",
+            s"cast(${Terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS bigint) AS matched_terms",
+            s"round(${contrib.mkString(" + ")}, 6) AS bm25")
+          .orderBy(desc("bm25"), col("doc_id"))
+          .limit(TopK)
+      },
+      Some {
+        val contrib = Terms.indices.map { i =>
+          s"""(ln(1.0 + (n_docs::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5))
+               * (tf$i::DOUBLE * ($K1 + 1.0))
+               / (tf$i::DOUBLE + $K1 * ((1.0 - $B)
+                    + $B * (dl::DOUBLE * n_docs::DOUBLE / sum_dl::DOUBLE))))"""
+        }
+        s"""
+        WITH toks AS (
+          SELECT doc_id, len(string_split(tc, ' '))::BIGINT AS dl,
+                 ${Terms.zipWithIndex.map { case (t, i) =>
+                   s"len(list_filter(string_split(tc, ' '), x -> x = '$t'))::BIGINT AS tf$i"
+                 }.mkString(",\n                 ")}
+          FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                FROM documents)),
+        stats AS (
+          SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl,
+                 ${Terms.indices.map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i").mkString(", ")}
+          FROM toks)
+        SELECT doc_id, dl,
+               (${Terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")})::BIGINT AS matched_terms,
+               round(${contrib.mkString(" + ")}, 6) AS bm25
+        FROM toks, stats
+        ORDER BY bm25 DESC, doc_id
+        LIMIT $TopK"""
+      })
+  )
+}

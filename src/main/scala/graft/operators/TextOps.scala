@@ -331,6 +331,72 @@ object TextOps {
                round((0.7213 / (1 + 1.079 / 256)) * 256 * 256 / S, 4) AS hll_est
         FROM agg""")),
 
+    // ------------------------------------------ PII redaction (extension)
+    // The scrub pass every training corpus runs before release: emails,
+    // IPv4 addresses, and phone numbers are replaced with typed
+    // placeholder tags, and per-document match counts are emitted for
+    // audit. A pure projection — regex scan per document, no shuffle,
+    // no state — so it runs inside the parquet scan stage at any scale.
+    //
+    // The synthetic corpus contains no PII, so the gate PLANTS a
+    // deterministic contact line (email/IP/phone derived from doc_id,
+    // identical literals in both engines) on every doc_id % 5 == 0
+    // document; the other 4/5 of the corpus doubles as the
+    // false-positive check (all counts 0, text unchanged). Patterns
+    // stay within the regex subset Java and RE2 evaluate identically
+    // (character classes, bounded repeats, no backrefs); counts are
+    // taken on the planted text and the redacted text is content-hashed
+    // so the gate sees both the detection and the rewrite.
+    QueryDef(
+      "ta_redact",
+      (spark, dir) => {
+        val email = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+        val ip = "[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}"
+        val phone = "555-[0-9]{4}"
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id",
+            """CASE WHEN doc_id % 5 = 0
+                    THEN concat(tc, ' contact user', cast(doc_id AS string),
+                                '@mail.example.com from 10.20.',
+                                cast(pmod(doc_id, 200) AS string), '.9 call 555-0142')
+                    ELSE tc END AS tc""")
+          .selectExpr("doc_id",
+            s"cast(regexp_count(tc, '$email') AS bigint) AS n_emails",
+            s"cast(regexp_count(tc, '$ip') AS bigint) AS n_ips",
+            s"cast(regexp_count(tc, '$phone') AS bigint) AS n_phones",
+            s"""regexp_replace(regexp_replace(regexp_replace(tc,
+                  '$email', '[EMAIL]'), '$ip', '[IP]'), '$phone', '[PHONE]') AS redacted""")
+          .selectExpr("doc_id", "n_emails", "n_ips", "n_phones",
+            "cast(length(redacted) AS bigint) AS redacted_len",
+            "md5(redacted) AS redacted_hash")
+      },
+      Some("""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN tc || ' contact user' || doc_id::VARCHAR ||
+                           '@mail.example.com from 10.20.' ||
+                           (doc_id % 200)::VARCHAR || '.9 call 555-0142'
+                      ELSE tc END AS tc
+          FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
+                FROM documents)),
+        red AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(tc, '[a-z0-9._]+@[a-z0-9.]+[a-z]'))::BIGINT AS n_emails,
+                 len(regexp_extract_all(tc, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ips,
+                 len(regexp_extract_all(tc, '555-[0-9]{4}'))::BIGINT AS n_phones,
+                 regexp_replace(regexp_replace(regexp_replace(tc,
+                   '[a-z0-9._]+@[a-z0-9.]+[a-z]', '[EMAIL]', 'g'),
+                   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+                   '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+          FROM planted)
+        SELECT doc_id, n_emails, n_ips, n_phones,
+               length(redacted)::BIGINT AS redacted_len,
+               md5(redacted) AS redacted_hash
+        FROM red""")),
+
     // --------------------------------------- salted aggregation (skew pattern)
     // Same result as ta_stats (minus the distinct count, which doesn't
     // decompose), computed as a TWO-STAGE aggregation over a salted key:

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Specs for the round-6 text operators: BM25 ranked retrieval,
+  * cross-document duplicated spans, and PII redaction.
+  */
+class SearchSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = Registry.byName(name).run(spark, sf)
+
+  test("ts_bm25: returns top-20, scores descending, all matched docs score > 0") {
+    val rows = run("ts_bm25").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.sameElements(scores.sortBy(-_)), "not sorted by score desc")
+    rows.foreach { r =>
+      val matched = r.getAs[Long]("matched_terms")
+      val score = r.getAs[Double]("bm25")
+      assert(matched >= 0 && matched <= 4)
+      assert((matched > 0) == (score > 0),
+        s"doc ${r.getAs[Long]("doc_id")}: matched=$matched but score=$score")
+    }
+  }
+
+  test("ts_bm25: ranking is deterministic and non-constant") {
+    val a = run("ts_bm25").collect().map(_.toSeq)
+    val b = run("ts_bm25").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "top-20 differs between runs")
+    assert(a.map(_.last).distinct.length > 1, "degenerate constant scores")
+  }
+
+  test("dd_spandup: every planted doc is flagged with ≥ 5 shared boilerplate spans") {
+    val rows = run("dd_spandup").collect()
+    assert(rows.nonEmpty, "no duplicated spans — planting broke")
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val planted = Tables.documents(spark, sf)
+      .where("doc_id % 7 = 0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // the corpus ALSO contains driver-planted near-duplicate documents
+    // that legitimately share 20-token spans, so flagged ⊋ planted is
+    // expected — the assertion is containment, not equality
+    assert(planted.subsetOf(byId.keySet),
+      s"${(planted -- byId.keySet).size} planted docs unflagged")
+    planted.foreach { id =>
+      // 24-word boilerplate, 20-token windows ⇒ 5 fully-internal spans
+      // shared verbatim by every planted doc (junction spans are unique)
+      assert(byId(id).getAs[Long]("dup_spans") >= 5,
+        s"doc $id: only ${byId(id).getAs[Long]("dup_spans")} dup spans")
+      val f = byId(id).getAs[Double]("dup_frac")
+      assert(f > 0 && f <= 1)
+    }
+  }
+
+  test("dd_spandup: the 5 boilerplate-internal span hashes hit every planted doc") {
+    // hash the boilerplate's own 20-token windows directly and check
+    // each has document frequency ≥ the planted-doc count — pins the
+    // span hashing to the planting, independent of the per-doc rollup
+    graft.plans.VectorExprs.register(spark)
+    import org.apache.spark.sql.functions._
+    val nPlanted = Tables.documents(spark, sf).where("doc_id % 7 = 0").count()
+    val boilerSpans = spark.sql(
+      s"SELECT explode(word_shingles(split('${Dedup.SpanBoiler}', ' '), 20)) AS h")
+    assert(boilerSpans.count() == 5)
+    val post = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .selectExpr("doc_id",
+        s"CASE WHEN doc_id % 7 = 0 THEN concat(tc, ' ', '${Dedup.SpanBoiler}') ELSE tc END AS tc")
+      .selectExpr("doc_id", "explode(word_shingles(split(tc, ' '), 20)) AS h")
+    val dfs = post.join(boilerSpans, "h").groupBy("h")
+      .agg(expr("count(*) AS df")).collect()
+    assert(dfs.length == 5, "boilerplate spans missing from the corpus postings")
+    dfs.foreach(r => assert(r.getAs[Long]("df") == nPlanted,
+      s"boiler span df ${r.getAs[Long]("df")} != planted $nPlanted"))
+  }
+
+  test("ta_redact: planted docs report exact counts, others zero and unchanged") {
+    val rows = run("ta_redact").collect()
+    val (planted, clean) = rows.partition(_.getAs[Long]("doc_id") % 5 == 0)
+    assert(planted.nonEmpty && clean.nonEmpty)
+    planted.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1, s"doc ${r.get(0)}: emails != 1")
+      assert(r.getAs[Long]("n_ips") == 1, s"doc ${r.get(0)}: ips != 1")
+      assert(r.getAs[Long]("n_phones") == 1, s"doc ${r.get(0)}: phones != 1")
+    }
+    clean.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 0 && r.getAs[Long]("n_ips") == 0 &&
+        r.getAs[Long]("n_phones") == 0, s"false positive in doc ${r.get(0)}")
+    }
+  }
+
+  test("ta_redact: redacted text contains tags, never the planted PII") {
+    import org.apache.spark.sql.functions._
+    // re-derive the redacted text (the gate row ships only its hash)
+    val email = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+    val ip = "[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}"
+    val phone = "555-[0-9]{4}"
+    val red = Tables.documents(spark, sf)
+      .where("doc_id % 5 = 0")
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .selectExpr("doc_id",
+        """concat(tc, ' contact user', cast(doc_id AS string),
+                  '@mail.example.com from 10.20.',
+                  cast(pmod(doc_id, 200) AS string), '.9 call 555-0142') AS tc""")
+      .selectExpr("doc_id",
+        s"""regexp_replace(regexp_replace(regexp_replace(tc,
+              '$email', '[EMAIL]'), '$ip', '[IP]'), '$phone', '[PHONE]') AS redacted""")
+      .collect()
+    red.foreach { r =>
+      val t = r.getAs[String]("redacted")
+      assert(t.contains("[EMAIL]") && t.contains("[IP]") && t.contains("[PHONE]"))
+      assert(!t.contains("@mail.example.com"), "email survived redaction")
+      assert(!t.contains("call 555-"), "phone survived redaction")
+    }
+  }
+}
