@@ -329,6 +329,125 @@ object Knn {
         ORDER BY approx_sim DESC, vec_id
         LIMIT 10""")),
 
+    // ----------------------- IVF-PQ: the composed production index
+    // v5 prunes READS (probe nprobe of the coarse clusters), v7 shrinks
+    // BYTES (residuals quantized to 8 code bytes) — this row composes
+    // them into the architecture a 100 TB vector corpus actually
+    // deploys: assign to the nearest coarse centroid (row-local
+    // argmax_cos over one broadcast centroid row), quantize the RESIDUAL
+    // v − c per 8-dim subspace against a 16-codeword residual codebook
+    // (residual subvectors of vectors 16..31 — vectors 0..15 contain the
+    // centroids themselves, whose zero residuals would put NaN cosines
+    // on every codeword and degenerate the quantizer), and score a query
+    // asymmetrically per probed cluster: approx ⟨q,v⟩ = ⟨q,c⟩ +
+    // Σ_m ⟨(q−c)_m, codeword(v,m)⟩. The centroid term ⟨q,c⟩ makes the
+    // ranking comparable ACROSS the probed clusters — constant within
+    // one cluster, decisive between them.
+    //
+    // Plan shape: corpus side is scan → broadcast joins (centroid row,
+    // probe row, codebook row) → projection → TakeOrderedAndProject —
+    // zero corpus exchange, all scoring codegen'd. Oracle: the identical
+    // construction via rank windows + ordered list_sum folds — the
+    // summation order (qc + (t0 + t1 + … + t7)) is pinned in both
+    // engines so the doubles agree bitwise before rounding.
+    QueryDef(
+      "v8_ivfpq",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val e = Tables.embeddings(spark, dir)
+        val M = 8; val D = 8; val NProbe = 2
+        val cents = e.where("vec_id < 8")
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+        val centRow = broadcast(cents.groupBy().agg(
+          expr("sort_array(collect_list(named_struct('cent_id', cent_id, 'cent_emb', cent_emb))) AS cents")))
+        val resid = e.crossJoin(centRow)
+          .selectExpr("vec_id", "embedding",
+            "nullif(argmax_cos(embedding, cents.cent_emb), -1) + 1 AS ci",
+            "cents AS cents")
+          .selectExpr("vec_id",
+            "element_at(cents.cent_id, ci) AS cluster_id",
+            "zip_with(embedding, element_at(cents.cent_emb, ci), (x, c) -> cast(x AS double) - cast(c AS double)) AS rv")
+        val cbAggs = (0 until M).map(m => expr(
+          s"sort_array(collect_list(named_struct('cid', vec_id, 'cw', slice(rv, ${m * D + 1}, $D)))) AS cbs$m"))
+        val cb = broadcast(resid.where("vec_id >= 16 AND vec_id < 32")
+          .groupBy().agg(cbAggs.head, cbAggs.tail: _*))
+        val qv = e.where("vec_id = 0").select("embedding").collect().head
+          .getAs[scala.collection.Seq[Float]]("embedding")
+        val qLit = qv.map(v => s"cast($v AS float)").mkString("array(", ", ", ")")
+        val probes = broadcast(cents
+          .selectExpr("cent_id", "cent_emb", s"${cosExpr("cent_emb", qLit)} AS cs")
+          .orderBy(desc("cs"), col("cent_id"))
+          .limit(NProbe)
+          .selectExpr("cent_id AS p_cluster",
+            s"dot_f($qLit, cent_emb) AS qc",
+            s"zip_with($qLit, cent_emb, (x, c) -> cast(x AS double) - cast(c AS double)) AS qr"))
+        val terms = (0 until M).map { m =>
+          s"dot_f(slice(qr, ${m * D + 1}, $D), element_at(cbs$m.cw, argmax_cos(slice(rv, ${m * D + 1}, $D), cbs$m.cw) + 1))"
+        }.mkString(" + ")
+        resid.join(probes, resid("cluster_id") === probes("p_cluster"))
+          .crossJoin(cb)
+          .selectExpr("vec_id", "cluster_id", s"round(qc + ($terms), 6) AS approx_sim")
+          .orderBy(desc("approx_sim"), col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, embedding, cent_id AS cluster_id
+          FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ${dCos("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rn
+            FROM embeddings e, cent c)
+          WHERE rn = 1),
+        resid AS (
+          SELECT a.vec_id, a.cluster_id,
+                 list_transform(generate_series(1, len(a.embedding)),
+                                i -> a.embedding[i]::DOUBLE - c.cent_emb[i]::DOUBLE) AS rv
+          FROM assigned a JOIN cent c ON a.cluster_id = c.cent_id),
+        ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        cw AS (
+          SELECT ms.m, row_number() OVER (PARTITION BY ms.m ORDER BY vec_id) - 1 AS k,
+                 r.rv[ms.m*8+1 : ms.m*8+8] AS cwv
+          FROM resid r, ms
+          WHERE r.vec_id >= 16 AND r.vec_id < 32),
+        sub AS (
+          SELECT r.vec_id, r.cluster_id, ms.m, r.rv[ms.m*8+1 : ms.m*8+8] AS sv
+          FROM resid r, ms),
+        acode AS (
+          SELECT vec_id, cluster_id, m, k FROM (
+            SELECT s.vec_id, s.cluster_id, s.m, c.k,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY ${dCos("s.sv", "c.cwv")} DESC, c.k) AS rn
+            FROM sub s JOIN cw c ON s.m = c.m)
+          WHERE rn = 1),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        probes AS (
+          SELECT cent_id, cent_emb FROM cent, q
+          ORDER BY ${dCos("cent_emb", "q_emb")} DESC, cent_id
+          LIMIT 2),
+        pq AS (
+          SELECT p.cent_id AS p_cluster,
+                 list_sum(list_transform(generate_series(1, len(p.cent_emb)),
+                                         i -> q.q_emb[i]::DOUBLE * p.cent_emb[i]::DOUBLE)) AS qc,
+                 list_transform(generate_series(1, len(p.cent_emb)),
+                                i -> q.q_emb[i]::DOUBLE - p.cent_emb[i]::DOUBLE) AS qr
+          FROM probes p, q),
+        term AS (
+          SELECT a.vec_id, a.cluster_id, a.m, pq.qc,
+                 list_sum(list_transform(generate_series(1, 8),
+                                         i -> pq.qr[a.m*8+i] * c.cwv[i])) AS d
+          FROM acode a
+          JOIN cw c ON a.m = c.m AND a.k = c.k
+          JOIN pq ON pq.p_cluster = a.cluster_id),
+        score AS (
+          SELECT vec_id, cluster_id, min(qc) + list_sum(list(d ORDER BY m)) AS s
+          FROM term GROUP BY vec_id, cluster_id)
+        SELECT vec_id, cluster_id, round(s, 6) AS approx_sim
+        FROM score
+        ORDER BY approx_sim DESC, vec_id
+        LIMIT 10""")),
+
     // --------------------- sharded-NSW graph ANN (the V2 HNSW analog)
     // Build the per-shard navigable-small-world index, then search it at
     // FULL beam width: coverage is total, so the result must equal the

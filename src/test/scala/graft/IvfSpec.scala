@@ -88,6 +88,31 @@ class IvfSpec extends SparkSpec {
     assert(approx.count(exact) >= 4, s"PQ recall degraded: $approx vs $exact")
   }
 
+  test("IVF-PQ: results come only from the probed clusters, scores bounded, deterministic") {
+    graft.plans.VectorExprs.register(spark)
+    val v8 = Knn.queries.find(_.name == "v8_ivfpq").get
+    val rows = v8.run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 10)
+    // the probe set: top-2 centroids by cosine against the vec-0 query
+    val q = embeddings().where("vec_id = 0")
+      .collect().head.getAs[scala.collection.Seq[Float]]("embedding")
+    val qLit = q.map(v => s"cast($v AS float)").mkString("array(", ", ", ")")
+    val probes = centroids()
+      .selectExpr("cent_id", s"cosine_f(cent_emb, $qLit) AS cs")
+      .orderBy(desc("cs"), col("cent_id")).limit(2)
+      .collect().map(_.getAs[Long]("cent_id")).toSet
+    rows.foreach(r => assert(probes(r.getAs[Long]("cluster_id")),
+      s"vec ${r.getAs[Long]("vec_id")} scored from unprobed cluster ${r.getAs[Long]("cluster_id")}"))
+    // the ADC approximation of ⟨q,v⟩ must sit in the exact dot's range
+    // over the corpus (a wildly out-of-range score = broken codebook join)
+    val exactMax = embeddings()
+      .selectExpr(s"max(dot_f(embedding, $qLit)) AS m").collect().head.getAs[Double]("m")
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("approx_sim")) <= 2 * math.abs(exactMax) + 1))
+    // deterministic re-run
+    val again = v8.run(spark, "/root/testdata/sf0.001").collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+  }
+
   test("IVF with full probe width equals brute force") {
     val path = Files.createTempDirectory("graft_ivf").toString + "/index"
     Knn.writeIvfIndex(spark, embeddings(), centroids(), path)

@@ -141,6 +141,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), s"corpus exchange in:\n$p")
   }
 
+  test("v8_ivfpq: probe filter is a broadcast join, scoring row-local, no corpus exchange") {
+    val p = plan("v8_ivfpq")
+    // centroid row + probe row + codebook row all arrive as broadcasts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("argmax_cos"), "assignment + quantizer must be the native expression")
+    assert(!p.contains("Exchange hashpartitioning"), s"corpus exchange in:\n$p")
+    assert(!p.contains("Window"), "assignment regressed to the rank-window form")
+  }
+
   test("ev_funnel: pure aggregation — no window, no join over the history") {
     val p = plan("ev_funnel")
     assert(!p.contains("Window"), "funnel must not sort event history")
