@@ -222,6 +222,80 @@ object Relational {
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                grouping_id(l_returnflag, l_linestatus)::BIGINT AS gid
         FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+        GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    // Arbitrary GROUPING SETS — the non-hierarchical case rollup/cube
+    // cannot express: region totals, nation totals, and the grand total
+    // WITHOUT the (region, nation) detail level. Uses the Spark 4
+    // Dataset.groupingSets API; the plan is the same single-scan Expand
+    // as rollup (one row multiplied per set, partial-aggregated before
+    // the exchange) — n sets cost n× map output, never n scans.
+    QueryDef(
+      "q7_grouping_sets",
+      (spark, dir) => {
+        val joined = Tables.orders(spark, dir)
+          .join(Tables.customer(spark, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(spark, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+        joined.groupingSets(
+            Seq(Seq(col("r_name")), Seq(col("n_name")), Seq.empty),
+            col("r_name"), col("n_name"))
+          .agg(
+            expr("count(*) AS n_orders"),
+            expr("cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS revenue"),
+            expr("cast(grouping_id(r_name, n_name) AS bigint) AS gid"))
+      },
+      Some("""
+        SELECT r_name, n_name, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               grouping_id(r_name, n_name)::BIGINT AS gid
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())""")),
+
+    // Distribution window functions — ntile / percent_rank / cume_dist
+    // complete the window family (w1 prefix frame, w2 sliding frame,
+    // rank windows inside kNN). Customer lifetime spend ranks into
+    // deciles WITHIN market segment: the partition key bounds the sort
+    // (5 segments here; at 100 TB the pattern is the same — partition
+    // by a real key, never a global ORDER BY; a truly global ranking
+    // would use range partitioning + per-range offsets instead).
+    // Deterministic: total tie-break (spend DESC, custkey), and the
+    // rank-derived ratios are exact-integer divisions.
+    QueryDef(
+      "w3_spend_deciles",
+      (spark, dir) => {
+        val spend = Tables.orders(spark, dir)
+          .groupBy("o_custkey")
+          .agg(expr("cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS spend"))
+        Tables.customer(spark, dir)
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .selectExpr("c_custkey", "c_mktsegment", "spend")
+          .selectExpr("c_custkey", "c_mktsegment", "spend",
+            """cast(ntile(10) OVER (PARTITION BY c_mktsegment
+                                    ORDER BY spend DESC, c_custkey) AS bigint) AS decile""",
+            """round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY spend DESC, c_custkey), 6) AS pct_rank""",
+            """round(cume_dist() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY spend DESC, c_custkey), 6) AS cume""")
+      },
+      Some("""
+        WITH spend AS (
+          SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+          FROM orders GROUP BY o_custkey)
+        SELECT c_custkey, c_mktsegment, spend,
+               ntile(10) OVER (PARTITION BY c_mktsegment
+                               ORDER BY spend DESC, c_custkey)::BIGINT AS decile,
+               round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY spend DESC, c_custkey), 6) AS pct_rank,
+               round(cume_dist() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY spend DESC, c_custkey), 6) AS cume
+        FROM customer
+        JOIN spend ON c_custkey = o_custkey"""))
   )
 }
