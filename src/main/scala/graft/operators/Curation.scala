@@ -337,6 +337,35 @@ object Curation {
                round(63.0 * pow(2, 60) / (SELECT max(h) FROM s)::DOUBLE, 6) AS distinct_est
         FROM s""")),
 
+    // --------------------------------------------- per-source caps
+    // The anti-domination rule of web-corpus curation (one crawl domain
+    // must not swamp the mix): keep at most K documents per source,
+    // preferring longer documents, ties broken by doc_id. Runs through
+    // the typed bounded-heap TopKAggregator — per-key state never
+    // exceeds K rows and partial-merges map-side, so a source with 10⁹
+    // documents shuffles K rows, not 10⁹ (the rank-window form sorts
+    // the whole source). Same machinery as batch kNN (v3_knn_batch_agg),
+    // keyed by source name; oracle = the rank-window formulation.
+    QueryDef(
+      "tp_source_cap",
+      (spark, dir) => {
+        import spark.implicits._
+        val rows = Tables.documents(spark, dir)
+          .selectExpr("source", "doc_id", "cast(n_chars AS double) AS score")
+          .as[(String, Long, Double)]
+        TopK.topKByStringKey(rows, 10)
+          .toDF("source", "rank", "doc_id", "score")
+          .selectExpr("source", "rank", "doc_id", "cast(score AS bigint) AS n_chars")
+      },
+      Some("""
+        SELECT source, rank, doc_id, n_chars
+        FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id)::BIGINT AS rank
+          FROM documents)
+        WHERE rank <= 10""")),
+
     // ----------------------------------------- source-mix weighted sampling
     // The corpus-mixing knob of a training run: each language stratum
     // samples at its own target rate (per-mille, inlined literally in

@@ -296,6 +296,85 @@ object Relational {
                round(cume_dist() OVER (PARTITION BY c_mktsegment
                                        ORDER BY spend DESC, c_custkey), 6) AS cume
         FROM customer
-        JOIN spend ON c_custkey = o_custkey"""))
+        JOIN spend ON c_custkey = o_custkey""")),
+
+    // Bloom-filter runtime semi-join — the pre-filter a 100 TB join
+    // plans before shuffling the probe side (Spark's own runtime
+    // filters do exactly this, but their hash is engine-private and
+    // invisible to an oracle). This one is engineered for the gate:
+    // k = 4 md5-derived bit positions over an m = 8192-bit bitmap held
+    // as 131 bigint words (63 usable bits each — DuckDB's << raises on
+    // a 63-bit shift, so bit 63 is never used); the build side ORs word masks (bit_or is
+    // order-independent, so the bitmap is deterministic across engines
+    // and partitionings), folds to ONE broadcast row, and the probe
+    // side evaluates all four membership bits inside its scan — no
+    // shuffle, no explode. Output: probe/pass/true counts and the
+    // measured false-positive rate. n_pass ≥ n_true is the no-false-
+    // negative guarantee (spec-pinned; a hash mismatch here means the
+    // filter dropped a real match).
+    QueryDef(
+      "q8_bloom_semijoin",
+      (spark, dir) => {
+        val M = 8192L
+        val W = 131 // 63 usable bits per word: DuckDB raises on 1 << 63
+        def posS(col: String, j: Int) =
+          s"pmod(cast(conv(substring(md5(concat(cast($col AS string), '_$j')), 1, 15), 16, 10) AS bigint), $M)"
+        val build = Tables.customer(spark, dir)
+          .where("c_mktsegment = 'BUILDING'")
+          .selectExpr((0 until 4).map(j => s"${posS("c_custkey", j)} AS p$j"): _*)
+          .selectExpr("stack(4, p0, p1, p2, p3) AS p")
+          .selectExpr("p div 63 AS w", "shiftleft(1L, cast(p % 63 AS int)) AS m")
+          .groupBy("w").agg(expr("bit_or(m) AS bits"))
+        val bm = broadcast(
+          spark.range(0, W)
+            .selectExpr("cast(id AS bigint) AS w")
+            .join(build, Seq("w"), "left")
+            .selectExpr("w", "coalesce(bits, 0L) AS bits")
+            .groupBy()
+            .agg(expr("transform(sort_array(collect_list(named_struct('w', w, 'b', bits))), x -> x.b) AS bm")))
+        val probeOk = (0 until 4).map { j =>
+          s"(element_at(bm, cast(${posS("o_custkey", j)} div 63 AS int) + 1) & shiftleft(1L, cast(${posS("o_custkey", j)} % 63 AS int))) != 0"
+        }.mkString(" AND ")
+        val probed = Tables.orders(spark, dir)
+          .crossJoin(bm)
+          .selectExpr("o_custkey", s"CASE WHEN $probeOk THEN 1L ELSE 0L END AS pass")
+        val trueKeys = Tables.customer(spark, dir)
+          .where("c_mktsegment = 'BUILDING'").select("c_custkey")
+        val nTrue = Tables.orders(spark, dir)
+          .join(trueKeys, col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy().agg(expr("count(*) AS n_true"))
+        probed.groupBy()
+          .agg(expr("count(*) AS n_probe"), expr("sum(pass) AS n_pass"))
+          .crossJoin(broadcast(nTrue))
+          .selectExpr("n_probe", "n_pass", "n_true",
+            "n_pass - n_true AS n_false_pos",
+            "round(cast(n_pass - n_true AS double) / cast(n_probe - n_true AS double), 6) AS fp_rate")
+      },
+      Some(s"""
+        WITH pos AS (
+          SELECT c_custkey, j,
+                 ('0x' || substr(md5(c_custkey::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT % 8192 AS p
+          FROM customer, (SELECT unnest(generate_series(0, 3)) AS j) js
+          WHERE c_mktsegment = 'BUILDING'),
+        words AS (
+          SELECT p // 63 AS w, bit_or(1::BIGINT << (p % 63)::INT) AS bits
+          FROM pos GROUP BY 1),
+        bm AS (
+          SELECT list(coalesce(words.bits, 0) ORDER BY gs.w) AS bm
+          FROM (SELECT unnest(generate_series(0, 130)) AS w) gs
+          LEFT JOIN words ON gs.w = words.w),
+        probed AS (
+          SELECT o_custkey,
+                 CASE WHEN ${(0 until 4).map(j =>
+                   s"(bm.bm[(('0x' || substr(md5(o_custkey::VARCHAR || '_$j'), 1, 15))::BIGINT % 8192) // 63 + 1] & (1::BIGINT << ((('0x' || substr(md5(o_custkey::VARCHAR || '_$j'), 1, 15))::BIGINT % 8192) % 63)::INT)) != 0").mkString(" AND ")}
+                      THEN 1 ELSE 0 END AS pass
+          FROM orders, bm),
+        t AS (
+          SELECT count(*) AS n_true FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+        SELECT count(*) AS n_probe, sum(pass)::BIGINT AS n_pass, min(t.n_true) AS n_true,
+               sum(pass)::BIGINT - min(t.n_true) AS n_false_pos,
+               round((sum(pass)::BIGINT - min(t.n_true))::DOUBLE / (count(*) - min(t.n_true))::DOUBLE, 6) AS fp_rate
+        FROM probed, t"""))
   )
 }

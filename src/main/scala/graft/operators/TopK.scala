@@ -57,4 +57,19 @@ object TopK {
         top.zipWithIndex.map { case (s, i) => (key, (i + 1).toLong, s.id, s.score) }
       }
   }
+
+  /** String-keyed twin of [[topKByKey]] (e.g. per-source / per-domain
+    * caps where the key is a name, not an id).
+    */
+  def topKByStringKey(rows: Dataset[(String, Long, Double)], k: Int): Dataset[(String, Long, Long, Double)] = {
+    import rows.sparkSession.implicits._
+    val agg = new TopKAggregator(k)
+    rows
+      .groupByKey(_._1)
+      .mapValues { case (_, id, score) => Scored(id, score) }
+      .agg(agg.toColumn)
+      .flatMap { case (key, top) =>
+        top.zipWithIndex.map { case (s, i) => (key, (i + 1).toLong, s.id, s.score) }
+      }
+  }
 }

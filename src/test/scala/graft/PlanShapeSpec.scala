@@ -151,6 +151,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "assignment regressed to the rank-window form")
   }
 
+  test("q8_bloom_semijoin: probe side is scan + broadcast bitmap — no probe shuffle") {
+    val p = plan("q8_bloom_semijoin")
+    assert(p.contains("BroadcastNestedLoopJoin"), "bitmap row must broadcast")
+    // the probe scan evaluates all 4 membership bits inline: the only
+    // Generate allowed is the build side's stack() over ~tiny keys, and
+    // nothing on the probe path may hash-shuffle the orders scan
+    assert(p.split("Generate").length - 1 <= 1, "probe side must not explode per hash")
+    // the only hash shuffle allowed is the 131-word bitmap assembly on w;
+    // the orders/customer key columns must never be exchange keys
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(l.contains("hashpartitioning(w#"), s"non-bitmap shuffle: $l")
+    }
+  }
+
   test("ev_funnel: pure aggregation — no window, no join over the history") {
     val p = plan("ev_funnel")
     assert(!p.contains("Window"), "funnel must not sort event history")

@@ -77,6 +77,37 @@ class SearchSpec extends SparkSpec {
       s"boiler span df ${r.getAs[Long]("df")} != planted $nPlanted"))
   }
 
+  test("q8_bloom_semijoin: no false negatives, fp accounting consistent") {
+    val r = run("q8_bloom_semijoin").collect().head
+    val (probe, pass, tru, fp) = (r.getAs[Long]("n_probe"), r.getAs[Long]("n_pass"),
+      r.getAs[Long]("n_true"), r.getAs[Long]("n_false_pos"))
+    assert(tru > 0, "degenerate corpus: no true matches")
+    // THE bloom guarantee: every true match passes the filter
+    assert(pass >= tru, s"false negatives: pass=$pass < true=$tru")
+    assert(fp == pass - tru && fp >= 0)
+    assert(pass <= probe)
+  }
+
+  test("tp_source_cap: at most 10 per source, keeps the longest docs") {
+    val rows = run("tp_source_cap").collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= 10, s"$src over cap")
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.sameElements(1L to ranks.length), s"$src ranks not dense")
+    }
+    // cap semantics: the kept docs are the n_chars-largest of the source
+    val all = Tables.documents(spark, sf)
+      .selectExpr("source", "doc_id", "n_chars").collect()
+      .groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      val kept = rs.map(_.getAs[Long]("doc_id")).toSet
+      val expect = all(src).sortBy(r => (-r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+        .take(10).map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == expect, s"$src kept wrong docs")
+    }
+  }
+
   test("ta_redact: planted docs report exact counts, others zero and unchanged") {
     val rows = run("ta_redact").collect()
     val (planted, clean) = rows.partition(_.getAs[Long]("doc_id") % 5 == 0)
