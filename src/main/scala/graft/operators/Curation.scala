@@ -46,12 +46,16 @@ object Curation {
         .join(labels.selectExpr("doc_id AS doc_b", "component AS nc"), "doc_b")
         .groupBy("doc_a").agg(expr("min(nc) AS nmin"))
         .selectExpr("doc_a AS doc_id", "nmin")
+      // carry the previous label through the checkpoint so convergence
+      // is a filter-count on the materialized rows — not a second join
+      // against the previous round (which doubled the per-round jobs)
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .selectExpr("doc_id", "least(component, coalesce(nmin, component)) AS component")
+        .selectExpr("doc_id",
+          "least(component, coalesce(nmin, component)) AS component",
+          "component AS old")
         .localCheckpoint(true)
-      val changed = next.join(labels.selectExpr("doc_id", "component AS old"), "doc_id")
-        .where("component != old").count()
-      labels = next
+      val changed = next.where("component != old").count()
+      labels = next.select("doc_id", "component")
       converged = changed == 0
       rounds += 1
     }
