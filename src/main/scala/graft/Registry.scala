@@ -35,6 +35,7 @@ object Registry {
       multimodal.Multimodal.queries ++
       operators.Segmenter.queries ++
       operators.Search.queries ++
+      operators.Quality.queries ++
       streaming.Streaming.queries
 
   lazy val byName: Map[String, QueryDef] = {

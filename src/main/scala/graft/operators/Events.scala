@@ -364,6 +364,58 @@ object Events {
                         -1)::BIGINT AS us_since_prev,
                coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
                         'none') AS next_type
-        FROM events"""))
+        FROM events""")),
+
+    // --------------------------- resample + forward fill (extension)
+    // Time-series gap filling: each user's sparse events resample onto
+    // a dense hourly grid from their first to their last active hour;
+    // hours with no events carry the last observed value forward
+    // (IGNORE NULLS last_value — both engines implement the identical
+    // semantics). The per-hour representative is the LAST event of the
+    // hour under a total (ts, event_id) order, so every step is
+    // deterministic. Scale shape: the grid explodes per user (bounded
+    // by the user's own active span, never a global calendar), all
+    // windows are user-partitioned — one shuffle on the
+    // high-cardinality key, no global sort, no driver-side calendar.
+    QueryDef(
+      "ev_resample",
+      (spark, dir) => {
+        val hourly = Tables.events(spark, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "value",
+            "cast(date_trunc('HOUR', ts) AS long) div 3600 AS hr")
+          .selectExpr("user_id", "hr", "value",
+            """row_number() OVER (PARTITION BY user_id, hr
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn""")
+          .where("rn = 1")
+          .selectExpr("user_id", "hr", "value AS close")
+        val grid = hourly.groupBy("user_id")
+          .agg(
+            org.apache.spark.sql.functions.expr("min(hr) AS hr0"),
+            org.apache.spark.sql.functions.expr("max(hr) AS hr1"))
+          .selectExpr("user_id", "explode(sequence(hr0, hr1, 1)) AS hr")
+        grid.join(hourly, Seq("user_id", "hr"), "left")
+          .selectExpr("user_id", "hr",
+            "CASE WHEN close IS NULL THEN 0L ELSE 1L END AS observed",
+            """last(close, true) OVER (PARTITION BY user_id ORDER BY hr
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled""")
+          .selectExpr("user_id", "hr * 3600 AS hour_epoch", "observed", "filled")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT user_id, hr, value AS close
+          FROM (
+            SELECT user_id, epoch(date_trunc('hour', ts))::BIGINT // 3600 AS hr, value,
+                   row_number() OVER (PARTITION BY user_id, epoch(date_trunc('hour', ts))::BIGINT // 3600
+                                      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events)
+          WHERE rn = 1),
+        grid AS (
+          SELECT user_id, unnest(generate_series(min(hr), max(hr))) AS hr
+          FROM hourly GROUP BY user_id)
+        SELECT g.user_id, g.hr * 3600 AS hour_epoch,
+               CASE WHEN h.close IS NULL THEN 0 ELSE 1 END::BIGINT AS observed,
+               last_value(h.close IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hr
+                                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr"""))
   )
 }

@@ -108,6 +108,37 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("ev_resample: dense per-user hourly grid, forward fill from last observation") {
+    val rows = run("ev_resample").collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val hrs = rs.map(_.getAs[Long]("hour_epoch")).sorted
+      // dense grid: consecutive hours, no holes, no duplicates
+      assert(hrs.distinct.length == hrs.length, s"user $u: duplicate grid hours")
+      assert(hrs.last - hrs.head == 3600L * (hrs.length - 1), s"user $u: grid has holes")
+      // the first grid hour is observed by construction; every filled
+      // value is non-null from there on
+      val sorted = rs.sortBy(_.getAs[Long]("hour_epoch"))
+      assert(sorted.head.getAs[Long]("observed") == 1L)
+      sorted.foreach(r => assert(!r.isNullAt(r.fieldIndex("filled"))))
+    }
+    // gaps exist on this corpus — otherwise the fill path is untested
+    assert(rows.exists(_.getAs[Long]("observed") == 0L), "no gaps — fill untested")
+  }
+
+  test("dq_constraints: one row per check, totals positive, clean corpus passes") {
+    val rows = run("dq_constraints").collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total") > 0)
+      assert(r.getAs[Long]("violations") >= 0)
+      assert((r.getAs[Long]("violations") == 0) == (r.getAs[Long]("pass") == 1L))
+    }
+    // the driver tables are clean by construction; a failing check here
+    // means the check itself broke, not the data
+    assert(rows.forall(_.getAs[Long]("pass") == 1L))
+  }
+
   test("ta_redact: planted docs report exact counts, others zero and unchanged") {
     val rows = run("ta_redact").collect()
     val (planted, clean) = rows.partition(_.getAs[Long]("doc_id") % 5 == 0)
