@@ -375,6 +375,35 @@ object Relational {
         SELECT count(*) AS n_probe, sum(pass)::BIGINT AS n_pass, min(t.n_true) AS n_true,
                sum(pass)::BIGINT - min(t.n_true) AS n_false_pos,
                round((sum(pass)::BIGINT - min(t.n_true))::DOUBLE / (count(*) - min(t.n_true))::DOUBLE, 6) AS fp_rate
-        FROM probed, t"""))
+        FROM probed, t""")),
+
+    // Salted skew join through the gate — Skew.saltedJoin was spec-only
+    // (SkewSpec pins the partition spreading); this row proves its
+    // RESULT through the oracle: segment revenue computed via the
+    // salted orders⋈customer join must equal the plain-join aggregate
+    // DuckDB runs. The salt is pmod(o_orderkey, 8) — deterministic, so
+    // retries and both engines see the same rows; the customer side
+    // replicates 8× (fine: it is the small input). This is the manual
+    // fallback when AQE's skew splitting cannot see a hot key (e.g.
+    // pre-shuffle aggregation hides it).
+    QueryDef(
+      "q9_skew_salted_join",
+      (spark, dir) => {
+        val joined = Skew.saltedJoin(
+          Tables.orders(spark, dir),
+          Tables.customer(spark, dir).selectExpr("c_custkey AS o_custkey", "c_mktsegment"),
+          key = "o_custkey",
+          saltSource = col("o_orderkey"),
+          saltFactor = 8)
+        joined.groupBy("c_mktsegment")
+          .agg(
+            expr("count(*) AS n_orders"),
+            expr("cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS revenue"))
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment"""))
   )
 }
