@@ -358,15 +358,7 @@ object Knn {
         val M = 8; val D = 8; val NProbe = 2
         val cents = e.where("vec_id < 8")
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-        val centRow = broadcast(cents.groupBy().agg(
-          expr("sort_array(collect_list(named_struct('cent_id', cent_id, 'cent_emb', cent_emb))) AS cents")))
-        val resid = e.crossJoin(centRow)
-          .selectExpr("vec_id", "embedding",
-            "nullif(argmax_cos(embedding, cents.cent_emb), -1) + 1 AS ci",
-            "cents AS cents")
-          .selectExpr("vec_id",
-            "element_at(cents.cent_id, ci) AS cluster_id",
-            "zip_with(embedding, element_at(cents.cent_emb, ci), (x, c) -> cast(x AS double) - cast(c AS double)) AS rv")
+        val resid = residuals(e, cents)
         val cbAggs = (0 until M).map(m => expr(
           s"sort_array(collect_list(named_struct('cid', vec_id, 'cw', slice(rv, ${m * D + 1}, $D)))) AS cbs$m"))
         val cb = broadcast(resid.where("vec_id >= 16 AND vec_id < 32")
@@ -639,6 +631,84 @@ object Knn {
       .where(col("cluster_id").isin(probes: _*))
       .selectExpr("vec_id", "cluster_id", s"round(cosine_f(embedding, $qLit), 6) AS similarity")
       .orderBy(desc("similarity"), col("vec_id"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------- IVF-PQ at rest
+  // The storage half of v8_ivfpq: codes live on disk cluster-partitioned
+  // (8 small ints + id per vector instead of a 256-byte embedding), the
+  // codebook is a one-row parquet beside them, and search is partition
+  // pruning + broadcast ADC — the corpus is never read as vectors again.
+
+  /** (vec_id, cluster_id, rv): coarse assignment + double residual
+    * v − c, all row-local over one broadcast centroid row.
+    */
+  private def residuals(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.plans.VectorExprs.register(embeddings.sparkSession)
+    val centRow = broadcast(centroids.groupBy().agg(
+      expr("sort_array(collect_list(named_struct('cent_id', cent_id, 'cent_emb', cent_emb))) AS cents")))
+    embeddings.crossJoin(centRow)
+      .selectExpr("vec_id", "embedding",
+        "nullif(argmax_cos(embedding, cents.cent_emb), -1) + 1 AS ci", "cents")
+      .selectExpr("vec_id",
+        "element_at(cents.cent_id, ci) AS cluster_id",
+        "zip_with(embedding, element_at(cents.cent_emb, ci), (x, c) -> cast(x AS double) - cast(c AS double)) AS rv")
+  }
+
+  private val PqM = 8 // subspaces
+  private val PqD = 8 // dims per subspace
+
+  /** Build the IVF-PQ index at `path`: `codebook/` holds one row of
+    * per-subspace codeword lists (residual subvectors of vectors
+    * [cbLo, cbHi) in vec_id order — the deterministic stand-in for
+    * trained k-means, and NOT the centroid vectors themselves, whose
+    * zero residuals would degenerate the quantizer); `codes/` holds
+    * (vec_id, codes[8]) partitioned by cluster_id.
+    */
+  def writeIvfPqIndex(spark: SparkSession, embeddings: DataFrame, centroids: DataFrame,
+                      path: String, cbLo: Long = 16, cbHi: Long = 32): Unit = {
+    val resid = residuals(embeddings, centroids.select(col("cent_id"), col("cent_emb")))
+    val cbAggs = (0 until PqM).map(m => expr(
+      s"transform(sort_array(collect_list(named_struct('cid', vec_id, 'cw', slice(rv, ${m * PqD + 1}, $PqD)))), x -> x.cw) AS cb$m"))
+    resid.where(s"vec_id >= $cbLo AND vec_id < $cbHi")
+      .groupBy().agg(cbAggs.head, cbAggs.tail: _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val cb = broadcast(spark.read.parquet(s"$path/codebook"))
+    val codes = (0 until PqM)
+      .map(m => s"argmax_cos(slice(rv, ${m * PqD + 1}, $PqD), cb$m)")
+      .mkString("array(", ", ", ")")
+    resid.crossJoin(cb)
+      .selectExpr("vec_id", "cluster_id", s"$codes AS codes")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/codes")
+  }
+
+  /** ADC top-k over the at-rest codes: probe the `nprobe` nearest
+    * clusters (partition-pruned scan), score approx ⟨q,v⟩ = ⟨q,c⟩ +
+    * Σ_m ⟨(q−c)_m, codeword(codes[m])⟩ against the broadcast codebook.
+    * The embeddings themselves are never read.
+    */
+  def ivfPqSearch(spark: SparkSession, indexPath: String, centroids: DataFrame,
+                  queryVec: Seq[Float], k: Int = 10, nprobe: Int = 2): DataFrame = {
+    graft.plans.VectorExprs.register(spark)
+    val qLit = queryVec.map(v => s"cast($v AS float)").mkString("array(", ", ", ")")
+    val probes = broadcast(centroids
+      .selectExpr("cent_id", "cent_emb", s"cosine_f(cent_emb, $qLit) AS cs")
+      .orderBy(desc("cs"), col("cent_id"))
+      .limit(nprobe)
+      .selectExpr("cent_id AS p_cluster",
+        s"dot_f($qLit, cent_emb) AS qc",
+        s"zip_with($qLit, cent_emb, (x, c) -> cast(x AS double) - cast(c AS double)) AS qr"))
+    val probeIds = probes.select("p_cluster").collect().map(_.getLong(0))
+    val cb = broadcast(spark.read.parquet(s"$indexPath/codebook"))
+    val terms = (0 until PqM)
+      .map(m => s"dot_f(slice(qr, ${m * PqD + 1}, $PqD), element_at(cb$m, element_at(codes, ${m + 1}) + 1))")
+      .mkString(" + ")
+    spark.read.parquet(s"$indexPath/codes")
+      .where(col("cluster_id").isin(probeIds: _*))
+      .join(probes, col("cluster_id") === col("p_cluster"))
+      .crossJoin(cb)
+      .selectExpr("vec_id", "cluster_id", s"round(qc + ($terms), 6) AS approx_sim")
+      .orderBy(desc("approx_sim"), col("vec_id"))
       .limit(k)
   }
 

@@ -113,6 +113,32 @@ class IvfSpec extends SparkSpec {
     assert(again == rows.map(_.toSeq).toSeq)
   }
 
+  test("IVF-PQ at rest: codes-only layout, pruned probe, equals the inline v8 pipeline") {
+    val path = Files.createTempDirectory("graft_ivfpq").toString + "/index"
+    Knn.writeIvfPqIndex(spark, embeddings(), centroids(), path)
+    // at rest: 8 small codes + id per vector — never the embedding
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.schema.fieldNames.toSet == Set("vec_id", "codes", "cluster_id"))
+    val dirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("cluster_id=")) == 8)
+
+    val qVec = embeddings().where("vec_id = 0")
+      .collect().head.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val res = Knn.ivfPqSearch(spark, path, centroids(), qVec, k = 10, nprobe = 2)
+    assert(res.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "probe must prune the codes scan")
+    // same centroids, codebook source, probe width, and k as the
+    // v8_ivfpq gate query — the at-rest path must reproduce the inline
+    // pipeline exactly (scores included)
+    val atRest = res.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Double]("approx_sim"))).toSeq
+    val inline = Knn.queries.find(_.name == "v8_ivfpq").get
+      .run(spark, "/root/testdata/sf0.001").collect().map(r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("approx_sim"))).toSeq
+    assert(atRest == inline, s"at-rest $atRest != inline $inline")
+  }
+
   test("IVF with full probe width equals brute force") {
     val path = Files.createTempDirectory("graft_ivf").toString + "/index"
     Knn.writeIvfIndex(spark, embeddings(), centroids(), path)
