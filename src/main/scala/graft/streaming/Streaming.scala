@@ -304,6 +304,28 @@ object Streaming {
       .as[ScoredDoc]
   }
 
+  /** Stream-stream event-time interval join: each left event matches
+    * right events of the SAME key whose timestamp falls in
+    * [left.ts − maxDelay, left.ts]. Both sides carry watermarks, so the
+    * state store retains only a bounded time range per side — the join
+    * that correlates clicks to recent views over an unbounded stream
+    * without unbounded state. Inner join in append mode emits each
+    * match as soon as both rows have arrived; the watermark only
+    * bounds state retention, so the drained result is the exact batch
+    * interval join (a pure set — gate-checkable).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         maxDelay: String = "30 minutes"): DataFrame = {
+    val l = left.selectExpr("user_id", "event_id AS l_id", "ts AS l_ts")
+      .withWatermark("l_ts", maxDelay)
+    val r = right.selectExpr("user_id AS r_user_id", "event_id AS r_id", "ts AS r_ts")
+      .withWatermark("r_ts", maxDelay)
+    l.join(r, expr(
+      s"user_id = r_user_id AND r_ts BETWEEN l_ts - INTERVAL $maxDelay AND l_ts"))
+      .selectExpr("user_id", "l_id", "r_id",
+        "unix_micros(l_ts) - unix_micros(r_ts) AS us_gap")
+  }
+
   /** Drain a file-source stream with AvailableNow and wait — the test /
     * batch-parity entry point.
     */
@@ -439,6 +461,46 @@ object Streaming {
                                     c.cent_id) AS rn
           FROM e, cent c)
         WHERE rn = 1"""),
+      bench = false),
+
+    // Stream-stream interval join through the join state store: clicks
+    // and views arrive as two independent file streams (both
+    // watermarked), and each click joins the same user's views from the
+    // preceding 30 minutes. Inner join in append mode emits matches
+    // eagerly; the watermark bounds per-side state, so the drained
+    // output is the exact batch interval join — which is precisely what
+    // the oracle computes. Any dropped match (state evicted too early),
+    // duplicate emission, or timestamp skew breaks the hash.
+    graft.QueryDef(
+      "st_stream_join",
+      (spark, dir) => {
+        def src() = spark.readStream
+          .schema(rawEventsSchema)
+          .parquet(stageDir(s"$dir/events.parquet"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val joined = intervalJoinStream(
+          src().where("event_type = 'click'"),
+          src().where("event_type = 'view'"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = joined.writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read
+          .schema("user_id BIGINT, l_id BIGINT, r_id BIGINT, us_gap BIGINT")
+          .parquet(s"$tmp/out")
+      },
+      Some("""
+        WITH c AS (SELECT event_id AS l_id, ts AS l_ts, user_id FROM events WHERE event_type = 'click'),
+        v AS (SELECT event_id AS r_id, ts AS r_ts, user_id FROM events WHERE event_type = 'view')
+        SELECT c.user_id, c.l_id, v.r_id,
+               epoch_us(c.l_ts) - epoch_us(v.r_ts) AS us_gap
+        FROM c JOIN v ON c.user_id = v.user_id
+                     AND v.r_ts BETWEEN c.l_ts - INTERVAL 30 MINUTE AND c.l_ts"""),
       bench = false),
 
     // Event-time windowed aggregation through the state store: the

@@ -212,6 +212,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("intervalJoinStream: cross-batch matches found, batch parity, window respected") {
+    import spark.implicits._
+    val in1 = tmp() + "/clicks"
+    val in2 = tmp() + "/views"
+    val out = tmp() + "/out"
+    val ck = tmp() + "/ck"
+    def ev(id: Long, minute: Int, user: Long, typ: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, typ, 1.0, "{}")
+    // user 1: view at 10:00, click at 10:20 (match) and 10:55 (outside 30m)
+    // user 2: view at 10:10 in a SEPARATE file (second micro-batch) —
+    //         its click arrives in batch 1, the match must still emit
+    Seq(ev(1, 0, 1, "view"), ev(2, 20, 1, "click"), ev(3, 55, 1, "click"),
+        ev(4, 15, 2, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(in1)
+    Seq(ev(5, 10, 2, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(in2)
+    def src(dir: String) = spark.readStream
+      .schema(Streaming.eventsSchema).option("maxFilesPerTrigger", "1").parquet(dir)
+    val joined = Streaming.intervalJoinStream(
+      src(in1).unionByName(src(in2)).where("event_type = 'click'"),
+      src(in1).unionByName(src(in2)).where("event_type = 'view'"))
+    val q = joined.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    Streaming.runToCompletion(q)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+    // click 2 ⋈ view 1 (20 min gap); click 4 ⋈ view 5 (5 min, across files);
+    // click 3 matches nothing (55 min > 30)
+    assert(got == Set((2L, 1L), (4L, 5L)), s"got $got")
+    // batch parity
+    val all = spark.read.parquet(in1).unionByName(spark.read.parquet(in2))
+    val batch = Streaming.intervalJoinStream(
+        all.where("event_type = 'click'"), all.where("event_type = 'view'"))
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+    assert(batch == got)
+  }
+
   test("windowedEventCounts: streaming aggregation equals the batch plan") {
     import spark.implicits._
     val dir = tmp() + "/events"
