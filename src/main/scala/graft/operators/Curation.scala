@@ -394,6 +394,104 @@ object Curation {
         FROM documents
         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
               CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 500 WHEN 'de' THEN 250
-                        WHEN 'fr' THEN 250 WHEN 'es' THEN 125 ELSE 0 END"""))
+                        WHEN 'fr' THEN 250 WHEN 'es' THEN 125 ELSE 0 END""")),
+
+    // ------------------------------------------- SemDeDup-style pruning
+    // Semantic deduplication over the embedding space (Abbas et al.
+    // 2023, "SemDeDup"): cluster the corpus, then within each cluster
+    // drop every vector that has a LOWER-id neighbor at cosine ≥ θ —
+    // one survivor per tight semantic neighborhood, decided purely
+    // locally (no transitive closure needed: the min-id member of any
+    // similar group has no lower-id neighbor and always survives).
+    //
+    // Scale shape: assignment is the exchange-free broadcast-argmax
+    // from the IVF path (Knn.assignToCentroids — zero corpus shuffle);
+    // the candidate pair space is ONE self-join keyed on cluster_id.
+    // The quadratic term is bounded per cluster, and in a real deploy
+    // k grows with the corpus (SemDeDup uses k ≈ n/⟨cluster⟩) so
+    // cluster populations — and therefore per-task pair counts — stay
+    // constant as the corpus scales. θ is the pruning-aggressiveness
+    // knob the paper sweeps; 0.3 here is tuned to the synthetic
+    // corpus's similarity range (within-cluster cosines top out ≈0.45)
+    // so the gate row exercises a non-trivial drop set.
+    QueryDef(
+      "tp_semdedup",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val e = Tables.embeddings(spark, dir)
+        val assigned = Knn.assignToCentroids(
+            e, e.where("vec_id < 8")
+              .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
+          .select("vec_id", "cluster_id", "embedding")
+        val drops = assigned.selectExpr("cluster_id", "vec_id AS va", "embedding AS ea")
+          .join(assigned.selectExpr("cluster_id", "vec_id AS vb", "embedding AS eb"),
+            Seq("cluster_id"))
+          .where(s"va < vb AND cosine_f(ea, eb) >= $SemTheta")
+          .select(col("vb").as("vec_id")).distinct()
+        assigned.join(drops.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+          .selectExpr("vec_id", "cluster_id", "(hit IS NULL) AS kept")
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                      FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, embedding, cent_id AS cluster_id
+          FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ${semCos("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rn
+            FROM embeddings e, cent c)
+          WHERE rn = 1),
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE ${semCos("a.embedding", "b.embedding")} >= $SemTheta)
+        SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS kept
+        FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id""")),
+
+    // --------------------------------------- deterministic corpus split
+    // Train/validation/test assignment as pure key arithmetic: the
+    // md5 bucket of doc_id places each document in exactly one split
+    // (80/10/10), so membership is reproducible across runs, engines,
+    // retries, and incremental re-ingests — no rand(), no global sort,
+    // no state. At 100 TB the split predicate evaluates inside the
+    // scan; the only aggregation is the per-split accounting emitted
+    // here (docs, chars, BPE-ish token budget per split × lang).
+    QueryDef(
+      "tp_split",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "lang", "n_chars",
+            "pmod(cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint), 100) AS b")
+          .selectExpr("doc_id", "lang", "n_chars",
+            "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split")
+          .groupBy("split", "lang")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(sum(n_chars) AS bigint) AS sum_chars"),
+            expr("cast(sum((n_chars + 3) div 4) AS bigint) AS sum_tokens"),
+            expr("min(doc_id) AS first_doc")),
+      Some("""
+        SELECT split, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+               sum((n_chars + 3) // 4)::BIGINT AS sum_tokens, min(doc_id) AS first_doc
+        FROM (
+          SELECT doc_id, lang, n_chars,
+                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+          FROM (SELECT doc_id, lang, n_chars,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+                FROM documents))
+        GROUP BY split, lang"""))
   )
+
+  /** SemDeDup pruning threshold — see the tp_semdedup docstring. */
+  private val SemTheta = "0.3"
+
+  private val semCosT: String =
+    """list_sum(list_transform(generate_series(1, len(%A)), i -> %A[i]::DOUBLE * %B[i]::DOUBLE))
+      |/ (sqrt(list_sum(list_transform(%A, x -> x::DOUBLE * x::DOUBLE)))
+      |   * sqrt(list_sum(list_transform(%B, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+  /** DuckDB cosine matching the native `cosine_f` left-to-right fold. */
+  private def semCos(a: String, b: String): String =
+    semCosT.replace("%A", a).replace("%B", b)
 }

@@ -79,4 +79,45 @@ class CurationSpec extends SparkSpec {
     assert(d1 == 1L && n1 - 2 == 8) // all 3-grams identical ⇒ dup frac 7/8
     assert(d2 == (n2 - 2).toLong) // all distinct ⇒ dup frac 0
   }
+
+  test("semdedup: min-id per cluster survives; drops are locally justified") {
+    val rows = runQuery("tp_semdedup").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"), r.getAs[Boolean]("kept")))
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    // the lowest vec_id of every cluster has no lower-id neighbor → kept
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.minBy(_._1)._3, "cluster min-id must always survive")
+      assert(members.exists(_._3), "every cluster keeps at least one vector")
+    }
+    // every drop is justified: a lower-id in-cluster neighbor at cos ≥ θ
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dropped = rows.filterNot(_._3)
+    assert(dropped.nonEmpty, "gate corpus must exercise a non-trivial drop set")
+    dropped.foreach { case (v, c, _) =>
+      val lower = rows.filter(r => r._2 == c && r._1 < v)
+      assert(lower.exists(r => cos(embs(r._1), embs(v)) >= 0.3),
+        s"vec $v dropped without a lower-id neighbor at θ")
+    }
+  }
+
+  test("split: train/valid/test partition the corpus and are retry-stable") {
+    val agg = runQuery("tp_split").collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("n_docs"))).toSeq
+    val bySplit = agg.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    assert(bySplit.keySet == Set("train", "valid", "test"))
+    assert(bySplit.values.sum == Tables.documents(spark, sf).count())
+    assert(bySplit("train") > bySplit("valid") && bySplit("train") > bySplit("test"))
+    // pure key arithmetic: a second run assigns identically
+    assert(runQuery("tp_split").collect().map(r =>
+      (r.getAs[String]("split"), r.getAs[String]("lang"), r.getAs[Long]("n_docs"))).toSet ==
+      runQuery("tp_split").collect().map(r =>
+        (r.getAs[String]("split"), r.getAs[String]("lang"), r.getAs[Long]("n_docs"))).toSet)
+  }
 }
