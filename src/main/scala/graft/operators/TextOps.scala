@@ -516,6 +516,79 @@ object TextOps {
                min(n_chars) AS min_chars, max(n_chars) AS max_chars,
                sum(n_chars)::DOUBLE / count(*)::DOUBLE AS avg_chars,
                count(DISTINCT source) AS n_sources
-        FROM documents GROUP BY lang"""))
+        FROM documents GROUP BY lang""")),
+
+    // -------------------------------- corpus-LM fluency scoring (extension)
+    // The CCNet/Gopher-style quality filter: score each document by how
+    // well a language model TRAINED ON THE CORPUS ITSELF predicts it —
+    // boilerplate and template-soup score as highly predictable, rare
+    // garbage as unpredictable. The model is an add-one-smoothed bigram
+    // LM: p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V).
+    //
+    // Cross-engine determinism: the score deliberately avoids ln()/
+    // floating sums (libm vs JVM transcendentals differ in the last
+    // ulp, and float sums are order-dependent across 32 partitions).
+    // Each bigram contributes its conditional probability in integer
+    // PARTS-PER-MILLION ((c+1)*1e6 div (cu+V) — exact int64 math), the
+    // per-doc sum is a BIGINT (order-independent), and avg_ppm is one
+    // exact integer division. Monotone in the geometric/arithmetic LM
+    // score, hash-stable everywhere.
+    //
+    // Scale shape: unigram/bigram count tables are partial-aggregated
+    // before their exchange (vocab-bounded, tiny relative to a 100 TB
+    // corpus); scoring is two hash joins keyed on w1 / (w1, w2) —
+    // co-partitioned with the count tables, no broadcast of corpus
+    // data; V folds to one scalar row. A real deploy would min-df
+    // prune the bigram table; the synthetic vocab (~hundreds of words)
+    // needs no pruning.
+    QueryDef(
+      "ta_lm_score",
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ') AS toks")
+        val uni = toks.selectExpr("explode(toks) AS w")
+        val vocab = uni.selectExpr("count(DISTINCT w) AS v").groupBy().agg(
+          org.apache.spark.sql.functions.expr("first(v) AS v"))
+        val cu = uni.groupBy("w").agg(
+          org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS cu"))
+        val bg = toks.selectExpr("doc_id",
+            "explode(transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))) AS b")
+          .selectExpr("doc_id", "b.w1 AS w1", "b.w2 AS w2")
+        val cb = bg.groupBy("w1", "w2").agg(
+          org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS cb"))
+        bg.join(cb, Seq("w1", "w2"))
+          .join(cu.withColumnRenamed("w", "w1"), Seq("w1"))
+          .crossJoin(org.apache.spark.sql.functions.broadcast(vocab))
+          .selectExpr("doc_id", "(cb + 1) * 1000000 div (cu + v) AS ppm")
+          .groupBy("doc_id")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_bigrams"),
+            org.apache.spark.sql.functions.expr("cast(sum(ppm) AS bigint) AS sum_ppm"),
+            org.apache.spark.sql.functions.expr("sum(ppm) div count(*) AS avg_ppm"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ') AS toks
+          FROM documents),
+        uni AS (SELECT unnest(toks) AS w FROM c),
+        vocab AS (SELECT count(DISTINCT w) AS v FROM uni),
+        cu AS (SELECT w, count(*)::BIGINT AS cu FROM uni GROUP BY w),
+        bg AS (
+          SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 1),
+                                             i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+                FROM c)),
+        cb AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bg GROUP BY w1, w2)
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(ppm)::BIGINT AS sum_ppm,
+               (sum(ppm)::BIGINT // count(*)::BIGINT) AS avg_ppm
+        FROM (
+          SELECT bg.doc_id, ((cb.cb + 1) * 1000000) // (cu.cu + vocab.v) AS ppm
+          FROM bg JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+                  JOIN cu ON bg.w1 = cu.w
+                  CROSS JOIN vocab)
+        GROUP BY doc_id"""))
   )
 }

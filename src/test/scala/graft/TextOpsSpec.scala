@@ -56,4 +56,28 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getInt(0) == nearestRank(0.5))
     assert(row.getInt(1) == nearestRank(0.9))
   }
+
+  test("lm score: distributed pipeline matches a single-threaded reimplementation") {
+    val sf = "/root/testdata/sf0.001"
+    // independent oracle: tokenize + count + score sequentially in Scala
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.replaceAll("\\s{2,}", " ").split(' ').toSeq).toMap
+    val cu = docs.values.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val v = cu.size.toLong
+    val allBigrams = docs.values.flatMap(t => t.zip(t.tail))
+    val cb = allBigrams.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val expected = docs.collect { case (id, t) if t.length >= 2 =>
+      val ppms = t.zip(t.tail).map { case (w1, w2) =>
+        (cb((w1, w2)) + 1L) * 1000000L / (cu(w1) + v)
+      }
+      id -> ((ppms.length.toLong, ppms.sum, ppms.sum / ppms.length))
+    }
+    val got = graft.operators.TextOps.queries.find(_.name == "ta_lm_score").get
+      .run(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_ppm"), r.getAs[Long]("avg_ppm")))).toMap
+    assert(got == expected)
+    assert(got.values.forall { case (_, _, avg) => avg > 0L && avg <= 1000000L })
+  }
 }
