@@ -474,8 +474,92 @@ object Dedup {
           SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
                  list_sum(list_transform(generate_series(1, len(a.emb_n)), i -> a.emb_n[i] * b.emb_n[i])) AS cos
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        WHERE cos >= $CosineThreshold"""))
+        WHERE cos >= $CosineThreshold""")),
+
+    // --------------------------------- paragraph-level destructive dedup
+    // The CCNet move: dedup at PARAGRAPH granularity across the whole
+    // corpus and REWRITE each document with only its surviving
+    // paragraphs — boilerplate headers/footers vanish from every copy
+    // but the first. First occurrence = min (doc_id, para_idx) in
+    // corpus order; all later occurrences (including repeats inside
+    // one document) are removed. The synthetic corpus has no newline
+    // structure, so paragraphs are deterministic 12-token folds of the
+    // cleaned text, and docs with doc_id % 5 = 0 carry a planted
+    // boilerplate paragraph (doc 0 keeps it, ~all others lose it).
+    //
+    // Scale shape: one shuffle keyed on the paragraph hash to elect
+    // first occurrences (uniform — md5), one shuffle back on doc_id to
+    // reassemble. Both are plain hash aggregations; the reassembly
+    // window is per-doc (bounded), never global. This is dd_exact at
+    // sub-document granularity plus the destructive rewrite.
+    QueryDef(
+      "dd_paragraph",
+      (spark, dir) => {
+        val paras = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id",
+            s"CASE WHEN doc_id % 5 = 0 THEN concat('$ParaBoiler', ' ', tc) ELSE tc END AS tc")
+          .selectExpr("doc_id", "split(tc, ' ') AS toks")
+          .selectExpr("doc_id",
+            s"""explode(transform(sequence(0, (size(toks) - 1) div $ParaWords),
+                 i -> struct(i AS para_idx, array_join(slice(toks, i * $ParaWords + 1, $ParaWords), ' ') AS para))) AS p""")
+          .selectExpr("doc_id", "cast(p.para_idx AS bigint) AS para_idx", "p.para AS para")
+        val firsts = paras
+          .groupBy(expr("md5(para) AS ph"))
+          .agg(expr("min(struct(doc_id, para_idx)) AS keeper"))
+          .selectExpr("keeper.doc_id AS doc_id", "keeper.para_idx AS para_idx",
+            "true AS is_first")
+        paras.join(firsts, Seq("doc_id", "para_idx"), "left")
+          .groupBy("doc_id")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_paras"),
+            expr("cast(count(is_first) AS bigint) AS n_kept"),
+            expr("""array_join(transform(
+                      array_sort(collect_list(CASE WHEN is_first THEN struct(para_idx, para) END)),
+                      x -> x.para), ' ') AS text_kept"""))
+          .selectExpr("doc_id", "n_paras", "n_kept",
+            "cast(length(text_kept) AS bigint) AS kept_chars", "text_kept")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN '$ParaBoiler' || ' ' || tc ELSE tc END AS tc
+          FROM (SELECT doc_id,
+                       regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                FROM documents)),
+        paras AS (
+          SELECT doc_id, p['para_idx']::BIGINT AS para_idx, p['para'] AS para
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, (len(toks) + ${ParaWords - 1}) // $ParaWords),
+                         i -> {'para_idx': i - 1,
+                               'para': array_to_string(toks[(i - 1) * $ParaWords + 1 : (i - 1) * $ParaWords + $ParaWords], ' ')})) AS p
+                FROM (SELECT doc_id, string_split(tc, ' ') AS toks FROM c))),
+        firsts AS (
+          -- scalar keeper key: para_idx < 1e6, so (doc_id, para_idx)
+          -- lexicographic min == min of doc_id * 1e6 + para_idx
+          SELECT min(doc_id * 1000000 + para_idx) AS kk
+          FROM paras GROUP BY md5(para)),
+        kept AS (
+          SELECT kk // 1000000 AS doc_id, kk % 1000000 AS para_idx,
+                 true AS is_first
+          FROM firsts)
+        SELECT p.doc_id, count(*)::BIGINT AS n_paras, count(k.is_first)::BIGINT AS n_kept,
+               length(coalesce(string_agg(CASE WHEN k.is_first THEN p.para END, ' '
+                                          ORDER BY p.para_idx), ''))::BIGINT AS kept_chars,
+               coalesce(string_agg(CASE WHEN k.is_first THEN p.para END, ' '
+                                   ORDER BY p.para_idx), '') AS text_kept
+        FROM paras p LEFT JOIN kept k
+          ON p.doc_id = k.doc_id AND p.para_idx = k.para_idx
+        GROUP BY p.doc_id"""))
   )
+
+  // dd_paragraph: 12-token paragraph folds; the planted boilerplate is
+  // ≥ ParaWords tokens so it forms (at least) one full duplicate
+  // paragraph in every planted doc
+  private val ParaWords = 12
+  private[graft] val ParaBoiler =
+    "all rights reserved unauthorized reproduction of this page is strictly prohibited by law"
 
   // ------------------------------------------- embedding near-dup pair
   // generation. Two formulations over the same normalized embeddings:

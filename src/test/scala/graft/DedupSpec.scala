@@ -30,4 +30,23 @@ class DedupSpec extends SparkSpec {
     val phantom = banded -- allPairs
     assert(phantom.isEmpty, s"banding invented ${phantom.size} pairs: ${phantom.take(5)}")
   }
+
+  test("paragraph dedup: planted boilerplate survives exactly once, in doc 0") {
+    val rows = Dedup.queries.find(_.name == "dd_paragraph").get.run(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_paras"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("text_kept")))
+    assert(rows.length == 500)
+    // the shared paragraph is the boiler's first 12 tokens
+    val boilerPara = Dedup.ParaBoiler.split(' ').take(12).mkString(" ")
+    val holders = rows.filter(_._4.contains(boilerPara))
+    assert(holders.map(_._1).toSeq == Seq(0L),
+      s"boiler must survive only in doc 0, found in ${holders.map(_._1).take(5)}")
+    // every planted doc except doc 0 lost at least its boiler paragraph
+    rows.filter(r => r._1 % 5 == 0 && r._1 > 0).foreach { case (id, np, nk, _) =>
+      assert(nk < np, s"planted doc $id kept all $np paragraphs")
+    }
+    // reassembled text never grows
+    rows.foreach { case (_, np, nk, _) => assert(nk <= np) }
+  }
 }
