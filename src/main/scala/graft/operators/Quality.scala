@@ -85,6 +85,51 @@ object Quality {
                  sum(CASE WHEN value < 0 OR value > 1000000 THEN 1 ELSE 0 END)::BIGINT FROM events
           UNION ALL
           SELECT 'embeddings dim = 64', count(*),
-                 sum(CASE WHEN len(embedding) != 64 THEN 1 ELSE 0 END)::BIGINT FROM embeddings)"""))
+                 sum(CASE WHEN len(embedding) != 64 THEN 1 ELSE 0 END)::BIGINT FROM embeddings)""")),
+
+    // ----------------------------------- robust outlier flagging (MAD)
+    // The row-level drill-down companion to dq_constraints: flag events
+    // whose value sits more than 3 robust standard deviations from its
+    // event-type median, where the robust σ is 1.4826·MAD (median
+    // absolute deviation) — immune to the very outliers it hunts,
+    // unlike mean/stddev z-scores which a single 10⁶ value drags.
+    //
+    // Scale shape: two grouped exact medians over event_type (BOUNDED
+    // group count — the percentile buffer is per-type, and the
+    // approx_percentile sketch is the drop-in when types are unbounded)
+    // and two broadcast joins of the tiny per-type stats back onto the
+    // scan; the flag predicate evaluates row-local. Output is only the
+    // flagged tail (~1% of rows), never the corpus.
+    QueryDef(
+      "dq_outliers",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .selectExpr("event_id", "event_type", "value")
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5) AS med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .selectExpr("event_id", "event_type", "value", "med",
+            "abs(value - med) AS ad")
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(ad, 0.5) AS mad"))
+        dev.join(broadcast(mad), "event_type")
+          .where("ad > 3 * 1.4826 * mad")
+          .selectExpr("event_id", "event_type", "round(value, 6) AS value",
+            "round(med, 6) AS med", "round(mad, 6) AS mad",
+            "round(ad / (1.4826 * mad), 6) AS robust_z")
+      },
+      Some("""
+        WITH e AS (SELECT event_id, event_type, value FROM events),
+        m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM e GROUP BY event_type),
+        d AS (SELECT event_id, e.event_type, value, med, abs(value - med) AS ad
+              FROM e JOIN m ON e.event_type = m.event_type),
+        md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+               FROM d GROUP BY event_type)
+        SELECT event_id, d.event_type AS event_type, round(value, 6) AS value,
+               round(med, 6) AS med, round(mad, 6) AS mad,
+               round(ad / (1.4826 * mad), 6) AS robust_z
+        FROM d JOIN md ON d.event_type = md.event_type
+        WHERE ad > 3 * 1.4826 * mad"""))
   )
 }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Quality
+
+/** Robust outlier flagging: the flagged set must agree with a
+  * single-threaded median/MAD reimplementation — both the membership
+  * (soundness + completeness) and the robust-z values.
+  */
+class QualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dq_outliers matches a sequential median/MAD oracle") {
+    val events = Tables.events(spark, sf)
+      .selectExpr("event_id", "event_type", "value").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      // lower + frac * (higher - lower): quantile_cont / percentile
+      val pos = 0.5 * (n - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val expected = events.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val med = median(es.map(_._3).toSeq)
+      val ads = es.toSeq.map(e => (e._1, e._3, math.abs(e._3 - med)))
+      val mad = median(ads.map(_._3))
+      ads.collect {
+        case (id, _, ad) if ad > 3 * 1.4826 * mad =>
+          id -> BigDecimal(ad / (1.4826 * mad)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }.toMap
+
+    val got = Quality.queries.find(_.name == "dq_outliers").get.run(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> BigDecimal(r.getAs[Double]("robust_z")))
+      .toMap
+    assert(got.nonEmpty, "gate corpus must flag a non-trivial tail")
+    assert(got.keySet == expected.keySet,
+      s"membership drift: only-got=${(got.keySet -- expected.keySet).take(3)} " +
+        s"only-expected=${(expected.keySet -- got.keySet).take(3)}")
+    expected.foreach { case (id, z) => assert((got(id) - z).abs <= BigDecimal("0.000001")) }
+  }
+}
