@@ -589,6 +589,58 @@ object TextOps {
           FROM bg JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
                   JOIN cu ON bg.w1 = cu.w
                   CROSS JOIN vocab)
-        GROUP BY doc_id"""))
+        GROUP BY doc_id""")),
+
+    // ------------------------------- TF-IDF keyword extraction (extension)
+    // Top-5 characteristic terms per document by tf·idf with raw-log
+    // idf ln(N/df) — per-doc feature extraction (the indexing-time
+    // complement to ts_bm25's query-time scoring). The rank key is the
+    // ROUNDED score (round 6, the same cross-engine quantization
+    // ts_bm25 orders on) with the term as tie-break, so near-ulp
+    // transcendental drift can't flip ranks across engines.
+    //
+    // Scale shape: tf is one shuffle keyed (doc_id, term); df reduces
+    // the tf table to vocab size (broadcast-able); N folds to one
+    // scalar row; the top-5 window partitions by doc_id — per-doc
+    // bounded state, never a global sort.
+    QueryDef(
+      "ta_keywords",
+      (spark, dir) => {
+        val tf = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "explode(split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ')) AS term")
+          .groupBy("doc_id", "term")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS tf"))
+        val df = tf.groupBy("term").agg(
+          org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS df"))
+        val n = tf.selectExpr("doc_id").distinct().groupBy().agg(
+          org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_docs"))
+        tf.join(df, "term")
+          .crossJoin(org.apache.spark.sql.functions.broadcast(n))
+          .selectExpr("doc_id", "term", "tf", "df",
+            "round(cast(tf AS double) * ln(cast(n_docs AS double) / cast(df AS double)), 6) AS score")
+          .selectExpr("doc_id", "term", "tf", "df", "score",
+            """cast(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS bigint) AS rank""")
+          .where("rank <= 5")
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id,
+                       unnest(string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ')) AS term
+                FROM documents)
+          GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf)
+        SELECT doc_id, term, tf, df, score, rank
+        FROM (
+          SELECT doc_id, term, tf, df, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term)::BIGINT AS rank
+          FROM (SELECT doc_id, term, tf, df.df AS df,
+                       round(tf::DOUBLE * ln(n_docs::DOUBLE / df.df::DOUBLE), 6) AS score
+                FROM tf JOIN df USING (term) CROSS JOIN n))
+        WHERE rank <= 5"""))
   )
 }

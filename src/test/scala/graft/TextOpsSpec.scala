@@ -80,4 +80,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.values.forall { case (_, _, avg) => avg > 0L && avg <= 1000000L })
   }
+
+  test("keywords: top-5 tf-idf terms match a sequential reimplementation") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.replaceAll("\\s{2,}", " ").split(' ').toSeq).toMap
+    val tf = docs.map { case (id, t) => id -> t.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong } }
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val n = docs.size.toDouble
+    val expected = tf.map { case (id, wc) =>
+      val ranked = wc.toSeq.map { case (w, c) =>
+        val score = BigDecimal(c.toDouble * math.log(n / dfm(w)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        (w, c, score)
+      }.sortBy { case (w, _, s) => (-s, w) }.take(5)
+      id -> ranked.map { case (w, c, s) => (w, c, s) }
+    }
+    val got = graft.operators.TextOps.queries.find(_.name == "ta_keywords").get
+      .run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), BigDecimal(r.getAs[Double]("score")))))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, rs) =>
+      assert(rs == expected(id), s"doc $id: got $rs expected ${expected(id)}")
+    }
+  }
 }
