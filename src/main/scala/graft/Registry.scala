@@ -36,6 +36,7 @@ object Registry {
       operators.Segmenter.queries ++
       operators.Search.queries ++
       operators.Quality.queries ++
+      operators.Graph.queries ++
       streaming.Streaming.queries
 
   lazy val byName: Map[String, QueryDef] = {

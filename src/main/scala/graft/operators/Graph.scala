@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational edge lists — the companion family to
+  * Curation.connectedComponents. PageRank here is INTEGER-EXACT: scores
+  * live in parts-per-million BIGINTs and every per-edge contribution is
+  * an integer division (`r div outdeg`), so the fixpoint after a fixed
+  * iteration count is bit-identical across engines, partition layouts,
+  * and retries — no floating sums whose order a shuffle could change.
+  * The floor division leaks a little probability mass (bounded by
+  * outdeg per vertex per round); rankings are unaffected and the gate
+  * hashes exact values.
+  *
+  * Scale shape per iteration: one join of the edge list against the
+  * score table (co-partitioned on the source key after the first
+  * round), one partial-aggregated groupBy on the destination, one left
+  * join back onto the vertex set. O(iterations) rounds of linear work —
+  * the classic Pregel schedule expressed relationally. Scores are
+  * localCheckpoint-fenced so the logical plan stays O(1) per round
+  * (the same lineage-truncation lesson as connectedComponents).
+  */
+object Graph {
+
+  private val Damping = 85L // ×/100 — 0.85 in integer per-cent arithmetic
+  private val BasePpm = 150000L // (1 - 0.85) × 1e6
+  private val Iters = 5
+
+  /** Integer PageRank over a directed edge list `(src, dst)`. Every
+    * vertex must appear as a source (undirected graphs: union both
+    * directions); init score = 1e6 ppm.
+    */
+  def pageRank(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
+    val withDeg = e.join(deg, "src").localCheckpoint(true)
+    val verts = e.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var r = verts.withColumn("r", lit(1000000L))
+    (1 to iters).foreach { _ =>
+      val contrib = withDeg
+        .join(r.selectExpr("id AS src", "r AS rs"), "src")
+        .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
+      r = verts.join(contrib.selectExpr("dst AS id", "c"), Seq("id"), "left")
+        .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
+        .localCheckpoint(true)
+    }
+    r
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    // -------------------------------------- PageRank over purchase graph
+    // Vertices: customers (2k) and suppliers (2k+1) — the two TPC-H key
+    // spaces interleaved into one id space. Edges: the DISTINCT
+    // customer→supplier purchase relation from orders⋈lineitem, walked
+    // in both directions so every vertex has out-degree ≥ 1 (no
+    // dangling mass). Output: every vertex's integer-ppm score after 5
+    // rounds plus its degree — high-degree suppliers accumulate rank.
+    QueryDef(
+      "gr_pagerank",
+      (spark, dir) => {
+        val cs = Tables.orders(spark, dir).selectExpr("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(spark, dir).selectExpr("l_orderkey", "l_suppkey"),
+            expr("o_orderkey = l_orderkey"))
+          .selectExpr("o_custkey * 2 AS cv", "l_suppkey * 2 + 1 AS sv")
+          .distinct()
+        val edges = cs.selectExpr("cv AS src", "sv AS dst")
+          .unionByName(cs.selectExpr("sv AS src", "cv AS dst"))
+        val deg = edges.groupBy("src").agg(expr("cast(count(*) AS bigint) AS degree"))
+        pageRank(edges)
+          .join(deg.selectExpr("src AS id", "degree"), "id")
+          .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
+            "id div 2 AS key", "degree", "r AS score_ppm")
+      },
+      Some {
+        val iter = (i: Int) => s"""
+        r$i AS (
+          SELECT v.id, $BasePpm + ($Damping * coalesce(s.c, 0)) // 100 AS r
+          FROM v LEFT JOIN (
+            SELECT e.dst, sum(r${i - 1}.r // d.outdeg)::BIGINT AS c
+            FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.id
+                         JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON v.id = s.dst)"""
+        s"""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey * 2 AS cv, l_suppkey * 2 + 1 AS sv
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (
+          SELECT cv AS src, sv AS dst FROM cs
+          UNION ALL
+          SELECT sv AS src, cv AS dst FROM cs),
+        deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        v AS (SELECT DISTINCT src AS id FROM edges),
+        r0 AS (SELECT id, 1000000::BIGINT AS r FROM v),
+        ${(1 to Iters).map(iter).mkString(",")}
+        SELECT v.id, CASE WHEN v.id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               v.id // 2 AS key, d.outdeg AS degree, r$Iters.r AS score_ppm
+        FROM v JOIN deg d ON v.id = d.src
+               JOIN r$Iters ON v.id = r$Iters.id"""
+      })
+  )
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Graph
+
+/** Integer PageRank: hand-computed fixtures (every value is exact
+  * integer arithmetic, so the assertions are equalities, not bands).
+  */
+class GraphSpec extends SparkSpec {
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("cycle is a fixpoint: every vertex keeps exactly 1e6 ppm") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(ranks(cycle, 1) == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    assert(ranks(cycle, 5) == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("undirected star after one round matches hand integer arithmetic") {
+    // hub 0 ↔ leaves 1..4: r1(hub) = 150000 + 85·(4·(1e6 div 1)) div 100
+    //                      r1(leaf) = 150000 + 85·(1e6 div 4) div 100
+    val star = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val r1 = ranks(star, 1)
+    assert(r1(0L) == 3550000L)
+    (1L to 4L).foreach(l => assert(r1(l) == 362500L))
+    // rank ordering persists at the default depth
+    val r5 = ranks(star, 5)
+    assert((1L to 4L).forall(l => r5(0L) > r5(l)))
+  }
+
+  test("purchase-graph query: suppliers out-rank customers on average") {
+    val df = Graph.queries.find(_.name == "gr_pagerank").get
+      .run(spark, "/root/testdata/sf0.001").collect()
+    val (supp, cust) = df.partition(_.getAs[String]("kind") == "supplier")
+    assert(supp.nonEmpty && cust.nonEmpty)
+    def avg(xs: Array[org.apache.spark.sql.Row]) =
+      xs.map(_.getAs[Long]("score_ppm")).sum / xs.length
+    // suppliers are the high-degree side of the bipartite walk
+    assert(avg(supp) > avg(cust))
+  }
+}
