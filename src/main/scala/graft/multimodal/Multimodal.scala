@@ -234,6 +234,55 @@ object Multimodal {
                octet_length(encode(text))::BIGINT AS n_bytes,
                md5(text) AS content_md5,
                length(text)::BIGINT AS n_chars
-        FROM documents"""))
+        FROM documents""")),
+
+    // -------------------------------------- PCM frame energy / VAD gate
+    // The audio half of the multimodal family: treat the payload as
+    // unsigned-8-bit PCM centered at 128 and compute per-frame energy
+    // over sliding windows (160 samples, 50% overlap — the classic
+    // 20 ms/10 ms speech framing), plus a voice-activity-style flag.
+    // Energy is the native codegen'd `byte_energy` kernel — one fused
+    // loop over the raw bytes inside WholeStageCodegen; the DuckDB
+    // oracle recomputes it per-byte from the hex image (two addressing
+    // schemes agreeing integer-for-integer, the same discipline as
+    // mm_resize). Integer energies ⇒ hash-exact across engines.
+    //
+    // Scale shape: frame fan-out is a row-local explode (no shuffle at
+    // all — the whole query is scan → generate → project), and payload
+    // bytes are read once per frame window from the already-loaded
+    // binary column.
+    QueryDef(
+      "mm_audio_energy",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+            "cast(octet_length(text) AS int) AS n_bytes")
+          .selectExpr("doc_id", "payload", "n_bytes",
+            """explode(filter(sequence(0, greatest(n_bytes - 1, 0), 80),
+                              i -> i < n_bytes)) AS off""")
+          .selectExpr("doc_id",
+            "cast(off div 80 AS bigint) AS frame_no",
+            "cast(least(160, n_bytes - off) AS bigint) AS frame_len",
+            "byte_energy(payload, off, 160) AS energy")
+          .selectExpr("doc_id", "frame_no", "frame_len", "energy",
+            // per-sample mean ≥ 40 counts as voiced (integer compare)
+            "energy >= frame_len * 40 AS voiced")
+      },
+      Some("""
+        SELECT doc_id, frame_no, frame_len,
+               list_sum(list_transform(generate_series(1, frame_len::INT),
+                 i -> abs(('0x' || substr(ph, (off + i - 1) * 2 + 1, 2))::INT - 128)))::BIGINT AS energy,
+               (list_sum(list_transform(generate_series(1, frame_len::INT),
+                 i -> abs(('0x' || substr(ph, (off + i - 1) * 2 + 1, 2))::INT - 128)))::BIGINT
+                >= frame_len * 40) AS voiced
+        FROM (
+          SELECT doc_id, ph, g.frame_no * 80 AS off,
+                 g.frame_no::BIGINT AS frame_no,
+                 least(160, n_bytes - g.frame_no * 80)::BIGINT AS frame_len
+          FROM (SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n_bytes
+                FROM documents) d,
+          LATERAL (SELECT unnest(generate_series(0, greatest(d.n_bytes - 1, 0) // 80)) AS frame_no) g
+          WHERE g.frame_no * 80 < d.n_bytes)"""))
   )
 }

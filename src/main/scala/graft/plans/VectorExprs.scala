@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -289,6 +289,63 @@ case class ByteStride(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** byte_energy(payload, off, len) — Σ |(b & 0xFF) − 128| over the byte
+  * slice [off, off+len) of a binary column, as BIGINT: the frame-energy
+  * kernel of the PCM audio path (unsigned-8-bit samples centered at
+  * 128). Out-of-range slices clamp (off < 0 → 0; slice truncates at
+  * the payload end; len ≤ 0 → empty) so window edges need no guard at
+  * the call site. One tight generated loop over the raw bytes — the
+  * hex-string formulation would pay a 2× blowup plus a per-byte
+  * interpreted lambda, the anti-pattern ByteStride already documents.
+  */
+case class ByteEnergy(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "byte_energy"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, IntegerType | LongType, IntegerType | LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"byte_energy expects (binary, int|bigint, int|bigint), got " +
+            s"${first.dataType.catalogString} / ${second.dataType.catalogString} / ${third.dataType.catalogString}")
+    }
+
+  private def asInt(v: Any): Int =
+    v match { case l: Long => math.min(math.max(l, Int.MinValue.toLong), Int.MaxValue.toLong).toInt; case i: Int => i }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val in = a.asInstanceOf[Array[Byte]]
+    val off = math.max(asInt(b), 0)
+    val end = math.min(in.length.toLong, off.toLong + math.max(asInt(c), 0)).toInt
+    var s = 0L; var i = off
+    while (i < end) { s += math.abs((in(i) & 0xff) - 128); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val off = ctx.freshName("off"); val end = ctx.freshName("end")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      s"""
+         |int $off = (int) java.lang.Math.max(java.lang.Math.min((long) $b, 2147483647L), 0L);
+         |int $end = (int) java.lang.Math.min((long) $a.length,
+         |    $off + java.lang.Math.max(java.lang.Math.min((long) $c, 2147483647L), 0L));
+         |long $s = 0L;
+         |for (int $i = $off; $i < $end; $i++) {
+         |  $s += java.lang.Math.abs(($a[$i] & 0xff) - 128);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Registration — both as a [[org.apache.spark.sql.SparkSessionExtensions]]
   * installer (`spark.sql.extensions=graft.plans.GraftExtensions`) and as
   * an idempotent imperative call for sessions built without the config
@@ -302,6 +359,7 @@ object VectorExprs {
     ("cosine_f", classOf[CosineSim], c => CosineSim(c.head, c(1))),
     ("argmax_cos", classOf[ArgMaxCos], c => ArgMaxCos(c.head, c(1))),
     ("byte_stride", classOf[ByteStride], c => ByteStride(c.head, c(1))),
+    ("byte_energy", classOf[ByteEnergy], c => ByteEnergy(c.head, c(1), c(2))),
     ("hash_tokens", classOf[HashTokens], c => HashTokens(c.head)),
     ("word_shingles", classOf[WordShingles], c => WordShingles(c.head, c(1))),
     ("minhash16", classOf[MinHash16], c => MinHash16(c.head)),

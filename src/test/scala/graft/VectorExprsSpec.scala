@@ -149,6 +149,24 @@ class VectorExprsSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("byte_energy: hand-computed slices, clamped edges, null propagation") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    // "abc" = 97 98 99 → |b−128| = 31 30 29
+    val rows = Seq(
+      (1L, Some("abc"), 0, 160), // full (truncated) window: 31+30+29
+      (2L, Some("abc"), 1, 1), // inner slice: 30
+      (3L, Some("abc"), -7, 2), // negative offset clamps to 0: 31+30
+      (4L, Some("abc"), 2, 0), // empty length
+      (5L, Some("abc"), 99, 4), // offset past end
+      (6L, Option.empty[String], 0, 4)) // null payload → null
+      .toDF("id", "t", "o", "l")
+      .selectExpr("id", "byte_energy(encode(t, 'UTF-8'), o, l) AS e")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows == Map(1L -> Some(90L), 2L -> Some(30L), 3L -> Some(61L),
+      4L -> Some(0L), 5L -> Some(0L), 6L -> None))
+  }
+
   test("interpreted path (nullSafeEval) agrees with codegen") {
     // force the interpreted path by evaluating through a filter that
     // Spark runs in interpreted mode: compare collected values instead —
@@ -166,7 +184,15 @@ class VectorExprsSpec extends SparkSpec {
             .selectExpr("id", "byte_stride(encode(t, 'UTF-8'), s) AS b")
             .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("b").toSeq)).toSeq
         }
-        (fold, am, bs)
+        val be = {
+          import spark.implicits._
+          Seq((1L, "abc", 0, 160), (2L, "abc", 1, 1), (3L, "", 0, 10),
+            (4L, "abc", -5, 2), (5L, "abc", 2, 0), (6L, "abc", 99, 4))
+            .toDF("id", "t", "o", "l")
+            .selectExpr("id", "byte_energy(encode(t, 'UTF-8'), o, l) AS e")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        }
+        (fold, am, bs, be)
       }
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
       spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
