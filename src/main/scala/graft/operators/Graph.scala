@@ -35,16 +35,25 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = Iters): DataFrame = {
     val e = edges.toDF("src", "dst").localCheckpoint(true)
     val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
-    val withDeg = e.join(deg, "src").localCheckpoint(true)
-    val verts = e.select(col("src").as("id")).distinct().localCheckpoint(true)
+    // hash-partition the edge table on src ONCE and checkpoint it:
+    // localCheckpoint preserves outputPartitioning, so every round's
+    // edge⋈score join reuses this layout and only the O(V) score table
+    // moves — the edge list (the 100 TB side) never re-shuffles
+    val withDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
+    val verts = e.select(col("src").as("id")).distinct()
+      .repartition(col("id")).localCheckpoint(true)
     var r = verts.withColumn("r", lit(1000000L))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contrib = withDeg
         .join(r.selectExpr("id AS src", "r AS rs"), "src")
         .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
       r = verts.join(contrib.selectExpr("dst AS id", "c"), Seq("id"), "left")
         .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
-        .localCheckpoint(true)
+      // a FIXED iteration count needs no per-round convergence action,
+      // so lineage can stay lazy — one job plans all rounds, and a
+      // checkpoint fence every few rounds keeps analysis linear on
+      // deeper walks (materializing every round tripled wall-clock)
+      if (i % 4 == 0 && i < iters) r = r.localCheckpoint(true)
     }
     r
   }

@@ -195,4 +195,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"))
     assert(p.contains("hashpartitioning(o_custkey"), "window must partition by key")
   }
+
+  test("pageRank: the edge table never re-shuffles across rounds") {
+    import spark.implicits._
+    val edges = (0L until 200L).flatMap(i => Seq((i, (i + 1) % 200), ((i + 1) % 200, i)))
+      .toDF("src", "dst")
+    // 3 checkpoint-free rounds: the only exchanges are the O(V) score
+    // table re-keying (3 per round) plus the initial vertex layout —
+    // an edge-side exchange per round would add an E-sized shuffle and
+    // push this count to 4·iters + 1
+    val p = graft.operators.Graph.pageRank(edges, 3)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3 * 3 + 1,
+      s"expected ≤ 10 exchanges (score-table only), got $exchanges — edge list is re-shuffling")
+  }
 }
