@@ -417,17 +417,7 @@ object Curation {
     QueryDef(
       "tp_semdedup",
       (spark, dir) => {
-        graft.plans.VectorExprs.register(spark)
-        val e = Tables.embeddings(spark, dir)
-        val assigned = Knn.assignToCentroids(
-            e, e.where("vec_id < 8")
-              .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
-          .select("vec_id", "cluster_id", "embedding")
-        val drops = assigned.selectExpr("cluster_id", "vec_id AS va", "embedding AS ea")
-          .join(assigned.selectExpr("cluster_id", "vec_id AS vb", "embedding AS eb"),
-            Seq("cluster_id"))
-          .where(s"va < vb AND cosine_f(ea, eb) >= $SemTheta")
-          .select(col("vb").as("vec_id")).distinct()
+        val (assigned, drops) = semanticAssignAndDrops(spark, dir)
         assigned.join(drops.withColumn("hit", lit(true)), Seq("vec_id"), "left")
           .selectExpr("vec_id", "cluster_id", "(hit IS NULL) AS kept")
       },
@@ -481,11 +471,135 @@ object Curation {
           FROM (SELECT doc_id, lang, n_chars,
                        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
                 FROM documents))
+        GROUP BY split, lang""")),
+
+    // --------------------------------- full semantic curation pipeline
+    // The end-to-end shape a modern LLM-pretraining corpus run takes,
+    // as ONE declarative plan: fluency gate (corpus-trained bigram-LM
+    // score ≥ floor, ta_lm_score's integer arithmetic) → exact dedup
+    // (min-doc_id per normalized-text hash) → SemDeDup semantic prune
+    // (tp_semdedup's corpus-wide drop set, embeddings keyed by doc id)
+    // → deterministic train/valid/test split with per-split×lang token
+    // accounting. Every stage is a proven gate row; this query is their
+    // composition, so the oracle re-derives all four stages in SQL.
+    //
+    // Scale shape: the gate and dedup are hash aggregations; the drop
+    // set applies as a LEFT ANTI join (tiny relative to the corpus —
+    // broadcast in practice); split accounting is pure key arithmetic
+    // inside the scan. Nothing here materializes more than the
+    // surviving keep-set plus vocab-bounded LM count tables.
+    QueryDef(
+      "tp_curate_semantic",
+      (spark, dir) => {
+        val fluent = TextOps.queries.find(_.name == "ta_lm_score").get
+          .run(spark, dir)
+          .where(s"avg_ppm >= $LmFloor").select("doc_id")
+        val docs = Tables.documents(spark, dir).selectExpr(cleanCols: _*)
+        val keepers = docs.join(fluent, "doc_id")
+          .groupBy(expr("md5(tc) AS th"))
+          .agg(expr("min(doc_id) AS doc_id"))
+          .select("doc_id")
+        val (_, drops) = semanticAssignAndDrops(spark, dir)
+        val kept = keepers.join(drops.selectExpr("vec_id AS doc_id"),
+          Seq("doc_id"), "left_anti")
+        kept.join(Tables.documents(spark, dir).selectExpr("doc_id", "lang", "n_chars"), "doc_id")
+          .selectExpr("doc_id", "lang", "n_chars",
+            "pmod(cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint), 100) AS b")
+          .selectExpr("doc_id", "lang", "n_chars",
+            "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split")
+          .groupBy("split", "lang")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(sum((n_chars + 3) div 4) AS bigint) AS sum_tokens"),
+            expr("min(doc_id) AS first_doc"),
+            expr("max(doc_id) AS last_doc"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id, lang, n_chars,
+                 regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+          FROM documents),
+        t AS (SELECT doc_id, string_split(tc, ' ') AS toks FROM c),
+        uni AS (SELECT unnest(toks) AS w FROM t),
+        vocab AS (SELECT count(DISTINCT w) AS v FROM uni),
+        cu AS (SELECT w, count(*)::BIGINT AS cu FROM uni GROUP BY w),
+        bg AS (
+          SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 1),
+                                             i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+                FROM t)),
+        cb AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bg GROUP BY w1, w2),
+        lm AS (
+          SELECT doc_id, (sum(ppm)::BIGINT // count(*)::BIGINT) AS avg_ppm
+          FROM (SELECT bg.doc_id, ((cb.cb + 1) * 1000000) // (cu.cu + vocab.v) AS ppm
+                FROM bg JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+                        JOIN cu ON bg.w1 = cu.w
+                        CROSS JOIN vocab)
+          GROUP BY doc_id),
+        fluent AS (SELECT doc_id FROM lm WHERE avg_ppm >= $LmFloor),
+        keepers AS (
+          SELECT min(doc_id) AS doc_id
+          FROM c JOIN fluent USING (doc_id)
+          GROUP BY md5(tc)),
+        cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                 FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, embedding, cent_id AS cluster_id
+          FROM (
+            SELECT e.vec_id, e.embedding, cn.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ${semCos("e.embedding", "cn.cent_emb")} DESC, cn.cent_id) AS rn
+            FROM embeddings e, cent cn)
+          WHERE rn = 1),
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE ${semCos("a.embedding", "b.embedding")} >= $SemTheta),
+        kept AS (
+          SELECT k.doc_id FROM keepers k
+          LEFT JOIN drops d ON k.doc_id = d.vec_id
+          WHERE d.vec_id IS NULL)
+        SELECT split, lang, count(*) AS n_docs,
+               sum((n_chars + 3) // 4)::BIGINT AS sum_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM (
+          SELECT c.doc_id, c.lang, c.n_chars,
+                 CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'valid' ELSE 'test' END AS split
+          FROM (SELECT doc_id, lang, n_chars,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bk
+                FROM c) c JOIN kept USING (doc_id))
         GROUP BY split, lang"""))
   )
 
+  /** Fluency floor for tp_curate_semantic (ppm of avg bigram
+    * probability — drops the bottom ~decile of the synthetic corpus).
+    */
+  private val LmFloor = 32000L
+
   /** SemDeDup pruning threshold — see the tp_semdedup docstring. */
   private val SemTheta = "0.3"
+
+  /** Shared SemDeDup machinery: exchange-free centroid assignment plus
+    * the drop set (vectors with a lower-id in-cluster neighbor at
+    * cosine ≥ θ). Used by tp_semdedup and tp_curate_semantic.
+    */
+  private def semanticAssignAndDrops(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String): (DataFrame, DataFrame) = {
+    graft.plans.VectorExprs.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val assigned = Knn.assignToCentroids(
+        e, e.where("vec_id < 8")
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
+      .select("vec_id", "cluster_id", "embedding")
+    val drops = assigned.selectExpr("cluster_id", "vec_id AS va", "embedding AS ea")
+      .join(assigned.selectExpr("cluster_id", "vec_id AS vb", "embedding AS eb"),
+        Seq("cluster_id"))
+      .where(s"va < vb AND cosine_f(ea, eb) >= $SemTheta")
+      .select(col("vb").as("vec_id")).distinct()
+    (assigned, drops)
+  }
 
   private val semCosT: String =
     """list_sum(list_transform(generate_series(1, len(%A)), i -> %A[i]::DOUBLE * %B[i]::DOUBLE))

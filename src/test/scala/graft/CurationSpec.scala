@@ -107,6 +107,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("semantic curation composes exactly from its stage queries") {
+    // survivors derived from the INDEPENDENT stage outputs...
+    val fluent = graft.operators.TextOps.queries.find(_.name == "ta_lm_score").get
+      .run(spark, sf).collect()
+      .collect { case r if r.getAs[Long]("avg_ppm") >= 32000L => r.getAs[Long]("doc_id") }.toSet
+    val drops = runQuery("tp_semdedup").collect()
+      .collect { case r if !r.getAs[Boolean]("kept") => r.getAs[Long]("vec_id") }.toSet
+    val byHash = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "md5(trim(regexp_replace(text, '\\\\s{2,}', ' '))) AS h")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("h")))
+      .filter(x => fluent(x._1))
+      .groupBy(_._2).map { case (_, xs) => xs.map(_._1).min }.toSet
+    val expected = (byHash -- drops).size.toLong
+    // ...must equal the pipeline's total accounted docs
+    val got = runQuery("tp_curate_semantic").collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(got == expected, s"pipeline accounted $got docs, stages compose to $expected")
+    assert(got > 0L && got < 500L, "gate corpus must actually prune")
+  }
+
   test("split: train/valid/test partition the corpus and are retry-stable") {
     val agg = runQuery("tp_split").collect()
       .map(r => (r.getAs[String]("split"), r.getAs[Long]("n_docs"))).toSeq
