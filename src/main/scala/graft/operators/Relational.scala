@@ -404,6 +404,57 @@ object Relational {
         SELECT c_mktsegment, count(*) AS n_orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment"""))
+        GROUP BY c_mktsegment""")),
+
+    // ------------------------------------- EXISTS decorrelation (Q4 shape)
+    // TPC-H Q4's plan shape: an EXISTS subquery that Catalyst
+    // decorrelates into a LEFT SEMI hash join — the probe side carries
+    // no payload from the filter side, and the semi join deduplicates
+    // matches for free (a plain join + distinct would shuffle the
+    // multiplicity). Priority counts over orders that have at least one
+    // discounted line item.
+    QueryDef(
+      "q10_exists_semi",
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .where("o_orderstatus != 'F'")
+          .join(Tables.lineitem(spark, dir).where("l_discount > 0.05")
+              .select(col("l_orderkey").as("o_orderkey")),
+            Seq("o_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(expr("cast(count(*) AS bigint) AS n_orders")),
+      Some("""
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        FROM orders o
+        WHERE o_orderstatus != 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+        GROUP BY o_orderpriority""")),
+
+    // ---------------------------- zero-inclusive distribution (Q13 shape)
+    // TPC-H Q13: how many customers placed k orders, INCLUDING k = 0 —
+    // the left outer join whose unmatched side must survive into the
+    // aggregate (an inner join silently erases the zero bucket, the
+    // classic Q13 bug). Two aggregations: per-customer count, then the
+    // count-of-counts histogram; both partial-aggregate before their
+    // exchange.
+    QueryDef(
+      "q11_cust_order_dist",
+      (spark, dir) =>
+        Tables.customer(spark, dir).select("c_custkey")
+          .join(Tables.orders(spark, dir)
+              .selectExpr("o_custkey AS c_custkey", "o_orderkey"),
+            Seq("c_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(expr("cast(count(o_orderkey) AS bigint) AS n_orders"))
+          .groupBy("n_orders")
+          .agg(expr("cast(count(*) AS bigint) AS n_customers")),
+      Some("""
+        SELECT n_orders, count(*)::BIGINT AS n_customers
+        FROM (
+          SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        GROUP BY n_orders"""))
   )
 }

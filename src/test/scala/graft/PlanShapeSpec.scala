@@ -196,6 +196,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(o_custkey"), "window must partition by key")
   }
 
+  test("q10: EXISTS runs as a LEFT SEMI join, not inner + distinct") {
+    val p = plan("q10_exists_semi")
+    assert(p.contains("LeftSemi"), s"expected a semi join in:\n${p.take(600)}")
+    assert(!p.toLowerCase.contains("distinct"), "semi join must not need a distinct")
+  }
+
+  test("q11: the zero-order bucket's LEFT OUTER join survives optimization") {
+    val p = plan("q11_cust_order_dist")
+    assert(p.contains("LeftOuter"),
+      "count(o_orderkey) must not let the optimizer rewrite the outer join to inner")
+  }
+
   test("pageRank: the edge table never re-shuffles across rounds") {
     import spark.implicits._
     val edges = (0L until 200L).flatMap(i => Seq((i, (i + 1) % 200), ((i + 1) % 200, i)))
