@@ -641,6 +641,55 @@ object TextOps {
           FROM (SELECT doc_id, term, tf, df.df AS df,
                        round(tf::DOUBLE * ln(n_docs::DOUBLE / df.df::DOUBLE), 6) AS score
                 FROM tf JOIN df USING (term) CROSS JOIN n))
-        WHERE rank <= 5"""))
+        WHERE rank <= 5""")),
+
+    // ------------------------- Unicode NFC normalization (extension)
+    // The canonicalization step that must run BEFORE any text hashing:
+    // composed and decomposed forms of the same text are different byte
+    // strings (different md5 → different dedup verdicts) until both
+    // fold to NFC. The native `nfc_normalize` expression (one static
+    // Normalizer call per row inside WholeStageCodegen) is checked
+    // against DuckDB's built-in of the same name over a fixture that
+    // exercises the canonical cases: composed passthrough, combining
+    // acute composition, singleton replacement (Å from the Angstrom
+    // sign), combining-mark canonical reordering, and the ASCII fast
+    // path. Both engines receive the IDENTICAL codepoint sequences
+    // (interpolated from one Scala constant), so the gate hashes the
+    // normalization itself, not literal-encoding luck.
+    QueryDef(
+      "ta_nfc",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        import spark.implicits._
+        NfcCases.toDF("id", "s")
+          .selectExpr("id", "nfc_normalize(s) AS norm",
+            "nfc_normalize(s) != s AS changed",
+            "cast(length(s) AS bigint) AS n_cp_before",
+            "cast(length(nfc_normalize(s)) AS bigint) AS n_cp_after",
+            "md5(nfc_normalize(s)) AS norm_md5")
+      },
+      Some(s"""
+        WITH f(id, s) AS (VALUES
+          ${NfcCases.map { case (i, s) => s"($i::BIGINT, '$s')" }.mkString(",\n          ")})
+        SELECT id, nfc_normalize(s) AS norm,
+               (nfc_normalize(s) != s) AS changed,
+               length(s)::BIGINT AS n_cp_before,
+               length(nfc_normalize(s))::BIGINT AS n_cp_after,
+               md5(nfc_normalize(s)) AS norm_md5
+        FROM f"""))
   )
+
+  /** NFC fixture — identical codepoint sequences feed both engines.
+    * The source bytes pin the exact PRE-normalization forms: (1)
+    * U+00E9 composed é; (2) e + U+0301 combining acute (decomposed);
+    * (3) U+212B angstrom SIGN (NFC singleton → U+00C5); (4) d + U+0307
+    * dot above + U+0323 dot below — canonical REORDER (ccc 220 before
+    * 230) then composition to U+1E0D + U+0307; (5) ASCII fast path.
+    */
+  private val NfcCases: Seq[(Long, String)] = Seq(
+    (1L, "café stays composed"),
+    (2L, "café composes the acute"),
+    (3L, "Å is the angstrom singleton"),
+    (4L, "ḍ̇ reorders then composes"),
+    (5L, "plain ascii fast path"))
 }

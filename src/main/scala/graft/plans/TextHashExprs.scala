@@ -36,6 +36,17 @@ object TextHash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+
+  /** Unicode NFC; the fast path (already-normalized) allocates nothing
+    * beyond the String decode.
+    */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Top 60 bits of md5 == conv(substring(md5(s),1,15),16,10). */
   def hash60(bytes: Array[Byte]): Long = {
     val m = md5.get()
@@ -218,6 +229,34 @@ case class SimHash60(child: Expression) extends UnaryExpression with TextHashInp
     TextHash.simhash60(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** nfc_normalize(string) → string — Unicode NFC canonical composition
+  * (java.text.Normalizer), named after the DuckDB function it mirrors.
+  * The normalization step every text pipeline needs BEFORE hashing:
+  * "café" composed and decomposed are different byte strings (different
+  * md5, different shingles, different dedup verdicts) until both
+  * normalize to the same NFC form. One static call per row inside
+  * WholeStageCodegen; already-NFC ASCII passes through unchanged (the
+  * common fast path — Normalizer.isNormalized short-circuits).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "nfc_normalize"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nfc_normalize expects string, got ${t.catalogString}")
+    }
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.nfc(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.nfc($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

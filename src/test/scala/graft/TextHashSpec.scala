@@ -128,6 +128,31 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("nfc_normalize: composition, singleton, reorder, fast path, null") {
+    import spark.implicits._
+    graft.plans.VectorExprs.register(spark)
+    val rows = Seq(
+      (1L, Some("café")), // decomposed → composed
+      (2L, Some("Å")), // angstrom sign singleton → Å
+      (3L, Some("ḍ̇")), // reorder (ccc 220 < 230) then compose
+      (4L, Some("plain")), // fast path: identity
+      (5L, Option.empty[String]))
+      .toDF("id", "s")
+      .selectExpr("id", "nfc_normalize(s) AS n")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows(1L) == "café")
+    assert(rows(2L) == "Å")
+    assert(rows(3L) == "ḍ̇")
+    assert(rows(4L) == "plain")
+    assert(rows(5L) == null)
+    // agreement with java.text.Normalizer on every case
+    Seq("café", "Å", "ḍ̇", "plain").foreach { s =>
+      val viaSql = Seq(Tuple1(s)).toDF("s").selectExpr("nfc_normalize(s) AS n")
+        .collect().head.getString(0)
+      assert(viaSql == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val conf = spark.sessionState.conf
     val olds = pairs.map { case (k, _) => k -> conf.getConfString(k, null) }
