@@ -50,10 +50,10 @@ object Graph {
       r = verts.join(contrib.selectExpr("dst AS id", "c"), Seq("id"), "left")
         .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
       // a FIXED iteration count needs no per-round convergence action,
-      // so lineage can stay lazy — one job plans all rounds, and a
-      // checkpoint fence every few rounds keeps analysis linear on
-      // deeper walks (materializing every round tripled wall-clock)
-      if (i % 4 == 0 && i < iters) r = r.localCheckpoint(true)
+      // so lineage stays lazy — one job plans all rounds (materializing
+      // every round tripled wall-clock); the fence only kicks in on
+      // walks deep enough for plan analysis to grow noticeable
+      if (i % 6 == 0 && i < iters) r = r.localCheckpoint(true)
     }
     r
   }
