@@ -416,6 +416,43 @@ object Events {
                CASE WHEN h.close IS NULL THEN 0 ELSE 1 END::BIGINT AS observed,
                last_value(h.close IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hr
                                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-        FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr"""))
+        FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr""")),
+
+    // ----------------------------------- churn risk via LEFT ANTI join
+    // Engaged-but-gone: users with view activity and NO purchase after
+    // their last view — the correlated NOT EXISTS (with an inequality)
+    // a churn model trains on. The scalable shape reduces the inner
+    // side to a per-user MAX first (purchases collapse to one row per
+    // user — broadcast-sized), then a LEFT ANTI join with the compound
+    // condition; the naive correlated subquery would re-scan purchases
+    // per outer row. Gate-visible anti join: the semi/anti pair q10
+    // started.
+    QueryDef(
+      "ev_churn_anti",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val viewers = ev.where("event_type = 'view'")
+          .groupBy("user_id")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_views"),
+            org.apache.spark.sql.functions.expr("cast(max(unix_micros(ts)) AS bigint) AS last_view_us"))
+        val lastPurchase = ev.where("event_type = 'purchase'")
+          .groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.expr("cast(max(unix_micros(ts)) AS bigint) AS p_max_us"))
+          .withColumnRenamed("user_id", "p_user_id")
+        viewers.join(lastPurchase,
+            viewers("user_id") === lastPurchase("p_user_id")
+              && lastPurchase("p_max_us") > viewers("last_view_us"),
+            "left_anti")
+      },
+      Some("""
+        SELECT user_id, count(*)::BIGINT AS n_views,
+               max(epoch_us(ts))::BIGINT AS last_view_us
+        FROM events v
+        WHERE event_type = 'view'
+        GROUP BY user_id
+        HAVING NOT EXISTS (SELECT 1 FROM events p
+                           WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                             AND epoch_us(p.ts) > max(epoch_us(v.ts)))"""))
   )
 }

@@ -270,6 +270,46 @@ object ChunkStore {
         FROM chunks GROUP BY doc_id"""),
       bench = false),
 
+    // S3b — ORC sink/source round trip: the second columnar format a
+    // lakehouse deployment actually negotiates (zlib ORC here; parquet
+    // is the native store format everywhere else in the suite). The
+    // gate writes the cleaned documents as ORC, reads them back through
+    // the vectorized ORC reader WITH a pushed-down predicate, and
+    // aggregates — the oracle computes the same aggregate from the
+    // source parquet directly, so any row/byte lost or mangled by the
+    // ORC round trip (or a filter the reader misapplies) breaks the
+    // hash. bench=false: measuring tmpdir I/O is noise.
+    QueryDef(
+      "s9_orc_roundtrip",
+      (spark, dir) => {
+        val docs = graft.Tables.documents(spark, dir)
+          .selectExpr("doc_id", "lang", "source",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+        val path = java.nio.file.Files.createTempDirectory("graft_s9").toString + "/docs_orc"
+        docs.write.mode("overwrite").option("compression", "zlib").orc(path)
+        spark.read.orc(path)
+          .where("lang != 'zh'") // pushes into the ORC reader
+          .groupBy("lang")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(sum(length(tc)) AS bigint) AS total_chars"),
+            expr("cast(count(DISTINCT source) AS bigint) AS n_sources"),
+            // mod before summing: 60-bit hashes × 500 docs would
+            // overflow int64 (DuckDB would widen to HUGEINT, Spark wraps)
+            expr("md5(cast(sum(pmod(cast(conv(substring(md5(tc), 1, 15), 16, 10) AS bigint), 1000000007)) AS string)) AS content_fold"))
+      },
+      Some("""
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(length(tc))::BIGINT AS total_chars,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               md5((sum(('0x' || substr(md5(tc), 1, 15))::BIGINT % 1000000007)::BIGINT)::VARCHAR) AS content_fold
+        FROM (SELECT doc_id, lang, source,
+                     regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
+              FROM documents)
+        WHERE lang != 'zh'
+        GROUP BY lang"""),
+      bench = false),
+
     // S5+S8+S6 — store lifecycle round trip: add the chunk table to a
     // fresh store (positional ids, stringified metadata, store-side
     // embeddings), count it, reset, count again. The oracle knows only

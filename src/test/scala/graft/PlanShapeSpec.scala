@@ -208,6 +208,11 @@ class PlanShapeSpec extends SparkSpec {
       "count(o_orderkey) must not let the optimizer rewrite the outer join to inner")
   }
 
+  test("ev_churn_anti: NOT EXISTS runs as a LEFT ANTI join on reduced state") {
+    val p = plan("ev_churn_anti")
+    assert(p.contains("LeftAnti"), s"expected an anti join in:\n${p.take(600)}")
+  }
+
   test("pageRank: the edge table never re-shuffles across rounds") {
     import spark.implicits._
     val edges = (0L until 200L).flatMap(i => Seq((i, (i + 1) % 200), ((i + 1) % 200, i)))
