@@ -578,8 +578,11 @@ object Curation {
     */
   private val LmFloor = 32000L
 
-  /** SemDeDup pruning threshold — see the tp_semdedup docstring. */
-  private val SemTheta = "0.3"
+  /** SemDeDup pruning threshold — see the tp_semdedup docstring.
+    * private[graft]: the streaming twin (st_semdedup) must apply the
+    * IDENTICAL threshold.
+    */
+  private[graft] val SemTheta = "0.3"
 
   /** Shared SemDeDup machinery: exchange-free centroid assignment plus
     * the drop set (vectors with a lower-id in-cluster neighbor at

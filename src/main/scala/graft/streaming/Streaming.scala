@@ -354,6 +354,51 @@ object Streaming {
     * tables are single files — stage a copy into a temp source dir, the
     * same shape a production landing zone has.
     */
+  case class SemVec(vec_id: Long, cluster_id: Long, embedding: Seq[Float])
+  case class SemVerdict(vec_id: Long, cluster_id: Long, kept: Boolean)
+
+  /** Streaming SemDeDup (see the st_semdedup QueryDef): per-cluster
+    * keep/drop state over a centroid-assigned embedding stream. The
+    * cosine mirrors the native CosineSim fold exactly (per-element
+    * float→double, one xy/xx/yy accumulation pass) so the streaming
+    * verdict can never disagree with the batch expression at θ.
+    */
+  def semanticDedupStream(spark: SparkSession, assignedSrc: DataFrame,
+                          centroids: DataFrame): Dataset[SemVerdict] = {
+    import spark.implicits._
+    val theta = graft.operators.Curation.SemTheta.toDouble
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var xy = 0.0; var xx = 0.0; var yy = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = a(i).toDouble; val yv = b(i).toDouble
+        xy += xv * yv; xx += xv * xv; yy += yv * yv
+        i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    graft.operators.Knn.assignToCentroids(assignedSrc, centroids)
+      .select("vec_id", "cluster_id", "embedding")
+      .as[SemVec]
+      .groupByKey(_.cluster_id)
+      .flatMapGroupsWithState[List[(Long, Seq[Float])], SemVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cluster, batch, state) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[SemVerdict]
+          batch.toSeq.sortBy(_.vec_id).foreach { v =>
+            val dropped = seen.exists { case (id, e) =>
+              id < v.vec_id && cos(e, v.embedding) >= theta
+            }
+            out += SemVerdict(v.vec_id, cluster, !dropped)
+            seen = (v.vec_id, v.embedding) :: seen
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   private def stageDir(file: String): String = {
     val src = java.nio.file.Files.createTempDirectory("graft_st_src")
     java.nio.file.Files.copy(java.nio.file.Paths.get(file), src.resolve("part-0.parquet"))
@@ -461,6 +506,68 @@ object Streaming {
                                     c.cent_id) AS rn
           FROM e, cent c)
         WHERE rn = 1"""),
+      bench = false),
+
+    // Streaming SemDeDup: embeddings arrive as a file stream, assign to
+    // broadcast centroids row-locally (zero exchange, the st_ivf_build
+    // projection), then per-CLUSTER state decides keep/drop — a vector
+    // drops iff some lower-id vector of the same cluster sits within
+    // cosine θ, kept or not, exactly tp_semdedup's rule. Within each
+    // microbatch the group sorts by vec_id, so arrival order inside a
+    // batch cannot perturb the verdict, and the drained output equals
+    // the batch query — the oracle IS tp_semdedup's SQL. State grows
+    // with cluster population (the same bound as the batch pair space);
+    // a production deploy caps it with cluster splitting, not eviction
+    // (evicting would silently re-admit duplicates).
+    graft.QueryDef(
+      "st_semdedup",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val embSchema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("label", IntegerType)))
+        val cents = graft.Tables.embeddings(spark, dir).where("vec_id < 8")
+          .selectExpr("vec_id AS cent_id", "embedding AS cent_emb")
+        val src = spark.readStream.schema(embSchema)
+          .parquet(stageDir(s"$dir/embeddings.parquet"))
+        val verdicts = semanticDedupStream(spark, src, cents)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = verdicts.writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.schema("vec_id BIGINT, cluster_id BIGINT, kept BOOLEAN")
+          .parquet(s"$tmp/out")
+      },
+      Some {
+        val cos = (a: String, b: String) =>
+          s"""list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"""
+        s"""
+        WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                      FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, embedding, cent_id AS cluster_id
+          FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ${cos("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rn
+            FROM embeddings e, cent c)
+          WHERE rn = 1),
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE ${cos("a.embedding", "b.embedding")} >= ${graft.operators.Curation.SemTheta})
+        SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS kept
+        FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id"""
+      },
       bench = false),
 
     // Stream-stream interval join through the join state store: clicks

@@ -151,6 +151,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDedupStream: cross-batch state matches the batch semdedup verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val cents = Tables.embeddings(spark, sf).where("vec_id < 8")
+      .selectExpr("vec_id AS cent_id", "embedding AS cent_emb")
+    val all = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "embedding", "label").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq, r.getAs[Int]("label")))
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val verdicts = Streaming.semanticDedupStream(
+      spark, input.toDF().toDF("vec_id", "embedding", "label"), cents)
+    val q = verdicts.writeStream.format("memory").queryName("sem_stream")
+      .outputMode("append").start()
+    try {
+      // two batches split mid-corpus: later vectors must be judged
+      // against batch-1 state, not just their own batch
+      val (b1, b2) = all.splitAt(all.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("sem_stream").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+      val batch = graft.operators.Curation.queries.find(_.name == "tp_semdedup").get
+        .run(spark, sf).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+      assert(got.size == batch.size)
+      assert(got == batch, {
+        val diff = got.keySet.filter(k => got(k) != batch(k))
+        s"verdicts diverge on ${diff.size} vectors: ${diff.take(5)}"
+      })
+    } finally q.stop()
+  }
+
   test("nearDupPairsStream: LSH-bucket state finds pairs within and across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
