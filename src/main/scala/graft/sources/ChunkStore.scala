@@ -310,6 +310,46 @@ object ChunkStore {
         GROUP BY lang"""),
       bench = false),
 
+    // S10 — small-file compaction: the operational chore every
+    // long-running lake hits (streaming sinks and per-executor writers
+    // leave thousands of KB-sized files; at 100 TB the NameNode/listing
+    // and per-file open costs dominate scans). The gate fragments the
+    // documents table into 64 shards, compacts to 4 with a plain
+    // repartition-write (no sort assumptions), and folds the content of
+    // BOTH layouts into the output row — the oracle derives the same
+    // folds from the source parquet, so a row lost, duplicated, or
+    // mangled by either rewrite breaks the hash. ChunkStoreSpec pins
+    // the file counts (the part the oracle cannot see).
+    QueryDef(
+      "s10_compact",
+      (spark, dir) => {
+        val docs = graft.Tables.documents(spark, dir)
+          .selectExpr("doc_id", "lang",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+        val base = java.nio.file.Files.createTempDirectory("graft_s10").toString
+        docs.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+        spark.read.parquet(s"$base/small")
+          .repartition(4).write.mode("overwrite").parquet(s"$base/compact")
+        val fold = (p: String, alias: String) =>
+          spark.read.parquet(p).groupBy("lang").agg(
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr(s"md5(cast(sum(pmod(cast(conv(substring(md5(tc), 1, 15), 16, 10) AS bigint), 1000000007)) AS string)) AS $alias"))
+        fold(s"$base/small", "fold_small")
+          .join(fold(s"$base/compact", "fold_compact").withColumnRenamed("n_docs", "n_docs_c"), "lang")
+          .selectExpr("lang", "n_docs", "fold_small", "fold_compact",
+            "(n_docs = n_docs_c AND fold_small = fold_compact) AS identical")
+      },
+      Some("""
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               md5((sum(('0x' || substr(md5(tc), 1, 15))::BIGINT % 1000000007)::BIGINT)::VARCHAR) AS fold_small,
+               md5((sum(('0x' || substr(md5(tc), 1, 15))::BIGINT % 1000000007)::BIGINT)::VARCHAR) AS fold_compact,
+               true AS identical
+        FROM (SELECT doc_id, lang,
+                     regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
+              FROM documents)
+        GROUP BY lang"""),
+      bench = false),
+
     // S5+S8+S6 — store lifecycle round trip: add the chunk table to a
     // fresh store (positional ids, stringified metadata, store-side
     // embeddings), count it, reset, count again. The oracle knows only

@@ -197,4 +197,23 @@ class ChunkStoreSpec extends SparkSpec {
     assert(spark.read.json(out).count() == 4)
     assert(ChunkStore.stats(df, "graft_vectors") == (4L, "graft_vectors"))
   }
+
+  test("S10: compaction shrinks the file count, keeps every row byte-identical") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id", "lang", "text")
+    val base = tmp()
+    docs.repartition(64).write.parquet(s"$base/small")
+    spark.read.parquet(s"$base/small")
+      .repartition(4).write.parquet(s"$base/compact")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(s"$base/small") == 64)
+    assert(parts(s"$base/compact") == 4)
+    // identical multiset of rows either side of the rewrite
+    val a = spark.read.parquet(s"$base/small").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val b = spark.read.parquet(s"$base/compact").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
 }
