@@ -676,8 +676,57 @@ object TextOps {
                length(s)::BIGINT AS n_cp_before,
                length(nfc_normalize(s))::BIGINT AS n_cp_after,
                md5(nfc_normalize(s)) AS norm_md5
-        FROM f"""))
+        FROM f""")),
+
+    // --------------------------- URL canonicalization + blocklist gate
+    // The CommonCrawl-stage filter: canonicalize each document's URL
+    // (lowercase host, strip the www. prefix and the trailing slash),
+    // extract the registrable domain, drop blocklisted suffixes, and
+    // report per-domain survival — the provenance-side quality gate
+    // that runs before any content-side scoring. Pure projections +
+    // one partial-aggregated groupBy on the extracted domain; the
+    // blocklist is a suffix predicate evaluated in the scan (a real
+    // deploy broadcasts a trie/Bloom of registrable domains — q8 shows
+    // that machinery).
+    QueryDef(
+      "ta_urls",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", s"$UrlExpr AS url")
+          .selectExpr("doc_id", "url",
+            "regexp_replace(regexp_replace(lower(url), '^https?://(www\\\\.)?', ''), '/$', '') AS canon")
+          .selectExpr("doc_id", "url", "canon",
+            "regexp_extract(canon, '^([^/]+)', 1) AS domain")
+          .selectExpr("doc_id", "canon", "domain",
+            "domain LIKE '%.spam-mirror.example' AS blocked")
+          .groupBy("domain", "blocked")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_docs"),
+            org.apache.spark.sql.functions.expr("min(doc_id) AS first_doc"),
+            org.apache.spark.sql.functions.expr("md5(cast(sum(pmod(cast(conv(substring(md5(canon), 1, 15), 16, 10) AS bigint), 1000000007)) AS string)) AS canon_fold")),
+      Some(s"""
+        SELECT domain, blocked, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc,
+               md5((sum(('0x' || substr(md5(canon), 1, 15))::BIGINT % 1000000007)::BIGINT)::VARCHAR) AS canon_fold
+        FROM (
+          SELECT doc_id, canon,
+                 regexp_extract(canon, '^([^/]+)', 1) AS domain,
+                 (regexp_extract(canon, '^([^/]+)', 1) LIKE '%.spam-mirror.example') AS blocked
+          FROM (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(lower($UrlExprSql), '^https?://(www\\.)?', ''), '/$$', '') AS canon
+            FROM documents))
+        GROUP BY domain, blocked"""))
   )
+
+  /** Synthetic per-doc URL (the fixture half of ta_urls): every doc
+    * carries one; docs ≡ 0 (mod 3) land on a blocklisted domain. The
+    * `WWW.` casing and trailing-slash noise exist to be canonicalized
+    * away.
+    */
+  private val UrlExpr =
+    "concat('https://WWW.', source, CASE WHEN doc_id % 3 = 0 THEN '.spam-mirror.example' ELSE '.example.org' END, '/p/', cast(doc_id AS string), '/')"
+  private val UrlExprSql =
+    "'https://WWW.' || source || (CASE WHEN doc_id % 3 = 0 THEN '.spam-mirror.example' ELSE '.example.org' END) || '/p/' || doc_id::VARCHAR || '/'"
 
   /** NFC fixture — identical codepoint sequences feed both engines.
     * The source bytes pin the exact PRE-normalization forms: (1)
