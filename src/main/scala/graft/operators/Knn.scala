@@ -566,7 +566,92 @@ object Knn {
         SELECT doc_id, round(${dCos("embedding", "q_emb")}, 6) AS similarity
         FROM emb, q
         ORDER BY similarity DESC, doc_id
-        LIMIT $K"""))
+        LIMIT $K""")),
+
+    // ------------------------- IVF recall sweep: the tuning curve itself
+    // What a 100 TB deployment actually reads before choosing nprobe:
+    // recall@k of the IVF probe against exact kNN, for every probe
+    // width. One pass computes each vector's exact rank (brute-force
+    // cosine) and its cluster's probe rank (how early that cluster is
+    // probed for this query); recall@k for nprobe=p is then just
+    // counting top-k-ranked vectors whose in-probe rank also lands in
+    // the top k — the whole sweep is ONE aggregation, not p searches.
+    // Everything is rank arithmetic over the same deterministic cosine
+    // the other v-rows hash — the evaluation harness is itself
+    // oracle-checked.
+    QueryDef(
+      "v9_ivf_recall",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val e = Tables.embeddings(spark, dir)
+        val cents = e.where("vec_id < 8")
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+        // query = vec_id 10: its true top-5 straddles five clusters, so
+        // the sweep actually exhibits the recall/cost curve (vec 0's
+        // neighbors all share its cluster — a flat 1.0 line)
+        val q = e.where("vec_id = 10")
+          .select(col("embedding").as("q_emb"))
+        val probeRank = cents.crossJoin(broadcast(q))
+          .selectExpr("cent_id", s"${cosExpr("cent_emb", "q_emb")} AS cs")
+          .selectExpr("cent_id",
+            "cast(row_number() OVER (ORDER BY cs DESC, cent_id) AS bigint) AS probe_rank")
+        val ranked = assignToCentroids(e, cents)
+          .crossJoin(broadcast(q))
+          .selectExpr("vec_id", "cluster_id", s"${cosExpr("embedding", "q_emb")} AS sim")
+          .selectExpr("vec_id", "cluster_id", "sim",
+            "cast(row_number() OVER (ORDER BY sim DESC, vec_id) AS bigint) AS exact_rank")
+          .join(broadcast(probeRank.selectExpr("cent_id AS cluster_id", "probe_rank")), "cluster_id")
+        // fan the corpus out per probe width (an EVALUATION query — at
+        // 100 TB this sweep runs on a sampled query/corpus slice), rank
+        // within each probed UNION, and count true neighbors recovered:
+        // exactly what ivfSearch at that nprobe would return
+        val sweep = spark.range(1, 9).selectExpr("id AS nprobe")
+        sweep.join(ranked, expr("probe_rank <= nprobe"))
+          .selectExpr("nprobe", "vec_id", "exact_rank", "sim")
+          .selectExpr("nprobe", "exact_rank",
+            "cast(row_number() OVER (PARTITION BY nprobe ORDER BY sim DESC, vec_id) AS bigint) AS union_rank")
+          .selectExpr("nprobe",
+            s"CASE WHEN exact_rank <= $K AND union_rank <= $K THEN 1 ELSE 0 END AS hit")
+          .groupBy("nprobe")
+          .agg(
+            expr("cast(sum(hit) AS bigint) AS hits"),
+            expr(s"cast(sum(hit) AS double) / $K.0 AS recall_at_$K"))
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                      FROM embeddings WHERE vec_id < 8),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 10),
+        probe AS (
+          SELECT cent_id,
+                 row_number() OVER (ORDER BY ${dCos("cent_emb", "q_emb")} DESC, cent_id)::BIGINT AS probe_rank
+          FROM cent, q),
+        assigned AS (
+          SELECT vec_id, embedding, cent_id AS cluster_id
+          FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ${dCos("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rn
+            FROM embeddings e, cent c)
+          WHERE rn = 1),
+        ranked AS (
+          SELECT a.vec_id, p.probe_rank, s.sim, s.exact_rank
+          FROM assigned a
+          JOIN probe p ON a.cluster_id = p.cent_id
+          JOIN (SELECT vec_id, ${dCos("embedding", "q_emb")} AS sim,
+                       row_number() OVER (ORDER BY ${dCos("embedding", "q_emb")} DESC, vec_id)::BIGINT AS exact_rank
+                FROM embeddings, q) s ON a.vec_id = s.vec_id)
+        SELECT nprobe, sum(hit)::BIGINT AS hits,
+               sum(hit)::DOUBLE / $K.0 AS recall_at_$K
+        FROM (
+          SELECT nprobe,
+                 CASE WHEN exact_rank <= $K AND union_rank <= $K THEN 1 ELSE 0 END AS hit
+          FROM (
+            SELECT n.nprobe, r.exact_rank,
+                   row_number() OVER (PARTITION BY n.nprobe
+                                      ORDER BY r.sim DESC, r.vec_id)::BIGINT AS union_rank
+            FROM (SELECT unnest(generate_series(1, 8))::BIGINT AS nprobe) n
+            JOIN ranked r ON r.probe_rank <= n.nprobe))
+        GROUP BY nprobe"""))
   )
 
   // ----------------------------------------------- IVF index at rest
