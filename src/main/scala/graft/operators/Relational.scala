@@ -455,6 +455,42 @@ object Relational {
           SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
           GROUP BY c_custkey)
-        GROUP BY n_orders"""))
+        GROUP BY n_orders""")),
+
+    // ------------------------------- HAVING-IN semi join (Q18 shape)
+    // TPC-H Q18 (large-volume customers): orders whose line items sum
+    // past a quantity threshold, joined back to customer detail. The
+    // IN (SELECT ... GROUP BY ... HAVING) subquery becomes an
+    // aggregate-then-semi-join: the HAVING aggregate reduces lineitem
+    // to the qualifying key set FIRST (tiny — broadcasts), so the
+    // orders⋈customer side never sees disqualified keys. Top-20 by
+    // (totalprice, orderkey) plans as TakeOrderedAndProject.
+    QueryDef(
+      "q12_big_orders",
+      (spark, dir) => {
+        val bigKeys = Tables.lineitem(spark, dir)
+          .groupBy("l_orderkey")
+          .agg(expr("cast(sum(l_quantity) AS bigint) AS total_qty"))
+          .where("total_qty > 220")
+        Tables.orders(spark, dir)
+          .join(bigKeys.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+          .join(Tables.customer(spark, dir)
+              .selectExpr("c_custkey AS o_custkey", "c_name", "c_mktsegment"),
+            Seq("o_custkey"))
+          .selectExpr("o_orderkey", "o_custkey", "c_mktsegment", "total_qty",
+            "cast(o_totalprice AS double) AS total_price")
+          .orderBy(desc("total_price"), col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, c_mktsegment, total_qty,
+               o_totalprice::DOUBLE AS total_price
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 220) b ON o_orderkey = b.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_price DESC, o_orderkey
+        LIMIT 20"""))
   )
 }
