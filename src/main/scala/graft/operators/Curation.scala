@@ -125,6 +125,89 @@ object Curation {
             FROM documents))
         GROUP BY pack_id""")),
 
+    // ----------------------------- first-fit-decreasing packing (FFD)
+    // The packing-quality upgrade over tp_pack_tokens' in-order
+    // running sum: sort each salt's documents by token count
+    // DESCENDING, then place each into the FIRST open pack with room
+    // (capacity 2048), opening a new pack only when none fits —
+    // classic FFD bin packing (≤ 11/9·OPT + 1), the algorithm LLM
+    // batch assembly actually wants. Genuinely sequential per salt, so
+    // it runs as an imperative fold inside ONE partition per salt
+    // (repartition on salt, bounded state = open-pack capacities);
+    // cross-salt it is embarrassingly parallel and scales with the
+    // salt count. The oracle is a DuckDB RECURSIVE CTE that replays
+    // the same placement chain item by item — an independent
+    // implementation of the whole algorithm, not a re-expression of
+    // this one.
+    QueryDef(
+      "tp_pack_ffd",
+      (spark, dir) => {
+        import spark.implicits._
+        val items = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("pmod(doc_id, 8) AS salt", "doc_id",
+            "cast((length(tc) + 3) div 4 AS bigint) AS n_tokens")
+          .as[(Long, Long, Long)]
+        val placed = items
+          .repartition(col("salt"))
+          .mapPartitions { part =>
+            part.toSeq.groupBy(_._1).iterator.flatMap { case (salt, xs) =>
+              val sorted = xs.sortBy { case (_, id, tok) => (-tok, id) }
+              val caps = scala.collection.mutable.ArrayBuffer.empty[Long]
+              sorted.map { case (_, id, tok) =>
+                val fit = caps.indexWhere(_ >= tok)
+                val bin = if (fit < 0) { caps += Budget - tok; caps.length }
+                          else { caps(fit) -= tok; fit + 1 }
+                (salt, id, tok, bin.toLong)
+              }
+            }
+          }
+          .toDF("salt", "doc_id", "n_tokens", "bin")
+        placed
+          .selectExpr("salt * 1000000 + bin AS pack_id", "doc_id", "n_tokens")
+          .groupBy("pack_id")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(sum(n_tokens) AS bigint) AS pack_tokens"),
+            expr("min(doc_id) AS first_doc"),
+            expr("max(doc_id) AS last_doc"))
+      },
+      Some(s"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, doc_id % 8 AS salt,
+                 ((length(regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g')) + 3) // 4)::BIGINT AS n_tokens
+          FROM documents),
+        items AS (
+          SELECT salt, doc_id, n_tokens,
+                 row_number() OVER (PARTITION BY salt ORDER BY n_tokens DESC, doc_id)::BIGINT AS rn
+          FROM base),
+        ffd AS (
+          SELECT salt, 0::BIGINT AS rn, CAST([] AS BIGINT[]) AS caps,
+                 CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+                 CAST(NULL AS BIGINT) AS bin
+          FROM (SELECT DISTINCT salt FROM items)
+          UNION ALL
+          SELECT salt, rn,
+                 CASE WHEN fit IS NULL THEN list_append(caps, $Budget - n_tokens)
+                      ELSE list_transform(generate_series(1, len(caps)),
+                             j -> CASE WHEN j = fit THEN caps[j] - n_tokens ELSE caps[j] END)
+                 END AS caps,
+                 doc_id, n_tokens,
+                 coalesce(fit, len(caps) + 1) AS bin
+          FROM (
+            SELECT i.salt, i.rn, f.caps, i.doc_id, i.n_tokens,
+                   list_min(list_filter(
+                     list_transform(generate_series(1, len(f.caps)),
+                                    j -> CASE WHEN f.caps[j] >= i.n_tokens THEN j END),
+                     x -> x IS NOT NULL)) AS fit
+            FROM ffd f JOIN items i ON i.salt = f.salt AND i.rn = f.rn + 1))
+        SELECT (salt * 1000000 + bin)::BIGINT AS pack_id,
+               count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM ffd WHERE rn > 0
+        GROUP BY 1""")),
+
     // ------------------------------------------------ corpus curation
     // quality gate (min length) → exact dedup (keep min doc_id per
     // normalized-text hash) → near-dup removal (drop the RIGHT side of
@@ -577,6 +660,9 @@ object Curation {
     * probability — drops the bottom ~decile of the synthetic corpus).
     */
   private val LmFloor = 32000L
+
+  /** Token budget per pack (tp_pack_tokens and tp_pack_ffd). */
+  private val Budget = 2048L
 
   /** SemDeDup pruning threshold — see the tp_semdedup docstring.
     * private[graft]: the streaming twin (st_semdedup) must apply the

@@ -127,6 +127,25 @@ class CurationSpec extends SparkSpec {
     assert(got > 0L && got < 500L, "gate corpus must actually prune")
   }
 
+  test("FFD packing: budget respected, no doc lost, at least as tight as in-order") {
+    val ffd = runQuery("tp_pack_ffd").collect()
+    val inOrder = runQuery("tp_pack_tokens").collect()
+    def docs(rows: Array[org.apache.spark.sql.Row]) = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(docs(ffd) == 500L && docs(inOrder) == 500L, "every doc packed exactly once")
+    // a pack only exceeds the budget if it holds a single oversize doc
+    ffd.foreach { r =>
+      val (n, tok) = (r.getAs[Long]("n_docs"), r.getAs[Long]("pack_tokens"))
+      assert(tok <= 2048L || n == 1L, s"pack ${r.getAs[Long]("pack_id")} overflows: $n docs, $tok tokens")
+    }
+    // FFD's whole point: never MORE packs than greedy in-order
+    assert(ffd.length <= inOrder.length,
+      s"FFD used ${ffd.length} packs, in-order needed ${inOrder.length}")
+    // deterministic under re-execution (partitioning must not leak in)
+    val again = runQuery("tp_pack_ffd").collect()
+      .map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("n_docs"), r.getAs[Long]("pack_tokens"))).toSet
+    assert(again == ffd.map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("n_docs"), r.getAs[Long]("pack_tokens"))).toSet)
+  }
+
   test("split: train/valid/test partition the corpus and are retry-stable") {
     val agg = runQuery("tp_split").collect()
       .map(r => (r.getAs[String]("split"), r.getAs[Long]("n_docs"))).toSeq
