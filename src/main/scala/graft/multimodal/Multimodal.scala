@@ -283,6 +283,58 @@ object Multimodal {
           FROM (SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n_bytes
                 FROM documents) d,
           LATERAL (SELECT unnest(generate_series(0, greatest(d.n_bytes - 1, 0) // 80)) AS frame_no) g
-          WHERE g.frame_no * 80 < d.n_bytes)"""))
+          WHERE g.frame_no * 80 < d.n_bytes)""")),
+
+    // -------------------------------------- scene-cut / shot detection
+    // The video-side change detector built ON the frame-energy
+    // primitive: per-frame mean sample energy (integer per-mille —
+    // length-normalized so truncated tail frames don't false-fire), a
+    // one-frame lag delta per document, and a cut wherever the delta
+    // jumps past the threshold. Emits only the cut rows. The window is
+    // doc-partitioned (bounded state, no global sort); energies stay
+    // BIGINT end to end so the gate hash is exact.
+    QueryDef(
+      "mm_scenecut",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+            "cast(octet_length(text) AS int) AS n_bytes")
+          .selectExpr("doc_id", "payload", "n_bytes",
+            """explode(filter(sequence(0, greatest(n_bytes - 1, 0), 80),
+                              i -> i < n_bytes)) AS off""")
+          .selectExpr("doc_id",
+            "cast(off div 80 AS bigint) AS frame_no",
+            "byte_energy(payload, off, 160) * 1000 div least(160, n_bytes - off) AS epm")
+          .selectExpr("doc_id", "frame_no", "epm",
+            """lag(epm) OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev_epm""")
+          .where(s"prev_epm IS NOT NULL AND abs(epm - prev_epm) > $CutThreshold")
+          .selectExpr("doc_id", "frame_no", "epm", "prev_epm",
+            "abs(epm - prev_epm) AS delta")
+      },
+      Some(s"""
+        WITH frames AS (
+          SELECT doc_id, frame_no,
+                 list_sum(list_transform(generate_series(1, frame_len::INT),
+                   i -> abs(('0x' || substr(ph, (off + i - 1) * 2 + 1, 2))::INT - 128)))::BIGINT
+                   * 1000 // frame_len AS epm
+          FROM (
+            SELECT doc_id, ph, g.frame_no * 80 AS off,
+                   g.frame_no::BIGINT AS frame_no,
+                   least(160, n_bytes - g.frame_no * 80)::BIGINT AS frame_len
+            FROM (SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n_bytes
+                  FROM documents) d,
+            LATERAL (SELECT unnest(generate_series(0, greatest(d.n_bytes - 1, 0) // 80)) AS frame_no) g
+            WHERE g.frame_no * 80 < d.n_bytes)),
+        lagged AS (
+          SELECT doc_id, frame_no, epm,
+                 lag(epm) OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev_epm
+          FROM frames)
+        SELECT doc_id, frame_no, epm, prev_epm, abs(epm - prev_epm) AS delta
+        FROM lagged
+        WHERE prev_epm IS NOT NULL AND abs(epm - prev_epm) > $CutThreshold"""))
   )
+
+  /** mm_scenecut: per-mille mean-energy jump that counts as a cut. */
+  private val CutThreshold = 2500L
 }

@@ -58,6 +58,35 @@ object Graph {
     r
   }
 
+  /** Personalized PageRank: teleport mass returns only to the SEED set
+    * (seeds start with the full unit mass, non-seeds with 0), so the
+    * fixpoint measures proximity to the seeds rather than global
+    * centrality. Same integer-ppm arithmetic and per-round shape as
+    * [[pageRank]].
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = Iters): DataFrame = {
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
+    val withDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
+    val verts = e.select(col("src").as("id")).distinct()
+      .join(seeds.toDF("id").withColumn("seed", lit(true)), Seq("id"), "left")
+      .selectExpr("id", "coalesce(seed, false) AS seed")
+      .repartition(col("id")).localCheckpoint(true)
+    var r = verts.selectExpr("id", "seed",
+      "CASE WHEN seed THEN 1000000L ELSE 0L END AS r")
+    (1 to iters).foreach { i =>
+      val contrib = withDeg
+        .join(r.selectExpr("id AS src", "r AS rs"), "src")
+        .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
+      r = verts.join(contrib.selectExpr("dst AS id", "c"), Seq("id"), "left")
+        .selectExpr("id", "seed",
+          s"CASE WHEN seed THEN $BasePpm ELSE 0L END + ($Damping * coalesce(c, 0L)) div 100 AS r")
+      if (i % 6 == 0 && i < iters) r = r.localCheckpoint(true)
+    }
+    r.select("id", "r")
+  }
+
   def queries: Seq[QueryDef] = Seq(
     // -------------------------------------- PageRank over purchase graph
     // Vertices: customers (2k) and suppliers (2k+1) — the two TPC-H key
@@ -107,6 +136,61 @@ object Graph {
                v.id // 2 AS key, d.outdeg AS degree, r$Iters.r AS score_ppm
         FROM v JOIN deg d ON v.id = d.src
                JOIN r$Iters ON v.id = r$Iters.id"""
+      }),
+
+    // ------------------- personalized PageRank from a customer segment
+    // "Which suppliers matter to the BUILDING segment": teleport mass
+    // is confined to BUILDING customers, so supplier scores measure
+    // purchase-graph proximity to that segment — the recommendation /
+    // attribution query shape. Output: supplier-side scores only (the
+    // seed side's scores are dominated by their own teleport mass).
+    QueryDef(
+      "gr_ppr_segment",
+      (spark, dir) => {
+        val cs = Tables.orders(spark, dir).selectExpr("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(spark, dir).selectExpr("l_orderkey", "l_suppkey"),
+            expr("o_orderkey = l_orderkey"))
+          .selectExpr("o_custkey * 2 AS cv", "l_suppkey * 2 + 1 AS sv")
+          .distinct()
+        val edges = cs.selectExpr("cv AS src", "sv AS dst")
+          .unionByName(cs.selectExpr("sv AS src", "cv AS dst"))
+        val seeds = Tables.customer(spark, dir)
+          .where("c_mktsegment = 'BUILDING'")
+          .selectExpr("c_custkey * 2 AS id")
+        personalizedPageRank(edges, seeds)
+          .where("id % 2 = 1")
+          .selectExpr("id div 2 AS suppkey", "r AS score_ppm")
+      },
+      Some {
+        val iter = (i: Int) => s"""
+        r$i AS (
+          SELECT v.id,
+                 (CASE WHEN v.seed THEN $BasePpm ELSE 0 END)
+                   + ($Damping * coalesce(s.c, 0)) // 100 AS r
+          FROM v LEFT JOIN (
+            SELECT e.dst, sum(r${i - 1}.r // d.outdeg)::BIGINT AS c
+            FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.id
+                         JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON v.id = s.dst)"""
+        s"""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey * 2 AS cv, l_suppkey * 2 + 1 AS sv
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (
+          SELECT cv AS src, sv AS dst FROM cs
+          UNION ALL
+          SELECT sv AS src, cv AS dst FROM cs),
+        deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        v AS (
+          SELECT t.id, (sd.id IS NOT NULL) AS seed
+          FROM (SELECT DISTINCT src AS id FROM edges) t
+          LEFT JOIN (SELECT c_custkey * 2 AS id FROM customer
+                     WHERE c_mktsegment = 'BUILDING') sd ON t.id = sd.id),
+        r0 AS (SELECT id, CASE WHEN seed THEN 1000000 ELSE 0 END::BIGINT AS r FROM v),
+        ${(1 to Iters).map(iter).mkString(",")}
+        SELECT v.id // 2 AS suppkey, r$Iters.r AS score_ppm
+        FROM v JOIN r$Iters ON v.id = r$Iters.id
+        WHERE v.id % 2 = 1"""
       })
   )
 }

@@ -31,6 +31,17 @@ class GraphSpec extends SparkSpec {
     assert((1L to 4L).forall(l => r5(0L) > r5(l)))
   }
 
+  test("personalized PageRank: directed cycle with one seed, hand-computed") {
+    import spark.implicits._
+    // a→b→c→a, seed {a}: mass leaves a along the cycle and only a teleports
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    def run(iters: Int) = Graph.personalizedPageRank(edges, seeds, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L))
+    assert(run(2) == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L))
+  }
+
   test("purchase-graph query: suppliers out-rank customers on average") {
     val df = Graph.queries.find(_.name == "gr_pagerank").get
       .run(spark, "/root/testdata/sf0.001").collect()
