@@ -130,6 +130,55 @@ object Quality {
                round(med, 6) AS med, round(mad, 6) AS mad,
                round(ad / (1.4826 * mad), 6) AS robust_z
         FROM d JOIN md ON d.event_type = md.event_type
-        WHERE ad > 3 * 1.4826 * mad"""))
+        WHERE ad > 3 * 1.4826 * mad""")),
+
+    // --------------------------------------------- corpus datasheet
+    // The "datasheets for datasets" summary a training-data release
+    // ships: one row per metric over the whole corpus — volume, token
+    // budget, language/source diversity, duplication rate, length
+    // distribution. Every metric is an independent partial-aggregated
+    // scan UNIONed into an O(metrics) report (the dq_constraints
+    // shape, pointed at description instead of validation); the token
+    // count is the exact integer BPE-ish estimate used corpus-wide.
+    QueryDef(
+      "tp_dataset_card",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .selectExpr("doc_id", "lang", "source", "n_chars",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+        val base = docs.selectExpr("doc_id", "lang", "source", "n_chars",
+          "cast((length(tc) + 3) div 4 AS bigint) AS n_tokens", "md5(tc) AS th")
+        val metrics = Seq(
+          base.selectExpr("'documents' AS metric", "cast(count(*) AS bigint) AS value"),
+          base.selectExpr("'tokens_total' AS metric", "cast(sum(n_tokens) AS bigint) AS value"),
+          base.selectExpr("'chars_total' AS metric", "cast(sum(n_chars) AS bigint) AS value"),
+          base.selectExpr("'languages' AS metric", "cast(count(DISTINCT lang) AS bigint) AS value"),
+          base.selectExpr("'sources' AS metric", "cast(count(DISTINCT source) AS bigint) AS value"),
+          base.selectExpr("'distinct_texts' AS metric", "cast(count(DISTINCT th) AS bigint) AS value"),
+          base.selectExpr("'exact_dup_docs' AS metric",
+            "cast(count(*) - count(DISTINCT th) AS bigint) AS value"),
+          base.selectExpr("'len_min' AS metric", "cast(min(n_chars) AS bigint) AS value"),
+          base.selectExpr("'len_max' AS metric", "cast(max(n_chars) AS bigint) AS value"),
+          base.selectExpr("'len_p50' AS metric",
+            "cast(floor(percentile(n_chars, 0.5)) AS bigint) AS value"))
+        metrics.reduce(_ unionByName _)
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, source, n_chars,
+                 ((length(tc) + 3) // 4)::BIGINT AS n_tokens, md5(tc) AS th
+          FROM (SELECT doc_id, lang, source, n_chars,
+                       regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
+                FROM documents))
+        SELECT 'documents' AS metric, count(*)::BIGINT AS value FROM base
+        UNION ALL SELECT 'tokens_total', sum(n_tokens)::BIGINT FROM base
+        UNION ALL SELECT 'chars_total', sum(n_chars)::BIGINT FROM base
+        UNION ALL SELECT 'languages', count(DISTINCT lang)::BIGINT FROM base
+        UNION ALL SELECT 'sources', count(DISTINCT source)::BIGINT FROM base
+        UNION ALL SELECT 'distinct_texts', count(DISTINCT th)::BIGINT FROM base
+        UNION ALL SELECT 'exact_dup_docs', (count(*) - count(DISTINCT th))::BIGINT FROM base
+        UNION ALL SELECT 'len_min', min(n_chars)::BIGINT FROM base
+        UNION ALL SELECT 'len_max', max(n_chars)::BIGINT FROM base
+        UNION ALL SELECT 'len_p50', floor(quantile_cont(n_chars, 0.5))::BIGINT FROM base"""))
   )
 }
