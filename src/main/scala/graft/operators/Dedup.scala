@@ -238,6 +238,48 @@ object Dedup {
       (spark, dir) => minhashPairs(spark, dir),
       Some(minhashPairsSql)),
 
+    // ----------------------------- MinHash estimator accuracy (audit)
+    // The sketch-calibration row: for every verified near-dup pair,
+    // the minhash ESTIMATE of Jaccard (matching signature components
+    // / 16) against the exact set Jaccard the verifier computed — the
+    // measurement that justifies trusting 16 permutations before
+    // scaling the banding to a 100 TB corpus (E[est] = J, σ =
+    // √(J(1−J)/16) ≈ 0.125 at J = 0.5). Reuses the persisted verified
+    // pair set and the native minhash16 kernel; the oracle re-derives
+    // both sides independently.
+    QueryDef(
+      "dd_minhash_acc",
+      (spark, dir) => {
+        val sig = shingleHashes(spark, dir).selectExpr("doc_id", "minhash16(hs) AS mh")
+        minhashPairs(spark, dir)
+          .join(sig.selectExpr("doc_id AS doc_a", "mh AS mh_a"), "doc_a")
+          .join(sig.selectExpr("doc_id AS doc_b", "mh AS mh_b"), "doc_b")
+          .selectExpr("doc_a", "doc_b", "jaccard",
+            s"cast(size(filter(sequence(0, ${NumHashes - 1}), j -> mh_a[j] = mh_b[j])) AS bigint) AS matching")
+          .selectExpr("doc_a", "doc_b", "jaccard", "matching",
+            s"cast(matching AS double) / $NumHashes.0 AS est_jaccard",
+            s"round(abs(cast(matching AS double) / $NumHashes.0 - jaccard), 6) AS abs_err")
+      },
+      Some(s"""
+        WITH pairs AS ($minhashPairsSql),
+        sh2 AS ($shingleHashesSql),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, ${NumHashes - 1}),
+                   j -> list_min(list_transform(
+                          list_transform(hs, h -> h % $P),
+                          h -> (${duckArr(A)}[j + 1] * h + ${duckArr(B)}[j + 1]) % $P))) AS mh
+          FROM sh2)
+        SELECT doc_a, doc_b, jaccard, matching,
+               matching::DOUBLE / $NumHashes.0 AS est_jaccard,
+               round(abs(matching::DOUBLE / $NumHashes.0 - jaccard), 6) AS abs_err
+        FROM (
+          SELECT p.doc_a, p.doc_b, p.jaccard,
+                 len(list_filter(generate_series(1, $NumHashes),
+                                 j -> a.mh[j] = b.mh[j]))::BIGINT AS matching
+          FROM pairs p JOIN sig a ON p.doc_a = a.doc_id
+                       JOIN sig b ON p.doc_b = b.doc_id)""")),
+
     // ---------------------------------------------------------- SimHash
     // 60-bit simhash over term-frequency-weighted token hashes.
     QueryDef(
