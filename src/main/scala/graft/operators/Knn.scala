@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
 object Knn {
 
   private val K = 5
+  private val MmrPool = 20 // v10_mmr candidate pool
 
   // ------------------------- random-hyperplane LSH (v4_lsh_ann) config
   // 4 bands × 8 sign-bits from 32 fixed Gaussian hyperplanes. The
@@ -567,6 +568,82 @@ object Knn {
         FROM emb, q
         ORDER BY similarity DESC, doc_id
         LIMIT $K""")),
+
+    // --------------------- MMR diversity re-ranking (λ = 0.5, k = 5)
+    // Maximal Marginal Relevance (Carbonell & Goldstein 1998): from
+    // the exact top-20 candidates, greedily pick the item maximizing
+    // λ·sim(c, q) − (1−λ)·max_{s∈selected} sim(c, s) — relevance
+    // traded against redundancy, the re-rank layer RAG retrieval runs
+    // after kNN. The candidate pool and its pairwise similarity matrix
+    // are computed DISTRIBUTED (broadcast query, 20×20 pair grid);
+    // only the O(k²) greedy walks on the driver — the same bounded
+    // collect contract as ivfSearch's probe selection. The oracle
+    // unrolls the identical greedy as five SQL pick-layers — an
+    // independent implementation, not a re-expression.
+    QueryDef(
+      "v10_mmr",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        import spark.implicits._
+        val e = Tables.embeddings(spark, dir)
+        val q = e.where("vec_id = 10").select(col("embedding").as("q_emb"))
+        val cand = e.crossJoin(broadcast(q))
+          .selectExpr("vec_id", "embedding", s"${cosExpr("embedding", "q_emb")} AS sim")
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(MmrPool)
+          .persist()
+        val sims = cand.selectExpr("vec_id AS va", "embedding AS ea", "sim")
+          .crossJoin(cand.selectExpr("vec_id AS vb", "embedding AS eb"))
+          .selectExpr("va", "vb", "sim", s"${cosExpr("ea", "eb")} AS s")
+          .collect()
+        val simToQ = sims.map(r => r.getAs[Long]("va") -> r.getAs[Double]("sim")).toMap
+        val pair = sims.map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb")) -> r.getAs[Double]("s")).toMap
+        val ids = simToQ.keys.toSeq.sorted
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        (1 to K).foreach { _ =>
+          val best = ids.filterNot(selected.contains).map { c =>
+            val red = if (selected.isEmpty) 0.0 else selected.map(s => pair((c, s))).max
+            (c, 0.5 * simToQ(c) - 0.5 * red)
+          }.minBy { case (c, score) => (-score, c) }._1
+          selected += best
+        }
+        selected.zipWithIndex
+          .map { case (v, i) => (i + 1L, v, simToQ(v)) }.toSeq
+          .toDF("rank", "vec_id", "sim")
+          .selectExpr("rank", "vec_id", "round(sim, 6) AS similarity")
+      },
+      Some {
+        val step = (i: Int) => s"""
+        red$i AS (
+          SELECT p.va AS vec_id, max(p.s) AS red
+          FROM pair p JOIN sel${i - 1} s ON p.vb = s.vec_id
+          GROUP BY p.va),
+        pick$i AS (
+          SELECT c.vec_id, $i::BIGINT AS rank
+          FROM cand c JOIN red$i r ON c.vec_id = r.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+          ORDER BY 0.5 * c.sim - 0.5 * r.red DESC, c.vec_id
+          LIMIT 1),
+        sel$i AS (SELECT vec_id, rank FROM sel${i - 1}
+                  UNION ALL SELECT vec_id, rank FROM pick$i)"""
+        s"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 10),
+        cand AS (
+          SELECT vec_id, embedding, ${dCos("embedding", "q_emb")} AS sim
+          FROM embeddings, q
+          ORDER BY sim DESC, vec_id
+          LIMIT $MmrPool),
+        pair AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 ${dCos("a.embedding", "b.embedding")} AS s
+          FROM cand a, cand b),
+        sel1 AS (
+          SELECT vec_id, 1::BIGINT AS rank FROM cand
+          ORDER BY sim DESC, vec_id LIMIT 1),
+        ${(2 to K).map(step).mkString(",")}
+        SELECT s.rank, s.vec_id, round(c.sim, 6) AS similarity
+        FROM sel$K s JOIN cand c ON s.vec_id = c.vec_id"""
+      }),
 
     // ------------------------- IVF recall sweep: the tuning curve itself
     // What a 100 TB deployment actually reads before choosing nprobe:
