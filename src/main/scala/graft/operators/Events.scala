@@ -40,6 +40,39 @@ object Events {
         FROM events
         GROUP BY 1, 2""")),
 
+    // Sliding event-time windows: 1-hour windows advancing every 15
+    // minutes — each event lands in FOUR overlapping window instances
+    // (Spark's window(ts, '1 hour', '15 minutes') semantics, written as
+    // an explicit instance explode so the batch plan and the DuckDB
+    // oracle share one formulation). The fan-out is row-local (scan →
+    // generate → partial agg); the shuffle key (window_start, type) is
+    // time-spread, no skew. Sliding windows are THE streaming-alerting
+    // aggregation; this is its deterministic batch twin.
+    QueryDef(
+      "ev_sliding_window",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("unix_micros(ts) div 1000000 AS ts_s", "event_type", "value")
+          .selectExpr("event_type", "value",
+            """explode(transform(sequence(0, 3),
+                 k -> (ts_s div 900 - k) * 900)) AS slide_start""")
+          .where("slide_start >= 0 AND ts_s < slide_start + 3600")
+          .groupBy("slide_start", "event_type")
+          .agg(
+            org.apache.spark.sql.functions.expr("count(*) AS n_events"),
+            org.apache.spark.sql.functions.expr(
+              "cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value"))
+          .selectExpr("slide_start AS window_start", "event_type", "n_events", "sum_value"),
+      Some("""
+        SELECT slide_start AS window_start, event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM (
+          SELECT event_type, value, (ts_s // 900 - g.k) * 900 AS slide_start, ts_s
+          FROM (SELECT epoch_us(ts) // 1000000 AS ts_s, event_type, value FROM events),
+               (SELECT unnest(generate_series(0, 3)) AS k) g)
+        WHERE slide_start >= 0 AND ts_s < slide_start + 3600
+        GROUP BY slide_start, event_type""")),
+
     // Sessionization: per-user sessions split on >30 min inactivity.
     // The batch analog of flatMapGroupsWithState sessionization
     // (graft.streaming.Sessionizer): lag + running sum of boundaries.
