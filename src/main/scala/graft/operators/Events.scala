@@ -451,6 +451,38 @@ object Events {
                                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr""")),
 
+    // ------------------------------ gaps-and-islands run collapse
+    // Consecutive same-type events per user collapse into runs — the
+    // classic islands pattern (CDC run-length encoding, state-change
+    // detection) via the row_number DIFFERENCE trick: rn over the full
+    // user timeline minus rn within (user, type) is constant exactly
+    // along an unbroken same-type run. Two window passes + one
+    // aggregation, all partitioned by user — bounded state, no self
+    // join, the shape that survives any corpus size.
+    QueryDef(
+      "ev_islands",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) AS ts_us")
+          .selectExpr("user_id", "event_type", "ts_us",
+            """row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS grp""")
+          .groupBy("user_id", "event_type", "grp")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_events"),
+            org.apache.spark.sql.functions.expr("min(ts_us) AS run_start_us"),
+            org.apache.spark.sql.functions.expr("max(ts_us) AS run_end_us"))
+          .select("user_id", "event_type", "n_events", "run_start_us", "run_end_us"),
+      Some("""
+        SELECT user_id, event_type, count(*)::BIGINT AS n_events,
+               min(ts_us) AS run_start_us, max(ts_us) AS run_end_us
+        FROM (
+          SELECT user_id, event_type, ts_us,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                 - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS grp
+          FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events))
+        GROUP BY user_id, event_type, grp""")),
+
     // ----------------------------------- churn risk via LEFT ANTI join
     // Engaged-but-gone: users with view activity and NO purchase after
     // their last view — the correlated NOT EXISTS (with an inequality)

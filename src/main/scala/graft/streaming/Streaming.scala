@@ -79,6 +79,20 @@ object Streaming {
       .selectExpr(
         "cast(window.start AS long) AS window_start", "event_type", "n_events", "sum_value")
 
+  /** Sliding-window twin of [[windowedEventCounts]]: 1-hour windows
+    * advancing every 15 minutes — each event updates FOUR window
+    * states in the store.
+    */
+  def slidingEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .selectExpr(
+        "cast(window.start AS long) AS window_start", "event_type", "n_events", "sum_value")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long)
@@ -639,6 +653,40 @@ object Streaming {
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2"""),
+      bench = false),
+
+    // Sliding windows through the state store: every event updates four
+    // overlapping 1-hour/15-minute window states — the alerting
+    // aggregation shape. Complete-mode drain under AvailableNow = the
+    // batch sliding aggregate, which is exactly ev_sliding_window's
+    // oracle (instances whose window would start before the epoch are
+    // clipped there; Spark's window() generates them, so the gate
+    // filters to the shared domain ≥ 0 — both engines agree on it).
+    graft.QueryDef(
+      "st_sliding_counts",
+      (spark, dir) => {
+        val src = spark.readStream
+          .schema(rawEventsSchema)
+          .parquet(stageDir(s"$dir/events.parquet"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val qn = "st_sliding_counts_sink"
+        val q = slidingEventCounts(src)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(qn).where("window_start >= 0")
+      },
+      Some("""
+        SELECT slide_start AS window_start, event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM (
+          SELECT event_type, value, (ts_s // 900 - g.k) * 900 AS slide_start, ts_s
+          FROM (SELECT epoch_us(ts) // 1000000 AS ts_s, event_type, value FROM events),
+               (SELECT unnest(generate_series(0, 3)) AS k) g)
+        WHERE slide_start >= 0 AND ts_s < slide_start + 3600
+        GROUP BY slide_start, event_type"""),
       bench = false)
   )
 }
