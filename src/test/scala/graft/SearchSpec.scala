@@ -179,4 +179,26 @@ class SearchSpec extends SparkSpec {
       assert(!t.contains("call 555-"), "phone survived redaction")
     }
   }
+
+  test("MMR re-rank: keeps the top hit, actually diversifies the tail") {
+    val sf = "/root/testdata/sf0.001"
+    val mmr = graft.operators.Knn.queries.find(_.name == "v10_mmr").get
+      .run(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    val plain = graft.operators.Knn.queries.find(_.name == "v3_knn_topk").get
+      .run(spark, sf) // query vec 0; recompute plain top-5 for vec 10 instead
+    import spark.implicits._
+    graft.plans.VectorExprs.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where("vec_id = 10").selectExpr("embedding AS q_emb")
+    val top5 = e.crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .selectExpr("vec_id", "cosine_f(embedding, q_emb) AS sim")
+      .orderBy(org.apache.spark.sql.functions.desc("sim"), $"vec_id")
+      .limit(5).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(mmr.length == 5 && mmr.distinct.length == 5)
+    assert(mmr.head == top5.head, "rank 1 must be the most relevant item")
+    assert(mmr.toSet != top5.toSet,
+      "MMR must trade relevance for diversity on this corpus (λ=0.5)")
+    assert(plain.collect().length == 5) // sanity: the plain row still runs
+  }
 }
