@@ -92,5 +92,56 @@ object Search {
         ORDER BY bm25 DESC, doc_id
         LIMIT $TopK"""
       })
+    ,
+
+    // ------------------------- exact phrase search (positional index)
+    // "the standard corpus" as a positional-postings join: tokenize
+    // with positions, keep each phrase term's postings, and match
+    // where the positions are CONSECUTIVE within a document — the
+    // relational form of a search engine's positional inverted index
+    // (term filters evaluate inside the scan; the adjacency join keys
+    // on (doc, position), never a text rescan). The corpus plants the
+    // dd_spandup boilerplate in every doc_id ≡ 0 (mod 7), so the
+    // phrase has a known ground truth; natural word soup supplies the
+    // negative space.
+    QueryDef(
+      "ts_phrase",
+      (spark, dir) => {
+        val posts = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\s{2,}', ' '), '^\\s+|\\s+$', '') AS tc")
+          .selectExpr("doc_id",
+            s"CASE WHEN doc_id % 7 = 0 THEN concat(tc, ' ', '${graft.operators.Dedup.SpanBoiler}') ELSE tc END AS tc")
+          .selectExpr("doc_id", "posexplode(split(tc, ' ')) AS (pos, w)")
+        def term(t: String, alias: String) =
+          posts.where(s"w = '$t'").selectExpr("doc_id", s"cast(pos AS bigint) AS $alias")
+        term("the", "p1")
+          .join(term("standard", "p2"), Seq("doc_id"))
+          .where("p2 = p1 + 1")
+          .join(term("corpus", "p3"), Seq("doc_id"))
+          .where("p3 = p1 + 2")
+          .groupBy("doc_id")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_matches"),
+            org.apache.spark.sql.functions.expr("min(p1) AS first_pos"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN tc || ' ' || '${graft.operators.Dedup.SpanBoiler}' ELSE tc END AS tc
+          FROM (SELECT doc_id,
+                       regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                FROM documents)),
+        posts AS (
+          SELECT doc_id, unnest(string_split(tc, ' ')) AS w,
+                 generate_subscripts(string_split(tc, ' '), 1) AS i
+          FROM c),
+        p1 AS (SELECT doc_id, i - 1 AS p1 FROM posts WHERE w = 'the'),
+        p2 AS (SELECT doc_id, i - 1 AS p2 FROM posts WHERE w = 'standard'),
+        p3 AS (SELECT doc_id, i - 1 AS p3 FROM posts WHERE w = 'corpus')
+        SELECT doc_id, count(*)::BIGINT AS n_matches, min(p1)::BIGINT AS first_pos
+        FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)
+        WHERE p2 = p1 + 1 AND p3 = p1 + 2
+        GROUP BY doc_id"""))
   )
 }
