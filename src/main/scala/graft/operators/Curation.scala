@@ -125,6 +125,60 @@ object Curation {
             FROM documents))
         GROUP BY pack_id""")),
 
+    // ------------------------------- curation funnel (observability)
+    // The per-stage accounting every pipeline run logs: how many
+    // documents enter, survive the length gate, survive exact dedup,
+    // and survive near-dup removal — tp_curate's stages re-expressed
+    // as one funnel report (stage, n_docs, chars). Each stage count is
+    // a partial-aggregated scan over the SAME shared subplans the
+    // pipeline runs; no violating rows materialize. Monotone
+    // non-increasing by construction — a broken stage shows up as a
+    // count jump before it corrupts downstream output.
+    QueryDef(
+      "tp_curate_funnel",
+      (spark, dir) => {
+        val cleaned = Tables.documents(spark, dir)
+          .selectExpr(cleanCols: _*)
+          .selectExpr("doc_id", "length(tc) AS char_len", "md5(tc) AS th")
+        val quality = cleaned.where("char_len >= 50")
+        val exactKept = quality.groupBy("th")
+          .agg(expr("min(doc_id) AS doc_id"), expr("min(char_len) AS char_len"))
+        val nearDupDrop = Dedup.minhashPairs(spark, dir)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val finalKept = exactKept.join(nearDupDrop, Seq("doc_id"), "left_anti")
+        def stage(name: String, rank: Long, df: DataFrame) =
+          df.groupBy().agg(
+            expr(s"$rank AS stage_rank"),
+            expr(s"'$name' AS stage"),
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(sum(char_len) AS bigint) AS sum_chars"))
+        stage("input", 1, cleaned)
+          .unionByName(stage("length_gate", 2, quality))
+          .unionByName(stage("exact_dedup", 3, exactKept))
+          .unionByName(stage("near_dedup", 4, finalKept))
+          .selectExpr("stage_rank", "stage", "n_docs", "sum_chars")
+      },
+      Some(s"""
+        WITH cleaned AS (
+          SELECT doc_id, length(tc) AS char_len, md5(tc) AS th
+          FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                FROM documents)),
+        quality AS (SELECT * FROM cleaned WHERE char_len >= 50),
+        exact_kept AS (
+          SELECT min(doc_id) AS doc_id, min(char_len) AS char_len
+          FROM quality GROUP BY th),
+        pairs AS ($minhashPairsSqlRef),
+        final_kept AS (
+          SELECT k.doc_id, k.char_len FROM exact_kept k
+          LEFT JOIN (SELECT DISTINCT doc_b AS doc_id FROM pairs) d
+            ON k.doc_id = d.doc_id
+          WHERE d.doc_id IS NULL)
+        SELECT 1::BIGINT AS stage_rank, 'input' AS stage,
+               count(*)::BIGINT AS n_docs, sum(char_len)::BIGINT AS sum_chars FROM cleaned
+        UNION ALL SELECT 2, 'length_gate', count(*)::BIGINT, sum(char_len)::BIGINT FROM quality
+        UNION ALL SELECT 3, 'exact_dedup', count(*)::BIGINT, sum(char_len)::BIGINT FROM exact_kept
+        UNION ALL SELECT 4, 'near_dedup', count(*)::BIGINT, sum(char_len)::BIGINT FROM final_kept""")),
+
     // ----------------------------- first-fit-decreasing packing (FFD)
     // The packing-quality upgrade over tp_pack_tokens' in-order
     // running sum: sort each salt's documents by token count
@@ -663,6 +717,9 @@ object Curation {
 
   /** Token budget per pack (tp_pack_tokens and tp_pack_ffd). */
   private val Budget = 2048L
+
+  /** The MinHash verified-pair SQL (Dedup's), for funnel CTE reuse. */
+  private def minhashPairsSqlRef: String = Dedup.minhashPairsSql
 
   /** SemDeDup pruning threshold — see the tp_semdedup docstring.
     * private[graft]: the streaming twin (st_semdedup) must apply the
