@@ -208,6 +208,21 @@ class PlanShapeSpec extends SparkSpec {
       "count(o_orderkey) must not let the optimizer rewrite the outer join to inner")
   }
 
+  test("ta_keywords: per-doc rank window with the group-limit pushdown") {
+    val p = plan("ta_keywords")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(doc_id"), "rank window must partition per doc")
+    // rank <= 5 must push a partial WindowGroupLimit BELOW the exchange:
+    // each map task ships at most 5 rows per doc, not the full tf table
+    assert(p.contains("WindowGroupLimit"), "top-k group-limit pushdown missing")
+  }
+
+  test("dd_paragraph: both shuffles are hash aggregations, no single partition") {
+    val p = plan("dd_paragraph")
+    assert(!p.contains("SinglePartition"), "paragraph dedup must stay partitioned")
+    assert(!p.contains("CartesianProduct"), "no pair space in paragraph dedup")
+  }
+
   test("ev_churn_anti: NOT EXISTS runs as a LEFT ANTI join on reduced state") {
     val p = plan("ev_churn_anti")
     assert(p.contains("LeftAnti"), s"expected an anti join in:\n${p.take(600)}")
