@@ -203,18 +203,23 @@ object Curation {
           .selectExpr("pmod(doc_id, 8) AS salt", "doc_id",
             "cast((length(tc) + 3) div 4 AS bigint) AS n_tokens")
           .as[(Long, Long, Long)]
+        // the shuffle SORTS each partition into (salt, tokens desc, id)
+        // order, so the fold is a pure streaming pass: state is ONLY the
+        // open-pack capacity array of the salt currently in hand — the
+        // partition is never materialized (a salt's documents stream
+        // through one executor, which is the point of salting)
         val placed = items
           .repartition(col("salt"))
+          .sortWithinPartitions(col("salt"), desc("n_tokens"), col("doc_id"))
           .mapPartitions { part =>
-            part.toSeq.groupBy(_._1).iterator.flatMap { case (salt, xs) =>
-              val sorted = xs.sortBy { case (_, id, tok) => (-tok, id) }
-              val caps = scala.collection.mutable.ArrayBuffer.empty[Long]
-              sorted.map { case (_, id, tok) =>
-                val fit = caps.indexWhere(_ >= tok)
-                val bin = if (fit < 0) { caps += Budget - tok; caps.length }
-                          else { caps(fit) -= tok; fit + 1 }
-                (salt, id, tok, bin.toLong)
-              }
+            var curSalt = Long.MinValue
+            val caps = scala.collection.mutable.ArrayBuffer.empty[Long]
+            part.map { case (salt, id, tok) =>
+              if (salt != curSalt) { curSalt = salt; caps.clear() }
+              val fit = caps.indexWhere(_ >= tok)
+              val bin = if (fit < 0) { caps += Budget - tok; caps.length }
+                        else { caps(fit) -= tok; fit + 1 }
+              (salt, id, tok, bin.toLong)
             }
           }
           .toDF("salt", "doc_id", "n_tokens", "bin")
