@@ -596,6 +596,7 @@ object Knn {
           .crossJoin(cand.selectExpr("vec_id AS vb", "embedding AS eb"))
           .selectExpr("va", "vb", "sim", s"${cosExpr("ea", "eb")} AS s")
           .collect()
+        cand.unpersist()
         val simToQ = sims.map(r => r.getAs[Long]("va") -> r.getAs[Double]("sim")).toMap
         val pair = sims.map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb")) -> r.getAs[Double]("s")).toMap
         val ids = simToQ.keys.toSeq.sorted
