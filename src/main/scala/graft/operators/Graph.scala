@@ -87,6 +87,29 @@ object Graph {
     r.select("id", "r")
   }
 
+  /** Weighted integer PageRank: each edge carries an integer weight and
+    * a source's mass splits proportionally — contribution = (r · w) div
+    * Σw(src) per edge, still exact int64 arithmetic (one floor division
+    * per edge per round).
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    val e = edges.toDF("src", "dst", "w").localCheckpoint(true)
+    val sw = e.groupBy("src").agg(expr("cast(sum(w) AS bigint) AS sw"))
+    val withW = e.join(sw, "src").repartition(col("src")).localCheckpoint(true)
+    val verts = e.select(col("src").as("id")).distinct()
+      .repartition(col("id")).localCheckpoint(true)
+    var r = verts.withColumn("r", lit(1000000L))
+    (1 to iters).foreach { i =>
+      val contrib = withW
+        .join(r.selectExpr("id AS src", "r AS rs"), "src")
+        .groupBy("dst").agg(expr("cast(sum((rs * w) div sw) AS bigint) AS c"))
+      r = verts.join(contrib.selectExpr("dst AS id", "c"), Seq("id"), "left")
+        .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
+      if (i % 6 == 0 && i < iters) r = r.localCheckpoint(true)
+    }
+    r
+  }
+
   def queries: Seq[QueryDef] = Seq(
     // -------------------------------------- PageRank over purchase graph
     // Vertices: customers (2k) and suppliers (2k+1) — the two TPC-H key
@@ -137,6 +160,60 @@ object Graph {
         FROM v JOIN deg d ON v.id = d.src
                JOIN r$Iters ON v.id = r$Iters.id"""
       }),
+
+    // ----------------------- weighted PageRank over purchase volumes
+    // Same graph, but each customer↔supplier edge carries the number
+    // of DISTINCT orders connecting the pair — mass flows
+    // proportionally to trade volume, not mere adjacency, so a
+    // supplier a customer orders from 10× pulls 10× the mass. Per-edge
+    // contribution is one exact integer floor division; the rest of
+    // the machinery (partition-resident edges, ppm BIGINT scores)
+    // matches gr_pagerank.
+    QueryDef(
+      "gr_pagerank_w",
+      (spark, dir) => {
+        val cs = Tables.orders(spark, dir).selectExpr("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(spark, dir).selectExpr("l_orderkey", "l_suppkey"),
+            expr("o_orderkey = l_orderkey"))
+          .selectExpr("o_custkey * 2 AS cv", "l_suppkey * 2 + 1 AS sv", "o_orderkey")
+          .distinct()
+          .groupBy("cv", "sv")
+          .agg(expr("cast(count(*) AS bigint) AS w"))
+        val edges = cs.selectExpr("cv AS src", "sv AS dst", "w")
+          .unionByName(cs.selectExpr("sv AS src", "cv AS dst", "w"))
+        pageRankWeighted(edges)
+          .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
+            "id div 2 AS key", "r AS score_ppm")
+      },
+      Some {
+        val iter = (i: Int) => s"""
+        r$i AS (
+          SELECT v.id, $BasePpm + ($Damping * coalesce(s.c, 0)) // 100 AS r
+          FROM v LEFT JOIN (
+            SELECT e.dst, sum((r${i - 1}.r * e.w) // sw.sw)::BIGINT AS c
+            FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.id
+                         JOIN sw ON e.src = sw.src
+            GROUP BY e.dst) s ON v.id = s.dst)"""
+        s"""
+        WITH cs AS (
+          SELECT cv, sv, count(*)::BIGINT AS w
+          FROM (SELECT DISTINCT o_custkey * 2 AS cv, l_suppkey * 2 + 1 AS sv, o_orderkey
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+          GROUP BY cv, sv),
+        edges AS (
+          SELECT cv AS src, sv AS dst, w FROM cs
+          UNION ALL
+          SELECT sv AS src, cv AS dst, w FROM cs),
+        sw AS (SELECT src, sum(w)::BIGINT AS sw FROM edges GROUP BY src),
+        v AS (SELECT DISTINCT src AS id FROM edges),
+        r0 AS (SELECT id, 1000000::BIGINT AS r FROM v),
+        ${(1 to Iters).map(iter).mkString(",")}
+        SELECT v.id, CASE WHEN v.id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               v.id // 2 AS key, r$Iters.r AS score_ppm
+        FROM v JOIN r$Iters ON v.id = r$Iters.id"""
+      },
+      // gr_pagerank stays the benched iterative-graph representative
+      bench = false),
 
     // ------------------- personalized PageRank from a customer segment
     // "Which suppliers matter to the BUILDING segment": teleport mass

@@ -42,6 +42,19 @@ class GraphSpec extends SparkSpec {
     assert(run(2) == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L))
   }
 
+  test("weighted star: mass splits by weight, hand-computed") {
+    import spark.implicits._
+    // hub 0 ↔ leaf 1 (w=3) and leaf 2 (w=1): Σw(0)=4
+    val edges = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 3L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val r1 = Graph.pageRankWeighted(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(
+      0L -> 1850000L, // 150000 + 85·(1e6 + 1e6) div 100
+      1L -> 787500L, // 150000 + 85·((1e6·3) div 4) div 100
+      2L -> 362500L)) // 150000 + 85·((1e6·1) div 4) div 100
+  }
+
   test("purchase-graph query: suppliers out-rank customers on average") {
     val df = Graph.queries.find(_.name == "gr_pagerank").get
       .run(spark, "/root/testdata/sf0.001").collect()
