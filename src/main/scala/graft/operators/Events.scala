@@ -451,6 +451,81 @@ object Events {
                                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr""")),
 
+    // --------------------------------- RFM customer segmentation
+    // Recency / Frequency / Monetary scoring over purchase events —
+    // the classic lifecycle-segmentation aggregate. The reference
+    // instant is the corpus max timestamp (broadcast scalar), so the
+    // score is a pure function of the data. Quintile scores come from
+    // BOUNDARY COMPARISON, not ntile: the four 20/40/60/80-percentile
+    // cut points per metric fold to one broadcast row and each user
+    // scores row-locally against them — no global sort anywhere, which
+    // is what makes this shape survive 10⁹ users (an ntile(5) OVER ()
+    // is a single-partition sort of the whole user table).
+    QueryDef(
+      "ev_rfm",
+      (spark, dir) => {
+        val p = Tables.events(spark, dir).where("event_type = 'purchase'")
+          .selectExpr("user_id", "unix_micros(ts) AS ts_us", "value")
+        val agg = p.groupBy("user_id")
+          .agg(
+            org.apache.spark.sql.functions.expr("max(ts_us) AS last_us"),
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS frequency"),
+            org.apache.spark.sql.functions.expr(
+              "cast(sum(cast(value AS decimal(18,6))) AS double) AS monetary"))
+        val withRec = agg
+          .crossJoin(org.apache.spark.sql.functions.broadcast(
+            agg.groupBy().agg(
+              org.apache.spark.sql.functions.expr("max(last_us) AS ref_us"))))
+          .selectExpr("user_id", "(ref_us - last_us) div 1000000 AS recency_s",
+            "frequency", "monetary")
+        val bounds = withRec.groupBy().agg(
+          org.apache.spark.sql.functions.expr(
+            "percentile(recency_s, array(0.2, 0.4, 0.6, 0.8)) AS rb"),
+          org.apache.spark.sql.functions.expr(
+            "percentile(frequency, array(0.2, 0.4, 0.6, 0.8)) AS fb"),
+          org.apache.spark.sql.functions.expr(
+            "percentile(monetary, array(0.2, 0.4, 0.6, 0.8)) AS mb"))
+        def tier(v: String, b: String, lowIsGood: Boolean) = {
+          val cmp = (i: Int) =>
+            if (lowIsGood) s"CASE WHEN cast($v AS double) > $b[$i] THEN 1 ELSE 0 END"
+            else s"CASE WHEN cast($v AS double) <= $b[$i] THEN 1 ELSE 0 END"
+          s"cast(1 + ${(0 to 3).map(cmp).mkString(" + ")} AS bigint)"
+        }
+        withRec.crossJoin(org.apache.spark.sql.functions.broadcast(bounds))
+          .selectExpr("user_id", "recency_s", "frequency", "monetary",
+            // recency: smaller = better tier (tier 1 = most recent);
+            // frequency/monetary: larger = better tier (tier 1 = top)
+            s"${tier("recency_s", "rb", lowIsGood = true)} AS r_tier",
+            s"${tier("frequency", "fb", lowIsGood = false)} AS f_tier",
+            s"${tier("monetary", "mb", lowIsGood = false)} AS m_tier")
+          .selectExpr("user_id", "recency_s", "frequency", "monetary",
+            "r_tier * 100 + f_tier * 10 + m_tier AS rfm")
+      },
+      Some("""
+        WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+                   FROM events WHERE event_type = 'purchase'),
+        agg AS (
+          SELECT user_id, max(ts_us) AS last_us, count(*)::BIGINT AS frequency,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+          FROM p GROUP BY user_id),
+        wr AS (
+          SELECT user_id, (r.ref_us - last_us) // 1000000 AS recency_s,
+                 frequency, monetary
+          FROM agg, (SELECT max(last_us) AS ref_us FROM agg) r),
+        b AS (
+          SELECT quantile_cont(recency_s, [0.2, 0.4, 0.6, 0.8]) AS rb,
+                 quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+                 quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+          FROM wr)
+        SELECT user_id, recency_s, frequency, monetary,
+               (1 + (recency_s::DOUBLE > rb[1])::INT + (recency_s::DOUBLE > rb[2])::INT
+                  + (recency_s::DOUBLE > rb[3])::INT + (recency_s::DOUBLE > rb[4])::INT)::BIGINT * 100
+               + (1 + (frequency::DOUBLE <= fb[1])::INT + (frequency::DOUBLE <= fb[2])::INT
+                    + (frequency::DOUBLE <= fb[3])::INT + (frequency::DOUBLE <= fb[4])::INT)::BIGINT * 10
+               + (1 + (monetary <= mb[1])::INT + (monetary <= mb[2])::INT
+                    + (monetary <= mb[3])::INT + (monetary <= mb[4])::INT)::BIGINT AS rfm
+        FROM wr, b""")),
+
     // ------------------------------ gaps-and-islands run collapse
     // Consecutive same-type events per user collapse into runs — the
     // classic islands pattern (CDC run-length encoding, state-change
