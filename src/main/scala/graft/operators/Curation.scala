@@ -125,6 +125,41 @@ object Curation {
             FROM documents))
         GROUP BY pack_id""")),
 
+    // ----------------------------------- epoch-style lang upsampling
+    // The repetition-factor assignment of a multilingual training mix:
+    // low-resource languages repeat more epochs (the per-mille targets
+    // inlined in both engines — the inverse of tp_mix_weights'
+    // subsampling). Factors are pure integer functions of lang, the
+    // effective token budget is repeat × tokens, and the per-lang
+    // report shows raw vs effective contribution — all scan-local
+    // arithmetic plus one partial-aggregated groupBy.
+    QueryDef(
+      "tp_upsample",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "lang",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id", "lang",
+            "cast((length(tc) + 3) div 4 AS bigint) AS n_tokens",
+            "coalesce(element_at(map('en', 1, 'zh', 2, 'de', 4, 'fr', 4, 'es', 8), lang), 1) AS rep")
+          .groupBy("lang")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(sum(n_tokens) AS bigint) AS raw_tokens"),
+            expr("cast(first(rep) AS bigint) AS repeat_factor"),
+            expr("cast(sum(n_tokens * rep) AS bigint) AS effective_tokens")),
+      Some("""
+        SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS raw_tokens,
+               first(rep)::BIGINT AS repeat_factor,
+               sum(n_tokens * rep)::BIGINT AS effective_tokens
+        FROM (
+          SELECT doc_id, lang,
+                 ((length(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$$', '', 'g')) + 3) // 4)::BIGINT AS n_tokens,
+                 CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 WHEN 'de' THEN 4
+                           WHEN 'fr' THEN 4 WHEN 'es' THEN 8 ELSE 1 END AS rep
+          FROM documents)
+        GROUP BY lang""")),
+
     // ------------------------------- curation funnel (observability)
     // The per-stage accounting every pipeline run logs: how many
     // documents enter, survive the length gate, survive exact dedup,
