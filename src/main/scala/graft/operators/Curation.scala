@@ -437,6 +437,47 @@ object Curation {
                CASE WHEN v = min(r) THEN 1 ELSE 0 END::BIGINT AS keeper
         FROM reach GROUP BY v""")),
 
+    // --------------------------------- duplicate-cluster size profile
+    // The shape of the duplication problem, not just its members: how
+    // many dup clusters exist at each size (count-of-counts over the
+    // connected components) plus the rows removable by cluster-correct
+    // dedup (size − 1 survivors each). Two tiny aggregations over the
+    // component labels dd_cluster already computes; the DuckDB oracle
+    // re-derives components through its own recursive CTE.
+    QueryDef(
+      "dd_cluster_sizes",
+      (spark, dir) => {
+        val pairs = Dedup.minhashPairs(spark, dir).select("doc_a", "doc_b")
+        connectedComponents(pairs)
+          .groupBy("component")
+          .agg(expr("cast(count(*) AS bigint) AS cluster_size"))
+          .groupBy("cluster_size")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_clusters"),
+            expr("cast(sum(cluster_size - 1) AS bigint) AS removable_docs"))
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b
+          FROM (${Dedup.minhashPairsSql}) p
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+        ),
+        comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+        sizes AS (SELECT component, count(*)::BIGINT AS cluster_size
+                  FROM comp GROUP BY component)
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+               sum(cluster_size - 1)::BIGINT AS removable_docs
+        FROM sizes GROUP BY cluster_size""")),
+
     // --------------------------------------- benchmark contamination check
     // The eval-overlap gate every training corpus needs: documents whose
     // word-4-gram shingles overlap a held-out benchmark split leak eval
