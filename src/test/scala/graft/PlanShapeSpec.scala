@@ -223,6 +223,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no pair space in paragraph dedup")
   }
 
+  test("ev_rfm: quintile tiers by broadcast boundaries — no rank window at all") {
+    val p = plan("ev_rfm")
+    // the whole point of the boundary formulation: scoring must not
+    // plan a Window (an ntile(5) OVER () would be a single-partition
+    // sort of the entire user table)
+    assert(!p.contains("Window"), "RFM reintroduced a global rank window")
+    assert(p.contains("BroadcastExchange") || p.contains("broadcast"),
+      "percentile boundaries must broadcast")
+  }
+
   test("ev_churn_anti: NOT EXISTS runs as a LEFT ANTI join on reduced state") {
     val p = plan("ev_churn_anti")
     assert(p.contains("LeftAnti"), s"expected an anti join in:\n${p.take(600)}")
