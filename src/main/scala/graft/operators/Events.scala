@@ -51,6 +51,11 @@ object Events {
     QueryDef(
       "ev_sliding_window",
       (spark, dir) =>
+        // Spark `div` truncates toward zero while DuckDB `//` floors;
+        // they agree only for non-negative operands. unix_micros(ts) is
+        // non-negative for the post-1970 event corpus (and ts_s div 900
+        // inherits that) — pre-1970 timestamps would need floor(a/b) on
+        // both sides instead.
         Tables.events(spark, dir)
           .selectExpr("unix_micros(ts) div 1000000 AS ts_s", "event_type", "value")
           .selectExpr("event_type", "value",
@@ -476,15 +481,22 @@ object Events {
           .crossJoin(org.apache.spark.sql.functions.broadcast(
             agg.groupBy().agg(
               org.apache.spark.sql.functions.expr("max(last_us) AS ref_us"))))
+          // ref_us = max(last_us), so ref_us - last_us >= 0 and Spark's
+          // truncating `div` agrees with DuckDB's flooring `//`.
           .selectExpr("user_id", "(ref_us - last_us) div 1000000 AS recency_s",
             "frequency", "monetary")
+        // Cut points are rounded to 6 decimals before any tier
+        // comparison: Spark percentile and DuckDB quantile_cont can
+        // drift a last ulp on interpolated values, and an unrounded
+        // boundary would flip users sitting exactly on a quintile edge
+        // cross-engine.
         val bounds = withRec.groupBy().agg(
           org.apache.spark.sql.functions.expr(
-            "percentile(recency_s, array(0.2, 0.4, 0.6, 0.8)) AS rb"),
+            "transform(percentile(recency_s, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 6)) AS rb"),
           org.apache.spark.sql.functions.expr(
-            "percentile(frequency, array(0.2, 0.4, 0.6, 0.8)) AS fb"),
+            "transform(percentile(frequency, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 6)) AS fb"),
           org.apache.spark.sql.functions.expr(
-            "percentile(monetary, array(0.2, 0.4, 0.6, 0.8)) AS mb"))
+            "transform(percentile(monetary, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 6)) AS mb"))
         def tier(v: String, b: String, lowIsGood: Boolean) = {
           val cmp = (i: Int) =>
             if (lowIsGood) s"CASE WHEN cast($v AS double) > $b[$i] THEN 1 ELSE 0 END"
@@ -513,9 +525,9 @@ object Events {
                  frequency, monetary
           FROM agg, (SELECT max(last_us) AS ref_us FROM agg) r),
         b AS (
-          SELECT quantile_cont(recency_s, [0.2, 0.4, 0.6, 0.8]) AS rb,
-                 quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
-                 quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+          SELECT list_transform(quantile_cont(recency_s, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS rb,
+                 list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS fb,
+                 list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS mb
           FROM wr)
         SELECT user_id, recency_s, frequency, monetary,
                (1 + (recency_s::DOUBLE > rb[1])::INT + (recency_s::DOUBLE > rb[2])::INT

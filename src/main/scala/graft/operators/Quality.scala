@@ -105,13 +105,19 @@ object Quality {
       (spark, dir) => {
         val ev = Tables.events(spark, dir)
           .selectExpr("event_id", "event_type", "value")
+        // Boundaries are rounded to 6 decimals BEFORE the threshold
+        // comparison: Spark percentile and DuckDB quantile_cont share
+        // the lower+frac*(hi-lo) formula but can differ in the last
+        // ulp, and an unrounded boundary would flip borderline rows
+        // cross-engine. Rounded med/mad make ad and the filter
+        // predicate bit-identical on both sides.
         val med = ev.groupBy("event_type")
-          .agg(expr("percentile(value, 0.5) AS med"))
+          .agg(expr("round(percentile(value, 0.5), 6) AS med"))
         val dev = ev.join(broadcast(med), "event_type")
           .selectExpr("event_id", "event_type", "value", "med",
             "abs(value - med) AS ad")
         val mad = dev.groupBy("event_type")
-          .agg(expr("percentile(ad, 0.5) AS mad"))
+          .agg(expr("round(percentile(ad, 0.5), 6) AS mad"))
         dev.join(broadcast(mad), "event_type")
           .where("ad > 3 * 1.4826 * mad")
           .selectExpr("event_id", "event_type", "round(value, 6) AS value",
@@ -120,11 +126,11 @@ object Quality {
       },
       Some("""
         WITH e AS (SELECT event_id, event_type, value FROM events),
-        m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
               FROM e GROUP BY event_type),
         d AS (SELECT event_id, e.event_type, value, med, abs(value - med) AS ad
               FROM e JOIN m ON e.event_type = m.event_type),
-        md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        md AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
                FROM d GROUP BY event_type)
         SELECT event_id, d.event_type AS event_type, round(value, 6) AS value,
                round(med, 6) AS med, round(mad, 6) AS mad,

@@ -468,9 +468,15 @@ object Relational {
     QueryDef(
       "q12_big_orders",
       (spark, dir) => {
+        // The threshold must see the SAME value on both engines: an
+        // exact decimal sum (order-independent across partitions), with
+        // the > 220 applied to it un-truncated. A bigint cast here
+        // would truncate in Spark but round in DuckDB, diverging for
+        // fractional quantity sums (e.g. 220.5).
         val bigKeys = Tables.lineitem(spark, dir)
           .groupBy("l_orderkey")
-          .agg(expr("cast(sum(l_quantity) AS bigint) AS total_qty"))
+          .agg(expr(
+            "cast(sum(cast(l_quantity AS decimal(18,6))) AS double) AS total_qty"))
           .where("total_qty > 220")
         Tables.orders(spark, dir)
           .join(bigKeys.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
@@ -486,9 +492,11 @@ object Relational {
         SELECT o_orderkey, o_custkey, c_mktsegment, total_qty,
                o_totalprice::DOUBLE AS total_price
         FROM orders
-        JOIN (SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
+        JOIN (SELECT l_orderkey,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
               FROM lineitem GROUP BY l_orderkey
-              HAVING sum(l_quantity) > 220) b ON o_orderkey = b.l_orderkey
+              HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 220) b
+          ON o_orderkey = b.l_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY total_price DESC, o_orderkey
         LIMIT 20"""))

@@ -109,7 +109,7 @@ object Search {
       (spark, dir) => {
         val posts = Tables.documents(spark, dir)
           .selectExpr("doc_id",
-            "regexp_replace(regexp_replace(text, '\\s{2,}', ' '), '^\\s+|\\s+$', '') AS tc")
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
           .selectExpr("doc_id",
             s"CASE WHEN doc_id % 7 = 0 THEN concat(tc, ' ', '${graft.operators.Dedup.SpanBoiler}') ELSE tc END AS tc")
           .selectExpr("doc_id", "posexplode(split(tc, ' ')) AS (pos, w)")

@@ -376,6 +376,21 @@ object Streaming {
     * cosine mirrors the native CosineSim fold exactly (per-element
     * float→double, one xy/xx/yy accumulation pass) so the streaming
     * verdict can never disagree with the batch expression at θ.
+    *
+    * CONTRACT — ordered arrival across microbatches: verdicts are
+    * emitted in Append mode and never revised, so equality with the
+    * batch tp_semdedup rule ("drop iff some LOWER-id cluster-mate is
+    * within θ") requires that vec_ids arrive non-decreasing per
+    * cluster across microbatches. A lower-id similar vector landing in
+    * a LATER batch cannot retract the 'kept' already emitted for a
+    * higher id (the reverse direction — higher id later — is handled:
+    * `seen` keeps every prior vector). Within a single microbatch the
+    * group is sorted by vec_id, so intra-batch order never matters;
+    * the gate row satisfies the contract by staging one file under
+    * AvailableNow (a single microbatch). Producers feeding this from a
+    * multi-batch source must stage input so per-cluster ids are
+    * non-decreasing batch-over-batch (e.g. id-ordered file drops), or
+    * accept first-arrival-wins semantics instead of lowest-id-wins.
     */
   def semanticDedupStream(spark: SparkSession, assignedSrc: DataFrame,
                           centroids: DataFrame): Dataset[SemVerdict] = {
@@ -529,7 +544,10 @@ object Streaming {
     // cosine θ, kept or not, exactly tp_semdedup's rule. Within each
     // microbatch the group sorts by vec_id, so arrival order inside a
     // batch cannot perturb the verdict, and the drained output equals
-    // the batch query — the oracle IS tp_semdedup's SQL. State grows
+    // the batch query — the oracle IS tp_semdedup's SQL. Across
+    // batches the equality relies on the ordered-arrival contract
+    // documented on semanticDedupStream (here trivially met: one
+    // staged file + AvailableNow = a single microbatch). State grows
     // with cluster population (the same bound as the batch pair space);
     // a production deploy caps it with cluster splitting, not eviction
     // (evicting would silently re-admit duplicates).
