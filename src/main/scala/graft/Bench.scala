@@ -79,7 +79,19 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the complete line as a repo artifact: the round log keeps
+    // only a truncated tail of stdout, which loses the total and early
+    // per-query figures. The committed artifact is what
+    // tools/bench_diff.py diffs round-over-round.
+    try {
+      val sfName = new java.io.File(sfDir).getName
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench/bench_$sfName.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // the stdout line is the contract; the artifact is best-effort
     spark.stop()
   }
 }

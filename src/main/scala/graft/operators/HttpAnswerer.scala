@@ -43,6 +43,36 @@ final case class HttpAnswerer(endpoint: String, apiKey: String, model: String,
 
 object HttpAnswerer {
 
+  /** Reference's call-time error answer when no key is configured
+    * (`/root/reference/src/qa_system.py:45-46`).
+    */
+  val MissingKeyAnswer = "错误: API密钥未设置。请设置API_KEY环境变量。"
+
+  /** Reference's construction-time warning (`src/qa_system.py:18`). */
+  val MissingKeyWarning = "警告: 未找到API密钥。请设置API_KEY环境变量。"
+
+  /** Q5 — key config with the reference's ergonomics
+    * (`src/qa_system.py:14-20, 45-46`): an explicit key wins, else the
+    * environment variable is consulted; a MISSING key warns once here
+    * (construction) and then surfaces as the reference's error string
+    * AS THE ANSWER at every call — never an exception, so a keyless
+    * deployment still runs end-to-end (retrieval + citations intact).
+    *
+    * `env`/`warn` are injectable for tests; production callers use the
+    * defaults (`sys.env` / stderr).
+    */
+  def fromEnv(endpoint: String, model: String,
+              apiKey: Option[String] = None,
+              envVar: String = "API_KEY",
+              env: String => Option[String] = k => sys.env.get(k),
+              warn: String => Unit = Console.err.println): String => String =
+    apiKey.filter(_.nonEmpty).orElse(env(envVar).filter(_.nonEmpty)) match {
+      case Some(key) => HttpAnswerer(endpoint, key, model).generate
+      case None =>
+        warn(MissingKeyWarning)
+        _ => MissingKeyAnswer
+    }
+
   /** Strict JSON string literal (quotes, backslashes, control chars). */
   private[graft] def jstr(s: String): String = {
     val sb = new StringBuilder("\"")

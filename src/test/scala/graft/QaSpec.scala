@@ -21,6 +21,41 @@ class QaSpec extends AnyFunSuite {
     assert(out.startsWith("抱歉"))
   }
 
+  test("P5 exit tokens: exit/quit/退出 case-insensitive, untrimmed (src/main.py:94)") {
+    assert(Repl.isExitCommand("exit"))
+    assert(Repl.isExitCommand("EXIT"))
+    assert(Repl.isExitCommand("Quit"))
+    assert(Repl.isExitCommand("退出"))
+    assert(!Repl.isExitCommand("exit ")) // reference does not strip — quirk preserved
+    assert(!Repl.isExitCommand("please exit"))
+    assert(!Repl.isExitCommand(""))
+  }
+
+  test("Q5 key config: missing key warns at build and answers the error string at call") {
+    val warnings = scala.collection.mutable.ListBuffer.empty[String]
+    val gen = graft.operators.HttpAnswerer.fromEnv(
+      "http://localhost:1/v1/chat/completions", "m",
+      env = _ => None, warn = warnings += _)
+    assert(warnings.toList == List(graft.operators.HttpAnswerer.MissingKeyWarning))
+    // call time: error string AS the answer, never an exception
+    assert(gen("any prompt") == graft.operators.HttpAnswerer.MissingKeyAnswer)
+    assert(gen("another") == graft.operators.HttpAnswerer.MissingKeyAnswer)
+  }
+
+  test("Q5 key config: explicit key beats env and emits no warning") {
+    val warnings = scala.collection.mutable.ListBuffer.empty[String]
+    graft.operators.HttpAnswerer.fromEnv(
+      "http://localhost:1/v1/chat/completions", "m",
+      apiKey = Some("k-explicit"), env = _ => Some("k-env"), warn = warnings += _)
+    val fromVar = graft.operators.HttpAnswerer.fromEnv(
+      "http://localhost:1/v1/chat/completions", "m",
+      env = _ => Some("k-env"), warn = warnings += _)
+    assert(warnings.isEmpty)
+    // with a key configured, failures surface as exceptions for the
+    // Qa.answer error-as-answer seam to absorb (unreachable endpoint)
+    assert(Qa.answer(fromVar)("q").startsWith("抱歉"))
+  }
+
   test("hash60 is the md5 prefix, base 16 (cross-engine contract)") {
     // md5("abc") = 900150983cd24fb0..., first 15 hex digits base-16:
     val spark = SparkSpec.session
