@@ -494,12 +494,15 @@ object Dedup {
     // prunes (r4 measured 16 × 2-bit bands admitting ~99% of random
     // pairs, 7.5× slower than this form) and IVF blocking loses recall
     // (measured: every (C, nprobe) ≤ (64, 4) misses true pairs on this
-    // corpus). Blocked exact all-pairs IS the honest algorithm here;
-    // the label block bounds the quadratic term, and callers who need
-    // an unblocked low threshold at 100 TB want v3's top-k kNN instead.
+    // corpus). Exact all-pairs IS the honest algorithm here; the
+    // registered form is the TRIANGLE-CELL-BLOCKED layout
+    // (embedSimPairsBlocked) — same exact result, but a dominant label
+    // spreads over m² bounded tasks instead of one quadratic reducer.
+    // Callers who need an unblocked low threshold at 100 TB want v3's
+    // top-k kNN instead.
     QueryDef(
       "dd_embed_simpairs",
-      (spark, dir) => embedNearDupAllPairs(spark, dir),
+      (spark, dir) => embedSimPairsBlocked(spark, dir),
       Some(s"""
         WITH e0 AS (
           SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb_d,
@@ -641,10 +644,11 @@ object Dedup {
       .selectExpr("label", "vec_a", "vec_b", "round(cos, 6) AS cosine")
   }
 
-  /** All-pairs within each label block — O(block²) pair space. Correct
-    * at any threshold, but a single hot label degenerates at 100 TB;
-    * kept as the spec's ground-truth formulation, not the registered
-    * query.
+  /** All-pairs within each label block — O(block²) pair space keyed on
+    * the bare label: a single hot label lands in ONE reducer. Kept as
+    * the spec's ground-truth formulation, not the registered query
+    * (that is [[embedSimPairsBlocked]], which computes the same exact
+    * result with the pair space spread over bounded cells).
     */
   private[graft] def embedNearDupAllPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = normalizedEmbeddings(spark, dir)
@@ -653,6 +657,64 @@ object Dedup {
     val cand = l.join(r, l("label") === r("label_r") && l("vec_a") < r("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"))
     verifyCosine(cand, e)
+  }
+
+  /** Default cell cap for [[embedSimPairsBlocked]]: blocks below this
+    * stay whole (one cell, zero overhead — every test-SF block does);
+    * larger blocks split so no task ever holds more than ~2·cap rows
+    * or forms more than cap² pairs.
+    */
+  private[graft] val SimPairsBlockCap = 4096
+
+  /** Exact all-pairs similarity mining with a BOUNDED quadratic:
+    * triangle cell blocking. Each label block of n vectors is split
+    * into m = ceil(n / cap) deterministic hash cells; candidate
+    * generation shuffles on (label, cell_i, cell_j) so every task
+    * handles ONE cell pair — ≤ 2·cap rows held, ≤ cap² pairs formed —
+    * instead of a whole label. Exhaustive because every unordered pair
+    * of cells (i ≤ j) is enumerated: this is a WORK-SPREADING layout,
+    * not candidate pruning, so the result set is bit-identical to
+    * [[embedNearDupAllPairs]] at any cap ≥ 1 (PruningSpec pins both
+    * the equality and the per-task bound with a forced multi-cell cap).
+    *
+    * Cost: replication is m per row (n·m = n²/cap rows shuffled —
+    * 1/cap of the pair space), total comparison work is the same
+    * inherent O(n²) exact mining pays; what changes at 100 TB is that
+    * a dominant label now spreads over m² tasks that scale with
+    * executors instead of serializing on one.
+    */
+  private[graft] def embedSimPairsBlocked(spark: SparkSession, dir: String,
+                                          cap: Int = SimPairsBlockCap): DataFrame =
+    verifyCosine(
+      simPairsCellCandidates(normalizedEmbeddings(spark, dir), cap)
+        .select("label", "vec_a", "vec_b"),
+      normalizedEmbeddings(spark, dir))
+
+  /** The candidate half of [[embedSimPairsBlocked]], cell keys kept so
+    * PruningSpec can assert the per-task bound: every (label, ka, kb)
+    * group — one shuffle task's pair work — holds ≤ cap·(cap+ceil-slack)
+    * candidates. `e` must carry (label, vec_id).
+    */
+  private[graft] def simPairsCellCandidates(e: DataFrame, cap: Int): DataFrame = {
+    // per-label cell count: tiny aggregate (one row per label), broadcast
+    val cells = e.groupBy("label")
+      .agg(expr(s"cast(ceil(count(*) / $cap.0D) AS int) AS m"))
+    val withCell = e.join(broadcast(cells), "label")
+      // engine-side only (cells never reach the output or the oracle),
+      // so Spark's murmur3 hash is fine here; pmod keeps it in [0, m)
+      .selectExpr("label", "vec_id", "m", "pmod(hash(vec_id), m) AS cell")
+    // left role: a vector in cell c serves every cell pair (c, j), j ≥ c
+    val lhs = withCell.selectExpr("label", "vec_id AS id_l", "cell AS ka",
+        "explode(sequence(cell, m - 1)) AS kb")
+    // right role: a vector in cell c serves every cell pair (i, c), i ≤ c
+    val rhs = withCell.selectExpr("label", "vec_id AS id_r",
+        "explode(sequence(0, cell)) AS ka", "cell AS kb")
+    lhs.join(rhs, Seq("label", "ka", "kb"))
+      // diagonal tasks see their cell twice: keep one orientation; an
+      // off-diagonal pair meets exactly once (cells are disjoint)
+      .where("ka < kb OR id_l < id_r")
+      .selectExpr("label", "ka", "kb", "least(id_l, id_r) AS vec_a",
+        "greatest(id_l, id_r) AS vec_b")
   }
 
   // --------------------------- production-threshold banded near-dup

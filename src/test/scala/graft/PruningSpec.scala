@@ -54,6 +54,36 @@ class PruningSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("simpairs triangle blocking: exact equality with all-pairs, tasks bounded") {
+    // a cap small enough to force multi-cell blocking on the fixture
+    val cap = 16
+    val blocked = Dedup.embedSimPairsBlocked(spark, sf, cap)
+      .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+    val exact = Dedup.embedNearDupAllPairs(spark, sf)
+      .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(exact.nonEmpty, "no similarity pairs — corpus drifted")
+    // blocking is a work-spreading layout, NOT pruning: result identical
+    assert(blocked == exact,
+      s"blocked mining lost/invented pairs: ${(blocked diff exact).size} extra, " +
+        s"${(exact diff blocked).size} missing")
+
+    // per-task bound: each (label, ka, kb) cell pair — one shuffle
+    // task's work — stays within a small constant of cap², even though
+    // hash cells are only approximately even
+    val e = Tables.embeddings(spark, sf).select("label", "vec_id")
+    val maxTask = Dedup.simPairsCellCandidates(e, cap)
+      .groupBy("label", "ka", "kb").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxTask <= 4L * cap * cap,
+      s"a cell-pair task holds $maxTask candidates (cap=$cap) — blocking broke")
+
+    // and blocking actually engaged (m > 1 somewhere), or the test is vacuous
+    val nCells = Dedup.simPairsCellCandidates(e, cap)
+      .select("label", "ka").distinct().count()
+    val nLabels = e.select("label").distinct().count()
+    assert(nCells > nLabels, "cap=16 produced one cell per label — fixture drifted")
+  }
+
   test("embed banding: a single hot label stays pruned") {
     // every vector in ONE label block — the 100 TB skew scenario the
     // label-blocked all-pairs form degenerates on
