@@ -58,6 +58,54 @@ object Graph {
     r
   }
 
+  /** PageRank iterated to the exact integer FIXPOINT CYCLE instead of a
+    * fixed round count. Measured fact (sf0.01 purchase graph, and the
+    * round count is damping-driven — 0.85ⁿ on ppm magnitudes — so
+    * roughly size-independent): consecutive-round delta never reaches
+    * 0; the system enters a stable period-2 cycle (514 oscillating
+    * vertices) around round 72–80, r_80 == r_82 == … == r_120. A plain
+    * "delta = 0" early-exit therefore NEVER fires on bipartite graphs
+    * like this one — the honest convergence semantics is the
+    * period-≤2 fixpoint.
+    *
+    * Determinism across engines without agreeing on the detection
+    * round: scores are fenced every `checkEvery` = 10 rounds (lazy
+    * composition in between — materializing each round tripled
+    * wall-clock) and compared to the previous fence. `r_t == r_{t-10}`
+    * proves a cycle of period dividing 10; every multiple-of-10 round
+    * from then on carries the SAME scores, so the first detected fence
+    * equals any later multiple-of-10 round — which is exactly what the
+    * oracle computes with a fixed 120 rounds. Output is bit-identical
+    * whether detection happens at 90, 100, or the oracle's 120.
+    */
+  def pageRankConverged(edges: DataFrame, maxIters: Int = 190,
+                        checkEvery: Int = 10): DataFrame = {
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
+    val withDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
+    val verts = e.select(col("src").as("id")).distinct()
+      .repartition(col("id")).localCheckpoint(true)
+    var r = verts.withColumn("r", lit(1000000L)).localCheckpoint(true)
+    var prevFence = r
+    var i = 0
+    var cycled = false
+    while (i < maxIters && !cycled) {
+      (1 to checkEvery).foreach { _ =>
+        val contrib = withDeg
+          .join(r.selectExpr("id AS src", "r AS rs"), "src")
+          .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
+        r = verts.join(contrib.selectExpr("dst AS id", "c"), Seq("id"), "left")
+          .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
+      }
+      i += checkEvery
+      r = r.localCheckpoint(true)
+      cycled = r.join(prevFence.selectExpr("id", "r AS rp"), "id")
+        .where("r != rp").isEmpty
+      prevFence = r
+    }
+    r
+  }
+
   /** Personalized PageRank: teleport mass returns only to the SEED set
     * (seeds start with the full unit mass, non-seeds with 0), so the
     * fixpoint measures proximity to the seeds rather than global
@@ -160,6 +208,63 @@ object Graph {
         FROM v JOIN deg d ON v.id = d.src
                JOIN r$Iters ON v.id = r$Iters.id"""
       }),
+
+    // ------------------- PageRank at its converged integer fixpoint
+    // Same graph as gr_pagerank, run to the period-≤2 integer fixpoint
+    // (see pageRankConverged: consecutive-delta never hits 0 here —
+    // the exact system settles into a stable 2-cycle around round
+    // 72–80). The oracle runs a FIXED 120 rounds; the Spark side
+    // early-exits at the first multiple-of-10 fence inside the cycle —
+    // provably the same scores. bench=false, measured: convergence is
+    // ~16× gr_pagerank's 5 rounds, so an early-exit cannot land below
+    // the fixed-iteration figure on this graph; gr_pagerank stays the
+    // benched representative and this row pins full-convergence
+    // semantics instead.
+    QueryDef(
+      "gr_pagerank_conv",
+      (spark, dir) => {
+        val cs = Tables.orders(spark, dir).selectExpr("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(spark, dir).selectExpr("l_orderkey", "l_suppkey"),
+            expr("o_orderkey = l_orderkey"))
+          .selectExpr("o_custkey * 2 AS cv", "l_suppkey * 2 + 1 AS sv")
+          .distinct()
+        val edges = cs.selectExpr("cv AS src", "sv AS dst")
+          .unionByName(cs.selectExpr("sv AS src", "cv AS dst"))
+        pageRankConverged(edges)
+          .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
+            "id div 2 AS key", "r AS score_ppm")
+      },
+      Some {
+        // Every CTE is MATERIALIZED: DuckDB inlines single-reference
+        // CTEs, and 120 inlined iterations build a 120-deep join tree
+        // whose optimization never finishes; materialization turns the
+        // chain into 120 small sequential queries (seconds total).
+        val iter = (i: Int) => s"""
+        r$i AS MATERIALIZED (
+          SELECT v.id, $BasePpm + ($Damping * coalesce(s.c, 0)) // 100 AS r
+          FROM v LEFT JOIN (
+            SELECT e.dst, sum(r${i - 1}.r // d.outdeg)::BIGINT AS c
+            FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.id
+                         JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON v.id = s.dst)"""
+        val ConvIters = 120
+        s"""
+        WITH cs AS MATERIALIZED (
+          SELECT DISTINCT o_custkey * 2 AS cv, l_suppkey * 2 + 1 AS sv
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS MATERIALIZED (
+          SELECT cv AS src, sv AS dst FROM cs
+          UNION ALL
+          SELECT sv AS src, cv AS dst FROM cs),
+        deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        v AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+        r0 AS MATERIALIZED (SELECT id, 1000000::BIGINT AS r FROM v),
+        ${(1 to ConvIters).map(iter).mkString(",")}
+        SELECT v.id, CASE WHEN v.id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               v.id // 2 AS key, r$ConvIters.r AS score_ppm
+        FROM v JOIN r$ConvIters ON v.id = r$ConvIters.id"""
+      },
+      bench = false),
 
     // ----------------------- weighted PageRank over purchase volumes
     // Same graph, but each customer↔supplier edge carries the number

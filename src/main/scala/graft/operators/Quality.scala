@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Data-quality constraint audit — the Deequ-style validation pass a
@@ -102,28 +103,11 @@ object Quality {
     // flagged tail (~1% of rows), never the corpus.
     QueryDef(
       "dq_outliers",
-      (spark, dir) => {
-        val ev = Tables.events(spark, dir)
-          .selectExpr("event_id", "event_type", "value")
-        // Boundaries are rounded to 6 decimals BEFORE the threshold
-        // comparison: Spark percentile and DuckDB quantile_cont share
-        // the lower+frac*(hi-lo) formula but can differ in the last
-        // ulp, and an unrounded boundary would flip borderline rows
-        // cross-engine. Rounded med/mad make ad and the filter
-        // predicate bit-identical on both sides.
-        val med = ev.groupBy("event_type")
-          .agg(expr("round(percentile(value, 0.5), 6) AS med"))
-        val dev = ev.join(broadcast(med), "event_type")
-          .selectExpr("event_id", "event_type", "value", "med",
-            "abs(value - med) AS ad")
-        val mad = dev.groupBy("event_type")
-          .agg(expr("round(percentile(ad, 0.5), 6) AS mad"))
-        dev.join(broadcast(mad), "event_type")
-          .where("ad > 3 * 1.4826 * mad")
-          .selectExpr("event_id", "event_type", "round(value, 6) AS value",
-            "round(med, 6) AS med", "round(mad, 6) AS mad",
-            "round(ad / (1.4826 * mad), 6) AS robust_z")
-      },
+      (spark, dir) =>
+        flagOutliers(
+          Tables.events(spark, dir).selectExpr("event_id", "event_type", "value"),
+          outlierStats(Tables.events(spark, dir)
+            .selectExpr("event_id", "event_type", "value"))),
       Some("""
         WITH e AS (SELECT event_id, event_type, value FROM events),
         m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
@@ -187,4 +171,36 @@ object Quality {
         UNION ALL SELECT 'len_max', max(n_chars)::BIGINT FROM base
         UNION ALL SELECT 'len_p50', floor(quantile_cont(n_chars, 0.5))::BIGINT FROM base"""))
   )
+
+  /** Per-event-type robust stats (median + MAD) for the outlier rule —
+    * a BOUNDED aggregate (one row per type) that broadcasts. Both are
+    * rounded to 6 decimals BEFORE any threshold comparison: Spark
+    * percentile and DuckDB quantile_cont share the lower+frac*(hi-lo)
+    * formula but can differ in the last ulp, and an unrounded boundary
+    * would flip borderline rows cross-engine. Shared by the batch
+    * dq_outliers gate and the streaming st_outliers twin, so the two
+    * can never disagree on the rule.
+    */
+  private[graft] def outlierStats(ev: DataFrame): DataFrame = {
+    val med = ev.groupBy("event_type")
+      .agg(expr("round(percentile(value, 0.5), 6) AS med"))
+    ev.join(broadcast(med), "event_type")
+      .selectExpr("event_type", "abs(value - med) AS ad", "med")
+      .groupBy("event_type", "med")
+      .agg(expr("round(percentile(ad, 0.5), 6) AS mad"))
+      .select("event_type", "med", "mad")
+  }
+
+  /** Row-local MAD flagging against broadcast [[outlierStats]]: works
+    * identically over a batch scan or a stream (stateless — the
+    * streaming twin's whole point).
+    */
+  private[graft] def flagOutliers(ev: DataFrame, stats: DataFrame): DataFrame =
+    ev.join(broadcast(stats), "event_type")
+      .selectExpr("event_id", "event_type", "value", "med", "mad",
+        "abs(value - med) AS ad")
+      .where("ad > 3 * 1.4826 * mad")
+      .selectExpr("event_id", "event_type", "round(value, 6) AS value",
+        "round(med, 6) AS med", "round(mad, 6) AS mad",
+        "round(ad / (1.4826 * mad), 6) AS robust_z")
 }

@@ -227,7 +227,15 @@ object ChunkStore {
           ('cjk.pdf', 1::INT, 2::INT, 1::INT, NULL::INT,
            '本章介绍大规模语料的去重、检索与质量评估方法。'),
           ('m.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
-           'Modern object stream layout parses through the packed table.')
+           'Modern object stream layout parses through the packed table.'),
+          ('lzw.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Lempel Ziv Welch coded content inflates through the variable width code table.'),
+          ('rle.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Run length packed content expands literal and repeated aaaaaaaaaa runs alike.'),
+          ('a85.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Ascii armored deflate content decodes through the two stage filter chain.'),
+          ('xr.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Cross reference stream files keep endstream words inside string payloads safely.')
         ) t(source, page_number, paragraph_number, total_pages, chunk_number, text)"""),
       bench = false),
 

@@ -9,8 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and consumes its block→line→span tree
   * (`/root/reference/src/pdf_extractor.py:60-124`); this is the
   * from-scratch analog for the dominant PDF population: unencrypted
-  * files whose page content streams are plain or FlateDecode (the JDK
-  * inflater), with text shown through the standard BT/ET operators.
+  * files whose page content streams are plain, FlateDecode (the JDK
+  * inflater), LZWDecode, RunLengthDecode, ASCII85Decode or
+  * ASCIIHexDecode — chains included — with text shown through the
+  * standard BT/ET operators. Encrypted files and image-only filters
+  * (DCT/JPX/CCITT) remain out of scope and degrade to no text.
   *
   * Scope: simple fonts with literal/hex strings extract byte-exactly
   * (Latin-1), and Type0/CID-keyed fonts (the CJK population — the
@@ -20,10 +23,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entries map codes to UTF-16BE text — the same mapping PyMuPDF applies
   * when `page.get_text()` walks a CID font. Fonts with neither a simple
   * encoding nor a ToUnicode map yield no text (tolerant, like an OCR
-  * gap). Object discovery needs no xref: a tolerant linear scan finds
+  * gap). Object discovery is layered: a tolerant linear scan finds
   * top-level objects — surviving broken cross-reference tables strict
-  * parsers reject — and additionally expands /Type /ObjStm object
-  * streams, the compressed object tables modern PDF writers emit.
+  * parsers reject — expands /Type /ObjStm object streams (the
+  * compressed object tables modern PDF writers emit), and when the
+  * file carries PDF-1.5 cross-reference STREAMS (/Type /XRef) walks
+  * them for authoritative offsets and indirect-/Length stream extents
+  * the scan alone cannot recover.
   *
   * The block→line mapping mirrors what the reference reads off
   * PyMuPDF: each BT..ET section is one block; within a block,
@@ -69,11 +75,21 @@ object PdfText {
   private[sources] def scanObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
     val direct = scanTopLevel(bytes)
     val packed = direct.values
-      .filter(o => raw"/Type\s*/ObjStm".r.findFirstIn(o.dict).isDefined)
+      .filter(o => isObjStm(o.dict))
       .flatMap(expandObjStm)
       .toMap
-    packed ++ direct
+    // Cross-reference-stream discovery is AUTHORITATIVE where it
+    // parses: exact offsets plus indirect-/Length resolution give
+    // stream extents the tolerant scan can only approximate (a literal
+    // "endstream" inside a stream payload truncates the scan's extent
+    // but not the xref path's). Classic-trailer files yield an empty
+    // map here and are untouched; a corrupt xref stream degrades to
+    // the linear scan (tolerant contract).
+    packed ++ direct ++ xrefObjects(bytes)
   }
+
+  private def isObjStm(dict: String): Boolean =
+    raw"/Type\s*/ObjStm".r.findFirstIn(dict).isDefined
 
   /** Unpack one /Type /ObjStm stream: the decoded payload opens with
     * /N (objnum, offset) integer pairs; object bodies start at /First.
@@ -100,57 +116,309 @@ object PdfText {
   private def scanTopLevel(bytes: Array[Byte]): Map[Int, PdfObj] = {
     val s = latin1(bytes)
     objRe.findAllMatchIn(s).flatMap { m =>
-      val num = m.group(1).toInt
-      val end = s.indexOf("endobj", m.end)
-      if (end < 0) None
-      else {
-        val body = s.substring(m.end, end)
-        val streamKw = body.indexOf("stream")
-        val obj =
-          if (streamKw < 0) PdfObj(body, None)
-          else {
-            val dict = body.substring(0, streamKw)
-            // data starts after 'stream' + EOL (CRLF or LF per spec)
-            var dataStart = m.end + streamKw + "stream".length
-            if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
-            if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-            val dataEnd = lengthRe.findFirstMatchIn(dict).map(_.group(1).toInt) match {
-              case Some(len) if dataStart + len <= end => dataStart + len
-              case _ =>
-                val e = s.indexOf("endstream", dataStart)
-                if (e < 0) dataStart else e
-            }
-            PdfObj(dict, Some(java.util.Arrays.copyOfRange(bytes, dataStart, math.max(dataStart, dataEnd))))
-          }
-        Some(num -> obj)
-      }
+      parseObjBody(bytes, s, m.end).map(m.group(1).toInt -> _)
     }.toMap
   }
 
-  /** Decode a stream: FlateDecode via the JDK inflater, then any PNG
-    * predictor declared in /DecodeParms (modern writers emit /Predictor
-    * 12 on xref and object streams almost universally); unfiltered
-    * streams pass through; unsupported filters yield no text (skip, not
-    * crash — tolerant-extractor contract).
+  private val indLengthRe = raw"/Length\s+(\d+)\s+\d+\s+R".r
+
+  /** Parse one object body starting right after its `N 0 obj` header.
+    * `resolveLen` supplies the value of an indirect /Length reference
+    * (available on the xref path, where the object table is known);
+    * without it, extents fall back to the first `endstream`.
     */
+  private def parseObjBody(bytes: Array[Byte], s: String, bodyStart: Int,
+                           resolveLen: Int => Option[Int] = _ => None): Option[PdfObj] = {
+    val end = s.indexOf("endobj", bodyStart)
+    if (end < 0) None
+    else {
+      val body = s.substring(bodyStart, end)
+      val streamKw = body.indexOf("stream")
+      if (streamKw < 0) Some(PdfObj(body, None))
+      else {
+        val dict = body.substring(0, streamKw)
+        // data starts after 'stream' + EOL (CRLF or LF per spec)
+        var dataStart = bodyStart + streamKw + "stream".length
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        val direct = lengthRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+        val indirect = indLengthRe.findFirstMatchIn(dict)
+          .flatMap(m => resolveLen(m.group(1).toInt))
+        val dataEnd = direct.orElse(indirect) match {
+          case Some(len) if dataStart + len <= bytes.length => dataStart + len
+          case _ =>
+            val e = s.indexOf("endstream", dataStart)
+            if (e < 0) dataStart else e
+        }
+        Some(PdfObj(dict, Some(java.util.Arrays.copyOfRange(bytes, dataStart, math.max(dataStart, dataEnd)))))
+      }
+    }
+  }
+
+  /** Parse the object whose header starts AT `off` (an xref offset). */
+  private def parseObjAt(bytes: Array[Byte], s: String, off: Int,
+                         resolveLen: Int => Option[Int] = _ => None): Option[(Int, PdfObj)] = {
+    if (off < 0 || off >= s.length) return None
+    val m = objRe.pattern.matcher(s)
+    m.region(off, s.length)
+    if (!m.lookingAt) None
+    else parseObjBody(bytes, s, m.end, resolveLen).map(m.group(1).toInt -> _)
+  }
+
+  private val startxrefRe = raw"startxref\s+(\d+)".r
+
+  /** Object discovery through cross-reference STREAMS (`/Type /XRef`,
+    * PDF 32000 §7.5.8) — the PDF-1.5+ layout where the xref table is
+    * itself a compressed stream and there may be no classic trailer at
+    * all: follow `startxref` to the stream, decode its /W-packed
+    * entries (type 1 = offset, type 2 = packed in an ObjStm), walk the
+    * /Prev chain, parse type-1 objects at their exact offsets, expand
+    * ObjStms, then re-parse any stream whose /Length is an indirect
+    * reference now that the referenced integer object is known. Returns
+    * empty when no xref stream exists (classic-trailer files) or on any
+    * parse failure.
+    */
+  private[sources] def xrefObjects(bytes: Array[Byte]): Map[Int, PdfObj] = try {
+    val s = latin1(bytes)
+    val starts = startxrefRe.findAllMatchIn(s).map(_.group(1).toInt).toSeq
+    if (starts.isEmpty) return Map.empty
+    val offsets = scala.collection.mutable.LinkedHashMap.empty[Int, Int] // objnum -> offset
+    val visited = scala.collection.mutable.Set.empty[Int]
+    var queue = List(starts.last)
+    while (queue.nonEmpty) {
+      val off = queue.head
+      queue = queue.tail
+      if (visited.add(off)) {
+        parseObjAt(bytes, s, off) match {
+          case Some((_, x)) if raw"/Type\s*/XRef".r.findFirstIn(x.dict).isDefined =>
+            val w = raw"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]".r.findFirstMatchIn(x.dict)
+              .map(m => (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt))
+            val size = raw"/Size\s+(\d+)".r.findFirstMatchIn(x.dict).map(_.group(1).toInt)
+            val index = raw"(?s)/Index\s*\[(.*?)\]".r.findFirstMatchIn(x.dict)
+              .map(m => raw"\d+".r.findAllIn(m.group(1)).map(_.toInt).toSeq.grouped(2)
+                .collect { case Seq(a, b) => (a, b) }.toSeq)
+              .orElse(size.map(n => Seq((0, n))))
+            (w, index, decodeStream(x)) match {
+              case (Some((w1, w2, w3)), Some(ranges), Some(data)) =>
+                val rowLen = w1 + w2 + w3
+                var row = 0
+                def field(r: Int, fOff: Int, fLen: Int, dflt: Long): Long =
+                  if (fLen == 0) dflt
+                  else (0 until fLen).foldLeft(0L)((a, i) => (a << 8) | (data(r * rowLen + fOff + i) & 0xFF))
+                for ((start, count) <- ranges; i <- 0 until count
+                     if (row + 1) * rowLen <= data.length) {
+                  val typ = field(row, 0, w1, 1L)
+                  val f2 = field(row, w1, w2, 0L)
+                  if (typ == 1L && !offsets.contains(start + i)) offsets(start + i) = f2.toInt
+                  row += 1
+                }
+              case _ =>
+            }
+            raw"/Prev\s+(\d+)".r.findFirstMatchIn(x.dict).foreach(m => queue ::= m.group(1).toInt)
+          case _ =>
+        }
+      }
+    }
+    if (offsets.isEmpty) return Map.empty
+    // pass 1: direct-length (or endstream-bounded) extents
+    val top = offsets.flatMap { case (_, off) => parseObjAt(bytes, s, off) }.toMap
+    val packed = top.values.filter(o => isObjStm(o.dict)).flatMap(expandObjStm).toMap
+    val all = packed ++ top
+    def lenOf(n: Int): Option[Int] =
+      all.get(n).flatMap(o => raw"\d+".r.findFirstIn(o.dict.trim)).map(_.toInt)
+    // pass 2: re-parse streams with indirect /Length at exact extents
+    val fixed = offsets.flatMap { case (num, off) =>
+      top.get(num).filter(o => o.stream.isDefined && indLengthRe.findFirstMatchIn(o.dict).isDefined)
+        .flatMap(_ => parseObjAt(bytes, s, off, lenOf))
+    }.toMap
+    packed ++ top ++ fixed
+  } catch { case _: Exception => Map.empty }
+
+  /** Decode a stream through its declared /Filter CHAIN (a single name
+    * or an array applied left to right, PDF 32000 §7.4): FlateDecode
+    * (JDK inflater), LZWDecode (variable-width, /EarlyChange default 1),
+    * RunLengthDecode, ASCII85Decode and ASCIIHexDecode — the non-image
+    * filters PyMuPDF reads (`/root/reference/src/pdf_extractor.py:8-13`
+    * reaches them all through fitz). Flate/LZW output additionally
+    * passes the PNG predictor declared in /DecodeParms (modern writers
+    * emit /Predictor 12 on xref and object streams almost universally).
+    * Unfiltered streams pass through; image filters (DCT/JPX/CCITT) and
+    * decode errors yield no text (skip, not crash — tolerant-extractor
+    * contract).
+    */
+  private val filterSpecRe = raw"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)".r
+  private val filterNameRe = raw"/([A-Za-z0-9]+)".r
+
   private[sources] def decodeStream(obj: PdfObj): Option[Array[Byte]] =
     obj.stream.flatMap { raw =>
-      if (!obj.dict.contains("/Filter")) Some(raw)
-      else if (obj.dict.contains("/FlateDecode")) {
-        try {
-          val inf = new java.util.zip.Inflater()
-          inf.setInput(raw)
-          val out = new java.io.ByteArrayOutputStream(raw.length * 4)
-          val buf = new Array[Byte](8192)
-          while (!inf.finished() && !inf.needsInput()) {
-            val n = inf.inflate(buf)
-            if (n > 0) out.write(buf, 0, n)
-          }
-          inf.end()
-          Some(unpredict(out.toByteArray, obj.dict))
-        } catch { case _: Exception => None }
-      } else None
+      filterSpecRe.findFirstMatchIn(obj.dict) match {
+        case None => Some(raw)
+        case Some(m) =>
+          val names = filterNameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toList
+          try {
+            names.foldLeft(Option(raw)) { (acc, name) =>
+              acc.flatMap { data =>
+                name match {
+                  case "FlateDecode" => Some(unpredict(inflate(data), obj.dict))
+                  case "LZWDecode" =>
+                    val early = raw"/EarlyChange\s+(\d+)".r
+                      .findFirstMatchIn(obj.dict).map(_.group(1).toInt).getOrElse(1)
+                    Some(unpredict(lzwDecode(data, early), obj.dict))
+                  case "RunLengthDecode" => Some(runLengthDecode(data))
+                  case "ASCII85Decode" => Some(ascii85Decode(data))
+                  case "ASCIIHexDecode" => Some(asciiHexDecode(data))
+                  case _ => None
+                }
+              }
+            }
+          } catch { case _: Exception => None }
+      }
     }
+
+  private def inflate(raw: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(raw)
+    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsInput()) {
+      val n = inf.inflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** PDF/TIFF-variant LZW: MSB-first codes growing 9→12 bits, 256 =
+    * clear, 257 = EOD. With /EarlyChange 1 (the default) the code width
+    * bumps one entry early — after the table reaches 511/1023/2047
+    * entries — matching what every mainstream reader and writer emits.
+    */
+  private[sources] def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val table = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+    var size = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bits = 0
+    var pos = 0
+    var done = false
+    while (!done) {
+      while (bits < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xFF); bits += 8; pos += 1
+      }
+      if (bits < width) done = true
+      else {
+        val code = ((bitBuf >>> (bits - width)) & ((1L << width) - 1)).toInt
+        bits -= width
+        if (code == 256) { size = 258; width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry =
+            if (code < size && code < 256) table(code)
+            else if (code < size && table(code) != null) table(code)
+            else if (prev != null) prev :+ prev(0) // the KwKwK special case
+            else { done = true; null }
+          if (entry != null) {
+            out.write(entry)
+            if (prev != null && size < 4096) {
+              table(size) = prev :+ entry(0)
+              size += 1
+              if (size + earlyChange == 512) width = 10
+              else if (size + earlyChange == 1024) width = 11
+              else if (size + earlyChange == 2048) width = 12
+            }
+            prev = entry
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (PDF 32000 §7.4.5): length byte 0..127 copies the
+    * next length+1 bytes; 129..255 repeats the next byte 257−length
+    * times; 128 is EOD.
+    */
+  private[sources] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xFF
+      i += 1
+      if (l == 128) i = data.length
+      else if (l < 128) {
+        val n = math.min(l + 1, data.length - i)
+        out.write(data, i, math.max(0, n)); i += l + 1
+      } else if (i < data.length) {
+        val b = data(i); i += 1
+        var k = 0
+        while (k < 257 - l) { out.write(b); k += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** ASCII85Decode: 5 chars '!'..'u' → 4 bytes base-85 big-endian; 'z'
+    * is a whole zero group; whitespace skipped; `~>` (or running out of
+    * input) terminates; a final partial group of n chars pads with 'u'
+    * and keeps n−1 bytes.
+    */
+  private[sources] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    var tuple = 0L
+    var n = 0
+    var i = 0
+    var done = false
+    def flush4(t: Long): Unit = {
+      out.write(((t >>> 24) & 0xFF).toInt); out.write(((t >>> 16) & 0xFF).toInt)
+      out.write(((t >>> 8) & 0xFF).toInt); out.write((t & 0xFF).toInt)
+    }
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xFF).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) flush4(0L)
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!'); n += 1
+        if (n == 5) { flush4(tuple); tuple = 0; n = 0 }
+      } // anything else (whitespace) is skipped
+      i += 1
+    }
+    if (n > 1) {
+      var k = n
+      while (k < 5) { tuple = tuple * 85 + 84; k += 1 }
+      val b = Array(((tuple >>> 24) & 0xFF).toByte, ((tuple >>> 16) & 0xFF).toByte,
+        ((tuple >>> 8) & 0xFF).toByte, (tuple & 0xFF).toByte)
+      out.write(b, 0, n - 1)
+    }
+    out.toByteArray
+  }
+
+  /** ASCIIHexDecode: hex pairs, whitespace skipped, `>` terminates, an
+    * odd trailing digit behaves as if followed by 0.
+    */
+  private[sources] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xFF).toChar
+      if (c == '>') done = true
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
 
   /** Reverse the PNG row predictor (PDF 32000 §7.4.4.4 via RFC 2083):
     * each row of /Columns bytes is prefixed with a filter-type byte
@@ -605,7 +873,7 @@ private[graft] object PdfFixtures {
 
   private val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
 
-  private def deflate(data: Array[Byte]): Array[Byte] = {
+  private[graft] def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(data); d.finish()
     val out = new java.io.ByteArrayOutputStream(data.length)
@@ -903,9 +1171,219 @@ private[graft] object PdfFixtures {
     bos.toByteArray
   }
 
+  // ------------------------------------------- filter-tail fixtures
+  // One paragraph per non-Flate filter, each built with a from-scratch
+  // ENCODER for that filter so the extractor is tested against real
+  // encoded bytes (the encoders live here, fixture-side — the product
+  // only ever decodes).
+
+  val lzwParagraph: String =
+    "Lempel Ziv Welch coded content inflates through the variable width code table."
+
+  val rleParagraph: String =
+    "Run length packed content expands literal and repeated aaaaaaaaaa runs alike."
+
+  val a85Paragraph: String =
+    "Ascii armored deflate content decodes through the two stage filter chain."
+
+  /** PDF-variant LZW encoder (EarlyChange = 1): opens with a clear
+    * code, grows 9→12 bits one entry early (at table size 512/1024/
+    * 2048 — the mirror of the decoder's 511/1023/2047 rule, offset by
+    * the one entry the decoder always lags), ends with EOD.
+    */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    var bitBuf = 0L
+    var bits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bits += width
+      while (bits >= 8) { out.write(((bitBuf >>> (bits - 8)) & 0xFF).toInt); bits -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    def reset(): Unit = { dict.clear(); (0 until 256).foreach(i => dict(Seq(i.toByte)) = i); width = 9 }
+    reset()
+    var next = 258
+    emit(256)
+    var prev = Vector.empty[Byte]
+    for (b <- data) {
+      val cur = prev :+ b
+      if (dict.contains(cur)) prev = cur
+      else {
+        emit(dict(prev))
+        if (next < 4096) {
+          dict(cur) = next; next += 1
+          if (next == 512) width = 10
+          else if (next == 1024) width = 11
+          else if (next == 2048) width = 12
+        } else { emit(256); reset(); next = 258 }
+        prev = Vector(b)
+      }
+    }
+    if (prev.nonEmpty) emit(dict(prev))
+    emit(257)
+    if (bits > 0) out.write(((bitBuf << (8 - bits)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** RunLengthDecode encoder: repeat runs of ≥ 3 (up to 128) pack as
+    * (257−n, byte); everything else accumulates into literal runs of
+    * ≤ 128; 128 terminates.
+    */
+  def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 8)
+    var i = 0
+    val lit = new java.io.ByteArrayOutputStream(128)
+    def flushLit(): Unit = if (lit.size > 0) {
+      out.write(lit.size - 1); lit.writeTo(out); lit.reset()
+    }
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 3) { flushLit(); out.write(257 - run); out.write(data(i)); i += run }
+      else {
+        lit.write(data(i)); i += 1
+        if (lit.size == 128) flushLit()
+      }
+    }
+    flushLit()
+    out.write(128)
+    out.toByteArray
+  }
+
+  /** ASCII85 encoder (no 'z' shortcut; trailing partial group emits
+    * n+1 chars for n bytes; `~>` terminator).
+    */
+  def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 5 / 4 + 4)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var t = 0L
+      for (k <- 0 until 4) t = (t << 8) | (if (i + k < data.length) data(i + k) & 0xFF else 0)
+      val cs = new Array[Char](5)
+      var v = t
+      for (k <- 4 to 0 by -1) { cs(k) = ('!' + (v % 85)).toChar; v /= 85 }
+      sb.appendAll(cs, 0, n + 1)
+      i += 4
+    }
+    sb.append("~>")
+    sb.toString.getBytes(L1)
+  }
+
+  /** One-page PDF whose content stream is encoded with `filters`
+    * (decode-order names as they appear in /Filter) by `encode`.
+    */
+  def buildFilteredPdf(paragraph: String, filters: Seq[String],
+                       encode: Array[Byte] => Array[Byte]): Array[Byte] = {
+    val content = s"BT /F1 12 Tf 72 720 Td ($paragraph) Tj ET\n"
+    val data = encode(content.getBytes(L1))
+    val filterSpec =
+      if (filters.size == 1) s"/Filter /${filters.head}"
+      else s"/Filter [${filters.map("/" + _).mkString(" ")}]"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\n"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>\n"))
+    obj(4) {
+      w(s"<< /Length ${data.length} $filterSpec >>\nstream\n")
+      bos.write(data)
+      w("\nendstream\n")
+    }
+    obj(5)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    val xref = bos.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  // --------------------------------------------- xref-stream fixture
+
+  val xrefParagraph: String =
+    "Cross reference stream files keep endstream words inside string payloads safely."
+
+  /** PDF-1.5 xref-STREAM layout, deliberately adversarial to a linear
+    * scan: no classic trailer; catalog/pages/page/font dicts plus the
+    * content stream's /Length INTEGER packed in an ObjStm; the content
+    * stream declares `/Length 9 0 R` (indirect) and its payload
+    * contains the literal word "endstream" — so only a reader that
+    * walks the xref stream and resolves the indirect length recovers
+    * the exact stream extent. W = [1 4 2]; type-2 entries point into
+    * the ObjStm.
+    */
+  def buildXrefStreamPdf(): Array[Byte] = {
+    val content = s"BT /F1 12 Tf 72 720 Td ($xrefParagraph) Tj ET\n"
+    val objStmBodies = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      9 -> content.length.toString)
+    val offs = objStmBodies.map(_._2.length + 1).scanLeft(0)(_ + _)
+    val header = objStmBodies.zip(offs).map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val payload = header + objStmBodies.map(_._2).mkString("\n") + "\n"
+    val packed = deflate(payload.getBytes(L1))
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.5\n")
+    obj(6) {
+      w(s"<< /Type /ObjStm /N ${objStmBodies.size} /First ${header.length} " +
+        s"/Length ${packed.length} /Filter /FlateDecode >>\nstream\n")
+      bos.write(packed)
+      w("\nendstream\n")
+    }
+    obj(4) {
+      w("<< /Length 9 0 R >>\nstream\n")
+      w(content)
+      w("\nendstream\n")
+    }
+    val xrefOff = bos.size()
+    // entries for objects 0..9: 0 free; 1,2,3 in ObjStm 6 idx 0..2;
+    // 4 at offset; 5 idx 3; 6,7 at offset; 8 free; 9 idx 4
+    val entries: Seq[(Int, Int, Int)] = Seq(
+      (0, 0, 65535),
+      (2, 6, 0), (2, 6, 1), (2, 6, 2),
+      (1, offsets(4), 0),
+      (2, 6, 3),
+      (1, offsets(6), 0),
+      (1, xrefOff, 0),
+      (0, 0, 65535),
+      (2, 6, 4))
+    val table = new java.io.ByteArrayOutputStream()
+    for ((t, mid, lo) <- entries) {
+      table.write(t)
+      table.write((mid >>> 24) & 0xFF); table.write((mid >>> 16) & 0xFF)
+      table.write((mid >>> 8) & 0xFF); table.write(mid & 0xFF)
+      table.write((lo >>> 8) & 0xFF); table.write(lo & 0xFF)
+    }
+    val tb = table.toByteArray
+    obj(7) {
+      w(s"<< /Type /XRef /Size 10 /W [1 4 2] /Root 1 0 R /Length ${tb.length} >>\nstream\n")
+      bos.write(tb)
+      w("\nendstream\n")
+    }
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    bos.toByteArray
+  }
+
   /** Write the fixture corpus (a.pdf two pages Flate'd, B.PDF one page
-    * raw, cjk.pdf Type0/CID, m.pdf ObjStm-packed, notes.txt decoy) into
-    * a directory; returns the directory.
+    * raw, cjk.pdf Type0/CID, m.pdf ObjStm-packed, lzw.pdf LZWDecode,
+    * rle.pdf RunLengthDecode, a85.pdf ASCII85+Flate chain, xr.pdf
+    * xref-stream layout with an indirect-length stream, notes.txt
+    * decoy) into a directory; returns the directory.
     */
   def writeFixtureDir(dir: String): String = {
     val p = java.nio.file.Paths.get(dir)
@@ -914,6 +1392,14 @@ private[graft] object PdfFixtures {
     java.nio.file.Files.write(p.resolve("B.PDF"), buildPdf(Seq(companionPage), compress = false))
     java.nio.file.Files.write(p.resolve("cjk.pdf"), buildCjkPdf(compress = true))
     java.nio.file.Files.write(p.resolve("m.pdf"), buildObjStmPdf())
+    java.nio.file.Files.write(p.resolve("lzw.pdf"),
+      buildFilteredPdf(lzwParagraph, Seq("LZWDecode"), lzwEncode))
+    java.nio.file.Files.write(p.resolve("rle.pdf"),
+      buildFilteredPdf(rleParagraph, Seq("RunLengthDecode"), runLengthEncode))
+    java.nio.file.Files.write(p.resolve("a85.pdf"),
+      buildFilteredPdf(a85Paragraph, Seq("ASCII85Decode", "FlateDecode"),
+        b => ascii85Encode(deflate(b))))
+    java.nio.file.Files.write(p.resolve("xr.pdf"), buildXrefStreamPdf())
     java.nio.file.Files.write(p.resolve("notes.txt"), "not a pdf".getBytes(L1))
     dir
   }

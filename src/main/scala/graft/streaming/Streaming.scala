@@ -705,6 +705,53 @@ object Streaming {
                (SELECT unnest(generate_series(0, 3)) AS k) g)
         WHERE slide_start >= 0 AND ts_s < slide_start + 3600
         GROUP BY slide_start, event_type"""),
+      bench = false),
+
+    // Streaming outlier alerts: the production alerting split of
+    // dq_outliers. The robust per-type stats (median + MAD) are a
+    // BATCH artifact — a bounded one-row-per-type table refreshed
+    // offline and broadcast — and the stream flags each arriving event
+    // against them ROW-LOCALLY (stream-static broadcast join, zero
+    // streaming state, so it scales to any event rate and never
+    // waits for a window to close). Both twins call the same
+    // Quality.outlierStats/flagOutliers pair, so the drained output
+    // equals the batch gate by construction; oracle = dq_outliers' SQL.
+    graft.QueryDef(
+      "st_outliers",
+      (spark, dir) => {
+        val stats = graft.operators.Quality.outlierStats(
+          graft.Tables.events(spark, dir).selectExpr("event_id", "event_type", "value"))
+        val src = spark.readStream
+          .schema(rawEventsSchema)
+          .parquet(stageDir(s"$dir/events.parquet"))
+          .selectExpr("event_id", "event_type", "value")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = graft.operators.Quality.flagOutliers(src, stats)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read
+          .schema("event_id BIGINT, event_type STRING, value DOUBLE, med DOUBLE, mad DOUBLE, robust_z DOUBLE")
+          .parquet(s"$tmp/out")
+      },
+      Some("""
+        WITH e AS (SELECT event_id, event_type, value FROM events),
+        m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+              FROM e GROUP BY event_type),
+        d AS (SELECT event_id, e.event_type, value, med, abs(value - med) AS ad
+              FROM e JOIN m ON e.event_type = m.event_type),
+        md AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+               FROM d GROUP BY event_type)
+        SELECT event_id, d.event_type AS event_type, round(value, 6) AS value,
+               round(med, 6) AS med, round(mad, 6) AS mad,
+               round(ad / (1.4826 * mad), 6) AS robust_z
+        FROM d JOIN md ON d.event_type = md.event_type
+        WHERE ad > 3 * 1.4826 * mad"""),
       bench = false)
   )
 }

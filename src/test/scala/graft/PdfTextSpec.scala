@@ -90,6 +90,49 @@ class PdfTextSpec extends SparkSpec {
     assert(got == Seq(Seq("Unit 01:"))) // the simple-font span survives
   }
 
+  test("LZWDecode: encoded content extracts; long input crosses the 9→10 bit width bump") {
+    val bytes = PdfFixtures.buildFilteredPdf(
+      PdfFixtures.lzwParagraph, Seq("LZWDecode"), PdfFixtures.lzwEncode)
+    assert(PdfText.extractPageParagraphs(bytes) == Seq(Seq(PdfFixtures.lzwParagraph)))
+    // ~2800 chars of mostly-distinct tokens force well past 512 table
+    // entries, so encoder and decoder must agree on the early-change
+    // width switch — the classic LZW interop bug this pins down.
+    val long = (0 until 400).map(i => s"w${i}q${(i * 7) % 97}").mkString(" ")
+    val lb = PdfFixtures.buildFilteredPdf(long, Seq("LZWDecode"), PdfFixtures.lzwEncode)
+    assert(PdfText.extractPageParagraphs(lb) == Seq(Seq(long)))
+  }
+
+  test("RunLengthDecode: literal and repeat runs both reconstruct") {
+    val bytes = PdfFixtures.buildFilteredPdf(
+      PdfFixtures.rleParagraph, Seq("RunLengthDecode"), PdfFixtures.runLengthEncode)
+    assert(PdfText.extractPageParagraphs(bytes) == Seq(Seq(PdfFixtures.rleParagraph)))
+  }
+
+  test("ASCII85 + Flate filter CHAIN applies left to right") {
+    val bytes = PdfFixtures.buildFilteredPdf(
+      PdfFixtures.a85Paragraph, Seq("ASCII85Decode", "FlateDecode"),
+      b => PdfFixtures.ascii85Encode(PdfFixtures.deflate(b)))
+    assert(PdfText.extractPageParagraphs(bytes) == Seq(Seq(PdfFixtures.a85Paragraph)))
+  }
+
+  test("ASCIIHexDecode: hex-armored stream extracts (odd digit tolerated)") {
+    val para = "Hex armored content stream decodes through paired digits exactly."
+    val hexEnc = (b: Array[Byte]) =>
+      (b.map(x => f"${x & 0xFF}%02X").mkString + ">")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val bytes = PdfFixtures.buildFilteredPdf(para, Seq("ASCIIHexDecode"), hexEnc)
+    assert(PdfText.extractPageParagraphs(bytes) == Seq(Seq(para)))
+  }
+
+  test("xref-stream file: indirect /Length with embedded 'endstream' needs the xref walk") {
+    // The payload contains the literal word "endstream", so a linear
+    // scan's extent search truncates mid-string; only the xref-stream
+    // walk + ObjStm-resolved indirect length recovers the paragraph.
+    val bytes = PdfFixtures.buildXrefStreamPdf()
+    assert(PdfText.pageCount(bytes) == 1)
+    assert(PdfText.extractPageParagraphs(bytes) == Seq(Seq(PdfFixtures.xrefParagraph)))
+  }
+
   test("garbage bytes: zero pages, no crash (tolerant-extractor contract)") {
     assert(PdfText.pageCount("not a pdf at all".getBytes) == 0)
     assert(PdfText.extractPageParagraphs(Array.fill[Byte](256)(0x7f)) == Nil)
@@ -128,7 +171,11 @@ class PdfTextSpec extends SparkSpec {
       ("B.PDF", 1, 1, 1, PdfFixtures.companionParagraph),
       ("cjk.pdf", 1, 1, 1, PdfFixtures.cjkParagraphs.head.head),
       ("cjk.pdf", 1, 2, 1, PdfFixtures.cjkParagraphs.head(1)),
-      ("m.pdf", 1, 1, 1, PdfFixtures.objStmParagraph))
+      ("m.pdf", 1, 1, 1, PdfFixtures.objStmParagraph),
+      ("lzw.pdf", 1, 1, 1, PdfFixtures.lzwParagraph),
+      ("rle.pdf", 1, 1, 1, PdfFixtures.rleParagraph),
+      ("a85.pdf", 1, 1, 1, PdfFixtures.a85Paragraph),
+      ("xr.pdf", 1, 1, 1, PdfFixtures.xrefParagraph))
     assert(rows == expected) // notes.txt never parsed; .PDF case-insensitive
   }
 }
