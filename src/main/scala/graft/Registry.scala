@@ -32,6 +32,7 @@ object Registry {
       operators.Knn.queries ++
       operators.Qa.queries ++
       sources.ChunkStore.queries ++
+      sources.Layout.queries ++
       multimodal.Multimodal.queries ++
       operators.Segmenter.queries ++
       operators.Search.queries ++

@@ -694,12 +694,28 @@ object Dedup {
     * PruningSpec can assert the per-task bound: every (label, ka, kb)
     * group — one shuffle task's pair work — holds ≤ cap·(cap+ceil-slack)
     * candidates. `e` must carry (label, vec_id).
+    *
+    * Whole blocks (m = 1 — a label with ≤ cap vectors) take a plain
+    * label self-join instead of the cell machinery: the bound holds
+    * trivially (the task holds the ≤ cap-row block itself), and the
+    * generator + 3-key-join overhead only gets paid by labels that
+    * actually overflow the cap. Oversized labels still spread over m²
+    * bounded cell-pair tasks exactly as before.
     */
   private[graft] def simPairsCellCandidates(e: DataFrame, cap: Int): DataFrame = {
     // per-label cell count: tiny aggregate (one row per label), broadcast
     val cells = e.groupBy("label")
       .agg(expr(s"cast(ceil(count(*) / $cap.0D) AS int) AS m"))
-    val withCell = e.join(broadcast(cells), "label")
+    val withM = e.join(broadcast(cells), "label")
+      .selectExpr("label", "vec_id", "m")
+    // fast path: the whole block is one cell — ordinary self-join on the
+    // bare label key, constant (0,0) cell tags to stay union-compatible
+    val whole = withM.where("m = 1")
+    val wholeCand = whole.selectExpr("label", "vec_id AS id_l")
+      .join(whole.selectExpr("label", "vec_id AS id_r"), Seq("label"))
+      .where("id_l < id_r")
+      .selectExpr("label", "0 AS ka", "0 AS kb", "id_l AS vec_a", "id_r AS vec_b")
+    val withCell = withM.where("m > 1")
       // engine-side only (cells never reach the output or the oracle),
       // so Spark's murmur3 hash is fine here; pmod keeps it in [0, m)
       .selectExpr("label", "vec_id", "m", "pmod(hash(vec_id), m) AS cell")
@@ -709,12 +725,13 @@ object Dedup {
     // right role: a vector in cell c serves every cell pair (i, c), i ≤ c
     val rhs = withCell.selectExpr("label", "vec_id AS id_r",
         "explode(sequence(0, cell)) AS ka", "cell AS kb")
-    lhs.join(rhs, Seq("label", "ka", "kb"))
+    val splitCand = lhs.join(rhs, Seq("label", "ka", "kb"))
       // diagonal tasks see their cell twice: keep one orientation; an
       // off-diagonal pair meets exactly once (cells are disjoint)
       .where("ka < kb OR id_l < id_r")
       .selectExpr("label", "ka", "kb", "least(id_l, id_r) AS vec_a",
         "greatest(id_l, id_r) AS vec_b")
+    wholeCand.unionByName(splitCand)
   }
 
   // --------------------------- production-threshold banded near-dup

@@ -238,6 +238,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"expected an anti join in:\n${p.take(600)}")
   }
 
+  test("s11 z-order layout: min-max skipping prunes scans on BOTH dimensions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    // sf0.01 for granularity: 10 000 events over 16 files give row-group
+    // statistics tight enough that band predicates actually prune
+    val ev = Tables.events(spark, "/root/testdata/sf0.01").selectExpr(
+      "event_id", "user_id", "event_type", "value", "cast(day(ts) AS int) AS d")
+    val total = ev.count()
+    val base = java.nio.file.Files.createTempDirectory("graft_zspec").toString
+    sources.Layout.zOrderWrite(ev, s"$base/z", 16, col("user_id"), col("d"))
+    // control: single-column sort — perfect for user predicates, blind
+    // to day predicates (every file spans all 30 days)
+    ev.repartitionByRange(16, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(s"$base/u")
+    // scan-level numOutputRows = rows surviving parquet row-group
+    // min/max pruning (before Spark's own Filter) — the files/bytes a
+    // 100 TB cluster would actually read
+    def scanned(path: String, pred: String): Long = {
+      val df = spark.read.parquet(path).where(pred)
+      df.collect()
+      val scan = df.queryExecution.executedPlan
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.metadata("PushedFilters").nonEmpty, "predicate not pushed to parquet")
+      scan.metrics("numOutputRows").value
+    }
+    val zUser = scanned(s"$base/z", "user_id BETWEEN 3 AND 5")
+    val zDay = scanned(s"$base/z", "d BETWEEN 10 AND 12")
+    val uDay = scanned(s"$base/u", "d BETWEEN 10 AND 12")
+    assert(zUser < total / 2, s"z layout: user band read $zUser of $total rows — no pruning")
+    assert(zDay < total / 2, s"z layout: day band read $zDay of $total rows — no pruning")
+    assert(uDay > (total * 9) / 10,
+      s"control is expected to read ~everything for a day band (got $uDay of $total) — " +
+        "if this starts pruning, the z-order comparison below is no longer meaningful")
+    assert(zDay < uDay / 2,
+      s"z layout must beat the single-column control on the off-sort dimension ($zDay vs $uDay)")
+  }
+
   test("pageRank: the edge table never re-shuffles across rounds") {
     import spark.implicits._
     val edges = (0L until 200L).flatMap(i => Seq((i, (i + 1) % 200), ((i + 1) % 200, i)))
