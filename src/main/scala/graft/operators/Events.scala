@@ -605,6 +605,93 @@ object Events {
         GROUP BY user_id
         HAVING NOT EXISTS (SELECT 1 FROM events p
                            WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
-                             AND epoch_us(p.ts) > max(epoch_us(v.ts)))"""))
+                             AND epoch_us(p.ts) > max(epoch_us(v.ts)))""")),
+
+    // --------------------------------- event-type transition matrix
+    // First-order Markov transitions over each user's ordered event
+    // stream — the behavioral fingerprint recommendation and anomaly
+    // models start from. Shares are integer parts-per-million within
+    // each source type (cnt * 1e6 div row-total), so the matrix is
+    // hash-exact with no floating division anywhere. Scale shape: one
+    // user-partitioned window pass for the lag, then a 25-cell
+    // partial-aggregated groupBy — the matrix is O(types²) however
+    // many events feed it, and the per-source totals it normalizes by
+    // come from a window over that tiny aggregate, not a second scan.
+    QueryDef(
+      "ev_markov",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS ts_us")
+          .selectExpr("user_id", "event_type AS next_type",
+            """lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS prev_type""")
+          .where("prev_type IS NOT NULL")
+          .groupBy("prev_type", "next_type")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_trans"))
+          .selectExpr("prev_type", "next_type", "n_trans",
+            "n_trans * 1000000L div sum(n_trans) OVER (PARTITION BY prev_type) AS ppm"),
+      Some("""
+        WITH t AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_type,
+                 event_type AS next_type
+          FROM events),
+        m AS (
+          SELECT prev_type, next_type, count(*)::BIGINT AS n_trans
+          FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, next_type, n_trans,
+               (n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY prev_type))::BIGINT AS ppm
+        FROM m""")),
+
+    // --------------------------------- last-touch revenue attribution
+    // Marketing attribution: every purchase credits its value to the
+    // most recent NON-purchase event by the same user within a 7-day
+    // lookback ('direct' when none qualifies). The touch row is found
+    // by two IGNORE-NULLS last() windows over the same null pattern
+    // (nulls exactly on purchase rows), so touch_type and touch_us are
+    // guaranteed to come from the SAME row — no struct-valued window
+    // needed, and both engines implement the identical semantics.
+    // Scale shape: one user-partitioned window pass over the stream,
+    // then a 6-row partial-aggregated groupBy; revenue folds as an
+    // exact decimal so partition order cannot move the hash.
+    QueryDef(
+      "ev_attribution",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("user_id", "event_id", "event_type", "value",
+            "unix_micros(ts) AS ts_us")
+          .selectExpr("event_type", "value", "ts_us",
+            """last(CASE WHEN event_type <> 'purchase' THEN event_type END, true)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type""",
+            """last(CASE WHEN event_type <> 'purchase' THEN ts_us END, true)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us""")
+          .where("event_type = 'purchase'")
+          .selectExpr(
+            """CASE WHEN touch_us IS NOT NULL AND ts_us - touch_us <= 604800000000L
+                    THEN touch_type ELSE 'direct' END AS channel""",
+            "value")
+          .groupBy("channel")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_purchases"),
+            org.apache.spark.sql.functions.expr(
+              "cast(sum(cast(value AS decimal(18,6))) AS double) AS credited_value")),
+      Some("""
+        WITH touched AS (
+          SELECT event_type, value, epoch_us(ts) AS ts_us,
+                 last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+                 last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us
+          FROM events)
+        SELECT CASE WHEN touch_us IS NOT NULL AND ts_us - touch_us <= 604800000000
+                    THEN touch_type ELSE 'direct' END AS channel,
+               count(*)::BIGINT AS n_purchases,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS credited_value
+        FROM touched WHERE event_type = 'purchase'
+        GROUP BY 1"""))
   )
 }

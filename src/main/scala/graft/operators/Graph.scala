@@ -377,6 +377,115 @@ object Graph {
       // same per-round physical plan as gr_pagerank (which stays
       // benched as the iterative-graph representative); timing both
       // doubles bench wall-clock without adding information
-      bench = false)
+      bench = false),
+
+    // ------------------------- triangle counting (degree orientation)
+    // Triangles over the bought-together part graph (two parts are
+    // adjacent when some 1996 order contains both) — the local-density
+    // signal community detection and recommendation mining start from.
+    // Parts AND orders both scale with the corpus, so this graph keeps
+    // constant average degree at any SF — unlike a co-supply graph
+    // over the fixed supplier population, which densifies toward a
+    // clique as orders grow (measured: near-complete at sf0.1, where
+    // triangle ENUMERATION itself is the cost, no algorithm helps). The
+    // classic distributed algorithm: orient every undirected edge from
+    // its lower-(degree, id) endpoint to the higher, enumerate wedges
+    // only at each vertex's ORIENTED out-neighborhood, and close them
+    // against the oriented edge set. Orientation bounds per-vertex
+    // out-degree by O(√m) on any graph (arboricity), so the wedge join
+    // — the quadratic step — is bounded per task no matter how hot a
+    // hub vertex is; the unoriented wedge space a naive self-join
+    // explodes at a 10⁶-degree hub never materializes. Two equi-joins,
+    // both on edge keys: the plan a 100 TB edge list needs.
+    // Output: top-20 vertices by triangle participation with integer
+    // local-clustering ppm (2e6·t div d(d-1)), plus one 'graph' row
+    // (id = -1) carrying edge count and global transitivity ppm
+    // (3e6·triangles div wedges). All-integer arithmetic end to end —
+    // no float a shuffle could reorder.
+    QueryDef(
+      "gr_triangles",
+      (spark, dir) => {
+        val os = Tables.lineitem(spark, dir)
+          .where("l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'")
+          .selectExpr("l_orderkey AS ok", "l_partkey AS s").distinct()
+        val edges = os.selectExpr("ok", "s AS a")
+          .join(os.selectExpr("ok", "s AS b"), "ok")
+          .where("a < b").select("a", "b").distinct()
+        triangleReport(edges)
+      },
+      Some("""
+        WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem
+                    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'),
+        edges AS (
+          SELECT DISTINCT l.s AS a, r.s AS b
+          FROM os l JOIN os r ON l.ok = r.ok WHERE l.s < r.s),
+        deg AS (
+          SELECT v, count(*)::BIGINT AS d
+          FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+          GROUP BY v),
+        oriented AS (
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS src,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS dst,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN db.d ELSE da.d END AS dd
+          FROM edges JOIN deg da ON a = da.v JOIN deg db ON b = db.v),
+        tri AS (
+          SELECT l.src AS u, l.dst AS v, r.dst AS w
+          FROM oriented l JOIN oriented r ON l.src = r.src
+          JOIN oriented c ON c.src = l.dst AND c.dst = r.dst
+          WHERE l.dd < r.dd OR (l.dd = r.dd AND l.dst < r.dst)),
+        pv AS (
+          SELECT id, count(*)::BIGINT AS n_tri
+          FROM (SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+          GROUP BY id)
+        (SELECT 'vertex' AS scope, pv.id, deg.d AS degree, pv.n_tri,
+                ((2000000 * pv.n_tri) // (deg.d * (deg.d - 1)))::BIGINT AS ppm
+         FROM pv JOIN deg ON pv.id = deg.v
+         ORDER BY pv.n_tri DESC, pv.id LIMIT 20)
+        UNION ALL
+        SELECT 'graph' AS scope, -1::BIGINT AS id,
+               (SELECT sum(d) // 2 FROM deg)::BIGINT AS degree,
+               (SELECT count(*) FROM tri)::BIGINT AS n_tri,
+               ((3000000 * (SELECT count(*) FROM tri))
+                 // (SELECT sum(d * (d - 1)) // 2 FROM deg))::BIGINT AS ppm"""))
   )
+
+  /** Degree-ordered triangle counting over an undirected simple edge
+    * list `(a, b)` with a < b. Returns top-20 'vertex' rows (triangle
+    * participation + local clustering ppm) and one 'graph' row
+    * (id = -1: edge count, global transitivity ppm). See the
+    * gr_triangles QueryDef comment for the scale argument: orientation
+    * by (degree, id) bounds the wedge join's per-vertex fan-out by the
+    * graph's arboricity, so no hub vertex can explode the pair space.
+    */
+  private[graft] def triangleReport(edges: DataFrame): DataFrame = {
+    val deg = edges.selectExpr("a AS v").unionByName(edges.selectExpr("b AS v"))
+      .groupBy("v").agg(expr("cast(count(*) AS bigint) AS d"))
+    val oriented = edges
+      .join(deg.selectExpr("v AS a", "d AS da"), "a")
+      .join(deg.selectExpr("v AS b", "d AS db"), "b")
+      .selectExpr(
+        "CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src",
+        "CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst",
+        "CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dd")
+    val tri = oriented.selectExpr("src", "dst AS v", "dd AS dv")
+      .join(oriented.selectExpr("src", "dst AS w", "dd AS dw"), "src")
+      .where("dv < dw OR (dv = dw AND v < w)")
+      .join(oriented.selectExpr("dst AS w", "src AS v"), Seq("v", "w"))
+      .selectExpr("src AS u", "v", "w")
+    val perVertex = tri.selectExpr("u AS id")
+      .unionByName(tri.selectExpr("v AS id"))
+      .unionByName(tri.selectExpr("w AS id"))
+      .groupBy("id").agg(expr("cast(count(*) AS bigint) AS n_tri"))
+      .join(deg.selectExpr("v AS id", "d"), "id")
+      .selectExpr("'vertex' AS scope", "id", "d AS degree", "n_tri",
+        "(2000000L * n_tri) div (d * (d - 1)) AS ppm")
+      .orderBy(expr("n_tri").desc, expr("id")).limit(20)
+    val global = tri.agg(expr("cast(count(*) AS bigint) AS t"))
+      .crossJoin(broadcast(deg.agg(
+        expr("cast(sum(d) AS bigint) div 2 AS m"),
+        expr("cast(sum(d * (d - 1)) AS bigint) div 2 AS wedges"))))
+      .selectExpr("'graph' AS scope", "-1L AS id", "m AS degree", "t AS n_tri",
+        "(3000000L * t) div wedges AS ppm")
+    perVertex.unionByName(global)
+  }
 }

@@ -730,6 +730,41 @@ object Knn {
             FROM (SELECT unnest(generate_series(1, 8))::BIGINT AS nprobe) n
             JOIN ranked r ON r.probe_rank <= n.nprobe))
         GROUP BY nprobe"""))
+  ) ++ Seq(
+
+    // ------------------------------------------ exact radius search
+    // Range search — ALL corpus vectors within a cosine radius of each
+    // probe, not a fixed top-k: the retrieval shape of near-duplicate
+    // audits and "everything similar to this exemplar" curation pulls,
+    // where the answer size is data-dependent. Exact range search is
+    // irreducibly a corpus scan, and that is its scale story: probes
+    // broadcast (bounded set), the native codegen'd cosine_f evaluates
+    // inside the scan, only the ≥-θ survivors leave the executor — no
+    // shuffle, no sort, no index to go stale. Embarrassingly parallel
+    // at any corpus size; the IVF/LSH paths stay the low-latency
+    // alternatives when approximate recall is acceptable.
+    QueryDef(
+      "v11_range",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val e = Tables.embeddings(spark, dir)
+        val q = e.where("vec_id < 4")
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+        e.crossJoin(broadcast(q))
+          .where("vec_id != q_vec_id")
+          .selectExpr("q_vec_id", "vec_id",
+            s"round(${cosExpr("embedding", "q_emb")}, 6) AS similarity")
+          .where("similarity >= 0.2")
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < 4)
+        SELECT q_vec_id, vec_id, similarity
+        FROM (SELECT q_vec_id, vec_id,
+                     round(${dCos("embedding", "q_emb")}, 6) AS similarity
+              FROM embeddings, q
+              WHERE vec_id != q_vec_id)
+        WHERE similarity >= 0.2"""))
   )
 
   // ----------------------------------------------- IVF index at rest

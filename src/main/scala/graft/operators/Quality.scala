@@ -169,7 +169,92 @@ object Quality {
         UNION ALL SELECT 'exact_dup_docs', (count(*) - count(DISTINCT th))::BIGINT FROM base
         UNION ALL SELECT 'len_min', min(n_chars)::BIGINT FROM base
         UNION ALL SELECT 'len_max', max(n_chars)::BIGINT FROM base
-        UNION ALL SELECT 'len_p50', floor(quantile_cont(n_chars, 0.5))::BIGINT FROM base"""))
+        UNION ALL SELECT 'len_p50', floor(quantile_cont(n_chars, 0.5))::BIGINT FROM base""")),
+
+    // ------------------------------------ distribution drift monitor
+    // Train/serve drift detection: the month's first half is the
+    // reference window, the second half the current one; the reference
+    // value distribution defines decile boundaries and both halves
+    // histogram against them. The drift statistic is total variation
+    // distance in integer parts-per-million (Σ|ppm_ref − ppm_cur|/2) —
+    // deliberately TVD and not PSI/KL, whose ln() is last-ulp
+    // divergent cross-engine (the ta_lm_score lesson); at equal bucket
+    // counts TVD ranks drifts the same way. Boundaries are rounded to
+    // 6 decimals BEFORE any comparison (the dq_outliers discipline).
+    // Scale shape: one bounded grouped percentile on the reference
+    // half (9 values, broadcast), bucket assignment row-local in the
+    // scan, a 10-row groupBy, and ppm arithmetic on that tiny result —
+    // the corpus is read once and never shuffled.
+    QueryDef(
+      "dq_drift",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir).selectExpr("value",
+          "CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref")
+        val cuts = ev.where("is_ref = 1").agg(
+          expr("round(percentile(value, 0.1), 6) AS c1"),
+          expr("round(percentile(value, 0.2), 6) AS c2"),
+          expr("round(percentile(value, 0.3), 6) AS c3"),
+          expr("round(percentile(value, 0.4), 6) AS c4"),
+          expr("round(percentile(value, 0.5), 6) AS c5"),
+          expr("round(percentile(value, 0.6), 6) AS c6"),
+          expr("round(percentile(value, 0.7), 6) AS c7"),
+          expr("round(percentile(value, 0.8), 6) AS c8"),
+          expr("round(percentile(value, 0.9), 6) AS c9"))
+        val bucketExpr = "1L" + (1 to 9)
+          .map(i => s" + CASE WHEN value > c$i THEN 1L ELSE 0L END").mkString
+        val counts = ev.crossJoin(broadcast(cuts))
+          .selectExpr("is_ref", s"$bucketExpr AS bucket")
+          .groupBy("bucket").agg(
+            expr("cast(sum(is_ref) AS bigint) AS n_ref"),
+            expr("cast(sum(1 - is_ref) AS bigint) AS n_cur"))
+        val tot = counts.agg(
+          expr("cast(sum(n_ref) AS bigint) AS t_ref"),
+          expr("cast(sum(n_cur) AS bigint) AS t_cur"))
+        val per = counts.crossJoin(broadcast(tot)).selectExpr(
+          "bucket", "n_ref", "n_cur",
+          "n_ref * 1000000L div t_ref AS ppm_ref",
+          "n_cur * 1000000L div t_cur AS ppm_cur",
+          "abs(n_ref * 1000000L div t_ref - n_cur * 1000000L div t_cur) AS diff_ppm")
+        val global = per.agg(
+          expr("cast(sum(n_ref) AS bigint) AS n_ref"),
+          expr("cast(sum(n_cur) AS bigint) AS n_cur"),
+          expr("cast(sum(diff_ppm) AS bigint) div 2 AS diff_ppm"))
+          .selectExpr("-1L AS bucket", "n_ref", "n_cur",
+            "1000000L AS ppm_ref", "1000000L AS ppm_cur", "diff_ppm")
+        per.unionByName(global)
+      },
+      Some("""
+        WITH ev AS (SELECT value, CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref
+                    FROM events),
+        cuts AS (
+          SELECT round(quantile_cont(value, 0.1), 6) AS c1,
+                 round(quantile_cont(value, 0.2), 6) AS c2,
+                 round(quantile_cont(value, 0.3), 6) AS c3,
+                 round(quantile_cont(value, 0.4), 6) AS c4,
+                 round(quantile_cont(value, 0.5), 6) AS c5,
+                 round(quantile_cont(value, 0.6), 6) AS c6,
+                 round(quantile_cont(value, 0.7), 6) AS c7,
+                 round(quantile_cont(value, 0.8), 6) AS c8,
+                 round(quantile_cont(value, 0.9), 6) AS c9
+          FROM ev WHERE is_ref = 1),
+        counts AS (
+          SELECT 1 + (value > c1)::INT + (value > c2)::INT + (value > c3)::INT
+                   + (value > c4)::INT + (value > c5)::INT + (value > c6)::INT
+                   + (value > c7)::INT + (value > c8)::INT + (value > c9)::INT AS bucket,
+                 sum(is_ref)::BIGINT AS n_ref, sum(1 - is_ref)::BIGINT AS n_cur
+          FROM ev, cuts GROUP BY 1),
+        tot AS (SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur FROM counts),
+        per AS (
+          SELECT bucket::BIGINT AS bucket, n_ref, n_cur,
+                 (n_ref * 1000000 // t_ref)::BIGINT AS ppm_ref,
+                 (n_cur * 1000000 // t_cur)::BIGINT AS ppm_cur,
+                 abs(n_ref * 1000000 // t_ref - n_cur * 1000000 // t_cur)::BIGINT AS diff_ppm
+          FROM counts, tot)
+        SELECT * FROM per
+        UNION ALL
+        SELECT -1, sum(n_ref)::BIGINT, sum(n_cur)::BIGINT, 1000000, 1000000,
+               (sum(diff_ppm) // 2)::BIGINT
+        FROM per"""))
   )
 
   /** Per-event-type robust stats (median + MAD) for the outlier rule —

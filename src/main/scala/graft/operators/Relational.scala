@@ -499,6 +499,162 @@ object Relational {
           ON o_orderkey = b.l_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY total_price DESC, o_orderkey
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // ------------------------------- promo revenue share (TPC-H Q14)
+    // Per ship-month: what fraction of revenue came from promotional
+    // parts. The classic conditional-aggregation-over-a-join shape:
+    // part is the broadcast dimension, the promo flag evaluates
+    // row-local, and both legs of the ratio come out of ONE aggregate
+    // pass. Money folds as exact decimal micros (bigint after ×1e6),
+    // and the share is integer ppm — promo_micros div (total div 1e6)
+    // applies the SAME truncation order in both engines, so no float
+    // division ever reaches the hash.
+    QueryDef(
+      "q14_promo_share",
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .selectExpr("l_partkey", "l_extendedprice", "l_discount",
+            "date_format(l_shipdate, 'yyyy-MM') AS ship_month")
+          .join(broadcast(Tables.part(spark, dir).selectExpr("p_partkey", "p_type")),
+            expr("l_partkey = p_partkey"))
+          .groupBy("ship_month")
+          .agg(
+            expr("""cast(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN cast(l_extendedprice * (1 - l_discount) AS decimal(18,6))
+                                  ELSE cast(0 AS decimal(18,6)) END) * 1000000 AS bigint)
+                    AS promo_micros"""),
+            expr("""cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,6)))
+                         * 1000000 AS bigint) AS total_micros"""))
+          .selectExpr("ship_month", "promo_micros", "total_micros",
+            "promo_micros div (total_micros div 1000000) AS promo_ppm"),
+      Some("""
+        SELECT ship_month, promo_micros, total_micros,
+               (promo_micros // (total_micros // 1000000))::BIGINT AS promo_ppm
+        FROM (
+          SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                 CAST(sum(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                               ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT) AS promo_micros,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                      * 1000000 AS BIGINT) AS total_micros
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1)""")),
+
+    // -------------------------------- top supplier by view (TPC-H Q15)
+    // Suppliers tied for the maximum quarterly revenue — the
+    // WHERE-rev-=-(SELECT-max) view shape. The per-supplier aggregate
+    // reduces the quarter's lineitems once; its max folds to a single
+    // broadcast scalar row that filters the same aggregate — two
+    // passes over the REDUCED table, one over the corpus. Revenue in
+    // exact decimal micros; equality against the max is integer, so
+    // the tie set is identical in both engines.
+    QueryDef(
+      "q15_top_supplier",
+      (spark, dir) => {
+        val rev = Tables.lineitem(spark, dir)
+          .where("l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'")
+          .groupBy("l_suppkey")
+          .agg(expr(
+            """cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,6)))
+                    * 1000000 AS bigint) AS revenue_micros"""))
+        val top = rev.agg(expr("max(revenue_micros) AS max_micros"))
+        rev.crossJoin(broadcast(top))
+          .where("revenue_micros = max_micros")
+          .join(broadcast(Tables.supplier(spark, dir).selectExpr("s_suppkey", "s_name")),
+            expr("l_suppkey = s_suppkey"))
+          .selectExpr("s_suppkey", "s_name", "revenue_micros")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                      * 1000000 AS BIGINT) AS revenue_micros
+          FROM lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, revenue_micros
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE revenue_micros = (SELECT max(revenue_micros) FROM rev)""")),
+
+    // ------------------------- disjunctive predicate join (TPC-H Q19)
+    // Revenue from three OR-ed (brand, size-band, quantity-band)
+    // conjunct groups — the disjunction that breaks naive pushdown.
+    // The per-side halves of each conjunct still prune: the part scan
+    // keeps only the three brands (an IN filter Catalyst derives from
+    // the OR), the kept dimension broadcasts, and the cross-conjunct
+    // residual evaluates row-local post-join. Grouped by brand so the
+    // gate hashes each conjunct family's contribution separately.
+    QueryDef(
+      "q19_disjunctive",
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .selectExpr("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .join(broadcast(Tables.part(spark, dir).selectExpr("p_partkey", "p_brand", "p_size")),
+            expr("l_partkey = p_partkey"))
+          .where("""(p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+                 OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+                 OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")
+          .groupBy("p_brand")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_items"),
+            expr("""cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,6)))
+                         * 1000000 AS bigint) AS revenue_micros""")),
+      Some("""
+        SELECT p_brand, count(*)::BIGINT AS n_items,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                    * 1000000 AS BIGINT) AS revenue_micros
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+        GROUP BY p_brand""")),
+
+    // --------------------------- idle high-balance accounts (TPC-H Q22)
+    // Customers with above-average positive balances and no order in
+    // the corpus's final two years ("lapsed rich"), rolled up by
+    // nation — the anti-join + scalar-subquery shape. (The date bound
+    // keeps the anti join non-vacuous: this synthetic corpus gives
+    // every customer at least one lifetime order.) The threshold is the positive-balance mean computed in
+    // integer micros (sum div count — one truncation, same order both
+    // engines) folded to a broadcast scalar; the order check is a
+    // LEFT ANTI against the DISTINCT custkey projection of orders.
+    // Balances convert to micros through decimal(18,6), never a
+    // double→bigint cast (Spark truncates, DuckDB rounds).
+    QueryDef(
+      "q22_idle_rich",
+      (spark, dir) => {
+        val cust = Tables.customer(spark, dir).selectExpr(
+          "c_custkey", "c_nationkey",
+          "cast(cast(c_acctbal AS decimal(18,6)) * 1000000 AS bigint) AS bal_micros")
+        val thr = cust.where("bal_micros > 0")
+          .agg(expr("cast(sum(bal_micros) AS bigint) div cast(count(*) AS bigint) AS thr_micros"))
+        cust.crossJoin(broadcast(thr))
+          .where("bal_micros > thr_micros")
+          .join(Tables.orders(spark, dir)
+              .where("o_orderdate >= '2000-01-01'")
+              .selectExpr("o_custkey").distinct(),
+            expr("c_custkey = o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_cust"),
+            expr("cast(sum(bal_micros) AS bigint) AS bal_micros_total"))
+          .selectExpr("cast(c_nationkey AS bigint) AS nationkey", "n_cust", "bal_micros_total")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS bal_micros
+          FROM customer),
+        thr AS (
+          SELECT (sum(bal_micros) // count(*))::BIGINT AS thr_micros
+          FROM cust WHERE bal_micros > 0)
+        SELECT c_nationkey::BIGINT AS nationkey, count(*)::BIGINT AS n_cust,
+               sum(bal_micros)::BIGINT AS bal_micros_total
+        FROM cust, thr
+        WHERE bal_micros > thr_micros
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+        GROUP BY c_nationkey"""))
   )
 }

@@ -715,7 +715,66 @@ object TextOps {
             SELECT doc_id,
                    regexp_replace(regexp_replace(lower($UrlExprSql), '^https?://(www\\.)?', ''), '/$$', '') AS canon
             FROM documents))
-        GROUP BY domain, blocked"""))
+        GROUP BY domain, blocked""")),
+
+    // --------------------------------------- collocation mining (PMI)
+    // Statistically-bound word pairs ("New York"-style collocations) —
+    // the phrase-vocabulary step of tokenizer and n-gram-LM pipelines.
+    // The association score is an all-integer PMI surrogate:
+    // (n_ab·1e6 div c_a)·1e6 div c_b — monotone in n_ab/(c_a·c_b),
+    // the variable part of pointwise mutual information, with no ln()
+    // for the last-ulp cross-engine trap (the ta_lm_score lesson) and
+    // no overflow (≤ 1e16 at any corpus size given n_ab ≤ c_a). The
+    // n_ab ≥ 5 support floor is the standard collocation-mining guard
+    // against one-off pairs dominating the ranking.
+    // Scale shape: unigram and bigram counts are partial-aggregated
+    // scans that reduce to vocab-sized tables; the scoring join is
+    // vocab⋈vocab (tiny against the corpus); the final ranking is
+    // TakeOrdered-bounded, never a global sort.
+    QueryDef(
+      "ta_pmi",
+      (spark, dir) => {
+        val base = Tables.documents(spark, dir)
+          .selectExpr("regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("split(tc, ' ') AS toks")
+        val uni = base.selectExpr("explode(toks) AS w")
+          .groupBy("w").agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS cw"))
+        val bi = base.where("size(toks) >= 2")
+          .selectExpr(
+            "explode(transform(sequence(1, size(toks) - 1, 1), i -> concat_ws(' ', slice(toks, i, 2)))) AS bigram")
+          .groupBy("bigram").agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_ab"))
+          .where("n_ab >= 5")
+          .selectExpr("bigram", "split(bigram, ' ')[0] AS w1",
+            "split(bigram, ' ')[1] AS w2", "n_ab")
+        bi.join(uni.selectExpr("w AS w1", "cw AS c1"), "w1")
+          .join(uni.selectExpr("w AS w2", "cw AS c2"), "w2")
+          .selectExpr("bigram", "n_ab", "c1", "c2",
+            "(n_ab * 1000000L div c1) * 1000000L div c2 AS affinity")
+          .orderBy(org.apache.spark.sql.functions.desc("affinity"),
+            org.apache.spark.sql.functions.col("bigram"))
+          .limit(20)
+      },
+      Some("""
+        WITH base AS (
+          SELECT string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'),
+                                             '^\s+|\s+$', '', 'g'), ' ') AS toks
+          FROM documents),
+        uni AS (
+          SELECT w, count(*)::BIGINT AS cw
+          FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w),
+        bi AS (
+          SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+                 split_part(bigram, ' ', 2) AS w2, count(*)::BIGINT AS n_ab
+          FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                             i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                FROM base WHERE len(toks) >= 2)
+          GROUP BY 1, 2, 3
+          HAVING count(*) >= 5)
+        SELECT bigram, n_ab, u1.cw AS c1, u2.cw AS c2,
+               ((n_ab * 1000000 // u1.cw) * 1000000 // u2.cw)::BIGINT AS affinity
+        FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
+        ORDER BY affinity DESC, bigram
+        LIMIT 20"""))
   )
 
   /** Synthetic per-doc URL (the fixture half of ta_urls): every doc

@@ -55,6 +55,29 @@ class GraphSpec extends SparkSpec {
       2L -> 362500L)) // 150000 + 85·((1e6·1) div 4) div 100
   }
 
+  test("triangles: K4, star, and K4-plus-pendant match hand counts") {
+    import spark.implicits._
+    // K4: C(4,3) = 4 triangles, every vertex in 3 of them, every vertex
+    // degree 3 → local clustering = 2e6·3/(3·2) = 1e6; transitivity =
+    // 3e6·4 / (4·C(3,2)·... wedges = Σd(d-1)/2 = 4·3 = 12 → 1e6.
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)).toDF("a", "b")
+    val k4Rows = Graph.triangleReport(k4).collect()
+    val k4G = k4Rows.find(_.getAs[String]("scope") == "graph").get
+    assert(k4G.getAs[Long]("n_tri") == 4L && k4G.getAs[Long]("ppm") == 1000000L)
+    assert(k4Rows.filter(_.getAs[String]("scope") == "vertex")
+      .forall(r => r.getAs[Long]("n_tri") == 3L && r.getAs[Long]("ppm") == 1000000L))
+    // star K1,5: wedges but zero triangles, transitivity 0
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val starRows = Graph.triangleReport(star).collect()
+    assert(starRows.count(_.getAs[String]("scope") == "vertex") == 0)
+    assert(starRows.find(_.getAs[String]("scope") == "graph").get.getAs[Long]("n_tri") == 0L)
+    // K4 + pendant vertex on 0: triangle counts unchanged, vertex 4 absent
+    val pend = k4.unionByName(Seq((0L, 4L)).toDF("a", "b"))
+    val pv = Graph.triangleReport(pend).collect()
+      .filter(_.getAs[String]("scope") == "vertex").map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_tri")).toMap
+    assert(pv == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("purchase-graph query: suppliers out-rank customers on average") {
     val df = Graph.queries.find(_.name == "gr_pagerank").get
       .run(spark, "/root/testdata/sf0.001").collect()
