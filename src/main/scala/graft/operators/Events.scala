@@ -692,6 +692,87 @@ object Events {
                count(*)::BIGINT AS n_purchases,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS credited_value
         FROM touched WHERE event_type = 'purchase'
+        GROUP BY 1""")),
+
+    // ----------------------------- linear multi-touch attribution
+    // The fairness counterpart to ev_attribution: every touch in the
+    // purchase's 7-day lookback shares the credit equally. Credit is
+    // integer micros — value div n_touches per touch, with the
+    // remainder assigned to the LAST touch so per-purchase credit sums
+    // conserve exactly (no fractional cents to round cross-engine).
+    // Untouched purchases credit 'direct' in full.
+    // Scale shape: purchases⋈touches is a user-keyed equi-join with a
+    // time-band residual (per-user pair space, bounded by one user's
+    // own activity — never a global range join), then one window
+    // partitioned by purchase id for (n_touches, last-touch flag), then
+    // an O(channels) aggregate. The left join keeps no-touch purchases
+    // without a second pass.
+    QueryDef(
+      "ev_multitouch",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val purchases = ev.where("event_type = 'purchase'")
+          .selectExpr("user_id", "event_id AS p_id", "unix_micros(ts) AS p_us",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v_micros")
+        val touches = ev.where("event_type <> 'purchase'")
+          .selectExpr("user_id", "event_id AS t_id", "event_type AS t_type",
+            "unix_micros(ts) AS t_us")
+        purchases.join(touches, Seq("user_id"), "left")
+          .selectExpr("p_id", "v_micros",
+            """CASE WHEN t_us IS NOT NULL AND t_us < p_us
+                     AND p_us - t_us <= 604800000000L
+                    THEN t_type END AS channel""",
+            "t_us", "t_id")
+          .selectExpr("p_id", "v_micros", "channel",
+            """count(channel) OVER (PARTITION BY p_id) AS n_t""",
+            """row_number() OVER (PARTITION BY p_id
+                                  ORDER BY (channel IS NULL), t_us DESC, t_id DESC) AS rn""")
+          // rn = 1 is the LAST in-window touch when any exists (non-null
+          // channels sort first), else one arbitrary-but-deterministic
+          // carrier row for the 'direct' credit — a no-touch purchase
+          // with several out-of-window join rows must emit exactly once
+          .where("channel IS NOT NULL OR rn = 1")
+          .selectExpr(
+            "coalesce(channel, 'direct') AS channel",
+            """CASE WHEN channel IS NULL THEN v_micros
+                    ELSE v_micros div n_t +
+                         CASE WHEN rn = 1 THEN v_micros - n_t * (v_micros div n_t)
+                              ELSE 0L END END AS credit_micros""")
+          .groupBy("channel")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_credits"),
+            org.apache.spark.sql.functions.expr(
+              "cast(sum(credit_micros) AS bigint) AS credited_micros"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micros
+          FROM events WHERE event_type = 'purchase'),
+        t AS (
+          SELECT user_id, event_id AS t_id, event_type AS t_type, epoch_us(ts) AS t_us
+          FROM events WHERE event_type <> 'purchase'),
+        j AS (
+          SELECT p_id, v_micros,
+                 CASE WHEN t_us IS NOT NULL AND t_us < p_us
+                       AND p_us - t_us <= 604800000000
+                      THEN t_type END AS channel,
+                 t_us, t_id
+          FROM p LEFT JOIN t USING (user_id)),
+        w AS (
+          SELECT p_id, v_micros, channel,
+                 count(channel) OVER (PARTITION BY p_id) AS n_t,
+                 row_number() OVER (PARTITION BY p_id
+                                    ORDER BY (channel IS NULL), t_us DESC, t_id DESC) AS rn
+          FROM j)
+        SELECT coalesce(channel, 'direct') AS channel,
+               count(*)::BIGINT AS n_credits,
+               sum(CASE WHEN channel IS NULL THEN v_micros
+                        ELSE v_micros // n_t +
+                             CASE WHEN rn = 1 THEN v_micros - n_t * (v_micros // n_t)
+                                  ELSE 0 END END)::BIGINT AS credited_micros
+        FROM w
+        WHERE channel IS NOT NULL OR rn = 1
         GROUP BY 1"""))
   )
 }

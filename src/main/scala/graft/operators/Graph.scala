@@ -446,8 +446,88 @@ object Graph {
                (SELECT sum(d) // 2 FROM deg)::BIGINT AS degree,
                (SELECT count(*) FROM tri)::BIGINT AS n_tri,
                ((3000000 * (SELECT count(*) FROM tri))
-                 // (SELECT sum(d * (d - 1)) // 2 FROM deg))::BIGINT AS ppm"""))
+                 // (SELECT sum(d * (d - 1)) // 2 FROM deg))::BIGINT AS ppm""")),
+
+    // ---------------------------------- 3-core of the part graph
+    // Spark peels to the exact fixpoint (data-dependent rounds, driver
+    // count check per round); the oracle unrolls a FIXED 40 peel
+    // rounds — peeling is idempotent at the fixpoint, so any unroll ≥
+    // the true depth is byte-identical (the gr_pagerank_conv trick).
+    // Measured depths: 6 (sf0.001) / 28 (sf0.01) / 37 (sf0.1), all
+    // within the 40-round oracle budget at the gate SFs. bench=false:
+    // O(depth) driver-synchronized micro-jobs measure the loop
+    // machinery, not an interesting throughput — gr_pagerank stays the
+    // benched iterative representative.
+    QueryDef(
+      "gr_kcore",
+      (spark, dir) => {
+        val os = Tables.lineitem(spark, dir)
+          .where("l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'")
+          .selectExpr("l_orderkey AS ok", "l_partkey AS s").distinct()
+        val edges = os.selectExpr("ok", "s AS a")
+          .join(os.selectExpr("ok", "s AS b"), "ok")
+          .where("a < b").select("a", "b").distinct()
+        kCore(edges, 3)
+      },
+      Some {
+        // AS MATERIALIZED: each e_i is referenced three times; an
+        // inlined CTE chain re-expands the whole prefix per reference
+        // (3^depth scans — "too many open files" long before planning
+        // finishes). Materialization keeps the oracle linear in depth.
+        val peel = (i: Int) => s"""
+        k$i AS MATERIALIZED (SELECT src FROM e$i GROUP BY src HAVING count(*) >= 3),
+        e${i + 1} AS MATERIALIZED (SELECT e$i.src, e$i.dst FROM e$i
+                      JOIN k$i ka ON e$i.src = ka.src
+                      JOIN k$i kb ON e$i.dst = kb.src)"""
+        s"""
+        WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem
+                    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'),
+        ed AS (SELECT DISTINCT l.s AS a, r.s AS b
+               FROM os l JOIN os r ON l.ok = r.ok WHERE l.s < r.s),
+        e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+               UNION ALL SELECT b, a FROM ed),
+        ${(0 until 40).map(peel).mkString(",")}
+        SELECT src AS id, count(*)::BIGINT AS core_deg
+        FROM e40 GROUP BY src"""
+      },
+      bench = false)
   )
+
+  /** k-core decomposition membership: iteratively peel vertices of
+    * degree < k until the remaining subgraph is stable, returning each
+    * surviving vertex with its degree INSIDE the core. The standard
+    * cohesion filter before community detection — pendant chains and
+    * sparse fringe collapse away, only the mutually-dense region
+    * survives.
+    *
+    * Scale shape: the same BSP schedule as connectedComponents — each
+    * round one degree aggregate plus two semi-join filters of the edge
+    * list against the (shrinking) keep set, `localCheckpoint`-fenced so
+    * the logical plan stays O(1) per round and each round's input is
+    * the materialized previous round, never replayed lineage. Rounds
+    * are O(peel depth) (degeneracy ordering length, a graph property —
+    * not corpus size); the edge list only ever shrinks.
+    */
+  private[graft] def kCore(edges: DataFrame, k: Int): DataFrame = {
+    var e = edges.selectExpr("a AS src", "b AS dst")
+      .unionByName(edges.selectExpr("b AS src", "a AS dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    var n = e.count()
+    var done = n == 0
+    while (!done) {
+      val keep = e.groupBy("src").agg(expr("count(*) AS d"))
+        .where(s"d >= $k").select("src")
+      val e2 = e.join(keep, "src")
+        .join(keep.selectExpr("src AS dst"), "dst")
+        .select("src", "dst")
+        .repartition(col("src")).localCheckpoint(true)
+      val n2 = e2.count()
+      done = n2 == n
+      e = e2; n = n2
+    }
+    e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS core_deg"))
+      .selectExpr("src AS id", "core_deg")
+  }
 
   /** Degree-ordered triangle counting over an undirected simple edge
     * list `(a, b)` with a < b. Returns top-20 'vertex' rows (triangle

@@ -190,38 +190,11 @@ object Quality {
       (spark, dir) => {
         val ev = Tables.events(spark, dir).selectExpr("value",
           "CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref")
-        val cuts = ev.where("is_ref = 1").agg(
-          expr("round(percentile(value, 0.1), 6) AS c1"),
-          expr("round(percentile(value, 0.2), 6) AS c2"),
-          expr("round(percentile(value, 0.3), 6) AS c3"),
-          expr("round(percentile(value, 0.4), 6) AS c4"),
-          expr("round(percentile(value, 0.5), 6) AS c5"),
-          expr("round(percentile(value, 0.6), 6) AS c6"),
-          expr("round(percentile(value, 0.7), 6) AS c7"),
-          expr("round(percentile(value, 0.8), 6) AS c8"),
-          expr("round(percentile(value, 0.9), 6) AS c9"))
-        val bucketExpr = "1L" + (1 to 9)
-          .map(i => s" + CASE WHEN value > c$i THEN 1L ELSE 0L END").mkString
-        val counts = ev.crossJoin(broadcast(cuts))
-          .selectExpr("is_ref", s"$bucketExpr AS bucket")
+        val cuts = driftCuts(ev)
+        driftReport(bucketize(ev, cuts)
           .groupBy("bucket").agg(
             expr("cast(sum(is_ref) AS bigint) AS n_ref"),
-            expr("cast(sum(1 - is_ref) AS bigint) AS n_cur"))
-        val tot = counts.agg(
-          expr("cast(sum(n_ref) AS bigint) AS t_ref"),
-          expr("cast(sum(n_cur) AS bigint) AS t_cur"))
-        val per = counts.crossJoin(broadcast(tot)).selectExpr(
-          "bucket", "n_ref", "n_cur",
-          "n_ref * 1000000L div t_ref AS ppm_ref",
-          "n_cur * 1000000L div t_cur AS ppm_cur",
-          "abs(n_ref * 1000000L div t_ref - n_cur * 1000000L div t_cur) AS diff_ppm")
-        val global = per.agg(
-          expr("cast(sum(n_ref) AS bigint) AS n_ref"),
-          expr("cast(sum(n_cur) AS bigint) AS n_cur"),
-          expr("cast(sum(diff_ppm) AS bigint) div 2 AS diff_ppm"))
-          .selectExpr("-1L AS bucket", "n_ref", "n_cur",
-            "1000000L AS ppm_ref", "1000000L AS ppm_cur", "diff_ppm")
-        per.unionByName(global)
+            expr("cast(sum(1 - is_ref) AS bigint) AS n_cur")))
       },
       Some("""
         WITH ev AS (SELECT value, CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref
@@ -266,6 +239,57 @@ object Quality {
     * dq_outliers gate and the streaming st_outliers twin, so the two
     * can never disagree on the rule.
     */
+  /** Reference-window decile boundaries for drift histograms — one
+    * bounded aggregate (9 values, broadcast), rounded to 6 decimals
+    * BEFORE any comparison (the outlierStats discipline). Input needs
+    * (value, is_ref); shared by the batch dq_drift gate and the
+    * streaming st_drift twin so the two can never disagree on buckets.
+    */
+  private[graft] def driftCuts(ev: DataFrame): DataFrame =
+    ev.where("is_ref = 1").agg(
+      expr("round(percentile(value, 0.1), 6) AS c1"),
+      expr("round(percentile(value, 0.2), 6) AS c2"),
+      expr("round(percentile(value, 0.3), 6) AS c3"),
+      expr("round(percentile(value, 0.4), 6) AS c4"),
+      expr("round(percentile(value, 0.5), 6) AS c5"),
+      expr("round(percentile(value, 0.6), 6) AS c6"),
+      expr("round(percentile(value, 0.7), 6) AS c7"),
+      expr("round(percentile(value, 0.8), 6) AS c8"),
+      expr("round(percentile(value, 0.9), 6) AS c9"))
+
+  /** Row-local decile assignment against broadcast boundaries — works
+    * identically on a batch frame and a streaming source (no shuffle,
+    * no state; the crossJoin is the 1-row broadcast-scalar pattern).
+    */
+  private[graft] def bucketize(ev: DataFrame, cuts: DataFrame): DataFrame = {
+    val bucketExpr = "1L" + (1 to 9)
+      .map(i => s" + CASE WHEN value > c$i THEN 1L ELSE 0L END").mkString
+    ev.crossJoin(broadcast(cuts))
+      .selectExpr("is_ref", s"$bucketExpr AS bucket")
+  }
+
+  /** Drift report from per-bucket (bucket, n_ref, n_cur) counts:
+    * integer-ppm proportions per bucket plus the -1 'global' row whose
+    * diff_ppm is the total variation distance (Σ|Δppm| div 2).
+    */
+  private[graft] def driftReport(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(
+      expr("cast(sum(n_ref) AS bigint) AS t_ref"),
+      expr("cast(sum(n_cur) AS bigint) AS t_cur"))
+    val per = counts.crossJoin(broadcast(tot)).selectExpr(
+      "bucket", "n_ref", "n_cur",
+      "n_ref * 1000000L div t_ref AS ppm_ref",
+      "n_cur * 1000000L div t_cur AS ppm_cur",
+      "abs(n_ref * 1000000L div t_ref - n_cur * 1000000L div t_cur) AS diff_ppm")
+    val global = per.agg(
+      expr("cast(sum(n_ref) AS bigint) AS n_ref"),
+      expr("cast(sum(n_cur) AS bigint) AS n_cur"),
+      expr("cast(sum(diff_ppm) AS bigint) div 2 AS diff_ppm"))
+      .selectExpr("-1L AS bucket", "n_ref", "n_cur",
+        "1000000L AS ppm_ref", "1000000L AS ppm_cur", "diff_ppm")
+    per.unionByName(global)
+  }
+
   private[graft] def outlierStats(ev: DataFrame): DataFrame = {
     val med = ev.groupBy("event_type")
       .agg(expr("round(percentile(value, 0.5), 6) AS med"))

@@ -610,6 +610,141 @@ object Relational {
            OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
         GROUP BY p_brand""")),
 
+    // ------------------------ small-quantity outlier revenue (TPC-H Q17)
+    // Lineitems whose quantity is below 20% of their part's own average
+    // — the correlated-aggregate-subquery shape, decorrelated to a
+    // per-part aggregate joined back to the fact table (a fact⋈fact
+    // self-join co-partitioned on l_partkey — the aggregate reuses the
+    // fact's shuffle key, so one exchange feeds both sides). The
+    // threshold stays all-integer: qty < 0.2·(sum/cnt) rewritten as
+    // 5·qmicros·cnt < sum_qmicros — no float division, no rounding
+    // fence needed, identical truncation-free arithmetic both engines.
+    QueryDef(
+      "q17_small_qty",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir).selectExpr(
+          "l_partkey", "l_extendedprice",
+          "cast(cast(l_quantity AS decimal(18,6)) * 1000000 AS bigint) AS qmicros")
+        val stats = li.groupBy("l_partkey").agg(
+          expr("cast(count(*) AS bigint) AS cnt"),
+          expr("cast(sum(qmicros) AS bigint) AS sum_qmicros"))
+        li.join(stats, "l_partkey")
+          .where("5 * qmicros * cnt < sum_qmicros")
+          .join(broadcast(Tables.part(spark, dir).selectExpr("p_partkey", "p_brand")),
+            expr("l_partkey = p_partkey"))
+          .groupBy("p_brand")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_items"),
+            expr("""cast(sum(cast(l_extendedprice AS decimal(18,2))) * 100
+                    AS bigint) AS revenue_cents"""))
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_partkey, l_extendedprice,
+                 CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qmicros
+          FROM lineitem),
+        stats AS (
+          SELECT l_partkey, count(*)::BIGINT AS cnt, sum(qmicros)::BIGINT AS sum_qmicros
+          FROM li GROUP BY l_partkey)
+        SELECT p_brand, count(*)::BIGINT AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_cents
+        FROM li
+        JOIN stats USING (l_partkey)
+        JOIN part ON l_partkey = p_partkey
+        WHERE 5 * qmicros * cnt < sum_qmicros
+        GROUP BY p_brand""")),
+
+    // ----------------- supplier diversity per part class (TPC-H Q16)
+    // How many distinct suppliers can deliver each (type, size-band)
+    // part class, excluding suppliers with a late-shipment record — the
+    // NOT-IN-subquery + grouped count-distinct shape. The exclusion
+    // list reduces FIRST (distinct late suppliers — a key set, tiny
+    // against the fact table) and excludes via LEFT ANTI before the
+    // distinct count; part is the broadcast dim. The naive NOT IN
+    // re-evaluates its subquery per row — the anti join pays it once.
+    QueryDef(
+      "q16_supplier_diversity",
+      (spark, dir) => {
+        val withOrd = Tables.lineitem(spark, dir)
+          .selectExpr("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate")
+          .join(Tables.orders(spark, dir).selectExpr("o_orderkey", "o_orderdate"),
+            expr("l_orderkey = o_orderkey"))
+        val lateSupp = withOrd
+          .where("l_shipdate > o_orderdate + INTERVAL 120 DAYS")
+          .selectExpr("l_suppkey").distinct()
+        withOrd
+          .join(lateSupp, Seq("l_suppkey"), "left_anti")
+          .join(broadcast(Tables.part(spark, dir)
+            .selectExpr("p_partkey", "p_type", "(p_size - 1) div 10 AS size_band")),
+            expr("l_partkey = p_partkey"))
+          .groupBy("p_type", "size_band")
+          .agg(expr("cast(count(DISTINCT l_suppkey) AS bigint) AS supplier_cnt"))
+          .selectExpr("p_type", "cast(size_band AS bigint) AS size_band", "supplier_cnt")
+      },
+      Some("""
+        WITH wo AS (
+          SELECT l_partkey, l_suppkey, l_shipdate, o_orderdate
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        late AS (
+          SELECT DISTINCT l_suppkey FROM wo
+          WHERE l_shipdate > o_orderdate + INTERVAL 120 DAY)
+        SELECT p_type, ((p_size - 1) // 10)::BIGINT AS size_band,
+               count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        FROM wo JOIN part ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (SELECT l_suppkey FROM late)
+        GROUP BY 1, 2""")),
+
+    // ---------------------- sole-blame late suppliers (TPC-H Q21 shape)
+    // Suppliers who were the ONLY late shipper (> 120 days after the
+    // order date) on a multi-supplier order — the double-correlated
+    // EXISTS/NOT-EXISTS query, decorrelated to ONE per-order aggregate:
+    // count distinct suppliers and distinct LATE suppliers per order,
+    // then keep late rows where (ns ≥ 2, nl = 1). Both the aggregate
+    // and the join-back ride the l_orderkey shuffle the lineitem⋈orders
+    // join already established — the naive form re-scans lineitem per
+    // outer row twice. Top-20 by blame count via TakeOrderedAndProject.
+    QueryDef(
+      "q21_late_supplier",
+      (spark, dir) => {
+        val l = Tables.lineitem(spark, dir)
+          .selectExpr("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(Tables.orders(spark, dir).selectExpr("o_orderkey", "o_orderdate"),
+            expr("l_orderkey = o_orderkey"))
+          .selectExpr("l_orderkey", "l_suppkey",
+            "CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAYS THEN 1 ELSE 0 END AS late")
+        val stats = l.groupBy("l_orderkey").agg(
+          expr("count(DISTINCT l_suppkey) AS ns"),
+          expr("count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nl"))
+        l.where("late = 1")
+          .join(stats, "l_orderkey")
+          .where("ns >= 2 AND nl = 1")
+          .selectExpr("l_orderkey", "l_suppkey").distinct()
+          .groupBy("l_suppkey")
+          .agg(expr("cast(count(*) AS bigint) AS numwait"))
+          .join(broadcast(Tables.supplier(spark, dir).selectExpr("s_suppkey", "s_name")),
+            expr("l_suppkey = s_suppkey"))
+          .selectExpr("s_suppkey", "s_name", "numwait")
+          .orderBy(desc("numwait"), col("s_suppkey"))
+          .limit(20)
+      },
+      Some("""
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+                 CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        stats AS (
+          SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
+                 count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nl
+          FROM l GROUP BY 1)
+        SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+        FROM (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+              FROM l JOIN stats USING (l_orderkey)
+              WHERE late = 1 AND ns >= 2 AND nl = 1)
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 20""")),
+
     // --------------------------- idle high-balance accounts (TPC-H Q22)
     // Customers with above-average positive balances and no order in
     // the corpus's final two years ("lapsed rich"), rolled up by

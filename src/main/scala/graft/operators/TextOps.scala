@@ -774,7 +774,98 @@ object TextOps {
                ((n_ab * 1000000 // u1.cw) * 1000000 // u2.cw)::BIGINT AS affinity
         FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
         ORDER BY affinity DESC, bigram
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // ----------------------------- HLL mergeability (per-group sketches)
+    // The property that makes HyperLogLog THE count-distinct answer at
+    // 100 TB, demonstrated in-query: per-source register sets (max rank
+    // per bucket within each source) merge by a register-wise max into
+    // EXACTLY the sketch a direct global pass builds — union(sketch) ≡
+    // sketch(union), so shards/partitions/days can sketch independently
+    // and an O(m)-byte merge replaces any re-scan. The gate hashes the
+    // 'merged' and 'direct' rows to identical values, making the
+    // algebraic identity itself the checked artifact. Same bit-exact
+    // integer-rank + bucket-ordered harmonic fold as ta_vocab_hll.
+    // Scale shape: rank extraction is scan-local; per-source registers
+    // are an O(sources·m) aggregate; every estimate is arithmetic over
+    // ≤ 256-row groups.
+    QueryDef(
+      "ta_hll_merge",
+      (spark, dir) => {
+        val half = 1L << 52
+        val srcOf = Tables.documents(spark, dir).select("doc_id", "source")
+        val ranks = graft.operators.Dedup.shingleHashes(spark, dir)
+          .join(srcOf, "doc_id")
+          .selectExpr("source", "explode(hs) AS h")
+          .selectExpr("source", s"h div ${half}L AS b", s"h % ${half}L AS rem")
+          .selectExpr("source", "b",
+            "53 - length(regexp_replace(bin(rem), '^0+', '')) AS r")
+        val perSrcRegs = ranks.groupBy("source", "b")
+          .agg(org.apache.spark.sql.functions.expr("max(r) AS mr"))
+        val foldExpr =
+          """aggregate(sort_array(collect_list(named_struct('b', b, 'm', M))),
+                       cast(0 AS double), (acc, x) -> acc + pow(2D, -cast(x.m AS double))) AS S"""
+        def estimate(dense: org.apache.spark.sql.DataFrame, keyed: Boolean) = {
+          val g = if (keyed) dense.groupBy("scope") else dense.groupBy()
+          g.agg(
+            org.apache.spark.sql.functions.expr(foldExpr),
+            org.apache.spark.sql.functions.expr(
+              "sum(CASE WHEN M > 0 THEN 1 ELSE 0 END) AS hit"))
+        }
+        val range256 = "explode(sequence(0L, 255L)) AS b"
+        val perSrcDense = srcOf.select("source").distinct()
+          .selectExpr("source AS scope", range256)
+          .join(perSrcRegs.selectExpr("source AS scope", "b", "mr"),
+            Seq("scope", "b"), "left")
+          .selectExpr("scope", "b", "coalesce(mr, 0) AS M")
+        val per = estimate(perSrcDense, keyed = true)
+        // merged = register-wise max of the per-source sketches;
+        // direct = registers from one global pass over the same ranks
+        val mergedDense = perSrcDense.groupBy("b")
+          .agg(org.apache.spark.sql.functions.expr("max(M) AS M"))
+        val directDense = spark.range(0, 256).selectExpr("cast(id AS bigint) AS b")
+          .join(ranks.groupBy("b").agg(
+            org.apache.spark.sql.functions.expr("max(r) AS mr")), Seq("b"), "left")
+          .selectExpr("b", "coalesce(mr, 0) AS M")
+        val tail = Seq("merged" -> mergedDense, "direct" -> directDense).map {
+          case (name, dense) => estimate(dense, keyed = false)
+            .selectExpr(s"'$name' AS scope", "S", "hit")
+        }
+        (per +: tail).reduce(_ unionByName _)
+          .selectExpr("scope", "cast(hit AS bigint) AS buckets_hit",
+            "round((0.7213D / (1D + 1.079D / 256D)) * 256D * 256D / S, 4) AS hll_est")
+      },
+      Some(s"""
+        WITH sh AS (${graft.operators.Dedup.shingleHashesSql}),
+        srcof AS (SELECT doc_id, source FROM documents),
+        rk AS (
+          SELECT source, h // 4503599627370496 AS b,
+                 53 - length(regexp_replace(bin(h % 4503599627370496), '^0+', '')) AS r
+          FROM (SELECT source, unnest(hs) AS h
+                FROM sh JOIN srcof ON sh.doc_id = srcof.doc_id)),
+        psr AS (SELECT source, b, max(r) AS mr FROM rk GROUP BY 1, 2),
+        dense AS (
+          SELECT s.source AS scope, gs.b, coalesce(psr.mr, 0) AS M
+          FROM (SELECT DISTINCT source FROM documents) s
+          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) gs
+          LEFT JOIN psr ON s.source = psr.source AND gs.b = psr.b),
+        per AS (
+          SELECT scope, list_sum(list(pow(2, -M) ORDER BY b)) AS S,
+                 sum(CASE WHEN M > 0 THEN 1 ELSE 0 END) AS hit
+          FROM dense GROUP BY scope),
+        mrg AS (
+          SELECT 'merged' AS scope, list_sum(list(pow(2, -M) ORDER BY b)) AS S,
+                 sum(CASE WHEN M > 0 THEN 1 ELSE 0 END) AS hit
+          FROM (SELECT b, max(M) AS M FROM dense GROUP BY b)),
+        dct AS (
+          SELECT 'direct' AS scope, list_sum(list(pow(2, -M) ORDER BY b)) AS S,
+                 sum(CASE WHEN M > 0 THEN 1 ELSE 0 END) AS hit
+          FROM (SELECT gs.b, coalesce(g.mr, 0) AS M
+                FROM (SELECT unnest(generate_series(0, 255)) AS b) gs
+                LEFT JOIN (SELECT b, max(r) AS mr FROM rk GROUP BY b) g ON gs.b = g.b))
+        SELECT scope, hit::BIGINT AS buckets_hit,
+               round((0.7213 / (1 + 1.079 / 256)) * 256 * 256 / S, 4) AS hll_est
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM mrg UNION ALL SELECT * FROM dct)"""))
   )
 
   /** Synthetic per-doc URL (the fixture half of ta_urls): every doc

@@ -752,6 +752,78 @@ object Streaming {
                round(ad / (1.4826 * mad), 6) AS robust_z
         FROM d JOIN md ON d.event_type = md.event_type
         WHERE ad > 3 * 1.4826 * mad"""),
+      bench = false),
+
+    // ------------------------- streaming distribution-drift monitor
+    // dq_drift's serving half as a live stream: the decile boundaries
+    // and reference histogram are frozen from the batch reference
+    // window (bounded, broadcast — Quality.driftCuts/bucketize, the
+    // SAME code the batch gate runs), the current window arrives as a
+    // stream whose rows bucket row-locally and count through the state
+    // store (Complete mode: the histogram is O(buckets) state however
+    // long the stream runs). The drained counts joined to the frozen
+    // reference produce byte-identical output to the batch dq_drift —
+    // which is exactly what the oracle recomputes.
+    graft.QueryDef(
+      "st_drift",
+      (spark, dir) => {
+        import graft.operators.Quality
+        val evB = graft.Tables.events(spark, dir).selectExpr("value",
+          "CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref")
+        val cuts = Quality.driftCuts(evB)
+        val refCounts = Quality.bucketize(evB.where("is_ref = 1"), cuts)
+          .groupBy("bucket").agg(expr("cast(count(*) AS bigint) AS n_ref"))
+        val src = spark.readStream
+          .schema(rawEventsSchema)
+          .parquet(stageDir(s"$dir/events.parquet"))
+          .selectExpr("value",
+            "CASE WHEN day(timestamp_micros(ts div 1000)) <= 15 THEN 1 ELSE 0 END AS is_ref")
+          .where("is_ref = 0")
+        val qn = "st_drift_sink"
+        val q = Quality.bucketize(src, cuts)
+          .groupBy("bucket").agg(expr("cast(count(*) AS bigint) AS n_cur"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Quality.driftReport(
+          refCounts.join(spark.table(qn), Seq("bucket"), "full_outer")
+            .selectExpr("bucket", "coalesce(n_ref, 0L) AS n_ref",
+              "coalesce(n_cur, 0L) AS n_cur"))
+      },
+      Some("""
+        WITH ev AS (SELECT value, CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref
+                    FROM events),
+        cuts AS (
+          SELECT round(quantile_cont(value, 0.1), 6) AS c1,
+                 round(quantile_cont(value, 0.2), 6) AS c2,
+                 round(quantile_cont(value, 0.3), 6) AS c3,
+                 round(quantile_cont(value, 0.4), 6) AS c4,
+                 round(quantile_cont(value, 0.5), 6) AS c5,
+                 round(quantile_cont(value, 0.6), 6) AS c6,
+                 round(quantile_cont(value, 0.7), 6) AS c7,
+                 round(quantile_cont(value, 0.8), 6) AS c8,
+                 round(quantile_cont(value, 0.9), 6) AS c9
+          FROM ev WHERE is_ref = 1),
+        counts AS (
+          SELECT 1 + (value > c1)::INT + (value > c2)::INT + (value > c3)::INT
+                   + (value > c4)::INT + (value > c5)::INT + (value > c6)::INT
+                   + (value > c7)::INT + (value > c8)::INT + (value > c9)::INT AS bucket,
+                 sum(is_ref)::BIGINT AS n_ref, sum(1 - is_ref)::BIGINT AS n_cur
+          FROM ev, cuts GROUP BY 1),
+        tot AS (SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur FROM counts),
+        per AS (
+          SELECT bucket::BIGINT AS bucket, n_ref, n_cur,
+                 (n_ref * 1000000 // t_ref)::BIGINT AS ppm_ref,
+                 (n_cur * 1000000 // t_cur)::BIGINT AS ppm_cur,
+                 abs(n_ref * 1000000 // t_ref - n_cur * 1000000 // t_cur)::BIGINT AS diff_ppm
+          FROM counts, tot)
+        SELECT * FROM per
+        UNION ALL
+        SELECT -1, sum(n_ref)::BIGINT, sum(n_cur)::BIGINT, 1000000, 1000000,
+               (sum(diff_ppm) // 2)::BIGINT
+        FROM per"""),
       bench = false)
   )
 }

@@ -78,6 +78,20 @@ class GraphSpec extends SparkSpec {
     assert(pv == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("kCore: pendant chain peels away, K4 core survives; trees vanish") {
+    import spark.implicits._
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    // chain 0–4–5–6 hanging off the K4: degree-1 endpoints peel first,
+    // then the freshly-exposed ones — the fixpoint needs >1 round
+    val g = (k4 ++ Seq((0L, 4L), (4L, 5L), (5L, 6L))).toDF("a", "b")
+    val core = Graph.kCore(g, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a path graph has no 2-core at all — the loop must terminate on empty
+    val path = (0L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(Graph.kCore(path, 2).isEmpty)
+  }
+
   test("purchase-graph query: suppliers out-rank customers on average") {
     val df = Graph.queries.find(_.name == "gr_pagerank").get
       .run(spark, "/root/testdata/sf0.001").collect()

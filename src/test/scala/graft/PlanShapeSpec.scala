@@ -275,6 +275,46 @@ class PlanShapeSpec extends SparkSpec {
       s"z layout must beat the single-column control on the off-sort dimension ($zDay vs $uDay)")
   }
 
+  test("q19: Catalyst derives the brand IN filter from the disjunction; part broadcasts") {
+    val p = plan("q19_disjunctive")
+    // the OR-of-conjuncts must not defeat scan-level pruning: the
+    // brand constraint common to all three conjuncts reaches the part
+    // scan as an In/Or pushed filter, and part stays the broadcast side
+    assert(p.contains("BroadcastHashJoin"))
+    // Catalyst extracts each side's half of every conjunct and pushes
+    // the per-side disjunction into that side's scan: the part scan
+    // prunes on Or(..EqualTo(p_brand..)..), the LINEITEM scan prunes on
+    // the quantity-band disjunction — row groups outside all three
+    // bands never decompress
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"brand disjunction not pushed to the part scan:\n${p.take(900)}")
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity disjunction not pushed to the lineitem scan:\n${p.take(900)}")
+  }
+
+  test("ev_attribution / ev_markov: exactly one user-keyed exchange feeds the window") {
+    for (name <- Seq("ev_attribution", "ev_markov")) {
+      val p = plan(name)
+      // one Window operator (the two IGNORE-NULLS last() / the lag
+      // share a single (user, ts) sort), and no exchange beyond the
+      // window partitioning + the tiny final aggregate
+      assert(p.split("\\bWindow\\b").length - 1 >= 1 && p.split("Sort ").length - 1 <= 2,
+        s"$name: window pass not fused:\n${p.take(600)}")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("gr_triangles: wedge joins are hash joins, never a cartesian") {
+    val p = plan("gr_triangles")
+    // the only nested-loop join allowed is the 1-row global-stats
+    // broadcast (the idiomatic broadcast-scalar pattern); the wedge
+    // enumeration and closure must stay keyed equi-joins
+    assert(!p.contains("CartesianProduct"),
+      s"triangle closure must stay an equi-join:\n${p.take(600)}")
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      "only the broadcast-scalar stats join may be a nested loop")
+  }
+
   test("pageRank: the edge table never re-shuffles across rounds") {
     import spark.implicits._
     val edges = (0L until 200L).flatMap(i => Seq((i, (i + 1) % 200), ((i + 1) % 200, i)))
