@@ -332,7 +332,64 @@ object Multimodal {
           FROM frames)
         SELECT doc_id, frame_no, epm, prev_epm, abs(epm - prev_epm) AS delta
         FROM lagged
-        WHERE prev_epm IS NOT NULL AND abs(epm - prev_epm) > $CutThreshold"""))
+        WHERE prev_epm IS NOT NULL AND abs(epm - prev_epm) > $CutThreshold""")),
+
+    // ---------------------- perceptual fingerprint (average hash)
+    // The aHash construction over the 16-wide byte image: an 8×8 block
+    // grid covers the first 128 bytes (each block = 2 adjacent bytes of
+    // one row), each block's magnitude comes from the native
+    // codegen'd byte_energy kernel, and bit k is set when block k's
+    // energy exceeds the image mean (e_k·64 > Σe, all-integer — the
+    // strict inequality is the deterministic tie rule). This is the
+    // image near-dup primitive: visually similar payloads land within
+    // small Hamming distance, and the 64-bit code is the join/bucket
+    // key a 100 TB image dedup shards on. The fingerprint is emitted as
+    // two 32-bit halves — summing a set bit 63 would wrap in Spark's
+    // int64 but promote to HUGEINT in DuckDB's sum(), so the sign bit
+    // never enters an accumulator.
+    // Scale shape: the 64-block fan-out is row-local (explode → partial
+    // agg back to one row per doc); no shuffle beyond the per-doc
+    // re-aggregation, kernel runs inside the scan's codegen span.
+    QueryDef(
+      "mm_ahash",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+            "cast(octet_length(text) AS int) AS n_bytes")
+          .where("n_bytes >= 128")
+          .selectExpr("doc_id", "payload", "explode(sequence(0, 63, 1)) AS k")
+          .selectExpr("doc_id", "k",
+            "byte_energy(payload, (k div 8) * 16 + (k % 8) * 2, 2) AS e")
+          .groupBy("doc_id")
+          .agg(
+            expr("cast(sum(e) AS bigint) AS total_energy"),
+            // 64 fixed-size structs per doc — a bounded buffer, not a
+            // corpus-sized collect_list
+            expr("collect_list(named_struct('k', k, 'e', e)) AS blocks"))
+          .selectExpr("doc_id", "total_energy",
+            """aggregate(filter(blocks, x -> x.k < 32 AND x.e * 64 > total_energy),
+                         0L, (acc, x) -> acc + shiftleft(1L, x.k)) AS ahash_lo""",
+            """aggregate(filter(blocks, x -> x.k >= 32 AND x.e * 64 > total_energy),
+                         0L, (acc, x) -> acc + shiftleft(1L, x.k - 32)) AS ahash_hi""",
+            "cast(size(filter(blocks, x -> x.e * 64 > total_energy)) AS bigint) AS n_ones")
+      },
+      Some("""
+        WITH img AS (
+          SELECT doc_id, hex(encode(text)) AS ph
+          FROM documents WHERE octet_length(encode(text)) >= 128),
+        blocks AS (
+          SELECT doc_id, g.k,
+                 (abs(('0x' || substr(ph, ((g.k // 8) * 16 + (g.k % 8) * 2) * 2 + 1, 2))::INT - 128)
+                  + abs(('0x' || substr(ph, ((g.k // 8) * 16 + (g.k % 8) * 2 + 1) * 2 + 1, 2))::INT - 128))::BIGINT AS e
+          FROM img, (SELECT unnest(generate_series(0, 63)) AS k) g),
+        tot AS (SELECT doc_id, sum(e)::BIGINT AS total_energy FROM blocks GROUP BY doc_id)
+        SELECT b.doc_id, any_value(total_energy) AS total_energy,
+               sum(CASE WHEN k < 32 AND e * 64 > total_energy THEN (1::BIGINT << k) ELSE 0 END)::BIGINT AS ahash_lo,
+               sum(CASE WHEN k >= 32 AND e * 64 > total_energy THEN (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS ahash_hi,
+               sum(CASE WHEN e * 64 > total_energy THEN 1 ELSE 0 END)::BIGINT AS n_ones
+        FROM blocks b JOIN tot USING (doc_id)
+        GROUP BY b.doc_id"""))
   )
 
   /** mm_scenecut: per-mille mean-energy jump that counts as a cut. */

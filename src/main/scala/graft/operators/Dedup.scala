@@ -106,7 +106,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  private[operators] val shingleHashesSql: String =
+  private[graft] val shingleHashesSql: String =
     """SELECT doc_id, lang, len(toks) AS n_toks,
       |       list_distinct(list_transform(
       |         CASE WHEN len(toks) < 4 THEN [tc]

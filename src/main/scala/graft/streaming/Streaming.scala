@@ -824,6 +824,72 @@ object Streaming {
         SELECT -1, sum(n_ref)::BIGINT, sum(n_cur)::BIGINT, 1000000, 1000000,
                (sum(diff_ppm) // 2)::BIGINT
         FROM per"""),
+      bench = false),
+
+    // ------------------------- streaming HLL sketch maintenance
+    // The cardinality companion to st_ivf_build: documents stream in,
+    // shingle ranks extract row-locally (the same native word_shingles
+    // kernel as the batch path), and the ONLY state the stream carries
+    // is the sketch itself — a 256-row max-register aggregate in the
+    // state store, O(m) bytes however many exabytes flow past. The
+    // drained registers feed the identical bucket-ordered harmonic
+    // fold, so the streamed estimate is bit-equal to batch
+    // ta_vocab_hll — whose oracle SQL this row reuses verbatim.
+    graft.QueryDef(
+      "st_hll",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val half = 1L << 52
+        val src = spark.readStream
+          .schema(documentsSchema)
+          .parquet(stageDir(s"$dir/documents.parquet"))
+        val regs = src
+          .selectExpr(
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("split(tc, ' ') AS toks")
+          .selectExpr("word_shingles(toks, 4) AS hs")
+          .selectExpr("explode(hs) AS h")
+          .selectExpr(s"h div ${half}L AS b", s"h % ${half}L AS rem")
+          .selectExpr("b", "53 - length(regexp_replace(bin(rem), '^0+', '')) AS r")
+          .groupBy("b").agg(expr("max(r) AS mr"))
+        val qn = "st_hll_sink"
+        val q = regs.writeStream.format("memory").queryName(qn)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.range(0, 256).selectExpr("cast(id AS bigint) AS b")
+          .join(spark.table(qn), Seq("b"), "left")
+          .selectExpr("b", "coalesce(mr, 0) AS M")
+          .groupBy()
+          .agg(
+            expr("""aggregate(sort_array(collect_list(named_struct('b', b, 'm', M))),
+                              cast(0 AS double), (acc, x) -> acc + pow(2D, -cast(x.m AS double))) AS S"""),
+            expr("sum(CASE WHEN M > 0 THEN 1 ELSE 0 END) AS hit"))
+          .selectExpr(
+            "cast(256 AS bigint) AS m_buckets",
+            "cast(hit AS bigint) AS buckets_hit",
+            "round((0.7213D / (1D + 1.079D / 256D)) * 256D * 256D / S, 4) AS hll_est")
+      },
+      Some(s"""
+        WITH sh AS (${graft.operators.Dedup.shingleHashesSql}),
+        post AS (SELECT unnest(hs) AS h FROM sh),
+        rk AS (
+          SELECT h // 4503599627370496 AS b,
+                 53 - length(regexp_replace(bin(h % 4503599627370496), '^0+', '')) AS r
+          FROM post),
+        mb AS (SELECT b, max(r) AS mr FROM rk GROUP BY b),
+        allb AS (
+          SELECT gs.b, coalesce(mb.mr, 0) AS M
+          FROM (SELECT unnest(generate_series(0, 255)) AS b) gs
+          LEFT JOIN mb ON gs.b = mb.b),
+        agg AS (
+          SELECT list_sum(list(pow(2, -M) ORDER BY b)) AS S,
+                 sum(CASE WHEN M > 0 THEN 1 ELSE 0 END) AS hit
+          FROM allb)
+        SELECT 256::BIGINT AS m_buckets, hit::BIGINT AS buckets_hit,
+               round((0.7213 / (1 + 1.079 / 256)) * 256 * 256 / S, 4) AS hll_est
+        FROM agg"""),
       bench = false)
   )
 }
