@@ -718,14 +718,18 @@ object Events {
           .selectExpr("user_id", "event_id AS t_id", "event_type AS t_type",
             "unix_micros(ts) AS t_us")
         purchases.join(touches, Seq("user_id"), "left")
-          .selectExpr("p_id", "v_micros",
+          .selectExpr("user_id", "p_id", "v_micros",
             """CASE WHEN t_us IS NOT NULL AND t_us < p_us
                      AND p_us - t_us <= 604800000000L
                     THEN t_type END AS channel""",
             "t_us", "t_id")
+          // PARTITION BY (user_id, p_id) — p_id alone is equivalent
+          // (a purchase belongs to one user) but would force a second
+          // exchange; hash(user_id) from the join already CLUSTERS by
+          // the compound key, so this window spec reuses it
           .selectExpr("p_id", "v_micros", "channel",
-            """count(channel) OVER (PARTITION BY p_id) AS n_t""",
-            """row_number() OVER (PARTITION BY p_id
+            """count(channel) OVER (PARTITION BY user_id, p_id) AS n_t""",
+            """row_number() OVER (PARTITION BY user_id, p_id
                                   ORDER BY (channel IS NULL), t_us DESC, t_id DESC) AS rn""")
           // rn = 1 is the LAST in-window touch when any exists (non-null
           // channels sort first), else one arbitrary-but-deterministic
@@ -773,6 +777,54 @@ object Events {
                                   ELSE 0 END END)::BIGINT AS credited_micros
         FROM w
         WHERE channel IS NOT NULL OR rn = 1
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // --------------------------- integer EWMA (per-user smoothing)
+    // Exponential smoothing over each user's value series — the
+    // baseline forecasting/anomaly primitive. The recurrence
+    // s_t = (300·v_t + 700·s_{t−1}) div 1000 (α = 0.3) is inherently
+    // sequential, so it runs as a typed per-user fold
+    // (groupByKey → flatMapGroups — the tp_pack_ffd/GraphAnn idiom for
+    // order-dependent per-key state): one shuffle on user_id, the fold
+    // buffers ONE user's own events (bounded by their activity, never
+    // the corpus). All arithmetic is integer micros — the fixed-order
+    // recurrence is bit-identical to the oracle's sequential replay,
+    // which recomputes it as a DuckDB RECURSIVE CTE stepping rn → rn+1
+    // per user: an independent implementation of the same recurrence.
+    QueryDef(
+      "ev_ewma",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.events(spark, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+          .as[(Long, Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (uid, rows) =>
+            val ordered = rows.toSeq.sortBy(r => (r._3, r._2))
+            var s = 0L
+            ordered.iterator.zipWithIndex.map { case ((_, eid, _, v), i) =>
+              s = if (i == 0) v else (300L * v + 700L * s) / 1000L
+              (uid, eid, (i + 1).toLong, v, s)
+            }
+          }
+          .toDF("user_id", "event_id", "rn", "v_micros", "ewma_micros")
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+        r AS (
+          SELECT user_id, event_id, rn, v, v AS s FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.rn, e.v,
+                 ((300 * e.v + 700 * r.s) // 1000)::BIGINT
+          FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, event_id, rn::BIGINT AS rn, v AS v_micros,
+               s::BIGINT AS ewma_micros
+        FROM r"""))
   )
 }

@@ -712,12 +712,16 @@ object Relational {
             expr("l_orderkey = o_orderkey"))
           .selectExpr("l_orderkey", "l_suppkey",
             "CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAYS THEN 1 ELSE 0 END AS late")
-        val stats = l.groupBy("l_orderkey").agg(
-          expr("count(DISTINCT l_suppkey) AS ns"),
-          expr("count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nl"))
-        l.where("late = 1")
-          .join(stats, "l_orderkey")
-          .where("ns >= 2 AND nl = 1")
+        // per-order supplier counts as WINDOW collect_sets, not a
+        // groupBy + join-back: the join-back formulation scans (and
+        // shuffles) the joined fact twice; one order's lineitems are a
+        // bounded group, so the set buffers are safe and the whole
+        // qualification runs inside the single l_orderkey exchange
+        l.selectExpr("l_orderkey", "l_suppkey", "late",
+            "size(collect_set(l_suppkey) OVER (PARTITION BY l_orderkey)) AS ns",
+            """size(collect_set(CASE WHEN late = 1 THEN l_suppkey END)
+                      OVER (PARTITION BY l_orderkey)) AS nl""")
+          .where("late = 1 AND ns >= 2 AND nl = 1")
           .selectExpr("l_orderkey", "l_suppkey").distinct()
           .groupBy("l_suppkey")
           .agg(expr("cast(count(*) AS bigint) AS numwait"))

@@ -293,7 +293,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("ev_attribution / ev_markov: exactly one user-keyed exchange feeds the window") {
-    for (name <- Seq("ev_attribution", "ev_markov")) {
+    // ev_multitouch rides the same discipline: its windows partition by
+    // (user_id, p_id) so the user-keyed clustering satisfies them — a
+    // p_id-only spec would force a second exchange
+    for (name <- Seq("ev_attribution", "ev_markov", "ev_multitouch")) {
       val p = plan(name)
       // one Window operator (the two IGNORE-NULLS last() / the lag
       // share a single (user, ts) sort), and no exchange beyond the
