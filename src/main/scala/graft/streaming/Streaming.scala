@@ -370,6 +370,38 @@ object Streaming {
     */
   case class SemVec(vec_id: Long, cluster_id: Long, embedding: Seq[Float])
   case class SemVerdict(vec_id: Long, cluster_id: Long, kept: Boolean)
+  case class EwmaPoint(user_id: Long, event_id: Long, ts_us: Long, v: Long)
+  case class EwmaScore(user_id: Long, event_id: Long, rn: Long,
+                       v_micros: Long, ewma_micros: Long)
+
+  /** Streaming EWMA: each user's smoothing state is TWO longs (count,
+    * current s) in the state store — the recurrence carries across
+    * microbatches, so a forecasting baseline stays live over an
+    * unbounded stream with O(users) state. Same ordered-arrival
+    * contract as [[semanticDedupStream]]: batches sort by
+    * (ts_us, event_id) inside each group, so the verdict stream equals
+    * the batch ev_ewma when events arrive time-ordered per user across
+    * batches (AvailableNow over one staged file trivially satisfies
+    * it; a production deployment gets it from per-key ordered sources
+    * or a watermarked pre-sort).
+    */
+  def ewmaStream(spark: SparkSession, src: DataFrame): Dataset[EwmaScore] = {
+    import spark.implicits._
+    src.as[EwmaPoint]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), EwmaScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0L))
+          val out = batch.toSeq.sortBy(r => (r.ts_us, r.event_id)).map { r =>
+            s = if (n == 0L) r.v else (300L * r.v + 700L * s) / 1000L
+            n += 1L
+            EwmaScore(uid, r.event_id, n, r.v, s)
+          }
+          state.update((n, s))
+          out.iterator
+      }
+  }
 
   /** Streaming SemDeDup (see the st_semdedup QueryDef): per-cluster
     * keep/drop state over a centroid-assigned embedding stream. The
@@ -890,6 +922,51 @@ object Streaming {
         SELECT 256::BIGINT AS m_buckets, hit::BIGINT AS buckets_hit,
                round((0.7213 / (1 + 1.079 / 256)) * 256 * 256 / S, 4) AS hll_est
         FROM agg"""),
+      bench = false),
+
+    // ----------------------------- streaming EWMA (live forecasting)
+    // ev_ewma's recurrence running against the stream: per-user state
+    // is (count, s) — two longs per user however long the stream runs.
+    // The drained Append output under AvailableNow equals the batch
+    // fold row for row, which is what the oracle (the same RECURSIVE
+    // CTE as ev_ewma) recomputes.
+    graft.QueryDef(
+      "st_ewma",
+      (spark, dir) => {
+        val src = spark.readStream
+          .schema(rawEventsSchema)
+          .parquet(stageDir(s"$dir/events.parquet"))
+          .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = ewmaStream(spark, src).writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read
+          .schema("user_id BIGINT, event_id BIGINT, rn BIGINT, v_micros BIGINT, ewma_micros BIGINT")
+          .parquet(s"$tmp/out")
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+        r AS (
+          SELECT user_id, event_id, rn, v, v AS s FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.rn, e.v,
+                 ((300 * e.v + 700 * r.s) // 1000)::BIGINT
+          FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, event_id, rn::BIGINT AS rn, v AS v_micros,
+               s::BIGINT AS ewma_micros
+        FROM r"""),
       bench = false)
   )
 }

@@ -187,6 +187,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream: the smoothing state carries across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one user, six time-ordered points split 3/3: batch-2 rows must
+    // continue from batch-1's (count, s), not restart at s = v
+    val pts = Seq(1000000L, 2000000L, 500000L, 3000000L, 250000L, 4000000L)
+      .zipWithIndex.map { case (v, i) => (7L, 100L + i, 1000L * i, v) }
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val scored = Streaming.ewmaStream(
+      spark, input.toDF().toDF("user_id", "event_id", "ts_us", "v"))
+    val q = scored.writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = pts.splitAt(3)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("ewma_stream").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("ewma_micros")).toMap
+      // sequential reference fold over the full ordered series
+      var s = 0L
+      val want = pts.zipWithIndex.map { case ((_, eid, _, v), i) =>
+        s = if (i == 0) v else (300L * v + 700L * s) / 1000L
+        eid -> s
+      }.toMap
+      assert(got == want, s"streamed EWMA diverged: got $got want $want")
+    } finally q.stop()
+  }
+
   test("nearDupPairsStream: LSH-bucket state finds pairs within and across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
