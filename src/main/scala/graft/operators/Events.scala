@@ -825,6 +825,57 @@ object Events {
           FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
         SELECT user_id, event_id, rn::BIGINT AS rn, v AS v_micros,
                s::BIGINT AS ewma_micros
-        FROM r"""))
+        FROM r""")),
+
+    // ------------------------ strict time-windowed funnel
+    // ev_funnel's upgrade: each stage must follow the PREVIOUS stage
+    // within 24 hours, so the earliest-qualifying time of stage k is
+    // conditional on stage k−1's — the cascade real conversion
+    // analysis runs, not three independent minima. Each stage is a
+    // per-user aggregate joined back user-keyed: the per-user stage
+    // table is corpus-bounded (one row per converting user) and every
+    // join rides the same user_id shuffle key. Conversion shares in
+    // integer ppm.
+    QueryDef(
+      "ev_funnel_strict",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
+        val day = 86400000000L
+        val s1 = ev.where("event_type = 'signup'")
+          .groupBy("user_id").agg(org.apache.spark.sql.functions.expr("min(ts_us) AS t1"))
+        val s2 = ev.where("event_type = 'view'")
+          .join(s1, "user_id")
+          .where(s"ts_us > t1 AND ts_us <= t1 + ${day}L")
+          .groupBy("user_id").agg(org.apache.spark.sql.functions.expr("min(ts_us) AS t2"))
+        val s3 = ev.where("event_type = 'purchase'")
+          .join(s2, "user_id")
+          .where(s"ts_us > t2 AND ts_us <= t2 + ${day}L")
+          .groupBy("user_id").agg(org.apache.spark.sql.functions.expr("min(ts_us) AS t3"))
+        val counts = s1.agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n")).selectExpr("'1_signup' AS stage", "n")
+          .unionByName(s2.agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n")).selectExpr("'2_view_24h' AS stage", "n"))
+          .unionByName(s3.agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n")).selectExpr("'3_purchase_24h' AS stage", "n"))
+        val base = s1.agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n0"))
+        counts.crossJoin(org.apache.spark.sql.functions.broadcast(base))
+          .selectExpr("stage", "n", "n * 1000000L div n0 AS conv_ppm")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(ts_us) AS t2
+               FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'view' AND ts_us > t1 AND ts_us <= t1 + 86400000000
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(ts_us) AS t3
+               FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts_us > t2 AND ts_us <= t2 + 86400000000
+               GROUP BY e.user_id),
+        c AS (
+          SELECT '1_signup' AS stage, count(*)::BIGINT AS n FROM s1
+          UNION ALL SELECT '2_view_24h', count(*)::BIGINT FROM s2
+          UNION ALL SELECT '3_purchase_24h', count(*)::BIGINT FROM s3)
+        SELECT stage, n, (n * 1000000 // (SELECT count(*) FROM s1))::BIGINT AS conv_ppm
+        FROM c"""))
   )
 }

@@ -694,6 +694,50 @@ object Relational {
         WHERE l_suppkey NOT IN (SELECT l_suppkey FROM late)
         GROUP BY 1, 2""")),
 
+    // ---------------------- dominant part suppliers (TPC-H Q20 shape)
+    // Suppliers who shipped more than half of some part's 1996 volume —
+    // the nested-aggregate-threshold shape (Q20's "excess stock"
+    // against a correlated sum). Both aggregates reduce the SAME
+    // filtered fact slice on l_partkey — the per-(part, supplier) sums
+    // and the per-part totals share one shuffle key, so the threshold
+    // join is co-partitioned; 2·sq > qt keeps the comparison integer.
+    QueryDef(
+      "q20_dominant_supplier",
+      (spark, dir) => {
+        val f = Tables.lineitem(spark, dir)
+          .where("l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'")
+          .selectExpr("l_partkey", "l_suppkey",
+            "cast(cast(l_quantity AS decimal(18,6)) * 1000000 AS bigint) AS q")
+        val perSupp = f.groupBy("l_partkey", "l_suppkey")
+          .agg(expr("cast(sum(q) AS bigint) AS sq"))
+        val perPart = f.groupBy("l_partkey")
+          .agg(expr("cast(sum(q) AS bigint) AS qt"))
+        perSupp.join(perPart, "l_partkey")
+          .where("2 * sq > qt")
+          .groupBy("l_suppkey")
+          .agg(expr("cast(count(*) AS bigint) AS n_dominant_parts"))
+          .join(broadcast(Tables.supplier(spark, dir).selectExpr("s_suppkey", "s_name")),
+            expr("l_suppkey = s_suppkey"))
+          .selectExpr("s_suppkey", "s_name", "n_dominant_parts")
+          .orderBy(desc("n_dominant_parts"), col("s_suppkey"))
+          .limit(20)
+      },
+      Some("""
+        WITH f AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q
+          FROM lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'),
+        ps AS (SELECT l_partkey, l_suppkey, sum(q)::BIGINT AS sq FROM f GROUP BY 1, 2),
+        pt AS (SELECT l_partkey, sum(q)::BIGINT AS qt FROM f GROUP BY 1)
+        SELECT s_suppkey, s_name, count(*)::BIGINT AS n_dominant_parts
+        FROM ps JOIN pt USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE 2 * sq > qt
+        GROUP BY 1, 2
+        ORDER BY n_dominant_parts DESC, s_suppkey
+        LIMIT 20""")),
+
     // ---------------------- sole-blame late suppliers (TPC-H Q21 shape)
     // Suppliers who were the ONLY late shipper (> 120 days after the
     // order date) on a multi-supplier order — the double-correlated
