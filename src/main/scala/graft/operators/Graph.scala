@@ -103,6 +103,15 @@ object Graph {
         .where("r != rp").isEmpty
       prevFence = r
     }
+    // A maxIters exit means NO period-dividing-`checkEvery` cycle was
+    // detected — a graph with a longer period (or genuine divergence)
+    // would silently return the round-`maxIters` state and mismatch a
+    // fixed-round oracle with no clue why. Make that attributable.
+    if (!cycled)
+      System.err.println(
+        s"[graft] pageRankConverged: no period-$checkEvery cycle within " +
+        s"$maxIters rounds — returning round-$maxIters scores; a fixed-round " +
+        "oracle may disagree (raise maxIters or checkEvery for this graph)")
     r
   }
 
@@ -450,11 +459,15 @@ object Graph {
 
     // ---------------------------------- 3-core of the part graph
     // Spark peels to the exact fixpoint (data-dependent rounds, driver
-    // count check per round); the oracle unrolls a FIXED 40 peel
+    // count check per round); the oracle unrolls a FIXED 60 peel
     // rounds — peeling is idempotent at the fixpoint, so any unroll ≥
     // the true depth is byte-identical (the gr_pagerank_conv trick).
     // Measured depths: 6 (sf0.001) / 28 (sf0.01) / 37 (sf0.1), all
-    // within the 40-round oracle budget at the gate SFs. bench=false:
+    // comfortably under the 60-round oracle budget (23-round margin at
+    // the deepest gate SF — GraphSpec pins depth ≤ budget − 10 so a
+    // regenerated corpus trips a named assertion, not a bare hash
+    // mismatch; extra MATERIALIZED rounds are linear, not free-floating
+    // plan growth). bench=false:
     // O(depth) driver-synchronized micro-jobs measure the loop
     // machinery, not an interesting throughput — gr_pagerank stays the
     // benched iterative representative.
@@ -486,9 +499,9 @@ object Graph {
                FROM os l JOIN os r ON l.ok = r.ok WHERE l.s < r.s),
         e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
                UNION ALL SELECT b, a FROM ed),
-        ${(0 until 40).map(peel).mkString(",")}
+        ${(0 until KCoreUnroll).map(peel).mkString(",")}
         SELECT src AS id, count(*)::BIGINT AS core_deg
-        FROM e40 GROUP BY src"""
+        FROM e$KCoreUnroll GROUP BY src"""
       },
       bench = false)
   )
@@ -508,12 +521,26 @@ object Graph {
     * are O(peel depth) (degeneracy ordering length, a graph property —
     * not corpus size); the edge list only ever shrinks.
     */
-  private[graft] def kCore(edges: DataFrame, k: Int): DataFrame = {
+  private[graft] def kCore(edges: DataFrame, k: Int): DataFrame =
+    kCoreWithDepth(edges, k)._1
+
+  /** Oracle-side fixed unroll for gr_kcore. Any value ≥ the true peel
+    * depth is output-identical (peeling is idempotent at the fixpoint);
+    * GraphSpec asserts measured depth ≤ this − 10 so corpus growth
+    * surfaces as a named assertion instead of a bare gate hash miss.
+    */
+  private[graft] val KCoreUnroll = 60
+
+  /** [[kCore]] plus the measured peel depth (rounds until the edge set
+    * stabilizes) — the depth is what bounds the oracle's fixed unroll.
+    */
+  private[graft] def kCoreWithDepth(edges: DataFrame, k: Int): (DataFrame, Int) = {
     var e = edges.selectExpr("a AS src", "b AS dst")
       .unionByName(edges.selectExpr("b AS src", "a AS dst"))
       .repartition(col("src")).localCheckpoint(true)
     var n = e.count()
     var done = n == 0
+    var depth = 0
     while (!done) {
       val keep = e.groupBy("src").agg(expr("count(*) AS d"))
         .where(s"d >= $k").select("src")
@@ -523,10 +550,10 @@ object Graph {
         .repartition(col("src")).localCheckpoint(true)
       val n2 = e2.count()
       done = n2 == n
-      e = e2; n = n2
+      e = e2; n = n2; depth += 1
     }
-    e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS core_deg"))
-      .selectExpr("src AS id", "core_deg")
+    (e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS core_deg"))
+      .selectExpr("src AS id", "core_deg"), depth)
   }
 
   /** Degree-ordered triangle counting over an undirected simple edge

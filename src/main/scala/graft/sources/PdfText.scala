@@ -126,9 +126,18 @@ object PdfText {
     * `resolveLen` supplies the value of an indirect /Length reference
     * (available on the xref path, where the object table is known);
     * without it, extents fall back to the first `endstream`.
+    *
+    * `trustLength` (xref path only — offsets there come from the file's
+    * own cross-reference table, so /Length is authoritative and stream
+    * data may legitimately contain the bytes `endobj`): accept a length
+    * that runs past the first `endobj` occurrence. On the scan path a
+    * corrupt oversized /Length must NOT swallow bytes past the object's
+    * real end — validate against the `endobj` bound and fall back to
+    * the `endstream` search when the declared length overruns it.
     */
   private def parseObjBody(bytes: Array[Byte], s: String, bodyStart: Int,
-                           resolveLen: Int => Option[Int] = _ => None): Option[PdfObj] = {
+                           resolveLen: Int => Option[Int] = _ => None,
+                           trustLength: Boolean = false): Option[PdfObj] = {
     val end = s.indexOf("endobj", bodyStart)
     if (end < 0) None
     else {
@@ -144,8 +153,9 @@ object PdfText {
         val direct = lengthRe.findFirstMatchIn(dict).map(_.group(1).toInt)
         val indirect = indLengthRe.findFirstMatchIn(dict)
           .flatMap(m => resolveLen(m.group(1).toInt))
+        val bound = if (trustLength) bytes.length else end
         val dataEnd = direct.orElse(indirect) match {
-          case Some(len) if dataStart + len <= bytes.length => dataStart + len
+          case Some(len) if dataStart + len <= bound => dataStart + len
           case _ =>
             val e = s.indexOf("endstream", dataStart)
             if (e < 0) dataStart else e
@@ -162,7 +172,8 @@ object PdfText {
     val m = objRe.pattern.matcher(s)
     m.region(off, s.length)
     if (!m.lookingAt) None
-    else parseObjBody(bytes, s, m.end, resolveLen).map(m.group(1).toInt -> _)
+    else parseObjBody(bytes, s, m.end, resolveLen, trustLength = true)
+      .map(m.group(1).toInt -> _)
   }
 
   private val startxrefRe = raw"startxref\s+(\d+)".r

@@ -92,6 +92,25 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(path, 2).isEmpty)
   }
 
+  test("gr_kcore: measured peel depth stays ≥10 rounds under the oracle unroll") {
+    // The DuckDB oracle unrolls a FIXED KCoreUnroll peel rounds; if the
+    // gate corpus ever deepens to within 10 rounds of that budget this
+    // assertion names the problem instead of leaving a bare gate hash
+    // mismatch. Build the exact gr_kcore edge set at the test SF.
+    val os = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .where("l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'")
+      .selectExpr("l_orderkey AS ok", "l_partkey AS s").distinct()
+    val edges = os.selectExpr("ok", "s AS a")
+      .join(os.selectExpr("ok", "s AS b"), "ok")
+      .where("a < b").select("a", "b").distinct()
+    val (_, depth) = Graph.kCoreWithDepth(edges, 3)
+    // measured depths: 6 (sf0.001) / 28 (sf0.01) / 37 (sf0.1) — the
+    // SF-driven growth is ~+10 per decade, so a 10-round guard at the
+    // smallest SF leaves the larger gate SFs inside budget too
+    assert(depth <= Graph.KCoreUnroll - 10,
+      s"peel depth $depth within 10 of oracle unroll ${Graph.KCoreUnroll}")
+  }
+
   test("purchase-graph query: suppliers out-rank customers on average") {
     val df = Graph.queries.find(_.name == "gr_pagerank").get
       .run(spark, "/root/testdata/sf0.001").collect()

@@ -8,6 +8,10 @@ if any query present in both is slower than THRESHOLD x its prior
 figure (default 1.5) AND slower by more than an absolute floor of
 0.25 s — the floor keeps sub-100 ms jitter from tripping the gate on
 queries whose wall time is dominated by fixed per-query overhead.
+Also FAILS if a query that previously ran clean now errors (curr = -1)
+or is missing from the current artifact — the worst regression class
+(no timing at all) must not exit 0. Intentionally retiring a query
+from the bench set means updating the baseline artifact alongside.
 
 Accepted input shapes, auto-detected per file:
   1. A complete Bench.scala line:  {"metric":"total",...,"queries":{...}}
@@ -64,10 +68,16 @@ def main():
     removed = sorted(set(prev) - set(curr))
 
     regressions = []
+    # worst regression class first: a query that previously ran clean and
+    # now errors (curr = -1) or vanished from the artifact entirely is a
+    # FAILURE, not an informational note — the timing gate must not exit
+    # 0 for a query that stopped producing a timing at all
+    broken = sorted(k for k in common if prev[k] > 0 and curr[k] < 0)
+    vanished = sorted(k for k in removed if prev[k] > 0)
     print(f"{'query':32s} {'prev_s':>9s} {'curr_s':>9s} {'ratio':>7s}")
     for k in common:
         if prev[k] <= 0 or curr[k] < 0:
-            continue  # -1 = errored run; surfaced by the bench itself
+            continue  # errored rows handled as `broken` below
         ratio = curr[k] / prev[k]
         flag = ""
         if ratio > threshold and (curr[k] - prev[k]) > floor_s:
@@ -83,11 +93,20 @@ def main():
     if removed:
         print(f"no longer benched ({len(removed)}): {', '.join(removed)}")
 
+    failures = []
+    if broken:
+        failures.append(f"{len(broken)} now erroring (curr < 0): {', '.join(broken)}")
+    if vanished:
+        failures.append(f"{len(vanished)} vanished from current artifact: "
+                        f"{', '.join(vanished)}")
     if regressions:
-        print(f"\nFAIL: {len(regressions)} quer{'y' if len(regressions)==1 else 'ies'} "
-              f"regressed >{threshold}x (+{floor_s}s floor): {', '.join(regressions)}")
+        failures.append(f"{len(regressions)} regressed >{threshold}x "
+                        f"(+{floor_s}s floor): {', '.join(regressions)}")
+    if failures:
+        print("\nFAIL: " + "; ".join(failures))
         sys.exit(1)
-    print(f"\nOK: no query regressed >{threshold}x (+{floor_s}s floor)")
+    print(f"\nOK: no query regressed >{threshold}x (+{floor_s}s floor), "
+          f"errored, or vanished")
 
 
 if __name__ == "__main__":
