@@ -17,17 +17,23 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader only
-    * accepts as raw int64 (`spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set by Verify/Bench). Normalize to a micros-precision timestamp —
-    * the same truncation DuckDB applies when it reads nanos parquet, so
-    * both engines see identical values.
+  /** events.parquet's `ts` has shipped in two vintages: TIMESTAMP(NANOS)
+    * (readable only as raw int64 under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench)
+    * and TIMESTAMP(MICROS) without UTC adjustment (read as
+    * TIMESTAMP_NTZ). Normalize both to a micros-precision TimestampType
+    * column: all engine sessions run with session timeZone=UTC, so the
+    * NTZ→TZ cast is value-identity and matches DuckDB, which treats the
+    * naive timestamp as-is in `epoch_us`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -701,40 +701,46 @@ object Events {
     // remainder assigned to the LAST touch so per-purchase credit sums
     // conserve exactly (no fractional cents to round cross-engine).
     // Untouched purchases credit 'direct' in full.
-    // Scale shape: purchases⋈touches is a user-keyed equi-join with a
-    // time-band residual (per-user pair space, bounded by one user's
-    // own activity — never a global range join), then one window
-    // partitioned by purchase id for (n_touches, last-touch flag), then
-    // an O(channels) aggregate. The left join keeps no-touch purchases
-    // without a second pass.
+    // Scale shape: purchases⋈touches joins on (user_id, WEEK BUCKET)
+    // with the 7-day band as a join residual — each purchase explodes
+    // to its own and the preceding week bucket (the only two buckets an
+    // in-window touch can live in), so out-of-window touches NEVER
+    // materialize join rows. A user with years of history no longer
+    // pairs every purchase with every touch they ever made: per-key
+    // pair space is one purchase × one week of that user's touches.
+    // The surviving (in-window-only) rows re-shuffle once for the
+    // per-purchase window — an O(result) exchange, far smaller than
+    // the unbounded pair space it replaces. Then an O(channels)
+    // aggregate. The left join keeps no-touch purchases without a
+    // second pass.
     QueryDef(
       "ev_multitouch",
       (spark, dir) => {
         val ev = Tables.events(spark, dir)
+        val week = 604800000000L
         val purchases = ev.where("event_type = 'purchase'")
-          .selectExpr("user_id", "event_id AS p_id", "unix_micros(ts) AS p_us",
-            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v_micros")
+          .selectExpr("user_id AS pu", "event_id AS p_id", "unix_micros(ts) AS p_us",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v_micros",
+            s"explode(array(unix_micros(ts) div ${week}L - 1L, unix_micros(ts) div ${week}L)) AS wk")
         val touches = ev.where("event_type <> 'purchase'")
-          .selectExpr("user_id", "event_id AS t_id", "event_type AS t_type",
-            "unix_micros(ts) AS t_us")
-        purchases.join(touches, Seq("user_id"), "left")
-          .selectExpr("user_id", "p_id", "v_micros",
-            """CASE WHEN t_us IS NOT NULL AND t_us < p_us
-                     AND p_us - t_us <= 604800000000L
-                    THEN t_type END AS channel""",
-            "t_us", "t_id")
-          // PARTITION BY (user_id, p_id) — p_id alone is equivalent
-          // (a purchase belongs to one user) but would force a second
-          // exchange; hash(user_id) from the join already CLUSTERS by
-          // the compound key, so this window spec reuses it
+          .selectExpr("user_id AS tu", "event_id AS t_id", "event_type AS t_type",
+            "unix_micros(ts) AS t_us", s"unix_micros(ts) div ${week}L AS twk")
+        purchases.join(touches,
+            org.apache.spark.sql.functions.expr(
+              s"pu = tu AND wk = twk AND t_us < p_us AND p_us - t_us <= ${week}L"),
+            "left")
+          // every matched row is in-window by construction (the band
+          // rides the join); unmatched bucket keys surface null rows
+          .selectExpr("p_id", "v_micros", "t_type AS channel", "t_us", "t_id", "wk")
           .selectExpr("p_id", "v_micros", "channel",
-            """count(channel) OVER (PARTITION BY user_id, p_id) AS n_t""",
-            """row_number() OVER (PARTITION BY user_id, p_id
-                                  ORDER BY (channel IS NULL), t_us DESC, t_id DESC) AS rn""")
+            """count(channel) OVER (PARTITION BY p_id) AS n_t""",
+            """row_number() OVER (PARTITION BY p_id
+                                  ORDER BY (channel IS NULL), t_us DESC, t_id DESC, wk DESC) AS rn""")
           // rn = 1 is the LAST in-window touch when any exists (non-null
           // channels sort first), else one arbitrary-but-deterministic
           // carrier row for the 'direct' credit — a no-touch purchase
-          // with several out-of-window join rows must emit exactly once
+          // explodes to TWO unmatched bucket rows and must emit exactly
+          // once (wk DESC breaks the otherwise-all-null tie)
           .where("channel IS NOT NULL OR rn = 1")
           .selectExpr(
             "coalesce(channel, 'direct') AS channel",
@@ -783,14 +789,19 @@ object Events {
     // Exponential smoothing over each user's value series — the
     // baseline forecasting/anomaly primitive. The recurrence
     // s_t = (300·v_t + 700·s_{t−1}) div 1000 (α = 0.3) is inherently
-    // sequential, so it runs as a typed per-user fold
-    // (groupByKey → flatMapGroups — the tp_pack_ffd/GraphAnn idiom for
-    // order-dependent per-key state): one shuffle on user_id, the fold
-    // buffers ONE user's own events (bounded by their activity, never
-    // the corpus). All arithmetic is integer micros — the fixed-order
-    // recurrence is bit-identical to the oracle's sequential replay,
-    // which recomputes it as a DuckDB RECURSIVE CTE stepping rn → rn+1
-    // per user: an independent implementation of the same recurrence.
+    // sequential, so it runs as a SECONDARY-SORT streaming fold:
+    // repartition on user_id, sortWithinPartitions by
+    // (user_id, ts_us, event_id), then a single-pass mapPartitions
+    // that resets the accumulator at each user boundary. Unlike a
+    // groupByKey → flatMapGroups fold (which must buffer one user's
+    // whole history on the heap to sort it), the shuffle's external
+    // sort spills to disk, and the fold holds O(1) state — a
+    // hyper-active user at 100 TB streams through instead of
+    // materializing. All arithmetic is integer micros — the
+    // fixed-order recurrence is bit-identical to the oracle's
+    // sequential replay, which recomputes it as a DuckDB RECURSIVE CTE
+    // stepping rn → rn+1 per user: an independent implementation of
+    // the same recurrence.
     QueryDef(
       "ev_ewma",
       (spark, dir) => {
@@ -799,13 +810,15 @@ object Events {
           .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
             "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
           .as[(Long, Long, Long, Long)]
-          .groupByKey(_._1)
-          .flatMapGroups { (uid, rows) =>
-            val ordered = rows.toSeq.sortBy(r => (r._3, r._2))
-            var s = 0L
-            ordered.iterator.zipWithIndex.map { case ((_, eid, _, v), i) =>
-              s = if (i == 0) v else (300L * v + 700L * s) / 1000L
-              (uid, eid, (i + 1).toLong, v, s)
+          .repartition(org.apache.spark.sql.functions.col("user_id"))
+          .sortWithinPartitions("user_id", "ts_us", "event_id")
+          .mapPartitions { it =>
+            var cur = Long.MinValue; var s = 0L; var rn = 0L
+            var first = true
+            it.map { case (uid, eid, _, v) =>
+              if (first || uid != cur) { cur = uid; s = v; rn = 1L; first = false }
+              else { s = (300L * v + 700L * s) / 1000L; rn += 1L }
+              (uid, eid, rn, v, s)
             }
           }
           .toDF("user_id", "event_id", "rn", "v_micros", "ewma_micros")

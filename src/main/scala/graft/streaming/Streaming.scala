@@ -358,11 +358,33 @@ object Streaming {
 
   private val rawEventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) surfaces as long under nanosAsLong
+    StructField("ts", LongType), // placeholder — eventsStream sniffs the real type
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Streaming reader for the events table, tolerant of either vintage
+    * of the driver parquet (`ts` as TIMESTAMP(NANOS)-read-as-long under
+    * nanosAsLong, or TIMESTAMP(MICROS) read as TIMESTAMP_NTZ): the file
+    * stream needs an explicit schema, so sniff `ts`'s physical type
+    * from the footer with a batch read of the staged copy, then
+    * normalize to a micros TimestampType column. Sessions run in UTC,
+    * so the NTZ cast is value-identity (same rule as [[Tables.events]]).
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = stageDir(s"$dir/events.parquet")
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val schema = StructType(rawEventsSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f => f
+    })
+    val raw = spark.readStream.schema(schema).parquet(path)
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** The file-stream source requires a DIRECTORY (basePath); the test
     * tables are single files — stage a copy into a temp source dir, the
@@ -393,7 +415,16 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid, batch, state) =>
           var (n, s) = state.getOption.getOrElse((0L, 0L))
-          val out = batch.toSeq.sortBy(r => (r.ts_us, r.event_id)).map { r =>
+          // The in-function sort buffers ONE user's rows in ONE
+          // micro-batch (bounded by the trigger, never the stream's
+          // history — that lives in the two-long state). Streaming
+          // forbids a Sort operator pre-groupByKey
+          // (UnsupportedOperationChecker), so the batch ev_ewma's
+          // secondary-sort shuffle is not available here; an in-place
+          // array sort keeps the unavoidable buffer to a single copy.
+          val buf = batch.toArray
+          java.util.Arrays.sort(buf, Ordering.by((r: EwmaPoint) => (r.ts_us, r.event_id)))
+          val out = buf.map { r =>
             s = if (n == 0L) r.v else (300L * r.v + 700L * s) / 1000L
             n += 1L
             EwmaScore(uid, r.event_id, n, r.v, s)
@@ -645,10 +676,7 @@ object Streaming {
     graft.QueryDef(
       "st_stream_join",
       (spark, dir) => {
-        def src() = spark.readStream
-          .schema(rawEventsSchema)
-          .parquet(stageDir(s"$dir/events.parquet"))
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        def src() = eventsStream(spark, dir)
         val joined = intervalJoinStream(
           src().where("event_type = 'click'"),
           src().where("event_type = 'view'"))
@@ -684,10 +712,7 @@ object Streaming {
     graft.QueryDef(
       "st_window_counts",
       (spark, dir) => {
-        val src = spark.readStream
-          .schema(rawEventsSchema)
-          .parquet(stageDir(s"$dir/events.parquet"))
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val src = eventsStream(spark, dir)
         val qn = "st_window_counts_sink"
         val q = windowedEventCounts(src)
           .writeStream.format("memory").queryName(qn)
@@ -715,10 +740,7 @@ object Streaming {
     graft.QueryDef(
       "st_sliding_counts",
       (spark, dir) => {
-        val src = spark.readStream
-          .schema(rawEventsSchema)
-          .parquet(stageDir(s"$dir/events.parquet"))
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val src = eventsStream(spark, dir)
         val qn = "st_sliding_counts_sink"
         val q = slidingEventCounts(src)
           .writeStream.format("memory").queryName(qn)
@@ -753,9 +775,7 @@ object Streaming {
       (spark, dir) => {
         val stats = graft.operators.Quality.outlierStats(
           graft.Tables.events(spark, dir).selectExpr("event_id", "event_type", "value"))
-        val src = spark.readStream
-          .schema(rawEventsSchema)
-          .parquet(stageDir(s"$dir/events.parquet"))
+        val src = eventsStream(spark, dir)
           .selectExpr("event_id", "event_type", "value")
         val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
         val q = graft.operators.Quality.flagOutliers(src, stats)
@@ -805,11 +825,9 @@ object Streaming {
         val cuts = Quality.driftCuts(evB)
         val refCounts = Quality.bucketize(evB.where("is_ref = 1"), cuts)
           .groupBy("bucket").agg(expr("cast(count(*) AS bigint) AS n_ref"))
-        val src = spark.readStream
-          .schema(rawEventsSchema)
-          .parquet(stageDir(s"$dir/events.parquet"))
+        val src = eventsStream(spark, dir)
           .selectExpr("value",
-            "CASE WHEN day(timestamp_micros(ts div 1000)) <= 15 THEN 1 ELSE 0 END AS is_ref")
+            "CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref")
           .where("is_ref = 0")
         val qn = "st_drift_sink"
         val q = Quality.bucketize(src, cuts)
@@ -933,10 +951,8 @@ object Streaming {
     graft.QueryDef(
       "st_ewma",
       (spark, dir) => {
-        val src = spark.readStream
-          .schema(rawEventsSchema)
-          .parquet(stageDir(s"$dir/events.parquet"))
-          .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us",
+        val src = eventsStream(spark, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
             "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
         val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
         val q = ewmaStream(spark, src).writeStream

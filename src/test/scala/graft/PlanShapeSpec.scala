@@ -292,11 +292,19 @@ class PlanShapeSpec extends SparkSpec {
       s"quantity disjunction not pushed to the lineitem scan:\n${p.take(900)}")
   }
 
+  test("ev_multitouch: touch join is bucketed on (user, week) — bounded pair space") {
+    val p = plan("ev_multitouch")
+    // the 7-day band must ride a (user_id, week_bucket) equi-join —
+    // the hash keys include the bucket columns, so a user's lifetime
+    // touch history can never cross-join their purchases; the band
+    // residual only sees same/adjacent-week candidates
+    assert("(?s)Join.*wk".r.findFirstIn(p).isDefined &&
+      p.contains("twk"), s"week-bucket keys missing from the join:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ev_attribution / ev_markov: exactly one user-keyed exchange feeds the window") {
-    // ev_multitouch rides the same discipline: its windows partition by
-    // (user_id, p_id) so the user-keyed clustering satisfies them — a
-    // p_id-only spec would force a second exchange
-    for (name <- Seq("ev_attribution", "ev_markov", "ev_multitouch")) {
+    for (name <- Seq("ev_attribution", "ev_markov")) {
       val p = plan(name)
       // one Window operator (the two IGNORE-NULLS last() / the lag
       // share a single (user, ts) sort), and no exchange beyond the
@@ -316,6 +324,22 @@ class PlanShapeSpec extends SparkSpec {
       s"triangle closure must stay an equi-join:\n${p.take(600)}")
     assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
       "only the broadcast-scalar stats join may be a nested loop")
+  }
+
+  test("ev_ewma: secondary-sort fold — no per-group materialization node") {
+    val p = plan("ev_ewma")
+    // the fold must be Exchange → partition-local Sort → MapPartitions:
+    // a MapGroups/FlatMapGroups node would mean one user's whole
+    // history is buffered on the heap to sort it (OOM risk for a
+    // hyper-active user at scale), where the shuffle's external sort
+    // spills and the fold itself holds O(1) state
+    assert(p.contains("MapPartitions"),
+      s"expected a streaming mapPartitions fold:\n${p.take(600)}")
+    assert(!p.contains("MapGroups"),
+      s"per-group materialization reintroduced:\n${p.take(600)}")
+    assert("Sort \\[user_id".r.findFirstIn(p).isDefined &&
+      p.matches("(?s).*Sort \\[user_id[^\\n]*\\], false,.*"),
+      s"expected a partition-local (global=false) secondary sort:\n${p.take(600)}")
   }
 
   test("pageRank: the edge table never re-shuffles across rounds") {
