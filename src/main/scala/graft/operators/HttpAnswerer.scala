@@ -58,20 +58,99 @@ object HttpAnswerer {
     * AS THE ANSWER at every call — never an exception, so a keyless
     * deployment still runs end-to-end (retrieval + citations intact).
     *
+    * Dotenv parity: the reference's `load_dotenv()`
+    * (`src/qa_system.py:13`, `src/main.py:110`) reads a `.env` file
+    * with `override=False` — a variable already in the process
+    * environment WINS over the file. The default `env` lookup here does
+    * the same: `sys.env` first, then `.env` in the current directory
+    * (missing file ⇒ empty). Pass `dotenvPath` to point elsewhere.
+    *
     * `env`/`warn` are injectable for tests; production callers use the
-    * defaults (`sys.env` / stderr).
+    * defaults (`sys.env` + `.env` / stderr).
     */
   def fromEnv(endpoint: String, model: String,
               apiKey: Option[String] = None,
               envVar: String = "API_KEY",
-              env: String => Option[String] = k => sys.env.get(k),
-              warn: String => Unit = Console.err.println): String => String =
-    apiKey.filter(_.nonEmpty).orElse(env(envVar).filter(_.nonEmpty)) match {
+              env: String => Option[String] = null,
+              warn: String => Unit = Console.err.println,
+              dotenvPath: java.nio.file.Path = java.nio.file.Paths.get(".env")): String => String = {
+    val lookup = Option(env).getOrElse { (k: String) =>
+      sys.env.get(k).orElse(loadDotenv(dotenvPath).get(k))
+    }
+    apiKey.filter(_.nonEmpty).orElse(lookup(envVar).filter(_.nonEmpty)) match {
       case Some(key) => HttpAnswerer(endpoint, key, model).generate
       case None =>
         warn(MissingKeyWarning)
         _ => MissingKeyAnswer
     }
+  }
+
+  /** Read a dotenv file if present (missing/unreadable ⇒ empty map —
+    * `load_dotenv()` is silent on a missing file too). Driver-side,
+    * once, at construction: never ship credentials into a plan.
+    */
+  def loadDotenv(path: java.nio.file.Path): Map[String, String] =
+    try {
+      if (java.nio.file.Files.isReadable(path))
+        parseDotenv(new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else Map.empty
+    } catch { case _: java.io.IOException => Map.empty }
+
+  /** The python-dotenv subset that covers real `.env` files: one
+    * `KEY=VALUE` per line, optional `export ` prefix, `#` comment lines
+    * and trailing ` #` comments on unquoted values, single- or
+    * double-quoted values (double quotes decode \n \r \t \\ \" escapes,
+    * single quotes are literal), whitespace trimmed around key and
+    * unquoted value. First assignment of a key wins (matching
+    * `load_dotenv`'s override=False as seen by the consumer).
+    */
+  private[graft] def parseDotenv(content: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    content.linesIterator.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#") && line.contains('=')) {
+        val noExport = if (line.startsWith("export ")) line.drop(7).trim else line
+        val eq = noExport.indexOf('=')
+        val key = noExport.take(eq).trim
+        var v = noExport.drop(eq + 1).trim
+        if (key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_')) {
+          if (v.length >= 2 && v.head == '"' && v.last == '"') {
+            v = decodeEscapes(v.substring(1, v.length - 1))
+          } else if (v.length >= 2 && v.head == '\'' && v.last == '\'') {
+            v = v.substring(1, v.length - 1)
+          } else {
+            val hash = v.indexOf(" #")
+            if (hash >= 0) v = v.take(hash).trim
+          }
+          if (!out.contains(key)) out(key) = v
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Backslash escapes inside a double-quoted dotenv value; unknown
+    * escapes pass through verbatim (python-dotenv behavior).
+    */
+  private def decodeEscapes(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Strict JSON string literal (quotes, backslashes, control chars). */
   private[graft] def jstr(s: String): String = {

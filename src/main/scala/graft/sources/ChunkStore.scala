@@ -235,7 +235,11 @@ object ChunkStore {
           ('a85.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
            'Ascii armored deflate content decodes through the two stage filter chain.'),
           ('xr.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
-           'Cross reference stream files keep endstream words inside string payloads safely.')
+           'Cross reference stream files keep endstream words inside string payloads safely.'),
+          ('rc4.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Rivest cipher four streams decrypt under the empty user password handler.'),
+          ('aes.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Advanced encryption standard blocks chain behind a sixteen byte vector.')
         ) t(source, page_number, paragraph_number, total_pages, chunk_number, text)"""),
       bench = false),
 

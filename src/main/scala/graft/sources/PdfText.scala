@@ -12,8 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * files whose page content streams are plain, FlateDecode (the JDK
   * inflater), LZWDecode, RunLengthDecode, ASCII85Decode or
   * ASCIIHexDecode — chains included — with text shown through the
-  * standard BT/ET operators. Encrypted files and image-only filters
-  * (DCT/JPX/CCITT) remain out of scope and degrade to no text.
+  * standard BT/ET operators. Standard-security-handler encryption with
+  * an EMPTY user password (RC4 40–128 / AES-128-CBC — the protected-
+  * courseware case PyMuPDF opens transparently) decrypts via
+  * [[PdfCrypt]]; files demanding a real password and image-only
+  * filters (DCT/JPX/CCITT) remain out of scope and degrade to no text.
   *
   * Scope: simple fonts with literal/hex strings extract byte-exactly
   * (Latin-1), and Type0/CID-keyed fonts (the CJK population — the
@@ -73,7 +76,15 @@ object PdfText {
     * number wins (the incremental-update convention).
     */
   private[sources] def scanObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
-    val direct = scanTopLevel(bytes)
+    val direct0 = scanTopLevel(bytes)
+    // Encryption (PDF 32000 §7.6 standard security handler, empty user
+    // password) is resolved BEFORE ObjStm expansion: the packed object
+    // table is itself an encrypted stream. A decryptor only exists when
+    // the empty-password U check passes; otherwise (real password, or
+    // an unsupported handler/cipher) streams stay as-is and decode
+    // fails downstream — the documented degrade-to-no-text contract.
+    val dec = PdfCrypt.decryptorFor(latin1(bytes), direct0)
+    val direct = PdfCrypt.applyTo(dec, direct0)
     val packed = direct.values
       .filter(o => isObjStm(o.dict))
       .flatMap(expandObjStm)
@@ -85,7 +96,7 @@ object PdfText {
     // but not the xref path's). Classic-trailer files yield an empty
     // map here and are untouched; a corrupt xref stream degrades to
     // the linear scan (tolerant contract).
-    packed ++ direct ++ xrefObjects(bytes)
+    packed ++ direct ++ xrefObjects(bytes, dec)
   }
 
   private def isObjStm(dict: String): Boolean =
@@ -189,7 +200,11 @@ object PdfText {
     * empty when no xref stream exists (classic-trailer files) or on any
     * parse failure.
     */
-  private[sources] def xrefObjects(bytes: Array[Byte]): Map[Int, PdfObj] = try {
+  private[sources] def xrefObjects(bytes: Array[Byte]): Map[Int, PdfObj] =
+    xrefObjects(bytes, None)
+
+  private[sources] def xrefObjects(bytes: Array[Byte],
+                                   dec: Option[PdfCrypt.Decryptor]): Map[Int, PdfObj] = try {
     val s = latin1(bytes)
     val starts = startxrefRe.findAllMatchIn(s).map(_.group(1).toInt).toSeq
     if (starts.isEmpty) return Map.empty
@@ -231,17 +246,20 @@ object PdfText {
       }
     }
     if (offsets.isEmpty) return Map.empty
-    // pass 1: direct-length (or endstream-bounded) extents
-    val top = offsets.flatMap { case (_, off) => parseObjAt(bytes, s, off) }.toMap
+    // pass 1: direct-length (or endstream-bounded) extents; decrypt
+    // before ObjStm expansion (the packed table is an encrypted stream)
+    val top = PdfCrypt.applyTo(dec,
+      offsets.flatMap { case (_, off) => parseObjAt(bytes, s, off) }.toMap)
     val packed = top.values.filter(o => isObjStm(o.dict)).flatMap(expandObjStm).toMap
     val all = packed ++ top
     def lenOf(n: Int): Option[Int] =
       all.get(n).flatMap(o => raw"\d+".r.findFirstIn(o.dict.trim)).map(_.toInt)
     // pass 2: re-parse streams with indirect /Length at exact extents
-    val fixed = offsets.flatMap { case (num, off) =>
-      top.get(num).filter(o => o.stream.isDefined && indLengthRe.findFirstMatchIn(o.dict).isDefined)
-        .flatMap(_ => parseObjAt(bytes, s, off, lenOf))
-    }.toMap
+    val fixed = PdfCrypt.applyTo(dec,
+      offsets.flatMap { case (num, off) =>
+        top.get(num).filter(o => o.stream.isDefined && indLengthRe.findFirstMatchIn(o.dict).isDefined)
+          .flatMap(_ => parseObjAt(bytes, s, off, lenOf))
+      }.toMap)
     packed ++ top ++ fixed
   } catch { case _: Exception => Map.empty }
 
@@ -873,6 +891,246 @@ object PdfText {
   }
 }
 
+/** PDF standard-security-handler decryption (PDF 32000 §7.6.3) for the
+  * empty-user-password population — the common "protected courseware"
+  * case PyMuPDF opens transparently
+  * (`/root/reference/src/pdf_extractor.py:8-13` via fitz): the file is
+  * encrypted, but the user password is empty, so a reader can derive
+  * the key from the /Encrypt dictionary alone. Covers RC4 40–128 bit
+  * (V 1/2, R 2/3) and AES-128-CBC (V 4 /StdCF /AESV2, R 4), the two
+  * ciphers real-world standard-handler files use.
+  *
+  * Scope notes: a NON-empty user password fails the /U check and the
+  * file degrades to no text (the tolerant-extractor contract — no
+  * password-guessing here). Strings inside object dictionaries (e.g.
+  * /Title) are not decrypted: text extraction reads only streams
+  * (page content, ToUnicode CMaps, ObjStm tables), each of which is
+  * decrypted whole before its /Filter chain runs. Cross-reference
+  * streams and the /Encrypt dictionary itself are never encrypted
+  * (§7.5.8.2) and are skipped.
+  */
+private[sources] object PdfCrypt {
+
+  /** §7.6.3.3 Algorithm 2's 32-byte password padding constant. */
+  private[sources] val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private[sources] def md5(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** Plain RC4 (symmetric: encrypt = decrypt). */
+  private[sources] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val st = Array.tabulate(256)(identity)
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + st(i) + (key(i % key.length) & 0xFF)) & 0xFF
+      val t = st(i); st(i) = st(j); st(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var a = 0; var b = 0
+    for (k <- data.indices) {
+      a = (a + 1) & 0xFF
+      b = (b + st(a)) & 0xFF
+      val t = st(a); st(a) = st(b); st(b) = t
+      out(k) = (data(k) ^ st((st(a) + st(b)) & 0xFF)).toByte
+    }
+    out
+  }
+
+  /** AES-128-CBC through the JDK provider; NoPadding so the PKCS#7 pad
+    * is handled by the caller (decrypt strips it tolerantly — a broken
+    * pad byte yields the unpadded data rather than an exception).
+    */
+  private[sources] def aesCbc(key: Array[Byte], iv: Array[Byte],
+                              data: Array[Byte], encrypt: Boolean): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** One opened file's decryption state. `encNum` is the /Encrypt
+    * dictionary's own object number (its strings are plaintext, §7.6.2).
+    */
+  private[sources] final case class Decryptor(key: Array[Byte], aes: Boolean, encNum: Int) {
+    /** §7.6.2 Algorithm 1: per-object key = MD5(file key ∥ objnum LE24
+      * ∥ gennum LE16 [∥ "sAlT" for AES]), truncated to
+      * min(keyLen + 5, 16); then RC4, or AES-CBC with the stream's
+      * first 16 bytes as IV.
+      */
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val ext = Array[Byte](
+        (num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte, ((num >> 16) & 0xFF).toByte,
+        (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte)
+      val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.empty[Byte]
+      val objKey = md5(key, ext, salt).take(math.min(key.length + 5, 16))
+      if (!aes) rc4(objKey, data)
+      else if (data.length < 32 || data.length % 16 != 0) Array.empty[Byte]
+      else {
+        val plain = aesCbc(objKey, data.take(16), data.drop(16), encrypt = false)
+        val pad = if (plain.isEmpty) 0 else plain.last & 0xFF
+        if (pad >= 1 && pad <= 16 && pad <= plain.length) plain.dropRight(pad) else plain
+      }
+    }
+  }
+
+  /** Decrypt every stream in the object map (xref streams and the
+    * /Encrypt dictionary excluded); identity when no decryptor.
+    */
+  private[sources] def applyTo(dec: Option[Decryptor],
+                               objs: Map[Int, PdfText.PdfObj]): Map[Int, PdfText.PdfObj] =
+    dec match {
+      case None => objs
+      case Some(d) => objs.map { case (n, o) =>
+        if (o.stream.isEmpty || n == d.encNum ||
+            raw"/Type\s*/XRef".r.findFirstIn(o.dict).isDefined) (n, o)
+        else (n, o.copy(stream = o.stream.map(data =>
+          try d.decrypt(n, 0, data) catch { case _: Exception => data })))
+      }
+    }
+
+  /** Build a decryptor for the file when (a) a trailer /Encrypt
+    * reference resolves, (b) the handler/cipher is supported, and
+    * (c) the EMPTY user password passes the /U check. Any other state
+    * returns None and the file flows through untouched.
+    */
+  private[sources] def decryptorFor(s: String,
+                                    objs: Map[Int, PdfText.PdfObj]): Option[Decryptor] = try {
+    raw"/Encrypt\s+(\d+)\s+\d+\s+R".r.findAllMatchIn(s).toSeq.lastOption.flatMap { m =>
+      val encNum = m.group(1).toInt
+      objs.get(encNum).flatMap { enc =>
+        val d = enc.dict
+        def intOf(k: String): Option[Int] =
+          raw"/$k\s+(-?\d+)".r.findFirstMatchIn(d).map(_.group(1).toInt)
+        if (raw"/Filter\s*/Standard\b".r.findFirstIn(d).isEmpty) None
+        else {
+          val v = intOf("V").getOrElse(0)
+          val r = intOf("R").getOrElse(if (v >= 2) 3 else 2)
+          val aes = raw"/CFM\s*/AESV2\b".r.findFirstIn(d).isDefined
+          val supported = v == 1 || v == 2 ||
+            (v == 4 && (aes || raw"/CFM\s*/V2\b".r.findFirstIn(d).isDefined))
+          val keyLen =
+            if (v == 1 || r == 2) 5
+            else math.max(5, math.min(16, intOf("Length").getOrElse(40) / 8))
+          (pdfStringValue(d, "O"), pdfStringValue(d, "U"), intOf("P")) match {
+            case (Some(o), Some(u), Some(p)) if supported && o.length >= 32 && u.length >= 16 =>
+              val id0 = firstFileId(s).getOrElse(Array.empty[Byte])
+              val encMeta = raw"/EncryptMetadata\s+false\b".r.findFirstIn(d).isEmpty
+              val key = fileKey(o, p, id0, r, keyLen, encMeta)
+              val uOk =
+                if (r == 2) java.util.Arrays.equals(computeU(key, r, id0), u.take(32))
+                else java.util.Arrays.equals(computeU(key, r, id0).take(16), u.take(16))
+              if (uOk) Some(Decryptor(key, aes, encNum)) else None
+            case _ => None
+          }
+        }
+      }
+    }
+  } catch { case _: Exception => None }
+
+  /** §7.6.3.3 Algorithm 2 with the empty user password: MD5(Pad ∥ O ∥
+    * P-as-signed-LE32 ∥ ID₀ [∥ FFFFFFFF when R≥4 ∧ ¬EncryptMetadata]),
+    * then (R≥3) 50 rounds of MD5 over the first keyLen bytes.
+    */
+  private[sources] def fileKey(o: Array[Byte], p: Int, id0: Array[Byte],
+                               r: Int, keyLen: Int, encMeta: Boolean): Array[Byte] = {
+    val pb = Array[Byte](
+      (p & 0xFF).toByte, ((p >>> 8) & 0xFF).toByte,
+      ((p >>> 16) & 0xFF).toByte, ((p >>> 24) & 0xFF).toByte)
+    val extra = if (r >= 4 && !encMeta) Array[Byte](-1, -1, -1, -1) else Array.empty[Byte]
+    var h = md5(Pad, o.take(32), pb, id0, extra)
+    if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(keyLen))
+    h.take(keyLen)
+  }
+
+  /** §7.6.3.4 Algorithms 4 (R2) / 5 (R≥3): the /U value the empty user
+    * password should produce — the password check.
+    */
+  private[sources] def computeU(key: Array[Byte], r: Int, id0: Array[Byte]): Array[Byte] =
+    if (r == 2) rc4(key, Pad)
+    else {
+      var e = rc4(key, md5(Pad, id0))
+      for (i <- 1 to 19) e = rc4(key.map(b => (b ^ i).toByte), e)
+      e
+    }
+
+  /** First element of the trailer /ID array (hex or literal form). */
+  private[sources] def firstFileId(s: String): Option[Array[Byte]] =
+    raw"/ID\s*\[".r.findAllMatchIn(s).toSeq.lastOption.flatMap { m =>
+      pdfStringAt(s, m.end).map(_._1)
+    }
+
+  /** The string VALUE of `/key` in a dictionary (literal or hex form);
+    * the regex requires the delimiter right after the name so /O never
+    * matches /OpenAction.
+    */
+  private[sources] def pdfStringValue(dict: String, key: String): Option[Array[Byte]] =
+    raw"/$key\s*(?=[(<])".r.findFirstMatchIn(dict)
+      .flatMap(m => pdfStringAt(dict, m.end).map(_._1))
+
+  /** Parse a PDF string object starting at `i` (skipping leading
+    * whitespace): `(...)` literal with the full escape set (octal,
+    * specials, line continuation, balanced nesting) or `<...>` hex.
+    * Returns (bytes, index after the string).
+    */
+  private[sources] def pdfStringAt(s: String, start: Int): Option[(Array[Byte], Int)] = {
+    var i = start
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length) return None
+    s.charAt(i) match {
+      case '(' =>
+        val out = new java.io.ByteArrayOutputStream()
+        var depth = 1; i += 1
+        while (i < s.length && depth > 0) {
+          s.charAt(i) match {
+            case '\\' if i + 1 < s.length =>
+              s.charAt(i + 1) match {
+                case 'n' => out.write('\n'); i += 2
+                case 'r' => out.write('\r'); i += 2
+                case 't' => out.write('\t'); i += 2
+                case 'b' => out.write('\b'); i += 2
+                case 'f' => out.write('\f'); i += 2
+                case '\n' => i += 2 // line continuation
+                case '\r' => i += 2; if (i < s.length && s.charAt(i) == '\n') i += 1
+                case c if c >= '0' && c <= '7' =>
+                  var v = 0; var k = 0; i += 1
+                  while (k < 3 && i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+                    v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1
+                  }
+                  out.write(v & 0xFF)
+                case c => out.write(c & 0xFF); i += 2
+              }
+            case '(' => depth += 1; out.write('('); i += 1
+            case ')' =>
+              depth -= 1
+              if (depth > 0) out.write(')')
+              i += 1
+            case c => out.write(c & 0xFF); i += 1
+          }
+        }
+        Some((out.toByteArray, i))
+      case '<' =>
+        val end = s.indexOf('>', i + 1)
+        if (end < 0) None
+        else {
+          val hex = s.substring(i + 1, end).filterNot(_.isWhitespace)
+          val padded = if (hex.length % 2 == 1) hex + "0" else hex
+          val bytes = padded.grouped(2)
+            .map(h => java.lang.Integer.parseInt(h, 16).toByte).toArray
+          Some((bytes, end + 1))
+        }
+      case _ => None
+    }
+  }
+}
+
 /** Deterministic minimal-but-valid PDF writer — fixture generator for
   * PdfTextSpec and the s2_pdf_pipeline gate query (proper catalog,
   * page tree, xref and trailer; content streams optionally
@@ -1316,6 +1574,90 @@ private[graft] object PdfFixtures {
     bos.toByteArray
   }
 
+  // ---------------------------------------------- encrypted fixtures
+
+  val rc4Paragraph: String =
+    "Rivest cipher four streams decrypt under the empty user password handler."
+  val aesParagraph: String =
+    "Advanced encryption standard blocks chain behind a sixteen byte vector."
+  val rc4FortyParagraph: String =
+    "Forty bit legacy keys still open when the user password is empty."
+
+  /** Standard-security-handler encrypted single-page file (empty user
+    * AND owner passwords). `mode`: "rc4-40" (V1 R2), "rc4-128" (V2 R3),
+    * "aes-128" (V4 R4 /AESV2). Deterministic: fixed /ID and AES IV.
+    * The derivation helpers are shared with [[PdfCrypt]] — the
+    * INDEPENDENT-implementation pin (a file produced by a separate
+    * Python hashlib/cryptography generator) lives in PdfTextSpec, so a
+    * shared derivation bug cannot self-certify.
+    */
+  def buildEncryptedPdf(paragraph: String, mode: String,
+                        compress: Boolean = true): Array[Byte] = {
+    import PdfCrypt.{Pad, aesCbc, computeU, fileKey, md5, rc4}
+    val (v, r, keyBits, aes) = mode match {
+      case "rc4-40" => (1, 2, 40, false)
+      case "rc4-128" => (2, 3, 128, false)
+      case "aes-128" => (4, 4, 128, true)
+      case other => throw new IllegalArgumentException(other)
+    }
+    val keyLen = keyBits / 8
+    val p = -44 // modify/annotate forbidden — a typical courseware mask
+    val id0 = Array.tabulate[Byte](16)(i => ((i * 17 + 3) & 0xFF).toByte)
+    // Algorithm 3 with both passwords empty
+    var od = md5(Pad)
+    if (r >= 3) for (_ <- 0 until 50) od = md5(od)
+    val oKey = od.take(keyLen)
+    var o = rc4(oKey, Pad)
+    if (r >= 3) for (i <- 1 to 19) o = rc4(oKey.map(b => (b ^ i).toByte), o)
+    val key = fileKey(o, p, id0, r, keyLen, encMeta = true)
+    val u0 = computeU(key, r, id0)
+    val u = if (u0.length >= 32) u0.take(32) else u0 ++ Array.fill[Byte](32 - u0.length)(0)
+    def hexStr(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02X").mkString("<", "", ">")
+    def encryptObj(num: Int, data: Array[Byte]): Array[Byte] = {
+      val ext = Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+        ((num >> 16) & 0xFF).toByte, 0, 0)
+      val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.empty[Byte]
+      val objKey = md5(key, ext, salt).take(math.min(keyLen + 5, 16))
+      if (!aes) rc4(objKey, data)
+      else {
+        val iv = Array.tabulate[Byte](16)(i => ((i * 29 + 11) & 0xFF).toByte)
+        val padN = 16 - data.length % 16
+        iv ++ aesCbc(objKey, iv, data ++ Array.fill[Byte](padN)(padN.toByte), encrypt = true)
+      }
+    }
+    val content = s"BT /F1 12 Tf 72 720 Td ($paragraph) Tj ET\n".getBytes(L1)
+    val data = encryptObj(4, if (compress) deflate(content) else content)
+    val cf =
+      if (v == 4) " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+      else ""
+    val lengthEntry = if (v >= 2) s" /Length $keyBits" else ""
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\n"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>\n"))
+    obj(4) {
+      w(s"<< /Length ${data.length}${if (compress) " /Filter /FlateDecode" else ""} >>\nstream\n")
+      bos.write(data)
+      w("\nendstream\n")
+    }
+    obj(5)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    obj(6)(w(s"<< /Filter /Standard /V $v /R $r$lengthEntry$cf " +
+      s"/O ${hexStr(o)} /U ${hexStr(u)} /P $p >>\n"))
+    val xref = bos.size()
+    w("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R " +
+      s"/ID [${hexStr(id0)} ${hexStr(id0)}] >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
   // --------------------------------------------- xref-stream fixture
 
   val xrefParagraph: String =
@@ -1393,7 +1735,9 @@ private[graft] object PdfFixtures {
   /** Write the fixture corpus (a.pdf two pages Flate'd, B.PDF one page
     * raw, cjk.pdf Type0/CID, m.pdf ObjStm-packed, lzw.pdf LZWDecode,
     * rle.pdf RunLengthDecode, a85.pdf ASCII85+Flate chain, xr.pdf
-    * xref-stream layout with an indirect-length stream, notes.txt
+    * xref-stream layout with an indirect-length stream, rc4.pdf
+    * RC4-128-encrypted + Flate'd, aes.pdf AES-128-CBC-encrypted raw —
+    * both empty-user-password standard security handler — notes.txt
     * decoy) into a directory; returns the directory.
     */
   def writeFixtureDir(dir: String): String = {
@@ -1411,6 +1755,10 @@ private[graft] object PdfFixtures {
       buildFilteredPdf(a85Paragraph, Seq("ASCII85Decode", "FlateDecode"),
         b => ascii85Encode(deflate(b))))
     java.nio.file.Files.write(p.resolve("xr.pdf"), buildXrefStreamPdf())
+    java.nio.file.Files.write(p.resolve("rc4.pdf"),
+      buildEncryptedPdf(rc4Paragraph, "rc4-128", compress = true))
+    java.nio.file.Files.write(p.resolve("aes.pdf"),
+      buildEncryptedPdf(aesParagraph, "aes-128", compress = false))
     java.nio.file.Files.write(p.resolve("notes.txt"), "not a pdf".getBytes(L1))
     dir
   }

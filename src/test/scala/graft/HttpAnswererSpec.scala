@@ -66,6 +66,61 @@ class HttpAnswererSpec extends AnyFunSuite {
     }
   }
 
+  test("dotenv: parser covers the python-dotenv subset") {
+    val parsed = HttpAnswerer.parseDotenv(
+      """# comment line
+        |API_KEY=sk-plain
+        |export EXPORTED = yes
+        |QUOTED="a b\nc \" d\\e"
+        |SINGLE='keep $literal #notcomment'
+        |TRAILING=value # comment
+        |EMPTY=
+        |DUP=first
+        |DUP=second
+        |  SPACED  =  padded
+        |not a line
+        |BAD KEY=x
+        |""".stripMargin)
+    assert(parsed("API_KEY") == "sk-plain")
+    assert(parsed("EXPORTED") == "yes")
+    assert(parsed("QUOTED") == "a b\nc \" d\\e")
+    assert(parsed("SINGLE") == "keep $literal #notcomment")
+    assert(parsed("TRAILING") == "value")
+    assert(parsed("EMPTY") == "")
+    assert(parsed("DUP") == "first") // first assignment wins
+    assert(parsed("SPACED") == "padded")
+    assert(!parsed.contains("BAD KEY") && !parsed.contains("not a line"))
+  }
+
+  test("dotenv: process env wins over the file; file fills the gap; missing file is silent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dotenv")
+    val envFile = dir.resolve(".env")
+    java.nio.file.Files.write(envFile,
+      "API_KEY=from-file\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // process env present → file loses (load_dotenv override=False)
+    var warned = List.empty[String]
+    val gen1 = HttpAnswerer.fromEnv("http://127.0.0.1:1/x", "m",
+      env = k => Map("API_KEY" -> "from-env").get(k)
+        .orElse(HttpAnswerer.loadDotenv(envFile).get(k)),
+      warn = w => warned ::= w)
+    assert(warned.isEmpty) // a key was found, no warning
+
+    // no process env → the file's key is used (no missing-key warning)
+    val gen2 = HttpAnswerer.fromEnv("http://127.0.0.1:1/x", "m",
+      env = k => HttpAnswerer.loadDotenv(envFile).get(k),
+      warn = w => warned ::= w)
+    assert(warned.isEmpty)
+    assert(gen1 != null && gen2 != null)
+
+    // missing file + no env → warn once, error-string answers
+    val gen3 = HttpAnswerer.fromEnv("http://127.0.0.1:1/x", "m",
+      env = k => HttpAnswerer.loadDotenv(dir.resolve("nope.env")).get(k),
+      warn = w => warned ::= w)
+    assert(warned == List(HttpAnswerer.MissingKeyWarning))
+    assert(gen3("any prompt") == HttpAnswerer.MissingKeyAnswer)
+  }
+
   test("content extractor handles the full escape set and embedded quotes") {
     assert(HttpAnswerer.extractContent("""{"content":"a\"b\\cA\n"}""")
       .contains("a\"b\\cA\n"))

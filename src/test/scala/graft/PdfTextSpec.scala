@@ -175,7 +175,50 @@ class PdfTextSpec extends SparkSpec {
       ("lzw.pdf", 1, 1, 1, PdfFixtures.lzwParagraph),
       ("rle.pdf", 1, 1, 1, PdfFixtures.rleParagraph),
       ("a85.pdf", 1, 1, 1, PdfFixtures.a85Paragraph),
-      ("xr.pdf", 1, 1, 1, PdfFixtures.xrefParagraph))
+      ("xr.pdf", 1, 1, 1, PdfFixtures.xrefParagraph),
+      ("rc4.pdf", 1, 1, 1, PdfFixtures.rc4Paragraph),
+      ("aes.pdf", 1, 1, 1, PdfFixtures.aesParagraph))
     assert(rows == expected) // notes.txt never parsed; .PDF case-insensitive
+  }
+
+  test("encrypted PDFs: RC4-40/128 and AES-128 with empty user password decrypt") {
+    assert(PdfText.extractPageParagraphs(
+      PdfFixtures.buildEncryptedPdf(PdfFixtures.rc4FortyParagraph, "rc4-40"))
+      == Seq(Seq(PdfFixtures.rc4FortyParagraph)))
+    assert(PdfText.extractPageParagraphs(
+      PdfFixtures.buildEncryptedPdf(PdfFixtures.rc4Paragraph, "rc4-128"))
+      == Seq(Seq(PdfFixtures.rc4Paragraph)))
+    // AES over a COMPRESSED stream: decrypt must run before inflate
+    assert(PdfText.extractPageParagraphs(
+      PdfFixtures.buildEncryptedPdf(PdfFixtures.aesParagraph, "aes-128", compress = true))
+      == Seq(Seq(PdfFixtures.aesParagraph)))
+  }
+
+  test("encrypted PDF with a real (non-empty) user password degrades to no text") {
+    // Flip a /U byte: the empty-password check fails, so no decryptor
+    // exists and the Flate stream stays ciphertext → no paragraphs,
+    // no crash (the documented out-of-scope contract).
+    val bytes = PdfFixtures.buildEncryptedPdf(PdfFixtures.rc4Paragraph, "rc4-128")
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val uAt = s.indexOf("/U <") + 4
+    bytes(uAt) = (if (bytes(uAt) == '0') '1' else '0').toByte
+    assert(PdfText.pageCount(bytes) == 1) // structure still parses
+    assert(PdfText.extractPageParagraphs(bytes).flatten.isEmpty)
+  }
+
+  test("independently generated encrypted files decrypt (Python hashlib+cryptography pin)") {
+    // These two files were produced by a SEPARATE generator (Python:
+    // hashlib MD5, its own RC4, the cryptography package's AES-CBC) —
+    // a derivation bug shared between PdfFixtures' encryptor and
+    // PdfCrypt's decryptor cannot self-certify through them.
+    val rc4B64 =
+      "JVBERi0xLjQKMSAwIG9iago8PCAvVHlwZSAvQ2F0YWxvZyAvUGFnZXMgMiAwIFIgPj4KZW5kb2JqCjIgMCBvYmoKPDwgL1R5cGUgL1BhZ2VzIC9LaWRzIFszIDAgUl0gL0NvdW50IDEgL01lZGlhQm94IFswIDAgNjEyIDc5Ml0gPj4KZW5kb2JqCjMgMCBvYmoKPDwgL1R5cGUgL1BhZ2UgL1BhcmVudCAyIDAgUiAvQ29udGVudHMgNCAwIFIgL1Jlc291cmNlcyA8PCAvRm9udCA8PCAvRjEgNSAwIFIgPj4gPj4gPj4KZW5kb2JqCjQgMCBvYmoKPDwgL0xlbmd0aCAxMDIgL0ZpbHRlciAvRmxhdGVEZWNvZGUgPj4Kc3RyZWFtCqzAICbqTbRZu1xCN6G9B8AVqTzKdUX8hhvxlwsNUJ2zLocNSf+uN2unqrPmZedRgXSvhKaAhlnmcJaqy3712WSABw/dF+W2HuMNwAaosgvAXBIse4YSiISLGmTD9znX6PKJO7Yo3wplbmRzdHJlYW0KZW5kb2JqCjUgMCBvYmoKPDwgL1R5cGUgL0ZvbnQgL1N1YnR5cGUgL1R5cGUxIC9CYXNlRm9udCAvSGVsdmV0aWNhID4+CmVuZG9iago2IDAgb2JqCjw8IC9GaWx0ZXIgL1N0YW5kYXJkIC9WIDIgL1IgMyAvTGVuZ3RoIDEyOCAvTyA8MzY0NTFCRDM5RDc1M0I3QzFEMTA5MjJDMjhFNjY2NUFBNEYzMzUzRkIwMzQ4QjUzNjg5M0UzQjFEQjVDNTc5Qj4gL1UgPDE0QTUxMUIyMTBCNzE2RUIxRTU5Nzk3NjFFNUVDMzQ2MDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDA+IC9QIC00NCA+PgplbmRvYmoKeHJlZgowIDcKMDAwMDAwMDAwMCA2NTUzNSBmIAowMDAwMDAwMDA5IDAwMDAwIG4gCjAwMDAwMDAwNTggMDAwMDAgbiAKMDAwMDAwMDEzOSAwMDAwMCBuIAowMDAwMDAwMjQxIDAwMDAwIG4gCjAwMDAwMDA0MTUgMDAwMDAgbiAKMDAwMDAwMDQ4NSAwMDAwMCBuIAp0cmFpbGVyCjw8IC9TaXplIDcgL1Jvb3QgMSAwIFIgL0VuY3J5cHQgNiAwIFIgL0lEIFs8MDUwQzEzMUEyMTI4MkYzNjNENDQ0QjUyNTk2MDY3NkU+IDwwNTBDMTMxQTIxMjgyRjM2M0Q0NDRCNTI1OTYwNjc2RT5dID4+CnN0YXJ0eHJlZgo2OTMKJSVFT0YK"
+    val aesB64 =
+      "JVBERi0xLjQKMSAwIG9iago8PCAvVHlwZSAvQ2F0YWxvZyAvUGFnZXMgMiAwIFIgPj4KZW5kb2JqCjIgMCBvYmoKPDwgL1R5cGUgL1BhZ2VzIC9LaWRzIFszIDAgUl0gL0NvdW50IDEgL01lZGlhQm94IFswIDAgNjEyIDc5Ml0gPj4KZW5kb2JqCjMgMCBvYmoKPDwgL1R5cGUgL1BhZ2UgL1BhcmVudCAyIDAgUiAvQ29udGVudHMgNCAwIFIgL1Jlc291cmNlcyA8PCAvRm9udCA8PCAvRjEgNSAwIFIgPj4gPj4gPj4KZW5kb2JqCjQgMCBvYmoKPDwgL0xlbmd0aCAxMjggPj4Kc3RyZWFtCgcUIS47SFVib3yJlqOwvcr5cv0QLtPNNC81aLqE09R5p2bmRX6HQEZiGzjCqqUTaOI9VaCX75/532C+SWCMfWYyTVZsaaYdiWMLrTvnIrtCGuvKQr7b56ETwlVHX3f2Erq8H0y/GqEKot8eJihyxB8OBijdtzYvP8L9F8XE8+hkCmVuZHN0cmVhbQplbmRvYmoKNSAwIG9iago8PCAvVHlwZSAvRm9udCAvU3VidHlwZSAvVHlwZTEgL0Jhc2VGb250IC9IZWx2ZXRpY2EgPj4KZW5kb2JqCjYgMCBvYmoKPDwgL0ZpbHRlciAvU3RhbmRhcmQgL1YgNCAvUiA0IC9MZW5ndGggMTI4IC9DRiA8PCAvU3RkQ0YgPDwgL0NGTSAvQUVTVjIgL0xlbmd0aCAxNiA+PiA+PiAvU3RtRiAvU3RkQ0YgL1N0ckYgL1N0ZENGIC9PIDwzNjQ1MUJEMzlENzUzQjdDMUQxMDkyMkMyOEU2NjY1QUE0RjMzNTNGQjAzNDhCNTM2ODkzRTNCMURCNUM1NzlCPiAvVSA8MTRBNTExQjIxMEI3MTZFQjFFNTk3OTc2MUU1RUMzNDYwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMD4gL1AgLTQ0ID4+CmVuZG9iagp4cmVmCjAgNwowMDAwMDAwMDAwIDY1NTM1IGYgCjAwMDAwMDAwMDkgMDAwMDAgbiAKMDAwMDAwMDA1OCAwMDAwMCBuIAowMDAwMDAwMTM5IDAwMDAwIG4gCjAwMDAwMDAyNDEgMDAwMDAgbiAKMDAwMDAwMDQyMCAwMDAwMCBuIAowMDAwMDAwNDkwIDAwMDAwIG4gCnRyYWlsZXIKPDwgL1NpemUgNyAvUm9vdCAxIDAgUiAvRW5jcnlwdCA2IDAgUiAvSUQgWzwwNTBDMTMxQTIxMjgyRjM2M0Q0NDRCNTI1OTYwNjc2RT4gPDA1MEMxMzFBMjEyODJGMzYzRDQ0NEI1MjU5NjA2NzZFPl0gPj4Kc3RhcnR4cmVmCjc3MAolJUVPRgo="
+    val dec = java.util.Base64.getDecoder
+    assert(PdfText.extractPageParagraphs(dec.decode(rc4B64)) == Seq(Seq(
+      "Independent generator confirms the stream cipher decryption path end to end.")))
+    assert(PdfText.extractPageParagraphs(dec.decode(aesB64)) == Seq(Seq(
+      "Independent generator confirms the block cipher decryption path end to end.")))
   }
 }
