@@ -788,7 +788,68 @@ object Curation {
           FROM (SELECT doc_id, lang, n_chars,
                        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bk
                 FROM c) c JOIN kept USING (doc_id))
-        GROUP BY split, lang"""))
+        GROUP BY split, lang""")),
+
+    // -------------------- curation over cell-blocked exact pair mining
+    // The dd_embed_simpairs miner (triangle cell blocking — bounded
+    // per-task pair space, bit-identical to all-pairs) feeding the
+    // curation capstone's anti-join: drop the HIGHER-id side of every
+    // mined pair, keep the rest, report membership-sensitive per-label
+    // survivor stats (sum/min/max make any wrong drop set break the
+    // hash). A label's MINIMUM vec_id can never be dropped (vec_b >
+    // vec_a always), so every label keeps ≥ 1 vector and the totals
+    // join is safely inner. CurationSpec pins that this composition
+    // over the BLOCKED miner equals the same pipeline over the
+    // unblocked all-pairs ground truth at a multi-cell-forcing cap.
+    // Scale shape: the pair miner is the audited bounded-quadratic; the
+    // drop set applies as one anti-join on vec_id and the stats are
+    // plain per-label aggregates — nothing new shuffles beyond them.
+    QueryDef(
+      "tp_curate_pairs",
+      (spark, dir) => {
+        val drop = Dedup.embedSimPairsBlocked(spark, dir)
+          .select(col("vec_b").as("vec_id")).distinct()
+        val e = Tables.embeddings(spark, dir)
+          .selectExpr("cast(label AS int) AS label", "vec_id")
+        val totals = e.groupBy("label")
+          .agg(expr("cast(count(*) AS bigint) AS n_total"))
+        e.join(drop, Seq("vec_id"), "left_anti")
+          .groupBy("label")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_kept"),
+            expr("cast(sum(vec_id) AS bigint) AS kept_sum"),
+            expr("cast(min(vec_id) AS bigint) AS kept_min"),
+            expr("cast(max(vec_id) AS bigint) AS kept_max"))
+          .join(totals, Seq("label"))
+          .selectExpr("label", "n_total", "n_kept",
+            "n_total - n_kept AS n_dropped", "kept_sum", "kept_min", "kept_max")
+      },
+      Some(s"""
+        WITH e0 AS (
+          SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb_d,
+                 sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))) AS nrm
+          FROM embeddings
+        ),
+        e AS (
+          SELECT label, vec_id,
+                 CASE WHEN nrm = 0 THEN emb_d ELSE list_transform(emb_d, x -> x / nrm) END AS emb_n
+          FROM e0
+        ),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_sum(list_transform(generate_series(1, len(a.emb_n)), i -> a.emb_n[i] * b.emb_n[i])) AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        dropped AS (SELECT DISTINCT vec_b AS vec_id FROM pairs WHERE cos >= ${Dedup.CosineThreshold}),
+        kept AS (
+          SELECT label, vec_id FROM embeddings
+          WHERE vec_id NOT IN (SELECT vec_id FROM dropped)),
+        tot AS (SELECT label, count(*)::BIGINT AS n_total FROM embeddings GROUP BY label),
+        k AS (SELECT label, count(*)::BIGINT AS n_kept, sum(vec_id)::BIGINT AS kept_sum,
+                     min(vec_id)::BIGINT AS kept_min, max(vec_id)::BIGINT AS kept_max
+              FROM kept GROUP BY label)
+        SELECT t.label, n_total, n_kept, (n_total - n_kept)::BIGINT AS n_dropped,
+               kept_sum, kept_min, kept_max
+        FROM tot t JOIN k USING (label)"""))
   )
 
   /** Fluency floor for tp_curate_semantic (ppm of avg bigram

@@ -42,7 +42,7 @@ object Dedup {
   private val Rows = 4 // NumHashes / Bands
   private val JaccardThreshold = 0.5
   private val MaxShingleDf = 50
-  private val CosineThreshold = 0.35
+  private[graft] val CosineThreshold = 0.35
   // 60-bit simhash, 4 bands × 15 bits: detection guaranteed for
   // hamming ≤ 3 (pigeonhole over 4 bands), overwhelmingly likely up to
   // the ≤ 6 emitted; 2^15 buckets per band keeps common-vocab corpora

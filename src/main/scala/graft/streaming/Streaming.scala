@@ -434,6 +434,71 @@ object Streaming {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long, closed: Boolean)
+  final case class FunnelHit(user_id: Long, stage: Int, ts_us: Long)
+
+  /** Stateful strict funnel — the flatMapGroupsWithState twin of the
+    * batch ev_funnel_strict: per-user stage state (t1/t2/t3 as micros,
+    * 0 = unset) advances signup → view-within-24h-of-t1 →
+    * purchase-within-24h-of-t2, emitting one Append row the first time
+    * each stage completes. Under ordered per-user arrival the FIRST
+    * qualifying event IS the batch min, so the drained hits equal the
+    * batch stage tables row for row.
+    *
+    * Deadline handling uses EVENT-TIME TIMEOUT: while a chain is open
+    * the state carries a timeout at the next stage deadline (t1+24h or
+    * t2+24h); when the watermark passes it, the state COMPACTS to a
+    * closed tombstone (4 fields, t's zeroed) rather than being removed
+    * — the batch definition pins the FIRST signup forever, so a later
+    * signup must not reopen a dead chain (removal would resurrect it
+    * and diverge from the oracle). Completed chains compact the same
+    * way. State is O(users) either way; compaction just caps it at the
+    * tombstone size for the (typically dominant) dead/converted tail.
+    */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    val day = 86400000000L
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, batch, state) =>
+          if (state.hasTimedOut) {
+            state.update(FunnelState(0L, 0L, 0L, closed = true))
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L, closed = false))
+            val out = List.newBuilder[FunnelHit]
+            val buf = batch.toArray
+            java.util.Arrays.sort(buf, Ordering.by((e: FunnelEvent) => micros(e.ts)))
+            for (e <- buf if !st.closed) {
+              val ts = micros(e.ts)
+              e.event_type match {
+                case "signup" if st.t1 == 0L =>
+                  st = st.copy(t1 = ts); out += FunnelHit(uid, 1, ts)
+                case "view" if st.t1 > 0L && st.t2 == 0L && ts > st.t1 && ts <= st.t1 + day =>
+                  st = st.copy(t2 = ts); out += FunnelHit(uid, 2, ts)
+                case "purchase" if st.t2 > 0L && st.t3 == 0L && ts > st.t2 && ts <= st.t2 + day =>
+                  out += FunnelHit(uid, 3, ts)
+                  st = FunnelState(0L, 0L, 0L, closed = true) // chain complete
+                case _ =>
+              }
+            }
+            state.update(st)
+            if (!st.closed) {
+              val deadlineUs = if (st.t2 > 0L) st.t2 + day else if (st.t1 > 0L) st.t1 + day else 0L
+              if (deadlineUs > 0L)
+                state.setTimeoutTimestamp(
+                  math.max(deadlineUs / 1000L, state.getCurrentWatermarkMs + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming SemDeDup (see the st_semdedup QueryDef): per-cluster
     * keep/drop state over a centroid-assigned embedding stream. The
     * cosine mirrors the native CosineSim fold exactly (per-element
@@ -983,6 +1048,65 @@ object Streaming {
         SELECT user_id, event_id, rn::BIGINT AS rn, v AS v_micros,
                s::BIGINT AS ewma_micros
         FROM r"""),
+      bench = false),
+
+    // --------------------- stateful streaming funnel (stage machine)
+    // ev_funnel_strict's cascade running through the state store: the
+    // one stateful shape (multi-stage with deadlines) the streaming
+    // family did not cover. Append-mode stage hits drain to parquet,
+    // then a batch aggregate folds them into the oracle's
+    // stage/n/conv_ppm rows — each user emits a stage at most once, so
+    // count(*) per stage equals the batch per-user stage tables. The
+    // stage spine left-join keeps all three rows even if a stage
+    // converts nobody (the oracle's count-of-empty = 0 shape).
+    graft.QueryDef(
+      "st_funnel_strict",
+      (spark, dir) => {
+        import spark.implicits._
+        val src = eventsStream(spark, dir)
+          .selectExpr("user_id", "event_type", "ts")
+          .withWatermark("ts", "24 hours")
+          .as[FunnelEvent]
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = funnelStream(src).writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val hits = spark.read
+          .schema("user_id BIGINT, stage INT, ts_us BIGINT")
+          .parquet(s"$tmp/out")
+        val agg = hits.groupBy("stage").agg(expr("cast(count(*) AS bigint) AS n"))
+        val spine = Seq((1, "1_signup"), (2, "2_view_24h"), (3, "3_purchase_24h"))
+          .toDF("stage", "label")
+        val base = agg.where("stage = 1").selectExpr("n AS n0")
+        spine.join(agg, Seq("stage"), "left")
+          .selectExpr("stage AS stage_no", "label AS stage", "coalesce(n, 0L) AS n")
+          .crossJoin(org.apache.spark.sql.functions.broadcast(base))
+          .orderBy("stage_no")
+          .selectExpr("stage", "n", "n * 1000000L div n0 AS conv_ppm")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(ts_us) AS t2
+               FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'view' AND ts_us > t1 AND ts_us <= t1 + 86400000000
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(ts_us) AS t3
+               FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts_us > t2 AND ts_us <= t2 + 86400000000
+               GROUP BY e.user_id),
+        c AS (
+          SELECT '1_signup' AS stage, count(*)::BIGINT AS n FROM s1
+          UNION ALL SELECT '2_view_24h', count(*)::BIGINT FROM s2
+          UNION ALL SELECT '3_purchase_24h', count(*)::BIGINT FROM s3)
+        SELECT stage, n, (n * 1000000 // (SELECT count(*) FROM s1))::BIGINT AS conv_ppm
+        FROM c"""),
       bench = false)
   )
 }

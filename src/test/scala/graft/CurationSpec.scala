@@ -127,6 +127,28 @@ class CurationSpec extends SparkSpec {
     assert(got > 0L && got < 500L, "gate corpus must actually prune")
   }
 
+  test("tp_curate_pairs: blocked-mined drops compose identically to all-pairs drops") {
+    import org.apache.spark.sql.functions.col
+    // same anti-join + per-label stats, built once on the cell-blocked
+    // miner FORCED multi-cell (cap 16) and once on the unblocked
+    // all-pairs ground truth — the composition must be row-identical,
+    // proving the work-spreading layout is invisible to curation
+    def survivors(pairs: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      val drop = pairs.select(col("vec_b").as("vec_id")).distinct()
+      Tables.embeddings(spark, sf)
+        .selectExpr("cast(label AS int) AS label", "vec_id")
+        .join(drop, Seq("vec_id"), "left_anti")
+        .groupBy("label").count()
+        .collect().map(_.toSeq).toSet
+    }
+    val viaBlocked = survivors(graft.operators.Dedup.embedSimPairsBlocked(spark, sf, cap = 16))
+    val viaAllPairs = survivors(graft.operators.Dedup.embedNearDupAllPairs(spark, sf))
+    assert(viaBlocked == viaAllPairs,
+      s"curation over blocked vs all-pairs mining diverged: $viaBlocked vs $viaAllPairs")
+    val dropped = runQuery("tp_curate_pairs").collect().map(_.getAs[Long]("n_dropped")).sum
+    assert(dropped > 0L, "gate corpus must actually drop paired vectors")
+  }
+
   test("FFD packing: budget respected, no doc lost, at least as tight as in-order") {
     val ffd = runQuery("tp_pack_ffd").collect()
     val inOrder = runQuery("tp_pack_tokens").collect()

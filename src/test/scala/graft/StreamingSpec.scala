@@ -187,6 +187,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: stage state crosses batches; timeout closes dead chains for good") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hour = 3600L * 1000
+    def ev(u: Long, t: String, ms: Long) =
+      Streaming.FunnelEvent(u, t, new java.sql.Timestamp(ms))
+    val input = MemoryStream[Streaming.FunnelEvent]
+    val hits = Streaming.funnelStream(
+      input.toDS().withWatermark("ts", "0 seconds").as[Streaming.FunnelEvent])
+    val q = hits.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      def got() = spark.table("funnel_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"))).toSet
+      // batch 1: user 1 signs up and views in-window; user 2 signs up only
+      input.addData(ev(1, "signup", hour), ev(1, "view", 2 * hour), ev(2, "signup", hour))
+      q.processAllAvailable()
+      assert(got() == Set((1L, 1), (1L, 2), (2L, 1)))
+      // batch 2: user 1 purchases within 24h of the view — stage 3
+      // fires from state carried ACROSS the batch boundary
+      input.addData(ev(1, "purchase", 20 * hour))
+      q.processAllAvailable()
+      assert(got() == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
+      // batch 3: advance the watermark far past user 2's view deadline
+      // (signup + 24h) so the event-time timeout compacts the chain
+      input.addData(ev(99, "signup", 100 * hour))
+      q.processAllAvailable()
+      // batch 4: user 2's late view (outside the window) and a SECOND
+      // signup — a closed chain must not reopen (the batch definition
+      // pins the first signup), and user 1's completed chain must not
+      // re-emit on another purchase
+      input.addData(ev(2, "view", 100 * hour), ev(2, "signup", 101 * hour),
+        ev(1, "purchase", 101 * hour))
+      q.processAllAvailable()
+      assert(got() == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (99L, 1)))
+    } finally q.stop()
+  }
+
   test("ewmaStream: the smoothing state carries across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
