@@ -30,6 +30,17 @@ object Bench {
     // under-measure (a fingerprint query's fold never runs under count)
     def exhaust(d: QueryDef, dir: String): Unit =
       d.run(spark, dir).write.mode("overwrite").format("noop").save()
+    // SPARK_GRAFT_PROFILE=q1,q2: profile mode — instead of the timed
+    // passes, run each named query once (after warmup) under a stage
+    // listener and dump per-stage shuffle bytes, spill, and task skew
+    // to bench/profile_<sf>.json. The evidence layer for "is this
+    // query exchange-bound or plan-overhead-bound?" questions the
+    // wall-clock figure alone cannot answer.
+    sys.env.get("SPARK_GRAFT_PROFILE").foreach { names =>
+      profile(spark, sfDir, names.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      spark.stop()
+      return
+    }
     // optional comma-separated subset filter for local profiling runs;
     // unset (the driver's invocation) benches every registered query
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -93,5 +104,77 @@ object Bench {
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // the stdout line is the contract; the artifact is best-effort
     spark.stop()
+  }
+
+  /** Per-stage task aggregates for one profiled query run. */
+  private final class StageAgg {
+    var tasks = 0
+    var sumMs = 0L
+    var maxMs = 0L
+    var shufReadB = 0L
+    var shufWriteB = 0L
+    var memSpillB = 0L
+    var diskSpillB = 0L
+    var inputB = 0L
+  }
+
+  private final class ProfileListener extends org.apache.spark.scheduler.SparkListener {
+    val stages = scala.collection.mutable.LinkedHashMap.empty[Int, StageAgg]
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized {
+        val m = te.taskMetrics
+        if (m != null) {
+          val a = stages.getOrElseUpdate(te.stageId, new StageAgg)
+          a.tasks += 1
+          a.sumMs += m.executorRunTime
+          a.maxMs = math.max(a.maxMs, m.executorRunTime)
+          a.shufReadB += m.shuffleReadMetrics.totalBytesRead
+          a.shufWriteB += m.shuffleWriteMetrics.bytesWritten
+          a.memSpillB += m.memoryBytesSpilled
+          a.diskSpillB += m.diskBytesSpilled
+          a.inputB += m.inputMetrics.bytesRead
+        }
+      }
+  }
+
+  /** Run each named query once (post-warmup) under a listener; write
+    * bench/profile_<sf>.json with per-stage shuffle/spill/skew rows.
+    * Skew = max task runtime / mean task runtime within the stage — the
+    * single-number answer to "does one partition carry this stage?".
+    */
+  private def profile(spark: SparkSession, sfDir: String, names: Seq[String]): Unit = {
+    val defs = Registry.all.filter(d => names.contains(d.name))
+    def exhaust(d: QueryDef): Unit =
+      d.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+    defs.foreach(d => try exhaust(d) catch { case _: Throwable => () }) // warmup
+    val out = new StringBuilder("{")
+    defs.zipWithIndex.foreach { case (d, di) =>
+      val l = new ProfileListener
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      val err = try { exhaust(d); None } catch { case t: Throwable => Some(t.toString.take(200)) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async with no public flush; a short settle
+      // is plenty for a local profiling run's queued task-end events
+      Thread.sleep(1000)
+      spark.sparkContext.removeSparkListener(l)
+      val stageRows = l.stages.toSeq.sortBy(_._1).map { case (sid, a) =>
+        val avg = if (a.tasks > 0) a.sumMs.toDouble / a.tasks else 0.0
+        val skew = if (avg > 0) a.maxMs / avg else 1.0
+        f"""{"stage":$sid,"tasks":${a.tasks},"task_ms_sum":${a.sumMs},"task_ms_max":${a.maxMs},""" +
+          f""""skew":$skew%.2f,"input_mb":${a.inputB / 1048576L},"shuffle_read_mb":${a.shufReadB / 1048576L},""" +
+          f""""shuffle_write_mb":${a.shufWriteB / 1048576L},"spill_mem_mb":${a.memSpillB / 1048576L},""" +
+          f""""spill_disk_mb":${a.diskSpillB / 1048576L}}"""
+      }
+      if (di > 0) out.append(",")
+      out.append(f""""${d.name}":{"sec":$sec%.3f,"error":${err.map("\"" + _.replaceAll("[\"\\\\\n\r\t]", " ") + "\"").getOrElse("null")},"stages":[${stageRows.mkString(",")}]}""")
+    }
+    out.append("}")
+    val sfName = new java.io.File(sfDir).getName
+    val path = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PROFILE_OUT", s"bench/profile_$sfName.json"))
+    Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(path, (out.toString + "\n").getBytes("UTF-8"))
+    println(out.toString)
   }
 }

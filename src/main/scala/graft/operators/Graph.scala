@@ -565,8 +565,18 @@ object Graph {
     * graph's arboricity, so no hub vertex can explode the pair space.
     */
   private[graft] def triangleReport(edges: DataFrame): DataFrame = {
+    // deg is consumed 4× (both orientation joins, the per-vertex join,
+    // the global stats) and oriented 3× (twice in the wedge self-join,
+    // once in the closure probe). Without a fence each consumer
+    // re-computes the whole subtree INCLUDING its broadcast builds —
+    // profiled at sf0.1 as a 14-sequential-broadcast-job chain where
+    // wall (3.1 s) ran 3× the actual task work (0.9 s). localCheckpoint
+    // is the same lineage discipline pageRank/kCore already apply:
+    // deg is O(V); oriented is O(E), the price every multi-pass
+    // consumer of an edge list pays once instead of per pass.
     val deg = edges.selectExpr("a AS v").unionByName(edges.selectExpr("b AS v"))
       .groupBy("v").agg(expr("cast(count(*) AS bigint) AS d"))
+      .localCheckpoint(true)
     val oriented = edges
       .join(deg.selectExpr("v AS a", "d AS da"), "a")
       .join(deg.selectExpr("v AS b", "d AS db"), "b")
@@ -574,6 +584,7 @@ object Graph {
         "CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src",
         "CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst",
         "CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dd")
+      .localCheckpoint(true)
     val tri = oriented.selectExpr("src", "dst AS v", "dd AS dv")
       .join(oriented.selectExpr("src", "dst AS w", "dd AS dw"), "src")
       .where("dv < dw OR (dv = dw AND v < w)")

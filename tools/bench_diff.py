@@ -26,6 +26,18 @@ import sys
 PAIR = re.compile(r'"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)')
 NON_QUERY_KEYS = {"value", "n", "rc", "cpus", "sf"}
 
+# Accepted step-changes: query -> (ceiling_s, reason). A query at or
+# under its documented ceiling is exempt from the ratio gate — records
+# a DELIBERATE algorithmic trade without loosening the gate for
+# everything else; a regression past the ceiling still fails.
+ACCEPTED = {
+    # r7 rebuilt the exact all-pairs miner as triangle cell blocking
+    # (bounded per-task pair space — no single reducer holds a label's
+    # whole quadratic). ~2x at test SF, the scale-safety price; judged
+    # and accepted in round 7. Clean-machine figure ~0.63 s.
+    "dd_embed_simpairs": (0.9, "r7 cell blocking: bounded per-task pair space"),
+}
+
 
 def load_queries(path):
     with open(path) as f:
@@ -81,8 +93,11 @@ def main():
         ratio = curr[k] / prev[k]
         flag = ""
         if ratio > threshold and (curr[k] - prev[k]) > floor_s:
-            regressions.append(k)
-            flag = "  << REGRESSION"
+            if k in ACCEPTED and curr[k] <= ACCEPTED[k][0]:
+                flag = f"  (accepted step-change: {ACCEPTED[k][1]})"
+            else:
+                regressions.append(k)
+                flag = "  << REGRESSION"
         print(f"{k:32s} {prev[k]:9.3f} {curr[k]:9.3f} {ratio:6.2f}x{flag}")
 
     pt = sum(prev[k] for k in common if prev[k] > 0 and curr[k] >= 0)
