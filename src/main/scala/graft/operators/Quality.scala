@@ -104,10 +104,8 @@ object Quality {
     QueryDef(
       "dq_outliers",
       (spark, dir) =>
-        flagOutliers(
-          Tables.events(spark, dir).selectExpr("event_id", "event_type", "value"),
-          outlierStats(Tables.events(spark, dir)
-            .selectExpr("event_id", "event_type", "value"))),
+        outlierReport(Tables.events(spark, dir)
+          .selectExpr("event_id", "event_type", "value")),
       Some("""
         WITH e AS (SELECT event_id, event_type, value FROM events),
         m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
@@ -300,6 +298,14 @@ object Quality {
       .select("event_type", "med", "mad")
   }
 
+  /** The one place the outlier RULE lives — shared by the fused batch
+    * report and the streaming flagger so the two can never drift.
+    */
+  private val OutlierCut = "ad > 3 * 1.4826 * mad"
+  private val OutlierCols = Seq("event_id", "event_type",
+    "round(value, 6) AS value", "round(med, 6) AS med", "round(mad, 6) AS mad",
+    "round(ad / (1.4826 * mad), 6) AS robust_z")
+
   /** Row-local MAD flagging against broadcast [[outlierStats]]: works
     * identically over a batch scan or a stream (stateless — the
     * streaming twin's whole point).
@@ -308,8 +314,29 @@ object Quality {
     ev.join(broadcast(stats), "event_type")
       .selectExpr("event_id", "event_type", "value", "med", "mad",
         "abs(value - med) AS ad")
-      .where("ad > 3 * 1.4826 * mad")
-      .selectExpr("event_id", "event_type", "round(value, 6) AS value",
-        "round(med, 6) AS med", "round(mad, 6) AS mad",
-        "round(ad / (1.4826 * mad), 6) AS robust_z")
+      .where(OutlierCut)
+      .selectExpr(OutlierCols: _*)
+
+  /** Batch drill-down FUSED to two scans: one median pass, then a
+    * single deviated frame reused by both the MAD aggregate and the
+    * final filter. Composing [[outlierStats]] + [[flagOutliers]]
+    * instead re-scans the source a third time and recomputes the
+    * deviation — profiled at 1.46× the fused wall (the r7 committed
+    * bench's one unexplained shift, r8-diagnosed). The rule constants
+    * ([[OutlierCut]]/[[OutlierCols]], 6-dp pre-rounded boundaries) are
+    * shared with the streaming twin, which keeps its stats+flag split:
+    * a stream cannot reuse a batch-side deviated frame.
+    */
+  private[graft] def outlierReport(ev: DataFrame): DataFrame = {
+    val med = ev.groupBy("event_type")
+      .agg(expr("round(percentile(value, 0.5), 6) AS med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .selectExpr("event_id", "event_type", "value", "med",
+        "abs(value - med) AS ad")
+    val mad = dev.groupBy("event_type")
+      .agg(expr("round(percentile(ad, 0.5), 6) AS mad"))
+    dev.join(broadcast(mad), "event_type")
+      .where(OutlierCut)
+      .selectExpr(OutlierCols: _*)
+  }
 }

@@ -838,6 +838,62 @@ object Relational {
         WHERE bal_micros > thr_micros
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
-        GROUP BY c_nationkey"""))
+        GROUP BY c_nationkey""")),
+
+    // TPC-H Q4 (order-priority checking), adapted to this schema's
+    // lateness proxy: the driver's lineitem has no commit/receipt
+    // dates, so "late" = some line shipped > 60 days after the order
+    // date (the q21 convention). One quarter of orders, EXISTS as a
+    // LEFT SEMI join — the date window prunes the orders scan, the
+    // join carries only (orderkey, orderdate) against lineitem keyed
+    // on the natural co-partition key, and no lineitem payload ever
+    // reaches the aggregate. O(priorities) output.
+    QueryDef(
+      "q4_order_priority",
+      (spark, dir) => {
+        val ord = Tables.orders(spark, dir)
+          .where("o_orderdate >= timestamp'1995-01-01 00:00:00' AND " +
+            "o_orderdate < timestamp'1995-04-01 00:00:00'")
+          .selectExpr("o_orderkey", "o_orderpriority",
+            "cast(cast(o_orderdate AS timestamp) AS long) AS od_s")
+        val li = Tables.lineitem(spark, dir)
+          .selectExpr("l_orderkey", "cast(cast(l_shipdate AS timestamp) AS long) AS sd_s")
+        ord.join(li,
+            expr(s"o_orderkey = l_orderkey AND sd_s > od_s + ${60L * 86400}L"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(expr("cast(count(*) AS bigint) AS order_count"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND epoch(l.l_shipdate) > epoch(o.o_orderdate) + 60 * 86400)
+        GROUP BY o_orderpriority""")),
+
+    // TPC-H Q6 verbatim (forecasting revenue change): the canonical
+    // single-scan predicate aggregate. All three predicates reach the
+    // parquet scan as pushed filters (PlanShapeSpec pins shipdate +
+    // quantity); the aggregate is one decimal partial-combine to a
+    // single row — the minimal possible shuffle.
+    QueryDef(
+      "q6_forecast_revenue",
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .where("l_shipdate >= timestamp'1995-01-01 00:00:00' AND " +
+            "l_shipdate < timestamp'1996-01-01 00:00:00' AND " +
+            "l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24")
+          .agg(expr(
+            "cast(sum(cast(l_extendedprice * l_discount AS decimal(18,6))) AS double) AS revenue")),
+      Some("""
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24"""))
   )
 }

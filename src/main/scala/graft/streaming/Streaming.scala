@@ -1050,6 +1050,90 @@ object Streaming {
         FROM r"""),
       bench = false),
 
+    // ------------------- native session-window sessionization stream
+    // ev_sessionize through Spark's BUILT-IN session_window state store
+    // — the last stateful-operator family the gate did not cover (the
+    // flatMapGroupsWithState sessionize is spec-only; this is the
+    // declarative form Catalyst manages: merging session state,
+    // watermark eviction). Gap is 30 min + 1 µs because the native
+    // window merges on next < last + gap (exclusive) while the batch
+    // rule merges on gap <= 30 min inclusive — with integral-micros
+    // timestamps the +1 µs makes them identical. Append mode only
+    // emits a session once the WATERMARK passes its close (last + gap),
+    // which would withhold every session ending within one gap of the
+    // corpus max — so the staged source gets one far-future SENTINEL
+    // row for non-user −1 that drags the global watermark past every
+    // real close; the sentinel's own session never finalizes and is
+    // filtered on the batch side. session_id (the batch ordinal) is a
+    // post-drain row_number per user — pure presentation, computed
+    // from emitted rows. Oracle = ev_sessionize's SQL verbatim.
+    graft.QueryDef(
+      "st_sessionize",
+      (spark, dir) => {
+        val staged = stageDir(s"$dir/events.parquet")
+        val raw = spark.read.parquet(staged)
+        raw.limit(1)
+          .crossJoin(raw.agg(expr("max(ts) AS mts")))
+          .selectExpr("-1L AS event_id", "mts + INTERVAL 2 HOURS AS ts",
+            "-1L AS user_id", "'sentinel' AS event_type", "0.0D AS value",
+            "'' AS props")
+          .write.mode("append").parquet(staged)
+        val tsType = raw.schema("ts").dataType
+        val schema = StructType(rawEventsSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = tsType)
+          case f => f
+        })
+        val src0 = spark.readStream.schema(schema).parquet(staged)
+        val src = (tsType match {
+          case LongType => src0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _ => src0.withColumn("ts", col("ts").cast(TimestampType))
+        }).select("user_id", "ts")
+        val gapUs = 1800000001L
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = src.withWatermark("ts", "0 seconds")
+          .groupBy(session_window(col("ts"), s"$gapUs microseconds"), col("user_id"))
+          .agg(expr("cast(count(*) AS bigint) AS n_events"))
+          .selectExpr("user_id",
+            "unix_micros(session_window.start) AS session_start_us",
+            s"unix_micros(session_window.end) - ${gapUs}L AS session_end_us",
+            "n_events")
+          .writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read
+          .schema("user_id BIGINT, session_start_us BIGINT, session_end_us BIGINT, n_events BIGINT")
+          .parquet(s"$tmp/out")
+          .where("user_id >= 0")
+          .selectExpr("user_id",
+            """cast(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY session_start_us) AS bigint) AS session_id""",
+            "n_events", "session_start_us", "session_end_us")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                      THEN 1
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+                      THEN 1 ELSE 0 END AS is_boundary
+          FROM events
+        ), sessioned AS (
+          SELECT user_id, event_id, ts_us,
+                 sum(is_boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        FROM sessioned
+        GROUP BY user_id, session_id"""),
+      bench = false),
+
     // --------------------- stateful streaming funnel (stage machine)
     // ev_funnel_strict's cascade running through the state store: the
     // one stateful shape (multi-stage with deadlines) the streaming

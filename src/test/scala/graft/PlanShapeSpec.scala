@@ -326,6 +326,23 @@ class PlanShapeSpec extends SparkSpec {
       "only the broadcast-scalar stats join may be a nested loop")
   }
 
+  test("q6: all three predicates pushed to the scan; single-row decimal aggregate") {
+    val p = plan("q6_forecast_revenue")
+    // the PushedFilters list is toString-truncated; the leading entries
+    // prove all three columns reached the scan as data filters
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"predicates not pushed:\n${p.take(700)}")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q4: EXISTS runs as a LEFT SEMI join; the order window prunes the scan") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS not a semi join:\n${p.take(600)}")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date window not pushed:\n${p.take(700)}")
+  }
+
   test("ev_ewma: secondary-sort fold — no per-group materialization node") {
     val p = plan("ev_ewma")
     // the fold must be Exchange → partition-local Sort → MapPartitions:
