@@ -840,6 +840,78 @@ object Events {
                s::BIGINT AS ewma_micros
         FROM r""")),
 
+    // ----------------- EWMA forecast-residual anomaly flags
+    // The alerting half of ev_ewma: each event's one-step-ahead
+    // forecast is the PREVIOUS smoothed value; the residual
+    // v_t − s_{t−1} measures surprise. A row flags when its absolute
+    // residual exceeds 3× the user's own median absolute residual —
+    // per-user robust scale, so one user's volatility never sets
+    // another's threshold. All integer-exact: residuals are micros,
+    // and the 3×median compare is 2|r| > 3·(2·median) where 2·median
+    // of integers is itself an integer (a+b of the middle pair), so
+    // no float boundary can flip a row cross-engine.
+    // Scale shape: the same secondary-sort streaming fold as ev_ewma
+    // (O(1) state, spill-safe shuffle sort) emits residuals; the
+    // per-user median is a user-bounded percentile aggregate joined
+    // back on the fold's own user_id key; only the flagged tail
+    // leaves the executor.
+    QueryDef(
+      "ev_anomaly",
+      (spark, dir) => {
+        import spark.implicits._
+        val ew = Tables.events(spark, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+          .as[(Long, Long, Long, Long)]
+          .repartition(org.apache.spark.sql.functions.col("user_id"))
+          .sortWithinPartitions("user_id", "ts_us", "event_id")
+          .mapPartitions { it =>
+            var cur = Long.MinValue; var s = 0L; var rn = 0L
+            var first = true
+            it.map { case (uid, eid, _, v) =>
+              if (first || uid != cur) {
+                cur = uid; s = v; rn = 1L; first = false
+                (uid, eid, rn, v, 0L)
+              } else {
+                val resid = v - s
+                s = (300L * v + 700L * s) / 1000L; rn += 1L
+                (uid, eid, rn, v, resid)
+              }
+            }
+          }
+          .toDF("user_id", "event_id", "rn", "v_micros", "resid_micros")
+          .where("rn >= 2")
+        val scale = ew.groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.expr(
+            "cast(round(2 * percentile(abs(resid_micros), 0.5), 0) AS bigint) AS m2"))
+        ew.join(scale, "user_id")
+          .where("2 * abs(resid_micros) > 3 * m2")
+          .selectExpr("user_id", "event_id", "rn", "v_micros", "resid_micros", "m2")
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+        r AS (
+          SELECT user_id, event_id, rn, v, v AS s, 0::BIGINT AS resid FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.rn, e.v,
+                 ((300 * e.v + 700 * r.s) // 1000)::BIGINT,
+                 (e.v - r.s)::BIGINT
+          FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+        ew AS (SELECT * FROM r WHERE rn >= 2),
+        scale AS (
+          SELECT user_id,
+                 CAST(round(2 * quantile_cont(abs(resid), 0.5), 0) AS BIGINT) AS m2
+          FROM ew GROUP BY user_id)
+        SELECT ew.user_id, event_id, rn::BIGINT AS rn, v AS v_micros,
+               resid AS resid_micros, m2
+        FROM ew JOIN scale ON ew.user_id = scale.user_id
+        WHERE 2 * abs(resid) > 3 * m2""")),
+
     // ------------------------ strict time-windowed funnel
     // ev_funnel's upgrade: each stage must follow the PREVIOUS stage
     // within 24 hours, so the earliest-qualifying time of stage k is

@@ -764,7 +764,78 @@ object Knn {
                      round(${dCos("embedding", "q_emb")}, 6) AS similarity
               FROM embeddings, q
               WHERE vec_id != q_vec_id)
-        WHERE similarity >= 0.2"""))
+        WHERE similarity >= 0.2""")),
+
+    // ------------------------------- kNN majority-vote classification
+    // The evaluation shape every embedding pipeline runs: hold out a
+    // deterministic query slice (vec_id % 23 = 0), 5-NN each query
+    // against the remaining corpus, predict the majority neighbor
+    // label (ties → smallest label), and report the confusion matrix
+    // against the true labels. Scale shape: queries broadcast; the
+    // corpus is scanned once with the native cosine and reduced
+    // through the bounded-heap TopKAggregator (≤ k rows per query
+    // cross the wire, never the corpus); the winners' labels come
+    // from ONE more broadcast-semi scan keyed by the tiny top set;
+    // votes/confusion are O(queries) aggregates.
+    QueryDef(
+      "v12_knn_classify",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        import spark.implicits._
+        val e = Tables.embeddings(spark, dir)
+        val q = e.where("vec_id % 23 = 0")
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+        val scored = e.where("vec_id % 23 != 0")
+          .crossJoin(broadcast(q))
+          .selectExpr("q_vec_id", "vec_id",
+            s"round(${cosExpr("embedding", "q_emb")}, 6) AS similarity")
+          .as[(Long, Long, Double)]
+        val top = TopK.topKByKey(scored, K)
+          .toDF("q_vec_id", "rank", "vec_id", "similarity")
+        val votes = e.select(col("vec_id"), col("label"))
+          .join(broadcast(top.select("q_vec_id", "vec_id")), Seq("vec_id"))
+          .groupBy("q_vec_id", "label")
+          .agg(expr("count(*) AS nv"))
+          .selectExpr("q_vec_id", "label", "nv",
+            """row_number() OVER (PARTITION BY q_vec_id
+                                  ORDER BY nv DESC, label) AS vr""")
+          .where("vr = 1")
+          .selectExpr("q_vec_id", "label AS pred_label")
+        val truth = e.where("vec_id % 23 = 0")
+          .selectExpr("vec_id AS q_vec_id", "label AS true_label")
+        votes.join(broadcast(truth), "q_vec_id")
+          .groupBy("true_label", "pred_label")
+          .agg(expr("cast(count(*) AS bigint) AS n_queries"))
+          .selectExpr("cast(true_label AS int) AS true_label",
+            "cast(pred_label AS int) AS pred_label", "n_queries")
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, label AS true_label
+                   FROM embeddings WHERE vec_id % 23 = 0),
+        scored AS (
+          SELECT q.q_vec_id, e.vec_id, e.label,
+                 round(${dCos("e.embedding", "q.q_emb")}, 6) AS similarity
+          FROM embeddings e, q
+          WHERE e.vec_id % 23 != 0),
+        top AS (
+          SELECT q_vec_id, vec_id, label
+          FROM (SELECT q_vec_id, vec_id, label,
+                       row_number() OVER (PARTITION BY q_vec_id
+                                          ORDER BY similarity DESC, vec_id) AS rank
+                FROM scored)
+          WHERE rank <= $K),
+        votes AS (SELECT q_vec_id, label, count(*) AS nv FROM top GROUP BY 1, 2),
+        pred AS (
+          SELECT q_vec_id, label AS pred_label
+          FROM (SELECT q_vec_id, label,
+                       row_number() OVER (PARTITION BY q_vec_id
+                                          ORDER BY nv DESC, label) AS vr
+                FROM votes)
+          WHERE vr = 1)
+        SELECT q.true_label::INT AS true_label, p.pred_label::INT AS pred_label,
+               count(*)::BIGINT AS n_queries
+        FROM pred p JOIN q ON p.q_vec_id = q.q_vec_id
+        GROUP BY 1, 2"""))
   )
 
   // ----------------------------------------------- IVF index at rest

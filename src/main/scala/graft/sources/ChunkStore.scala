@@ -322,6 +322,40 @@ object ChunkStore {
         GROUP BY lang"""),
       bench = false),
 
+    // S3c — JSON Lines sink/source round trip over RAW text: where s7
+    // checks the dump's counts, this row pins CONTENT fidelity through
+    // JSON string escaping — the md5 fold covers every byte of every
+    // document (CJK, quotes, embedded whitespace), so one character
+    // mangled by the writer's escaping or the reader's decoding breaks
+    // the hash. The oracle computes the same fold straight from the
+    // source parquet: the JSONL hop must be byte-invisible.
+    // bench=false: measures tmpdir I/O, not engine throughput.
+    QueryDef(
+      "s12_jsonl_roundtrip",
+      (spark, dir) => {
+        val docs = graft.Tables.documents(spark, dir)
+          .selectExpr("doc_id", "lang", "source", "text", "n_chars")
+        val path = java.nio.file.Files.createTempDirectory("graft_s12").toString + "/docs_jsonl"
+        docs.write.mode("overwrite").json(path)
+        spark.read
+          .schema("doc_id BIGINT, lang STRING, source STRING, text STRING, n_chars BIGINT")
+          .json(path)
+          .groupBy("lang")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(sum(length(text)) AS bigint) AS total_chars"),
+            expr("cast(sum(n_chars) AS bigint) AS n_chars_sum"),
+            expr("md5(cast(sum(pmod(cast(conv(substring(md5(text), 1, 15), 16, 10) AS bigint), 1000000007)) AS string)) AS content_fold"))
+      },
+      Some("""
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(length(text))::BIGINT AS total_chars,
+               sum(n_chars)::BIGINT AS n_chars_sum,
+               md5((sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007)::BIGINT)::VARCHAR) AS content_fold
+        FROM documents
+        GROUP BY lang"""),
+      bench = false),
+
     // S10 — small-file compaction: the operational chore every
     // long-running lake hits (streaming sinks and per-executor writers
     // leave thousands of KB-sized files; at 100 TB the NameNode/listing
