@@ -874,6 +874,120 @@ object Relational {
                         AND epoch(l.l_shipdate) > epoch(o.o_orderdate) + 60 * 86400)
         GROUP BY o_orderpriority""")),
 
+    // TPC-H Q7 (volume shipping between two nations, adapted names):
+    // revenue flowing supplier-nation → customer-nation for the
+    // (NATION_1, NATION_2) pair in either direction, by ship year.
+    // Scale shape: supplier/customer/nation are broadcast dims pruned
+    // to the two nations BEFORE the joins (the filter cuts the build
+    // sides ~12.5×); only orders⋈lineitem shuffles, on the natural
+    // orderkey. Money folds as exact decimal.
+    QueryDef(
+      "q7_nation_trade",
+      (spark, dir) => {
+        val n = Tables.nation(spark, dir)
+          .where("n_name IN ('NATION_1', 'NATION_2')")
+        val sup = Tables.supplier(spark, dir)
+          .join(broadcast(n.selectExpr("n_nationkey AS s_nk", "n_name AS supp_nation")),
+            expr("s_nationkey = s_nk"))
+          .select("s_suppkey", "supp_nation")
+        val cust = Tables.customer(spark, dir)
+          .join(broadcast(n.selectExpr("n_nationkey AS c_nk", "n_name AS cust_nation")),
+            expr("c_nationkey = c_nk"))
+          .select("c_custkey", "cust_nation")
+        Tables.lineitem(spark, dir)
+          .where("l_shipdate >= timestamp'1995-01-01 00:00:00' AND " +
+            "l_shipdate < timestamp'1997-01-01 00:00:00'")
+          .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+            expr("l_orderkey = o_orderkey"))
+          .join(broadcast(sup), expr("l_suppkey = s_suppkey"))
+          .join(broadcast(cust), expr("o_custkey = c_custkey"))
+          .where("supp_nation <> cust_nation")
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            expr("year(l_shipdate)").as("l_year"))
+          .agg(expr("cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,6))) AS double) AS revenue"))
+          .selectExpr("supp_nation", "cust_nation", "cast(l_year AS int) AS l_year", "revenue")
+      },
+      Some("""
+        SELECT supp_nation, cust_nation, l_year::INT AS l_year,
+               CAST(sum(volume) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+            AND n2.n_name IN ('NATION_1', 'NATION_2')
+            AND n1.n_name <> n2.n_name
+            AND l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01')
+        GROUP BY supp_nation, cust_nation, l_year""")),
+
+    // TPC-H Q8 (national market share, adapted names): NATION_3
+    // suppliers' share of PROMO-part revenue sold to AMERICA-region
+    // customers, by order year. Every dimension (region→nation→
+    // customer, part, supplier+nation flag) broadcasts; the fact edge
+    // shuffles once on orderkey. Both ratio legs fold in ONE decimal
+    // aggregate pass; the share is a single end double division
+    // rounded to 6 — the only float op, identical cross-engine on
+    // identical decimal operands.
+    QueryDef(
+      "q8_market_share",
+      (spark, dir) => {
+        val amNations = Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir).where("r_name = 'AMERICA'")),
+            expr("n_regionkey = r_regionkey"))
+          .select("n_nationkey")
+        val cust = Tables.customer(spark, dir)
+          .join(broadcast(amNations), expr("c_nationkey = n_nationkey"))
+          .select("c_custkey")
+        val promo = Tables.part(spark, dir).where("p_type = 'PROMO'").select("p_partkey")
+        val sup = Tables.supplier(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)
+              .selectExpr("n_nationkey AS s_nk", "n_name = 'NATION_3' AS is_target")),
+            expr("s_nationkey = s_nk"))
+          .select("s_suppkey", "is_target")
+        Tables.lineitem(spark, dir)
+          .join(broadcast(promo), expr("l_partkey = p_partkey"))
+          .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+            expr("l_orderkey = o_orderkey"))
+          .join(broadcast(cust), expr("o_custkey = c_custkey"))
+          .join(broadcast(sup), expr("l_suppkey = s_suppkey"))
+          .groupBy(expr("year(o_orderdate)").as("o_year"))
+          .agg(
+            expr("""cast(sum(CASE WHEN is_target
+                                  THEN cast(l_extendedprice * (1 - l_discount) AS decimal(18,6))
+                                  ELSE cast(0 AS decimal(18,6)) END) AS double) AS target_volume"""),
+            expr("cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,6))) AS double) AS total_volume"))
+          .selectExpr("cast(o_year AS int) AS o_year", "target_volume", "total_volume",
+            "round(target_volume / total_volume, 6) AS mkt_share")
+      },
+      Some("""
+        SELECT o_year::INT AS o_year,
+               CAST(target_volume AS DOUBLE) AS target_volume,
+               CAST(total_volume AS DOUBLE) AS total_volume,
+               round(CAST(target_volume AS DOUBLE) / CAST(total_volume AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT year(o_orderdate) AS o_year,
+                 sum(CASE WHEN n1.n_name = 'NATION_3'
+                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS target_volume,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_volume
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+          GROUP BY 1)""")),
+
     // TPC-H Q6 verbatim (forecasting revenue change): the canonical
     // single-scan predicate aggregate. All three predicates reach the
     // parquet scan as pushed filters (PlanShapeSpec pins shipdate +

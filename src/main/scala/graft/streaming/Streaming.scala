@@ -499,6 +499,36 @@ object Streaming {
       }
   }
 
+  final case class EwmaResid(user_id: Long, event_id: Long, rn: Long,
+                             v_micros: Long, resid_micros: Long)
+
+  /** [[ewmaStream]]'s residual twin: same (count, s) two-long state,
+    * but each row emits the ONE-STEP-AHEAD forecast residual
+    * v_t − s_{t−1} (0 for a user's first row) instead of the smoothed
+    * value — the live input to anomaly flagging. Kept separate from
+    * EwmaScore so the st_ewma gate schema stays frozen.
+    */
+  def ewmaResidStream(spark: SparkSession, src: DataFrame): Dataset[EwmaResid] = {
+    import spark.implicits._
+    src.as[EwmaPoint]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), EwmaResid](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0L))
+          val buf = batch.toArray
+          java.util.Arrays.sort(buf, Ordering.by((r: EwmaPoint) => (r.ts_us, r.event_id)))
+          val out = buf.map { r =>
+            val resid = if (n == 0L) 0L else r.v - s
+            s = if (n == 0L) r.v else (300L * r.v + 700L * s) / 1000L
+            n += 1L
+            EwmaResid(uid, r.event_id, n, r.v, resid)
+          }
+          state.update((n, s))
+          out.iterator
+      }
+  }
+
   /** Streaming SemDeDup (see the st_semdedup QueryDef): per-cluster
     * keep/drop state over a centroid-assigned embedding stream. The
     * cosine mirrors the native CosineSim fold exactly (per-element
@@ -1132,6 +1162,64 @@ object Streaming {
                min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         FROM sessioned
         GROUP BY user_id, session_id"""),
+      bench = false),
+
+    // ------------------ streaming anomaly residuals (live alerting)
+    // ev_anomaly's sequential half running against the stream: the
+    // cross-batch (count, s) state emits one-step-ahead forecast
+    // residuals live; the drained residual log then folds through the
+    // SAME per-user robust scale + integer-exact 2|r| > 3·(2·median)
+    // flag the batch query applies — the bounded non-sequential part,
+    // computed post-drain exactly as a deployment would run it over
+    // the day's residual log. Oracle = ev_anomaly's SQL verbatim.
+    graft.QueryDef(
+      "st_anomaly",
+      (spark, dir) => {
+        val src = eventsStream(spark, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = ewmaResidStream(spark, src).writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val ew = spark.read
+          .schema("user_id BIGINT, event_id BIGINT, rn BIGINT, v_micros BIGINT, resid_micros BIGINT")
+          .parquet(s"$tmp/out")
+          .where("rn >= 2")
+        val scale = ew.groupBy("user_id")
+          .agg(expr("cast(round(2 * percentile(abs(resid_micros), 0.5), 0) AS bigint) AS m2"))
+        ew.join(scale, "user_id")
+          .where("2 * abs(resid_micros) > 3 * m2")
+          .selectExpr("user_id", "event_id", "rn", "v_micros", "resid_micros", "m2")
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+        r AS (
+          SELECT user_id, event_id, rn, v, v AS s, 0::BIGINT AS resid FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.rn, e.v,
+                 ((300 * e.v + 700 * r.s) // 1000)::BIGINT,
+                 (e.v - r.s)::BIGINT
+          FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+        ew AS (SELECT * FROM r WHERE rn >= 2),
+        scale AS (
+          SELECT user_id,
+                 CAST(round(2 * quantile_cont(abs(resid), 0.5), 0) AS BIGINT) AS m2
+          FROM ew GROUP BY user_id)
+        SELECT ew.user_id, event_id, rn::BIGINT AS rn, v AS v_micros,
+               resid AS resid_micros, m2
+        FROM ew JOIN scale ON ew.user_id = scale.user_id
+        WHERE 2 * abs(resid) > 3 * m2"""),
       bench = false),
 
     // --------------------- stateful streaming funnel (stage machine)

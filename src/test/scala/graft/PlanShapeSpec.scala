@@ -343,6 +343,15 @@ class PlanShapeSpec extends SparkSpec {
       s"order-date window not pushed:\n${p.take(700)}")
   }
 
+  test("q7/q8: every dimension broadcasts — only the fact edge shuffles") {
+    for ((name, minBroadcasts) <- Seq("q7_nation_trade" -> 2, "q8_market_share" -> 4)) {
+      val p = plan(name)
+      assert(p.split("BroadcastHashJoin").length - 1 >= minBroadcasts,
+        s"$name: expected ≥$minBroadcasts broadcast joins:\n${p.take(600)}")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
   test("ev_ewma: secondary-sort fold — no per-group materialization node") {
     val p = plan("ev_ewma")
     // the fold must be Exchange → partition-local Sort → MapPartitions:
