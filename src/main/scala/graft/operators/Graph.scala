@@ -503,6 +503,62 @@ object Graph {
         SELECT src AS id, count(*)::BIGINT AS core_deg
         FROM e$KCoreUnroll GROUP BY src"""
       },
+      bench = false),
+
+    // ----------------------- multi-source BFS distances (blast radius)
+    // Hop distance from the BUILDING customer segment over the same
+    // bipartite customer–supplier purchase graph as gr_pagerank:
+    // "which suppliers are 1 hop (direct), 3 hops (friend-of-friend)
+    // from the segment" — the influence-horizon query. Seeds restrict
+    // to vertices actually present in the graph (a segment customer
+    // who never ordered has no position in it). Distances are exact
+    // integers; the oracle recomputes them with a recursive-CTE
+    // reachability and takes min(d) per vertex — a different algorithm
+    // arriving at the same unique fixpoint.
+    QueryDef(
+      "gr_bfs_dist",
+      (spark, dir) => {
+        val cs = Tables.orders(spark, dir).selectExpr("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(spark, dir).selectExpr("l_orderkey", "l_suppkey"),
+            expr("o_orderkey = l_orderkey"))
+          .selectExpr("o_custkey * 2 AS cv", "l_suppkey * 2 + 1 AS sv")
+          .distinct()
+        val edges = cs.selectExpr("cv AS src", "sv AS dst")
+          .unionByName(cs.selectExpr("sv AS src", "cv AS dst"))
+        val verts = edges.select(col("src").as("id")).distinct()
+        val seeds = Tables.customer(spark, dir)
+          .where("c_mktsegment = 'BUILDING'")
+          .selectExpr("c_custkey * 2 AS id")
+          .join(verts, "id")
+        bfsDistances(edges, seeds, maxHops = 4)
+          .selectExpr("id",
+            "CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
+            "id div 2 AS key", "dist")
+      },
+      Some("""
+        WITH RECURSIVE cs AS (
+          SELECT DISTINCT o_custkey * 2 AS cv, l_suppkey * 2 + 1 AS sv
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (
+          SELECT cv AS src, sv AS dst FROM cs
+          UNION ALL
+          SELECT sv AS src, cv AS dst FROM cs),
+        v AS (SELECT DISTINCT src AS id FROM edges),
+        seeds AS (
+          SELECT id FROM v
+          WHERE id IN (SELECT c_custkey * 2 FROM customer
+                       WHERE c_mktsegment = 'BUILDING')),
+        reach(id, d) AS (
+          SELECT id, 0 FROM seeds
+          UNION
+          SELECT e.dst, r.d + 1
+          FROM reach r JOIN edges e ON e.src = r.id
+          WHERE r.d < 4)
+        SELECT id,
+               CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               id // 2 AS key, min(d)::BIGINT AS dist
+        FROM reach
+        GROUP BY id"""),
       bench = false)
   )
 
@@ -554,6 +610,42 @@ object Graph {
     }
     (e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS core_deg"))
       .selectExpr("src AS id", "core_deg"), depth)
+  }
+
+  /** Multi-source BFS hop distances over a directed edge list — the
+    * "how far is everything from this segment" primitive behind blast-
+    * radius, influence-horizon, and recommendation-depth questions.
+    * Frontier-expansion BSP: per hop, ONE equi-join of the (shrinking)
+    * frontier against the once-partitioned edge list plus one anti-join
+    * against the known set; the edge side never re-shuffles (the
+    * pageRank discipline), every round is localCheckpoint-fenced so
+    * lineage stays O(1), and an empty frontier exits early (the fixed
+    * `maxHops` keeps the output deterministic either way — hop counts
+    * are exact integers, nothing to converge).
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.toDF("src", "dst")
+      .repartition(col("src")).localCheckpoint(true)
+    var known = seeds.toDF("id").distinct()
+      .withColumn("dist", lit(0L))
+      .repartition(col("id")).localCheckpoint(true)
+    var frontier = known
+    var h = 0
+    var empty = frontier.isEmpty
+    while (h < maxHops && !empty) {
+      h += 1
+      val next = e.join(frontier.selectExpr("id AS src"), "src")
+        .selectExpr("dst AS id").distinct()
+        .join(known.select("id"), Seq("id"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint(true)
+      empty = next.isEmpty
+      if (!empty) {
+        known = known.unionByName(next).repartition(col("id")).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    known
   }
 
   /** Degree-ordered triangle counting over an undirected simple edge

@@ -161,6 +161,36 @@ object Relational {
                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS moving_avg_4
         FROM orders""")),
 
+    // Time-based RANGE frame — the window shape w2's ROWS frame cannot
+    // express: each order sums the customer's spend over the PRECEDING
+    // 30 DAYS of wall-clock, however many orders that is (RANGE frames
+    // also include same-timestamp peers, which both engines define
+    // identically over the integer epoch key). Same scale story as
+    // every w-row: partition-bounded sort on a high-cardinality key,
+    // never a global ORDER BY; money folds as exact decimal inside the
+    // frame.
+    QueryDef(
+      "w4_range_spend",
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .selectExpr(
+            "o_custkey", "o_orderkey",
+            "cast(cast(o_orderdate AS timestamp) AS long) AS o_orderdate_epoch",
+            "cast(o_totalprice AS decimal(18,2)) AS price_d")
+          .selectExpr(
+            "o_custkey", "o_orderkey", "o_orderdate_epoch",
+            """cast(sum(price_d) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate_epoch
+                                       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                    AS double) AS spend_30d"""),
+      Some("""
+        SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS o_orderdate_epoch,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY epoch(o_orderdate)::BIGINT
+                          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        FROM orders""")),
+
     // Set operations — the reference only unions (C3); intersect/except
     // complete the family. Spark plans these as aggregate-based
     // semi/anti joins on the hashed key — shuffle on custkey, no

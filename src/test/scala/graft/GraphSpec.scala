@@ -92,6 +92,23 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(path, 2).isEmpty)
   }
 
+  test("bfsDistances: path hops, multi-seed min, maxHops cutoff, early exit") {
+    import spark.implicits._
+    // directed path 0→1→2→3→4, seed 0, maxHops 2: vertex 3/4 unreached
+    val path = (0L until 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val d1 = Graph.bfsDistances(path, Seq(0L).toDF("id"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // two seeds: min distance wins (vertex 2 is 2 hops from 0, 0 from 2)
+    val d2 = Graph.bfsDistances(path, Seq(0L, 2L).toDF("id"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+    // frontier drains before maxHops: the loop must exit, result exact
+    val d3 = Graph.bfsDistances(path, Seq(3L).toDF("id"), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3 == Map(3L -> 0L, 4L -> 1L))
+  }
+
   test("gr_kcore: measured peel depth stays ≥10 rounds under the oracle unroll") {
     // The DuckDB oracle unrolls a FIXED KCoreUnroll peel rounds; if the
     // gate corpus ever deepens to within 10 rounds of that budget this
