@@ -239,7 +239,9 @@ object ChunkStore {
           ('rc4.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
            'Rivest cipher four streams decrypt under the empty user password handler.'),
           ('aes.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
-           'Advanced encryption standard blocks chain behind a sixteen byte vector.')
+           'Advanced encryption standard blocks chain behind a sixteen byte vector.'),
+          ('aes256.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Modern two hundred fifty six bit keys derive from iterated hashing rounds.')
         ) t(source, page_number, paragraph_number, total_pages, chunk_number, text)"""),
       bench = false),
 

@@ -13,9 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * inflater), LZWDecode, RunLengthDecode, ASCII85Decode or
   * ASCIIHexDecode — chains included — with text shown through the
   * standard BT/ET operators. Standard-security-handler encryption with
-  * an EMPTY user password (RC4 40–128 / AES-128-CBC — the protected-
-  * courseware case PyMuPDF opens transparently) decrypts via
-  * [[PdfCrypt]]; files demanding a real password and image-only
+  * an EMPTY user password (RC4 40–128, AES-128-CBC, and AES-256 R5/R6
+  * — the protected-courseware cases PyMuPDF opens transparently)
+  * decrypts via [[PdfCrypt]]; files demanding a real password and image-only
   * filters (DCT/JPX/CCITT) remain out of scope and degrade to no text.
   *
   * Scope: simple fonts with literal/hex strings extract byte-exactly
@@ -897,8 +897,10 @@ object PdfText {
   * (`/root/reference/src/pdf_extractor.py:8-13` via fitz): the file is
   * encrypted, but the user password is empty, so a reader can derive
   * the key from the /Encrypt dictionary alone. Covers RC4 40–128 bit
-  * (V 1/2, R 2/3) and AES-128-CBC (V 4 /StdCF /AESV2, R 4), the two
-  * ciphers real-world standard-handler files use.
+  * (V 1/2, R 2/3), AES-128-CBC (V 4 /StdCF /AESV2, R 4), and the
+  * PDF 2.0 AES-256 handlers (V 5 /AESV3, R 5/R 6 with the iterated
+  * SHA-2 key schedule) — the ciphers real-world standard-handler
+  * files use.
   *
   * Scope notes: a NON-empty user password fails the /U check and the
   * file degrades to no text (the tolerant-extractor contract — no
@@ -958,19 +960,27 @@ private[sources] object PdfCrypt {
 
   /** One opened file's decryption state. `encNum` is the /Encrypt
     * dictionary's own object number (its strings are plaintext, §7.6.2).
+    * `v5`: the AES-256 handlers (R5/R6) use the FILE key directly for
+    * every object — no per-object derivation (ISO 32000-2 §7.6.3.3).
     */
-  private[sources] final case class Decryptor(key: Array[Byte], aes: Boolean, encNum: Int) {
+  private[sources] final case class Decryptor(key: Array[Byte], aes: Boolean, encNum: Int,
+                                              v5: Boolean = false) {
     /** §7.6.2 Algorithm 1: per-object key = MD5(file key ∥ objnum LE24
       * ∥ gennum LE16 [∥ "sAlT" for AES]), truncated to
       * min(keyLen + 5, 16); then RC4, or AES-CBC with the stream's
-      * first 16 bytes as IV.
+      * first 16 bytes as IV. V5 skips the derivation and feeds the
+      * 32-byte file key straight to AES-CBC.
       */
     def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
-      val ext = Array[Byte](
-        (num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte, ((num >> 16) & 0xFF).toByte,
-        (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte)
-      val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.empty[Byte]
-      val objKey = md5(key, ext, salt).take(math.min(key.length + 5, 16))
+      val objKey =
+        if (v5) key
+        else {
+          val ext = Array[Byte](
+            (num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte, ((num >> 16) & 0xFF).toByte,
+            (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte)
+          val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.empty[Byte]
+          md5(key, ext, salt).take(math.min(key.length + 5, 16))
+        }
       if (!aes) rc4(objKey, data)
       else if (data.length < 32 || data.length % 16 != 0) Array.empty[Byte]
       else {
@@ -1012,28 +1022,99 @@ private[sources] object PdfCrypt {
         if (raw"/Filter\s*/Standard\b".r.findFirstIn(d).isEmpty) None
         else {
           val v = intOf("V").getOrElse(0)
-          val r = intOf("R").getOrElse(if (v >= 2) 3 else 2)
-          val aes = raw"/CFM\s*/AESV2\b".r.findFirstIn(d).isDefined
-          val supported = v == 1 || v == 2 ||
-            (v == 4 && (aes || raw"/CFM\s*/V2\b".r.findFirstIn(d).isDefined))
-          val keyLen =
-            if (v == 1 || r == 2) 5
-            else math.max(5, math.min(16, intOf("Length").getOrElse(40) / 8))
-          (pdfStringValue(d, "O"), pdfStringValue(d, "U"), intOf("P")) match {
-            case (Some(o), Some(u), Some(p)) if supported && o.length >= 32 && u.length >= 16 =>
-              val id0 = firstFileId(s).getOrElse(Array.empty[Byte])
-              val encMeta = raw"/EncryptMetadata\s+false\b".r.findFirstIn(d).isEmpty
-              val key = fileKey(o, p, id0, r, keyLen, encMeta)
-              val uOk =
-                if (r == 2) java.util.Arrays.equals(computeU(key, r, id0), u.take(32))
-                else java.util.Arrays.equals(computeU(key, r, id0).take(16), u.take(16))
-              if (uOk) Some(Decryptor(key, aes, encNum)) else None
-            case _ => None
+          val r = intOf("R").getOrElse(if (v == 5) 6 else if (v >= 2) 3 else 2)
+          if (v == 5) decryptorV5(d, r, encNum)
+          else {
+            val aes = raw"/CFM\s*/AESV2\b".r.findFirstIn(d).isDefined
+            val supported = v == 1 || v == 2 ||
+              (v == 4 && (aes || raw"/CFM\s*/V2\b".r.findFirstIn(d).isDefined))
+            val keyLen =
+              if (v == 1 || r == 2) 5
+              else math.max(5, math.min(16, intOf("Length").getOrElse(40) / 8))
+            (pdfStringValue(d, "O"), pdfStringValue(d, "U"), intOf("P")) match {
+              case (Some(o), Some(u), Some(p)) if supported && o.length >= 32 && u.length >= 16 =>
+                val id0 = firstFileId(s).getOrElse(Array.empty[Byte])
+                val encMeta = raw"/EncryptMetadata\s+false\b".r.findFirstIn(d).isEmpty
+                val key = fileKey(o, p, id0, r, keyLen, encMeta)
+                val uOk =
+                  if (r == 2) java.util.Arrays.equals(computeU(key, r, id0), u.take(32))
+                  else java.util.Arrays.equals(computeU(key, r, id0).take(16), u.take(16))
+                if (uOk) Some(Decryptor(key, aes, encNum)) else None
+              case _ => None
+            }
           }
         }
       }
     }
   } catch { case _: Exception => None }
+
+  /** AES-256 standard handler (ISO 32000-2 §7.6.4, V5 R5/R6) with an
+    * empty password: /O and /U are 48 bytes (32 hash ∥ 8 validation
+    * salt ∥ 8 key salt); the empty USER password validates when
+    * hash2b("", U[32:40], "") == U[0:32] and the file key is the
+    * AES-256-CBC(zero IV) decryption of /UE under
+    * hash2b("", U[40:48], ""). The empty OWNER password path (hashes
+    * additionally bind the full 48-byte /U) is tried second — PyMuPDF
+    * opens either. /CFM must be /AESV3; /Perms is not validated (it
+    * authenticates P, not the key — the key proves itself on the first
+    * stream).
+    */
+  private def decryptorV5(d: String, r: Int, encNum: Int): Option[Decryptor] = {
+    if (r != 5 && r != 6) return None
+    if (raw"/CFM\s*/AESV3\b".r.findFirstIn(d).isEmpty) return None
+    (pdfStringValue(d, "O"), pdfStringValue(d, "U"),
+     pdfStringValue(d, "OE"), pdfStringValue(d, "UE")) match {
+      case (Some(o), Some(u), Some(oe), Some(ue))
+          if o.length >= 48 && u.length >= 48 && oe.length >= 32 && ue.length >= 32 =>
+        val pw = Array.empty[Byte]
+        def unwrap(intermediate: Array[Byte], wrapped: Array[Byte]): Array[Byte] =
+          aesCbc(intermediate, new Array[Byte](16), wrapped.take(32), encrypt = false)
+        val user =
+          if (java.util.Arrays.equals(hash2b(pw, u.slice(32, 40), Array.empty, r), u.take(32)))
+            Some(unwrap(hash2b(pw, u.slice(40, 48), Array.empty, r), ue))
+          else None
+        val key = user.orElse {
+          if (java.util.Arrays.equals(hash2b(pw, o.slice(32, 40), u.take(48), r), o.take(32)))
+            Some(unwrap(hash2b(pw, o.slice(40, 48), u.take(48), r), oe))
+          else None
+        }
+        key.map(k => Decryptor(k, aes = true, encNum, v5 = true))
+      case _ => None
+    }
+  }
+
+  /** The R5/R6 password hash: R5 is a single SHA-256(pw ∥ salt ∥
+    * udata); R6 is §7.6.4.3.4 Algorithm 2.B — iterate (≥64 rounds):
+    * K1 = (pw ∥ K ∥ udata) × 64, E = AES-128-CBC-enc(K[0:16],
+    * iv = K[16:32], K1), K = SHA-{256,384,512}(E) selected by
+    * (ΣE[0:16]) mod 3, stopping once round ≥ 64 and E.last ≤
+    * round − 32.
+    */
+  private[sources] def hash2b(pw: Array[Byte], salt: Array[Byte],
+                              udata: Array[Byte], r: Int): Array[Byte] = {
+    def sha(n: Int, parts: Array[Byte]*): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance(s"SHA-$n")
+      parts.foreach(md.update)
+      md.digest()
+    }
+    var k = sha(256, pw, salt, udata)
+    if (r == 5) return k
+    var round = 0
+    var lastE = 0
+    var done = false
+    while (!done) {
+      val block = pw ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      for (i <- 0 until 64) System.arraycopy(block, 0, k1, i * block.length, block.length)
+      val e = aesCbc(k.take(16), k.slice(16, 32), k1, encrypt = true)
+      val mod = e.take(16).map(_ & 0xFF).sum % 3
+      k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, e)
+      lastE = e.last & 0xFF
+      round += 1
+      done = round >= 64 && lastE <= round - 32
+    }
+    k.take(32)
+  }
 
   /** §7.6.3.3 Algorithm 2 with the empty user password: MD5(Pad ∥ O ∥
     * P-as-signed-LE32 ∥ ID₀ [∥ FFFFFFFF when R≥4 ∧ ¬EncryptMetadata]),
@@ -1582,6 +1663,8 @@ private[graft] object PdfFixtures {
     "Advanced encryption standard blocks chain behind a sixteen byte vector."
   val rc4FortyParagraph: String =
     "Forty bit legacy keys still open when the user password is empty."
+  val aes256Paragraph: String =
+    "Modern two hundred fifty six bit keys derive from iterated hashing rounds."
 
   /** Standard-security-handler encrypted single-page file (empty user
     * AND owner passwords). `mode`: "rc4-40" (V1 R2), "rc4-128" (V2 R3),
@@ -1594,6 +1677,7 @@ private[graft] object PdfFixtures {
   def buildEncryptedPdf(paragraph: String, mode: String,
                         compress: Boolean = true): Array[Byte] = {
     import PdfCrypt.{Pad, aesCbc, computeU, fileKey, md5, rc4}
+    if (mode == "aes-256") return buildAes256Pdf(paragraph, compress)
     val (v, r, keyBits, aes) = mode match {
       case "rc4-40" => (1, 2, 40, false)
       case "rc4-128" => (2, 3, 128, false)
@@ -1655,6 +1739,66 @@ private[graft] object PdfFixtures {
     (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R " +
       s"/ID [${hexStr(id0)} ${hexStr(id0)}] >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** AES-256 / R6 (ISO 32000-2) fixture with empty user AND owner
+    * passwords: deterministic salts and file key, /U and /UE from the
+    * user-path Algorithm 2.B hashes, /O and /OE binding the full /U,
+    * /Perms the AES-ECB-wrapped P record. The content stream encrypts
+    * with the FILE key directly (V5 semantics — no per-object key).
+    */
+  private def buildAes256Pdf(paragraph: String, compress: Boolean): Array[Byte] = {
+    import PdfCrypt.{aesCbc, hash2b}
+    val pw = Array.empty[Byte]
+    def bytes8(seed: Int): Array[Byte] = Array.tabulate[Byte](8)(i => ((i * seed + 7) & 0xFF).toByte)
+    val (vsU, ksU, vsO, ksO) = (bytes8(31), bytes8(37), bytes8(41), bytes8(43))
+    val fileKey = Array.tabulate[Byte](32)(i => ((i * 23 + 5) & 0xFF).toByte)
+    val u = hash2b(pw, vsU, Array.empty, 6) ++ vsU ++ ksU
+    val ue = aesCbc(hash2b(pw, ksU, Array.empty, 6), new Array[Byte](16), fileKey, encrypt = true)
+    val o = hash2b(pw, vsO, u, 6) ++ vsO ++ ksO
+    val oe = aesCbc(hash2b(pw, ksO, u, 6), new Array[Byte](16), fileKey, encrypt = true)
+    val p = -44
+    val permsPlain = Array[Byte](
+      (p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte, ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte,
+      -1, -1, -1, -1, 'T', 'a', 'd', 'b', 0, 0, 0, 0)
+    val ecb = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    ecb.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+    val perms = ecb.doFinal(permsPlain)
+    def encryptStream(data: Array[Byte]): Array[Byte] = {
+      val iv = Array.tabulate[Byte](16)(i => ((i * 19 + 3) & 0xFF).toByte)
+      val padN = 16 - data.length % 16
+      iv ++ aesCbc(fileKey, iv, data ++ Array.fill[Byte](padN)(padN.toByte), encrypt = true)
+    }
+    val content = s"BT /F1 12 Tf 72 720 Td ($paragraph) Tj ET\n".getBytes(L1)
+    val data = encryptStream(if (compress) deflate(content) else content)
+    def hexStr(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02X").mkString("<", "", ">")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-2.0\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\n"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>\n"))
+    obj(4) {
+      w(s"<< /Length ${data.length}${if (compress) " /Filter /FlateDecode" else ""} >>\nstream\n")
+      bos.write(data)
+      w("\nendstream\n")
+    }
+    obj(5)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    obj(6)(w("<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O ${hexStr(o)} /U ${hexStr(u)} /OE ${hexStr(oe)} /UE ${hexStr(ue)} " +
+      s"/Perms ${hexStr(perms)} /P $p >>\n"))
+    val xref = bos.size()
+    w("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R >>\nstartxref\n$xref\n%%EOF\n")
     bos.toByteArray
   }
 
@@ -1736,8 +1880,9 @@ private[graft] object PdfFixtures {
     * raw, cjk.pdf Type0/CID, m.pdf ObjStm-packed, lzw.pdf LZWDecode,
     * rle.pdf RunLengthDecode, a85.pdf ASCII85+Flate chain, xr.pdf
     * xref-stream layout with an indirect-length stream, rc4.pdf
-    * RC4-128-encrypted + Flate'd, aes.pdf AES-128-CBC-encrypted raw —
-    * both empty-user-password standard security handler — notes.txt
+    * RC4-128-encrypted + Flate'd, aes.pdf AES-128-CBC-encrypted raw,
+    * aes256.pdf AES-256/R6 (PDF 2.0) encrypted + Flate'd — all
+    * empty-user-password standard security handler — notes.txt
     * decoy) into a directory; returns the directory.
     */
   def writeFixtureDir(dir: String): String = {
@@ -1759,6 +1904,8 @@ private[graft] object PdfFixtures {
       buildEncryptedPdf(rc4Paragraph, "rc4-128", compress = true))
     java.nio.file.Files.write(p.resolve("aes.pdf"),
       buildEncryptedPdf(aesParagraph, "aes-128", compress = false))
+    java.nio.file.Files.write(p.resolve("aes256.pdf"),
+      buildEncryptedPdf(aes256Paragraph, "aes-256"))
     java.nio.file.Files.write(p.resolve("notes.txt"), "not a pdf".getBytes(L1))
     dir
   }

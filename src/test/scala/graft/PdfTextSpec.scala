@@ -177,7 +177,8 @@ class PdfTextSpec extends SparkSpec {
       ("a85.pdf", 1, 1, 1, PdfFixtures.a85Paragraph),
       ("xr.pdf", 1, 1, 1, PdfFixtures.xrefParagraph),
       ("rc4.pdf", 1, 1, 1, PdfFixtures.rc4Paragraph),
-      ("aes.pdf", 1, 1, 1, PdfFixtures.aesParagraph))
+      ("aes.pdf", 1, 1, 1, PdfFixtures.aesParagraph),
+      ("aes256.pdf", 1, 1, 1, PdfFixtures.aes256Paragraph))
     assert(rows == expected) // notes.txt never parsed; .PDF case-insensitive
   }
 
@@ -192,6 +193,11 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.extractPageParagraphs(
       PdfFixtures.buildEncryptedPdf(PdfFixtures.aesParagraph, "aes-128", compress = true))
       == Seq(Seq(PdfFixtures.aesParagraph)))
+    // AES-256 / R6 (PDF 2.0): the iterated-SHA-2 key schedule, file key
+    // used directly (no per-object derivation)
+    assert(PdfText.extractPageParagraphs(
+      PdfFixtures.buildEncryptedPdf(PdfFixtures.aes256Paragraph, "aes-256"))
+      == Seq(Seq(PdfFixtures.aes256Paragraph)))
   }
 
   test("encrypted PDF with a real (non-empty) user password degrades to no text") {
@@ -220,5 +226,15 @@ class PdfTextSpec extends SparkSpec {
       "Independent generator confirms the stream cipher decryption path end to end.")))
     assert(PdfText.extractPageParagraphs(dec.decode(aesB64)) == Seq(Seq(
       "Independent generator confirms the block cipher decryption path end to end.")))
+  }
+
+  test("independently generated AES-256/R6 file decrypts (Python hashlib+cryptography pin)") {
+    // Algorithm 2.B (the iterated SHA-256/384/512 schedule) implemented
+    // a second time in Python — R6 salts, /UE unwrap, and the
+    // no-per-object-key V5 stream path all cross-check.
+    val aes256B64 =
+      "JVBERi0yLjAKMSAwIG9iago8PCAvVHlwZSAvQ2F0YWxvZyAvUGFnZXMgMiAwIFIgPj4KZW5kb2JqCjIgMCBvYmoKPDwgL1R5cGUgL1BhZ2VzIC9LaWRzIFszIDAgUl0gL0NvdW50IDEgL01lZGlhQm94IFswIDAgNjEyIDc5Ml0gPj4KZW5kb2JqCjMgMCBvYmoKPDwgL1R5cGUgL1BhZ2UgL1BhcmVudCAyIDAgUiAvQ29udGVudHMgNCAwIFIgL1Jlc291cmNlcyA8PCAvRm9udCA8PCAvRjEgNSAwIFIgPj4gPj4gPj4KZW5kb2JqCjQgMCBvYmoKPDwgL0xlbmd0aCAxMjggL0ZpbHRlciAvRmxhdGVEZWNvZGUgPj4Kc3RyZWFtCgkaKzxNXm+AkaKzxNXm9wiZSBplRaLHSw6BplUY+j7U2qq4ZcVktTrtH+NqF+b9ow+qe/dngB030dZ1uewZjA/SX4s/vKZIdZpd4Ra/Jc1UvR0ryytLHbCQkc3vhqsX88yvZZW2xAj3x0aHKapsaKZmbRCo8+P9j+ftZ/IDTLStCmVuZHN0cmVhbQplbmRvYmoKNSAwIG9iago8PCAvVHlwZSAvRm9udCAvU3VidHlwZSAvVHlwZTEgL0Jhc2VGb250IC9IZWx2ZXRpY2EgPj4KZW5kb2JqCjYgMCBvYmoKPDwgL0ZpbHRlciAvU3RhbmRhcmQgL1YgNSAvUiA2IC9MZW5ndGggMjU2IC9DRiA8PCAvU3RkQ0YgPDwgL0NGTSAvQUVTVjMgL0xlbmd0aCAzMiA+PiA+PiAvU3RtRiAvU3RkQ0YgL1N0ckYgL1N0ZENGIC9PIDw0OUM3RDVDOEYyQThGNzhDRTlDRUNBRUUwQjI2OUFEM0IzRTI4MzdCQkFDQUI0ODEwMDM5MDQ0Q0MzMUY0Q0IyMEI0NDdEQjZFRjI4NjE5QTBCNDY4MUJDRjczMjZEQTg+IC9VIDw2MEM1QzkyOTY3NjYyRjAxM0U1RjU5MDBFMUU1OEU4RDhGMTQ1M0I0NUNENjEzRDVFQjdBQkVGNkI4REFCREM0MEIzRTcxQTRENzBBM0Q3MDBCNDA3NUFBREYxNDQ5N0U+IC9PRSA8ODA1RTJENjEwNTYzREE3QjAzN0UyNDc5OTJBOEZFMTNBMkIwQzJBMEM4Q0REMkJCNDVGNUQzODk1OUVCMzdDOD4gL1VFIDwyNTczN0IyM0RDRTYxRDYyMDNDMTY3NDk5QjAyRkE2NjY4ODdEMzBCNEQwMTQ2RDIyOEVCQzYyQUZGRUI1QUMzPiAvUGVybXMgPDNGMjg5MTREQ0JCNzY2NzU3RDY5OEFDM0ZCMEZDQjdGPiAvUCAtNDQgPj4KZW5kb2JqCnhyZWYKMCA3CjAwMDAwMDAwMDAgNjU1MzUgZiAKMDAwMDAwMDAwOSAwMDAwMCBuIAowMDAwMDAwMDU4IDAwMDAwIG4gCjAwMDAwMDAxMzkgMDAwMDAgbiAKMDAwMDAwMDI0MSAwMDAwMCBuIAowMDAwMDAwNDQxIDAwMDAwIG4gCjAwMDAwMDA1MTEgMDAwMDAgbiAKdHJhaWxlcgo8PCAvU2l6ZSA3IC9Sb290IDEgMCBSIC9FbmNyeXB0IDYgMCBSID4+CnN0YXJ0eHJlZgoxMDM5CiUlRU9GCg=="
+    assert(PdfText.extractPageParagraphs(java.util.Base64.getDecoder.decode(aes256B64))
+      == Seq(Seq("Independent generator confirms the iterated hash key schedule end to end.")))
   }
 }
