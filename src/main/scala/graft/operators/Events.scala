@@ -236,6 +236,47 @@ object Events {
     // The first-seen pass is a min() aggregate (map-side partial), NOT
     // a window over the full history; at 100 TB that is the difference
     // between shuffling (user, min) pairs and sorting every event.
+    // -------------------- DAU/WAU stickiness (engagement ratio)
+    // The product-analytics headline metric: per ISO week (both
+    // engines truncate weeks to Monday), how much of the weekly
+    // audience shows up on an average active day. All-integer: per-day
+    // and per-week distinct-user counts, then stickiness =
+    // sum(dau) · 1e6 div (active_days · wau) — one exact division at
+    // the end. Scale shape: two partial-aggregated distinct counts
+    // keyed on (week[, day]) — bounded group counts, the classic
+    // count-distinct shuffle; nothing row-sized survives the first
+    // aggregate.
+    QueryDef(
+      "ev_stickiness",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .selectExpr("user_id", "date_trunc('week', ts) AS w", "date_trunc('day', ts) AS d")
+        val dau = ev.groupBy("w", "d")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(DISTINCT user_id) AS bigint) AS dau"))
+        val wau = ev.groupBy("w")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(DISTINCT user_id) AS bigint) AS wau"))
+        dau.groupBy("w")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(sum(dau) AS bigint) AS sum_dau"),
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS active_days"))
+          .join(wau, "w")
+          .selectExpr("unix_micros(w) AS week_us", "wau", "active_days", "sum_dau",
+            "sum_dau * 1000000L div (active_days * wau) AS stickiness_ppm")
+      },
+      Some("""
+        WITH dau AS (
+          SELECT date_trunc('week', ts) AS w, date_trunc('day', ts) AS d,
+                 count(DISTINCT user_id)::BIGINT AS dau
+          FROM events GROUP BY 1, 2),
+        wau AS (
+          SELECT date_trunc('week', ts) AS w, count(DISTINCT user_id)::BIGINT AS wau
+          FROM events GROUP BY 1)
+        SELECT epoch_us(dau.w) AS week_us, wau, count(*)::BIGINT AS active_days,
+               sum(dau)::BIGINT AS sum_dau,
+               (sum(dau) * 1000000 // (count(*) * wau))::BIGINT AS stickiness_ppm
+        FROM dau JOIN wau ON dau.w = wau.w
+        GROUP BY dau.w, wau""")),
+
     QueryDef(
       "ev_retention",
       (spark, dir) => {

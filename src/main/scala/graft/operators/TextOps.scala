@@ -75,6 +75,35 @@ object TextOps {
         FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
               FROM documents)""")),
 
+    // --------------------------------- type-token ratio (lexical diversity)
+    // The Gopher-family repetitiveness complement: distinct whitespace
+    // tokens over total tokens, in integer ppm. Low TTR = template/
+    // boilerplate text; quality pipelines gate on it alongside the
+    // repetition metrics. Row-local (array ops inside the scan), the
+    // division is exact integer ppm — nothing for engines to disagree on.
+    QueryDef(
+      "ta_ttr",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id", "split(tc, ' ') AS toks")
+          .selectExpr(
+            "doc_id",
+            "cast(size(toks) AS bigint) AS n_tokens",
+            "cast(size(array_distinct(toks)) AS bigint) AS n_types")
+          .selectExpr("doc_id", "n_tokens", "n_types",
+            "CASE WHEN n_tokens = 0 THEN 0L ELSE n_types * 1000000L div n_tokens END AS ttr_ppm"),
+      Some("""
+        SELECT doc_id, n_tokens, n_types,
+               CASE WHEN n_tokens = 0 THEN 0
+                    ELSE n_types * 1000000 // n_tokens END::BIGINT AS ttr_ppm
+        FROM (
+          SELECT doc_id,
+                 len(toks)::BIGINT AS n_tokens,
+                 len(list_distinct(toks))::BIGINT AS n_types
+          FROM (SELECT doc_id, string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ') AS toks
+                FROM documents))""")),
+
     // ------------------------------------------------- language ID (extension)
     // n-gram/charclass heuristic: CJK-codepoint ratio decides zh; else a
     // stopword vote (same tiny list both engines). On the synthetic corpus
