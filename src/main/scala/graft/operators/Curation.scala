@@ -614,6 +614,43 @@ object Curation {
               CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 500 WHEN 'de' THEN 250
                         WHEN 'fr' THEN 250 WHEN 'es' THEN 125 ELSE 0 END""")),
 
+    // ------------------------ per-document weighted sampling (quality-aware)
+    // tp_mix_weights samples per LANGUAGE; this samples per DOCUMENT
+    // with a weight derived from the doc itself — longer documents keep
+    // with higher probability (clamped to [100, 1000] permille), the
+    // "prefer substantive documents" curation knob. Deterministic
+    // Bernoulli: keep iff md5-bucket(doc_id) < own weight — retry- and
+    // engine-stable, evaluates inside the scan with zero shuffle before
+    // the per-lang accounting aggregate. The realized keep rate per
+    // lang is emitted next to the expected weight mass so a sampler
+    // drift is visible in the row itself.
+    QueryDef(
+      "tp_sample_weighted",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "lang", "n_chars",
+            "least(1000L, greatest(100L, n_chars div 2)) AS w_pm",
+            "pmod(cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint), 1000) AS bucket")
+          .groupBy("lang")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_total"),
+            expr("cast(sum(w_pm) AS bigint) AS weight_mass_pm"),
+            expr("cast(sum(CASE WHEN bucket < w_pm THEN 1 ELSE 0 END) AS bigint) AS n_kept"),
+            expr("cast(sum(CASE WHEN bucket < w_pm THEN n_chars ELSE 0 END) AS bigint) AS kept_chars"),
+            expr("cast(sum(CASE WHEN bucket < w_pm THEN doc_id ELSE 0 END) AS bigint) AS kept_id_sum")),
+      Some("""
+        SELECT lang, count(*)::BIGINT AS n_total,
+               sum(w_pm)::BIGINT AS weight_mass_pm,
+               sum(CASE WHEN bucket < w_pm THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               sum(CASE WHEN bucket < w_pm THEN n_chars ELSE 0 END)::BIGINT AS kept_chars,
+               sum(CASE WHEN bucket < w_pm THEN doc_id ELSE 0 END)::BIGINT AS kept_id_sum
+        FROM (
+          SELECT doc_id, lang, n_chars,
+                 least(1000, greatest(100, n_chars // 2)) AS w_pm,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS bucket
+          FROM documents)
+        GROUP BY lang""")),
+
     // ------------------------------------------- SemDeDup-style pruning
     // Semantic deduplication over the embedding space (Abbas et al.
     // 2023, "SemDeDup"): cluster the corpus, then within each cluster
