@@ -241,7 +241,9 @@ object ChunkStore {
           ('aes.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
            'Advanced encryption standard blocks chain behind a sixteen byte vector.'),
           ('aes256.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
-           'Modern two hundred fifty six bit keys derive from iterated hashing rounds.')
+           'Modern two hundred fifty six bit keys derive from iterated hashing rounds.'),
+          ('m_enc.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Encrypted object streams decrypt before the packed table expands.')
         ) t(source, page_number, paragraph_number, total_pages, chunk_number, text)"""),
       bench = false),
 

@@ -1521,6 +1521,70 @@ private[graft] object PdfFixtures {
     bos.toByteArray
   }
 
+  val encObjStmParagraph: String =
+    "Encrypted object streams decrypt before the packed table expands."
+
+  /** RC4-128-encrypted ObjStm file: the catalog/pages/page/font dicts
+    * live in a compressed object stream that is ITSELF encrypted — the
+    * interaction case where decryption must run before ObjStm
+    * expansion, or the packed table is ciphertext and no page exists.
+    * Stored layout per object: Encrypt(Flate(payload)).
+    */
+  def buildEncryptedObjStmPdf(): Array[Byte] = {
+    import PdfCrypt.{Pad, computeU, fileKey, md5, rc4}
+    val r = 3; val keyLen = 16; val p = -44
+    val id0 = Array.tabulate[Byte](16)(i => ((i * 11 + 2) & 0xFF).toByte)
+    var od = md5(Pad)
+    for (_ <- 0 until 50) od = md5(od)
+    val oKey = od.take(keyLen)
+    var o = rc4(oKey, Pad)
+    for (i <- 1 to 19) o = rc4(oKey.map(b => (b ^ i).toByte), o)
+    val key = fileKey(o, p, id0, r, keyLen, encMeta = true)
+    val u = computeU(key, r, id0) ++ Array.fill[Byte](16)(0)
+    def enc(num: Int, data: Array[Byte]): Array[Byte] = {
+      val ext = Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+        ((num >> 16) & 0xFF).toByte, 0, 0)
+      rc4(md5(key, ext).take(math.min(keyLen + 5, 16)), data)
+    }
+    def hexStr(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02X").mkString("<", "", ">")
+    val bodies = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val offs = bodies.map(_._2.length + 1).scanLeft(0)(_ + _)
+    val header = bodies.zip(offs).map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val payload = header + bodies.map(_._2).mkString("\n") + "\n"
+    val packed = enc(10, deflate(payload.getBytes(L1)))
+    val content = enc(4, s"BT /F1 12 Tf 72 720 Td ($encObjStmParagraph) Tj ET\n".getBytes(L1))
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.5\n")
+    obj(10) {
+      w(s"<< /Type /ObjStm /N ${bodies.size} /First ${header.length} " +
+        s"/Length ${packed.length} /Filter /FlateDecode >>\nstream\n")
+      bos.write(packed)
+      w("\nendstream\n")
+    }
+    obj(4) {
+      w(s"<< /Length ${content.length} >>\nstream\n")
+      bos.write(content)
+      w("\nendstream\n")
+    }
+    obj(11)(w("<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/O ${hexStr(o)} /U ${hexStr(u)} /P $p >>\n"))
+    val xref = bos.size()
+    w("xref\n0 1\n0000000000 65535 f \n")
+    w(s"trailer\n<< /Size 12 /Root 1 0 R /Encrypt 11 0 R " +
+      s"/ID [${hexStr(id0)} ${hexStr(id0)}] >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
   // ------------------------------------------- filter-tail fixtures
   // One paragraph per non-Flate filter, each built with a from-scratch
   // ENCODER for that filter so the extractor is tested against real
@@ -1881,7 +1945,8 @@ private[graft] object PdfFixtures {
     * rle.pdf RunLengthDecode, a85.pdf ASCII85+Flate chain, xr.pdf
     * xref-stream layout with an indirect-length stream, rc4.pdf
     * RC4-128-encrypted + Flate'd, aes.pdf AES-128-CBC-encrypted raw,
-    * aes256.pdf AES-256/R6 (PDF 2.0) encrypted + Flate'd — all
+    * aes256.pdf AES-256/R6 (PDF 2.0) encrypted + Flate'd, m_enc.pdf
+    * RC4-128-encrypted ObjStm (decrypt-before-expand interaction) — all
     * empty-user-password standard security handler — notes.txt
     * decoy) into a directory; returns the directory.
     */
@@ -1906,6 +1971,7 @@ private[graft] object PdfFixtures {
       buildEncryptedPdf(aesParagraph, "aes-128", compress = false))
     java.nio.file.Files.write(p.resolve("aes256.pdf"),
       buildEncryptedPdf(aes256Paragraph, "aes-256"))
+    java.nio.file.Files.write(p.resolve("m_enc.pdf"), buildEncryptedObjStmPdf())
     java.nio.file.Files.write(p.resolve("notes.txt"), "not a pdf".getBytes(L1))
     dir
   }

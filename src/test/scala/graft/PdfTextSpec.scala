@@ -178,7 +178,8 @@ class PdfTextSpec extends SparkSpec {
       ("xr.pdf", 1, 1, 1, PdfFixtures.xrefParagraph),
       ("rc4.pdf", 1, 1, 1, PdfFixtures.rc4Paragraph),
       ("aes.pdf", 1, 1, 1, PdfFixtures.aesParagraph),
-      ("aes256.pdf", 1, 1, 1, PdfFixtures.aes256Paragraph))
+      ("aes256.pdf", 1, 1, 1, PdfFixtures.aes256Paragraph),
+      ("m_enc.pdf", 1, 1, 1, PdfFixtures.encObjStmParagraph))
     assert(rows == expected) // notes.txt never parsed; .PDF case-insensitive
   }
 
@@ -198,6 +199,13 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.extractPageParagraphs(
       PdfFixtures.buildEncryptedPdf(PdfFixtures.aes256Paragraph, "aes-256"))
       == Seq(Seq(PdfFixtures.aes256Paragraph)))
+  }
+
+  test("encrypted ObjStm: decryption runs before the packed table expands") {
+    val bytes = PdfFixtures.buildEncryptedObjStmPdf()
+    assert(PdfText.pageCount(bytes) == 1)
+    assert(PdfText.extractPageParagraphs(bytes)
+      == Seq(Seq(PdfFixtures.encObjStmParagraph)))
   }
 
   test("encrypted PDF with a real (non-empty) user password degrades to no text") {
