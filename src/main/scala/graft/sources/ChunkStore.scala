@@ -243,7 +243,9 @@ object ChunkStore {
           ('aes256.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
            'Modern two hundred fifty six bit keys derive from iterated hashing rounds.'),
           ('m_enc.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
-           'Encrypted object streams decrypt before the packed table expands.')
+           'Encrypted object streams decrypt before the packed table expands.'),
+          ('xr_enc.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Encrypted cross reference stream files resolve indirect lengths then decrypt.')
         ) t(source, page_number, paragraph_number, total_pages, chunk_number, text)"""),
       bench = false),
 

@@ -1940,6 +1940,97 @@ private[graft] object PdfFixtures {
     bos.toByteArray
   }
 
+  val encXrefParagraph: String =
+    "Encrypted cross reference stream files resolve indirect lengths then decrypt."
+
+  /** RC4-128-encrypted PDF-1.5 xref-STREAM file: no classic trailer
+    * (/Encrypt and /ID live in the XRef stream's dict), the catalog
+    * packed in an ENCRYPTED ObjStm, and the content stream's /Length
+    * held indirectly by an integer inside that ObjStm — so extraction
+    * requires the xref walk, ObjStm decryption, indirect-length
+    * resolution, AND the xref path's own re-decryption of the
+    * re-parsed stream. The xref stream itself stays plaintext
+    * (§7.5.8.2). Exercises every branch of xrefObjects + PdfCrypt
+    * together.
+    */
+  def buildEncryptedXrefPdf(): Array[Byte] = {
+    import PdfCrypt.{Pad, computeU, fileKey, md5, rc4}
+    val r = 3; val keyLen = 16; val p = -44
+    val id0 = Array.tabulate[Byte](16)(i => ((i * 13 + 6) & 0xFF).toByte)
+    var od = md5(Pad)
+    for (_ <- 0 until 50) od = md5(od)
+    val oKey = od.take(keyLen)
+    var o = rc4(oKey, Pad)
+    for (i <- 1 to 19) o = rc4(oKey.map(b => (b ^ i).toByte), o)
+    val key = fileKey(o, p, id0, r, keyLen, encMeta = true)
+    val u = computeU(key, r, id0) ++ Array.fill[Byte](16)(0)
+    def enc(num: Int, data: Array[Byte]): Array[Byte] = {
+      val ext = Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+        ((num >> 16) & 0xFF).toByte, 0, 0)
+      rc4(md5(key, ext).take(math.min(keyLen + 5, 16)), data)
+    }
+    def hexStr(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02X").mkString("<", "", ">")
+    val content = s"BT /F1 12 Tf 72 720 Td ($encXrefParagraph) Tj ET\n"
+    val objStmBodies = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      9 -> content.length.toString)
+    val offs = objStmBodies.map(_._2.length + 1).scanLeft(0)(_ + _)
+    val header = objStmBodies.zip(offs).map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val payload = header + objStmBodies.map(_._2).mkString("\n") + "\n"
+    val packed = enc(6, deflate(payload.getBytes(L1)))
+    val encContent = enc(4, content.getBytes(L1))
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.5\n")
+    obj(6) {
+      w(s"<< /Type /ObjStm /N ${objStmBodies.size} /First ${header.length} " +
+        s"/Length ${packed.length} /Filter /FlateDecode >>\nstream\n")
+      bos.write(packed)
+      w("\nendstream\n")
+    }
+    obj(4) {
+      w("<< /Length 9 0 R >>\nstream\n")
+      bos.write(encContent)
+      w("\nendstream\n")
+    }
+    obj(8)(w("<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/O ${hexStr(o)} /U ${hexStr(u)} /P $p >>\n"))
+    val xrefOff = bos.size()
+    val entries: Seq[(Int, Int, Int)] = Seq(
+      (0, 0, 65535),
+      (2, 6, 0), (2, 6, 1), (2, 6, 2),
+      (1, offsets(4), 0),
+      (2, 6, 3),
+      (1, offsets(6), 0),
+      (1, xrefOff, 0),
+      (1, offsets(8), 0),
+      (2, 6, 4))
+    val table = new java.io.ByteArrayOutputStream()
+    for ((t, mid, lo) <- entries) {
+      table.write(t)
+      table.write((mid >>> 24) & 0xFF); table.write((mid >>> 16) & 0xFF)
+      table.write((mid >>> 8) & 0xFF); table.write(mid & 0xFF)
+      table.write((lo >>> 8) & 0xFF); table.write(lo & 0xFF)
+    }
+    val tb = table.toByteArray
+    obj(7) {
+      w(s"<< /Type /XRef /Size 10 /W [1 4 2] /Root 1 0 R /Encrypt 8 0 R " +
+        s"/ID [${hexStr(id0)} ${hexStr(id0)}] /Length ${tb.length} >>\nstream\n")
+      bos.write(tb)
+      w("\nendstream\n")
+    }
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    bos.toByteArray
+  }
+
   /** Write the fixture corpus (a.pdf two pages Flate'd, B.PDF one page
     * raw, cjk.pdf Type0/CID, m.pdf ObjStm-packed, lzw.pdf LZWDecode,
     * rle.pdf RunLengthDecode, a85.pdf ASCII85+Flate chain, xr.pdf
@@ -1972,6 +2063,7 @@ private[graft] object PdfFixtures {
     java.nio.file.Files.write(p.resolve("aes256.pdf"),
       buildEncryptedPdf(aes256Paragraph, "aes-256"))
     java.nio.file.Files.write(p.resolve("m_enc.pdf"), buildEncryptedObjStmPdf())
+    java.nio.file.Files.write(p.resolve("xr_enc.pdf"), buildEncryptedXrefPdf())
     java.nio.file.Files.write(p.resolve("notes.txt"), "not a pdf".getBytes(L1))
     dir
   }

@@ -179,7 +179,8 @@ class PdfTextSpec extends SparkSpec {
       ("rc4.pdf", 1, 1, 1, PdfFixtures.rc4Paragraph),
       ("aes.pdf", 1, 1, 1, PdfFixtures.aesParagraph),
       ("aes256.pdf", 1, 1, 1, PdfFixtures.aes256Paragraph),
-      ("m_enc.pdf", 1, 1, 1, PdfFixtures.encObjStmParagraph))
+      ("m_enc.pdf", 1, 1, 1, PdfFixtures.encObjStmParagraph),
+      ("xr_enc.pdf", 1, 1, 1, PdfFixtures.encXrefParagraph))
     assert(rows == expected) // notes.txt never parsed; .PDF case-insensitive
   }
 
@@ -206,6 +207,13 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.pageCount(bytes) == 1)
     assert(PdfText.extractPageParagraphs(bytes)
       == Seq(Seq(PdfFixtures.encObjStmParagraph)))
+  }
+
+  test("encrypted xref-stream file: indirect length resolves, then streams decrypt") {
+    val bytes = PdfFixtures.buildEncryptedXrefPdf()
+    assert(PdfText.pageCount(bytes) == 1)
+    assert(PdfText.extractPageParagraphs(bytes)
+      == Seq(Seq(PdfFixtures.encXrefParagraph)))
   }
 
   test("encrypted PDF with a real (non-empty) user password degrades to no text") {
