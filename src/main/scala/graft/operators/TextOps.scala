@@ -75,6 +75,49 @@ object TextOps {
         FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
               FROM documents)""")),
 
+    // --------------------------- vocabulary coverage (tokenizer design)
+    // "How much of the corpus does a K-entry vocabulary cover?" — the
+    // question a tokenizer budget decision starts from. Token counts
+    // fold corpus-wide (partial-aggregated, vocab-sized result); the
+    // rank window runs over the BOUNDED vocab table, never the corpus;
+    // coverage shares are exact integer ppm. Ties rank
+    // deterministically by (count desc, token asc) in both engines.
+    QueryDef(
+      "ta_vocab_coverage",
+      (spark, dir) => {
+        val counts = Tables.documents(spark, dir)
+          .selectExpr("regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("explode(split(tc, ' ')) AS tok")
+          .where("tok != ''")
+          .groupBy("tok")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n"))
+        val ranked = counts.selectExpr("tok", "n",
+          "row_number() OVER (ORDER BY n DESC, tok) AS rk")
+        val total = counts.agg(org.apache.spark.sql.functions.expr("cast(sum(n) AS bigint) AS total"))
+        ranked.crossJoin(org.apache.spark.sql.functions.broadcast(total))
+          .selectExpr("n", "rk", "total",
+            "explode(array(10, 100, 1000)) AS vocab_k")
+          .where("rk <= vocab_k")
+          .groupBy("vocab_k", "total")
+          .agg(org.apache.spark.sql.functions.expr("cast(sum(n) AS bigint) AS covered"))
+          .selectExpr("cast(vocab_k AS bigint) AS vocab_k", "total", "covered",
+            "covered * 1000000L div total AS coverage_ppm")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ')) AS tok
+          FROM documents),
+        counts AS (
+          SELECT tok, count(*)::BIGINT AS n FROM toks WHERE tok != '' GROUP BY tok),
+        ranked AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM counts),
+        total AS (SELECT sum(n)::BIGINT AS total FROM counts)
+        SELECT k.vocab_k::BIGINT AS vocab_k, total, sum(n)::BIGINT AS covered,
+               (sum(n) * 1000000 // total)::BIGINT AS coverage_ppm
+        FROM ranked, total, (SELECT unnest([10, 100, 1000]) AS vocab_k) k
+        WHERE rk <= k.vocab_k
+        GROUP BY k.vocab_k, total""")),
+
     // --------------------------------- type-token ratio (lexical diversity)
     // The Gopher-family repetitiveness complement: distinct whitespace
     // tokens over total tokens, in integer ppm. Low TTR = template/
