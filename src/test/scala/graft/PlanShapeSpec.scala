@@ -343,6 +343,19 @@ class PlanShapeSpec extends SparkSpec {
       s"order-date window not pushed:\n${p.take(700)}")
   }
 
+  test("v12_knn_classify: corpus reduces through the bounded-heap aggregator") {
+    graft.plans.VectorExprs.register(spark)
+    val p = plan("v12_knn_classify")
+    // the top-k must be the typed ObjectHashAggregate (≤ k rows per
+    // query cross the wire) fed by the broadcast query probe — never a
+    // corpus-wide rank window or a real cartesian
+    assert(p.contains("ObjectHashAggregate"),
+      s"bounded-heap aggregator missing:\n${p.take(600)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query probe should be the broadcast-scalar pattern:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q7/q8: every dimension broadcasts — only the fact edge shuffles") {
     for ((name, minBroadcasts) <- Seq("q7_nation_trade" -> 2, "q8_market_share" -> 4)) {
       val p = plan(name)
