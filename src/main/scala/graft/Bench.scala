@@ -41,6 +41,20 @@ object Bench {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_STREAM_BENCH=1: the timed lane for the stateful
+    // streaming twins. They are bench=false in the main lane (an
+    // AvailableNow drain measures trigger/checkpoint overhead, not
+    // operator throughput) — but that left the state-store paths with
+    // NO timing at all, so a 10× regression in e.g. the
+    // flatMapGroupsWithState funnel would land invisibly. This lane
+    // times the drains separately into bench/stream_<sf>.json, which
+    // tools/bench_diff.py gates round-over-round exactly like the main
+    // artifact.
+    sys.env.get("SPARK_GRAFT_STREAM_BENCH").foreach { _ =>
+      streamBench(spark, sfDir)
+      spark.stop()
+      return
+    }
     // optional comma-separated subset filter for local profiling runs;
     // unset (the driver's invocation) benches every registered query
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -106,6 +120,44 @@ object Bench {
     spark.stop()
   }
 
+  /** The five stateful streaming twins (state stores: dropDuplicates,
+    * two flatMapGroupsWithState machines, mapGroupsWithState EWMA, the
+    * native session_window) timed as full AvailableNow drains —
+    * stage + checkpoint + drain + readback, min of 3 interleaved
+    * passes after one warmup, same discipline as the main lane.
+    */
+  private def streamBench(spark: SparkSession, sfDir: String): Unit = {
+    val names = Seq("st_dedup_ingest", "st_semdedup", "st_ewma",
+      "st_funnel_strict", "st_sessionize")
+    val defs = Registry.all.filter(d => names.contains(d.name))
+    def exhaust(d: QueryDef, dir: String): Unit =
+      d.run(spark, dir).write.mode("overwrite").format("noop").save()
+    defs.foreach(d => try exhaust(d, "/root/testdata/sf0.001") catch { case _: Throwable => () })
+    defs.foreach(d => try exhaust(d, sfDir) catch { case _: Throwable => () })
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    for (_ <- 1 to 3) {
+      System.gc()
+      defs.foreach { d =>
+        val t0 = System.nanoTime()
+        try {
+          exhaust(d, sfDir)
+          samples(d.name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(d.name, Nil)
+        } catch { case _: Throwable => () }
+      }
+    }
+    val results = defs.map(d =>
+      d.name -> samples.get(d.name).filter(_.nonEmpty).map(_.min).getOrElse(-1.0))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"stream_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    val sfName = new java.io.File(sfDir).getName
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench/stream_$sfName.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+  }
+
   /** Per-stage task aggregates for one profiled query run. */
   private final class StageAgg {
     var tasks = 0
@@ -154,9 +206,20 @@ object Bench {
       val t0 = System.nanoTime()
       val err = try { exhaust(d); None } catch { case t: Throwable => Some(t.toString.take(200)) }
       val sec = (System.nanoTime() - t0) / 1e9
-      // the listener bus is async with no public flush; a short settle
-      // is plenty for a local profiling run's queued task-end events
-      Thread.sleep(1000)
+      // the listener bus is async with no public flush; poll until the
+      // task-end aggregates are stable across two consecutive snapshots
+      // (bounded) — a fixed sleep silently understates per-stage numbers
+      // when a loaded machine still has events in flight
+      var prev = -1L
+      var stable = 0
+      var waitedMs = 0
+      while (stable < 2 && waitedMs < 15000) {
+        Thread.sleep(200); waitedMs += 200
+        val snap = l.synchronized {
+          l.stages.valuesIterator.map(a => a.tasks.toLong * 31 + a.sumMs).sum
+        }
+        if (snap == prev) stable += 1 else { stable = 0; prev = snap }
+      }
       spark.sparkContext.removeSparkListener(l)
       val stageRows = l.stages.toSeq.sortBy(_._1).map { case (sid, a) =>
         val avg = if (a.tasks > 0) a.sumMs.toDouble / a.tasks else 0.0

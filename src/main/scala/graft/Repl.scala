@@ -61,13 +61,23 @@ object Repl {
     println(s"\n知识库构建完成！(chunks=${result.chunkCount}, " +
       s"extracted=${result.extracted}, indexed=${result.indexed})")
 
-    // ---- interactive loop, src/main.py:80-103
+    interactiveQa(spark, s"$workDir/vector_store", generate)
+    spark.stop()
+  }
+
+  /** The interactive loop alone (`src/main.py:80-103` banners, prompt,
+    * answer printing) — split from session/knowledge-base setup so a
+    * spec can drive a scripted stdin session against a populated store
+    * and golden-check the exact console transcript. Reads Console.in
+    * (what `StdIn.readLine` consumes), prints to Console.out.
+    */
+  def interactiveQa(spark: SparkSession, store: String,
+                    generate: Option[String => String] = None): Unit = {
     println("\n" + "=" * 50)
     println("智能数据工程课程知识问答系统")
     println("=" * 50)
     println("输入问题与课程内容进行交互，输入 'exit' 或 'quit' 退出")
 
-    val store = s"$workDir/vector_store"
     var running = true
     while (running) {
       print("\n请输入问题: ")
@@ -82,6 +92,5 @@ object Repl {
         println(response.answer)
       }
     }
-    spark.stop()
   }
 }

@@ -242,19 +242,27 @@ object Events {
     // audience shows up on an average active day. All-integer: per-day
     // and per-week distinct-user counts, then stickiness =
     // sum(dau) · 1e6 div (active_days · wau) — one exact division at
-    // the end. Scale shape: two partial-aggregated distinct counts
-    // keyed on (week[, day]) — bounded group counts, the classic
-    // count-distinct shuffle; nothing row-sized survives the first
-    // aggregate.
+    // the end. Scale shape: ONE pass reduces the corpus to distinct
+    // (week, day, user) triples — bounded by users × active days, the
+    // only exchange that sees event-sized input — and both DAU and WAU
+    // derive from that tiny PERSISTED table. The persist is load-
+    // bearing: without it Catalyst's RemoveRedundantAggregates
+    // correctly collapses distinct-over-distinct and each branch would
+    // re-scan + re-shuffle the raw corpus (the r8 shape); with it the
+    // 100 TB events table is read and exchanged exactly once, and the
+    // two downstream aggregates shuffle only user×day-bounded rows.
     QueryDef(
       "ev_stickiness",
       (spark, dir) => {
-        val ev = Tables.events(spark, dir)
-          .selectExpr("user_id", "date_trunc('week', ts) AS w", "date_trunc('day', ts) AS d")
-        val dau = ev.groupBy("w", "d")
-          .agg(org.apache.spark.sql.functions.expr("cast(count(DISTINCT user_id) AS bigint) AS dau"))
-        val wau = ev.groupBy("w")
-          .agg(org.apache.spark.sql.functions.expr("cast(count(DISTINCT user_id) AS bigint) AS wau"))
+        val days = Tables.events(spark, dir)
+          .selectExpr("date_trunc('week', ts) AS w", "date_trunc('day', ts) AS d", "user_id")
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dau = days.groupBy("w", "d")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS dau"))
+        val wau = days.select("w", "user_id").distinct()
+          .groupBy("w")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS wau"))
         dau.groupBy("w")
           .agg(
             org.apache.spark.sql.functions.expr("cast(sum(dau) AS bigint) AS sum_dau"),

@@ -467,10 +467,11 @@ object Graph {
     // the deepest gate SF — GraphSpec pins depth ≤ budget − 10 so a
     // regenerated corpus trips a named assertion, not a bare hash
     // mismatch; extra MATERIALIZED rounds are linear, not free-floating
-    // plan growth). bench=false:
-    // O(depth) driver-synchronized micro-jobs measure the loop
-    // machinery, not an interesting throughput — gr_pagerank stays the
-    // benched iterative representative.
+    // plan growth). bench=true (r9): the peel loop's iteration shape —
+    // a SHRINKING edge list with two semi-joins per round — is a
+    // different scaling regime than gr_pagerank's fixed-edge rounds,
+    // so the graph family times BOTH representatives; profile evidence
+    // in bench/profile_sf0.1.json + PLANS.md.
     QueryDef(
       "gr_kcore",
       (spark, dir) => {
@@ -502,8 +503,7 @@ object Graph {
         ${(0 until KCoreUnroll).map(peel).mkString(",")}
         SELECT src AS id, count(*)::BIGINT AS core_deg
         FROM e$KCoreUnroll GROUP BY src"""
-      },
-      bench = false),
+      }),
 
     // ----------------------- multi-source BFS distances (blast radius)
     // Hop distance from the BUILDING customer segment over the same

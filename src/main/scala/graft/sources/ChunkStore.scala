@@ -195,8 +195,9 @@ object ChunkStore {
 
   def queries: Seq[QueryDef] = Seq(
     // S1+S2+E1-E5+C1 over REAL PDF BYTES: the fixture corpus (2-page
-    // Flate-compressed + 1-page raw + a Type0/CID CJK file + an
-    // ObjStm-packed file + a decoy .txt) is written to disk,
+    // Flate-compressed + 1-page raw + Type0/CID CJK files (embedded
+    // ToUnicode AND predefined UniGB-UCS2-H) + an ObjStm-packed file +
+    // an /Encoding /Differences file + a decoy .txt) is written to disk,
     // scanned with the case-insensitive binaryFile source, parsed by the
     // from-scratch PDF extractor, layout-segmented, cleaned, chunked.
     // The oracle holds the hand-simulated expected rows as literal
@@ -245,7 +246,11 @@ object ChunkStore {
           ('m_enc.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
            'Encrypted object streams decrypt before the packed table expands.'),
           ('xr_enc.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
-           'Encrypted cross reference stream files resolve indirect lengths then decrypt.')
+           'Encrypted cross reference stream files resolve indirect lengths then decrypt.'),
+          ('gb.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           '预定义字符映射表直接按统一码解码文本。'),
+          ('diff.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
+           'Glyph name differences map café • — • codes to text.')
         ) t(source, page_number, paragraph_number, total_pages, chunk_number, text)"""),
       bench = false),
 

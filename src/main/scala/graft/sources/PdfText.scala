@@ -19,14 +19,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * filters (DCT/JPX/CCITT) remain out of scope and degrade to no text.
   *
   * Scope: simple fonts with literal/hex strings extract byte-exactly
-  * (Latin-1), and Type0/CID-keyed fonts (the CJK population — the
-  * reference's own corpus is Chinese course PDFs) decode through their
-  * embedded /ToUnicode CMap: `Tf` switches the active font, a Type0
-  * font's show strings are consumed as 2-byte codes, and bfchar/bfrange
-  * entries map codes to UTF-16BE text — the same mapping PyMuPDF applies
-  * when `page.get_text()` walks a CID font. Fonts with neither a simple
-  * encoding nor a ToUnicode map yield no text (tolerant, like an OCR
-  * gap). Object discovery is layered: a tolerant linear scan finds
+  * (Latin-1, plus WinAnsi's high block and `/Encoding /Differences`
+  * glyph-name remaps through an Adobe-Glyph-List subset), and
+  * Type0/CID-keyed fonts (the CJK population — the reference's own
+  * corpus is Chinese course PDFs) decode through their embedded
+  * /ToUnicode CMap: `Tf` switches the active font, a Type0 font's show
+  * strings are consumed as 2-byte codes, and bfchar/bfrange entries
+  * map codes to UTF-16BE text — the same mapping PyMuPDF applies when
+  * `page.get_text()` walks a CID font. A Type0 font WITHOUT an
+  * embedded ToUnicode still extracts when it names a predefined CMap
+  * whose code space is public (UniGB-UCS2-H and the Uni* and legacy-
+  * charset families — the pre-2005 Chinese-authored case); only
+  * Identity-H with no ToUnicode yields no text (raw glyph ids,
+  * tolerant like an OCR gap). Object discovery is layered: a tolerant
+  * linear scan finds
   * top-level objects — surviving broken cross-reference tables strict
   * parsers reject — expands /Type /ObjStm object streams (the
   * compressed object tables modern PDF writers emit), and when the
@@ -59,13 +65,18 @@ object PdfText {
   private def latin1(bytes: Array[Byte]): String =
     new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
 
-  private val objRe = raw"(?s)(\d+)\s+\d+\s+obj\b".r
+  private val objRe = raw"(?s)(\d+)\s+(\d+)\s+obj\b".r
   private val lengthRe = raw"/Length\s+(\d+)(?!\s+\d+\s+R)".r
 
   /** One indirect object: its dictionary/body text and, if present, the
-    * raw (still-encoded) stream payload.
+    * raw (still-encoded) stream payload. `gen` is the object's
+    * generation number — the RC4/AES-128 per-object decryption key
+    * salts in it, so incremental-update files with nonzero generations
+    * decrypt wrongly if it is dropped (objects unpacked from an ObjStm
+    * are always generation 0 per spec).
     */
-  private[sources] final case class PdfObj(dict: String, stream: Option[Array[Byte]])
+  private[sources] final case class PdfObj(dict: String, stream: Option[Array[Byte]],
+                                           gen: Int = 0)
 
   /** Tolerant linear scan for `N 0 obj ... endobj` — no xref needed.
     * Stream extents come from a direct /Length when present, else from
@@ -127,7 +138,8 @@ object PdfText {
   private def scanTopLevel(bytes: Array[Byte]): Map[Int, PdfObj] = {
     val s = latin1(bytes)
     objRe.findAllMatchIn(s).flatMap { m =>
-      parseObjBody(bytes, s, m.end).map(m.group(1).toInt -> _)
+      parseObjBody(bytes, s, m.end)
+        .map(o => m.group(1).toInt -> o.copy(gen = m.group(2).toInt))
     }.toMap
   }
 
@@ -184,7 +196,7 @@ object PdfText {
     m.region(off, s.length)
     if (!m.lookingAt) None
     else parseObjBody(bytes, s, m.end, resolveLen, trustLength = true)
-      .map(m.group(1).toInt -> _)
+      .map(o => m.group(1).toInt -> o.copy(gen = m.group(2).toInt))
   }
 
   private val startxrefRe = raw"startxref\s+(\d+)".r
@@ -602,11 +614,168 @@ object PdfText {
   private type Decoder = String => String
   private val Latin1Decoder: Decoder = identity
 
+  // --------------------------- glyph names / encodings (simple fonts)
+
+  /** Adobe Glyph List subset: the Standard/WinAnsi/Latin-1 population a
+    * `/Encoding /Differences` array names in practice (the full public
+    * AGL is ~4.5k rows; everything outside this subset still resolves
+    * through the uniXXXX/uXX rules below). Data transcribed from the
+    * public Adobe Glyph List (AGL) specification.
+    */
+  private val aglMap: Map[String, String] = {
+    val ascii = Map(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+      "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+      "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+      "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+      "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~")
+    val latin1 = Seq(
+      0xA1 -> "exclamdown", 0xA2 -> "cent", 0xA3 -> "sterling", 0xA4 -> "currency",
+      0xA5 -> "yen", 0xA6 -> "brokenbar", 0xA7 -> "section", 0xA8 -> "dieresis",
+      0xA9 -> "copyright", 0xAA -> "ordfeminine", 0xAB -> "guillemotleft",
+      0xAC -> "logicalnot", 0xAE -> "registered", 0xAF -> "macron", 0xB0 -> "degree",
+      0xB1 -> "plusminus", 0xB2 -> "twosuperior", 0xB3 -> "threesuperior",
+      0xB4 -> "acute", 0xB5 -> "mu", 0xB6 -> "paragraph", 0xB7 -> "periodcentered",
+      0xB8 -> "cedilla", 0xB9 -> "onesuperior", 0xBA -> "ordmasculine",
+      0xBB -> "guillemotright", 0xBC -> "onequarter", 0xBD -> "onehalf",
+      0xBE -> "threequarters", 0xBF -> "questiondown", 0xC0 -> "Agrave",
+      0xC1 -> "Aacute", 0xC2 -> "Acircumflex", 0xC3 -> "Atilde", 0xC4 -> "Adieresis",
+      0xC5 -> "Aring", 0xC6 -> "AE", 0xC7 -> "Ccedilla", 0xC8 -> "Egrave",
+      0xC9 -> "Eacute", 0xCA -> "Ecircumflex", 0xCB -> "Edieresis", 0xCC -> "Igrave",
+      0xCD -> "Iacute", 0xCE -> "Icircumflex", 0xCF -> "Idieresis", 0xD0 -> "Eth",
+      0xD1 -> "Ntilde", 0xD2 -> "Ograve", 0xD3 -> "Oacute", 0xD4 -> "Ocircumflex",
+      0xD5 -> "Otilde", 0xD6 -> "Odieresis", 0xD7 -> "multiply", 0xD8 -> "Oslash",
+      0xD9 -> "Ugrave", 0xDA -> "Uacute", 0xDB -> "Ucircumflex", 0xDC -> "Udieresis",
+      0xDD -> "Yacute", 0xDE -> "Thorn", 0xDF -> "germandbls", 0xE0 -> "agrave",
+      0xE1 -> "aacute", 0xE2 -> "acircumflex", 0xE3 -> "atilde", 0xE4 -> "adieresis",
+      0xE5 -> "aring", 0xE6 -> "ae", 0xE7 -> "ccedilla", 0xE8 -> "egrave",
+      0xE9 -> "eacute", 0xEA -> "ecircumflex", 0xEB -> "edieresis", 0xEC -> "igrave",
+      0xED -> "iacute", 0xEE -> "icircumflex", 0xEF -> "idieresis", 0xF0 -> "eth",
+      0xF1 -> "ntilde", 0xF2 -> "ograve", 0xF3 -> "oacute", 0xF4 -> "ocircumflex",
+      0xF5 -> "otilde", 0xF6 -> "odieresis", 0xF7 -> "divide", 0xF8 -> "oslash",
+      0xF9 -> "ugrave", 0xFA -> "uacute", 0xFB -> "ucircumflex", 0xFC -> "udieresis",
+      0xFD -> "yacute", 0xFE -> "thorn", 0xFF -> "ydieresis")
+      .map { case (c, n) => n -> c.toChar.toString }.toMap
+    val typographic = Seq(
+      0x2018 -> "quoteleft", 0x2019 -> "quoteright", 0x201C -> "quotedblleft",
+      0x201D -> "quotedblright", 0x201A -> "quotesinglbase", 0x201E -> "quotedblbase",
+      0x2013 -> "endash", 0x2014 -> "emdash", 0x2022 -> "bullet", 0x2026 -> "ellipsis",
+      0x2020 -> "dagger", 0x2021 -> "daggerdbl", 0x2030 -> "perthousand",
+      0x2039 -> "guilsinglleft", 0x203A -> "guilsinglright", 0x20AC -> "Euro",
+      0x2122 -> "trademark", 0x2212 -> "minus", 0x2044 -> "fraction",
+      0x0192 -> "florin", 0x02C6 -> "circumflex", 0x02DC -> "tilde",
+      0x0131 -> "dotlessi", 0x0141 -> "Lslash", 0x0142 -> "lslash",
+      0x0152 -> "OE", 0x0153 -> "oe", 0x0160 -> "Scaron", 0x0161 -> "scaron",
+      0x0178 -> "Ydieresis", 0x017D -> "Zcaron", 0x017E -> "zcaron",
+      0x02D8 -> "breve", 0x02D9 -> "dotaccent", 0x02DA -> "ring", 0x02DB -> "ogonek",
+      0x02DD -> "hungarumlaut", 0x02C7 -> "caron", 0xFB01 -> "fi", 0xFB02 -> "fl")
+      .map { case (c, n) => n -> c.toChar.toString }.toMap
+    ascii ++ latin1 ++ typographic
+  }
+
+  /** One glyph name → Unicode (AGL subset, uniXXXX / uXXXX[XX] forms,
+    * `.variant` suffixes stripped, single-char names map to themselves
+    * per the AGL algorithm). Unknown names yield None — the caller
+    * falls through to the base encoding rather than guessing.
+    */
+  private[graft] def glyphToUnicode(name: String): Option[String] = {
+    val base = name.takeWhile(_ != '.') // a.sc, one.oldstyle glyph variants
+    aglMap.get(base).orElse {
+      if (raw"uni([0-9A-Fa-f]{4})+".r.matches(base))
+        Some(base.drop(3).grouped(4)
+          .map(h => java.lang.Integer.parseInt(h, 16).toChar).mkString)
+      else if (raw"u[0-9A-Fa-f]{4,6}".r.matches(base))
+        Some(new String(Character.toChars(java.lang.Integer.parseInt(base.drop(1), 16))))
+      else if (base.length == 1) Some(base)
+      else None
+    }
+  }
+
+  /** Parse an encoding dictionary's `/Differences [ code /name ... ]`
+    * array (PDF 32000 §9.6.5.1): each integer resets the current code;
+    * each name assigns that code and increments. Names that resolve to
+    * no Unicode still consume their code slot.
+    */
+  private[graft] def parseDifferences(enc: String): Map[Int, String] = {
+    raw"(?s)/Differences\s*\[(.*?)\]".r.findFirstMatchIn(enc).map { m =>
+      val out = Map.newBuilder[Int, String]
+      var code = 0
+      raw"(\d+)|/([^\s/\[\]<>()]+)".r.findAllMatchIn(m.group(1)).foreach { t =>
+        if (t.group(1) != null) code = t.group(1).toInt
+        else {
+          glyphToUnicode(t.group(2)).foreach(u => out += code -> u)
+          code += 1
+        }
+      }
+      out.result()
+    }.getOrElse(Map.empty)
+  }
+
+  /** WinAnsiEncoding's 0x80–0x9F block (the only range where it departs
+    * from Latin-1), via the JVM's public windows-1252 decoder.
+    */
+  private val cp1252Hi: IndexedSeq[String] = {
+    val cs = java.nio.charset.Charset.forName("windows-1252")
+    (0x80 to 0x9F).map(c => new String(Array(c.toByte), cs))
+  }
+
+  // ----------------------------- predefined CMaps (Type0 w/o ToUnicode)
+
+  /** Decoder for a Type0 font that names a PREDEFINED CMap (PDF 32000
+    * §9.7.5.2) and embeds no /ToUnicode — the pre-2005 CJK-authored
+    * population (exactly the reference's Chinese-courseware corpus,
+    * `/root/reference/src/main.py:85-86`) that PyMuPDF reads through
+    * its bundled Adobe CMap tables. No tables are needed here, because
+    * the predefined encodings' CODE SPACE is itself a public text
+    * encoding:
+    *   - the `Uni*-UCS2/UTF16` family (UniGB-UCS2-H etc.) consumes
+    *     2-byte codes that ARE Unicode values — decode as UTF-16BE;
+    *   - the legacy national-charset family (GBK-EUC, B5pc, RKSJ,
+    *     KSC-EUC, ...) consumes bytes in exactly the charset the JVM
+    *     ships a decoder for — decode the raw bytes with it.
+    * Identity-H/V without ToUnicode stays textless: its codes are font-
+    * private glyph ids with no public meaning (same degrade as before).
+    */
+  private def predefinedCMapDecoder(dict: String): Option[Decoder] = {
+    raw"/Encoding\s*/([\w-]+)".r.findFirstMatchIn(dict).map(_.group(1)).flatMap { enc =>
+      if (raw"Uni\w+-(?:UCS2|UTF16)-[HV]".r.matches(enc))
+        Some((raw2: String) => raw2.grouped(2).collect {
+          case cs if cs.length == 2 => (((cs.charAt(0) << 8) | cs.charAt(1))).toChar
+        }.mkString)
+      else {
+        val charset =
+          if (enc.startsWith("UniGB-UTF8")) Some("UTF-8")
+          else if (enc.startsWith("GBK") || enc.startsWith("GBKp")) Some("GBK")
+          else if (enc.startsWith("GB-EUC")) Some("GB2312")
+          else if (enc.startsWith("HKscs-B5")) Some("Big5-HKSCS")
+          else if (enc.startsWith("B5pc") || enc.startsWith("ETen-B5")) Some("Big5")
+          else if (enc.contains("RKSJ")) Some("Shift_JIS")
+          else if (enc == "EUC-H" || enc == "EUC-V") Some("EUC-JP")
+          else if (enc.startsWith("KSC-EUC")) Some("EUC-KR")
+          else if (enc.startsWith("KSCms-UHC")) Some("x-windows-949")
+          else None
+        charset.filter(java.nio.charset.Charset.isSupported).map { name =>
+          val cs = java.nio.charset.Charset.forName(name)
+          (raw2: String) => new String(raw2.toCharArray.map(_.toByte), cs)
+        }
+      }
+    }
+  }
+
   /** Build the decoder for one font object. Type0 (CID-keyed) fonts
-    * consume 2-byte codes and REQUIRE a ToUnicode map (Identity-H CIDs
-    * carry no inherent text meaning — emitting raw codes would be
-    * garbage, so an unmapped Type0 yields nothing); simple fonts apply
-    * a 1-byte ToUnicode when present and fall through to Latin-1.
+    * consume 2-byte codes through the embedded /ToUnicode map when one
+    * exists, else through a predefined CMap's public code space
+    * ([[predefinedCMapDecoder]]); Identity-H with neither yields
+    * nothing (raw CIDs are meaningless — emitting them would be
+    * garbage). Simple fonts resolve, in order: 1-byte ToUnicode →
+    * /Encoding /Differences glyph remap → base encoding (WinAnsi's
+    * 0x80–0x9F block, else Latin-1).
     */
   private def fontDecoder(objs: Map[Int, PdfObj], fontObj: Int): Decoder = {
     objs.get(fontObj).map { o =>
@@ -615,15 +784,37 @@ object PdfText {
         .flatMap(decodeStream)
         .map(b => parseToUnicodeCMap(latin1(b)))
       if (raw"/Subtype\s*/Type0".r.findFirstIn(o.dict).isDefined) {
-        val cmap = toUni.getOrElse(Map.empty[Int, String])
-        (raw2: String) => raw2.grouped(2).collect {
-          case cs if cs.length == 2 =>
-            cmap.getOrElse((cs.charAt(0) << 8) | cs.charAt(1), "")
-        }.mkString
-      } else toUni match {
-        case Some(cmap) =>
-          (raw1: String) => raw1.map(c => cmap.getOrElse(c.toInt, c.toString)).mkString
-        case None => Latin1Decoder
+        toUni match {
+          case Some(cmap) =>
+            (raw2: String) => raw2.grouped(2).collect {
+              case cs if cs.length == 2 =>
+                cmap.getOrElse((cs.charAt(0) << 8) | cs.charAt(1), "")
+            }.mkString
+          case None =>
+            predefinedCMapDecoder(o.dict).getOrElse((_: String) => "")
+        }
+      } else {
+        // /Encoding: a dictionary (inline or indirect) may carry
+        // /BaseEncoding and a /Differences remap; a bare name only
+        // selects the base.
+        val encDict = raw"(?s)/Encoding\s*<<(.*?)>>".r.findFirstMatchIn(o.dict)
+          .map(_.group(1))
+          .orElse(raw"/Encoding\s+(\d+)\s+\d+\s+R".r.findFirstMatchIn(o.dict)
+            .flatMap(m => objs.get(m.group(1).toInt)).map(_.dict))
+        val diffs = encDict.map(parseDifferences).getOrElse(Map.empty)
+        val winAnsi = raw"/(?:Base)?Encoding\s*/WinAnsiEncoding\b".r
+          .findFirstIn(encDict.getOrElse("")).isDefined ||
+          raw"/Encoding\s*/WinAnsiEncoding\b".r.findFirstIn(o.dict).isDefined
+        if (toUni.isEmpty && diffs.isEmpty && !winAnsi) Latin1Decoder
+        else {
+          val cmap = toUni.getOrElse(Map.empty[Int, String])
+          (raw1: String) => raw1.map { ch =>
+            val c = ch.toInt
+            cmap.get(c).orElse(diffs.get(c)).getOrElse(
+              if (winAnsi && c >= 0x80 && c <= 0x9F) cp1252Hi(c - 0x80)
+              else ch.toString)
+          }.mkString
+        }
       }
     }.getOrElse(Latin1Decoder)
   }
@@ -1002,7 +1193,7 @@ private[sources] object PdfCrypt {
         if (o.stream.isEmpty || n == d.encNum ||
             raw"/Type\s*/XRef".r.findFirstIn(o.dict).isDefined) (n, o)
         else (n, o.copy(stream = o.stream.map(data =>
-          try d.decrypt(n, 0, data) catch { case _: Exception => data })))
+          try d.decrypt(n, o.gen, data) catch { case _: Exception => data })))
       }
     }
 
@@ -1017,8 +1208,16 @@ private[sources] object PdfCrypt {
       val encNum = m.group(1).toInt
       objs.get(encNum).flatMap { enc =>
         val d = enc.dict
+        // Top-level lookups must not see the /CF crypt-filter
+        // subdictionary: it carries its own /Length (in BYTES — e.g.
+        // /CF << /StdCF << /Length 16 >> >>) which, matched first,
+        // would masquerade as the file-level key length (in bits) and
+        // derive a wrong key that silently fails the /U check. Strip
+        // the balanced /CF << ... >> for scalar lookups; V4 takes its
+        // key length from the StdCF byte count explicitly.
+        val dTop = stripCfDict(d)
         def intOf(k: String): Option[Int] =
-          raw"/$k\s+(-?\d+)".r.findFirstMatchIn(d).map(_.group(1).toInt)
+          raw"/$k\s+(-?\d+)".r.findFirstMatchIn(dTop).map(_.group(1).toInt)
         if (raw"/Filter\s*/Standard\b".r.findFirstIn(d).isEmpty) None
         else {
           val v = intOf("V").getOrElse(0)
@@ -1028,8 +1227,16 @@ private[sources] object PdfCrypt {
             val aes = raw"/CFM\s*/AESV2\b".r.findFirstIn(d).isDefined
             val supported = v == 1 || v == 2 ||
               (v == 4 && (aes || raw"/CFM\s*/V2\b".r.findFirstIn(d).isDefined))
+            // /StdCF /Length is bytes per §7.6.5; tolerate writers that
+            // emit bits there (> 40 cannot be a byte count for RC4/AES)
+            val stdCfLen = raw"(?s)/StdCF\s*<<(.*?)>>".r.findFirstMatchIn(d)
+              .flatMap(m => raw"/Length\s+(\d+)".r.findFirstMatchIn(m.group(1))
+                .map(_.group(1).toInt))
+              .map(n => if (n > 40) n / 8 else n)
             val keyLen =
               if (v == 1 || r == 2) 5
+              else if (v == 4 && stdCfLen.isDefined)
+                math.max(5, math.min(16, stdCfLen.get))
               else math.max(5, math.min(16, intOf("Length").getOrElse(40) / 8))
             (pdfStringValue(d, "O"), pdfStringValue(d, "U"), intOf("P")) match {
               case (Some(o), Some(u), Some(p)) if supported && o.length >= 32 && u.length >= 16 =>
@@ -1047,6 +1254,24 @@ private[sources] object PdfCrypt {
       }
     }
   } catch { case _: Exception => None }
+
+  /** Remove the balanced `/CF << ... >>` subdictionary so top-level
+    * scalar lookups (/Length, /V, /R, /P) never match keys that belong
+    * to a crypt filter.
+    */
+  private def stripCfDict(dict: String): String =
+    raw"/CF\s*<<".r.findFirstMatchIn(dict) match {
+      case None => dict
+      case Some(m) =>
+        var depth = 1
+        var k = m.end
+        while (k < dict.length && depth > 0) {
+          if (dict.startsWith("<<", k)) { depth += 1; k += 2 }
+          else if (dict.startsWith(">>", k)) { depth -= 1; k += 2 }
+          else k += 1
+        }
+        dict.substring(0, m.start) + dict.substring(k)
+    }
 
   /** AES-256 standard handler (ISO 32000-2 §7.6.4, V5 R5/R6) with an
     * empty password: /O and /U are 48 bytes (32 hash ∥ 8 validation
@@ -1413,6 +1638,82 @@ private[graft] object PdfFixtures {
     bos.toByteArray
   }
 
+  // ------------------------ predefined-CMap fixture (CID, no ToUnicode)
+
+  val predefParagraph: String = "预定义字符映射表直接按统一码解码文本。"
+
+  /** One-page Type0/CIDFontType0 document whose /Encoding names the
+    * PREDEFINED UniGB-UCS2-H CMap and which embeds NO /ToUnicode — the
+    * pre-2005 Chinese-authored font shape PyMuPDF reads via its bundled
+    * Adobe CMap tables. UniGB-UCS2-H's code space is UCS-2, so the
+    * show-string 2-byte codes below ARE the Unicode values.
+    */
+  def buildPredefCMapPdf(): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    val hexStr = predefParagraph.map(c => f"${c.toInt}%04X").mkString("<", "", ">")
+    val content = s"BT /F1 12 Tf 72 720 Td $hexStr Tj ET\n"
+    w("%PDF-1.4\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\n"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>\n"))
+    obj(4) {
+      w(s"<< /Length ${content.length} >>\nstream\n"); w(content); w("\nendstream\n")
+    }
+    obj(5)(w("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+      "/Encoding /UniGB-UCS2-H /DescendantFonts [6 0 R] >>\n"))
+    obj(6)(w("<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) /Supplement 2 >> >>\n"))
+    val xref = bos.size()
+    w("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  // --------------------- /Encoding /Differences fixture (simple font)
+
+  val diffParagraph: String =
+    "Glyph name differences map café • — • codes to text."
+
+  /** One-page simple-font document whose /Encoding dictionary remaps
+    * codes 1→/bullet 2→/emdash 3→/eacute over a /WinAnsiEncoding base
+    * — the symbol-remap population the Differences array exists for.
+    * Byte 0x95 additionally exercises the WinAnsi high block (• in
+    * CP1252, a control char in Latin-1).
+    */
+  def buildDifferencesPdf(): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    val content =
+      "BT /F1 12 Tf 72 720 Td " +
+        "(Glyph name differences map caf\u0003 \u0001 \u0002 \u0095 codes to text.) Tj ET\n"
+    w("%PDF-1.4\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\n"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>\n"))
+    obj(4) {
+      w(s"<< /Length ${content.length} >>\nstream\n"); w(content); w("\nendstream\n")
+    }
+    obj(5)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding " +
+      "<< /BaseEncoding /WinAnsiEncoding /Differences [ 1 /bullet /emdash 3 /eacute ] >> >>\n"))
+    val xref = bos.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
   // ----------------------------------------------- predictor fixture
 
   val predictorParagraph: String =
@@ -1739,7 +2040,8 @@ private[graft] object PdfFixtures {
     * shared derivation bug cannot self-certify.
     */
   def buildEncryptedPdf(paragraph: String, mode: String,
-                        compress: Boolean = true): Array[Byte] = {
+                        compress: Boolean = true,
+                        contentGen: Int = 0): Array[Byte] = {
     import PdfCrypt.{Pad, aesCbc, computeU, fileKey, md5, rc4}
     if (mode == "aes-256") return buildAes256Pdf(paragraph, compress)
     val (v, r, keyBits, aes) = mode match {
@@ -1761,9 +2063,9 @@ private[graft] object PdfFixtures {
     val u0 = computeU(key, r, id0)
     val u = if (u0.length >= 32) u0.take(32) else u0 ++ Array.fill[Byte](32 - u0.length)(0)
     def hexStr(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02X").mkString("<", "", ">")
-    def encryptObj(num: Int, data: Array[Byte]): Array[Byte] = {
+    def encryptObj(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
       val ext = Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
-        ((num >> 16) & 0xFF).toByte, 0, 0)
+        ((num >> 16) & 0xFF).toByte, (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte)
       val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.empty[Byte]
       val objKey = md5(key, ext, salt).take(math.min(keyLen + 5, 16))
       if (!aes) rc4(objKey, data)
@@ -1774,7 +2076,7 @@ private[graft] object PdfFixtures {
       }
     }
     val content = s"BT /F1 12 Tf 72 720 Td ($paragraph) Tj ET\n".getBytes(L1)
-    val data = encryptObj(4, if (compress) deflate(content) else content)
+    val data = encryptObj(4, contentGen, if (compress) deflate(content) else content)
     val cf =
       if (v == 4) " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
       else ""
@@ -1782,15 +2084,15 @@ private[graft] object PdfFixtures {
     val bos = new java.io.ByteArrayOutputStream()
     def w(str: String): Unit = bos.write(str.getBytes(L1))
     val offsets = scala.collection.mutable.Map.empty[Int, Int]
-    def obj(num: Int)(body: => Unit): Unit = {
-      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    def obj(num: Int, gen: Int = 0)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num $gen obj\n"); body; w("endobj\n")
     }
     w("%PDF-1.4\n")
     obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
     obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\n"))
     obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
       "/Resources << /Font << /F1 5 0 R >> >> >>\n"))
-    obj(4) {
+    obj(4, contentGen) {
       w(s"<< /Length ${data.length}${if (compress) " /Filter /FlateDecode" else ""} >>\nstream\n")
       bos.write(data)
       w("\nendstream\n")
@@ -1800,7 +2102,8 @@ private[graft] object PdfFixtures {
       s"/O ${hexStr(o)} /U ${hexStr(u)} /P $p >>\n"))
     val xref = bos.size()
     w("xref\n0 7\n0000000000 65535 f \n")
-    (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    (1 to 6).foreach(i =>
+      w(f"${offsets(i)}%010d ${if (i == 4) contentGen else 0}%05d n \n"))
     w(s"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R " +
       s"/ID [${hexStr(id0)} ${hexStr(id0)}] >>\nstartxref\n$xref\n%%EOF\n")
     bos.toByteArray
@@ -2064,6 +2367,8 @@ private[graft] object PdfFixtures {
       buildEncryptedPdf(aes256Paragraph, "aes-256"))
     java.nio.file.Files.write(p.resolve("m_enc.pdf"), buildEncryptedObjStmPdf())
     java.nio.file.Files.write(p.resolve("xr_enc.pdf"), buildEncryptedXrefPdf())
+    java.nio.file.Files.write(p.resolve("gb.pdf"), buildPredefCMapPdf())
+    java.nio.file.Files.write(p.resolve("diff.pdf"), buildDifferencesPdf())
     java.nio.file.Files.write(p.resolve("notes.txt"), "not a pdf".getBytes(L1))
     dir
   }

@@ -372,8 +372,14 @@ object Streaming {
     * normalize to a micros TimestampType column. Sessions run in UTC,
     * so the NTZ cast is value-identity (same rule as [[Tables.events]]).
     */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = stageDir(s"$dir/events.parquet")
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStreamFrom(spark, stageDir(s"$dir/events.parquet"))
+
+  /** Same, over an already-staged source directory — for queries that
+    * append extra rows (e.g. st_sessionize's watermark sentinel) to the
+    * staged copy before opening the stream.
+    */
+  private def eventsStreamFrom(spark: SparkSession, path: String): DataFrame = {
     val tsType = spark.read.parquet(path).schema("ts").dataType
     val schema = StructType(rawEventsSchema.map {
       case f if f.name == "ts" => f.copy(dataType = tsType)
@@ -1102,22 +1108,22 @@ object Streaming {
       (spark, dir) => {
         val staged = stageDir(s"$dir/events.parquet")
         val raw = spark.read.parquet(staged)
+        // The sentinel's ts must carry the staged parquet's own vintage:
+        // on the TIMESTAMP(NANOS)-read-as-long files `max(ts)` is a
+        // BIGINT (interval-add would fail analysis, and a timestamp-typed
+        // append would fork the directory's schema), so add 2 h as nanos
+        // there and as an interval only on the timestamp vintages.
+        val sentinelTs = raw.schema("ts").dataType match {
+          case LongType => "mts + 7200000000000L" // 2 h in nanos
+          case _ => "mts + INTERVAL 2 HOURS"
+        }
         raw.limit(1)
           .crossJoin(raw.agg(expr("max(ts) AS mts")))
-          .selectExpr("-1L AS event_id", "mts + INTERVAL 2 HOURS AS ts",
+          .selectExpr("-1L AS event_id", s"$sentinelTs AS ts",
             "-1L AS user_id", "'sentinel' AS event_type", "0.0D AS value",
             "'' AS props")
           .write.mode("append").parquet(staged)
-        val tsType = raw.schema("ts").dataType
-        val schema = StructType(rawEventsSchema.map {
-          case f if f.name == "ts" => f.copy(dataType = tsType)
-          case f => f
-        })
-        val src0 = spark.readStream.schema(schema).parquet(staged)
-        val src = (tsType match {
-          case LongType => src0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          case _ => src0.withColumn("ts", col("ts").cast(TimestampType))
-        }).select("user_id", "ts")
+        val src = eventsStreamFrom(spark, staged).select("user_id", "ts")
         val gapUs = 1800000001L
         val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
         val q = src.withWatermark("ts", "0 seconds")

@@ -90,6 +90,70 @@ class PdfTextSpec extends SparkSpec {
     assert(got == Seq(Seq("Unit 01:"))) // the simple-font span survives
   }
 
+  test("predefined UniGB-UCS2-H CMap: Type0 with NO ToUnicode extracts (code space is UCS-2)") {
+    val bytes = PdfFixtures.buildPredefCMapPdf()
+    assert(PdfText.pageCount(bytes) == 1)
+    assert(PdfText.extractPageParagraphs(bytes) ==
+      Seq(Seq(PdfFixtures.predefParagraph)))
+  }
+
+  test("predefined legacy-charset CMap: GBK-EUC-H show bytes decode via the JVM charset") {
+    // same document, /Encoding swapped to the GBK byte-space CMap and
+    // the show string re-encoded as GBK bytes in a literal string
+    val base = new String(PdfFixtures.buildPredefCMapPdf(),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val gbkBytes = PdfFixtures.predefParagraph.getBytes(
+      java.nio.charset.Charset.forName("GBK"))
+    // escape the PDF literal-string specials; other high bytes pass raw
+    val lit = gbkBytes.flatMap {
+      case b if b == '('.toByte || b == ')'.toByte || b == '\\'.toByte =>
+        Seq('\\'.toByte, b)
+      case b => Seq(b)
+    }
+    val hexStr = PdfFixtures.predefParagraph.map(c => f"${c.toInt}%04X")
+      .mkString("<", "", ">")
+    val content0 = s"BT /F1 12 Tf 72 720 Td $hexStr Tj ET\n"
+    val body = "BT /F1 12 Tf 72 720 Td (" +
+      new String(lit, java.nio.charset.StandardCharsets.ISO_8859_1) + ") Tj ET"
+    assert(base.contains(content0) && body.length < content0.length,
+      "fixture drift: GBK body must fit inside the original /Length")
+    // pad to the original content length so the untouched /Length and
+    // xref offsets stay valid after the in-place swap
+    val content1 = body + (" " * (content0.length - body.length - 1)) + "\n"
+    val swapped = base
+      .replace(content0, content1)
+      .replace("/Encoding /UniGB-UCS2-H", "/Encoding /GBK-EUC-H   ")
+    val got = PdfText.extractPageParagraphs(
+      swapped.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(got == Seq(Seq(PdfFixtures.predefParagraph)))
+  }
+
+  test("/Encoding /Differences + WinAnsi base: glyph names remap before Latin-1") {
+    val bytes = PdfFixtures.buildDifferencesPdf()
+    assert(PdfText.pageCount(bytes) == 1)
+    assert(PdfText.extractPageParagraphs(bytes) ==
+      Seq(Seq(PdfFixtures.diffParagraph)))
+  }
+
+  test("glyph-name resolution: AGL subset, uniXXXX, uXXXXX, variants, singles") {
+    assert(PdfText.glyphToUnicode("bullet").contains("•"))
+    assert(PdfText.glyphToUnicode("eacute").contains("é"))
+    assert(PdfText.glyphToUnicode("germandbls").contains("ß"))
+    assert(PdfText.glyphToUnicode("uni4E2D").contains("中"))
+    assert(PdfText.glyphToUnicode("uni00480065").contains("He")) // multi-unit form
+    assert(PdfText.glyphToUnicode("u1F600").contains(new String(Character.toChars(0x1F600))))
+    assert(PdfText.glyphToUnicode("a.sc").contains("a")) // variant suffix strips
+    assert(PdfText.glyphToUnicode("seven.oldstyle").contains("7"))
+    assert(PdfText.glyphToUnicode("Q").contains("Q")) // single-char name is itself
+    assert(PdfText.glyphToUnicode("gXYZ").isEmpty) // unknown stays unmapped
+  }
+
+  test("/Differences parsing: code resets, increments, unknown names consume slots") {
+    val m = PdfText.parseDifferences(
+      "/Differences [ 65 /bullet /nosuchglyph /emdash 200 /Euro ]")
+    assert(m == Map(65 -> "•", 67 -> "—", 200 -> "€"))
+  }
+
   test("LZWDecode: encoded content extracts; long input crosses the 9→10 bit width bump") {
     val bytes = PdfFixtures.buildFilteredPdf(
       PdfFixtures.lzwParagraph, Seq("LZWDecode"), PdfFixtures.lzwEncode)
@@ -180,7 +244,9 @@ class PdfTextSpec extends SparkSpec {
       ("aes.pdf", 1, 1, 1, PdfFixtures.aesParagraph),
       ("aes256.pdf", 1, 1, 1, PdfFixtures.aes256Paragraph),
       ("m_enc.pdf", 1, 1, 1, PdfFixtures.encObjStmParagraph),
-      ("xr_enc.pdf", 1, 1, 1, PdfFixtures.encXrefParagraph))
+      ("xr_enc.pdf", 1, 1, 1, PdfFixtures.encXrefParagraph),
+      ("gb.pdf", 1, 1, 1, PdfFixtures.predefParagraph),
+      ("diff.pdf", 1, 1, 1, PdfFixtures.diffParagraph))
     assert(rows == expected) // notes.txt never parsed; .PDF case-insensitive
   }
 
@@ -214,6 +280,32 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.pageCount(bytes) == 1)
     assert(PdfText.extractPageParagraphs(bytes)
       == Seq(Seq(PdfFixtures.encXrefParagraph)))
+  }
+
+  test("nonzero-generation encrypted objects decrypt (key salts in the generation)") {
+    // incremental-update files carry nonzero generations; the RC4/AES
+    // per-object key salts in them, so dropping the generation decrypts
+    // those streams to garbage
+    for (mode <- Seq("rc4-128", "aes-128")) {
+      val bytes = PdfFixtures.buildEncryptedPdf(
+        PdfFixtures.rc4Paragraph, mode, compress = false, contentGen = 3)
+      assert(PdfText.extractPageParagraphs(bytes) ==
+        Seq(Seq(PdfFixtures.rc4Paragraph)), mode)
+    }
+  }
+
+  test("V4 file whose /CF subdict precedes the file /Length still derives the right key") {
+    // the crypt filter's /Length is a BYTE count (16); matched first it
+    // would masquerade as a 16-BIT file key length and break the /U check
+    val base = new String(
+      PdfFixtures.buildEncryptedPdf(PdfFixtures.aesParagraph, "aes-128", compress = false),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val orig = "/Length 128 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+    val swapped = "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /Length 128"
+    assert(base.contains(orig), "fixture drift: /Encrypt dict layout changed")
+    val out = base.replace(orig, swapped)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfText.extractPageParagraphs(out) == Seq(Seq(PdfFixtures.aesParagraph)))
   }
 
   test("encrypted PDF with a real (non-empty) user password degrades to no text") {

@@ -354,6 +354,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"query probe should be the broadcast-scalar pattern:\n${p.take(600)}")
     assert(!p.contains("CartesianProduct"))
+    // the broadcast side must be constant-bounded: the holdout budget
+    // (vec_id < 4096) has to reach the parquet scan that feeds every
+    // broadcast, so the broadcast query/truth sets cap at 4096/23 ≈ 179
+    // rows no matter the corpus size — an unbudgeted % 23 slice would
+    // broadcast a fixed FRACTION of the corpus (the one plan shape this
+    // repo forbids)
+    assert(p.contains("LessThan(vec_id,4096)"),
+      s"classify holdout budget not pushed to the scan:\n${p.take(900)}")
+  }
+
+  test("ev_stickiness: one corpus pass — both counts read the cached distinct triples") {
+    val p = plan("ev_stickiness")
+    // DAU and WAU must both consume the persisted (week, day, user)
+    // distinct — two InMemoryTableScans over ONE InMemoryRelation — so
+    // the raw events table is scanned and exchanged exactly once; the
+    // r8 shape (each branch re-deriving its own count-distinct from the
+    // scan) doubles the corpus shuffle at 100 TB
+    assert(p.split("InMemoryTableScan").length - 1 >= 2,
+      s"branches not reading the cached triples:\n${p.take(900)}")
+    spark.sharedState.cacheManager.clearCache() // don't leak into other pins
   }
 
   test("q7/q8: every dimension broadcasts — only the fact edge shuffles") {

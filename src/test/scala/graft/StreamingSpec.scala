@@ -463,6 +463,31 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("st_sessionize gate survives the long-nanos events vintage (typed sentinel)") {
+    // The driver's events parquet has shipped with ts as TIMESTAMP(NANOS)
+    // read-as-long in prior rounds; the gate query's watermark sentinel
+    // must then be a LONG nanos add, not a bigint+interval (analysis
+    // error) — this drives the whole gate path on that vintage.
+    import spark.implicits._
+    val t0 = 1700000000L
+    def ns(sec: Long) = sec * 1000000000L
+    val rows = Seq(
+      (1L, ns(t0), 1L, "click", 1.0, ""),
+      (2L, ns(t0 + 60), 1L, "click", 1.0, ""),
+      (3L, ns(t0 + 2400), 1L, "click", 1.0, ""), // 39 min gap → new session
+      (4L, ns(t0), 2L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = java.nio.file.Files.createTempDirectory("graft_vintage").toString
+    rows.repartition(1).write.parquet(s"$out/w")
+    val part = new java.io.File(s"$out/w").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$out/events.parquet"))
+    val res = Registry.byName("st_sessionize").run(spark, out)
+      .select("user_id", "session_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
   test("sessionize: 30-min gaps close sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
