@@ -1010,6 +1010,105 @@ object Events {
           UNION ALL SELECT '2_view_24h', count(*)::BIGINT FROM s2
           UNION ALL SELECT '3_purchase_24h', count(*)::BIGINT FROM s3)
         SELECT stage, n, (n * 1000000 // (SELECT count(*) FROM s1))::BIGINT AS conv_ppm
-        FROM c"""))
+        FROM c""")),
+
+    // -------------------- heavy-hitter keys (Misra-Gries + exact confirm)
+    // "Which keys carry more than 1/500 of all traffic?" — the skew
+    // question every shuffle-sizing decision starts from (the hot keys
+    // this finds are exactly the ones q9_skew_salted_join must salt).
+    // A plain groupBy answers it with key-cardinality state: at 100 TB
+    // the partial-aggregate hash maps grow with DISTINCT keys and
+    // spill. This instead runs the streaming Misra-Gries summary per
+    // partition — k=500 counters of HARD state, independent of key
+    // cardinality — then one bounded exact pass:
+    //   pass 1  mapPartitions: MG fold (k counters) + the partition's
+    //           row tally, emitted as ≤ k+1 tiny rows per partition.
+    //           A key absent from every summary has global count
+    //           ≤ N/k (each decrement-all retires k counts, so a
+    //           partition's undercount is ≤ n_p/k; sum over
+    //           partitions), so candidates ⊇ every true heavy hitter.
+    //   pass 2  exact confirm: broadcast the ≤ k·P candidate keys,
+    //           semi-join the corpus, count ONLY those keys, keep
+    //           cnt·500 > N. False candidates die here, so the result
+    //           is EXACT and partitioning-independent even though the
+    //           sketch itself is not.
+    // The fixture plants the skew the uniform synthetic corpus lacks,
+    // keyed off the DENSE event_id so the shape is scale-invariant:
+    // 70% of events land on 14 hot keys (event_id ≡ 0..6, 10..16
+    // mod 20 — 5% each), the rest keep their unique event_id in a
+    // disjoint id space (1/N each) — the answer is those 14 keys at
+    // every sf, with a 25× margin above the 1/500 line and the tail
+    // vanishing below it as N grows.
+    QueryDef(
+      "ev_heavyhitters",
+      (spark, dir) => {
+        import spark.implicits._
+        heavyHitters(
+          Tables.events(spark, dir)
+            .selectExpr(
+              "CASE WHEN event_id % 10 < 7 THEN event_id % 20 ELSE event_id + 1000000000L END AS item")
+            .as[Long],
+          k = 500)
+      },
+      Some("""
+        WITH i AS (
+          SELECT CASE WHEN event_id % 10 < 7 THEN event_id % 20
+                      ELSE event_id + 1000000000 END AS item
+          FROM events)
+        SELECT item, count(*)::BIGINT AS cnt,
+               (count(*) * 1000000 // (SELECT count(*) FROM i))::BIGINT AS share_ppm
+        FROM i
+        GROUP BY item
+        HAVING count(*) * 500 > (SELECT count(*) FROM i)"""))
   )
+
+  /** Exact φ = 1/k heavy hitters over an arbitrary key stream with
+    * cardinality-independent memory. Pass 1 folds each partition into a
+    * Misra-Gries summary (k counters + the partition tally — ≤ k+1 rows
+    * out per partition, O(k) live state, O(n_p) amortized time); a key
+    * absent from every summary has global count ≤ N/k, so the union of
+    * summaries covers every true heavy hitter. Pass 2 broadcasts the
+    * ≤ k·P candidates, semi-joins the stream, counts only those keys
+    * exactly, and keeps cnt·k > N — false candidates die, making the
+    * output exact and partitioning-independent. Keys must be ≥ 0: item
+    * −1 is the reserved partition-tally sentinel.
+    */
+  private[graft] def heavyHitters(
+      items: org.apache.spark.sql.Dataset[Long], k: Int): org.apache.spark.sql.DataFrame = {
+    import items.sparkSession.implicits._
+    val summary = items
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        var n = 0L
+        it.foreach { t =>
+          n += 1L
+          m.get(t) match {
+            case Some(c) => m(t) = c + 1L
+            case None =>
+              if (m.size < k) m(t) = 1L
+              else {
+                // decrement-all retires k counts per trigger ⇒ the
+                // whole fold is O(n_p) amortized, O(k) live state
+                m.mapValuesInPlace((_, c) => c - 1L)
+                m.filterInPlace((_, c) => c > 0L)
+              }
+          }
+        }
+        Iterator.single((-1L, n)) ++ m.keysIterator.map(t => (t, 0L))
+      }
+      .toDF("item", "n_part")
+      // ≤ (k+1)·P rows — persisting keeps the corpus scan single-pass
+      // for BOTH consumers below (total and candidates)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = summary.where("item = -1")
+      .groupBy().agg(org.apache.spark.sql.functions.expr("sum(n_part) AS n_total"))
+    val cands = summary.where("item != -1").select("item").distinct()
+    items.toDF("item")
+      .join(org.apache.spark.sql.functions.broadcast(cands), "item")
+      .groupBy("item")
+      .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS cnt"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(total))
+      .where(s"cnt * ${k}L > n_total")
+      .selectExpr("item", "cnt", "cnt * 1000000L div n_total AS share_ppm")
+  }
 }
