@@ -120,15 +120,16 @@ object Bench {
     spark.stop()
   }
 
-  /** The five stateful streaming twins (state stores: dropDuplicates,
-    * two flatMapGroupsWithState machines, mapGroupsWithState EWMA, the
-    * native session_window) timed as full AvailableNow drains —
+  /** The stateful streaming twins (state stores: dropDuplicates,
+    * flatMapGroupsWithState machines, mapGroupsWithState EWMA, the
+    * native session_window, the sharded Misra-Gries heavy-hitter
+    * sketch) timed as full AvailableNow drains —
     * stage + checkpoint + drain + readback, min of 3 interleaved
     * passes after one warmup, same discipline as the main lane.
     */
   private def streamBench(spark: SparkSession, sfDir: String): Unit = {
     val names = Seq("st_dedup_ingest", "st_semdedup", "st_ewma",
-      "st_funnel_strict", "st_sessionize")
+      "st_funnel_strict", "st_sessionize", "st_heavyhitters")
     val defs = Registry.all.filter(d => names.contains(d.name))
     def exhaust(d: QueryDef, dir: String): Unit =
       d.run(spark, dir).write.mode("overwrite").format("noop").save()

@@ -1285,6 +1285,80 @@ object Streaming {
           UNION ALL SELECT '3_purchase_24h', count(*)::BIGINT FROM s3)
         SELECT stage, n, (n * 1000000 // (SELECT count(*) FROM s1))::BIGINT AS conv_ppm
         FROM c"""),
+      bench = false),
+
+    // ------------------- streaming heavy hitters (bounded sketch state)
+    // ev_heavyhitters' Misra-Gries summary running against the stream.
+    // The naive stateful counter (flatMapGroupsWithState keyed by item,
+    // count state) re-creates exactly the cardinality-sized state the
+    // batch operator exists to avoid; instead the stream keys by a
+    // FIXED 64-way shard of the item (`item % 64`) and each shard's
+    // state is its own MG summary — k=500 counters per shard, so the
+    // state store holds ≤ 64·(500+1) longs HOWEVER long the stream
+    // runs. Sharding by key strengthens the batch bound: every
+    // occurrence of an item lands in one shard, so a key absent from
+    // its shard's final summary has global count ≤ n_shard/k ≤ N/k.
+    // Each batch emits the shard's current survivor keys (Update
+    // mode); the union over batches ⊇ the final summary ⊇ every true
+    // heavy hitter, and the batch-side exact confirm kills the rest —
+    // the drained result is exact and equals ev_heavyhitters' oracle
+    // verbatim.
+    graft.QueryDef(
+      "st_heavyhitters",
+      (spark, dir) => {
+        import spark.implicits._
+        val k = 500
+        val itemExpr =
+          "CASE WHEN event_id % 10 < 7 THEN event_id % 20 ELSE event_id + 1000000000L END AS item"
+        val src = eventsStream(spark, dir).selectExpr(itemExpr).as[Long]
+        val summaries = src.groupByKey(_ % 64)
+          .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (shard: Long, items: Iterator[Long], state: GroupState[Map[Long, Long]]) =>
+              val m = scala.collection.mutable.HashMap.empty[Long, Long]
+              state.getOption.foreach(m ++= _)
+              items.foreach { t =>
+                m.get(t) match {
+                  case Some(c) => m(t) = c + 1L
+                  case None =>
+                    if (m.size < k) m(t) = 1L
+                    else {
+                      m.mapValuesInPlace((_, c) => c - 1L)
+                      m.filterInPlace((_, c) => c > 0L)
+                    }
+                }
+              }
+              state.update(m.toMap)
+              m.keysIterator.map(t => (shard, t)).toSeq.iterator
+          }
+        val qn = "st_heavyhitters_sink"
+        val q = summaries.toDF("shard", "item").writeStream
+          .format("memory").queryName(qn)
+          .outputMode(OutputMode.Update)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val cands = spark.table(qn).select("item").distinct()
+        // exact confirm over the batch table — identical to the batch
+        // operator's second pass (and the reason the output is exact)
+        val items = graft.Tables.events(spark, dir).selectExpr(itemExpr)
+        val total = items.groupBy().agg(expr("count(*) AS n_total"))
+        items.join(broadcast(cands), "item")
+          .groupBy("item")
+          .agg(expr("cast(count(*) AS bigint) AS cnt"))
+          .crossJoin(broadcast(total))
+          .where(s"cnt * ${k}L > n_total")
+          .selectExpr("item", "cnt", "cnt * 1000000L div n_total AS share_ppm")
+      },
+      Some("""
+        WITH i AS (
+          SELECT CASE WHEN event_id % 10 < 7 THEN event_id % 20
+                      ELSE event_id + 1000000000 END AS item
+          FROM events)
+        SELECT item, count(*)::BIGINT AS cnt,
+               (count(*) * 1000000 // (SELECT count(*) FROM i))::BIGINT AS share_ppm
+        FROM i
+        GROUP BY item
+        HAVING count(*) * 500 > (SELECT count(*) FROM i)"""),
       bench = false)
   )
 }

@@ -66,6 +66,13 @@ class HeavyHittersSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) > 2000L))
   }
 
+  test("st_heavyhitters: the drained stream equals the batch operator") {
+    def rows(name: String) =
+      Registry.byName(name).run(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows("st_heavyhitters") == rows("ev_heavyhitters"))
+  }
+
   test("plan: confirm pass joins through a broadcast of the candidate set") {
     val p = Registry.byName("ev_heavyhitters").run(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
