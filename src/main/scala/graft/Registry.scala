@@ -38,6 +38,7 @@ object Registry {
       operators.Search.queries ++
       operators.Quality.queries ++
       operators.Graph.queries ++
+      operators.Ml.queries ++
       streaming.Streaming.queries
 
   lazy val byName: Map[String, QueryDef] = {

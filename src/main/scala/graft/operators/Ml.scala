@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed model training as a first-class engine operator — the
+  * data-parallel shape every large-scale quality-classifier pipeline
+  * (fastText-style document gates, DCLM/FineWeb filters) reduces to:
+  *
+  *   model (small) broadcasts out → per-row scoring is embarrassingly
+  *   parallel → the gradient folds BACK through one bounded aggregate
+  *   keyed by feature id → the updated model broadcasts again.
+  *
+  * The corpus never moves: per epoch exactly one exchange of
+  * (features × misclassified docs) partial sums, each bounded by the
+  * 4096-bucket feature space — the allreduce pattern expressed
+  * relationally. Training is INTEGER-EXACT batch perceptron (binary
+  * hashed-bigram features, unit learning rate): every update is a sum
+  * of ±1 contributions, so the trace is bit-identical across engines,
+  * partitionings, and retries — no float gradient whose accumulation
+  * order a shuffle could flip.
+  */
+object Ml {
+
+  private val Buckets = 4096L
+  private val Epochs = 3
+
+  /** doc_id, y (+1 planted / −1 clean), distinct hashed-bigram feature
+    * ids, plus the always-on bias feature h = −1. The planted class
+    * reuses dd_spandup's boilerplate fixture: docs ≡ 0 (mod 7) carry
+    * the appended span, so the signal the model can learn is exactly
+    * the boilerplate's bigram set.
+    */
+  private def features(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .selectExpr("doc_id",
+        s"CASE WHEN doc_id % 7 = 0 THEN concat(tc, ' ', '${Dedup.SpanBoiler}') ELSE tc END AS tc")
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 7 = 0 THEN 1L ELSE -1L END AS y",
+        "split(tc, ' ') AS t")
+      .selectExpr("doc_id", "y",
+        s"""array_union(
+              CASE WHEN size(t) >= 2
+                   THEN array_distinct(transform(sequence(0, size(t) - 2),
+                          i -> pmod(cast(conv(substring(md5(concat(t[i], ' ', t[i + 1])), 1, 15), 16, 10) AS bigint), ${Buckets}L)))
+                   ELSE cast(array() AS array<bigint>) END,
+              array(-1L)) AS hs""")
+      .selectExpr("doc_id", "y", "explode(hs) AS h")
+
+  def queries: Seq[QueryDef] = Seq(
+    // ---------------------- linear classifier training (batch perceptron)
+    // Output = the training trace: for epoch t, the error measured with
+    // the weights BEFORE update t (epoch 1 sees the zero model — every
+    // doc misclassifies), plus a final row (epoch Epochs+1) evaluating
+    // the trained model. Scale shape per epoch: F (persisted, one
+    // corpus-derived exchange total) joins the ≤ 4097-row weight table
+    // broadcast, margins reduce per doc, the gradient reduces per
+    // feature — model state is O(Buckets) regardless of corpus size,
+    // and each epoch's weight table is checkpoint-fenced so the plan
+    // stays O(1) per round (the pageRank lineage discipline).
+    QueryDef(
+      "ml_train_linear",
+      (spark, dir) => {
+        import spark.implicits._
+        val f = features(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nDocs = f.select("doc_id").distinct()
+          .groupBy().agg(expr("cast(count(*) AS bigint) AS n_docs"))
+        var w = Seq.empty[(Long, Long)].toDF("h", "w")
+        val epochRows = (1 to (Epochs + 1)).map { epoch =>
+          val margins = f
+            .join(broadcast(w), Seq("h"), "left")
+            .groupBy("doc_id", "y")
+            .agg(expr("sum(coalesce(w, 0L)) AS m"))
+          val wrong = margins.where("y * m <= 0").select("doc_id", "y")
+            .localCheckpoint(true) // consumed by the stat row AND the gradient
+          if (epoch <= Epochs) {
+            val g = f.join(wrong.select("doc_id"), "doc_id")
+              .groupBy("h").agg(expr("cast(sum(y) AS bigint) AS g"))
+            w = w.join(g, Seq("h"), "full_outer")
+              .selectExpr("h", "coalesce(w, 0L) + coalesce(g, 0L) AS w")
+              .localCheckpoint(true)
+          }
+          wrong.groupBy().agg(expr("cast(count(*) AS bigint) AS n_wrong"))
+            .crossJoin(broadcast(nDocs))
+            .selectExpr(s"${epoch}L AS epoch", "n_wrong",
+              "(n_docs - n_wrong) * 1000000L div n_docs AS acc_ppm")
+        }
+        epochRows.reduce(_ unionByName _)
+      },
+      Some {
+        val boiler = Dedup.SpanBoiler
+        // one materialized CTE pair (margins→weights) per epoch — the
+        // same fixed unroll discipline as gr_kcore's oracle
+        val epoch = (t: Int) => s"""
+        m$t AS MATERIALIZED (
+          SELECT f.doc_id, f.y, sum(coalesce(w${t - 1}.w, 0)) AS m
+          FROM f LEFT JOIN w${t - 1} ON f.h = w${t - 1}.h
+          GROUP BY f.doc_id, f.y),
+        wr$t AS MATERIALIZED (SELECT doc_id, y FROM m$t WHERE y * m <= 0),
+        w$t AS MATERIALIZED (
+          SELECT coalesce(a.h, b.h) AS h, coalesce(a.w, 0) + coalesce(b.g, 0) AS w
+          FROM w${t - 1} a FULL OUTER JOIN
+               (SELECT f.h, sum(f.y)::BIGINT AS g
+                FROM f JOIN wr$t USING (doc_id) GROUP BY f.h) b
+          ON a.h = b.h)"""
+        s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN tc || ' ' || '$boiler' ELSE tc END AS tc
+          FROM (SELECT doc_id,
+                       regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                FROM documents)),
+        f AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN 1 ELSE -1 END AS y, h
+          FROM (
+            SELECT doc_id, unnest(list_append(
+                     CASE WHEN len(t) >= 2
+                          THEN list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                 i -> ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 15))::BIGINT % $Buckets))
+                          ELSE [] END,
+                     -1)) AS h
+            FROM (SELECT doc_id, string_split(tc, ' ') AS t FROM d))),
+        n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM f),
+        w0 AS (SELECT NULL::BIGINT AS h, NULL::BIGINT AS w WHERE false),
+        ${(1 to (Epochs + 1)).map(epoch).mkString(",")}
+        SELECT t AS epoch, n_wrong,
+               ((n.n_docs - n_wrong) * 1000000 // n.n_docs)::BIGINT AS acc_ppm
+        FROM (
+          ${(1 to (Epochs + 1)).map(t =>
+            s"SELECT ${t}::BIGINT AS t, count(*)::BIGINT AS n_wrong FROM wr$t")
+            .mkString("\n          UNION ALL ")}
+        ) CROSS JOIN n"""
+      })
+  )
+}

@@ -81,4 +81,24 @@ class MlSpec extends SparkSpec {
     assert(full == brute, "nprobe = K must equal brute force")
     df.unpersist()
   }
+
+  test("ml_train_linear: the perceptron learns the planted boilerplate to zero error") {
+    val rows = Registry.byName("ml_train_linear").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // epoch 1 evaluates the zero model — everything misclassifies
+    assert(rows.head._2 > 0 && rows.head._3 == 0L)
+    // training error is non-increasing and the planted signal is
+    // perfectly separable — the final model must reach zero error
+    assert(rows.map(_._2).sliding(2).forall(w => w(1) <= w(0)))
+    assert(rows.last._2 == 0L && rows.last._3 == 1000000L)
+  }
+
+  test("ml_train_linear plan: the weight table broadcasts — the corpus side never sorts") {
+    val p = Registry.byName("ml_train_linear").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
 }
