@@ -50,6 +50,39 @@ object Ml {
               array(-1L)) AS hs""")
       .selectExpr("doc_id", "y", "explode(hs) AS h")
 
+  /** The shared training chain: persisted feature table, the trained
+    * weight table after [[Epochs]] integer perceptron updates, and the
+    * per-epoch margin tables (epoch t's margins are measured with the
+    * weights BEFORE update t; the list carries Epochs+1 entries so the
+    * last one evaluates the final model). Margins are checkpoint-fenced
+    * because each feeds both its epoch's error row and the gradient —
+    * and the final one is ml_score_docs' output; weight tables are
+    * fenced so the lazy epoch chain cannot re-expand its whole prefix
+    * per consumer.
+    */
+  private[graft] def trainChain(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    import spark.implicits._
+    val f = features(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = Seq.empty[(Long, Long)].toDF("h", "w")
+    val margins = (1 to (Epochs + 1)).map { epoch =>
+      val m = f.join(broadcast(w), Seq("h"), "left")
+        .groupBy("doc_id", "y")
+        .agg(expr("sum(coalesce(w, 0L)) AS m"))
+        .localCheckpoint(true)
+      if (epoch <= Epochs) {
+        val g = f.join(m.where("y * m <= 0").select("doc_id"), "doc_id")
+          .groupBy("h").agg(expr("cast(sum(y) AS bigint) AS g"))
+        w = w.join(g, Seq("h"), "full_outer")
+          .selectExpr("h", "coalesce(w, 0L) + coalesce(g, 0L) AS w")
+          .localCheckpoint(true)
+      }
+      m
+    }
+    (f, w, margins)
+  }
+
   def queries: Seq[QueryDef] = Seq(
     // ---------------------- linear classifier training (batch perceptron)
     // Output = the training trace: for epoch t, the error measured with
@@ -64,32 +97,16 @@ object Ml {
     QueryDef(
       "ml_train_linear",
       (spark, dir) => {
-        import spark.implicits._
-        val f = features(spark, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (f, _, margins) = trainChain(spark, dir)
         val nDocs = f.select("doc_id").distinct()
           .groupBy().agg(expr("cast(count(*) AS bigint) AS n_docs"))
-        var w = Seq.empty[(Long, Long)].toDF("h", "w")
-        val epochRows = (1 to (Epochs + 1)).map { epoch =>
-          val margins = f
-            .join(broadcast(w), Seq("h"), "left")
-            .groupBy("doc_id", "y")
-            .agg(expr("sum(coalesce(w, 0L)) AS m"))
-          val wrong = margins.where("y * m <= 0").select("doc_id", "y")
-            .localCheckpoint(true) // consumed by the stat row AND the gradient
-          if (epoch <= Epochs) {
-            val g = f.join(wrong.select("doc_id"), "doc_id")
-              .groupBy("h").agg(expr("cast(sum(y) AS bigint) AS g"))
-            w = w.join(g, Seq("h"), "full_outer")
-              .selectExpr("h", "coalesce(w, 0L) + coalesce(g, 0L) AS w")
-              .localCheckpoint(true)
-          }
-          wrong.groupBy().agg(expr("cast(count(*) AS bigint) AS n_wrong"))
+        margins.zipWithIndex.map { case (m, i) =>
+          m.where("y * m <= 0")
+            .groupBy().agg(expr("cast(count(*) AS bigint) AS n_wrong"))
             .crossJoin(broadcast(nDocs))
-            .selectExpr(s"${epoch}L AS epoch", "n_wrong",
+            .selectExpr(s"${i + 1}L AS epoch", "n_wrong",
               "(n_docs - n_wrong) * 1000000L div n_docs AS acc_ppm")
-        }
-        epochRows.reduce(_ unionByName _)
+        }.reduce(_ unionByName _)
       },
       Some {
         val boiler = Dedup.SpanBoiler
@@ -135,6 +152,63 @@ object Ml {
             s"SELECT ${t}::BIGINT AS t, count(*)::BIGINT AS n_wrong FROM wr$t")
             .mkString("\n          UNION ALL ")}
         ) CROSS JOIN n"""
+      }),
+
+    // ----------------------------- classifier deployment (the gate itself)
+    // The operator a pipeline actually runs: every document scored by
+    // the trained model — margin, predicted class, hit/miss against
+    // the planted label. This is the quality-gate filter shape at
+    // deployment: model broadcasts, scoring is one row-local join +
+    // per-doc reduction, the output is the per-doc verdict a curation
+    // stage's keep-filter consumes. Same integer-exact chain as
+    // ml_train_linear, so the margins are bit-identical cross-engine.
+    QueryDef(
+      "ml_score_docs",
+      (spark, dir) => {
+        val (_, _, margins) = trainChain(spark, dir)
+        margins.last
+          .selectExpr("doc_id", "y", "m AS margin",
+            "CASE WHEN m > 0 THEN 1L ELSE -1L END AS pred",
+            "CASE WHEN y * m > 0 THEN 1L ELSE 0L END AS correct")
+      },
+      Some {
+        val boiler = Dedup.SpanBoiler
+        val epoch = (t: Int) => s"""
+        m$t AS MATERIALIZED (
+          SELECT f.doc_id, f.y, sum(coalesce(w${t - 1}.w, 0)) AS m
+          FROM f LEFT JOIN w${t - 1} ON f.h = w${t - 1}.h
+          GROUP BY f.doc_id, f.y),
+        wr$t AS MATERIALIZED (SELECT doc_id, y FROM m$t WHERE y * m <= 0),
+        w$t AS MATERIALIZED (
+          SELECT coalesce(a.h, b.h) AS h, coalesce(a.w, 0) + coalesce(b.g, 0) AS w
+          FROM w${t - 1} a FULL OUTER JOIN
+               (SELECT f.h, sum(f.y)::BIGINT AS g
+                FROM f JOIN wr$t USING (doc_id) GROUP BY f.h) b
+          ON a.h = b.h)"""
+        s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN tc || ' ' || '$boiler' ELSE tc END AS tc
+          FROM (SELECT doc_id,
+                       regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                FROM documents)),
+        f AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN 1 ELSE -1 END AS y, h
+          FROM (
+            SELECT doc_id, unnest(list_append(
+                     CASE WHEN len(t) >= 2
+                          THEN list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                 i -> ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 15))::BIGINT % $Buckets))
+                          ELSE [] END,
+                     -1)) AS h
+            FROM (SELECT doc_id, string_split(tc, ' ') AS t FROM d))),
+        w0 AS (SELECT NULL::BIGINT AS h, NULL::BIGINT AS w WHERE false),
+        ${(1 to (Epochs + 1)).map(epoch).mkString(",")}
+        SELECT doc_id, y::BIGINT AS y, m::BIGINT AS margin,
+               CASE WHEN m > 0 THEN 1 ELSE -1 END::BIGINT AS pred,
+               CASE WHEN y * m > 0 THEN 1 ELSE 0 END::BIGINT AS correct
+        FROM m${Epochs + 1}"""
       })
   )
 }

@@ -95,6 +95,16 @@ class MlSpec extends SparkSpec {
     assert(rows.last._2 == 0L && rows.last._3 == 1000000L)
   }
 
+  test("ml_score_docs: per-doc verdicts agree with the trace's final error count") {
+    val verdicts = Registry.byName("ml_score_docs").run(spark, sf).collect()
+    val nWrong = verdicts.count(_.getLong(4) == 0L)
+    val traceFinal = Registry.byName("ml_train_linear").run(spark, sf)
+      .where("epoch = 4").collect().head.getLong(1)
+    assert(nWrong.toLong == traceFinal)
+    // the gate actually separates: planted docs predict +1, clean −1
+    assert(verdicts.forall(r => r.getLong(3) == (if (r.getLong(0) % 7 == 0) 1L else -1L)))
+  }
+
   test("ml_train_linear plan: the weight table broadcasts — the corpus side never sorts") {
     val p = Registry.byName("ml_train_linear").run(spark, sf)
       .queryExecution.executedPlan.toString
