@@ -852,7 +852,58 @@ object Knn {
         SELECT q.true_label::INT AS true_label, p.pred_label::INT AS pred_label,
                count(*)::BIGINT AS n_queries
         FROM pred p JOIN q ON p.q_vec_id = q.q_vec_id
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ----------------------- metadata-filtered vector search (hybrid)
+    // The vector-store feature production retrieval actually needs:
+    // top-k similarity UNDER a metadata constraint — here each query
+    // searches only ITS OWN label class ("similar items in my
+    // category"). The filter is not a post-filter over an unfiltered
+    // top-k (which silently under-fills k when the filter is
+    // selective): the constraint joins BEFORE scoring, as an equi-join
+    // on the label key. That turns the usual broadcast-NLJ scoring
+    // shape into a broadcast HASH join — each corpus row scores only
+    // against the queries of its own label, so the cosine work drops
+    // from |corpus|·|queries| to Σ_label |corpus_label|·|queries_label|
+    // (10× less here with 10 balanced labels), and a corpus partitioned
+    // by label at rest would prune the scan the way the IVF layout
+    // does. Top-k still reduces through the bounded-heap aggregator —
+    // ≤ k rows per query cross the wire.
+    QueryDef(
+      "v13_filtered_knn",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        import spark.implicits._
+        val e = Tables.embeddings(spark, dir)
+        val q = e.where("vec_id < 8")
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+            col("label").as("q_label"))
+        val scored = e
+          .join(broadcast(q),
+            e("label") === q("q_label") && e("vec_id") =!= q("q_vec_id"))
+          .selectExpr("q_vec_id", "vec_id",
+            s"round(${cosExpr("embedding", "q_emb")}, 6) AS similarity")
+          .as[(Long, Long, Double)]
+        TopK.topKByKey(scored, K)
+          .toDF("q_vec_id", "rank", "vec_id", "similarity")
+          .join(broadcast(q.selectExpr("q_vec_id", "cast(q_label AS int) AS q_label")),
+            "q_vec_id")
+          .select("q_vec_id", "q_label", "vec_id", "similarity", "rank")
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, label AS q_label
+                   FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.q_vec_id, q.q_label, e.vec_id,
+                 round(${dCos("e.embedding", "q.q_emb")}, 6) AS similarity
+          FROM embeddings e JOIN q
+            ON e.label = q.q_label AND e.vec_id != q.q_vec_id)
+        SELECT q_vec_id, q_label::INT AS q_label, vec_id, similarity, rank
+        FROM (SELECT q_vec_id, q_label, vec_id, similarity,
+                     row_number() OVER (PARTITION BY q_vec_id
+                                        ORDER BY similarity DESC, vec_id)::BIGINT AS rank
+              FROM scored)
+        WHERE rank <= $K"""))
   )
 
   // ----------------------------------------------- IVF index at rest

@@ -364,6 +364,21 @@ class PlanShapeSpec extends SparkSpec {
       s"classify holdout budget not pushed to the scan:\n${p.take(900)}")
   }
 
+  test("v13_filtered_knn: the label filter scores via a broadcast HASH join") {
+    graft.plans.VectorExprs.register(spark)
+    val p = plan("v13_filtered_knn")
+    // the metadata constraint must join BEFORE scoring as a hash join
+    // keyed on label — each corpus row scores only against queries of
+    // its own label. A BroadcastNestedLoopJoin here would mean every
+    // row pays every query's cosine and the filter degraded to a
+    // post-filter.
+    assert(p.contains("BroadcastHashJoin"),
+      s"label equi-join should hash, not NLJ:\n${p.take(600)}")
+    assert(p.contains("ObjectHashAggregate"),
+      s"top-k must stay the bounded-heap aggregator:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ev_stickiness: one corpus pass — both counts read the cached distinct triples") {
     val p = plan("ev_stickiness")
     // DAU and WAU must both consume the persisted (week, day, user)
