@@ -389,8 +389,91 @@ object Multimodal {
                sum(CASE WHEN k >= 32 AND e * 64 > total_energy THEN (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS ahash_hi,
                sum(CASE WHEN e * 64 > total_energy THEN 1 ELSE 0 END)::BIGINT AS n_ones
         FROM blocks b JOIN tot USING (doc_id)
-        GROUP BY b.doc_id"""))
+        GROUP BY b.doc_id""")),
+
+    // ----------------- image near-dup pairs (aHash banding + verify)
+    // The dedup half the mm_ahash fingerprint exists for: find all
+    // image pairs within Hamming ≤ 3 of each other WITHOUT an
+    // all-pairs comparison. The 64-bit code splits into four 16-bit
+    // bands; by pigeonhole any pair at Hamming ≤ 3 agrees on at least
+    // one whole band, so the candidate set is an equi-join on
+    // (band_id, band_value) buckets — the same banding discipline as
+    // dd_simhash, applied to the image modality. Candidates then
+    // verify exactly with bit_count over the XORed halves, so the
+    // emitted pair set is EXACT at the ≤ 3 threshold and the oracle
+    // can be the honest all-pairs scan. Scale shape: codes are
+    // row-local, the bucket join's pair space is bounded by band
+    // collisions (16-bit bands keep buckets thin), verification is
+    // per-candidate O(1) integer ops.
+    QueryDef(
+      "mm_ahash_neardup",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val codes = ahashCodes(spark, dir)
+          // the code table is consumed by four band projections and
+          // both sides of the bucket join — fence the row-local scan
+          .localCheckpoint(true)
+        val bands = codes.selectExpr("doc_id",
+          """explode(array(
+               named_struct('band', 0, 'v', ahash_lo % 65536),
+               named_struct('band', 1, 'v', ahash_lo div 65536),
+               named_struct('band', 2, 'v', ahash_hi % 65536),
+               named_struct('band', 3, 'v', ahash_hi div 65536))) AS b""")
+          .selectExpr("doc_id", "b.band AS band", "b.v AS v")
+        val cand = bands.as("x").join(bands.as("y"),
+            expr("x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id"))
+          .selectExpr("x.doc_id AS doc_a", "y.doc_id AS doc_b")
+          .distinct()
+        cand
+          .join(codes.selectExpr("doc_id AS doc_a", "ahash_lo AS la", "ahash_hi AS ha"), "doc_a")
+          .join(codes.selectExpr("doc_id AS doc_b", "ahash_lo AS lb", "ahash_hi AS hb"), "doc_b")
+          .selectExpr("doc_a", "doc_b",
+            "cast(bit_count(la ^ lb) + bit_count(ha ^ hb) AS bigint) AS hamming")
+          .where("hamming <= 3")
+      },
+      Some("""
+        WITH img AS (
+          SELECT doc_id, hex(encode(text)) AS ph
+          FROM documents WHERE octet_length(encode(text)) >= 128),
+        blocks AS (
+          SELECT doc_id, g.k,
+                 (abs(('0x' || substr(ph, ((g.k // 8) * 16 + (g.k % 8) * 2) * 2 + 1, 2))::INT - 128)
+                  + abs(('0x' || substr(ph, ((g.k // 8) * 16 + (g.k % 8) * 2 + 1) * 2 + 1, 2))::INT - 128))::BIGINT AS e
+          FROM img, (SELECT unnest(generate_series(0, 63)) AS k) g),
+        tot AS (SELECT doc_id, sum(e)::BIGINT AS total_energy FROM blocks GROUP BY doc_id),
+        codes AS (
+          SELECT b.doc_id,
+                 sum(CASE WHEN k < 32 AND e * 64 > total_energy THEN (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo,
+                 sum(CASE WHEN k >= 32 AND e * 64 > total_energy THEN (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi
+          FROM blocks b JOIN tot USING (doc_id)
+          GROUP BY b.doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS hamming
+        FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""))
   )
+
+  /** The mm_ahash code table (doc_id, ahash_lo, ahash_hi) — the shared
+    * row-local fingerprint scan mm_ahash emits and mm_ahash_neardup
+    * bands. See mm_ahash's QueryDef comment for the construction.
+    */
+  private def ahashCodes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+        "cast(octet_length(text) AS int) AS n_bytes")
+      .where("n_bytes >= 128")
+      .selectExpr("doc_id", "payload", "explode(sequence(0, 63, 1)) AS k")
+      .selectExpr("doc_id", "k",
+        "byte_energy(payload, (k div 8) * 16 + (k % 8) * 2, 2) AS e")
+      .groupBy("doc_id")
+      .agg(
+        expr("cast(sum(e) AS bigint) AS total_energy"),
+        expr("collect_list(named_struct('k', k, 'e', e)) AS blocks"))
+      .selectExpr("doc_id",
+        """aggregate(filter(blocks, x -> x.k < 32 AND x.e * 64 > total_energy),
+                     0L, (acc, x) -> acc + shiftleft(1L, x.k)) AS ahash_lo""",
+        """aggregate(filter(blocks, x -> x.k >= 32 AND x.e * 64 > total_energy),
+                     0L, (acc, x) -> acc + shiftleft(1L, x.k - 32)) AS ahash_hi""")
 
   /** mm_scenecut: per-mille mean-energy jump that counts as a cut. */
   private val CutThreshold = 2500L

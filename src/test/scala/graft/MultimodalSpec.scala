@@ -116,4 +116,24 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     assert(got == expected)
   }
+
+  test("mm_ahash_neardup: banding finds exactly the brute-force Hamming ≤ 3 pairs") {
+    graft.plans.VectorExprs.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val banded = Registry.byName("mm_ahash_neardup").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force straight off the fingerprint query's own output —
+    // the pigeonhole recall argument (Hamming ≤ 3 over 4 bands must
+    // share a band) has no approximation to hide behind
+    val codes = Registry.byName("mm_ahash").run(spark, sf)
+      .selectExpr("doc_id", "ahash_lo", "ahash_hi")
+    val brute = codes.as("a").join(codes.as("b"),
+        org.apache.spark.sql.functions.expr("a.doc_id < b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+        "cast(bit_count(a.ahash_lo ^ b.ahash_lo) + bit_count(a.ahash_hi ^ b.ahash_hi) AS bigint) AS h")
+      .where("h <= 3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(banded.nonEmpty, "fixture must contain near-dup payloads")
+  }
 }
