@@ -1059,7 +1059,52 @@ object Events {
                (count(*) * 1000000 // (SELECT count(*) FROM i))::BIGINT AS share_ppm
         FROM i
         GROUP BY item
-        HAVING count(*) * 500 > (SELECT count(*) FROM i)"""))
+        HAVING count(*) * 500 > (SELECT count(*) FROM i)""")),
+
+    // ----------------------- top user-journey paths (sequence mining)
+    // The product-analytics "what do users actually do" query: each
+    // user's first 8 events (event-time order, event_id tie-break)
+    // fold into a path string, and the most common journeys rank
+    // top-20. The 8-event cap is the scale decision: an uncapped path
+    // would make both the window buffer and the path-string key grow
+    // with a user's whole history; capped, the per-user state is 8
+    // rows and the group-by key is a short bounded string. Shape: one
+    // user-keyed window pass (rank ≤ 8 prunes before the fold), one
+    // user-keyed aggregate whose collect_list is 8-bounded by
+    // construction, one path-keyed count, TakeOrdered top-20 — no
+    // global sort.
+    QueryDef(
+      "ev_paths",
+      (spark, dir) => {
+        val seq8 = Tables.events(spark, dir)
+          .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us", "event_id")
+          .selectExpr("user_id", "event_type",
+            """row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS rn""")
+          .where("rn <= 8")
+        seq8.groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.expr(
+            """array_join(transform(array_sort(collect_list(named_struct('rn', rn, 't', event_type))),
+                                    x -> x.t), '>') AS path"""))
+          .groupBy("path")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_users"))
+          .orderBy(org.apache.spark.sql.functions.desc("n_users"),
+            org.apache.spark.sql.functions.col("path"))
+          .limit(20)
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+        p AS (
+          SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM e WHERE rn <= 8 GROUP BY user_id)
+        SELECT path, count(*)::BIGINT AS n_users
+        FROM p GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT 20"""))
   )
 
   /** Exact φ = 1/k heavy hitters over an arbitrary key stream with

@@ -33,7 +33,16 @@ object Ml {
     * the boilerplate's bigram set.
     */
   private def features(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    featureArrays(Tables.documents(spark, dir))
+      .selectExpr("doc_id", "y", "explode(hs) AS h")
+
+  /** The row-local half of [[features]]: (doc_id, y, hs) with the
+    * feature ids still as a per-doc array — every expression is
+    * streaming-safe (no window, no aggregate), so st_ml_score applies
+    * this to a document STREAM and scores each row statelessly.
+    */
+  private[graft] def featureArrays(docs: DataFrame): DataFrame =
+    docs
       .selectExpr("doc_id",
         "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
       .selectExpr("doc_id",
@@ -48,7 +57,6 @@ object Ml {
                           i -> pmod(cast(conv(substring(md5(concat(t[i], ' ', t[i + 1])), 1, 15), 16, 10) AS bigint), ${Buckets}L)))
                    ELSE cast(array() AS array<bigint>) END,
               array(-1L)) AS hs""")
-      .selectExpr("doc_id", "y", "explode(hs) AS h")
 
   /** The shared training chain: persisted feature table, the trained
     * weight table after [[Epochs]] integer perceptron updates, and the
@@ -171,7 +179,14 @@ object Ml {
             "CASE WHEN m > 0 THEN 1L ELSE -1L END AS pred",
             "CASE WHEN y * m > 0 THEN 1L ELSE 0L END AS correct")
       },
-      Some {
+      Some(scoreOracleSql))
+  )
+
+  /** ml_score_docs' oracle — also st_ml_score's (the streamed scorer
+    * must drain row-identical to the batch one, so they share the SQL
+    * verbatim).
+    */
+  private[graft] val scoreOracleSql: String = {
         val boiler = Dedup.SpanBoiler
         val epoch = (t: Int) => s"""
         m$t AS MATERIALIZED (
@@ -209,6 +224,5 @@ object Ml {
                CASE WHEN m > 0 THEN 1 ELSE -1 END::BIGINT AS pred,
                CASE WHEN y * m > 0 THEN 1 ELSE 0 END::BIGINT AS correct
         FROM m${Epochs + 1}"""
-      })
-  )
+  }
 }

@@ -1359,6 +1359,55 @@ object Streaming {
         FROM i
         GROUP BY item
         HAVING count(*) * 500 > (SELECT count(*) FROM i)"""),
+      bench = false),
+
+    // ------------------------ stateless model serving (stream scoring)
+    // ml_score_docs' deployment shape taken live: the perceptron trains
+    // batch-side (graft.operators.Ml.trainChain), the trained weight
+    // table — ≤ 4097 entries BY CONSTRUCTION, the hashed feature space
+    // — collects once and ships to executors as a broadcast variable,
+    // and the document stream scores ROW-LOCALLY in a typed map:
+    // feature hashing, margin, verdict, all inside one stateless
+    // projection. There is NO state store at all — the strongest
+    // streaming scale shape there is (nothing to checkpoint, nothing
+    // to evict, unbounded stream length for free), which is exactly
+    // what makes broadcast-model inference the production serving
+    // pattern. Drained Append output equals the batch scorer row for
+    // row; oracle = ml_score_docs' SQL verbatim.
+    graft.QueryDef(
+      "st_ml_score",
+      (spark, dir) => {
+        import spark.implicits._
+        val wMap = graft.operators.Ml.trainChain(spark, dir)._2
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val bc = spark.sparkContext.broadcast(wMap)
+        val src = spark.readStream
+          .schema(documentsSchema)
+          .parquet(stageDir(s"$dir/documents.parquet"))
+        val scored = graft.operators.Ml.featureArrays(src)
+          .selectExpr("doc_id", "y", "hs")
+          .as[(Long, Long, Seq[Long])]
+          .map { case (d, y, hs) =>
+            val w = bc.value
+            var m = 0L
+            hs.foreach(h => m += w.getOrElse(h, 0L))
+            (d, y, m, if (m > 0L) 1L else -1L, if (y * m > 0L) 1L else 0L)
+          }
+          .toDF("doc_id", "y", "margin", "pred", "correct")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = scored.writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read
+          .schema("doc_id BIGINT, y BIGINT, margin BIGINT, pred BIGINT, correct BIGINT")
+          .parquet(s"$tmp/out")
+      },
+      Some(graft.operators.Ml.scoreOracleSql),
       bench = false)
   )
 }
