@@ -69,7 +69,7 @@ object Knn {
     """list_sum(list_transform(generate_series(1, len(%A)), i -> %A[i]::DOUBLE * %B[i]::DOUBLE))
       |/ (sqrt(list_sum(list_transform(%A, x -> x::DOUBLE * x::DOUBLE)))
       |   * sqrt(list_sum(list_transform(%B, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
-  private def dCos(a: String, b: String): String =
+  private[operators] def dCos(a: String, b: String): String =
     duckCos.replace("%A", a).replace("%B", b)
 
   def queries: Seq[QueryDef] = Seq(
@@ -1053,7 +1053,7 @@ object Knn {
     * token buckets via explode → groupBy → map assembly (codegen'd
     * aggregation, not per-row lambdas), L2-normalized.
     */
-  private def embedDocs(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def embedDocs(spark: SparkSession, dir: String): DataFrame = {
     val par = spark.sessionState.conf.numShufflePartitions
     val cnt = Tables.documents(spark, dir)
       // fan out before the token explode + md5: the single-file scan is
@@ -1080,7 +1080,7 @@ object Knn {
   /** One-row embedding of a SQL text expression (query strings): the
     * per-row lambda formulation is fine at cardinality 1.
     */
-  private def embedLiteralSpark(tcExpr: String): String =
+  private[operators] def embedLiteralSpark(tcExpr: String): String =
     s"""CASE WHEN sqrt(aggregate(transform(
           transform(sequence(0, 63, 1),
             b -> cast(size(filter(transform(split($tcExpr, ' '),
@@ -1103,7 +1103,7 @@ object Knn {
                      x -> x = b)) AS double)),
             x -> x * x), 0D, (acc, v) -> acc + v))) END"""
 
-  private def embedLiteralDuck(tcExpr: String): String =
+  private[operators] def embedLiteralDuck(tcExpr: String): String =
     s"""(WITH qc AS (
           SELECT list_transform(generate_series(0, 63),
                    b -> len(list_filter(list_transform(string_split($tcExpr, ' '),
@@ -1117,7 +1117,7 @@ object Knn {
   /** DuckDB oracle body for the corpus embedding (kept in the lambda
     * formulation — value-identical to the aggregation pipeline).
     */
-  private val v1EmbedOracle: String = """
+  private[operators] val v1EmbedOracle: String = """
         SELECT doc_id,
                CASE WHEN nrm = 0 THEN counts ELSE list_transform(counts, x -> x / nrm) END AS embedding
         FROM (

@@ -35,45 +35,49 @@ object Search {
   private val B = "0.75"
   private val TopK = 20
 
-  def queries: Seq[QueryDef] = Seq(
-    QueryDef(
-      "ts_bm25",
-      (spark, dir) => {
-        val toks = Tables.documents(spark, dir)
-          .selectExpr("doc_id",
-            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-          .selectExpr(Seq("doc_id", "cast(size(split(tc, ' ')) AS bigint) AS dl") ++
-            Terms.zipWithIndex.map { case (t, i) =>
-              s"cast(size(filter(split(tc, ' '), x -> x = '$t')) AS bigint) AS tf$i"
-            }: _*)
-        val stats = toks.groupBy().agg(
-          expr("count(*) AS n_docs"),
-          expr("sum(dl) AS sum_dl") +:
-            Terms.indices.map(i => expr(s"sum(CASE WHEN tf$i > 0 THEN 1L ELSE 0L END) AS df$i")): _*)
-        // norm = (1-b) + b * dl/avgdl, with avgdl division written as
-        // (dl * N / Σdl) so both engines run the identical op sequence
-        val contrib = Terms.indices.map { i =>
-          s"""(ln(1.0D + (cast(n_docs AS double) - cast(df$i AS double) + 0.5D)
-                          / (cast(df$i AS double) + 0.5D))
-               * (cast(tf$i AS double) * (${K1}D + 1.0D))
-               / (cast(tf$i AS double) + ${K1}D * ((1.0D - ${B}D)
-                    + ${B}D * (cast(dl AS double) * cast(n_docs AS double) / cast(sum_dl AS double)))))"""
-        }
-        toks.crossJoin(broadcast(stats))
-          .selectExpr("doc_id", "dl",
-            s"cast(${Terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS bigint) AS matched_terms",
-            s"round(${contrib.mkString(" + ")}, 6) AS bm25")
-          .orderBy(desc("bm25"), col("doc_id"))
-          .limit(TopK)
-      },
-      Some {
-        val contrib = Terms.indices.map { i =>
-          s"""(ln(1.0 + (n_docs::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5))
-               * (tf$i::DOUBLE * ($K1 + 1.0))
-               / (tf$i::DOUBLE + $K1 * ((1.0 - $B)
-                    + $B * (dl::DOUBLE * n_docs::DOUBLE / sum_dl::DOUBLE))))"""
-        }
-        s"""
+  /** Per-doc BM25 scores (doc_id, dl, matched_terms, bm25) before the
+    * top-k cut — the shared scoring pass ts_bm25 ranks and ts_hybrid
+    * fuses. See the object comment for the scale shape.
+    */
+  private def bm25Scored(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .selectExpr(Seq("doc_id", "cast(size(split(tc, ' ')) AS bigint) AS dl") ++
+        Terms.zipWithIndex.map { case (t, i) =>
+          s"cast(size(filter(split(tc, ' '), x -> x = '$t')) AS bigint) AS tf$i"
+        }: _*)
+    val stats = toks.groupBy().agg(
+      expr("count(*) AS n_docs"),
+      expr("sum(dl) AS sum_dl") +:
+        Terms.indices.map(i => expr(s"sum(CASE WHEN tf$i > 0 THEN 1L ELSE 0L END) AS df$i")): _*)
+    // norm = (1-b) + b * dl/avgdl, with avgdl division written as
+    // (dl * N / Σdl) so both engines run the identical op sequence
+    val contrib = Terms.indices.map { i =>
+      s"""(ln(1.0D + (cast(n_docs AS double) - cast(df$i AS double) + 0.5D)
+                      / (cast(df$i AS double) + 0.5D))
+           * (cast(tf$i AS double) * (${K1}D + 1.0D))
+           / (cast(tf$i AS double) + ${K1}D * ((1.0D - ${B}D)
+                + ${B}D * (cast(dl AS double) * cast(n_docs AS double) / cast(sum_dl AS double)))))"""
+    }
+    toks.crossJoin(broadcast(stats))
+      .selectExpr("doc_id", "dl",
+        s"cast(${Terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS bigint) AS matched_terms",
+        s"round(${contrib.mkString(" + ")}, 6) AS bm25")
+  }
+
+  /** DuckDB twin of [[bm25Scored]] — a self-contained subquery (WITH
+    * inside parentheses) so both ts_bm25 and ts_hybrid embed it.
+    */
+  private val bm25ScoredSql: String = {
+    val contrib = Terms.indices.map { i =>
+      s"""(ln(1.0 + (n_docs::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5))
+           * (tf$i::DOUBLE * ($K1 + 1.0))
+           / (tf$i::DOUBLE + $K1 * ((1.0 - $B)
+                + $B * (dl::DOUBLE * n_docs::DOUBLE / sum_dl::DOUBLE))))"""
+    }
+    s"""
         WITH toks AS (
           SELECT doc_id, len(string_split(tc, ' '))::BIGINT AS dl,
                  ${Terms.zipWithIndex.map { case (t, i) =>
@@ -88,10 +92,21 @@ object Search {
         SELECT doc_id, dl,
                (${Terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")})::BIGINT AS matched_terms,
                round(${contrib.mkString(" + ")}, 6) AS bm25
-        FROM toks, stats
+        FROM toks, stats"""
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ts_bm25",
+      (spark, dir) =>
+        bm25Scored(spark, dir)
+          .orderBy(desc("bm25"), col("doc_id"))
+          .limit(TopK),
+      Some(s"""
+        SELECT doc_id, dl, matched_terms, bm25
+        FROM ($bm25ScoredSql)
         ORDER BY bm25 DESC, doc_id
-        LIMIT $TopK"""
-      })
+        LIMIT $TopK"""))
     ,
 
     // ------------------------- exact phrase search (positional index)
@@ -142,6 +157,71 @@ object Search {
         SELECT doc_id, count(*)::BIGINT AS n_matches, min(p1)::BIGINT AS first_pos
         FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)
         WHERE p2 = p1 + 1 AND p3 = p1 + 2
-        GROUP BY doc_id"""))
+        GROUP BY doc_id""")),
+
+    // -------------------- hybrid retrieval (BM25 ⊕ vector, RRF fusion)
+    // The modern RAG retrieval stack in one operator: the lexical
+    // top-20 (the shared BM25 pass) and the semantic top-20 (hashed-
+    // token embedding cosine against the SAME query text) fuse by
+    // reciprocal-rank fusion — score = Σ_legs 10⁶ div (60 + rank),
+    // integer arithmetic, so the fused ranking is hash-exact with no
+    // float fusion weights to drift. RRF needs only each leg's RANKS,
+    // which makes it the production fusion choice: legs can come from
+    // incomparable scorers (log-scale BM25 vs [-1,1] cosine) without
+    // calibration. Scale shape: each leg is its own TakeOrdered top-20
+    // (the corpus-wide work is the legs' existing scans); the fusion
+    // full-outer join and rank windows touch 20-row sets only —
+    // post-retrieval work is O(k), never corpus-sized.
+    QueryDef(
+      "ts_hybrid",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val queryText = Terms.mkString(" ")
+        val lex = bm25Scored(spark, dir)
+          .orderBy(desc("bm25"), col("doc_id"))
+          .limit(TopK)
+          .selectExpr("doc_id",
+            "cast(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bigint) AS lex_rank")
+        val q = spark.sql(
+          s"SELECT ${Knn.embedLiteralSpark(s"'$queryText'")} AS q_emb")
+        val vec = Knn.embedDocs(spark, dir)
+          .crossJoin(broadcast(q))
+          .selectExpr("doc_id", "round(cosine_f(embedding, q_emb), 6) AS sim")
+          .orderBy(desc("sim"), col("doc_id"))
+          .limit(TopK)
+          .selectExpr("doc_id",
+            "cast(row_number() OVER (ORDER BY sim DESC, doc_id) AS bigint) AS vec_rank")
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .selectExpr("doc_id",
+            "coalesce(lex_rank, 0L) AS lex_rank",
+            "coalesce(vec_rank, 0L) AS vec_rank",
+            """CASE WHEN lex_rank IS NULL THEN 0L ELSE 1000000L div (60L + lex_rank) END
+               + CASE WHEN vec_rank IS NULL THEN 0L ELSE 1000000L div (60L + vec_rank) END AS rrf_ppm""")
+          .orderBy(desc("rrf_ppm"), col("doc_id"))
+          .limit(10)
+      },
+      Some {
+        val queryText = Terms.mkString(" ")
+        s"""
+        WITH lex AS (
+          SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+          FROM (SELECT doc_id, bm25 FROM ($bm25ScoredSql)
+                ORDER BY bm25 DESC, doc_id LIMIT $TopK)),
+        emb AS (${Knn.v1EmbedOracle}),
+        q AS (SELECT ${Knn.embedLiteralDuck(s"'$queryText'")} AS q_emb),
+        vec AS (
+          SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
+          FROM (SELECT doc_id, round(${Knn.dCos("embedding", "q_emb")}, 6) AS sim
+                FROM emb, q
+                ORDER BY sim DESC, doc_id LIMIT $TopK))
+        SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+               coalesce(lex_rank, 0)::BIGINT AS lex_rank,
+               coalesce(vec_rank, 0)::BIGINT AS vec_rank,
+               (CASE WHEN lex_rank IS NULL THEN 0 ELSE 1000000 // (60 + lex_rank) END
+                + CASE WHEN vec_rank IS NULL THEN 0 ELSE 1000000 // (60 + vec_rank) END)::BIGINT AS rrf_ppm
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+        ORDER BY rrf_ppm DESC, doc_id
+        LIMIT 10"""
+      })
   )
 }
