@@ -886,7 +886,55 @@ object Curation {
               FROM kept GROUP BY label)
         SELECT t.label, n_total, n_kept, (n_total - n_kept)::BIGINT AS n_dropped,
                kept_sum, kept_min, kept_max
-        FROM tot t JOIN k USING (label)"""))
+        FROM tot t JOIN k USING (label)""")),
+
+    // --------------------- classifier-gated curation (the learned gate)
+    // The DCLM/FineWeb-style pipeline composition: the TRAINED quality
+    // classifier (graft.operators.Ml) is the first gate — documents the
+    // model predicts as boilerplate-class (margin > 0) drop — then the
+    // survivors exact-dedup on normalized text, with per-language
+    // attrition accounting. This closes the loop on ml_train_linear:
+    // the learned model is not a demo artifact, it FILTERS the corpus
+    // the way a fastText gate filters CommonCrawl. Scale shape: the
+    // gate is the broadcast-model margin pass (see ml_score_docs), the
+    // dedup is one md5-keyed aggregate, accounting is per-lang
+    // partial-aggregated counts joined on the tiny lang key.
+    QueryDef(
+      "tp_curate_clf",
+      (spark, dir) => {
+        val keep = graft.operators.Ml.trainChain(spark, dir)._3.last
+          .where("m <= 0").select("doc_id")
+        val cleaned = Tables.documents(spark, dir)
+          .selectExpr(cleanCols: _*)
+          .selectExpr("doc_id", "lang", "length(tc) AS char_len", "md5(tc) AS th")
+        val kept = cleaned.join(keep, Seq("doc_id"), "left_semi")
+        val exactKeep = kept.groupBy("th").agg(expr("min(doc_id) AS doc_id")).select("doc_id")
+        val surv = kept.join(exactKeep, Seq("doc_id"), "left_semi")
+        val inAgg = cleaned.groupBy("lang")
+          .agg(expr("cast(count(*) AS bigint) AS n_input"))
+        val clfAgg = kept.groupBy("lang")
+          .agg(expr("cast(count(*) AS bigint) AS n_after_clf"))
+        val dedupAgg = surv.groupBy("lang")
+          .agg(expr("cast(count(*) AS bigint) AS n_after_dedup"),
+            expr("cast(sum(char_len) AS bigint) AS chars_after_dedup"))
+        inAgg.join(clfAgg, "lang").join(dedupAgg, "lang")
+      },
+      Some(s"""
+        WITH sc AS (SELECT doc_id FROM (${graft.operators.Ml.scoreOracleSql}) WHERE margin <= 0),
+        cleaned AS (
+          SELECT doc_id, lang, length(tc) AS char_len, md5(tc) AS th
+          FROM (SELECT doc_id, lang, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                FROM documents)),
+        kept AS (SELECT c.* FROM cleaned c JOIN sc USING (doc_id)),
+        ek AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY th),
+        surv AS (SELECT k.* FROM kept k JOIN ek ON k.doc_id = ek.doc_id),
+        a AS (SELECT lang, count(*)::BIGINT AS n_input FROM cleaned GROUP BY lang),
+        b AS (SELECT lang, count(*)::BIGINT AS n_after_clf FROM kept GROUP BY lang),
+        c AS (SELECT lang, count(*)::BIGINT AS n_after_dedup,
+                     sum(char_len)::BIGINT AS chars_after_dedup
+              FROM surv GROUP BY lang)
+        SELECT a.lang, n_input, n_after_clf, n_after_dedup, chars_after_dedup
+        FROM a JOIN b USING (lang) JOIN c USING (lang)"""))
   )
 
   /** Fluency floor for tp_curate_semantic (ppm of avg bigram

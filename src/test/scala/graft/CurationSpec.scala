@@ -181,4 +181,16 @@ class CurationSpec extends SparkSpec {
       runQuery("tp_split").collect().map(r =>
         (r.getAs[String]("split"), r.getAs[String]("lang"), r.getAs[Long]("n_docs"))).toSet)
   }
+
+  test("tp_curate_clf: the learned gate drops exactly the planted class") {
+    val rows = runQuery("tp_curate_clf").collect()
+    val droppedByGate = rows.map(r =>
+      r.getAs[Long]("n_input") - r.getAs[Long]("n_after_clf")).sum
+    // the perceptron reaches zero training error (MlSpec), so the gate
+    // must remove the planted boilerplate docs (doc_id ≡ 0 mod 7) and
+    // nothing else
+    val planted = Tables.documents(spark, sf).where("doc_id % 7 = 0").count()
+    assert(droppedByGate == planted)
+    assert(rows.forall(r => r.getAs[Long]("n_after_dedup") <= r.getAs[Long]("n_after_clf")))
+  }
 }
