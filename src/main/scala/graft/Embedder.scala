@@ -26,9 +26,15 @@ trait Embedder extends Serializable {
 
 /** Default embedder: the deterministic hashed-token embedding (64-dim,
   * L2-normalized, md5-derived buckets — reproducible in the DuckDB
-  * oracle, see [[Fns.embedText]]).
+  * oracle). Runs the codegen'd `embed64` kernel (graft.plans.TextHash);
+  * [[Fns.embedText]] is the lambda-form reference implementation it is
+  * spec-pinned against. Callers must have run
+  * `graft.plans.VectorExprs.register(spark)` on the session (the
+  * ChunkStore entry points do).
   */
 object HashedTokenEmbedder extends Embedder {
-  override def embed(text: Column): Column = Fns.embedText(text)
+  override def embed(text: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "embed64", Fns.tokens(Fns.cleanText(text)))
   override val dim: Int = 64
 }

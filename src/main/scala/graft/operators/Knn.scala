@@ -1054,27 +1054,20 @@ object Knn {
     * aggregation, not per-row lambdas), L2-normalized.
     */
   private[operators] def embedDocs(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExprs.register(spark)
     val par = spark.sessionState.conf.numShufflePartitions
-    val cnt = Tables.documents(spark, dir)
-      // fan out before the token explode + md5: the single-file scan is
-      // ONE task, and without this the whole hash stage runs on one core
+    // ONE row-local codegen'd kernel per document (graft.plans.TextHash
+    // .embed64) — replaces the r1–r8 explode → md5 → two-shuffle
+    // groupBy/pivot pipeline with a scan-shaped projection that is
+    // bit-identical to it (same md5 bucket hash, same bucket-ordered
+    // norm fold, same per-element division; TextHashSpec pins kernel ≡
+    // lambda parity). The repartition stays: the single-file test scan
+    // is one task, and the md5 loops should use every core (row-group
+    // splits provide this at real scale).
+    Tables.documents(spark, dir)
       .repartition(par, col("doc_id"))
       .selectExpr("doc_id", "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-      .selectExpr("doc_id", "explode(split(tc, ' ')) AS t")
-      .selectExpr("doc_id", "cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % 64 AS b")
-      .groupBy("doc_id", "b").agg(expr("count(*) AS c"))
-    cnt.groupBy("doc_id")
-      .agg(expr("map_from_entries(collect_list(struct(b, c))) AS m"))
-      .selectExpr(
-        "doc_id",
-        "transform(sequence(0, 63, 1), b -> cast(coalesce(try_element_at(m, cast(b AS bigint)), 0L) AS double)) AS counts")
-      .selectExpr(
-        "doc_id",
-        "sqrt(aggregate(transform(counts, x -> x * x), 0D, (acc, v) -> acc + v)) AS nrm",
-        "counts")
-      .selectExpr(
-        "doc_id",
-        "CASE WHEN nrm = 0D THEN counts ELSE transform(counts, x -> x / nrm) END AS embedding")
+      .selectExpr("doc_id", "embed64(split(tc, ' ')) AS embedding")
   }
 
   /** One-row embedding of a SQL text expression (query strings): the

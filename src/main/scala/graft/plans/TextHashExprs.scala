@@ -154,6 +154,36 @@ object TextHash {
     }
     acc
   }
+
+  /** V1 hashed-token embedding: 64 bucket counts (hash60 % 64) →
+    * L2-normalize. Bit-identical to BOTH prior formulations and the
+    * DuckDB oracle: counts are exact small integers; the norm is the
+    * left-to-right double fold Σ c·c over buckets 0..63 starting at
+    * 0.0 (the same IEEE sequence as `aggregate(transform(counts,
+    * x -> x*x), 0D, +)`); the division is per-element; the zero-norm
+    * guard returns the raw zero counts. Replaces a 64-pass interpreted
+    * `size(filter(...))` per document (embedText) / a two-shuffle
+    * explode-groupBy-pivot (embedDocs) with ONE JIT'd loop per row.
+    */
+  def embed64(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val counts = new Array[Double](64)
+    var i = 0
+    while (i < n) {
+      val h = hash60(arr.getUTF8String(i).getBytes)
+      counts((h % 64L).toInt) += 1.0
+      i += 1
+    }
+    var ss = 0.0
+    var b = 0
+    while (b < 64) { ss += counts(b) * counts(b); b += 1 }
+    val nrm = math.sqrt(ss)
+    if (nrm != 0.0) {
+      b = 0
+      while (b < 64) { counts(b) /= nrm; b += 1 }
+    }
+    new GenericArrayData(counts)
+  }
 }
 
 private[plans] trait TextHashInputCheck { self: Expression =>
@@ -183,6 +213,20 @@ case class HashTokens(child: Expression) extends UnaryExpression with TextHashIn
     TextHash.hashTokens(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.hashTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** embed64(array<string>) → array<double> — hashed-token V1 embedding. */
+case class Embed64(child: Expression) extends UnaryExpression with TextHashInputCheck {
+  override def prettyName: String = "embed64"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireType(child, isStringArray, "array<string>")
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.embed64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.embed64($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

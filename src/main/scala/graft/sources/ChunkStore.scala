@@ -89,6 +89,7 @@ object ChunkStore {
   def addDocuments(spark: SparkSession, chunks: DataFrame, storePath: String,
                    orderCols: Seq[String],
                    embedder: graft.Embedder = graft.HashedTokenEmbedder): Boolean = {
+    graft.plans.VectorExprs.register(spark) // default embedder = embed64 kernel
     val existing =
       try spark.read.parquet(storePath).limit(1).count() catch { case _: Exception => 0L }
     if (existing > 0) false // reference: add is a no-op when non-empty

@@ -379,6 +379,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("v1_embed: the embed64 kernel keeps embedding scan-shaped — no aggregate") {
+    graft.plans.VectorExprs.register(spark)
+    val p = plan("v1_embed")
+    // r1–r8 embedded via explode → groupBy(doc, bucket) → pivot — two
+    // corpus-sized exchanges; the kernel computes the whole vector in
+    // the projection, so the only exchange left is the deliberate
+    // fan-out repartition
+    assert(!p.contains("HashAggregate"),
+      s"embedding should be a row-local kernel, not an aggregate pipeline:\n${p.take(600)}")
+    assert(p.contains("embed64"))
+  }
+
   test("ev_stickiness: one corpus pass — both counts read the cached distinct triples") {
     val p = plan("ev_stickiness")
     // DAU and WAU must both consume the persisted (week, day, user)

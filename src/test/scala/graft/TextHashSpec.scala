@@ -113,6 +113,25 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("embed64 is bit-identical to the lambda-form embedText") {
+    // the V1 store writes and every embed-family oracle assume this
+    // parity: same md5 bucket hash, same bucket-ordered norm fold,
+    // same per-element division, zero-norm guard included ('' token)
+    val rows = toksDf(samples)
+      .withColumn("slow", Fns.embedText(org.apache.spark.sql.functions.col("tc")))
+      .selectExpr("id", "embed64(split(tc, ' ')) AS fast", "slow")
+      .collect()
+    rows.foreach { r =>
+      val fast = r.getSeq[Double](1)
+      val slow = r.getSeq[Double](2)
+      assert(fast.size == 64 && slow.size == 64, s"id ${r.getLong(0)}")
+      // bitwise, not approximate: the oracle hashes rounded values, so
+      // even a one-ulp divergence between the forms would be a red gate
+      assert(fast.map(java.lang.Double.doubleToLongBits) ==
+        slow.map(java.lang.Double.doubleToLongBits), s"id ${r.getLong(0)}")
+    }
+  }
+
   test("kernels survive codegen AND interpreted paths identically") {
     // force the interpreted path by evaluating through a filter that
     // Catalyst can't fold, then compare with the default codegen result
