@@ -368,7 +368,7 @@ object TextOps {
         val mb = Dedup.shingleHashes(spark, dir)
           .selectExpr("explode(hs) AS h")
           .selectExpr(s"h div ${half}L AS b", s"h % ${half}L AS rem")
-          .selectExpr("b", "53 - length(regexp_replace(bin(rem), '^0+', '')) AS r")
+          .selectExpr("b", "rank52(rem) AS r")
           .groupBy("b").agg(org.apache.spark.sql.functions.expr("max(r) AS mr"))
         spark.range(0, 256).selectExpr("cast(id AS bigint) AS b")
           .join(mb, Seq("b"), "left")
@@ -871,7 +871,12 @@ object TextOps {
           .selectExpr("source", "explode(hs) AS h")
           .selectExpr("source", s"h div ${half}L AS b", s"h % ${half}L AS rem")
           .selectExpr("source", "b",
-            "53 - length(regexp_replace(bin(rem), '^0+', '')) AS r")
+            "rank52(rem) AS r")
+          // the rank table feeds BOTH the per-source registers and the
+          // 'direct' global pass; without the fence the md5 shingle
+          // subtree (the query's dominant CPU, r9 profile: ~35 CPU-s
+          // at sf0.1) is recomputed per consumer
+          .localCheckpoint(true)
         val perSrcRegs = ranks.groupBy("source", "b")
           .agg(org.apache.spark.sql.functions.expr("max(r) AS mr"))
         val foldExpr =

@@ -155,6 +155,19 @@ object TextHash {
     acc
   }
 
+  /** HLL rank of the low 52 bits: 53 − bitlength(h % 2^52), with
+    * bitlength(0) = 0 (so rank 53). Integer-identical to the SQL form
+    * `53 - length(regexp_replace(bin(rem), '^0+', ''))` the DuckDB
+    * oracles keep — bin() of 0 is "0", stripped to '' (length 0), and
+    * for rem > 0 the stripped length IS the bit length. Replaces a
+    * 52-char string build + regex scan per shingle with two integer
+    * ops.
+    */
+  def rank52(h: Long): Long = {
+    val rem = h % 4503599627370496L // 2^52 (hash60 is non-negative)
+    if (rem == 0L) 53L else 53L - (64L - java.lang.Long.numberOfLeadingZeros(rem))
+  }
+
   /** V1 hashed-token embedding: 64 bucket counts (hash60 % 64) →
     * L2-normalize. Bit-identical to BOTH prior formulations and the
     * DuckDB oracle: counts are exact small integers; the norm is the
@@ -213,6 +226,20 @@ case class HashTokens(child: Expression) extends UnaryExpression with TextHashIn
     TextHash.hashTokens(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.hashTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** rank52(bigint) → bigint — HLL rank of the low 52 hash bits. */
+case class Rank52(child: Expression) extends UnaryExpression with TextHashInputCheck {
+  override def prettyName: String = "rank52"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireType(child, _ == LongType, "bigint")
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.rank52(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.rank52($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

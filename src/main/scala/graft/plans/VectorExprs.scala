@@ -362,6 +362,7 @@ object VectorExprs {
     ("byte_energy", classOf[ByteEnergy], c => ByteEnergy(c.head, c(1), c(2))),
     ("hash_tokens", classOf[HashTokens], c => HashTokens(c.head)),
     ("embed64", classOf[Embed64], c => Embed64(c.head)),
+    ("rank52", classOf[Rank52], c => Rank52(c.head)),
     ("nfc_normalize", classOf[NfcNormalize], c => NfcNormalize(c.head)),
     ("word_shingles", classOf[WordShingles], c => WordShingles(c.head, c(1))),
     ("minhash16", classOf[MinHash16], c => MinHash16(c.head)),

@@ -1001,7 +1001,7 @@ object Streaming {
           .selectExpr("word_shingles(toks, 4) AS hs")
           .selectExpr("explode(hs) AS h")
           .selectExpr(s"h div ${half}L AS b", s"h % ${half}L AS rem")
-          .selectExpr("b", "53 - length(regexp_replace(bin(rem), '^0+', '')) AS r")
+          .selectExpr("b", "rank52(rem) AS r")
           .groupBy("b").agg(expr("max(r) AS mr"))
         val qn = "st_hll_sink"
         val q = regs.writeStream.format("memory").queryName(qn)

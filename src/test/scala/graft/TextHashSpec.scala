@@ -132,6 +132,22 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("rank52 matches the bin()+regexp rank for boundary and random hashes") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val half = 1L << 52
+    val rng = new scala.util.Random(7)
+    val hs = Seq(0L, 1L, 2L, half - 1, half, half + 1, (1L << 59) | 5L,
+      (1L << 60) - 1) ++ Seq.fill(500)(rng.nextLong() >>> 4) // hash60 range
+    val rows = hs.toDF("h")
+      .selectExpr("h", s"h % ${half}L AS rem")
+      .selectExpr("h",
+        "rank52(h) AS fast",
+        "cast(53 - length(regexp_replace(bin(rem), '^0+', '')) AS bigint) AS slow")
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"h=${r.getLong(0)}"))
+  }
+
   test("kernels survive codegen AND interpreted paths identically") {
     // force the interpreted path by evaluating through a filter that
     // Catalyst can't fold, then compare with the default codegen result
