@@ -325,14 +325,24 @@ object Dedup {
     QueryDef(
       "dd_ngram_jaccard",
       (spark, dir) => {
+        // fence the posting list: it feeds the df counter AND the kept
+        // join's probe side, and `kept` below feeds sizes + BOTH ends
+        // of the intersection join — without the fences the md5
+        // shingle subtree re-ran once per consumer (r9 profile: four
+        // ~8-CPU-s copies of the same scan at sf0.1, ~60% of the
+        // query's CPU). The materialized lists are posting-row-sized
+        // (RDD blocks spill to disk at scale) — the standard trade for
+        // multi-consumer lineage.
         val post = shingleHashes(spark, dir)
           .selectExpr("doc_id", "explode(hs) AS h")
+          .localCheckpoint(true)
         // df filter via groupBy+join, NOT count() OVER (PARTITION BY h):
         // the window form sorts the entire posting list; the hash-agg
         // form never sorts and partial-aggregates map-side
         val lowDf = post.groupBy("h").agg(expr("count(*) AS df"))
           .where(s"df <= $MaxShingleDf").select("h")
         val kept = post.join(lowDf, "h").select("doc_id", "h")
+          .localCheckpoint(true)
         val sizes = kept.groupBy("doc_id").agg(expr("count(*) AS sz"))
         val inter = kept.select(col("doc_id").as("doc_a"), col("h"))
           .join(kept.select(col("doc_id").as("doc_b"), col("h").as("h_r")),
