@@ -33,6 +33,7 @@ object Registry {
       operators.Qa.queries ++
       sources.ChunkStore.queries ++
       sources.Layout.queries ++
+      sources.Lake.queries ++
       multimodal.Multimodal.queries ++
       operators.Segmenter.queries ++
       operators.Search.queries ++

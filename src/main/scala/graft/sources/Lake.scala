@@ -1,0 +1,186 @@
+package graft.sources
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal versioned table layout — the lakehouse primitives a corpus
+  * store needs that plain parquet directories lack: atomic MERGE-style
+  * upsert and snapshot (time-travel) reads.
+  *
+  * Layout: `root/v=N/part-*.parquet` per version plus a tiny
+  * `root/_versions` manifest holding the committed version numbers,
+  * one per line, appended ATOMICALLY LAST — a reader lists committed
+  * versions from the manifest only, so a writer crash after data files
+  * but before the manifest append leaves the table at the previous
+  * version (write-audit-publish in one file). No timestamps anywhere:
+  * versions are dense integers, so runs are deterministic.
+  *
+  * Scale notes: upsert is COPY-ON-WRITE — one key-partitioned
+  * full-outer join of the current snapshot against the (typically
+  * small, broadcastable) update set, rewritten as the next version.
+  * At 100 TB the COW rewrite is the honest baseline (and what Delta/
+  * Iceberg do per touched file); a merge-on-read layout (base + delta
+  * files compacted lazily, the reader resolving latest-by-key) is the
+  * write-optimized alternative and composes from these same pieces.
+  * Snapshot reads are pure partition-path selection: `v=N` is a
+  * directory, so time travel costs nothing at read time and old
+  * versions vacuum by deleting directories.
+  */
+object Lake {
+
+  private def manifest(root: String) = java.nio.file.Paths.get(root, "_versions")
+
+  /** Committed versions (empty if the table does not exist yet). */
+  def versions(root: String): Seq[Int] = {
+    val m = manifest(root)
+    if (!java.nio.file.Files.exists(m)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(m).asScala.toSeq
+        .filter(_.nonEmpty).map(_.trim.toInt)
+    }
+  }
+
+  /** Write `df` as the next version; returns its number. The data
+    * directory is fully written before the manifest append publishes
+    * it.
+    */
+  def commitVersion(spark: SparkSession, df: DataFrame, root: String): Int = {
+    val v = versions(root).lastOption.map(_ + 1).getOrElse(0)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$v")
+    val m = manifest(root)
+    java.nio.file.Files.createDirectories(m.getParent)
+    java.nio.file.Files.write(m, s"$v\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    v
+  }
+
+  /** Snapshot read: latest version, or the requested one. */
+  def readVersion(spark: SparkSession, root: String, v: Option[Int] = None): DataFrame = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no committed versions under $root")
+    val pick = v.getOrElse(vs.last)
+    require(vs.contains(pick), s"version $pick not committed (have ${vs.mkString(",")})")
+    spark.read.parquet(s"$root/v=$pick")
+  }
+
+  /** MERGE-style upsert: rows of `updates` replace current rows with
+    * the same key; unmatched update rows insert; unmatched current
+    * rows carry over. Committed as the next version; returns it.
+    * One full-outer join keyed on `key` — updates broadcast when
+    * small, the snapshot side shuffles once on the key.
+    */
+  def upsert(spark: SparkSession, updates: DataFrame, root: String, key: String): Int = {
+    val cur = readVersion(spark, root)
+    val cols = cur.columns
+    val merged = cur.as("b").join(updates.as("u"), Seq(key), "full_outer")
+      .select(cols.map {
+        case `key` => col(key)
+        case c => coalesce(col(s"u.$c"), col(s"b.$c")).as(c)
+      }: _*)
+    commitVersion(spark, merged, root)
+  }
+
+  /** The update fixture both gate queries share: every customer with
+    * custkey ≡ 0 (mod 10) gets a 1000.00 balance credit and a MERGED
+    * segment tag; 50 brand-new customers append beyond the current max
+    * key (derived as a fixed offset so both engines compute the same
+    * keys).
+    */
+  private def updatesFixture(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+    val changed = base.where("c_custkey % 10 = 0")
+      .selectExpr("c_custkey", "c_name", "c_nationkey",
+        "c_acctbal + 1000.0 AS c_acctbal", "'MERGED' AS c_mktsegment")
+    val fresh = base.groupBy().agg(expr("max(c_custkey) AS mx"))
+      .selectExpr("explode(sequence(mx + 1, mx + 50)) AS c_custkey")
+      .selectExpr("c_custkey", "concat('Customer#new', cast(c_custkey AS string)) AS c_name",
+        "cast(c_custkey % 25 AS int) AS c_nationkey", "0.0 AS c_acctbal",
+        "'FRESH' AS c_mktsegment")
+    changed.unionByName(fresh)
+  }
+
+  private val mergedOracle = """
+        base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer),
+        changed AS (
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+                 'MERGED' AS c_mktsegment
+          FROM base WHERE c_custkey % 10 = 0),
+        fresh AS (
+          SELECT mx + i AS c_custkey, 'Customer#new' || (mx + i)::VARCHAR AS c_name,
+                 ((mx + i) % 25)::INT AS c_nationkey, 0.0 AS c_acctbal,
+                 'FRESH' AS c_mktsegment
+          FROM (SELECT max(c_custkey) AS mx FROM base), unnest(generate_series(1, 50)) AS t(i)),
+        updates AS (SELECT * FROM changed UNION ALL SELECT * FROM fresh),
+        merged AS (
+          SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+                 coalesce(u.c_name, b.c_name) AS c_name,
+                 coalesce(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+                 coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+                 coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+          FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey)"""
+
+  def queries: Seq[QueryDef] = Seq(
+    // --------------------------- MERGE upsert (copy-on-write commit)
+    // Base snapshot = the customer table committed as v0; the update
+    // set modifies every 10th customer and inserts 50 new ones; upsert
+    // commits v1. The emitted rows are the FULL merged table read back
+    // from the store (balances in exact integer micros), so one row
+    // mis-merged, lost, or duplicated breaks the hash.
+    QueryDef(
+      "s13_upsert",
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/customer"
+        commitVersion(spark, Tables.customer(spark, dir), root)
+        upsert(spark, updatesFixture(spark, dir), root, "c_custkey")
+        readVersion(spark, root)
+          .selectExpr("c_custkey", "c_name", "cast(c_nationkey AS int) AS c_nationkey",
+            "cast(round(c_acctbal * 1000000, 0) AS bigint) AS bal_micros", "c_mktsegment")
+      },
+      Some(s"""
+        WITH $mergedOracle
+        SELECT c_custkey, c_name, c_nationkey::INT AS c_nationkey,
+               CAST(round(c_acctbal * 1000000, 0) AS BIGINT) AS bal_micros,
+               c_mktsegment
+        FROM merged""")),
+
+    // ----------------------------- time travel (snapshot isolation)
+    // The same two commits, then BOTH versions read back post-upsert
+    // and reduced to one accounting row each: v0 must still be the
+    // pristine base (the upsert cannot have touched it) and v1 the
+    // merged table. The version column keys the rows, so the gate
+    // hash-checks snapshot isolation itself.
+    QueryDef(
+      "s14_time_travel",
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/customer"
+        commitVersion(spark, Tables.customer(spark, dir), root)
+        upsert(spark, updatesFixture(spark, dir), root, "c_custkey")
+        Seq(0, 1).map { v =>
+          readVersion(spark, root, Some(v))
+            .groupBy()
+            .agg(
+              expr("cast(count(*) AS bigint) AS n_rows"),
+              expr("cast(sum(cast(round(c_acctbal * 1000000, 0) AS bigint)) AS bigint) AS bal_micros_total"),
+              expr("cast(sum(CASE WHEN c_mktsegment = 'MERGED' THEN 1 ELSE 0 END) AS bigint) AS n_merged"),
+              expr("cast(sum(CASE WHEN c_mktsegment = 'FRESH' THEN 1 ELSE 0 END) AS bigint) AS n_fresh"))
+            .selectExpr(s"${v}L AS version", "n_rows", "bal_micros_total", "n_merged", "n_fresh")
+        }.reduce(_ unionByName _)
+      },
+      Some(s"""
+        WITH $mergedOracle,
+        v0 AS (
+          SELECT 0::BIGINT AS version, count(*)::BIGINT AS n_rows,
+                 sum(CAST(round(c_acctbal * 1000000, 0) AS BIGINT))::BIGINT AS bal_micros_total,
+                 0::BIGINT AS n_merged, 0::BIGINT AS n_fresh
+          FROM base),
+        v1 AS (
+          SELECT 1::BIGINT, count(*)::BIGINT,
+                 sum(CAST(round(c_acctbal * 1000000, 0) AS BIGINT))::BIGINT,
+                 sum(CASE WHEN c_mktsegment = 'MERGED' THEN 1 ELSE 0 END)::BIGINT,
+                 sum(CASE WHEN c_mktsegment = 'FRESH' THEN 1 ELSE 0 END)::BIGINT
+          FROM merged)
+        SELECT * FROM v0 UNION ALL SELECT * FROM v1"""))
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.sources.Lake
+
+/** Versioned-store semantics: manifest-gated commits (write-audit-
+  * publish), snapshot isolation across upserts, and merge behavior for
+  * the three MERGE cases (update / insert / carry-over).
+  */
+class LakeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_lake_spec").toString + "/t"
+
+  test("a data directory without a manifest entry is not a committed version") {
+    val root = freshRoot()
+    val v0 = Lake.commitVersion(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    assert(v0 == 0 && Lake.versions(root) == Seq(0))
+    // simulate a writer crash AFTER data files, BEFORE the manifest
+    // append: the orphan directory must be invisible to readers
+    Seq((9L, "orphan")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$root/v=1")
+    assert(Lake.versions(root) == Seq(0))
+    assert(Lake.readVersion(spark, root).count() == 2)
+    // the next real commit publishes over the orphan slot
+    val v1 = Lake.commitVersion(spark, Seq((3L, "c")).toDF("k", "v"), root)
+    assert(v1 == 1 && Lake.versions(root) == Seq(0, 1))
+    assert(Lake.readVersion(spark, root).count() == 1)
+  }
+
+  test("upsert merges all three MERGE cases and old snapshots stay pristine") {
+    val root = freshRoot()
+    Lake.commitVersion(spark,
+      Seq((1L, "one", 10L), (2L, "two", 20L), (3L, "three", 30L)).toDF("k", "name", "x"),
+      root)
+    Lake.upsert(spark,
+      Seq((2L, "TWO", 200L), (4L, "four", 40L)).toDF("k", "name", "x"),
+      root, "k")
+    val v1 = Lake.readVersion(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(v1 == Set(
+      (1L, "one", 10L),    // carry-over
+      (2L, "TWO", 200L),   // update wins
+      (3L, "three", 30L),  // carry-over
+      (4L, "four", 40L)))  // insert
+    // time travel: the pre-upsert snapshot is byte-for-byte the base
+    val v0 = Lake.readVersion(spark, root, Some(0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(v0 == Set((1L, "one", 10L), (2L, "two", 20L), (3L, "three", 30L)))
+  }
+
+  test("readVersion rejects uncommitted version numbers") {
+    val root = freshRoot()
+    Lake.commitVersion(spark, Seq((1L, "a")).toDF("k", "v"), root)
+    intercept[IllegalArgumentException] {
+      Lake.readVersion(spark, root, Some(7))
+    }
+    intercept[IllegalArgumentException] {
+      Lake.readVersion(spark, root + "_missing")
+    }
+  }
+}
