@@ -82,6 +82,73 @@ object Lake {
     commitVersion(spark, merged, root)
   }
 
+  /** COW delete: commit the next version without the matching rows. */
+  def deleteWhere(spark: SparkSession, root: String, cond: String): Int =
+    commitVersion(spark, readVersion(spark, root).where(s"NOT ($cond)"), root)
+
+  // ------------------------------------------------- merge-on-read
+  // The write-optimized twin of [[upsert]]: an upsert APPENDS a small
+  // delta file (no base rewrite — O(update) write cost instead of
+  // O(table)), and the reader resolves latest-by-key across base +
+  // deltas. Resolution is one key shuffle with a per-key bounded
+  // window (rows per key = 1 + times it was updated); compaction folds
+  // the deltas back into a fresh base with identical content.
+
+  private def deltaManifest(root: String) = java.nio.file.Paths.get(root, "_deltas")
+
+  private def deltaSeqs(root: String): Seq[Int] = {
+    val m = deltaManifest(root)
+    if (!java.nio.file.Files.exists(m)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(m).asScala.toSeq
+        .filter(_.nonEmpty).map(_.trim.toInt)
+    }
+  }
+
+  /** Append `updates` as the next delta (seq ordering = resolution
+    * priority, later wins). Same manifest-last publish discipline as
+    * [[commitVersion]].
+    */
+  def appendDelta(spark: SparkSession, updates: DataFrame, root: String): Int = {
+    val s = deltaSeqs(root).lastOption.map(_ + 1).getOrElse(1)
+    updates.write.mode(SaveMode.Overwrite).parquet(s"$root/d=$s")
+    val m = deltaManifest(root)
+    java.nio.file.Files.createDirectories(m.getParent)
+    java.nio.file.Files.write(m, s"$s\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    s
+  }
+
+  /** Resolve base + deltas to the current logical table: per key, the
+    * highest-seq row wins (base = seq 0). One shuffle on the key; the
+    * per-key window is bounded by that key's update count.
+    */
+  def readResolved(spark: SparkSession, root: String, key: String): DataFrame = {
+    val base = readVersion(spark, root).withColumn("_seq", lit(0))
+    val all = deltaSeqs(root).foldLeft(base) { (acc, s) =>
+      acc.unionByName(spark.read.parquet(s"$root/d=$s").withColumn("_seq", lit(s)))
+    }
+    all
+      .withColumn("_rn", expr(
+        s"row_number() OVER (PARTITION BY $key ORDER BY _seq DESC)"))
+      .where("_rn = 1")
+      .drop("_seq", "_rn")
+  }
+
+  /** Fold the deltas into a fresh base version; the resolved content
+    * is unchanged (LakeSpec pins it) and the delta manifest resets.
+    */
+  def compact(spark: SparkSession, root: String, key: String): Int = {
+    val resolved = readResolved(spark, root, key)
+      // materialize BEFORE the commit overwrites the delta inputs the
+      // lazy plan would otherwise re-read
+      .localCheckpoint(true)
+    val v = commitVersion(spark, resolved, root)
+    java.nio.file.Files.deleteIfExists(deltaManifest(root))
+    v
+  }
+
   /** The update fixture both gate queries share: every customer with
     * custkey ≡ 0 (mod 10) gets a 1000.00 balance credit and a MERGED
     * segment tag; 50 brand-new customers append beyond the current max
@@ -181,6 +248,114 @@ object Lake {
                  sum(CASE WHEN c_mktsegment = 'MERGED' THEN 1 ELSE 0 END)::BIGINT,
                  sum(CASE WHEN c_mktsegment = 'FRESH' THEN 1 ELSE 0 END)::BIGINT
           FROM merged)
-        SELECT * FROM v0 UNION ALL SELECT * FROM v1"""))
+        SELECT * FROM v0 UNION ALL SELECT * FROM v1""")),
+
+    // --------------------- merge-on-read resolution (delta appends)
+    // The write-optimized upsert path: base commit + TWO appended
+    // delta files (delta 1 = the shared update fixture incl. inserts;
+    // delta 2 = a deeper credit for every 20th customer), resolved at
+    // read time by latest-seq-wins per key. The emitted rows are the
+    // fully resolved table, so the gate checks the resolution rule
+    // itself — a key resolved to the wrong delta generation breaks
+    // the hash.
+    QueryDef(
+      "s15_mor_resolve",
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/customer"
+        commitVersion(spark, Tables.customer(spark, dir), root)
+        appendDelta(spark, updatesFixture(spark, dir), root)
+        appendDelta(spark,
+          Tables.customer(spark, dir).where("c_custkey % 20 = 0")
+            .selectExpr("c_custkey", "c_name", "c_nationkey",
+              "c_acctbal + 3000.0 AS c_acctbal", "'MERGED2' AS c_mktsegment"),
+          root)
+        readResolved(spark, root, "c_custkey")
+          .selectExpr("c_custkey", "c_name", "cast(c_nationkey AS int) AS c_nationkey",
+            "cast(round(c_acctbal * 1000000, 0) AS bigint) AS bal_micros", "c_mktsegment")
+      },
+      Some(s"""
+        WITH $mergedOracle,
+        resolved AS (
+          SELECT m.c_custkey, m.c_name, m.c_nationkey,
+                 CASE WHEN m.c_custkey % 20 = 0 AND b.c_custkey IS NOT NULL
+                      THEN b.c_acctbal + 3000.0
+                      ELSE m.c_acctbal END AS c_acctbal,
+                 CASE WHEN m.c_custkey % 20 = 0 AND b.c_custkey IS NOT NULL
+                      THEN 'MERGED2'
+                      ELSE m.c_mktsegment END AS c_mktsegment
+          FROM merged m LEFT JOIN base b ON m.c_custkey = b.c_custkey)
+        SELECT c_custkey, c_name, c_nationkey::INT AS c_nationkey,
+               CAST(round(c_acctbal * 1000000, 0) AS BIGINT) AS bal_micros,
+               c_mktsegment
+        FROM resolved""")),
+
+    // --------------------------- change feed (CDC between versions)
+    // Three commits — v0 base, v1 the MERGE upsert, v2 a COW delete of
+    // every negative balance — and the feed between each consecutive
+    // pair: full-outer join on the key classifies every row as
+    // insert / update / delete with before/after balances. COW
+    // versions make CDC a pure derived view (no log to maintain); the
+    // versioned rows key the gate, so a missed or misclassified
+    // change breaks the hash.
+    QueryDef(
+      "s16_changefeed",
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/customer"
+        commitVersion(spark, Tables.customer(spark, dir), root)
+        upsert(spark, updatesFixture(spark, dir), root, "c_custkey")
+        deleteWhere(spark, root, "c_acctbal < 0")
+        def feed(from: Int, to: Int) = {
+          val a = readVersion(spark, root, Some(from))
+            .selectExpr("c_custkey", "c_name AS name_a", "c_nationkey AS nk_a",
+              "cast(round(c_acctbal * 1000000, 0) AS bigint) AS bal_a",
+              "c_mktsegment AS seg_a")
+          val b = readVersion(spark, root, Some(to))
+            .selectExpr("c_custkey", "c_name AS name_b", "c_nationkey AS nk_b",
+              "cast(round(c_acctbal * 1000000, 0) AS bigint) AS bal_b",
+              "c_mktsegment AS seg_b")
+          a.join(b, Seq("c_custkey"), "full_outer")
+            .selectExpr(s"${from}L AS v_from", s"${to}L AS v_to", "c_custkey",
+              """CASE WHEN seg_a IS NULL THEN 'insert'
+                      WHEN seg_b IS NULL THEN 'delete'
+                      ELSE 'update' END AS op""",
+              "bal_a AS bal_before_micros", "bal_b AS bal_after_micros")
+            .where("""seg_a IS NULL OR seg_b IS NULL
+                      OR name_a != name_b OR nk_a != nk_b
+                      OR bal_a != bal_b OR seg_a != seg_b""")
+        }
+        feed(0, 1).unionByName(feed(1, 2))
+      },
+      Some(s"""
+        WITH $mergedOracle,
+        b0 AS (SELECT c_custkey, c_name, c_nationkey,
+                      CAST(round(c_acctbal * 1000000, 0) AS BIGINT) AS bal, c_mktsegment
+               FROM base),
+        b1 AS (SELECT c_custkey, c_name, c_nationkey,
+                      CAST(round(c_acctbal * 1000000, 0) AS BIGINT) AS bal, c_mktsegment
+               FROM merged),
+        b2 AS (SELECT * FROM b1 WHERE NOT (bal < 0)),
+        f01 AS (
+          SELECT 0::BIGINT AS v_from, 1::BIGINT AS v_to,
+                 coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+                 CASE WHEN a.c_custkey IS NULL THEN 'insert'
+                      WHEN b.c_custkey IS NULL THEN 'delete'
+                      ELSE 'update' END AS op,
+                 a.bal AS bal_before_micros, b.bal AS bal_after_micros
+          FROM b0 a FULL OUTER JOIN b1 b ON a.c_custkey = b.c_custkey
+          WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+             OR a.c_name != b.c_name OR a.c_nationkey != b.c_nationkey
+             OR a.bal != b.bal OR a.c_mktsegment != b.c_mktsegment),
+        f12 AS (
+          SELECT 1::BIGINT, 2::BIGINT,
+                 coalesce(a.c_custkey, b.c_custkey),
+                 CASE WHEN a.c_custkey IS NULL THEN 'insert'
+                      WHEN b.c_custkey IS NULL THEN 'delete'
+                      ELSE 'update' END,
+                 a.bal, b.bal
+          FROM b1 a FULL OUTER JOIN b2 b ON a.c_custkey = b.c_custkey
+          WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+             OR a.c_name != b.c_name OR a.c_nationkey != b.c_nationkey
+             OR a.bal != b.bal OR a.c_mktsegment != b.c_mktsegment)
+        SELECT * FROM f01 UNION ALL SELECT * FROM f12"""))
   )
 }

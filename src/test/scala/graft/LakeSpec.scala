@@ -50,6 +50,26 @@ class LakeSpec extends SparkSpec {
     assert(v0 == Set((1L, "one", 10L), (2L, "two", 20L), (3L, "three", 30L)))
   }
 
+  test("merge-on-read: later delta wins per key, and compaction changes nothing") {
+    val root = freshRoot()
+    Lake.commitVersion(spark,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "x"), root)
+    Lake.appendDelta(spark, Seq((2L, 200L), (4L, 40L)).toDF("k", "x"), root)
+    Lake.appendDelta(spark, Seq((2L, 2000L)).toDF("k", "x"), root)
+    def resolved() = Lake.readResolved(spark, root, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = resolved()
+    assert(before == Set((1L, 10L), (2L, 2000L), (3L, 30L), (4L, 40L)))
+    // an orphan delta directory without a manifest line is invisible
+    Seq((9L, 999L)).toDF("k", "x").write.mode("overwrite").parquet(s"$root/d=3")
+    assert(resolved() == before)
+    // compaction folds the deltas into a fresh base: content identical,
+    // delta list reset, and the pre-compaction version still readable
+    Lake.compact(spark, root, "k")
+    assert(resolved() == before)
+    assert(Lake.readVersion(spark, root, Some(0)).count() == 3)
+  }
+
   test("readVersion rejects uncommitted version numbers") {
     val root = freshRoot()
     Lake.commitVersion(spark, Seq((1L, "a")).toDF("k", "v"), root)
