@@ -559,7 +559,63 @@ object Graph {
                id // 2 AS key, min(d)::BIGINT AS dist
         FROM reach
         GROUP BY id"""),
-      bench = false)
+      bench = false),
+
+    // ----------------- link prediction (common neighbors + RA index)
+    // "Which supplier pairs are most likely to be related?" — scored
+    // by shared customers: common-neighbor count plus the
+    // resource-allocation index Σ_z 1/deg(z) over shared customers z
+    // (Zhou et al. 2009 — the stronger LP baseline because a shared
+    // customer who buys from everyone is weak evidence). RA folds in
+    // integer ppm (10⁶ div deg — exact, order-independent), so the
+    // ranking is hash-stable. Scale shape: the dd_ngram_jaccard
+    // discipline on a graph — hub customers above the degree cap are
+    // DROPPED before the wedge join (standard LP practice: a
+    // 10⁶-degree hub contributes ~0 RA mass but 10¹² wedges), so the
+    // pair space is bounded by cap·|edges|, and the fenced edge list
+    // feeds the degree counter and both wedge sides without rescans.
+    QueryDef(
+      "gr_linkpred",
+      (spark, dir) => {
+        val cap = 50
+        val cs = Tables.orders(spark, dir).selectExpr("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(spark, dir).selectExpr("l_orderkey", "l_suppkey"),
+            expr("o_orderkey = l_orderkey"))
+          .selectExpr("o_custkey AS c", "l_suppkey AS s")
+          .distinct()
+          .localCheckpoint(true) // degree counter + both wedge sides
+        val deg = cs.groupBy("c").agg(expr("cast(count(*) AS bigint) AS dc"))
+          .where(s"dc <= $cap")
+        val kept = cs.join(deg, "c").localCheckpoint(true)
+        kept.selectExpr("c", "s AS s_a", "dc")
+          .join(kept.selectExpr("c", "s AS s_b"),
+            Seq("c"))
+          .where("s_a < s_b")
+          .groupBy("s_a", "s_b")
+          .agg(
+            expr("cast(count(*) AS bigint) AS common_cust"),
+            expr("cast(sum(1000000L div dc) AS bigint) AS ra_ppm"))
+          .orderBy(org.apache.spark.sql.functions.desc("common_cust"),
+            org.apache.spark.sql.functions.desc("ra_ppm"),
+            org.apache.spark.sql.functions.col("s_a"),
+            org.apache.spark.sql.functions.col("s_b"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        deg AS (
+          SELECT c, count(*)::BIGINT AS dc FROM cs GROUP BY c
+          HAVING count(*) <= 50),
+        kept AS (SELECT cs.c, cs.s, deg.dc FROM cs JOIN deg USING (c))
+        SELECT a.s AS s_a, b.s AS s_b,
+               count(*)::BIGINT AS common_cust,
+               sum(1000000 // a.dc)::BIGINT AS ra_ppm
+        FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s
+        ORDER BY common_cust DESC, ra_ppm DESC, s_a, s_b
+        LIMIT 20"""))
   )
 
   /** k-core decomposition membership: iteratively peel vertices of

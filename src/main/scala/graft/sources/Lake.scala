@@ -155,7 +155,7 @@ object Lake {
     * key (derived as a fixed offset so both engines compute the same
     * keys).
     */
-  private def updatesFixture(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def updatesFixture(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(spark, dir)
     val changed = base.where("c_custkey % 10 = 0")
       .selectExpr("c_custkey", "c_name", "c_nationkey",
@@ -168,7 +168,7 @@ object Lake {
     changed.unionByName(fresh)
   }
 
-  private val mergedOracle = """
+  private[graft] val mergedOracle = """
         base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer),
         changed AS (
           SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,

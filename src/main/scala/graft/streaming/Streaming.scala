@@ -1408,6 +1408,49 @@ object Streaming {
           .parquet(s"$tmp/out")
       },
       Some(graft.operators.Ml.scoreOracleSql),
+      bench = false),
+
+    // ---------------- streaming upsert into the versioned store
+    // The foreachBatch surface: a file stream of updates lands in the
+    // Lake's merge-on-read path — each micro-batch APPENDS one delta
+    // (O(batch) write cost, no base rewrite, the manifest-last publish
+    // making every batch an atomic commit), and the post-drain
+    // resolved read equals the batch MERGE row for row. Keys are
+    // unique across the update fixture, so resolution is independent
+    // of how the stream happened to batch — the determinism argument
+    // that lets a streaming writer share the batch oracle verbatim
+    // (s13_upsert's SQL).
+    graft.QueryDef(
+      "st_lake_ingest",
+      (spark, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_st_lake").toString
+        val root = s"$work/customer"
+        graft.sources.Lake.commitVersion(
+          spark, graft.Tables.customer(spark, dir), root)
+        // stage the update fixture as the stream's landing zone
+        graft.sources.Lake.updatesFixture(spark, dir)
+          .write.mode("overwrite").parquet(s"$work/updates")
+        val schema = spark.read.parquet(s"$work/updates").schema
+        val q = spark.readStream.schema(schema).parquet(s"$work/updates")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            graft.sources.Lake.appendDelta(batch.sparkSession, batch, root)
+            ()
+          }
+          .option("checkpointLocation", s"$work/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.sources.Lake.readResolved(spark, root, "c_custkey")
+          .selectExpr("c_custkey", "c_name", "cast(c_nationkey AS int) AS c_nationkey",
+            "cast(round(c_acctbal * 1000000, 0) AS bigint) AS bal_micros", "c_mktsegment")
+      },
+      Some(s"""
+        WITH ${graft.sources.Lake.mergedOracle}
+        SELECT c_custkey, c_name, c_nationkey::INT AS c_nationkey,
+               CAST(round(c_acctbal * 1000000, 0) AS BIGINT) AS bal_micros,
+               c_mktsegment
+        FROM merged"""),
       bench = false)
   )
 }
