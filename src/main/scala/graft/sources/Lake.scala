@@ -149,6 +149,18 @@ object Lake {
     v
   }
 
+  /** Evolved snapshot read: version `v`'s rows presented under the
+    * LATEST version's schema — columns added since `v` read as null
+    * (the additive half of schema evolution; renames/drops need a
+    * mapping table this layout deliberately omits). Implemented as a
+    * union against the latest schema's empty frame, so Spark's own
+    * by-name resolution does the padding.
+    */
+  def readVersionEvolved(spark: SparkSession, root: String, v: Int): DataFrame = {
+    val target = readVersion(spark, root).limit(0)
+    target.unionByName(readVersion(spark, root, Some(v)), allowMissingColumns = true)
+  }
+
   /** The update fixture both gate queries share: every customer with
     * custkey ≡ 0 (mod 10) gets a 1000.00 balance credit and a MERGED
     * segment tag; 50 brand-new customers append beyond the current max
@@ -356,6 +368,46 @@ object Lake {
           WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
              OR a.c_name != b.c_name OR a.c_nationkey != b.c_nationkey
              OR a.bal != b.bal OR a.c_mktsegment != b.c_mktsegment)
-        SELECT * FROM f01 UNION ALL SELECT * FROM f12"""))
+        SELECT * FROM f01 UNION ALL SELECT * FROM f12""")),
+
+    // -------------------- additive schema evolution (evolved reads)
+    // v0 commits the original 5-column customer table; v1 adds a
+    // derived `c_tier` column (positive balance → 'standard', else
+    // 'debtor'). Reading v0 THROUGH the latest schema pads the new
+    // column with null, and the emitted per-(version, tier) accounting
+    // proves old snapshots stay readable after the schema grows — the
+    // contract that lets a 100 TB table add columns without rewriting
+    // history. Null tier surfaces as '(pre-schema)' so the gate hashes
+    // the padding behavior itself.
+    QueryDef(
+      "s17_schema_evolution",
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/customer"
+        commitVersion(spark, Tables.customer(spark, dir), root)
+        commitVersion(spark,
+          readVersion(spark, root).selectExpr("*",
+            "CASE WHEN c_acctbal >= 0 THEN 'standard' ELSE 'debtor' END AS c_tier"),
+          root)
+        Seq(0, 1).map { v =>
+          readVersionEvolved(spark, root, v)
+            .selectExpr(s"${v}L AS version",
+              "coalesce(c_tier, '(pre-schema)') AS tier",
+              "c_custkey")
+            .groupBy("version", "tier")
+            .agg(expr("cast(count(*) AS bigint) AS n_rows"),
+              expr("cast(sum(c_custkey) AS bigint) AS key_sum"))
+        }.reduce(_ unionByName _)
+      },
+      Some("""
+        WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+        v1 AS (SELECT c_custkey,
+                      CASE WHEN c_acctbal >= 0 THEN 'standard' ELSE 'debtor' END AS tier
+               FROM base)
+        SELECT 0::BIGINT AS version, '(pre-schema)' AS tier,
+               count(*)::BIGINT AS n_rows, sum(c_custkey)::BIGINT AS key_sum
+        FROM base
+        UNION ALL
+        SELECT 1::BIGINT, tier, count(*)::BIGINT, sum(c_custkey)::BIGINT
+        FROM v1 GROUP BY tier"""))
   )
 }
