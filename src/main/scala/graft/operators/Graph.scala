@@ -586,7 +586,13 @@ object Graph {
           .localCheckpoint(true) // degree counter + both wedge sides
         val deg = cs.groupBy("c").agg(expr("cast(count(*) AS bigint) AS dc"))
           .where(s"dc <= $cap")
-        val kept = cs.join(deg, "c").localCheckpoint(true)
+        // widen before the fence: the r9 profile showed the wedge join
+        // running on 4 AQE-coalesced tasks (max task 1.4 s) — the pair
+        // expansion is the query's dominant work and wants every core;
+        // checkpointing AFTER the repartition preserves the layout so
+        // both self-join sides are already co-partitioned on c
+        val kept = cs.join(deg, "c")
+          .repartition(64, col("c")).localCheckpoint(true)
         kept.selectExpr("c", "s AS s_a", "dc")
           .join(kept.selectExpr("c", "s AS s_b"),
             Seq("c"))
