@@ -934,7 +934,62 @@ object Curation {
                      sum(char_len)::BIGINT AS chars_after_dedup
               FROM surv GROUP BY lang)
         SELECT a.lang, n_input, n_after_clf, n_after_dedup, chars_after_dedup
-        FROM a JOIN b USING (lang) JOIN c USING (lang)"""))
+        FROM a JOIN b USING (lang) JOIN c USING (lang)""")),
+
+    // -------------------- contrastive training pairs (pos + hard-neg)
+    // The data-prep shape contrastive embedding training (SimCSE/E5
+    // style) needs from a raw corpus: POSITIVE pairs = the verified
+    // near-duplicate edges (documents that genuinely say the same
+    // thing), and for each anchor a deterministic NEGATIVE partner
+    // drawn by hashing the anchor id into the dense doc-id space —
+    // md5-derived, so both engines draw the identical partner, with
+    // accidental positives removed by an anti-join against the
+    // near-dup edge set (both orientations) and self-draws dropped.
+    // Scale shape: positives reuse the persisted pair set; negatives
+    // are a row-local hash draw + one broadcast-able anti-join against
+    // the (tiny, near-dup-bounded) edge list — nothing corpus².
+    QueryDef(
+      "tp_contrastive_pairs",
+      (spark, dir) => {
+        val pairs = Dedup.minhashPairs(spark, dir).select("doc_a", "doc_b")
+        val n = Tables.documents(spark, dir)
+          .groupBy().agg(expr("cast(count(*) AS bigint) AS n_docs"))
+        val anchors = pairs.select(col("doc_a").as("anchor"))
+          .unionByName(pairs.select(col("doc_b").as("anchor")))
+          .distinct()
+        val negs = anchors
+          .crossJoin(broadcast(n))
+          .selectExpr("anchor",
+            "pmod(cast(conv(substring(md5(cast(anchor AS string)), 1, 15), 16, 10) AS bigint), n_docs) AS partner")
+          .where("partner != anchor")
+          .join(pairs.selectExpr("doc_a AS anchor", "doc_b AS partner"),
+            Seq("anchor", "partner"), "left_anti")
+          .join(pairs.selectExpr("doc_b AS anchor", "doc_a AS partner"),
+            Seq("anchor", "partner"), "left_anti")
+          .selectExpr("anchor", "partner", "'negative' AS label")
+        pairs.selectExpr("doc_a AS anchor", "doc_b AS partner", "'positive' AS label")
+          .unionByName(negs)
+      },
+      Some(s"""
+        WITH p AS (SELECT doc_a, doc_b FROM (${Dedup.minhashPairsSql})),
+        n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        anchors AS (
+          SELECT DISTINCT anchor FROM (
+            SELECT doc_a AS anchor FROM p
+            UNION ALL SELECT doc_b FROM p)),
+        draws AS (
+          SELECT anchor,
+                 ('0x' || substr(md5(anchor::VARCHAR), 1, 15))::BIGINT % n.n_docs AS partner
+          FROM anchors, n),
+        negs AS (
+          SELECT anchor, partner, 'negative' AS label
+          FROM draws d
+          WHERE partner != anchor
+            AND NOT EXISTS (SELECT 1 FROM p WHERE p.doc_a = d.anchor AND p.doc_b = d.partner)
+            AND NOT EXISTS (SELECT 1 FROM p WHERE p.doc_b = d.anchor AND p.doc_a = d.partner))
+        SELECT doc_a AS anchor, doc_b AS partner, 'positive' AS label FROM p
+        UNION ALL
+        SELECT anchor, partner, label FROM negs"""))
   )
 
   /** Fluency floor for tp_curate_semantic (ppm of avg bigram
