@@ -381,6 +381,7 @@ object Dedup {
     // distance catches reorderings it cannot). Never O(n²): the LSH
     // candidate set bounds the quadratic-per-pair DP, and both engines
     // run their native levenshtein. Output = every verified pair with
+    // (see also dd_record_linkage below for the CROSS-table variant)
     // both scores.
     QueryDef(
       "dd_edit_distance",
@@ -606,7 +607,82 @@ object Dedup {
                                    ORDER BY p.para_idx), '') AS text_kept
         FROM paras p LEFT JOIN kept k
           ON p.doc_id = k.doc_id AND p.para_idx = k.para_idx
-        GROUP BY p.doc_id"""))
+        GROUP BY p.doc_id""")),
+
+    // ----------------- record linkage (cross-table entity resolution)
+    // The classical ER shape: link a clean reference table to a DIRTY
+    // twin (here: every customer name with one character deleted at a
+    // key-derived position — the deterministic stand-in for typo'd
+    // upstream feeds) WITHOUT a cross join. Blocking runs first — a
+    // candidate must agree on (nationkey, first name char, clean
+    // length = dirty length + 1), which bounds the pair space to
+    // per-block products instead of |A|·|B| — then candidates verify
+    // with levenshtein == 1 (a one-char deletion is edit distance
+    // exactly 1, so the planted truth is recoverable and precision is
+    // checkable). Output: every verified link + per-nation accounting
+    // of linked/unlinked dirty rows. The deletion position is
+    // `custkey % (len−2) + 1`, 1-based on the character AFTER the
+    // first, so the blocking key's first char always survives — the
+    // fixture plants no block-escaping mutations (real ER's recall
+    // loss from bad blocks is a threshold choice, not engine work).
+    QueryDef(
+      "dd_record_linkage",
+      (spark, dir) => {
+        val clean = Tables.customer(spark, dir)
+          .selectExpr("c_custkey", "c_name", "c_nationkey")
+        val dirty = clean.selectExpr(
+          "c_custkey + 10000000L AS d_id",
+          """concat(substring(c_name, 1, cast(c_custkey % (length(c_name) - 2) + 1 AS int)),
+                    substring(c_name, cast(c_custkey % (length(c_name) - 2) + 3 AS int))) AS d_name""",
+          "c_nationkey AS d_nationkey")
+        val cand = clean.join(dirty,
+          expr("""c_nationkey = d_nationkey
+                  AND substring(c_name, 1, 1) = substring(d_name, 1, 1)
+                  AND length(c_name) = length(d_name) + 1"""))
+        val links = cand
+          .where("levenshtein(c_name, d_name) = 1")
+          .selectExpr("c_custkey", "d_id", "c_name", "d_name")
+        val byNation = links
+          .join(dirty.selectExpr("d_id", "d_nationkey"), "d_id")
+          .groupBy("d_nationkey")
+          .agg(expr("cast(count(DISTINCT d_id) AS bigint) AS n_linked"))
+        val totals = dirty.groupBy("d_nationkey")
+          .agg(expr("cast(count(*) AS bigint) AS n_dirty"))
+        links
+          .selectExpr("'link' AS kind", "c_custkey", "d_id",
+            "cast(-1 AS int) AS d_nationkey", "0L AS n_dirty", "0L AS n_linked")
+          .unionByName(
+            totals.join(byNation, Seq("d_nationkey"), "left")
+              .selectExpr("'nation' AS kind", "-1L AS c_custkey", "-1L AS d_id",
+                "cast(d_nationkey AS int) AS d_nationkey", "n_dirty",
+                "coalesce(n_linked, 0L) AS n_linked"))
+      },
+      Some("""
+        WITH clean AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
+        dirty AS (
+          SELECT c_custkey + 10000000 AS d_id,
+                 substr(c_name, 1, (c_custkey % (length(c_name) - 2) + 1)::INT)
+                   || substr(c_name, (c_custkey % (length(c_name) - 2) + 3)::INT) AS d_name,
+                 c_nationkey AS d_nationkey
+          FROM clean),
+        links AS (
+          SELECT c.c_custkey, d.d_id, c.c_name, d.d_name, d.d_nationkey
+          FROM clean c JOIN dirty d
+            ON c.c_nationkey = d.d_nationkey
+           AND substr(c.c_name, 1, 1) = substr(d.d_name, 1, 1)
+           AND length(c.c_name) = length(d.d_name) + 1
+          WHERE levenshtein(c.c_name, d.d_name) = 1),
+        by_nation AS (
+          SELECT d_nationkey, count(DISTINCT d_id)::BIGINT AS n_linked
+          FROM links GROUP BY d_nationkey),
+        totals AS (
+          SELECT d_nationkey, count(*)::BIGINT AS n_dirty FROM dirty GROUP BY d_nationkey)
+        SELECT 'link' AS kind, c_custkey, d_id, -1::INT AS d_nationkey,
+               0::BIGINT AS n_dirty, 0::BIGINT AS n_linked
+        FROM links
+        UNION ALL
+        SELECT 'nation', -1, -1, t.d_nationkey::INT, n_dirty, coalesce(n_linked, 0)
+        FROM totals t LEFT JOIN by_nation b ON t.d_nationkey = b.d_nationkey"""))
   )
 
   // dd_paragraph: 12-token paragraph folds; the planted boilerplate is
