@@ -613,21 +613,22 @@ object Dedup {
     // The classical ER shape: link a clean reference table to a DIRTY
     // twin (here: every customer name with one character deleted at a
     // key-derived position — the deterministic stand-in for typo'd
-    // upstream feeds) WITHOUT a cross join. Blocking runs first — a
-    // candidate must agree on (nationkey, first char, LAST char, clean
-    // length = dirty length + 1) — then candidates verify with
-    // levenshtein == 1 (a one-char deletion is edit distance exactly
-    // 1, so the planted truth is recoverable and precision is
-    // checkable). The deletion position is `custkey % (len−2) + 2`,
-    // strictly inside the name, so BOTH the first and last characters
-    // provably survive and are valid block components — and the last
-    // char is load-bearing here: the synthetic names share one first
-    // char ('C'), and without the last-char component the blocks
-    // degenerate to (nation × length) products (measured 42 s at
-    // sf0.1; with it, ~10× fewer candidate pairs). Real ER's recall
-    // loss from lossy blocks is a threshold choice, not engine work —
-    // this fixture's blocks are provably lossless. Output: every
-    // verified link + per-nation accounting of linked dirty rows.
+    // upstream feeds) WITHOUT a cross join, and WITHOUT quadratic
+    // blocks either: candidate generation is the FastSS deletion-
+    // neighborhood EQUI-join — each clean name explodes into its
+    // one-char-deletion variants (len rows, row-local) and a variant
+    // matching a dirty name string IS an edit-distance-1-by-deletion
+    // pair, exactly. No block products exist at any scale: total work
+    // is O(n·len) variant rows through one hash equi-join on
+    // (nation, full string). Two earlier formulations measured why
+    // this matters: attribute blocking on (nation, first char, len+1)
+    // degenerated on the shared-prefix synthetic names to 42 s at
+    // sf0.1, and adding the last-char invariant still left
+    // within-block n² (5 s, superlinear at 10×); the neighborhood
+    // join is the standard spell-checker-style fix. levenshtein == 1
+    // stays as a belt (provably always true for equi-matched
+    // variants). Output: every verified link + per-nation accounting
+    // of linked dirty rows.
     QueryDef(
       "dd_record_linkage",
       (spark, dir) => {
@@ -638,14 +639,14 @@ object Dedup {
           """concat(substring(c_name, 1, cast(c_custkey % (length(c_name) - 2) + 1 AS int)),
                     substring(c_name, cast(c_custkey % (length(c_name) - 2) + 3 AS int))) AS d_name""",
           "c_nationkey AS d_nationkey")
-        val cand = clean.join(dirty,
-          expr("""c_nationkey = d_nationkey
-                  AND substring(c_name, 1, 1) = substring(d_name, 1, 1)
-                  AND substring(c_name, -1, 1) = substring(d_name, -1, 1)
-                  AND length(c_name) = length(d_name) + 1"""))
-        val links = cand
-          .where("levenshtein(c_name, d_name) = 1")
+        val variants = clean.selectExpr("c_custkey", "c_name", "c_nationkey",
+          """explode(transform(sequence(1, length(c_name)),
+                     p -> concat(substring(c_name, 1, p - 1), substring(c_name, p + 1)))) AS variant""")
+        val links = variants.join(dirty,
+            expr("c_nationkey = d_nationkey AND variant = d_name"))
           .selectExpr("c_custkey", "d_id", "c_name", "d_name")
+          .distinct() // equal chars at adjacent positions yield duplicate variants
+          .where("levenshtein(c_name, d_name) = 1")
         val byNation = links
           .join(dirty.selectExpr("d_id", "d_nationkey"), "d_id")
           .groupBy("d_nationkey")
@@ -669,14 +670,16 @@ object Dedup {
                    || substr(c_name, (c_custkey % (length(c_name) - 2) + 3)::INT) AS d_name,
                  c_nationkey AS d_nationkey
           FROM clean),
+        variants AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 unnest(list_transform(generate_series(1, length(c_name)),
+                        p -> substr(c_name, 1, p - 1) || substr(c_name, p + 1))) AS variant
+          FROM clean),
         links AS (
-          SELECT c.c_custkey, d.d_id, c.c_name, d.d_name, d.d_nationkey
-          FROM clean c JOIN dirty d
-            ON c.c_nationkey = d.d_nationkey
-           AND substr(c.c_name, 1, 1) = substr(d.d_name, 1, 1)
-           AND substr(c.c_name, length(c.c_name), 1) = substr(d.d_name, length(d.d_name), 1)
-           AND length(c.c_name) = length(d.d_name) + 1
-          WHERE levenshtein(c.c_name, d.d_name) = 1),
+          SELECT DISTINCT v.c_custkey, d.d_id, v.c_name, d.d_name, d.d_nationkey
+          FROM variants v JOIN dirty d
+            ON v.c_nationkey = d.d_nationkey AND v.variant = d.d_name
+          WHERE levenshtein(v.c_name, d.d_name) = 1),
         by_nation AS (
           SELECT d_nationkey, count(DISTINCT d_id)::BIGINT AS n_linked
           FROM links GROUP BY d_nationkey),
