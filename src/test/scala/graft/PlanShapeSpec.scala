@@ -379,6 +379,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dd_record_linkage: candidates come from a hash equi-join, never block products") {
+    val p = plan("dd_record_linkage")
+    // the deletion-neighborhood design lives or dies on the variant
+    // join being a HASH join keyed on the full string — a nested-loop
+    // or cartesian here means candidate generation regressed to pair
+    // enumeration
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"variant join must be an equi-join:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pair enumeration allowed:\n${p.take(600)}")
+  }
+
   test("v1_embed: the embed64 kernel keeps embedding scan-shaped — no aggregate") {
     graft.plans.VectorExprs.register(spark)
     val p = plan("v1_embed")
