@@ -70,6 +70,46 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readVersion(spark, root, Some(0)).count() == 3)
   }
 
+  test("randomized operation sequences match an in-memory reference model") {
+    // model-based check: a random interleaving of COW upserts, COW
+    // deletes, MOR delta appends, and compactions must leave the
+    // RESOLVED table equal to a plain Map fold of the same operations
+    // — the whole-store invariant no single-path test pins
+    val rng = new scala.util.Random(20260814)
+    for (trial <- 1 to 3) {
+      val root = freshRoot() + s"_t$trial"
+      var model = (0L until 20L).map(k => k -> (k * 10L)).toMap
+      Lake.commitVersion(spark, model.toSeq.toDF("k", "x"), root)
+      for (step <- 1 to 8) {
+        rng.nextInt(4) match {
+          case 0 => // COW upsert of a random batch (updates + fresh keys)
+            val upd = Seq.fill(rng.nextInt(5) + 1)(
+              rng.nextInt(30).toLong -> (step * 1000L + rng.nextInt(100))).toMap
+            // MOR deltas must see the same base: fold pending deltas
+            // first is NOT modeled — so compact before any COW op
+            Lake.compact(spark, root, "k")
+            Lake.upsert(spark, upd.toSeq.toDF("k", "x"), root, "k")
+            model = model ++ upd
+          case 1 => // COW delete of a random predicate
+            val cut = rng.nextInt(30).toLong
+            Lake.compact(spark, root, "k")
+            Lake.deleteWhere(spark, root, s"k % 30 = $cut")
+            model = model.filter { case (k, _) => k % 30 != cut }
+          case 2 => // MOR delta append (latest wins per key)
+            val upd = Seq.fill(rng.nextInt(5) + 1)(
+              rng.nextInt(30).toLong -> (step * 1000L + 500L + rng.nextInt(100))).toMap
+            Lake.appendDelta(spark, upd.toSeq.toDF("k", "x"), root)
+            model = model ++ upd
+          case 3 =>
+            Lake.compact(spark, root, "k")
+        }
+        val got = Lake.readResolved(spark, root, "k")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == model, s"trial $trial diverged at step $step")
+      }
+    }
+  }
+
   test("readVersion rejects uncommitted version numbers") {
     val root = freshRoot()
     Lake.commitVersion(spark, Seq((1L, "a")).toDF("k", "v"), root)
