@@ -941,13 +941,16 @@ object Curation {
     // style) needs from a raw corpus: POSITIVE pairs = the verified
     // near-duplicate edges (documents that genuinely say the same
     // thing), and for each anchor a deterministic NEGATIVE partner
-    // drawn by hashing the anchor id into the dense doc-id space —
-    // md5-derived, so both engines draw the identical partner, with
-    // accidental positives removed by an anti-join against the
-    // near-dup edge set (both orientations) and self-draws dropped.
-    // Scale shape: positives reuse the persisted pair set; negatives
-    // are a row-local hash draw + one broadcast-able anti-join against
-    // the (tiny, near-dup-bounded) edge list — nothing corpus².
+    // drawn by hashing the anchor id to a RANK in the actual doc-id
+    // set (md5-derived, so both engines draw the identical partner) —
+    // rank-based, so the draw space is every real document even when
+    // ids are sparse or shifted, not a density assumption. Accidental
+    // positives are removed by an anti-join against the near-dup edge
+    // set (both orientations) and self-draws dropped. Scale shape:
+    // positives reuse the persisted pair set; the rank table comes
+    // from [[rankedDocIds]] (bucketed two-phase ranking, no global
+    // window), and the draw resolves by broadcasting the (tiny,
+    // near-dup-bounded) draw set against it — nothing corpus².
     QueryDef(
       "tp_contrastive_pairs",
       (spark, dir) => {
@@ -957,10 +960,13 @@ object Curation {
         val anchors = pairs.select(col("doc_a").as("anchor"))
           .unionByName(pairs.select(col("doc_b").as("anchor")))
           .distinct()
-        val negs = anchors
+        val draws = anchors
           .crossJoin(broadcast(n))
           .selectExpr("anchor",
-            "pmod(cast(conv(substring(md5(cast(anchor AS string)), 1, 15), 16, 10) AS bigint), n_docs) AS partner")
+            "pmod(cast(conv(substring(md5(cast(anchor AS string)), 1, 15), 16, 10) AS bigint), n_docs) AS prk")
+        val negs = rankedDocIds(Tables.documents(spark, dir))
+          .join(broadcast(draws), expr("rk = prk"))
+          .selectExpr("anchor", "doc_id AS partner")
           .where("partner != anchor")
           .join(pairs.selectExpr("doc_a AS anchor", "doc_b AS partner"),
             Seq("anchor", "partner"), "left_anti")
@@ -973,24 +979,55 @@ object Curation {
       Some(s"""
         WITH p AS (SELECT doc_a, doc_b FROM (${Dedup.minhashPairsSql})),
         n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        ranked AS (
+          SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+          FROM documents),
         anchors AS (
           SELECT DISTINCT anchor FROM (
             SELECT doc_a AS anchor FROM p
             UNION ALL SELECT doc_b FROM p)),
         draws AS (
           SELECT anchor,
-                 ('0x' || substr(md5(anchor::VARCHAR), 1, 15))::BIGINT % n.n_docs AS partner
+                 ('0x' || substr(md5(anchor::VARCHAR), 1, 15))::BIGINT % n.n_docs AS prk
           FROM anchors, n),
         negs AS (
-          SELECT anchor, partner, 'negative' AS label
-          FROM draws d
-          WHERE partner != anchor
-            AND NOT EXISTS (SELECT 1 FROM p WHERE p.doc_a = d.anchor AND p.doc_b = d.partner)
-            AND NOT EXISTS (SELECT 1 FROM p WHERE p.doc_b = d.anchor AND p.doc_a = d.partner))
+          SELECT d.anchor, r.doc_id AS partner, 'negative' AS label
+          FROM draws d JOIN ranked r ON r.rk = d.prk
+          WHERE r.doc_id != d.anchor
+            AND NOT EXISTS (SELECT 1 FROM p WHERE p.doc_a = d.anchor AND p.doc_b = r.doc_id)
+            AND NOT EXISTS (SELECT 1 FROM p WHERE p.doc_b = d.anchor AND p.doc_a = r.doc_id))
         SELECT doc_a AS anchor, doc_b AS partner, 'positive' AS label FROM p
         UNION ALL
         SELECT anchor, partner, label FROM negs"""))
   )
+
+  /** Layout-independent dense rank over the doc-id set: (doc_id, rk)
+    * with rk the 0-based position in ascending doc_id order — the draw
+    * space for contrastive negatives, valid for sparse, shifted, or
+    * gappy id layouts (the dense-ids `mod n_docs` shortcut it replaces
+    * silently drew nonexistent partners on any other layout).
+    *
+    * Ranked WITHOUT a global window (a single-reducer sort at corpus
+    * scale): order-preserving range buckets (`(doc_id - mn) div w`),
+    * a cumulative offset table over the ≤256 bucket counts (window
+    * over a bounded set), then a per-bucket row_number whose partition
+    * is one bucket — rank = bucket offset + in-bucket position.
+    */
+  private[graft] def rankedDocIds(docs: DataFrame): DataFrame = {
+    val nBuckets = 256L
+    val stats = docs.groupBy().agg(
+      expr("min(doc_id) AS mn"), expr("max(doc_id) AS mx"))
+    val bucketed = docs.select("doc_id").crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        s"(doc_id - mn) div ((mx - mn) div $nBuckets + 1) AS bkt")
+    val offsets = bucketed.groupBy("bkt")
+      .agg(expr("cast(count(*) AS bigint) AS cnt"))
+      .selectExpr("bkt",
+        "coalesce(sum(cnt) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS off")
+    bucketed.join(broadcast(offsets), "bkt")
+      .selectExpr("doc_id",
+        "cast(off + row_number() OVER (PARTITION BY bkt ORDER BY doc_id) - 1 AS bigint) AS rk")
+  }
 
   /** Fluency floor for tp_curate_semantic (ppm of avg bigram
     * probability — drops the bottom ~decile of the synthetic corpus).

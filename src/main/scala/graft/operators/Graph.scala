@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relational edge lists — the companion family to
@@ -577,22 +577,7 @@ object Graph {
     QueryDef(
       "gr_linkpred",
       (spark, dir) => {
-        val cap = 50
-        val cs = Tables.orders(spark, dir).selectExpr("o_orderkey", "o_custkey")
-          .join(Tables.lineitem(spark, dir).selectExpr("l_orderkey", "l_suppkey"),
-            expr("o_orderkey = l_orderkey"))
-          .selectExpr("o_custkey AS c", "l_suppkey AS s")
-          .distinct()
-          .localCheckpoint(true) // degree counter + both wedge sides
-        val deg = cs.groupBy("c").agg(expr("cast(count(*) AS bigint) AS dc"))
-          .where(s"dc <= $cap")
-        // widen before the fence: the r9 profile showed the wedge join
-        // running on 4 AQE-coalesced tasks (max task 1.4 s) — the pair
-        // expansion is the query's dominant work and wants every core;
-        // checkpointing AFTER the repartition preserves the layout so
-        // both self-join sides are already co-partitioned on c
-        val kept = cs.join(deg, "c")
-          .repartition(64, col("c")).localCheckpoint(true)
+        val kept = linkpredKept(spark, dir)
         kept.selectExpr("c", "s AS s_a", "dc")
           .join(kept.selectExpr("c", "s AS s_b"),
             Seq("c"))
@@ -623,6 +608,34 @@ object Graph {
         ORDER BY common_cust DESC, ra_ppm DESC, s_a, s_b
         LIMIT 20"""))
   )
+
+  /** gr_linkpred's fenced wedge-join input: the distinct
+    * customer↔supplier edge list with hub customers above the degree
+    * cap dropped (standard LP practice: a 10⁶-degree hub contributes
+    * ~0 RA mass but 10¹² wedges), so the pair space is bounded by
+    * cap·|edges|. Widened BEFORE the fence: the r9 profile showed the
+    * wedge join running on 4 AQE-coalesced tasks (max task 1.4 s) —
+    * the pair expansion is the query's dominant work and wants every
+    * core, so the width tracks the session's shuffle parallelism (the
+    * builder pins it to cores; on a real cluster it scales with the
+    * executor count instead of capping at a constant).
+    * Checkpointing AFTER the repartition preserves the layout so both
+    * self-join sides are already co-partitioned on c.
+    */
+  private[graft] def linkpredKept(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 50
+    val cs = Tables.orders(spark, dir).selectExpr("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, dir).selectExpr("l_orderkey", "l_suppkey"),
+        expr("o_orderkey = l_orderkey"))
+      .selectExpr("o_custkey AS c", "l_suppkey AS s")
+      .distinct()
+      .localCheckpoint(true) // degree counter + both wedge sides
+    val deg = cs.groupBy("c").agg(expr("cast(count(*) AS bigint) AS dc"))
+      .where(s"dc <= $cap")
+    cs.join(deg, "c")
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("c"))
+      .localCheckpoint(true)
+  }
 
   /** k-core decomposition membership: iteratively peel vertices of
     * degree < k until the remaining subgraph is stable, returning each

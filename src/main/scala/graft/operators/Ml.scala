@@ -68,7 +68,24 @@ object Ml {
     * fenced so the lazy epoch chain cannot re-expand its whole prefix
     * per consumer.
     */
+  private val chainCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (DataFrame, DataFrame, Seq[DataFrame])]
+
   private[graft] def trainChain(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) =
+    // four queries (ml_train_linear, ml_score_docs, tp_curate_clf,
+    // st_ml_score) plus repeated bench passes invoke the chain; the
+    // persisted feature table and the eagerly-checkpointed weight /
+    // margin tables would otherwise pile up one full copy per caller
+    // in block-manager memory. Memoizing the (session, dir) result
+    // shares one materialization — the same discipline as
+    // Dedup.minhashPairs, done with an explicit map because
+    // localCheckpoint produces fresh RDDs the CacheManager cannot
+    // unify by canonicalized plan.
+    chainCache.getOrElseUpdate((spark, dir), trainChainUncached(spark, dir))
+
+  private def trainChainUncached(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     val f = features(spark, dir)

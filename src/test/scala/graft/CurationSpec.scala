@@ -32,6 +32,29 @@ class CurationSpec extends SparkSpec {
     assert(components(Seq((5L, 3L), (3L, 9L))) == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
 
+  test("rankedDocIds: sparse, gappy ids rank densely in id order") {
+    import spark.implicits._
+    // deliberately sparse + unsorted — the layout the dense `mod n`
+    // draw it replaced would have drawn nonexistent partners from
+    val ids = Seq(9999L, 7L, 100L, 10L, 500000L, 8L)
+    val got = Curation.rankedDocIds(ids.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 0L, 8L -> 1L, 10L -> 2L, 100L -> 3L,
+      9999L -> 4L, 500000L -> 5L))
+  }
+
+  test("contrastive negatives stay inside the actual doc-id set") {
+    val rows = runQuery("tp_contrastive_pairs").collect()
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val negs = rows.filter(_.getString(2) == "negative")
+    assert(negs.nonEmpty)
+    negs.foreach { r =>
+      assert(ids.contains(r.getLong(1)), s"partner ${r.getLong(1)} not a real doc")
+      assert(r.getLong(0) != r.getLong(1), "self-draw survived")
+    }
+  }
+
   private val sf = "/root/testdata/sf0.001"
 
   private def runQuery(name: String) =

@@ -364,6 +364,17 @@ class PlanShapeSpec extends SparkSpec {
       s"classify holdout budget not pushed to the scan:\n${p.take(900)}")
   }
 
+  test("gr_linkpred: wedge-join width tracks the session shuffle parallelism") {
+    // the pair expansion is the query's dominant stage; a constant
+    // width would cap it at N tasks regardless of executor count, so
+    // the fenced input must carry exactly the session's shuffle
+    // parallelism (co-partitioned on c for both self-join sides)
+    val kept = graft.operators.Graph.linkpredKept(spark, sf)
+    val want = spark.sessionState.conf.numShufflePartitions
+    assert(kept.rdd.getNumPartitions == want,
+      s"wedge input has ${kept.rdd.getNumPartitions} partitions, session parallelism is $want")
+  }
+
   test("v13_filtered_knn: the label filter scores via a broadcast HASH join") {
     graft.plans.VectorExprs.register(spark)
     val p = plan("v13_filtered_knn")
