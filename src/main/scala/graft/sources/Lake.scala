@@ -1,20 +1,36 @@
 package graft.sources
 
 import graft.{QueryDef, Tables}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Minimal versioned table layout — the lakehouse primitives a corpus
   * store needs that plain parquet directories lack: atomic MERGE-style
-  * upsert and snapshot (time-travel) reads.
+  * upsert, snapshot (time-travel) reads, and a commit protocol that
+  * survives concurrent writers.
   *
-  * Layout: `root/v=N/part-*.parquet` per version plus a tiny
-  * `root/_versions` manifest holding the committed version numbers,
-  * one per line, appended ATOMICALLY LAST — a reader lists committed
-  * versions from the manifest only, so a writer crash after data files
-  * but before the manifest append leaves the table at the previous
-  * version (write-audit-publish in one file). No timestamps anywhere:
-  * versions are dense integers, so runs are deterministic.
+  * Layout: one immutable data directory per commit (`root/v=N-<tok>`,
+  * token-suffixed so two writers racing for the same version number
+  * never collide on a data path) plus a `root/_versions/` manifest
+  * directory holding ONE MARKER FILE PER VERSION: `_versions/N`
+  * contains the name of version N's data directory. The marker is
+  * created LAST with `FileSystem.create(..., overwrite = false)` — a
+  * conditional create, so (a) a writer crash after data files but
+  * before the marker leaves the table at the previous version
+  * (write-audit-publish), and (b) two writers publishing the same
+  * version number race on the marker create and exactly one wins —
+  * the loser sees FileAlreadyExists, discards its orphan data
+  * directory, and retries against the new tip (the Delta/Iceberg
+  * optimistic-concurrency discipline). Readers list committed versions
+  * from the marker directory only, so orphan data directories are
+  * invisible. No timestamps anywhere: versions are dense integers, so
+  * runs are deterministic.
+  *
+  * All manifest I/O goes through the Hadoop `FileSystem` for the
+  * table root's scheme — the store works wherever Spark can write
+  * parquet (local, HDFS; object stores inherit their rename/create
+  * semantics), not just driver-visible POSIX paths.
   *
   * Scale notes: upsert is COPY-ON-WRITE — one key-partitioned
   * full-outer join of the current snapshot against the (typically
@@ -23,68 +39,171 @@ import org.apache.spark.sql.functions._
   * Iceberg do per touched file); a merge-on-read layout (base + delta
   * files compacted lazily, the reader resolving latest-by-key) is the
   * write-optimized alternative and composes from these same pieces.
-  * Snapshot reads are pure partition-path selection: `v=N` is a
-  * directory, so time travel costs nothing at read time and old
-  * versions vacuum by deleting directories.
+  * Snapshot reads are pure directory selection, so time travel costs
+  * nothing at read time and old versions vacuum by deleting
+  * directories.
   */
 object Lake {
 
-  private def manifest(root: String) = java.nio.file.Paths.get(root, "_versions")
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Committed versions (empty if the table does not exist yet). */
-  def versions(root: String): Seq[Int] = {
-    val m = manifest(root)
-    if (!java.nio.file.Files.exists(m)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(m).asScala.toSeq
-        .filter(_.nonEmpty).map(_.trim.toInt)
+  /** Committed (number → data-directory) entries under `root/<sub>`,
+    * sorted by version number. Listing + one tiny read per marker —
+    * the same cost profile as a Delta log replay, O(commits) small
+    * files, no data I/O.
+    */
+  private def markers(spark: SparkSession, root: String, sub: String): Seq[(Int, String)] = {
+    val dir = new Path(root, sub)
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else
+      fs.listStatus(dir).toSeq
+        .flatMap(st => st.getPath.getName.toIntOption.map(_ -> st.getPath))
+        .sortBy(_._1)
+        .map { case (n, p) =>
+          val in = fs.open(p)
+          val body =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          n -> body
+        }
+  }
+
+  /** Conditional-create of marker `root/<sub>/<n>` naming `dataDir`.
+    * Returns false (without disturbing the existing marker) when
+    * version `n` is already committed — the losing side of a
+    * concurrent publish.
+    */
+  private def createMarker(spark: SparkSession, root: String, sub: String,
+      n: Int, dataDir: String): Boolean = {
+    val dir = new Path(root, sub)
+    val fs = fsFor(spark, dir)
+    fs.mkdirs(dir)
+    val marker = new Path(dir, n.toString)
+    try {
+      val out = fs.create(marker, false) // fails if the slot is taken
+      try out.write(dataDir.getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
     }
   }
 
-  /** Write `df` as the next version; returns its number. The data
-    * directory is fully written before the manifest append publishes
-    * it.
+  /** Write `df` under a token-suffixed directory no other writer can
+    * pick, returning the directory name the marker will publish.
+    */
+  private def writeData(df: DataFrame, root: String, label: String, n: Int): String = {
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"$label=$n-$tok"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dirName")
+    dirName
+  }
+
+  private def dropData(spark: SparkSession, root: String, dirName: String): Unit = {
+    val p = new Path(root, dirName)
+    fsFor(spark, p).delete(p, true)
+  }
+
+  /** Committed versions (empty if the table does not exist yet). */
+  def versions(spark: SparkSession, root: String): Seq[Int] =
+    markers(spark, root, "_versions").map(_._1)
+
+  /** Optimistic-concurrency commit: publish `df` as version
+    * `expected + 1` and return it, or None when another writer already
+    * committed that version — the caller must re-read the new tip,
+    * re-derive its changes, and try again (the data written for the
+    * losing attempt is cleaned up here).
+    */
+  def commitVersionAt(spark: SparkSession, df: DataFrame, root: String,
+      expected: Int): Option[Int] = {
+    val n = expected + 1
+    val dirName = writeData(df, root, "v", n)
+    if (createMarker(spark, root, "_versions", n, dirName)) Some(n)
+    else { dropData(spark, root, dirName); None }
+  }
+
+  /** Write `df` as the next version; returns its number. The commit
+    * does not depend on the base content, so a lost race just retries
+    * the marker create at the next slot — the data directory is reused
+    * (its name carries the attempted number only for debuggability;
+    * the marker is the source of truth).
     */
   def commitVersion(spark: SparkSession, df: DataFrame, root: String): Int = {
-    val v = versions(root).lastOption.map(_ + 1).getOrElse(0)
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$v")
-    val m = manifest(root)
-    java.nio.file.Files.createDirectories(m.getParent)
-    java.nio.file.Files.write(m, s"$v\n".getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    v
+    var n = versions(spark, root).lastOption.map(_ + 1).getOrElse(0)
+    val dirName = writeData(df, root, "v", n)
+    var attempts = 0
+    while (!createMarker(spark, root, "_versions", n, dirName)) {
+      attempts += 1
+      require(attempts < 100, s"commit contention on $root: gave up after $attempts slots")
+      n = versions(spark, root).last + 1
+    }
+    n
   }
 
   /** Snapshot read: latest version, or the requested one. */
   def readVersion(spark: SparkSession, root: String, v: Option[Int] = None): DataFrame = {
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no committed versions under $root")
-    val pick = v.getOrElse(vs.last)
-    require(vs.contains(pick), s"version $pick not committed (have ${vs.mkString(",")})")
-    spark.read.parquet(s"$root/v=$pick")
+    val ms = markers(spark, root, "_versions")
+    require(ms.nonEmpty, s"no committed versions under $root")
+    val pick = v.getOrElse(ms.last._1)
+    val dir = ms.collectFirst { case (`pick`, d) => d }
+    require(dir.isDefined,
+      s"version $pick not committed (have ${ms.map(_._1).mkString(",")})")
+    spark.read.parquet(s"$root/${dir.get}")
   }
 
   /** MERGE-style upsert: rows of `updates` replace current rows with
-    * the same key; unmatched update rows insert; unmatched current
-    * rows carry over. Committed as the next version; returns it.
-    * One full-outer join keyed on `key` — updates broadcast when
-    * small, the snapshot side shuffles once on the key.
+    * the same key WHOLE-ROW (an update row's null column really sets
+    * null — SQL MERGE UPDATE semantics, matching readResolved's
+    * latest-wins rows); unmatched update rows insert; unmatched
+    * current rows carry over. One full-outer join keyed on `key` —
+    * updates broadcast when small, the snapshot side shuffles once on
+    * the key. Committed with the OCC protocol: a concurrent commit
+    * between our snapshot read and our publish fails the publish, and
+    * the merge re-derives against the new tip — no lost updates.
     */
   def upsert(spark: SparkSession, updates: DataFrame, root: String, key: String): Int = {
-    val cur = readVersion(spark, root)
-    val cols = cur.columns
-    val merged = cur.as("b").join(updates.as("u"), Seq(key), "full_outer")
-      .select(cols.map {
-        case `key` => col(key)
-        case c => coalesce(col(s"u.$c"), col(s"b.$c")).as(c)
-      }: _*)
-    commitVersion(spark, merged, root)
+    var attempts = 0
+    while (true) {
+      val base = versions(spark, root).lastOption
+        .getOrElse(throw new IllegalArgumentException(s"no committed versions under $root"))
+      val cur = readVersion(spark, root, Some(base))
+      val cols = cur.columns
+      val merged = cur.as("b")
+        .join(updates.withColumn("_u", lit(1)).as("u"), Seq(key), "full_outer")
+        .select(cols.map {
+          case `key` => col(key)
+          case c => when(col("u._u").isNotNull, col(s"u.$c"))
+            .otherwise(col(s"b.$c")).as(c)
+        }: _*)
+      commitVersionAt(spark, merged, root, base) match {
+        case Some(v) => return v
+        case None =>
+          attempts += 1
+          require(attempts < 20, s"upsert contention on $root: lost $attempts races")
+      }
+    }
+    -1 // unreachable
   }
 
-  /** COW delete: commit the next version without the matching rows. */
-  def deleteWhere(spark: SparkSession, root: String, cond: String): Int =
-    commitVersion(spark, readVersion(spark, root).where(s"NOT ($cond)"), root)
+  /** COW delete: commit the next version without the matching rows,
+    * under the same OCC retry discipline as [[upsert]].
+    */
+  def deleteWhere(spark: SparkSession, root: String, cond: String): Int = {
+    var attempts = 0
+    while (true) {
+      val base = versions(spark, root).last
+      val next = readVersion(spark, root, Some(base)).where(s"NOT ($cond)")
+      commitVersionAt(spark, next, root, base) match {
+        case Some(v) => return v
+        case None =>
+          attempts += 1
+          require(attempts < 20, s"delete contention on $root: lost $attempts races")
+      }
+    }
+    -1 // unreachable
+  }
 
   // ------------------------------------------------- merge-on-read
   // The write-optimized twin of [[upsert]]: an upsert APPENDS a small
@@ -92,42 +211,50 @@ object Lake {
   // O(table)), and the reader resolves latest-by-key across base +
   // deltas. Resolution is one key shuffle with a per-key bounded
   // window (rows per key = 1 + times it was updated); compaction folds
-  // the deltas back into a fresh base with identical content.
+  // the deltas back into a fresh base with identical content. Delta
+  // markers live under `root/_deltas/` with the same conditional-
+  // create publish as versions, so concurrent appenders serialize into
+  // a linear seq order instead of overwriting each other.
 
-  private def deltaManifest(root: String) = java.nio.file.Paths.get(root, "_deltas")
-
-  private def deltaSeqs(root: String): Seq[Int] = {
-    val m = deltaManifest(root)
-    if (!java.nio.file.Files.exists(m)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(m).asScala.toSeq
-        .filter(_.nonEmpty).map(_.trim.toInt)
-    }
-  }
+  private def deltaSeqs(spark: SparkSession, root: String): Seq[(Int, String)] =
+    markers(spark, root, "_deltas")
 
   /** Append `updates` as the next delta (seq ordering = resolution
-    * priority, later wins). Same manifest-last publish discipline as
-    * [[commitVersion]].
+    * priority, later wins). `key` must be unique within the batch —
+    * enforced here, because [[readResolved]]'s latest-seq-wins rule
+    * has no deterministic winner among duplicates of one delta (one
+    * bounded aggregate over the update set, which is small by the MOR
+    * contract). Same manifest-last conditional-create publish as
+    * [[commitVersionAt]], retried at successive seq slots on
+    * contention (a delta's content, like an append, does not depend
+    * on the base).
     */
-  def appendDelta(spark: SparkSession, updates: DataFrame, root: String): Int = {
-    val s = deltaSeqs(root).lastOption.map(_ + 1).getOrElse(1)
-    updates.write.mode(SaveMode.Overwrite).parquet(s"$root/d=$s")
-    val m = deltaManifest(root)
-    java.nio.file.Files.createDirectories(m.getParent)
-    java.nio.file.Files.write(m, s"$s\n".getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  def appendDelta(spark: SparkSession, updates: DataFrame, root: String,
+      key: String): Int = {
+    require(
+      updates.groupBy(key).count().where("count > 1").limit(1).isEmpty,
+      s"delta batch has duplicate $key values — latest-wins resolution would be nondeterministic")
+    var s = deltaSeqs(spark, root).lastOption.map(_._1 + 1).getOrElse(1)
+    val dirName = writeData(updates, root, "d", s)
+    var attempts = 0
+    while (!createMarker(spark, root, "_deltas", s, dirName)) {
+      attempts += 1
+      require(attempts < 100, s"delta contention on $root: gave up after $attempts slots")
+      s = deltaSeqs(spark, root).last._1 + 1
+    }
     s
   }
 
   /** Resolve base + deltas to the current logical table: per key, the
-    * highest-seq row wins (base = seq 0). One shuffle on the key; the
-    * per-key window is bounded by that key's update count.
+    * highest-seq row wins (base = seq 0; keys are unique per delta by
+    * [[appendDelta]]'s contract and per base by [[upsert]]'s key
+    * semantics, so the winner is deterministic). One shuffle on the
+    * key; the per-key window is bounded by that key's update count.
     */
   def readResolved(spark: SparkSession, root: String, key: String): DataFrame = {
     val base = readVersion(spark, root).withColumn("_seq", lit(0))
-    val all = deltaSeqs(root).foldLeft(base) { (acc, s) =>
-      acc.unionByName(spark.read.parquet(s"$root/d=$s").withColumn("_seq", lit(s)))
+    val all = deltaSeqs(spark, root).foldLeft(base) { case (acc, (s, d)) =>
+      acc.unionByName(spark.read.parquet(s"$root/$d").withColumn("_seq", lit(s)))
     }
     all
       .withColumn("_rn", expr(
@@ -145,7 +272,8 @@ object Lake {
       // lazy plan would otherwise re-read
       .localCheckpoint(true)
     val v = commitVersion(spark, resolved, root)
-    java.nio.file.Files.deleteIfExists(deltaManifest(root))
+    val dm = new Path(root, "_deltas")
+    fsFor(spark, dm).delete(dm, true)
     v
   }
 
@@ -180,6 +308,9 @@ object Lake {
     changed.unionByName(fresh)
   }
 
+  // whole-row MERGE semantics: when an update row matches, ALL its
+  // columns win (even nulls) — mirrored per column with the
+  // update-presence CASE, not coalesce
   private[graft] val mergedOracle = """
         base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer),
         changed AS (
@@ -194,10 +325,10 @@ object Lake {
         updates AS (SELECT * FROM changed UNION ALL SELECT * FROM fresh),
         merged AS (
           SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
-                 coalesce(u.c_name, b.c_name) AS c_name,
-                 coalesce(u.c_nationkey, b.c_nationkey) AS c_nationkey,
-                 coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal,
-                 coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+                 CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name,
+                 CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+                 CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+                 CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
           FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey)"""
 
   def queries: Seq[QueryDef] = Seq(
@@ -275,12 +406,12 @@ object Lake {
       (spark, dir) => {
         val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/customer"
         commitVersion(spark, Tables.customer(spark, dir), root)
-        appendDelta(spark, updatesFixture(spark, dir), root)
+        appendDelta(spark, updatesFixture(spark, dir), root, "c_custkey")
         appendDelta(spark,
           Tables.customer(spark, dir).where("c_custkey % 20 = 0")
             .selectExpr("c_custkey", "c_name", "c_nationkey",
               "c_acctbal + 3000.0 AS c_acctbal", "'MERGED2' AS c_mktsegment"),
-          root)
+          root, "c_custkey")
         readResolved(spark, root, "c_custkey")
           .selectExpr("c_custkey", "c_name", "cast(c_nationkey AS int) AS c_nationkey",
             "cast(round(c_acctbal * 1000000, 0) AS bigint) AS bal_micros", "c_mktsegment")

@@ -1434,7 +1434,7 @@ object Streaming {
         val q = spark.readStream.schema(schema).parquet(s"$work/updates")
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            graft.sources.Lake.appendDelta(batch.sparkSession, batch, root)
+            graft.sources.Lake.appendDelta(batch.sparkSession, batch, root, "c_custkey")
             ()
           }
           .option("checkpointLocation", s"$work/cp")

@@ -16,17 +16,69 @@ class LakeSpec extends SparkSpec {
   test("a data directory without a manifest entry is not a committed version") {
     val root = freshRoot()
     val v0 = Lake.commitVersion(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
-    assert(v0 == 0 && Lake.versions(root) == Seq(0))
-    // simulate a writer crash AFTER data files, BEFORE the manifest
-    // append: the orphan directory must be invisible to readers
+    assert(v0 == 0 && Lake.versions(spark, root) == Seq(0))
+    // simulate a writer crash AFTER data files, BEFORE the marker
+    // publish: the orphan directory must be invisible to readers
     Seq((9L, "orphan")).toDF("k", "v")
-      .write.mode("overwrite").parquet(s"$root/v=1")
-    assert(Lake.versions(root) == Seq(0))
+      .write.mode("overwrite").parquet(s"$root/v=1-deadbeef")
+    assert(Lake.versions(spark, root) == Seq(0))
     assert(Lake.readVersion(spark, root).count() == 2)
-    // the next real commit publishes over the orphan slot
+    // the next real commit publishes version 1 alongside the orphan
     val v1 = Lake.commitVersion(spark, Seq((3L, "c")).toDF("k", "v"), root)
-    assert(v1 == 1 && Lake.versions(root) == Seq(0, 1))
+    assert(v1 == 1 && Lake.versions(spark, root) == Seq(0, 1))
     assert(Lake.readVersion(spark, root).count() == 1)
+  }
+
+  test("two interleaved committers produce a linear history: one wins, one retries") {
+    // both writers observe the same tip; A publishes first, so B's
+    // optimistic commit at the same slot must FAIL (not overwrite),
+    // and B's retry path (upsert re-reads the new tip and re-merges)
+    // lands its change on top of A's — a linear history with no lost
+    // update. Root is an explicit file: URI so the whole protocol —
+    // markers included — demonstrably runs through the Hadoop
+    // FileSystem for the table's scheme, not driver-local java.nio.
+    val root = "file:" + freshRoot()
+    Lake.commitVersion(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), root)
+    val tip = Lake.versions(spark, root).last
+    // writer A wins the slot with a full-table rewrite (1 -> 11)
+    assert(Lake.commitVersionAt(spark,
+      Seq((1L, 11L), (2L, 20L)).toDF("k", "x"), root, tip).contains(1))
+    // writer B raced against the same stale tip and must lose
+    assert(Lake.commitVersionAt(spark,
+      Seq((1L, 10L), (2L, 22L)).toDF("k", "x"), root, tip).isEmpty)
+    assert(Lake.versions(spark, root) == Seq(0, 1))
+    assert(Lake.readVersion(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 11L), (2L, 20L)), "losing writer must not clobber the winner")
+    // B retries through upsert: re-reads v1 and merges its row change
+    Lake.upsert(spark, Seq((2L, 22L)).toDF("k", "x"), root, "k")
+    assert(Lake.versions(spark, root) == Seq(0, 1, 2))
+    assert(Lake.readVersion(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 11L), (2L, 22L)), "retry must land on A's commit, not the stale base")
+  }
+
+  test("whole-row MERGE: a matched update row's null column really sets null") {
+    val root = freshRoot()
+    Lake.commitVersion(spark,
+      Seq((1L, Some("one"), 10L), (2L, Some("two"), 20L))
+        .toDF("k", "name", "x"), root)
+    // the update NULLs out name for k=1 — per-column coalesce would
+    // silently resurrect "one"; SQL MERGE UPDATE semantics must not
+    Lake.upsert(spark,
+      Seq((1L, Option.empty[String], 100L)).toDF("k", "name", "x"),
+      root, "k")
+    val got = Lake.readVersion(spark, root)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(got == Set((1L, None, 100L), (2L, Some("two"), 20L)))
+  }
+
+  test("appendDelta rejects a batch with duplicate keys") {
+    val root = freshRoot()
+    Lake.commitVersion(spark, Seq((1L, 10L)).toDF("k", "x"), root)
+    intercept[IllegalArgumentException] {
+      Lake.appendDelta(spark, Seq((2L, 1L), (2L, 2L)).toDF("k", "x"), root, "k")
+    }
   }
 
   test("upsert merges all three MERGE cases and old snapshots stay pristine") {
@@ -54,14 +106,14 @@ class LakeSpec extends SparkSpec {
     val root = freshRoot()
     Lake.commitVersion(spark,
       Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "x"), root)
-    Lake.appendDelta(spark, Seq((2L, 200L), (4L, 40L)).toDF("k", "x"), root)
-    Lake.appendDelta(spark, Seq((2L, 2000L)).toDF("k", "x"), root)
+    Lake.appendDelta(spark, Seq((2L, 200L), (4L, 40L)).toDF("k", "x"), root, "k")
+    Lake.appendDelta(spark, Seq((2L, 2000L)).toDF("k", "x"), root, "k")
     def resolved() = Lake.readResolved(spark, root, "k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val before = resolved()
     assert(before == Set((1L, 10L), (2L, 2000L), (3L, 30L), (4L, 40L)))
     // an orphan delta directory without a manifest line is invisible
-    Seq((9L, 999L)).toDF("k", "x").write.mode("overwrite").parquet(s"$root/d=3")
+    Seq((9L, 999L)).toDF("k", "x").write.mode("overwrite").parquet(s"$root/d=3-deadbeef")
     assert(resolved() == before)
     // compaction folds the deltas into a fresh base: content identical,
     // delta list reset, and the pre-compaction version still readable
@@ -98,7 +150,7 @@ class LakeSpec extends SparkSpec {
           case 2 => // MOR delta append (latest wins per key)
             val upd = Seq.fill(rng.nextInt(5) + 1)(
               rng.nextInt(30).toLong -> (step * 1000L + 500L + rng.nextInt(100))).toMap
-            Lake.appendDelta(spark, upd.toSeq.toDF("k", "x"), root)
+            Lake.appendDelta(spark, upd.toSeq.toDF("k", "x"), root, "k")
             model = model ++ upd
           case 3 =>
             Lake.compact(spark, root, "k")
