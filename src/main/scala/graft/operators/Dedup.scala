@@ -611,39 +611,71 @@ object Dedup {
 
     // ----------------- record linkage (cross-table entity resolution)
     // The classical ER shape: link a clean reference table to a DIRTY
-    // twin (here: every customer name with one character deleted at a
-    // key-derived position — the deterministic stand-in for typo'd
-    // upstream feeds) WITHOUT a cross join, and WITHOUT quadratic
-    // blocks either: candidate generation is the FastSS deletion-
-    // neighborhood EQUI-join — each clean name explodes into its
-    // one-char-deletion variants (len rows, row-local) and a variant
-    // matching a dirty name string IS an edit-distance-1-by-deletion
-    // pair, exactly. No block products exist at any scale: total work
-    // is O(n·len) variant rows through one hash equi-join on
-    // (nation, full string). Two earlier formulations measured why
-    // this matters: attribute blocking on (nation, first char, len+1)
-    // degenerated on the shared-prefix synthetic names to 42 s at
-    // sf0.1, and adding the last-char invariant still left
-    // within-block n² (5 s, superlinear at 10×); the neighborhood
-    // join is the standard spell-checker-style fix. levenshtein == 1
-    // stays as a belt (provably always true for equi-matched
-    // variants). Output: every verified link + per-nation accounting
-    // of linked dirty rows.
+    // twin (every customer name with one character deleted,
+    // SUBSTITUTED, or INSERTED at a key-derived position — the
+    // deterministic stand-in for typo'd upstream feeds) WITHOUT a
+    // cross join, and WITHOUT quadratic blocks either: candidate
+    // generation is FastSS proper — BOTH sides explode their
+    // one-char-deletion neighborhood (the string itself at depth 0
+    // plus its len deletion variants at depth 1, each tagged with the
+    // deletion position), and two names are edit-distance-1 candidates
+    // exactly when neighborhoods intersect: clean₀ = dirty₁ catches an
+    // insertion, clean₁ = dirty₀ a deletion, and clean₁ = dirty₁ AT
+    // THE SAME POSITION a substitution (same-variant-different-
+    // position pairs are distance 2 and are excluded in the join
+    // condition). `levenshtein == 1` then verifies — it now does real
+    // work, dropping the rare ed-0/ed-2 collisions the depth-1×depth-1
+    // overlap admits. No block products exist at any scale: total work
+    // is O(n·len) variant rows per side through one hash equi-join on
+    // (nation, variant string). Two earlier formulations measured why
+    // this shape matters: attribute blocking on (nation, first char,
+    // len±1) degenerated on the shared-prefix synthetic names to 42 s
+    // at sf0.1, and adding the last-char invariant still left
+    // within-block n² (5 s, superlinear at 10×); the neighborhood join
+    // is the standard spell-checker-style fix. Output: every verified
+    // link + per-nation accounting of linked dirty rows.
     QueryDef(
       "dd_record_linkage",
       (spark, dir) => {
         val clean = Tables.customer(spark, dir)
           .selectExpr("c_custkey", "c_name", "c_nationkey")
+        // corruption mode = key mod 3: delete / substitute / insert at
+        // the key-derived position k+2 (k = key mod (len-2), so the
+        // edit always lands strictly inside the name). The substitute
+        // char comes from 'a'..'y' with a 'z' fallback when it would
+        // equal the original, so substitution is ALWAYS a real edit.
         val dirty = clean.selectExpr(
           "c_custkey + 10000000L AS d_id",
-          """concat(substring(c_name, 1, cast(c_custkey % (length(c_name) - 2) + 1 AS int)),
-                    substring(c_name, cast(c_custkey % (length(c_name) - 2) + 3 AS int))) AS d_name""",
+          """CASE WHEN c_custkey % 3 = 0 THEN
+               concat(substring(c_name, 1, cast(c_custkey % (length(c_name) - 2) + 1 AS int)),
+                      substring(c_name, cast(c_custkey % (length(c_name) - 2) + 3 AS int)))
+             WHEN c_custkey % 3 = 1 THEN
+               concat(substring(c_name, 1, cast(c_custkey % (length(c_name) - 2) + 1 AS int)),
+                      CASE WHEN chr(97 + c_custkey % 25) = substring(c_name, cast(c_custkey % (length(c_name) - 2) + 2 AS int), 1)
+                           THEN 'z' ELSE chr(97 + c_custkey % 25) END,
+                      substring(c_name, cast(c_custkey % (length(c_name) - 2) + 3 AS int)))
+             ELSE
+               concat(substring(c_name, 1, cast(c_custkey % (length(c_name) - 2) + 1 AS int)),
+                      chr(97 + c_custkey % 26),
+                      substring(c_name, cast(c_custkey % (length(c_name) - 2) + 2 AS int)))
+             END AS d_name""",
           "c_nationkey AS d_nationkey")
-        val variants = clean.selectExpr("c_custkey", "c_name", "c_nationkey",
-          """explode(transform(sequence(1, length(c_name)),
-                     p -> concat(substring(c_name, 1, p - 1), substring(c_name, p + 1)))) AS variant""")
-        val links = variants.join(dirty,
-            expr("c_nationkey = d_nationkey AND variant = d_name"))
+        def neighborhood(df: DataFrame, nameCol: String, out: String) =
+          df.selectExpr(df.columns :+
+            s"""explode(concat(
+                  array(named_struct('v', $nameCol, 'dep', 0, 'pos', -1)),
+                  transform(sequence(1, length($nameCol)),
+                    p -> named_struct('v', concat(substring($nameCol, 1, p - 1), substring($nameCol, p + 1)),
+                                      'dep', 1, 'pos', p)))) AS $out""": _*)
+        val cv = neighborhood(clean, "c_name", "cn")
+          .selectExpr("c_custkey", "c_name", "c_nationkey",
+            "cn.v AS v", "cn.dep AS dep_c", "cn.pos AS pos_c")
+        val dv = neighborhood(dirty, "d_name", "dn")
+          .selectExpr("d_id", "d_name", "d_nationkey",
+            "dn.v AS dv", "dn.dep AS dep_d", "dn.pos AS pos_d")
+        val links = cv.join(dv,
+            expr("""c_nationkey = d_nationkey AND v = dv
+                    AND (dep_c + dep_d < 2 OR pos_c = pos_d)"""))
           .selectExpr("c_custkey", "d_id", "c_name", "d_name")
           .distinct() // equal chars at adjacent positions yield duplicate variants
           .where("levenshtein(c_name, d_name) = 1")
@@ -666,20 +698,47 @@ object Dedup {
         WITH clean AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
         dirty AS (
           SELECT c_custkey + 10000000 AS d_id,
-                 substr(c_name, 1, (c_custkey % (length(c_name) - 2) + 1)::INT)
-                   || substr(c_name, (c_custkey % (length(c_name) - 2) + 3)::INT) AS d_name,
+                 CASE WHEN c_custkey % 3 = 0 THEN
+                   substr(c_name, 1, (c_custkey % (length(c_name) - 2) + 1)::INT)
+                     || substr(c_name, (c_custkey % (length(c_name) - 2) + 3)::INT)
+                 WHEN c_custkey % 3 = 1 THEN
+                   substr(c_name, 1, (c_custkey % (length(c_name) - 2) + 1)::INT)
+                     || (CASE WHEN chr((97 + c_custkey % 25)::INT) = substr(c_name, (c_custkey % (length(c_name) - 2) + 2)::INT, 1)
+                              THEN 'z' ELSE chr((97 + c_custkey % 25)::INT) END)
+                     || substr(c_name, (c_custkey % (length(c_name) - 2) + 3)::INT)
+                 ELSE
+                   substr(c_name, 1, (c_custkey % (length(c_name) - 2) + 1)::INT)
+                     || chr((97 + c_custkey % 26)::INT)
+                     || substr(c_name, (c_custkey % (length(c_name) - 2) + 2)::INT)
+                 END AS d_name,
                  c_nationkey AS d_nationkey
           FROM clean),
-        variants AS (
+        cv AS (
           SELECT c_custkey, c_name, c_nationkey,
-                 unnest(list_transform(generate_series(1, length(c_name)),
-                        p -> substr(c_name, 1, p - 1) || substr(c_name, p + 1))) AS variant
-          FROM clean),
+                 n['v'] AS v, n['dep']::INT AS dep_c, n['pos']::INT AS pos_c
+          FROM (SELECT c_custkey, c_name, c_nationkey,
+                       unnest(list_concat(
+                         [{'v': c_name, 'dep': 0, 'pos': -1}],
+                         list_transform(generate_series(1, length(c_name)),
+                           p -> {'v': substr(c_name, 1, p - 1) || substr(c_name, p + 1),
+                                 'dep': 1, 'pos': p}))) AS n
+                FROM clean)),
+        dv AS (
+          SELECT d_id, d_name, d_nationkey,
+                 n['v'] AS dv, n['dep']::INT AS dep_d, n['pos']::INT AS pos_d
+          FROM (SELECT d_id, d_name, d_nationkey,
+                       unnest(list_concat(
+                         [{'v': d_name, 'dep': 0, 'pos': -1}],
+                         list_transform(generate_series(1, length(d_name)),
+                           p -> {'v': substr(d_name, 1, p - 1) || substr(d_name, p + 1),
+                                 'dep': 1, 'pos': p}))) AS n
+                FROM dirty)),
         links AS (
-          SELECT DISTINCT v.c_custkey, d.d_id, v.c_name, d.d_name, d.d_nationkey
-          FROM variants v JOIN dirty d
-            ON v.c_nationkey = d.d_nationkey AND v.variant = d.d_name
-          WHERE levenshtein(v.c_name, d.d_name) = 1),
+          SELECT DISTINCT c.c_custkey, d.d_id, c.c_name, d.d_name, d.d_nationkey
+          FROM cv c JOIN dv d
+            ON c.c_nationkey = d.d_nationkey AND c.v = d.dv
+           AND (c.dep_c + d.dep_d < 2 OR c.pos_c = d.pos_d)
+          WHERE levenshtein(c.c_name, d.d_name) = 1),
         by_nation AS (
           SELECT d_nationkey, count(DISTINCT d_id)::BIGINT AS n_linked
           FROM links GROUP BY d_nationkey),
