@@ -19,11 +19,21 @@ package graft.operators
   * should hold API credentials or block on a remote model.
   */
 final case class HttpAnswerer(endpoint: String, apiKey: String, model: String,
-                              timeoutMs: Long = 60000L) {
+                              timeoutMs: Long = 120000L,
+                              temperature: Double = 0.1,
+                              maxTokens: Int = 2048,
+                              systemPrompt: Option[String] = None) {
 
   def generate(prompt: String): String = {
+    // the reference's exact payload shape (`src/qa_system.py:77-86`):
+    // optional system message first, temperature 0.1, max_tokens 2048,
+    // stream false, 120 s timeout
+    val messages = (systemPrompt.map(s =>
+        s"""{"role":"system","content":${HttpAnswerer.jstr(s)}}""").toSeq :+
+      s"""{"role":"user","content":${HttpAnswerer.jstr(prompt)}}""").mkString(",")
     val body =
-      s"""{"model":${HttpAnswerer.jstr(model)},"messages":[{"role":"user","content":${HttpAnswerer.jstr(prompt)}}]}"""
+      s"""{"model":${HttpAnswerer.jstr(model)},"messages":[$messages],""" +
+        s""""temperature":$temperature,"max_tokens":$maxTokens,"stream":false}"""
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))

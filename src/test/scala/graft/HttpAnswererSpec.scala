@@ -60,6 +60,30 @@ class HttpAnswererSpec extends AnyFunSuite {
     assert(viaSeam.contains("503"))
   }
 
+  test("payload shape matches the reference: sampling params, stream off, 120 s timeout") {
+    // the reference's httpx call (qa_system.py:77-98) pins
+    // temperature 0.1, max_tokens 2048, stream false, a leading
+    // system message, and a 120 s client timeout — the knobs a
+    // drop-in replacement must reproduce for comparable answers
+    val canned = """{"choices":[{"message":{"content":"ok"}}]}"""
+    val seen = withServer(200, canned) { url =>
+      val gen = HttpAnswerer(url, "k", "test-model",
+        systemPrompt = Some("you are a helpful assistant"))
+      assert(gen.timeoutMs == 120000L, "default timeout must be the reference's 120 s")
+      assert(gen.generate("the question") == "ok")
+    }
+    val body = seen.head._2
+    assert(body.contains("\"temperature\":0.1"), body)
+    assert(body.contains("\"max_tokens\":2048"), body)
+    assert(body.contains("\"stream\":false"), body)
+    // system message precedes the user message, chat-completions style
+    val sysAt = body.indexOf("\"role\":\"system\"")
+    val userAt = body.indexOf("\"role\":\"user\"")
+    assert(sysAt >= 0 && userAt > sysAt, body)
+    assert(body.contains("\"content\":\"you are a helpful assistant\""), body)
+    assert(body.contains("\"content\":\"the question\""), body)
+  }
+
   test("missing content field is an error, not an empty answer") {
     withServer(200, """{"choices":[]}""") { url =>
       intercept[RuntimeException](HttpAnswerer(url, "k", "m").generate("hi"))
