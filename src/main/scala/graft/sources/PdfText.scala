@@ -819,10 +819,21 @@ object PdfText {
     }.getOrElse(Latin1Decoder)
   }
 
+  /** A page font as the interpreter sees it: the string decoder plus
+    * its writing mode. Vertical when /Encoding names a `*-V` predefined
+    * CMap (UniGB-UCS2-V, Identity-V, ...) — the glyph advance runs down
+    * the page, so layout must re-flow the block's shows into columns.
+    */
+  private final case class PageFont(decode: Decoder, vertical: Boolean)
+
+  private def fontIsVertical(dict: String): Boolean =
+    raw"/Encoding\s*/([\w-]+)".r.findFirstMatchIn(dict)
+      .exists(_.group(1).endsWith("-V"))
+
   /** Resolve a page's /Resources /Font dictionary (inline or indirect,
     * falling back to any /Pages ancestor) to per-name decoders.
     */
-  private def pageFontDecoders(objs: Map[Int, PdfObj], page: Int): Map[String, Decoder] = {
+  private def pageFontDecoders(objs: Map[Int, PdfObj], page: Int): Map[String, PageFont] = {
     def fontDict(dict: String): Option[String] =
       raw"(?s)/Font\s*<<(.*?)>>".r.findFirstMatchIn(dict).map(_.group(1))
         .orElse(raw"/Font\s+(\d+)\s+\d+\s+R".r.findFirstMatchIn(dict)
@@ -835,7 +846,10 @@ object PdfText {
       .orElse(objs.values.find(_.dict.contains("/Kids")).flatMap(o => resources(o.dict)))
     dict.toSeq.flatMap { d =>
       raw"/(\w+)\s+(\d+)\s+\d+\s+R".r.findAllMatchIn(d).map { m =>
-        m.group(1) -> fontDecoder(objs, m.group(2).toInt)
+        val fontObj = m.group(2).toInt
+        m.group(1) -> PageFont(
+          fontDecoder(objs, fontObj),
+          objs.get(fontObj).exists(o => fontIsVertical(o.dict)))
       }
     }.toMap
   }
@@ -939,26 +953,32 @@ object PdfText {
 
   // --------------------------------------------- text-state interpreter
 
-  /** One text-show: baseline y (PDF space) + font size + the shown text. */
-  private final case class Show(y: Double, size: Double, text: String)
+  /** One text-show: baseline position (PDF space) + font size + the
+    * shown text + whether the active font writes vertically (a
+    * predefined `*-V` CMap — columns, not rows).
+    */
+  private final case class Show(x: Double, y: Double, size: Double,
+                                text: String, vertical: Boolean)
 
   /** Interpret a page's content stream: BT..ET sections become blocks of
-    * shows. Only the vertical text state matters for layout
-    * segmentation: Td, TD, Tm, T-star and TL move the baseline; Tj, TJ,
-    * quote and double-quote show text. `Tf` additionally switches the
-    * active font's string decoder (Latin-1 for simple fonts, 2-byte
-    * ToUnicode for Type0/CID) — strings decode at show time, so a block
-    * can mix fonts span by span exactly as CJK course PDFs do.
+    * shows. Td, TD, Tm, T-star and TL move the baseline (both
+    * coordinates are kept: y segments horizontal layout into lines, x
+    * re-flows vertical-writing blocks into columns); Tj, TJ, quote and
+    * double-quote show text. `Tf` additionally switches the active
+    * font's string decoder (Latin-1 for simple fonts, 2-byte ToUnicode
+    * for Type0/CID) — strings decode at show time, so a block can mix
+    * fonts span by span exactly as CJK course PDFs do.
     */
   private def interpret(content: String,
-                        fonts: Map[String, Decoder] = Map.empty): Seq[Seq[Show]] = {
+                        fonts: Map[String, PageFont] = Map.empty): Seq[Seq[Show]] = {
     val blocks = scala.collection.mutable.ArrayBuffer.empty[Seq[Show]]
     var cur: scala.collection.mutable.ArrayBuffer[Show] = null
     val stack = scala.collection.mutable.ArrayBuffer.empty[Tok] // operand stack
-    var y = 0.0; var size = 12.0; var leading = 0.0
+    var x = 0.0; var y = 0.0; var size = 12.0; var leading = 0.0
     var inText = false; var inlineImage = false
     var lastName = "" // most recent /Name operand (Tf's font selector)
     var decoder: Decoder = Latin1Decoder
+    var vertical = false
     def num(k: Int): Double = { // k-th operand from the top (0 = top)
       val nums = stack.reverseIterator.collect { case TNum(v) => v }.toSeq
       if (nums.length > k) nums(k) else 0.0
@@ -968,26 +988,27 @@ object PdfText {
     // span — joining them with spaces would corrupt words
     def show(): Unit = if (inText && cur != null) {
       val t = shows().mkString("")
-      if (t.nonEmpty) cur += Show(y, size, t)
+      if (t.nonEmpty) cur += Show(x, y, size, t, vertical)
     }
     tokenize(content).foreach {
       case TOp("BI") => inlineImage = true; stack.clear()
       case TOp("EI") => inlineImage = false; stack.clear()
       case _ if inlineImage => ()
       case TOp("BT") =>
-        inText = true; y = 0.0; leading = 0.0
+        inText = true; x = 0.0; y = 0.0; leading = 0.0
         cur = scala.collection.mutable.ArrayBuffer.empty[Show]; stack.clear()
       case TOp("ET") =>
         if (cur != null && cur.nonEmpty) blocks += cur.toSeq
         cur = null; inText = false; stack.clear()
       case TOp("Tf") =>
         size = num(0)
-        decoder = fonts.getOrElse(lastName, Latin1Decoder)
+        val f = fonts.getOrElse(lastName, PageFont(Latin1Decoder, vertical = false))
+        decoder = f.decode; vertical = f.vertical
         stack.clear()
       case TOp("TL") => leading = num(0); stack.clear()
-      case TOp("Td") => y += num(0); stack.clear() // operands tx ty → ty on top
-      case TOp("TD") => leading = -num(0); y += num(0); stack.clear()
-      case TOp("Tm") => y = num(0); stack.clear() // a b c d e f → f on top
+      case TOp("Td") => x += num(1); y += num(0); stack.clear() // operands tx ty → ty on top
+      case TOp("TD") => leading = -num(0); x += num(1); y += num(0); stack.clear()
+      case TOp("Tm") => x = num(1); y = num(0); stack.clear() // a b c d e f → f on top
       case TOp("T*") => y -= leading; stack.clear()
       case TOp("Tj") => show(); stack.clear()
       case TOp("TJ") => show(); stack.clear() // array strings in reading order
@@ -1017,21 +1038,53 @@ object PdfText {
       val h = pageHeight(objs, p)
       interpret(pageContent(objs, p), pageFontDecoders(objs, p))
         .zipWithIndex.flatMap { case (blockShows, blockId) =>
-        // group same-baseline shows into lines (spans join with " " —
-        // the reference's span-concatenation quirk, pdf_extractor.py:92-94)
-        val lines = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, StringBuilder)]
-        blockShows.foreach { sh =>
-          lines.lastOption match {
-            case Some((ly, _, sb)) if math.abs(ly - sh.y) < 0.5 =>
-              sb.append(" ").append(sh.text)
-            case _ =>
-              lines += ((sh.y, sh.size, new StringBuilder(sh.text)))
+        if (blockShows.nonEmpty && blockShows.forall(_.vertical)) {
+          // vertical-writing block (`*-V` CMap): shows advance DOWN the
+          // page in columns read right-to-left. Re-flow by position —
+          // group shows into columns by x, order columns by descending
+          // x (rightmost first) and glyph runs within a column by
+          // descending y (top first, PDF y points up) — so the emitted
+          // "lines" are the columns in reading order regardless of the
+          // order the writer painted them. Runs in one column
+          // concatenate without separators (CJK has no inter-glyph
+          // spaces; the " " span-join quirk below is a horizontal-text
+          // behavior).
+          val cols = scala.collection.mutable.ArrayBuffer
+            .empty[(Double, scala.collection.mutable.ArrayBuffer[Show])]
+          blockShows.foreach { sh =>
+            cols.find { case (cx, _) => math.abs(cx - sh.x) < 0.5 } match {
+              case Some((_, buf)) => buf += sh
+              case None =>
+                cols += ((sh.x, scala.collection.mutable.ArrayBuffer(sh)))
+            }
           }
+          val ordered = cols.sortBy { case (cx, _) => -cx }.map { case (_, buf) =>
+            val runs = buf.sortBy(s => -s.y)
+            (runs.head.y, runs.last.y, runs.head.size,
+              runs.map(_.text).mkString(""))
+          }
+          val blockY0 = ordered.headOption
+            .map { case (top, _, sz, _) => (h - top) - Ascent * sz }.getOrElse(0.0)
+          ordered.map { case (_, bottom, sz, text) =>
+            Line(text, blockY0, (h - bottom) + Descent * sz, blockType = 0, blockId = blockId)
+          }.toSeq
+        } else {
+          // group same-baseline shows into lines (spans join with " " —
+          // the reference's span-concatenation quirk, pdf_extractor.py:92-94)
+          val lines = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, StringBuilder)]
+          blockShows.foreach { sh =>
+            lines.lastOption match {
+              case Some((ly, _, sb)) if math.abs(ly - sh.y) < 0.5 =>
+                sb.append(" ").append(sh.text)
+              case _ =>
+                lines += ((sh.y, sh.size, new StringBuilder(sh.text)))
+            }
+          }
+          val blockY0 = lines.headOption.map { case (ly, sz, _) => (h - ly) - Ascent * sz }.getOrElse(0.0)
+          lines.map { case (ly, sz, sb) =>
+            Line(sb.toString, blockY0, (h - ly) + Descent * sz, blockType = 0, blockId = blockId)
+          }.toSeq
         }
-        val blockY0 = lines.headOption.map { case (ly, sz, _) => (h - ly) - Ascent * sz }.getOrElse(0.0)
-        lines.map { case (ly, sz, sb) =>
-          Line(sb.toString, blockY0, (h - ly) + Descent * sz, blockType = 0, blockId = blockId)
-        }.toSeq
       }
     }
   }
@@ -1667,6 +1720,54 @@ private[graft] object PdfFixtures {
     }
     obj(5)(w("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
       "/Encoding /UniGB-UCS2-H /DescendantFonts [6 0 R] >>\n"))
+    obj(6)(w("<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) /Supplement 2 >> >>\n"))
+    val xref = bos.size()
+    w("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  // --------------------- vertical-writing fixture (predefined -V CMap)
+
+  /** Reading order for [[buildVerticalCMapPdf]]: columns right-to-left,
+    * glyphs top-to-bottom — "vertical text" then "right to left".
+    */
+  val verticalLines: Seq[String] = Seq("竖排文字", "从右到左")
+
+  /** One-page Type0 document on the PREDEFINED UniGB-UCS2-V CMap —
+    * vertical writing mode. The content stream paints the glyphs
+    * DELIBERATELY out of reading order (left column first; the right
+    * column bottom-up via per-glyph Tm), so only a layout that re-flows
+    * by position — columns right-to-left, runs top-to-bottom — emits
+    * [[verticalLines]]; stream-order concatenation scrambles it.
+    */
+  def buildVerticalCMapPdf(): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    def hex(c: Char) = f"<${c.toInt}%04X>"
+    val Seq(right, left) = verticalLines
+    val paints = // (x, y, glyph) in scrambled paint order
+      left.zipWithIndex.map { case (c, i) => (480, 720 - 14 * i, c) } ++
+        right.zipWithIndex.map { case (c, i) => (500, 720 - 14 * i, c) }.reverse
+    val content = "BT /F1 12 Tf\n" + paints.map { case (px, py, c) =>
+      s"1 0 0 1 $px $py Tm ${hex(c)} Tj\n"
+    }.mkString + "ET\n"
+    w("%PDF-1.4\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\n"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>\n"))
+    obj(4) {
+      w(s"<< /Length ${content.length} >>\nstream\n"); w(content); w("\nendstream\n")
+    }
+    obj(5)(w("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+      "/Encoding /UniGB-UCS2-V /DescendantFonts [6 0 R] >>\n"))
     obj(6)(w("<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light " +
       "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) /Supplement 2 >> >>\n"))
     val xref = bos.size()

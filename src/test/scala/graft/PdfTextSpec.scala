@@ -65,6 +65,17 @@ class PdfTextSpec extends SparkSpec {
     }
   }
 
+  test("vertical -V CMap: columns re-flow right-to-left, glyphs top-to-bottom") {
+    // the fixture paints the left column first and the right column
+    // bottom-up, so stream order is scrambled — only positional
+    // re-flow recovers the reading order
+    val bytes = PdfFixtures.buildVerticalCMapPdf()
+    assert(PdfText.pageCount(bytes) == 1)
+    val lines = PdfText.extractPageLines(bytes).head.map(_.text)
+    assert(lines == PdfFixtures.verticalLines,
+      s"vertical reading order wrong: $lines")
+  }
+
   test("ObjStm: dicts packed in a compressed object stream still parse") {
     val bytes = PdfFixtures.buildObjStmPdf()
     assert(PdfText.pageCount(bytes) == 1)
