@@ -42,6 +42,7 @@ object Dedup {
   private val Rows = 4 // NumHashes / Bands
   private val JaccardThreshold = 0.5
   private val MaxShingleDf = 50
+  private val ContainmentThreshold = 0.8
   private[graft] val CosineThreshold = 0.35
   // 60-bit simhash, 4 bands × 15 bits: detection guaranteed for
   // hamming ≤ 3 (pigeonhole over 4 bands), overwhelmingly likely up to
@@ -373,6 +374,68 @@ object Dedup {
                  inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE AS jaccard
           FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
         WHERE jaccard >= $JaccardThreshold""")),
+
+    // ----------------------------- shingle containment (doc-in-doc)
+    // Jaccard is symmetric, so a short document wholly quoted inside a
+    // long one scores LOW (|A∩B|/|A∪B| shrinks with the size gap) and
+    // near-dup mining misses it — yet quoted/boilerplate containment
+    // is exactly what training-data curation must catch. Containment
+    // C = |A∩B| / min(|A|,|B|) is the directional fix (the
+    // spandup/quotation detector from the same inverted index): reuse
+    // the df-capped posting join, divide by the SMALLER set, and
+    // orient each pair as (contained, container). Same 100 TB shape
+    // as dd_ngram_jaccard — cost bounded by Σ C(df,2) under the df
+    // cap, no per-pair scans.
+    QueryDef(
+      "dd_containment",
+      (spark, dir) => {
+        val post = shingleHashes(spark, dir)
+          .selectExpr("doc_id", "explode(hs) AS h")
+          .localCheckpoint(true)
+        val lowDf = post.groupBy("h").agg(expr("count(*) AS df"))
+          .where(s"df <= $MaxShingleDf").select("h")
+        val kept = post.join(lowDf, "h").select("doc_id", "h")
+          .localCheckpoint(true)
+        val sizes = kept.groupBy("doc_id").agg(expr("count(*) AS sz"))
+        val inter = kept.select(col("doc_id").as("doc_a"), col("h"))
+          .join(kept.select(col("doc_id").as("doc_b"), col("h").as("h_r")),
+            col("h") === col("h_r") && col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(expr("count(*) AS inter"))
+        inter
+          .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))), "doc_a")
+          .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))), "doc_b")
+          .selectExpr("doc_a", "doc_b", "sz_a", "sz_b", "inter",
+            "cast(inter AS double) / cast(least(sz_a, sz_b) AS double) AS cont")
+          .where(s"cont >= $ContainmentThreshold")
+          .selectExpr(
+            "CASE WHEN sz_a < sz_b OR (sz_a = sz_b AND doc_a < doc_b) THEN doc_a ELSE doc_b END AS doc_small",
+            "CASE WHEN sz_a < sz_b OR (sz_a = sz_b AND doc_a < doc_b) THEN doc_b ELSE doc_a END AS doc_big",
+            "cast(least(sz_a, sz_b) AS bigint) AS sz_small",
+            "cast(greatest(sz_a, sz_b) AS bigint) AS sz_big",
+            "round(cont, 6) AS containment")
+      },
+      Some(s"""
+        WITH sh AS ($shingleHashesSql),
+        post AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        kept AS (
+          SELECT p.doc_id, p.h FROM post p
+          JOIN (SELECT h FROM post GROUP BY h HAVING count(*) <= $MaxShingleDf) d USING (h)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT doc_a, doc_b, sa.sz AS sz_a, sb.sz AS sz_b, inter,
+                 inter::DOUBLE / least(sa.sz, sb.sz)::DOUBLE AS cont
+          FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
+        SELECT CASE WHEN sz_a < sz_b OR (sz_a = sz_b AND doc_a < doc_b) THEN doc_a ELSE doc_b END AS doc_small,
+               CASE WHEN sz_a < sz_b OR (sz_a = sz_b AND doc_a < doc_b) THEN doc_b ELSE doc_a END AS doc_big,
+               least(sz_a, sz_b)::BIGINT AS sz_small,
+               greatest(sz_a, sz_b)::BIGINT AS sz_big,
+               round(cont, 6) AS containment
+        FROM scored
+        WHERE cont >= $ContainmentThreshold""")),
 
     // ---------------------------------- edit-distance verification
     // Character-level Levenshtein over the MinHash candidate pairs —

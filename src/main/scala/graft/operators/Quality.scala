@@ -225,7 +225,53 @@ object Quality {
         UNION ALL
         SELECT -1, sum(n_ref)::BIGINT, sum(n_cur)::BIGINT, 1000000, 1000000,
                (sum(diff_ppm) // 2)::BIGINT
-        FROM per"""))
+        FROM per""")),
+
+    // ------------------------- k-anonymity audit (privacy readiness)
+    // Before a table ships as training data, the release gate every
+    // privacy review runs: bucket each record by its quasi-identifier
+    // tuple (here nation × market segment × coarse balance band — the
+    // attributes an adversary could link externally) and flag every
+    // equivalence class smaller than k=5, whose members are
+    // re-identifiable. Output: one row per QI class with its size and
+    // k-anonymous flag, plus a '-1 summary' row counting risky classes
+    // and the records needing suppression/generalization. Scale shape:
+    // one hash aggregate on the QI tuple (map-side partial combine),
+    // then a broadcast-sized class table folds into the summary —
+    // never a self-join, never a window.
+    QueryDef(
+      "dq_kanon",
+      (spark, dir) => {
+        val k = 5L
+        val classes = Tables.customer(spark, dir)
+          .selectExpr("cast(c_nationkey AS bigint) AS nation", "c_mktsegment AS segment",
+            "cast(floor(c_acctbal / 2000) AS bigint) AS bal_band")
+          .groupBy("nation", "segment", "bal_band")
+          .agg(expr("cast(count(*) AS bigint) AS n"))
+          .selectExpr("nation", "segment", "bal_band", "n",
+            s"CASE WHEN n >= $k THEN 1L ELSE 0L END AS k_anon")
+        classes.unionByName(
+          classes.groupBy().agg(
+              expr("cast(sum(CASE WHEN k_anon = 0 THEN 1 ELSE 0 END) AS bigint) AS risky_classes"),
+              expr("cast(sum(CASE WHEN k_anon = 0 THEN n ELSE 0 END) AS bigint) AS risky_rows"))
+            .selectExpr("-1L AS nation", "'(summary)' AS segment",
+              "risky_classes AS bal_band", "risky_rows AS n", "-1L AS k_anon"))
+      },
+      Some("""
+        WITH classes AS (
+          SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+                 floor(c_acctbal / 2000)::BIGINT AS bal_band,
+                 count(*)::BIGINT AS n
+          FROM customer GROUP BY 1, 2, 3)
+        SELECT nation, segment, bal_band, n,
+               (CASE WHEN n >= 5 THEN 1 ELSE 0 END)::BIGINT AS k_anon
+        FROM classes
+        UNION ALL
+        SELECT -1, '(summary)',
+               sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT,
+               -1
+        FROM classes"""))
   )
 
   /** Per-event-type robust stats (median + MAD) for the outlier rule —

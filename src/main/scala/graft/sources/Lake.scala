@@ -277,6 +277,36 @@ object Lake {
     v
   }
 
+  /** Vacuum: physically drop history beyond the `keep` most recent
+    * versions — their markers AND data directories — plus any orphan
+    * data directory no marker references (the debris of crashed or
+    * race-losing commits). Time travel to a vacuumed version fails
+    * like an uncommitted one; the retained tail is untouched. Returns
+    * the removed directory names. The Delta/Iceberg retention
+    * discipline: storage is reclaimed by deleting whole version
+    * directories, never by touching live data files.
+    */
+  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[String] = {
+    require(keep >= 1, "must retain at least the current version")
+    val ms = markers(spark, root, "_versions")
+    val (drop, retain) = ms.splitAt(math.max(0, ms.length - keep))
+    val rootP = new Path(root)
+    val fs = fsFor(spark, rootP)
+    val retainedDirs = (retain.map(_._2) ++ deltaSeqs(spark, root).map(_._2)).toSet
+    // expired markers first: a reader landing mid-vacuum sees either a
+    // complete version or none, never a marker pointing at deleted data
+    drop.foreach { case (n, _) =>
+      fs.delete(new Path(new Path(root, "_versions"), n.toString), false)
+    }
+    val removed = fs.listStatus(rootP).toSeq
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("v=") || st.getPath.getName.startsWith("d=")) &&
+        !retainedDirs.contains(st.getPath.getName))
+      .map(_.getPath)
+    removed.foreach(p => fs.delete(p, true))
+    removed.map(_.getName)
+  }
+
   /** Evolved snapshot read: version `v`'s rows presented under the
     * LATEST version's schema — columns added since `v` read as null
     * (the additive half of schema evolution; renames/drops need a
@@ -539,6 +569,94 @@ object Lake {
         FROM base
         UNION ALL
         SELECT 1::BIGINT, tier, count(*)::BIGINT, sum(c_custkey)::BIGINT
-        FROM v1 GROUP BY tier"""))
+        FROM v1 GROUP BY tier""")),
+
+    // ------------------------------- vacuum (physical history drop)
+    // v0 base, v1 MERGE upsert, v2 COW delete — then vacuum(keep=1)
+    // drops v0/v1's markers and data. The emitted rows are the FULL
+    // surviving snapshot read back AFTER the vacuum plus one
+    // accounting row of what remains on disk (1 retained version, 0
+    // stale data directories) — so the gate checks both that history
+    // physically went away and that the retained tail is untouched.
+    QueryDef(
+      "s18_vacuum",
+      (spark, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_lake").toString
+        val root = s"$work/customer"
+        commitVersion(spark, Tables.customer(spark, dir), root)
+        upsert(spark, updatesFixture(spark, dir), root, "c_custkey")
+        deleteWhere(spark, root, "c_acctbal < 0")
+        vacuum(spark, root, keep = 1)
+        val fs = fsFor(spark, new Path(root))
+        val dataDirs = fs.listStatus(new Path(root)).toSeq
+          .count(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        val stale = dataDirs - versions(spark, root).length
+        readVersion(spark, root)
+          .selectExpr("'row' AS kind", "c_custkey", "c_name",
+            "cast(c_nationkey AS int) AS c_nationkey",
+            "cast(round(c_acctbal * 1000000, 0) AS bigint) AS bal_micros", "c_mktsegment")
+          .unionByName(
+            spark.range(1).selectExpr("'meta' AS kind",
+              s"${versions(spark, root).length}L AS c_custkey",
+              "'retained_versions' AS c_name", "cast(-1 AS int) AS c_nationkey",
+              s"${stale}L AS bal_micros", "'stale_data_dirs' AS c_mktsegment"))
+      },
+      Some(s"""
+        WITH $mergedOracle,
+        survivors AS (SELECT * FROM merged WHERE NOT (c_acctbal < 0))
+        SELECT 'row' AS kind, c_custkey, c_name, c_nationkey::INT AS c_nationkey,
+               CAST(round(c_acctbal * 1000000, 0) AS BIGINT) AS bal_micros,
+               c_mktsegment
+        FROM survivors
+        UNION ALL
+        SELECT 'meta', 1, 'retained_versions', -1, 0, 'stale_data_dirs'""")),
+
+    // ------------------- incremental view maintenance (delta algebra)
+    // A per-segment accounting view (count + balance sum) maintained
+    // INCREMENTALLY under a MOR delta append: the maintenance job
+    // reads ONLY the delta — joined against the base solely on the
+    // delta's own keys (broadcast-sized) to fetch displaced old rows —
+    // and merges per-segment diffs into the stored view: updates
+    // subtract their old (segment, balance) contribution and add the
+    // new one, inserts just add. O(|delta|) work per refresh instead
+    // of an O(table) rescan — the view-maintenance shape that keeps a
+    // 100 TB rollup fresh. The oracle recomputes the view from the
+    // fully resolved table, so the gate hash-checks that the delta
+    // algebra reproduces the ground truth exactly (integer micros).
+    QueryDef(
+      "s19_incremental_agg",
+      (spark, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_lake").toString
+        val root = s"$work/customer"
+        commitVersion(spark, Tables.customer(spark, dir), root)
+        val view0 = readVersion(spark, root)
+          .groupBy("c_mktsegment")
+          .agg(expr("cast(count(*) AS bigint) AS n_rows"),
+            expr("cast(sum(cast(round(c_acctbal * 1000000, 0) AS bigint)) AS bigint) AS bal_micros"))
+        val delta = updatesFixture(spark, dir)
+        appendDelta(spark, delta, root, "c_custkey")
+        // displaced old rows: base join restricted to the delta's keys
+        val olds = readVersion(spark, root, Some(0))
+          .join(broadcast(delta.select("c_custkey")), Seq("c_custkey"))
+        val diffs = delta
+          .selectExpr("c_mktsegment", "1L AS dn",
+            "cast(round(c_acctbal * 1000000, 0) AS bigint) AS db")
+          .unionByName(olds.selectExpr("c_mktsegment", "-1L AS dn",
+            "-cast(round(c_acctbal * 1000000, 0) AS bigint) AS db"))
+          .groupBy("c_mktsegment")
+          .agg(expr("cast(sum(dn) AS bigint) AS dn"),
+            expr("cast(sum(db) AS bigint) AS db"))
+        view0.join(diffs, Seq("c_mktsegment"), "full_outer")
+          .selectExpr("c_mktsegment",
+            "coalesce(n_rows, 0L) + coalesce(dn, 0L) AS n_rows",
+            "coalesce(bal_micros, 0L) + coalesce(db, 0L) AS bal_micros")
+          .where("n_rows > 0")
+      },
+      Some(s"""
+        WITH $mergedOracle
+        SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+               sum(CAST(round(c_acctbal * 1000000, 0) AS BIGINT))::BIGINT AS bal_micros
+        FROM merged
+        GROUP BY c_mktsegment"""))
   )
 }

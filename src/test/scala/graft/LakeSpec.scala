@@ -162,6 +162,26 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("vacuum drops expired versions and orphans; the retained tail survives") {
+    val root = freshRoot()
+    Lake.commitVersion(spark, Seq((1L, 10L)).toDF("k", "x"), root)
+    Lake.commitVersion(spark, Seq((1L, 11L)).toDF("k", "x"), root)
+    Lake.commitVersion(spark, Seq((1L, 12L)).toDF("k", "x"), root)
+    // orphan data dir from a crashed/race-losing commit
+    Seq((9L, 99L)).toDF("k", "x").write.mode("overwrite").parquet(s"$root/v=7-deadbeef")
+    val removed = Lake.vacuum(spark, root, keep = 1)
+    assert(removed.size == 3, s"expected 2 expired + 1 orphan, got $removed")
+    assert(Lake.versions(spark, root) == Seq(2))
+    assert(Lake.readVersion(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 12L)))
+    // time travel to a vacuumed version now fails like an uncommitted one
+    intercept[IllegalArgumentException] { Lake.readVersion(spark, root, Some(0)) }
+    // only the retained data directory remains on disk
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("v=")).toSeq
+    assert(dirs.size == 1, s"stale data dirs survived: $dirs")
+  }
+
   test("readVersion rejects uncommitted version numbers") {
     val root = freshRoot()
     Lake.commitVersion(spark, Seq((1L, "a")).toDF("k", "v"), root)
