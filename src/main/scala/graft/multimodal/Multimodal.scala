@@ -409,27 +409,69 @@ object Multimodal {
       "mm_ahash_neardup",
       (spark, dir) => {
         graft.plans.VectorExprs.register(spark)
+        // Skew discipline (the r10 sf3 profile): text/image-derived
+        // perceptual hashes are STRUCTURED, so a few 16-bit band
+        // values hold a constant FRACTION of the corpus and the naive
+        // bucket join went superlinear (202M candidates for 1.06M
+        // true pairs at sf3 = 190× waste, 12× wall for 3× rows). Two
+        // fixes, both exactness-preserving:
+        //   1. verify INLINE at the band join — each band row carries
+        //      its full 64-bit code, so the Hamming filter runs in the
+        //      join's codegen and only VERIFIED pairs reach the
+        //      distinct (the old shape shuffled every duplicate
+        //      candidate through a corpus-pair-sized distinct and two
+        //      code joins);
+        //   2. hierarchical refinement — buckets larger than [[AhashHotCap]]
+        //      re-band their members' REMAINING 48 bits into 4×12-bit
+        //      sub-bands: a Hamming ≤ 3 pair agreeing on the hot band
+        //      has ≤ 3 differing bits among those 48, so by the same
+        //      pigeonhole it agrees on a whole sub-band — candidates
+        //      in hot buckets shrink by the sub-band split (3.6× at
+        //      sf3), with only the genuinely-identical-prefix groups
+        //      (whose pairs are real output) left quadratic.
         val codes = ahashCodes(spark, dir)
-          // the code table is consumed by four band projections and
-          // both sides of the bucket join — fence the row-local scan
-          .localCheckpoint(true)
-        val bands = codes.selectExpr("doc_id",
+        val bands = codes.selectExpr("doc_id", "ahash_lo AS lo", "ahash_hi AS hi",
           """explode(array(
                named_struct('band', 0, 'v', ahash_lo % 65536),
                named_struct('band', 1, 'v', ahash_lo div 65536),
                named_struct('band', 2, 'v', ahash_hi % 65536),
                named_struct('band', 3, 'v', ahash_hi div 65536))) AS b""")
-          .selectExpr("doc_id", "b.band AS band", "b.v AS v")
-        val cand = bands.as("x").join(bands.as("y"),
-            expr("x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id"))
-          .selectExpr("x.doc_id AS doc_a", "y.doc_id AS doc_b")
-          .distinct()
-        cand
-          .join(codes.selectExpr("doc_id AS doc_a", "ahash_lo AS la", "ahash_hi AS ha"), "doc_a")
-          .join(codes.selectExpr("doc_id AS doc_b", "ahash_lo AS lb", "ahash_hi AS hb"), "doc_b")
+          .selectExpr("doc_id", "lo", "hi", "b.band AS band", "b.v AS v",
+            // the other three bands' values packed into one 48-bit key,
+            // the refinement domain for hot buckets
+            """CASE b.band
+                 WHEN 0 THEN (lo div 65536) + (hi % 65536) * 65536L + (hi div 65536) * 4294967296L
+                 WHEN 1 THEN (lo % 65536) + (hi % 65536) * 65536L + (hi div 65536) * 4294967296L
+                 WHEN 2 THEN (lo % 65536) + (lo div 65536) * 65536L + (hi div 65536) * 4294967296L
+                 ELSE (lo % 65536) + (lo div 65536) * 65536L + (hi % 65536) * 4294967296L
+               END AS rest""")
+          // feeds the bucket-size counter and both sides of both joins
+          .localCheckpoint(true)
+        val sizes = bands.groupBy("band", "v")
+          .agg(expr("count(*) AS bc"))
+        def verified(cand: DataFrame) = cand
           .selectExpr("doc_a", "doc_b",
             "cast(bit_count(la ^ lb) + bit_count(ha ^ hb) AS bigint) AS hamming")
           .where("hamming <= 3")
+        val cold = bands.join(sizes.where(s"bc <= $AhashHotCap"), Seq("band", "v"))
+          .select("doc_id", "lo", "hi", "band", "v")
+        val coldPairs = verified(
+          cold.selectExpr("doc_id AS doc_a", "lo AS la", "hi AS ha", "band", "v")
+            .join(cold.selectExpr("doc_id AS doc_b", "lo AS lb", "hi AS hb", "band", "v"),
+              Seq("band", "v"))
+            .where("doc_a < doc_b"))
+        val hot = bands.join(sizes.where(s"bc > $AhashHotCap"), Seq("band", "v"))
+          .selectExpr("doc_id", "lo", "hi", "band", "v",
+            "explode(sequence(0, 3, 1)) AS sb", "rest")
+          .selectExpr("doc_id", "lo", "hi", "band", "v", "sb",
+            "(rest div shiftleft(1L, sb * 12)) % 4096 AS sv")
+        val hotPairs = verified(
+          hot.selectExpr("doc_id AS doc_a", "lo AS la", "hi AS ha", "band", "v", "sb", "sv")
+            .join(hot.selectExpr("doc_id AS doc_b", "lo AS lb", "hi AS hb", "band", "v", "sb", "sv"),
+              Seq("band", "v", "sb", "sv"))
+            .where("doc_a < doc_b"))
+        coldPairs.unionByName(hotPairs)
+          .distinct() // a pair can collide in several (sub-)bands
       },
       Some("""
         WITH img AS (
@@ -477,4 +519,9 @@ object Multimodal {
 
   /** mm_scenecut: per-mille mean-energy jump that counts as a cut. */
   private val CutThreshold = 2500L
+
+  /** mm_ahash_neardup: band-bucket size above which candidates refine
+    * through the 48-bit sub-band split instead of pairing directly.
+    */
+  private val AhashHotCap = 256L
 }
