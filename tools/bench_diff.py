@@ -36,6 +36,12 @@ ACCEPTED = {
     # whole quadratic). ~2x at test SF, the scale-safety price; judged
     # and accepted in round 7. Clean-machine figure ~0.63 s.
     "dd_embed_simpairs": (0.9, "r7 cell blocking: bounded per-task pair space"),
+    # r10 replaced the dense-ids `hash mod n` negative draw with a
+    # hashed RANK into the actual doc-id set (r9 verdict task 6:
+    # layout-independent for sparse/shifted ids). The rank table costs
+    # one bucketed two-phase ranking pass over the id column that the
+    # old row-local draw never paid. Clean-machine figure ~0.99 s.
+    "tp_contrastive_pairs": (1.3, "r10 rank-based negatives: one ranking pass over the id column"),
 }
 
 
