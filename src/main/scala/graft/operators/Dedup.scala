@@ -437,6 +437,47 @@ object Dedup {
         FROM scored
         WHERE cont >= $ContainmentThreshold""")),
 
+    // ------------------------------ novelty scoring (first-occurrence)
+    // The incremental-ingest question dedup cannot answer: how much
+    // NEW content does each document contribute, in corpus order? A
+    // shingle's owner is its first-occurrence document (min doc_id);
+    // a document's novelty is the fraction of its distinct shingles it
+    // owns. Late exact duplicates score ~0, the first copy of
+    // boilerplate scores high while every later carrier is penalized
+    // exactly for the shared part — the greedy marginal-contribution
+    // rule streaming corpus construction applies. Scale shape: one
+    // groupBy(shingle) min + one posting join back — the inverted
+    // index again, no pair space at all (novelty is per-doc, not
+    // per-pair). Integer ppm so the division is hash-stable.
+    QueryDef(
+      "dd_novelty",
+      (spark, dir) => {
+        val post = shingleHashes(spark, dir)
+          .selectExpr("doc_id", "explode(hs) AS h")
+          .distinct() // per-doc shingle SET (hs can repeat a hash)
+          .localCheckpoint(true) // feeds owners + the join back
+        val owners = post.groupBy("h")
+          .agg(expr("min(doc_id) AS owner"))
+        post.join(owners, "h")
+          .groupBy("doc_id")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_shingles"),
+            expr("cast(sum(CASE WHEN owner = doc_id THEN 1L ELSE 0L END) AS bigint) AS n_novel"))
+          .selectExpr("doc_id", "n_shingles", "n_novel",
+            "n_novel * 1000000L div n_shingles AS novelty_ppm")
+      },
+      Some(s"""
+        WITH sh AS ($shingleHashesSql),
+        post AS (SELECT DISTINCT doc_id, h
+                 FROM (SELECT doc_id, unnest(hs) AS h FROM sh)),
+        owners AS (SELECT h, min(doc_id) AS owner FROM post GROUP BY h)
+        SELECT p.doc_id, count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN o.owner = p.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+               (sum(CASE WHEN o.owner = p.doc_id THEN 1 ELSE 0 END) * 1000000
+                  // count(*))::BIGINT AS novelty_ppm
+        FROM post p JOIN owners o USING (h)
+        GROUP BY p.doc_id""")),
+
     // ---------------------------------- edit-distance verification
     // Character-level Levenshtein over the MinHash candidate pairs —
     // the high-precision second verifier a curation pipeline runs after

@@ -142,6 +142,14 @@ object Lake {
     n
   }
 
+  /** A marker body is normally a directory name relative to the table
+    * root; a shallow clone's borrowed version stores an absolute
+    * source path instead.
+    */
+  private def resolveData(root: String, dirName: String): String =
+    if (dirName.startsWith("/") || dirName.contains(":/")) dirName
+    else s"$root/$dirName"
+
   /** Snapshot read: latest version, or the requested one. */
   def readVersion(spark: SparkSession, root: String, v: Option[Int] = None): DataFrame = {
     val ms = markers(spark, root, "_versions")
@@ -150,7 +158,7 @@ object Lake {
     val dir = ms.collectFirst { case (`pick`, d) => d }
     require(dir.isDefined,
       s"version $pick not committed (have ${ms.map(_._1).mkString(",")})")
-    spark.read.parquet(s"$root/${dir.get}")
+    spark.read.parquet(resolveData(root, dir.get))
   }
 
   /** MERGE-style upsert: rows of `updates` replace current rows with
@@ -254,7 +262,7 @@ object Lake {
   def readResolved(spark: SparkSession, root: String, key: String): DataFrame = {
     val base = readVersion(spark, root).withColumn("_seq", lit(0))
     val all = deltaSeqs(spark, root).foldLeft(base) { case (acc, (s, d)) =>
-      acc.unionByName(spark.read.parquet(s"$root/$d").withColumn("_seq", lit(s)))
+      acc.unionByName(spark.read.parquet(resolveData(root, d)).withColumn("_seq", lit(s)))
     }
     all
       .withColumn("_rn", expr(
@@ -305,6 +313,33 @@ object Lake {
       .map(_.getPath)
     removed.foreach(p => fs.delete(p, true))
     removed.map(_.getName)
+  }
+
+  /** Shallow (zero-copy) clone: create a NEW table at `dstRoot` whose
+    * single committed version points at the SOURCE's current (or
+    * requested) data directory — only one marker file is written, no
+    * data moves (the Delta CLONE / Iceberg snapshot-ref shape: a 100 TB
+    * table clones in milliseconds for dev/test forks). The clone then
+    * evolves independently — its later commits write its own data dirs
+    * under its own root; the marker stores an ABSOLUTE source path for
+    * the borrowed version. Caveat mirrored from the real systems:
+    * vacuum on the source can break clones that still reference its
+    * data (retention policy must account for clones).
+    */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+      v: Option[Int] = None): Int = {
+    val ms = markers(spark, srcRoot, "_versions")
+    require(ms.nonEmpty, s"no committed versions under $srcRoot")
+    val pick = v.getOrElse(ms.last._1)
+    val dir = ms.collectFirst { case (`pick`, d) => d }
+    require(dir.isDefined, s"version $pick not committed under $srcRoot")
+    // absolute reference into the source tree; readVersion resolves
+    // marker bodies against the table root, so qualify explicitly
+    val srcData = new Path(srcRoot, dir.get)
+    val abs = fsFor(spark, srcData).makeQualified(srcData).toString
+    require(createMarker(spark, dstRoot, "_versions", 0, abs),
+      s"$dstRoot already has a committed version 0")
+    0
   }
 
   /** Evolved snapshot read: version `v`'s rows presented under the
@@ -657,6 +692,54 @@ object Lake {
         SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
                sum(CAST(round(c_acctbal * 1000000, 0) AS BIGINT))::BIGINT AS bal_micros
         FROM merged
-        GROUP BY c_mktsegment"""))
+        GROUP BY c_mktsegment""")),
+
+    // ----------------------- shallow clone (zero-copy table forking)
+    // The dev/test-fork primitive: clone the committed customer table
+    // into a second root WITHOUT copying data (one marker file), then
+    // MERGE-upsert the CLONE. The emitted accounting proves the three
+    // clone laws at once — the clone read v0 through the borrowed
+    // reference (clone pre-state = source), the clone's upsert
+    // evolved it independently (clone post-state = merged), and the
+    // SOURCE stayed pristine (source post-state = base). A data copy
+    // would also pass this; LakeSpec pins the zero-copy part (no new
+    // data directory exists under the clone root until its own
+    // commit).
+    QueryDef(
+      "s20_clone",
+      (spark, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_lake").toString
+        val src = s"$work/customer"
+        val dst = s"$work/customer_fork"
+        commitVersion(spark, Tables.customer(spark, dir), src)
+        cloneTable(spark, src, dst)
+        upsert(spark, updatesFixture(spark, dir), dst, "c_custkey")
+        def acct(name: String, df: DataFrame) = df.groupBy()
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_rows"),
+            expr("cast(sum(cast(round(c_acctbal * 1000000, 0) AS bigint)) AS bigint) AS bal_micros_total"),
+            expr("cast(sum(CASE WHEN c_mktsegment IN ('MERGED', 'FRESH') THEN 1 ELSE 0 END) AS bigint) AS n_touched"))
+          .selectExpr(s"'$name' AS table_state", "n_rows", "bal_micros_total", "n_touched")
+        acct("clone_v0", readVersion(spark, dst, Some(0)))
+          .unionByName(acct("clone_head", readVersion(spark, dst)))
+          .unionByName(acct("source_head", readVersion(spark, src)))
+      },
+      Some(s"""
+        WITH $mergedOracle,
+        b AS (
+          SELECT count(*)::BIGINT AS n_rows,
+                 sum(CAST(round(c_acctbal * 1000000, 0) AS BIGINT))::BIGINT AS bal,
+                 sum(CASE WHEN c_mktsegment IN ('MERGED', 'FRESH') THEN 1 ELSE 0 END)::BIGINT AS t
+          FROM base),
+        m AS (
+          SELECT count(*)::BIGINT AS n_rows,
+                 sum(CAST(round(c_acctbal * 1000000, 0) AS BIGINT))::BIGINT AS bal,
+                 sum(CASE WHEN c_mktsegment IN ('MERGED', 'FRESH') THEN 1 ELSE 0 END)::BIGINT AS t
+          FROM merged)
+        SELECT 'clone_v0' AS table_state, n_rows, bal AS bal_micros_total, t AS n_touched FROM b
+        UNION ALL
+        SELECT 'clone_head', n_rows, bal, t FROM m
+        UNION ALL
+        SELECT 'source_head', n_rows, bal, t FROM b"""))
   )
 }

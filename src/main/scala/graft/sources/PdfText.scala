@@ -768,10 +768,126 @@ object PdfText {
     }
   }
 
+  // ------------------- embedded-TrueType cmap (Identity-H fallback)
+
+  /** Parse an sfnt (TrueType) font's `cmap` table into unicode → glyph
+    * id, covering the format 4 (segmented BMP) and format 12
+    * (sequential groups) subtables that carry Unicode mappings in
+    * practice. Public format: OpenType/TrueType spec §cmap. Returns
+    * empty on anything malformed — the caller degrades to no text,
+    * never garbage.
+    */
+  private[graft] def parseTrueTypeCmap(font: Array[Byte]): Map[Int, Int] = {
+    def u8(i: Int): Int = font(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long = (u16(i).toLong << 16) | u16(i + 2)
+    try {
+      val numTables = u16(4)
+      val cmapOff = (0 until numTables).iterator.map(12 + 16 * _)
+        .find(r => new String(font, r, 4, "ISO-8859-1") == "cmap")
+        .map(r => u32(r + 8).toInt)
+        .getOrElse(return Map.empty)
+      val nSub = u16(cmapOff + 2)
+      // prefer Windows-BMP (3,1) / Windows-full (3,10), else Unicode
+      // platform 0 — the records that hold Unicode code points
+      val subs = (0 until nSub).map { i =>
+        val r = cmapOff + 4 + 8 * i
+        (u16(r), u16(r + 2), cmapOff + u32(r + 4).toInt)
+      }
+      val sub = subs.find(s => s._1 == 3 && (s._2 == 1 || s._2 == 10))
+        .orElse(subs.find(_._1 == 0))
+        .map(_._3)
+        .getOrElse(return Map.empty)
+      u16(sub) match {
+        case 4 =>
+          val segCount = u16(sub + 6) / 2
+          val endAt = sub + 14
+          val startAt = endAt + segCount * 2 + 2
+          val deltaAt = startAt + segCount * 2
+          val rangeAt = deltaAt + segCount * 2
+          val out = Map.newBuilder[Int, Int]
+          for (s <- 0 until segCount) {
+            val end = u16(endAt + 2 * s); val start = u16(startAt + 2 * s)
+            val delta = u16(deltaAt + 2 * s); val ro = u16(rangeAt + 2 * s)
+            if (start != 0xFFFF) {
+              var c = start
+              while (c <= end && c != 0x10000) {
+                val gid =
+                  if (ro == 0) (c + delta) & 0xFFFF
+                  else {
+                    val at = rangeAt + 2 * s + ro + 2 * (c - start)
+                    if (at + 1 < font.length) {
+                      val g = u16(at)
+                      if (g == 0) 0 else (g + delta) & 0xFFFF
+                    } else 0
+                  }
+                if (gid != 0) out += c -> gid
+                c += 1
+              }
+            }
+          }
+          out.result()
+        case 12 =>
+          val nGroups = u32(sub + 12).toInt
+          val out = Map.newBuilder[Int, Int]
+          for (g <- 0 until math.min(nGroups, 10000)) {
+            val r = sub + 16 + 12 * g
+            val start = u32(r).toInt; val end = u32(r + 4).toInt
+            val gid0 = u32(r + 8).toInt
+            var c = start
+            while (c <= end && c - start < 0x10000) {
+              out += c -> (gid0 + (c - start)); c += 1
+            }
+          }
+          out.result()
+        case _ => Map.empty
+      }
+    } catch { case _: IndexOutOfBoundsException => Map.empty }
+  }
+
+  /** Identity-H/V WITHOUT /ToUnicode: the CIDs are glyph ids, and the
+    * embedded TrueType program itself knows which Unicode maps to each
+    * glyph — its `cmap` table. Inverting it (smallest code point wins,
+    * deterministic) recovers gid → text, which is exactly how
+    * full-featured extractors read this font population. Applies only
+    * under /CIDToGIDMap /Identity (or absent, whose default is
+    * Identity); a custom CIDToGIDMap stream degrades to no text as
+    * before.
+    */
+  private def identityCmapDecoder(objs: Map[Int, PdfObj], dict: String): Option[Decoder] = {
+    if (raw"/Encoding\s*/Identity-[HV]".r.findFirstIn(dict).isEmpty) None
+    else {
+      val desc = raw"/DescendantFonts\s*\[?\s*(\d+)\s+\d+\s+R".r
+        .findFirstMatchIn(dict).flatMap(m => objs.get(m.group(1).toInt))
+      desc.filter(d =>
+          raw"/CIDToGIDMap\s*/(\w+)".r.findFirstMatchIn(d.dict)
+            .forall(_.group(1) == "Identity") &&
+          raw"/CIDToGIDMap\s+\d+\s+\d+\s+R".r.findFirstIn(d.dict).isEmpty)
+        .flatMap(d => raw"/FontDescriptor\s+(\d+)\s+\d+\s+R".r
+          .findFirstMatchIn(d.dict).flatMap(m => objs.get(m.group(1).toInt)))
+        .flatMap(fd => raw"/FontFile2\s+(\d+)\s+\d+\s+R".r
+          .findFirstMatchIn(fd.dict).flatMap(m => objs.get(m.group(1).toInt)))
+        .flatMap(decodeStream)
+        .map(parseTrueTypeCmap)
+        .filter(_.nonEmpty)
+        .map { uniToGid =>
+          val gidToUni: Map[Int, Int] =
+            uniToGid.groupBy(_._2).map { case (g, m) => g -> m.keys.min }
+          (raw2: String) => raw2.grouped(2).collect {
+            case cs if cs.length == 2 =>
+              gidToUni.get((cs.charAt(0) << 8) | cs.charAt(1))
+                .map(c => new String(Character.toChars(c))).getOrElse("")
+          }.mkString
+        }
+    }
+  }
+
   /** Build the decoder for one font object. Type0 (CID-keyed) fonts
     * consume 2-byte codes through the embedded /ToUnicode map when one
     * exists, else through a predefined CMap's public code space
-    * ([[predefinedCMapDecoder]]); Identity-H with neither yields
+    * ([[predefinedCMapDecoder]]), else — for Identity-H/V — through
+    * the INVERTED cmap of the embedded TrueType program
+    * ([[identityCmapDecoder]]); with none of those the font yields
     * nothing (raw CIDs are meaningless — emitting them would be
     * garbage). Simple fonts resolve, in order: 1-byte ToUnicode →
     * /Encoding /Differences glyph remap → base encoding (WinAnsi's
@@ -791,7 +907,9 @@ object PdfText {
                 cmap.getOrElse((cs.charAt(0) << 8) | cs.charAt(1), "")
             }.mkString
           case None =>
-            predefinedCMapDecoder(o.dict).getOrElse((_: String) => "")
+            predefinedCMapDecoder(o.dict)
+              .orElse(identityCmapDecoder(objs, o.dict))
+              .getOrElse((_: String) => "")
         }
       } else {
         // /Encoding: a dictionary (inline or indirect) may carry
@@ -1774,6 +1892,90 @@ private[graft] object PdfFixtures {
     w("xref\n0 7\n0000000000 65535 f \n")
     (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  // -------------- Identity-H + embedded TrueType cmap (no ToUnicode)
+
+  val identityHParagraph: String = "嵌入字体的字符映射表逆向恢复文本。"
+
+  /** Deterministic glyph ids for [[identityHParagraph]]'s distinct
+    * chars: arbitrary but nonzero and non-identity, so a decoder that
+    * echoes CIDs (instead of inverting the cmap) cannot pass.
+    */
+  private def identityHGids: Map[Char, Int] =
+    identityHParagraph.distinct.zipWithIndex.map { case (c, i) => c -> (100 + 3 * i) }.toMap
+
+  /** Minimal sfnt with ONE table — a (3,1) format-4 cmap mapping each
+    * fixture char to its glyph id via single-char segments. Enough
+    * structure for any spec-following cmap reader; nothing else (no
+    * glyf/head) because text recovery needs only the cmap.
+    */
+  private[graft] def buildMinimalTtf(mapping: Seq[(Char, Int)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF) }
+    def u32(v: Long): Unit = { u16(((v >> 16) & 0xFFFF).toInt); u16((v & 0xFFFF).toInt) }
+    val sorted = mapping.sortBy(_._1)
+    val segCount = sorted.length + 1 // + the required 0xFFFF terminator
+    val subLen = 16 + 8 * segCount
+    val cmapLen = 12 + subLen
+    // sfnt offset table
+    u32(0x00010000L); u16(1); u16(16); u16(0); u16(0)
+    // table record: 'cmap' at offset 28
+    bos.write("cmap".getBytes("ISO-8859-1")); u32(0); u32(28); u32(cmapLen)
+    // cmap header + one (3,1) encoding record pointing at offset 12
+    u16(0); u16(1); u16(3); u16(1); u32(12)
+    // format 4 subtable: one segment per char + terminator
+    u16(4); u16(subLen); u16(0); u16(segCount * 2)
+    u16(2); u16(0); u16(0) // search fields (unused by readers)
+    sorted.foreach { case (c, _) => u16(c.toInt) }; u16(0xFFFF) // endCode
+    u16(0) // reservedPad
+    sorted.foreach { case (c, _) => u16(c.toInt) }; u16(0xFFFF) // startCode
+    sorted.foreach { case (c, g) => u16((g - c.toInt) & 0xFFFF) }; u16(1) // idDelta
+    (0 until segCount).foreach(_ => u16(0)) // idRangeOffset (all direct)
+    bos.toByteArray
+  }
+
+  /** One-page Type0/CIDFontType2 document on /Encoding /Identity-H
+    * with NO /ToUnicode — the font-private-CID population that used to
+    * stay textless. The embedded TrueType program's cmap is the only
+    * route back to Unicode; the show string carries raw glyph ids, so
+    * only a decoder that inverts that cmap emits
+    * [[identityHParagraph]].
+    */
+  def buildIdentityHPdf(): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = bos.write(str.getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    val gids = identityHGids
+    val ttf = buildMinimalTtf(gids.toSeq)
+    val hexStr = identityHParagraph.map(c => f"${gids(c)}%04X").mkString("<", "", ">")
+    val content = s"BT /F1 12 Tf 72 720 Td $hexStr Tj ET\n"
+    w("%PDF-1.4\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\n"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>\n"))
+    obj(4) {
+      w(s"<< /Length ${content.length} >>\nstream\n"); w(content); w("\nendstream\n")
+    }
+    obj(5)(w("<< /Type /Font /Subtype /Type0 /BaseFont /Embedded-Fixture " +
+      "/Encoding /Identity-H /DescendantFonts [6 0 R] >>\n"))
+    obj(6)(w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Embedded-Fixture " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+      "/CIDToGIDMap /Identity /FontDescriptor 7 0 R >>\n"))
+    obj(7)(w("<< /Type /FontDescriptor /FontName /Embedded-Fixture /Flags 4 " +
+      "/FontFile2 8 0 R >>\n"))
+    obj(8) {
+      w(s"<< /Length ${ttf.length} >>\nstream\n"); bos.write(ttf); w("\nendstream\n")
+    }
+    val xref = bos.size()
+    w("xref\n0 9\n0000000000 65535 f \n")
+    (1 to 8).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
     bos.toByteArray
   }
 

@@ -182,6 +182,32 @@ class LakeSpec extends SparkSpec {
     assert(dirs.size == 1, s"stale data dirs survived: $dirs")
   }
 
+  test("shallow clone copies no data and evolves independently of the source") {
+    val work = java.nio.file.Files.createTempDirectory("graft_lake_clone").toString
+    val src = s"$work/src"
+    val dst = s"$work/dst"
+    Lake.commitVersion(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), src)
+    Lake.cloneTable(spark, src, dst)
+    // zero-copy: the clone root holds ONLY the marker — no data dirs
+    val dataDirs = new java.io.File(dst).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName)
+    assert(dataDirs.isEmpty, s"clone copied data: ${dataDirs.mkString(",")}")
+    assert(Lake.readVersion(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 10L), (2L, 20L)))
+    // the clone evolves alone; the source never sees its commits
+    Lake.upsert(spark, Seq((2L, 200L)).toDF("k", "x"), dst, "k")
+    assert(Lake.readVersion(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 10L), (2L, 200L)))
+    assert(Lake.versions(spark, src) == Seq(0))
+    assert(Lake.readVersion(spark, src)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 10L), (2L, 20L)))
+    // cloning onto an existing table must refuse, not clobber
+    intercept[IllegalArgumentException] { Lake.cloneTable(spark, src, dst) }
+  }
+
   test("readVersion rejects uncommitted version numbers") {
     val root = freshRoot()
     Lake.commitVersion(spark, Seq((1L, "a")).toDF("k", "v"), root)

@@ -76,6 +76,23 @@ class PdfTextSpec extends SparkSpec {
       s"vertical reading order wrong: $lines")
   }
 
+  test("Identity-H without ToUnicode: the embedded TrueType cmap recovers text") {
+    // glyph ids are deliberately non-identity (100 + 3i), so echoing
+    // CIDs cannot pass — only inverting the font's own cmap can
+    val bytes = PdfFixtures.buildIdentityHPdf()
+    assert(PdfText.pageCount(bytes) == 1)
+    assert(PdfText.extractPageParagraphs(bytes) ==
+      Seq(Seq(PdfFixtures.identityHParagraph)))
+  }
+
+  test("TrueType cmap parser: format 4 segments round-trip, malformed is empty") {
+    val mapping = Seq('A' -> 7, 'B' -> 9, '中' -> 4660)
+    val uniToGid = PdfText.parseTrueTypeCmap(PdfFixtures.buildMinimalTtf(mapping))
+    assert(mapping.forall { case (c, g) => uniToGid.get(c.toInt).contains(g) })
+    assert(uniToGid.size == mapping.size)
+    assert(PdfText.parseTrueTypeCmap(Array[Byte](1, 2, 3)) == Map.empty)
+  }
+
   test("ObjStm: dicts packed in a compressed object stream still parse") {
     val bytes = PdfFixtures.buildObjStmPdf()
     assert(PdfText.pageCount(bytes) == 1)
