@@ -1451,6 +1451,78 @@ object Streaming {
                CAST(round(c_acctbal * 1000000, 0) AS BIGINT) AS bal_micros,
                c_mktsegment
         FROM merged"""),
+      bench = false),
+
+    // --------- streaming incremental view maintenance (lake-backed)
+    // s19's delta algebra running LIVE: the update stream lands in the
+    // versioned store batch by batch, and a per-segment rollup view —
+    // itself a Lake table, so every refresh is an atomic versioned
+    // commit — updates from ONLY each micro-batch: displaced old rows
+    // come from a broadcast key join against the base, per-segment
+    // diffs merge into the stored view. O(batch) maintenance work per
+    // trigger, never a table rescan; fixture keys are unique so each
+    // key is displaced from the base exactly once and the final view
+    // is independent of how the stream batched (the st_lake_ingest
+    // determinism argument). The drained view must hash-equal the
+    // full recompute — s19_incremental_agg's oracle verbatim.
+    graft.QueryDef(
+      "st_ivm",
+      (spark, dir) => {
+        import graft.sources.Lake
+        val work = java.nio.file.Files.createTempDirectory("graft_st_ivm").toString
+        val root = s"$work/customer"
+        val viewRoot = s"$work/segment_view"
+        Lake.commitVersion(spark, graft.Tables.customer(spark, dir), root)
+        Lake.commitVersion(spark,
+          Lake.readVersion(spark, root)
+            .groupBy("c_mktsegment")
+            .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_rows"),
+              org.apache.spark.sql.functions.expr(
+                "cast(sum(cast(round(c_acctbal * 1000000, 0) AS bigint)) AS bigint) AS bal_micros")),
+          viewRoot)
+        Lake.updatesFixture(spark, dir)
+          .write.mode("overwrite").parquet(s"$work/updates")
+        val schema = spark.read.parquet(s"$work/updates").schema
+        val q = spark.readStream.schema(schema).parquet(s"$work/updates")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val s = batch.sparkSession
+            import org.apache.spark.sql.functions.{broadcast, expr}
+            val b = batch.localCheckpoint(true) // one materialization, three consumers
+            Lake.appendDelta(s, b, root, "c_custkey")
+            val olds = Lake.readVersion(s, root, Some(0))
+              .join(broadcast(b.select("c_custkey")), Seq("c_custkey"))
+            val diffs = b
+              .selectExpr("c_mktsegment", "1L AS dn",
+                "cast(round(c_acctbal * 1000000, 0) AS bigint) AS db")
+              .unionByName(olds.selectExpr("c_mktsegment", "-1L AS dn",
+                "-cast(round(c_acctbal * 1000000, 0) AS bigint) AS db"))
+              .groupBy("c_mktsegment")
+              .agg(expr("cast(sum(dn) AS bigint) AS dn"),
+                expr("cast(sum(db) AS bigint) AS db"))
+            val refreshed = Lake.readVersion(s, viewRoot)
+              .join(diffs, Seq("c_mktsegment"), "full_outer")
+              .selectExpr("c_mktsegment",
+                "coalesce(n_rows, 0L) + coalesce(dn, 0L) AS n_rows",
+                "coalesce(bal_micros, 0L) + coalesce(db, 0L) AS bal_micros")
+              .where("n_rows > 0")
+              // materialize before the commit that supersedes our input
+              .localCheckpoint(true)
+            Lake.commitVersion(s, refreshed, viewRoot)
+            ()
+          }
+          .option("checkpointLocation", s"$work/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Lake.readVersion(spark, viewRoot)
+      },
+      Some(s"""
+        WITH ${graft.sources.Lake.mergedOracle}
+        SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+               sum(CAST(round(c_acctbal * 1000000, 0) AS BIGINT))::BIGINT AS bal_micros
+        FROM merged
+        GROUP BY c_mktsegment"""),
       bench = false)
   )
 }
