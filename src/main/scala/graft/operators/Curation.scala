@@ -964,8 +964,12 @@ object Curation {
           .crossJoin(broadcast(n))
           .selectExpr("anchor",
             "pmod(cast(conv(substring(md5(cast(anchor AS string)), 1, 15), 16, 10) AS bigint), n_docs) AS prk")
+        // no broadcast hint: draws is one row per near-dup anchor,
+        // which on a duplicate-heavy corpus is a corpus FRACTION —
+        // an equi-join on rk lets the planner shuffle when it must
+        // (AQE still broadcasts it at test scale)
         val negs = rankedDocIds(Tables.documents(spark, dir))
-          .join(broadcast(draws), expr("rk = prk"))
+          .join(draws, expr("rk = prk"))
           .selectExpr("anchor", "doc_id AS partner")
           .where("partner != anchor")
           .join(pairs.selectExpr("doc_a AS anchor", "doc_b AS partner"),

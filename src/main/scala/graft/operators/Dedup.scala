@@ -385,7 +385,14 @@ object Dedup {
     // the df-capped posting join, divide by the SMALLER set, and
     // orient each pair as (contained, container). Same 100 TB shape
     // as dd_ngram_jaccard — cost bounded by Σ C(df,2) under the df
-    // cap, no per-pair scans.
+    // cap, no per-pair scans. Division of labor the df cap imposes:
+    // content shared by MORE than MaxShingleDf documents never forms
+    // pairs here — by design, because (a) its pair set is itself
+    // quadratic in df and (b) corpus-wide boilerplate is the
+    // LINEAR-shaped detectors' job (dd_spandup / dd_paragraph flag
+    // and strip it with no pair space at all). This operator scores
+    // pairwise containment of informative (low-df) content, over the
+    // informative-shingle sets, identically in both engines.
     QueryDef(
       "dd_containment",
       (spark, dir) => {

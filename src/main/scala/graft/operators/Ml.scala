@@ -83,7 +83,13 @@ object Ml {
     // Dedup.minhashPairs, done with an explicit map because
     // localCheckpoint produces fresh RDDs the CacheManager cannot
     // unify by canonicalized plan.
-    chainCache.getOrElseUpdate((spark, dir), trainChainUncached(spark, dir))
+    {
+      // a stopped session's entries can never be reused (a new session
+      // is a new key) but would pin its persisted/checkpointed tables
+      // for the JVM lifetime — drop them at lookup time
+      chainCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      chainCache.getOrElseUpdate((spark, dir), trainChainUncached(spark, dir))
+    }
 
   private def trainChainUncached(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {

@@ -61,12 +61,17 @@ object Lake {
       fs.listStatus(dir).toSeq
         .flatMap(st => st.getPath.getName.toIntOption.map(_ -> st.getPath))
         .sortBy(_._1)
-        .map { case (n, p) =>
-          val in = fs.open(p)
-          val body =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          n -> body
+        .flatMap { case (n, p) =>
+          // a marker listed a moment ago may be vacuumed before we
+          // open it — skip it, upholding "a reader sees a complete
+          // version or none", never a crash
+          try {
+            val in = fs.open(p)
+            val body =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            Some(n -> body)
+          } catch { case _: java.io.FileNotFoundException => None }
         }
   }
 
@@ -74,6 +79,15 @@ object Lake {
     * Returns false (without disturbing the existing marker) when
     * version `n` is already committed — the losing side of a
     * concurrent publish.
+    *
+    * Atomicity contract: `create(overwrite = false)` is atomic on
+    * HDFS (server-side namespace check) — the filesystem class this
+    * protocol targets. On the local filesystem it is a check-then-
+    * create (a narrow TOCTOU window), and object stores without a
+    * conditional-put layer need a coordinating commit service — the
+    * SAME caveat Delta (S3 commit coordinator) and Iceberg (catalog
+    * compare-and-swap) document for their commit protocols; plugging
+    * such a layer in means swapping only this method.
     */
   private def createMarker(spark: SparkSession, root: String, sub: String,
       n: Int, dataDir: String): Boolean = {
@@ -259,9 +273,13 @@ object Lake {
     * semantics, so the winner is deterministic). One shuffle on the
     * key; the per-key window is bounded by that key's update count.
     */
-  def readResolved(spark: SparkSession, root: String, key: String): DataFrame = {
+  def readResolved(spark: SparkSession, root: String, key: String): DataFrame =
+    readResolvedAt(spark, root, key, deltaSeqs(spark, root))
+
+  private def readResolvedAt(spark: SparkSession, root: String, key: String,
+      deltas: Seq[(Int, String)]): DataFrame = {
     val base = readVersion(spark, root).withColumn("_seq", lit(0))
-    val all = deltaSeqs(spark, root).foldLeft(base) { case (acc, (s, d)) =>
+    val all = deltas.foldLeft(base) { case (acc, (s, d)) =>
       acc.unionByName(spark.read.parquet(resolveData(root, d)).withColumn("_seq", lit(s)))
     }
     all
@@ -272,16 +290,25 @@ object Lake {
   }
 
   /** Fold the deltas into a fresh base version; the resolved content
-    * is unchanged (LakeSpec pins it) and the delta manifest resets.
+    * is unchanged (LakeSpec pins it). Only the delta markers this
+    * compaction actually CONSUMED are retired — a delta published
+    * concurrently after the listing keeps its marker and resolves
+    * against the new base, never silently lost (its seq stays above
+    * the folded ones, so latest-wins is unaffected).
     */
   def compact(spark: SparkSession, root: String, key: String): Int = {
-    val resolved = readResolved(spark, root, key)
+    val consumed = deltaSeqs(spark, root)
+    val resolved = readResolvedAt(spark, root, key, consumed)
       // materialize BEFORE the commit overwrites the delta inputs the
       // lazy plan would otherwise re-read
       .localCheckpoint(true)
     val v = commitVersion(spark, resolved, root)
     val dm = new Path(root, "_deltas")
-    fsFor(spark, dm).delete(dm, true)
+    val fs = fsFor(spark, dm)
+    consumed.foreach { case (s, d) =>
+      fs.delete(new Path(dm, s.toString), false)
+      dropData(spark, root, d)
+    }
     v
   }
 
@@ -293,23 +320,41 @@ object Lake {
     * the removed directory names. The Delta/Iceberg retention
     * discipline: storage is reclaimed by deleting whole version
     * directories, never by touching live data files.
+    *
+    * `orphanRetentionMs` guards the in-flight-commit race: a
+    * directory with NO marker is indistinguishable from a commit that
+    * has written its data but not yet published, so unreferenced
+    * directories are deleted only when their modification time is
+    * older than the retention window (Delta's
+    * `deletedFileRetentionDuration` discipline — the default assumes
+    * no commit takes an hour). Expired MARKER-referenced directories
+    * have no such ambiguity (their marker proves the commit
+    * completed) and delete immediately, marker first.
     */
-  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String, keep: Int,
+      orphanRetentionMs: Long = 3600L * 1000): Seq[String] = {
     require(keep >= 1, "must retain at least the current version")
     val ms = markers(spark, root, "_versions")
     val (drop, retain) = ms.splitAt(math.max(0, ms.length - keep))
     val rootP = new Path(root)
     val fs = fsFor(spark, rootP)
     val retainedDirs = (retain.map(_._2) ++ deltaSeqs(spark, root).map(_._2)).toSet
+    val droppedDirs = drop.map(_._2).toSet
     // expired markers first: a reader landing mid-vacuum sees either a
     // complete version or none, never a marker pointing at deleted data
     drop.foreach { case (n, _) =>
       fs.delete(new Path(new Path(root, "_versions"), n.toString), false)
     }
+    val now = System.currentTimeMillis()
     val removed = fs.listStatus(rootP).toSeq
-      .filter(st => st.isDirectory &&
-        (st.getPath.getName.startsWith("v=") || st.getPath.getName.startsWith("d=")) &&
-        !retainedDirs.contains(st.getPath.getName))
+      .filter { st =>
+        val name = st.getPath.getName
+        st.isDirectory &&
+          (name.startsWith("v=") || name.startsWith("d=")) &&
+          !retainedDirs.contains(name) &&
+          (droppedDirs.contains(name) ||
+            now - st.getModificationTime > orphanRetentionMs)
+      }
       .map(_.getPath)
     removed.foreach(p => fs.delete(p, true))
     removed.map(_.getName)

@@ -169,8 +169,14 @@ class LakeSpec extends SparkSpec {
     Lake.commitVersion(spark, Seq((1L, 12L)).toDF("k", "x"), root)
     // orphan data dir from a crashed/race-losing commit
     Seq((9L, 99L)).toDF("k", "x").write.mode("overwrite").parquet(s"$root/v=7-deadbeef")
-    val removed = Lake.vacuum(spark, root, keep = 1)
-    assert(removed.size == 3, s"expected 2 expired + 1 orphan, got $removed")
+    // under the default retention a FRESH unreferenced dir is
+    // indistinguishable from an in-flight commit and must survive...
+    val cautious = Lake.vacuum(spark, root, keep = 2)
+    assert(cautious.size == 1 && !cautious.contains("v=7-deadbeef"),
+      s"fresh orphan must be protected by retention, removed: $cautious")
+    // ...and deletes once the retention window is waived
+    val removed = Lake.vacuum(spark, root, keep = 1, orphanRetentionMs = 0L)
+    assert(removed.size == 2, s"expected 1 more expired + 1 orphan, got $removed")
     assert(Lake.versions(spark, root) == Seq(2))
     assert(Lake.readVersion(spark, root)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 12L)))
