@@ -1483,7 +1483,12 @@ object Streaming {
         Lake.updatesFixture(spark, dir)
           .write.mode("overwrite").parquet(s"$work/updates")
         val schema = spark.read.parquet(s"$work/updates").schema
-        val q = spark.readStream.schema(schema).parquet(s"$work/updates")
+        val q = spark.readStream.schema(schema)
+          // several real micro-batches, so the view provably
+          // accumulates ACROSS refreshes rather than being rebuilt by
+          // one lucky all-in-one batch
+          .option("maxFilesPerTrigger", "7")
+          .parquet(s"$work/updates")
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val s = batch.sparkSession

@@ -57,7 +57,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dedup pipelines: candidate joins are hash/merge joins, never cartesian") {
     Seq("dd_minhash_lsh", "dd_simhash_pairs", "dd_ngram_jaccard", "v4_lsh_ann",
-        "dd_embed_neardup").foreach { q =>
+        "dd_embed_neardup", "dd_containment", "dd_novelty",
+        "mm_ahash_neardup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
