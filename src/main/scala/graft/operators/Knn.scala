@@ -903,7 +903,67 @@ object Knn {
                      row_number() OVER (PARTITION BY q_vec_id
                                         ORDER BY similarity DESC, vec_id)::BIGINT AS rank
               FROM scored)
-        WHERE rank <= $K"""))
+        WHERE rank <= $K""")),
+
+    // -------------------- int8 quantized scoring (ADC storage path)
+    // The memory lever every billion-vector deployment pulls before
+    // sharding: store 4× smaller int8 codes (per-vector max-abs
+    // symmetric quantization — scale = max|x|, q = round(127·x/scale))
+    // and score with INTEGER dot products against the quantized
+    // query. Everything after the row-local quantization is exact
+    // 64-bit integer arithmetic — no float accumulation order to
+    // drift cross-engine — so the gate hash-checks the full scoring
+    // path: per-vector saturation accounting plus the top-20 by
+    // quantized score. Scale shape: quantization is one scan-local
+    // projection (codegen HOFs over the array), the query code is a
+    // 1-row broadcast, top-k is TakeOrderedAndProject — zero extra
+    // exchanges over a brute-force scan, at a quarter of the bytes.
+    QueryDef(
+      "v14_int8_dot",
+      (spark, dir) => {
+        val q = Tables.embeddings(spark, dir)
+          .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x AS double)) AS v")
+          .selectExpr("vec_id", "label",
+            "aggregate(v, cast(0 AS double), (m, x) -> greatest(m, abs(x))) AS scale", "v")
+          .selectExpr("vec_id", "label", "scale",
+            """CASE WHEN scale = 0D THEN transform(v, x -> 0L)
+                    ELSE transform(v, x -> cast(round(x * 127D / scale, 0) AS bigint))
+               END AS q""")
+        val probe = q.where("vec_id = 0")
+          .selectExpr("q AS q0")
+        q.where("vec_id != 0")
+          .crossJoin(broadcast(probe))
+          .selectExpr("vec_id", "cast(label AS int) AS label",
+            "round(scale, 6) AS scale6",
+            "cast(size(filter(q, x -> abs(x) = 127L)) AS bigint) AS n_saturated",
+            "aggregate(zip_with(q, q0, (a, b) -> a * b), 0L, (acc, x) -> acc + x) AS dot8")
+          .orderBy(col("dot8").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+        scaled AS (
+          SELECT vec_id, label, v,
+                 list_max(list_transform(v, x -> abs(x))) AS scale
+          FROM e),
+        codes AS (
+          SELECT vec_id, label, scale,
+                 CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+                      ELSE list_transform(v, x -> round(x * 127 / scale, 0)::BIGINT)
+                 END AS q
+          FROM scaled),
+        probe AS (SELECT q AS q0 FROM codes WHERE vec_id = 0)
+        SELECT vec_id, label::INT AS label, round(scale, 6) AS scale6,
+               len(list_filter(q, x -> abs(x) = 127))::BIGINT AS n_saturated,
+               list_sum(list_transform(generate_series(1, len(q)),
+                                       i -> q[i] * q0[i]))::BIGINT AS dot8
+        FROM codes, probe
+        WHERE vec_id != 0
+        ORDER BY dot8 DESC, vec_id
+        LIMIT 20"""))
   )
 
   // ----------------------------------------------- IVF index at rest
