@@ -37,6 +37,45 @@ object TextHash {
   }
 
 
+  /** FastSS deletion-neighborhood hashes: index 0 = a 64-bit
+    * polynomial hash of the whole string (the depth-0 member), index
+    * k+1 = the hash of the string with UTF-16 unit k removed (its
+    * depth-1 deletion variants). Prefix/suffix rolling hashes make
+    * the whole array O(len) — the variant STRINGS are never
+    * materialized, vs the O(len²) chars and len allocations the
+    * `transform(sequence(...), p -> concat(substring...))` SQL form
+    * pays. Spark-side bucketing only (no oracle twin needed): a hash
+    * is a pure function of the string, so equal variants collide by
+    * construction, and the exact levenshtein verify downstream makes
+    * the rare 64-bit false collision harmless.
+    */
+  def delHashes(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val B = 1000003L
+    val pow = new Array[Long](n + 1)
+    pow(0) = 1L
+    var i = 1
+    while (i <= n) { pow(i) = pow(i - 1) * B; i += 1 }
+    // suf(i) = Σ_{j≥i} c_j · B^(n-1-j)
+    val suf = new Array[Long](n + 1)
+    i = n - 1
+    while (i >= 0) { suf(i) = suf(i + 1) + str.charAt(i) * pow(n - 1 - i); i -= 1 }
+    val out = new Array[Long](n + 1)
+    out(0) = suf(0)
+    // variant without char k (len n-1): prefix scaled to its tail + suffix,
+    // whose weights B^(n-1-j) already sit one slot lower than in the
+    // full string — exactly the variant's alignment
+    var pre = 0L
+    var k = 0
+    while (k < n) {
+      out(k + 1) = pre * pow(n - 1 - k) + suf(k + 1)
+      pre = pre * B + str.charAt(k)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Unicode NFC; the fast path (already-normalized) allocates nothing
     * beyond the String decode.
     */
@@ -274,6 +313,22 @@ case class WordShingles(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, n) => s"graft.plans.TextHash.wordShingles($a, $n)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** del_hashes(string) → array<bigint> — FastSS deletion-neighborhood
+  * polynomial hashes: [whole string, minus char 0, minus char 1, ...].
+  */
+case class DelHashes(child: Expression) extends UnaryExpression with TextHashInputCheck {
+  override def prettyName: String = "del_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    requireType(child, _ == StringType, "string")
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.delHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.delHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** minhash16(array<bigint>) → array<bigint> — 16 permutation minima. */

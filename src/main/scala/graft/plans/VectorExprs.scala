@@ -366,7 +366,8 @@ object VectorExprs {
     ("nfc_normalize", classOf[NfcNormalize], c => NfcNormalize(c.head)),
     ("word_shingles", classOf[WordShingles], c => WordShingles(c.head, c(1))),
     ("minhash16", classOf[MinHash16], c => MinHash16(c.head)),
-    ("simhash60", classOf[SimHash60], c => SimHash60(c.head)))
+    ("simhash60", classOf[SimHash60], c => SimHash60(c.head)),
+    ("del_hashes", classOf[DelHashes], c => DelHashes(c.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
