@@ -344,14 +344,22 @@ object Dedup {
           .where(s"df <= $MaxShingleDf").select("h")
         val kept = post.join(lowDf, "h").select("doc_id", "h")
           .localCheckpoint(true)
+        // per-doc size rides ON the posting rows into the pair join (a
+        // doc_id-partitioned join postings×sizes — both sides shuffle
+        // once on doc_id), so the pair aggregation emits (inter, sz_a,
+        // sz_b) directly and NOTHING doc-cardinality is ever
+        // broadcast. The earlier form broadcast(sizes) into the pair
+        // table — one row per document, i.e. driver-OOM at 10⁹ docs on
+        // exactly the boilerplate-heavy corpora this operator targets
+        // (mm_ahash_neardup's carry-the-codes discipline, applied to
+        // sizes).
         val sizes = kept.groupBy("doc_id").agg(expr("count(*) AS sz"))
-        val inter = kept.select(col("doc_id").as("doc_a"), col("h"))
-          .join(kept.select(col("doc_id").as("doc_b"), col("h").as("h_r")),
+        val keptSz = kept.join(sizes, "doc_id").localCheckpoint(true)
+        keptSz.select(col("doc_id").as("doc_a"), col("h"), col("sz").as("sz_a"))
+          .join(keptSz.select(col("doc_id").as("doc_b"), col("h").as("h_r"), col("sz").as("sz_b")),
             col("h") === col("h_r") && col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(expr("count(*) AS inter"))
-        inter
-          .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))), "doc_a")
-          .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))), "doc_b")
+          .groupBy("doc_a", "doc_b")
+          .agg(expr("count(*) AS inter"), expr("min(sz_a) AS sz_a"), expr("min(sz_b) AS sz_b"))
           .selectExpr("doc_a", "doc_b",
             "cast(inter AS double) / cast(sz_a + sz_b - inter AS double) AS jaccard")
           .where(s"jaccard >= $JaccardThreshold")
@@ -403,14 +411,16 @@ object Dedup {
           .where(s"df <= $MaxShingleDf").select("h")
         val kept = post.join(lowDf, "h").select("doc_id", "h")
           .localCheckpoint(true)
+        // same carried-size shape as dd_ngram_jaccard: sizes join the
+        // postings on doc_id and ride into the pair aggregation — no
+        // doc-cardinality broadcast anywhere in the plan
         val sizes = kept.groupBy("doc_id").agg(expr("count(*) AS sz"))
-        val inter = kept.select(col("doc_id").as("doc_a"), col("h"))
-          .join(kept.select(col("doc_id").as("doc_b"), col("h").as("h_r")),
+        val keptSz = kept.join(sizes, "doc_id").localCheckpoint(true)
+        keptSz.select(col("doc_id").as("doc_a"), col("h"), col("sz").as("sz_a"))
+          .join(keptSz.select(col("doc_id").as("doc_b"), col("h").as("h_r"), col("sz").as("sz_b")),
             col("h") === col("h_r") && col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(expr("count(*) AS inter"))
-        inter
-          .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))), "doc_a")
-          .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))), "doc_b")
+          .groupBy("doc_a", "doc_b")
+          .agg(expr("count(*) AS inter"), expr("min(sz_a) AS sz_a"), expr("min(sz_b) AS sz_b"))
           .selectExpr("doc_a", "doc_b", "sz_a", "sz_b", "inter",
             "cast(inter AS double) / cast(least(sz_a, sz_b) AS double) AS cont")
           .where(s"cont >= $ContainmentThreshold")
@@ -560,11 +570,15 @@ object Dedup {
     //
     // 100 TB shape: windows come from the native `word_shingles` kernel
     // (one codegen'd call per doc); the duplicated-hash set is the
-    // df ≥ 2 aggregate of the postings — TINY relative to the corpus
-    // (only actually-repeated spans) — so it broadcasts, and the
-    // corpus-side plan is scan → explode → broadcast semi join →
-    // partial-aggregated rollup. No self-join, no pair space at all:
-    // cost is linear in corpus tokens.
+    // df ≥ 2 aggregate of the postings — usually tiny (only
+    // actually-repeated spans), but corpus-FRACTION sized on exactly
+    // the boilerplate-heavy corpora this operator exists to measure,
+    // so it is NOT hint-broadcast: the join keeps the postings'
+    // hash partitioning on h (the df aggregate already shuffled on h,
+    // so the semi join is exchange-free on that side) and AQE demotes
+    // it to a broadcast at runtime only when the set measures small.
+    // No self-join, no pair space at all: cost is linear in corpus
+    // tokens.
     QueryDef(
       "dd_spandup",
       (spark, dir) => {
@@ -581,7 +595,7 @@ object Dedup {
         // hs is distinct per doc ⇒ count(*) per h = document frequency
         val dup = post.groupBy("h").agg(expr("count(*) AS df"))
           .where("df >= 2").select("h")
-        val hits = post.join(broadcast(dup), "h")
+        val hits = post.join(dup, "h")
           .groupBy("doc_id").agg(expr("count(*) AS dup_spans"))
         spans.selectExpr("doc_id", "cast(size(hs) AS bigint) AS n_spans")
           .join(hits, "doc_id")
@@ -736,9 +750,11 @@ object Dedup {
     // position pairs are distance 2 and are excluded in the join
     // condition). `levenshtein == 1` then verifies — it now does real
     // work, dropping the rare ed-0/ed-2 collisions the depth-1×depth-1
-    // overlap admits. No block products exist at any scale: total work
-    // is O(n·len) variant rows per side through one hash equi-join on
-    // (nation, variant string). Two earlier formulations measured why
+    // overlap admits (and, since the variants travel as del_hashes
+    // 64-bit polynomial hashes rather than strings, the rare
+    // hash-collision candidates too). No block products exist at any
+    // scale: total work is O(n·len) variant rows per side through one
+    // hash equi-join on (nation, variant hash). Two earlier formulations measured why
     // this shape matters: attribute blocking on (nation, first char,
     // len±1) degenerated on the shared-prefix synthetic names to 42 s
     // at sf0.1, and adding the last-char invariant still left
@@ -771,19 +787,29 @@ object Dedup {
                       substring(c_name, cast(c_custkey % (length(c_name) - 2) + 2 AS int)))
              END AS d_name""",
           "c_nationkey AS d_nationkey")
-        def neighborhood(df: DataFrame, nameCol: String, out: String) =
+        // the deletion neighborhood is emitted as 64-bit polynomial
+        // HASHES by the native del_hashes kernel (one codegen'd call
+        // per name — element k+1 is the hash of the name minus char
+        // k), not materialized variant strings: the join key shrinks
+        // from (nation, ~18-char string) to (nation, bigint), the
+        // biggest shuffle in the steepest sf3 query. Hash equality is
+        // implied by string equality, so FastSS recall is unchanged;
+        // the rare extra hash-collision candidates die at the
+        // levenshtein verify exactly like the ed-0/ed-2 collisions the
+        // string form already admits. TextHashSpec pins kernel ≡
+        // string-materializing hashes.
+        graft.plans.VectorExprs.register(spark)
+        def neighborhood(df: DataFrame, nameCol: String): DataFrame =
           df.selectExpr(df.columns :+
-            s"""explode(concat(
-                  array(named_struct('v', $nameCol, 'dep', 0, 'pos', -1)),
-                  transform(sequence(1, length($nameCol)),
-                    p -> named_struct('v', concat(substring($nameCol, 1, p - 1), substring($nameCol, p + 1)),
-                                      'dep', 1, 'pos', p)))) AS $out""": _*)
-        val cv = neighborhood(clean, "c_name", "cn")
+            s"posexplode(del_hashes($nameCol)) AS (i, vh)": _*)
+        val cv = neighborhood(clean, "c_name")
           .selectExpr("c_custkey", "c_name", "c_nationkey",
-            "cn.v AS v", "cn.dep AS dep_c", "cn.pos AS pos_c")
-        val dv = neighborhood(dirty, "d_name", "dn")
+            "vh AS v", "cast(i > 0 AS int) AS dep_c",
+            "CASE WHEN i = 0 THEN -1 ELSE i END AS pos_c")
+        val dv = neighborhood(dirty, "d_name")
           .selectExpr("d_id", "d_name", "d_nationkey",
-            "dn.v AS dv", "dn.dep AS dep_d", "dn.pos AS pos_d")
+            "vh AS dv", "cast(i > 0 AS int) AS dep_d",
+            "CASE WHEN i = 0 THEN -1 ELSE i END AS pos_d")
         val links = cv.join(dv,
             expr("""c_nationkey = d_nationkey AND v = dv
                     AND (dep_c + dep_d < 2 OR pos_c = pos_d)"""))

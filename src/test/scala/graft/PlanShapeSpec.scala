@@ -402,6 +402,27 @@ class PlanShapeSpec extends SparkSpec {
       s"variant join must be an equi-join:\n${p.take(600)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no pair enumeration allowed:\n${p.take(600)}")
+    // the variants must travel as del_hashes 64-bit hashes, not
+    // materialized strings — the shuffle-row-size fix for the steepest
+    // sf3 query
+    assert(p.contains("del_hashes"),
+      s"deletion neighborhood should come from the del_hashes kernel:\n${p.take(600)}")
+  }
+
+  test("dedup pair miners: no doc-cardinality table is hint-broadcast") {
+    // dd_ngram_jaccard / dd_containment once forced broadcast(sizes)
+    // (one row per document) and dd_spandup forced broadcast(dup) (the
+    // df≥2 span set) — corpus-fraction-sized on exactly the
+    // boilerplate-heavy corpora these operators measure, i.e. a driver
+    // OOM at 10⁹ docs. The carried-size / AQE forms keep the hint out
+    // of the plan entirely; runtime broadcasts AQE picks when a side
+    // MEASURES small are fine — the pin is on the unconditional hint.
+    Seq("dd_ngram_jaccard", "dd_containment", "dd_spandup").foreach { q =>
+      val analyzed = Registry.byName(q).run(spark, sf)
+        .queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$q still carries a broadcast hint:\n${analyzed.take(600)}")
+    }
   }
 
   test("v1_embed: the embed64 kernel keeps embedding scan-shaped — no aggregate") {

@@ -188,6 +188,34 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("del_hashes matches polynomial hashes of materialized deletion variants") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    // the reference form: materialize every deletion-variant STRING
+    // (what dd_record_linkage shuffled before the kernel) and hash it
+    // with the same base-1000003 wrapping polynomial — element 0 is
+    // the whole string, element k+1 the string minus char k
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => a * 1000003L + c)
+    def expected(s: String): Seq[Long] =
+      polyHash(s) +: s.indices.map(k => polyHash(s.substring(0, k) + s.substring(k + 1)))
+    val cases = Seq("Customer#000000007", "ab", "a", "", "héllo wörld", "aaaa")
+    // codegen path (selectExpr → whole-stage codegen)
+    val viaSql = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s").selectExpr("id", "del_hashes(s) AS hs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    cases.zipWithIndex.foreach { case (s, i) =>
+      assert(viaSql(i.toLong) == expected(s), s"codegen mismatch for '$s'")
+    }
+    // interpreted path (direct kernel eval, what nullSafeEval calls)
+    cases.foreach { s =>
+      val got = graft.plans.TextHash
+        .delHashes(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toLongArray().toSeq
+      assert(got == expected(s), s"interpreted mismatch for '$s'")
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val conf = spark.sessionState.conf
     val olds = pairs.map { case (k, _) => k -> conf.getConfString(k, null) }
