@@ -68,9 +68,22 @@ object Ml {
     * fenced so the lazy epoch chain cannot re-expand its whole prefix
     * per consumer.
     */
+  /** One-shot holder so cache insertion (cheap, atomic putIfAbsent)
+    * is decoupled from materialization (expensive, side-effecting):
+    * whichever holder wins the slot is the ONLY one whose lazy val
+    * ever evaluates, so a lost race can never persist/checkpoint a
+    * duplicate chain whose RDD blocks nobody would unpersist —
+    * TrieMap.getOrElseUpdate alone does not guarantee the update
+    * function runs once.
+    */
+  private final class ChainHolder(spark: SparkSession, dir: String) {
+    lazy val value: (DataFrame, DataFrame, Seq[DataFrame]) =
+      trainChainUncached(spark, dir)
+  }
+
   private val chainCache =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), (DataFrame, DataFrame, Seq[DataFrame])]
+      .empty[(SparkSession, String), ChainHolder]
 
   private[graft] def trainChain(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, Seq[DataFrame]) =
@@ -88,7 +101,8 @@ object Ml {
       // is a new key) but would pin its persisted/checkpointed tables
       // for the JVM lifetime — drop them at lookup time
       chainCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-      chainCache.getOrElseUpdate((spark, dir), trainChainUncached(spark, dir))
+      val fresh = new ChainHolder(spark, dir)
+      chainCache.putIfAbsent((spark, dir), fresh).getOrElse(fresh).value
     }
 
   private def trainChainUncached(spark: SparkSession, dir: String)

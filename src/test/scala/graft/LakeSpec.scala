@@ -214,6 +214,89 @@ class LakeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Lake.cloneTable(spark, src, dst) }
   }
 
+  test("readResolved over 60 deltas: flat two-scan plan, exact latest-wins content") {
+    val root = freshRoot()
+    Lake.commitVersion(spark,
+      (0L until 10L).map(k => (k, -1L)).toDF("k", "x"), root)
+    // 60 single-row deltas, each bumping one key — the r10 plan was a
+    // 60-wide unionByName ladder whose analysis time grew per delta
+    (1 to 60).foreach { i =>
+      Lake.appendDelta(spark, Seq((i.toLong % 10L, i.toLong)).toDF("k", "x"), root, "k")
+    }
+    val resolved = Lake.readResolved(spark, root, "k")
+    // ONE multi-path delta scan + the base scan = exactly two parquet
+    // relations, however many deltas are pending
+    val scans = resolved.queryExecution.optimizedPlan
+      .collect { case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+    assert(scans.size == 2, s"expected base + one multi-path delta scan, got ${scans.size}")
+    // latest-wins: key k's last update is the highest i with i%10==k
+    val got = resolved.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 10L).foreach { k =>
+      val expect = (1 to 60).filter(_ % 10 == k).max.toLong
+      assert(got(k) == expect, s"key $k resolved to ${got(k)}, want $expect")
+    }
+  }
+
+  test("a lock-serializing coordinator linearizes racers even on a non-atomic base") {
+    // model of the object-store seam: the base primitive is a
+    // DELIBERATELY non-atomic check-then-create with a yield between
+    // check and create (worse than any real FS), and the coordinator
+    // contract — serialize publishes — is supplied by a lock, the way
+    // an external commit service (Delta's S3 coordinator, Iceberg's
+    // catalog CAS) would. Exactly one of two racing publishers of the
+    // same slot may win.
+    val lock = new Object
+    val nonAtomicLocked = new Lake.CommitCoordinator {
+      def publish(fs: org.apache.hadoop.fs.FileSystem,
+          path: org.apache.hadoop.fs.Path, body: String): Boolean = lock.synchronized {
+        if (fs.exists(path)) false
+        else {
+          Thread.`yield`() // widen the TOCTOU window the lock must cover
+          val out = fs.create(path, true) // overwrite=true: NO FS atomicity
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+          true
+        }
+      }
+    }
+    Lake.withCoordinator(nonAtomicLocked) {
+      val root = freshRoot()
+      Lake.commitVersion(spark, Seq((1L, 10L)).toDF("k", "x"), root)
+      val tip = Lake.versions(spark, root).last
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      val wins = (0 until 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+          def call(): Option[Int] = {
+            gate.await(5, TimeUnit.SECONDS)
+            Lake.commitVersionAt(spark,
+              Seq((1L, 100L + i)).toDF("k", "x"), root, tip)
+          }
+        })
+      }
+      gate.countDown()
+      val results = wins.map(_.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(results.count(_.isDefined) == 1,
+        s"exactly one racer may publish version ${tip + 1}: $results")
+      assert(Lake.versions(spark, root) == Seq(0, 1))
+      // the surviving content is the winner's, readable and complete
+      val x = Lake.readVersion(spark, root).collect().map(_.getLong(1)).toSeq
+      assert(x == Seq(100L) || x == Seq(101L))
+    }
+  }
+
+  test("upsert survives a table whose own column is named _u") {
+    val root = freshRoot()
+    Lake.commitVersion(spark,
+      Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "_u", "x"), root)
+    Lake.upsert(spark, Seq((2L, 200L, 22L), (3L, 300L, 33L)).toDF("k", "_u", "x"),
+      root, "k")
+    val got = Lake.readVersion(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 1L), (2L, 200L, 22L), (3L, 300L, 33L)))
+  }
+
   test("readVersion rejects uncommitted version numbers") {
     val root = freshRoot()
     Lake.commitVersion(spark, Seq((1L, "a")).toDF("k", "v"), root)
