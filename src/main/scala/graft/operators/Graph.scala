@@ -272,8 +272,7 @@ object Graph {
         SELECT v.id, CASE WHEN v.id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
                v.id // 2 AS key, r$ConvIters.r AS score_ppm
         FROM v JOIN r$ConvIters ON v.id = r$ConvIters.id"""
-      },
-      bench = false),
+      }),
 
     // ----------------------- weighted PageRank over purchase volumes
     // Same graph, but each customer↔supplier edge carries the number
@@ -325,9 +324,7 @@ object Graph {
         SELECT v.id, CASE WHEN v.id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
                v.id // 2 AS key, r$Iters.r AS score_ppm
         FROM v JOIN r$Iters ON v.id = r$Iters.id"""
-      },
-      // gr_pagerank stays the benched iterative-graph representative
-      bench = false),
+      }),
 
     // ------------------- personalized PageRank from a customer segment
     // "Which suppliers matter to the BUILDING segment": teleport mass
@@ -382,11 +379,7 @@ object Graph {
         SELECT v.id // 2 AS suppkey, r$Iters.r AS score_ppm
         FROM v JOIN r$Iters ON v.id = r$Iters.id
         WHERE v.id % 2 = 1"""
-      },
-      // same per-round physical plan as gr_pagerank (which stays
-      // benched as the iterative-graph representative); timing both
-      // doubles bench wall-clock without adding information
-      bench = false),
+      }),
 
     // ------------------------- triangle counting (degree orientation)
     // Triangles over the bought-together part graph (two parts are
@@ -558,8 +551,7 @@ object Graph {
                CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
                id // 2 AS key, min(d)::BIGINT AS dist
         FROM reach
-        GROUP BY id"""),
-      bench = false),
+        GROUP BY id""")),
 
     // ----------------- link prediction (common neighbors + RA index)
     // "Which supplier pairs are most likely to be related?" — scored
