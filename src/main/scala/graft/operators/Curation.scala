@@ -728,6 +728,36 @@ object Curation {
                 FROM documents))
         GROUP BY split, lang""")),
 
+    // -------------------------- deterministic shard shuffle (epoch order)
+    // The last step of every pretraining data run: a reproducible
+    // GLOBAL shuffle of the corpus into N balanced shards with a dense
+    // per-shard position — the order the trainer will stream. The
+    // permutation is pure key arithmetic (md5 of a salted doc_id), so
+    // it is identical across runs/engines/retries; shard = hash mod N
+    // balances in expectation, and pos comes from a row_number window
+    // PARTITIONED BY SHARD — N independent, parallel sorts of ~1/N of
+    // the corpus each, never a global single-partition order (the
+    // anti-pattern s5_store_entries documents). At 1000 executors you
+    // raise N to a multiple of the cluster parallelism and write with
+    // partitionBy(shard) sortWithinPartitions(pos); the plan shape is
+    // unchanged.
+    QueryDef(
+      "tp_shard_shuffle",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "n_chars",
+            "cast(conv(substring(md5(concat('shuf:', cast(doc_id AS string))), 1, 15), 16, 10) AS bigint) AS h")
+          .selectExpr("doc_id", "n_chars", "h", "pmod(h, 8) AS shard")
+          .withColumn("pos", expr("row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)"))
+          .selectExpr("shard", "cast(pos AS bigint) AS pos", "doc_id", "n_chars"),
+      Some("""
+        SELECT h % 8 AS shard,
+               row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)::BIGINT AS pos,
+               doc_id, n_chars
+        FROM (SELECT doc_id, n_chars,
+                     ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM documents)""")),
+
     // --------------------------------- full semantic curation pipeline
     // The end-to-end shape a modern LLM-pretraining corpus run takes,
     // as ONE declarative plan: fluency gate (corpus-trained bigram-LM

@@ -963,8 +963,97 @@ object Knn {
         FROM codes, probe
         WHERE vec_id != 0
         ORDER BY dot8 DESC, vec_id
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // -------------------- binary (1-bit) quantization + exact re-rank
+    // The 32× storage lever below v14's int8: each 64-dim vector
+    // collapses to its SIGN BITS — packed here as two 32-bit words in
+    // bigints (MSB-first fold, so the pack is an exact integer both
+    // engines compute identically) — and candidate generation is a
+    // Hamming-distance top-M over xor+popcount, the cheapest possible
+    // scan (two ^ and two bit_counts per vector, whole-stage codegen,
+    // 16 bytes of index per vector). Because sign agreement only
+    // APPROXIMATES cosine, the M=64 Hamming survivors are re-ranked
+    // EXACTLY (left-to-right double folds, round 6) and the top 10
+    // emitted — the standard binary-quantization + refine pipeline
+    // (the RaBitQ/BQ shape production vector stores ship). Scale:
+    // corpus side is scan → 1-row broadcast → TakeOrderedAndProject
+    // (bounded heap, never a global sort); the re-rank touches only M
+    // rows. Recall loss vs exact kNN is the measured trade — v9-style
+    // calibration applies if a corpus needs it.
+    QueryDef(
+      "v15_binary_rerank",
+      (spark, dir) => {
+        // the checkpoint fence makes the top-M selection ITS OWN plan
+        // root: Spark rewrites sort+limit into TakeOrderedAndProject
+        // (per-partition bounded heap + driver merge) only at the root
+        // — left inline under the re-rank projections it planned as a
+        // full corpus range-shuffle Sort for 64 rows (the PlanShapeSpec
+        // pin caught exactly that). The fenced result is M=64 rows.
+        val cand = binaryHammingCandidates(spark, dir).localCheckpoint(true)
+        cand
+          .selectExpr("vec_id", "cast(label AS int) AS label", "hamming",
+            "aggregate(zip_with(v, q0, (a, b) -> a * b), cast(0 AS double), (acc, x) -> acc + x) AS dot",
+            "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x)) AS na",
+            "sqrt(aggregate(q0, cast(0 AS double), (acc, x) -> acc + x * x)) AS nq")
+          .selectExpr("vec_id", "label", "hamming",
+            "round(CASE WHEN na = 0D OR nq = 0D THEN 0D ELSE dot / (na * nq) END, 6) AS cosine")
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+        packed AS (
+          SELECT vec_id, label, v,
+                 list_sum(list_transform(generate_series(1, 32),
+                   i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (32 - i)) ELSE 0::BIGINT END))::BIGINT AS lo,
+                 list_sum(list_transform(generate_series(33, 64),
+                   i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (64 - i)) ELSE 0::BIGINT END))::BIGINT AS hi
+          FROM e),
+        probe AS (SELECT v AS q0, lo AS qlo, hi AS qhi FROM packed WHERE vec_id = 0),
+        cand AS (
+          SELECT vec_id, label, v, q0,
+                 (bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)))::BIGINT AS hamming
+          FROM packed, probe
+          WHERE vec_id != 0
+          ORDER BY hamming, vec_id
+          LIMIT 64)
+        SELECT vec_id, label::INT AS label, hamming,
+               round(CASE WHEN na = 0 OR nq = 0 THEN 0 ELSE dot / (na * nq) END, 6) AS cosine
+        FROM (
+          SELECT vec_id, label, hamming,
+                 list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * q0[i])) AS dot,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS na,
+                 sqrt(list_sum(list_transform(q0, x -> x * x))) AS nq
+          FROM cand)
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10"""))
   )
+
+  /** Binary-quantization candidate stage for v15: sign-bit pack (two
+    * 32-bit words per vector, MSB-first integer fold), 1-row probe
+    * broadcast, Hamming = xor+popcount, top-M=64 by (hamming, vec_id).
+    * Returned UN-fenced with the sort+limit at the root so it plans as
+    * TakeOrderedAndProject — PlanShapeSpec pins that shape here; the
+    * caller fences with localCheckpoint before re-ranking.
+    */
+  private[graft] def binaryHammingCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x AS double)) AS v")
+      .selectExpr("vec_id", "label", "v",
+        "aggregate(slice(v, 1, 32), 0L, (acc, x) -> acc * 2L + CASE WHEN x > 0D THEN 1L ELSE 0L END) AS lo",
+        "aggregate(slice(v, 33, 32), 0L, (acc, x) -> acc * 2L + CASE WHEN x > 0D THEN 1L ELSE 0L END) AS hi")
+    val probe = e.where("vec_id = 0")
+      .selectExpr("v AS q0", "lo AS qlo", "hi AS qhi")
+    e.where("vec_id != 0")
+      .crossJoin(broadcast(probe))
+      .selectExpr("vec_id", "label", "v", "q0",
+        "cast(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS bigint) AS hamming")
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(64)
+  }
 
   // ----------------------------------------------- IVF index at rest
   // The materialized form of v5_ivf_knn's scale path: vectors assigned

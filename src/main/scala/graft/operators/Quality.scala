@@ -40,8 +40,11 @@ object Quality {
         val derived = check("documents.n_chars = length(text)",
           docs.groupBy().agg(expr("count(*) AS total"),
             expr("sum(CASE WHEN n_chars != length(text) THEN 1L ELSE 0L END) AS violations")))
+        // no broadcast hint: customer is corpus-cardinality (one row
+        // per customer) — AQE may still broadcast when it measures
+        // small, but forcing it is a driver OOM at 10⁹ customers
         val refOrders = check("orders.o_custkey in customer",
-          orders.join(broadcast(cust.select("c_custkey")),
+          orders.join(cust.select("c_custkey"),
               col("o_custkey") === col("c_custkey"), "left")
             .groupBy().agg(expr("count(*) AS total"),
               expr("sum(CASE WHEN c_custkey IS NULL THEN 1L ELSE 0L END) AS violations")))
@@ -271,6 +274,54 @@ object Quality {
                sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT,
                sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT,
                -1
+        FROM classes""")),
+
+    // ----------------------- l-diversity audit (homogeneity attack)
+    // k-anonymity's blind spot: a class can hold k ≥ 5 rows and still
+    // leak the sensitive attribute when all k AGREE on it (the
+    // homogeneity attack). Distinct l-diversity requires ≥ l distinct
+    // sensitive values per quasi-identifier class — here quasi-ids
+    // (nation, bal_band), sensitive attribute = market segment, l = 3.
+    // Scale shape: one hash aggregate with a distinct count — Spark
+    // expands it into the two-phase (class, segment) partial dedup
+    // then per-class count, both map-side combinable; the summary is a
+    // second aggregate over the (bounded: one row per class) result.
+    // No join, no window, nothing corpus-sized leaves the first
+    // shuffle.
+    QueryDef(
+      "dq_l_diversity",
+      (spark, dir) => {
+        val l = 3L
+        val classes = Tables.customer(spark, dir)
+          .selectExpr("cast(c_nationkey AS bigint) AS nation",
+            "cast(floor(c_acctbal / 2000) AS bigint) AS bal_band", "c_mktsegment AS segment")
+          .groupBy("nation", "bal_band")
+          .agg(expr("cast(count(*) AS bigint) AS n"),
+            expr("cast(count(DISTINCT segment) AS bigint) AS l_distinct"))
+          .selectExpr("nation", "bal_band", "n", "l_distinct",
+            s"CASE WHEN l_distinct >= $l THEN 1L ELSE 0L END AS l_div")
+        classes.unionByName(
+          classes.groupBy().agg(
+              expr("cast(sum(CASE WHEN l_div = 0 THEN 1 ELSE 0 END) AS bigint) AS risky_classes"),
+              expr("cast(sum(CASE WHEN l_div = 0 THEN n ELSE 0 END) AS bigint) AS risky_rows"))
+            .selectExpr("-1L AS nation", "risky_classes AS bal_band",
+              "risky_rows AS n", "-1L AS l_distinct", "-1L AS l_div"))
+      },
+      Some("""
+        WITH classes AS (
+          SELECT c_nationkey::BIGINT AS nation,
+                 floor(c_acctbal / 2000)::BIGINT AS bal_band,
+                 count(*)::BIGINT AS n,
+                 count(DISTINCT c_mktsegment)::BIGINT AS l_distinct
+          FROM customer GROUP BY 1, 2)
+        SELECT nation, bal_band, n, l_distinct,
+               (CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END)::BIGINT AS l_div
+        FROM classes
+        UNION ALL
+        SELECT -1,
+               sum(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN l_distinct < 3 THEN n ELSE 0 END)::BIGINT,
+               -1, -1
         FROM classes"""))
   )
 

@@ -942,7 +942,58 @@ object TextOps {
                 LEFT JOIN (SELECT b, max(r) AS mr FROM rk GROUP BY b) g ON gs.b = g.b))
         SELECT scope, hit::BIGINT AS buckets_hit,
                round((0.7213 / (1 + 1.079 / 256)) * 256 * 256 / S, 4) AS hll_est
-        FROM (SELECT * FROM per UNION ALL SELECT * FROM mrg UNION ALL SELECT * FROM dct)"""))
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM mrg UNION ALL SELECT * FROM dct)""")),
+
+    // ------------------------- readability scoring (Flesch–Kincaid)
+    // The classic curriculum/quality signal: grade level from words
+    // per sentence and syllables per word. All three inputs are
+    // DETERMINISTIC functions both engines compute identically —
+    // syllables per word = vowel-group count (min 1, the standard
+    // heuristic), and since the synthetic corpus carries no
+    // punctuation, sentence length is derived per doc as (7 + doc_id
+    // % 5) tokens (the planted-fixture discipline of dd_spandup), so
+    // sentence counts vary and exercise the formula. Scale shape:
+    // pure scan-local projection — one pass, no shuffle, no UDF; the
+    // syllable fold is a codegen'd higher-order aggregate over the
+    // token array.
+    QueryDef(
+      "ta_readability",
+      (spark, dir) => {
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id", "split(tc, ' ') AS toks")
+          .selectExpr("doc_id",
+            "cast(size(toks) AS bigint) AS words",
+            """aggregate(toks, 0L, (acc, w) ->
+                 acc + greatest(1L, cast(size(regexp_extract_all(lower(w), '[aeiouy]+', 0)) AS bigint))) AS syllables""",
+            "7L + doc_id % 5 AS sent_len")
+          .selectExpr("doc_id", "words", "syllables",
+            "cast(ceil(cast(words AS double) / cast(sent_len AS double)) AS bigint) AS sentences")
+          .selectExpr("doc_id", "words", "sentences", "syllables",
+            """round(0.39 * (cast(words AS double) / cast(sentences AS double))
+                     + 11.8 * (cast(syllables AS double) / cast(words AS double))
+                     - 15.59, 6) AS fk_grade""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'),
+                              '^\s+|\s+$', '', 'g'), ' ') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(toks)::BIGINT AS words,
+                 list_sum(list_transform(toks,
+                   w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))))::BIGINT AS syllables,
+                 (7 + doc_id % 5)::BIGINT AS sent_len
+          FROM t)
+        SELECT doc_id, words,
+               ceil(words::DOUBLE / sent_len::DOUBLE)::BIGINT AS sentences,
+               syllables,
+               round(0.39 * (words::DOUBLE / ceil(words::DOUBLE / sent_len::DOUBLE))
+                     + 11.8 * (syllables::DOUBLE / words::DOUBLE) - 15.59, 6) AS fk_grade
+        FROM m"""))
   )
 
   /** Synthetic per-doc URL (the fixture half of ta_urls): every doc

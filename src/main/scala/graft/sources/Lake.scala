@@ -876,6 +876,76 @@ object Lake {
         UNION ALL
         SELECT 'clone_head', n_rows, bal, t FROM m
         UNION ALL
-        SELECT 'source_head', n_rows, bal, t FROM b"""))
+        SELECT 'source_head', n_rows, bal, t FROM b""")),
+
+    // ------------------------- snapshot diff (CDC between versions)
+    // "What changed between version A and version B?" — the audit /
+    // downstream-sync question time travel alone cannot answer without
+    // re-deriving the writes. [[versionDiff]] classifies every key as
+    // added / removed / changed by ONE key-partitioned full-outer join
+    // of the two snapshots (null-safe whole-row comparison, so a
+    // column going null counts as a change); unchanged keys — the
+    // overwhelming majority at scale — never leave the join. Fixture:
+    // v0 = customer, v1 = the shared upsert fixture, v2 = deleteWhere
+    // every 37th key, then diff v0 → v2 so all three classes appear.
+    QueryDef(
+      "s21_version_diff",
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/customer"
+        commitVersion(spark, Tables.customer(spark, dir), root)
+        upsert(spark, updatesFixture(spark, dir), root, "c_custkey")
+        deleteWhere(spark, root, "c_custkey % 37 = 1")
+        versionDiff(spark, root, "c_custkey", 0, 2)
+          .selectExpr("change", "c_custkey",
+            "coalesce(cast(round(old_c_acctbal * 1000000, 0) AS bigint), -1L) AS old_bal_micros",
+            "coalesce(cast(round(new_c_acctbal * 1000000, 0) AS bigint), -1L) AS new_bal_micros",
+            "coalesce(new_c_mktsegment, '(none)') AS new_segment")
+      },
+      Some(s"""
+        WITH $mergedOracle,
+        v2 AS (SELECT * FROM merged WHERE NOT (c_custkey % 37 = 1)),
+        diff AS (
+          SELECT CASE WHEN b.c_custkey IS NULL THEN 'added'
+                      WHEN n.c_custkey IS NULL THEN 'removed'
+                      ELSE 'changed' END AS change,
+                 coalesce(b.c_custkey, n.c_custkey) AS c_custkey,
+                 b.c_acctbal AS old_acct, n.c_acctbal AS new_acct,
+                 n.c_mktsegment AS new_seg
+          FROM base b FULL OUTER JOIN v2 n ON b.c_custkey = n.c_custkey
+          WHERE b.c_custkey IS NULL OR n.c_custkey IS NULL
+             OR b.c_name IS DISTINCT FROM n.c_name
+             OR b.c_nationkey IS DISTINCT FROM n.c_nationkey
+             OR b.c_acctbal IS DISTINCT FROM n.c_acctbal
+             OR b.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+        SELECT change, c_custkey,
+               coalesce(CAST(round(old_acct * 1000000, 0) AS BIGINT), -1) AS old_bal_micros,
+               coalesce(CAST(round(new_acct * 1000000, 0) AS BIGINT), -1) AS new_bal_micros,
+               coalesce(new_seg, '(none)') AS new_segment
+        FROM diff"""))
   )
+
+  /** CDC-style diff of two committed snapshots: every key classified
+    * added / removed / changed (null-safe, whole-row); unchanged keys
+    * drop inside the join. One shuffle on `key` for both snapshots —
+    * the scale shape of MERGE itself — with old_/new_ prefixed copies
+    * of every non-key column for the caller to project.
+    */
+  def versionDiff(spark: SparkSession, root: String, key: String,
+      from: Int, to: Int): DataFrame = {
+    val a = readVersion(spark, root, Some(from))
+    val b = readVersion(spark, root, Some(to))
+    val cols = a.columns.filterNot(_ == key)
+    val sameRow = cols
+      .map(c => s"b.`$c` <=> n.`$c`")
+      .mkString(" AND ")
+    a.as("b").join(b.as("n"), col(s"b.$key") === col(s"n.$key"), "full_outer")
+      .where(expr(s"b.$key IS NULL OR n.$key IS NULL OR NOT ($sameRow)"))
+      .select(
+        Seq(
+          expr(s"CASE WHEN b.$key IS NULL THEN 'added' " +
+            s"WHEN n.$key IS NULL THEN 'removed' ELSE 'changed' END").as("change"),
+          expr(s"coalesce(b.$key, n.$key)").as(key)) ++
+        cols.map(c => col(s"b.`$c`").as(s"old_$c")) ++
+        cols.map(c => col(s"n.`$c`").as(s"new_$c")): _*)
+  }
 }

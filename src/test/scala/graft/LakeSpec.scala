@@ -297,6 +297,25 @@ class LakeSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 1L), (2L, 200L, 22L), (3L, 300L, 33L)))
   }
 
+  test("versionDiff classifies added/removed/changed and drops unchanged keys") {
+    val root = freshRoot()
+    Lake.commitVersion(spark,
+      Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L), (3L, Some("c"), 30L),
+        (4L, Option.empty[String], 40L)).toDF("k", "name", "x"), root)
+    // v1: change 2 (value), change 4 (null -> value: null-safe compare
+    // must see it), insert 5; then v2 deletes key 3
+    Lake.upsert(spark,
+      Seq((2L, Some("b"), 200L), (4L, Some("now"), 40L), (5L, Some("e"), 50L))
+        .toDF("k", "name", "x"), root, "k")
+    Lake.deleteWhere(spark, root, "k = 3")
+    val diff = Lake.versionDiff(spark, root, "k", 0, 2)
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(diff == Map(2L -> "changed", 3L -> "removed", 4L -> "changed", 5L -> "added"),
+      s"got $diff")
+    // identical snapshots diff to empty
+    assert(Lake.versionDiff(spark, root, "k", 2, 2).isEmpty)
+  }
+
   test("readVersion rejects uncommitted version numbers") {
     val root = freshRoot()
     Lake.commitVersion(spark, Seq((1L, "a")).toDF("k", "v"), root)

@@ -425,6 +425,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("v15_binary_rerank: Hamming top-M is a bounded heap, probe is a 1-row broadcast") {
+    // the CANDIDATE stage (pre-fence, where the corpus lives): the
+    // sort+limit must sit at the plan root so it becomes
+    // TakeOrderedAndProject — inline under the re-rank projections it
+    // planned as a full corpus range-shuffle Sort for 64 rows (caught
+    // here in round 11 and fenced with localCheckpoint)
+    val c = operators.Knn.binaryHammingCandidates(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(c.contains("TakeOrderedAndProject"), s"top-M not a bounded heap:\n${c.take(600)}")
+    assert(!c.contains("Exchange rangepartitioning"),
+      s"global sort in the candidate stage:\n${c.take(600)}")
+    assert(c.contains("BroadcastNestedLoopJoin"), "1-row probe must broadcast")
+    // the full query: re-rank top-10 is also a bounded heap over the
+    // 64 fenced candidates, never a range exchange
+    val p = plan("v15_binary_rerank")
+    assert(p.contains("TakeOrderedAndProject"), s"re-rank not a bounded heap:\n${p.take(600)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort in the re-rank:\n${p.take(600)}")
+  }
+
+  test("tp_shard_shuffle: positions come from per-shard windows, never one global order") {
+    val p = plan("tp_shard_shuffle")
+    // the window is PARTITION BY shard — N parallel sorts; a
+    // SinglePartition exchange would be the s5-style global row_number
+    // that serializes the corpus through one task
+    assert(!p.contains("SinglePartition"),
+      s"shard shuffle fell back to a single-partition window:\n${p.take(600)}")
+    assert(p.contains("Window"), "expected the per-shard position window")
+  }
+
   test("v1_embed: the embed64 kernel keeps embedding scan-shaped — no aggregate") {
     graft.plans.VectorExprs.register(spark)
     val p = plan("v1_embed")
