@@ -758,6 +758,95 @@ object Curation {
                      ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
               FROM documents)""")),
 
+    // ----------------------- BPE vocabulary induction (tokenizer train)
+    // The missing tokenizer-side operator: learn the first 10 BPE
+    // merges from the corpus itself, exactly the way production BPE
+    // trainers do it — NOT over raw text, but over the WORD-FREQUENCY
+    // TABLE. That one factoring is the whole scale story: the corpus
+    // is read once to count words, and every merge round thereafter
+    // touches only the vocab table (bounded by distinct words, not
+    // corpus bytes — at 100 TB the vocab is millions of rows while the
+    // corpus is trillions of tokens). Each round: adjacent-symbol
+    // pairs explode from the per-word symbol sequences weighted by
+    // word count, one hash aggregate picks the most frequent pair
+    // (ties by symbol order, both engines), the 1-row winner
+    // broadcasts back and every word merges it via a single string
+    // replace. Symbol sequences are stored pipe-TERMINATED ('a|b|c|')
+    // so the merge pattern 'a|b|' owns its trailing separator:
+    // replacements never share a boundary character, which makes
+    // leftmost-nonoverlapping replace IDENTICAL to greedy BPE merging
+    // in both engines (validated: 'a|b|a|b|' → 'ab|ab|', 'a|a|a|' →
+    // 'aa|a|'). Output: the 10 learned merges with their counts plus
+    // the post-merge corpus token total — the artifact a tokenizer
+    // run ships. Rounds are checkpoint-fenced so the plan stays O(1)
+    // per round (the pageRank discipline).
+    QueryDef(
+      "tp_bpe_train",
+      (spark, dir) => {
+        val Rounds = 10
+        val vocab = Tables.documents(spark, dir)
+          .selectExpr(
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("explode(split(tc, ' ')) AS w")
+          .where("w != ''")
+          .groupBy("w").agg(expr("cast(count(*) AS bigint) AS wc"))
+          .selectExpr("w", "wc",
+            "concat(array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|'), '|') AS seq")
+          .localCheckpoint(true)
+        var cur = vocab
+        var merges: DataFrame = null
+        (1 to Rounds).foreach { r =>
+          val top = cur
+            .selectExpr("wc", "filter(split(seq, '[|]'), x -> x != '') AS syms")
+            .where("size(syms) >= 2") // Spark sequence(1,0) counts DOWN — guard it out
+            .selectExpr("wc",
+              "explode(transform(sequence(1, size(syms) - 1), i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))) AS p")
+            .selectExpr("p.a AS a", "p.b AS b", "wc")
+            .groupBy("a", "b").agg(expr("cast(sum(wc) AS bigint) AS cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1)
+            .localCheckpoint(true) // 1 row — feeds the merge row AND the replace
+          val row = top.selectExpr(s"${r}L AS round", "a", "b", "concat(a, b) AS merged", "cnt")
+          merges = if (merges == null) row else merges.unionByName(row)
+          cur = cur.crossJoin(broadcast(top.select(col("a").as("ma"), col("b").as("mb"))))
+            .selectExpr("w", "wc",
+              "replace(seq, concat(ma, '|', mb, '|'), concat(ma, mb, '|')) AS seq")
+            .localCheckpoint(true)
+        }
+        val total = cur
+          .selectExpr("wc", "cast(size(filter(split(seq, '[|]'), x -> x != '')) AS bigint) AS ns")
+          .groupBy().agg(expr("cast(sum(wc * ns) AS bigint) AS cnt"))
+          .selectExpr("-1L AS round", "'(tokens)' AS a", "'' AS b", "'' AS merged", "cnt")
+        merges.unionByName(total)
+      },
+      Some {
+        val Rounds = 10
+        val iters = (1 to Rounds).map { r => s"""
+        p$r AS MATERIALIZED (
+          SELECT syms[i] AS a, syms[i + 1] AS b, sum(wc)::BIGINT AS cnt
+          FROM (SELECT wc, list_filter(string_split(seq, '|'), x -> x != '') AS syms FROM v${r - 1}),
+               unnest(generate_series(1, len(syms) - 1)) AS t(i)
+          GROUP BY 1, 2),
+        t$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+        v$r AS MATERIALIZED (
+          SELECT w, wc, replace(seq, a || '|' || b || '|', a || b || '|') AS seq
+          FROM v${r - 1}, t$r)"""
+        }.mkString(",")
+        s"""
+        WITH v0 AS MATERIALIZED (
+          SELECT w, count(*)::BIGINT AS wc,
+                 array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), '|') || '|' AS seq
+          FROM (SELECT unnest(string_split(regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g'), ' ')) AS w
+                FROM documents)
+          WHERE w != '' GROUP BY w),
+        $iters
+        ${(1 to Rounds).map(r => s"SELECT ${r}::BIGINT AS round, a, b, a || b AS merged, cnt FROM t$r").mkString("\n        UNION ALL\n        ")}
+        UNION ALL
+        SELECT -1::BIGINT, '(tokens)', '', '',
+               sum(wc * len(list_filter(string_split(seq, '|'), x -> x != '')))::BIGINT
+        FROM v$Rounds"""
+      }),
+
     // --------------------------------- full semantic curation pipeline
     // The end-to-end shape a modern LLM-pretraining corpus run takes,
     // as ONE declarative plan: fluency gate (corpus-trained bigram-LM

@@ -344,22 +344,27 @@ object Dedup {
           .where(s"df <= $MaxShingleDf").select("h")
         val kept = post.join(lowDf, "h").select("doc_id", "h")
           .localCheckpoint(true)
-        // per-doc size rides ON the posting rows into the pair join (a
-        // doc_id-partitioned join postings×sizes — both sides shuffle
-        // once on doc_id), so the pair aggregation emits (inter, sz_a,
-        // sz_b) directly and NOTHING doc-cardinality is ever
-        // broadcast. The earlier form broadcast(sizes) into the pair
-        // table — one row per document, i.e. driver-OOM at 10⁹ docs on
-        // exactly the boilerplate-heavy corpora this operator targets
-        // (mm_ahash_neardup's carry-the-codes discipline, applied to
-        // sizes).
+        // the sizes joins carry NO broadcast hint: sizes is one row
+        // per DOCUMENT — corpus-cardinality, i.e. a forced broadcast
+        // is a driver OOM at 10⁹ docs on exactly the boilerplate-heavy
+        // corpora this operator targets. Hint-free, AQE broadcasts
+        // only when the aggregate MEASURES under the threshold at
+        // runtime and degrades gracefully to a shuffle join beyond it
+        // (the pair table is already key-partitioned, so that join
+        // adds one doc-keyed exchange of the PAIR rows, never a
+        // driver-sized collect). An r11 experiment that instead rode
+        // sz on the posting rows into the pair aggregation measured
+        // 1.4-1.7× SLOWER at sf3 — the extra posting-list join +
+        // materialization costs more than the post-agg join ever does.
+        // PlanShapeSpec pins the analyzed plan ResolvedHint-free.
         val sizes = kept.groupBy("doc_id").agg(expr("count(*) AS sz"))
-        val keptSz = kept.join(sizes, "doc_id").localCheckpoint(true)
-        keptSz.select(col("doc_id").as("doc_a"), col("h"), col("sz").as("sz_a"))
-          .join(keptSz.select(col("doc_id").as("doc_b"), col("h").as("h_r"), col("sz").as("sz_b")),
+        val inter = kept.select(col("doc_id").as("doc_a"), col("h"))
+          .join(kept.select(col("doc_id").as("doc_b"), col("h").as("h_r")),
             col("h") === col("h_r") && col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b")
-          .agg(expr("count(*) AS inter"), expr("min(sz_a) AS sz_a"), expr("min(sz_b) AS sz_b"))
+          .groupBy("doc_a", "doc_b").agg(expr("count(*) AS inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
           .selectExpr("doc_a", "doc_b",
             "cast(inter AS double) / cast(sz_a + sz_b - inter AS double) AS jaccard")
           .where(s"jaccard >= $JaccardThreshold")
@@ -411,16 +416,16 @@ object Dedup {
           .where(s"df <= $MaxShingleDf").select("h")
         val kept = post.join(lowDf, "h").select("doc_id", "h")
           .localCheckpoint(true)
-        // same carried-size shape as dd_ngram_jaccard: sizes join the
-        // postings on doc_id and ride into the pair aggregation — no
-        // doc-cardinality broadcast anywhere in the plan
+        // hint-free sizes joins — same rationale as dd_ngram_jaccard:
+        // AQE broadcasts only when sizes measures small at runtime
         val sizes = kept.groupBy("doc_id").agg(expr("count(*) AS sz"))
-        val keptSz = kept.join(sizes, "doc_id").localCheckpoint(true)
-        keptSz.select(col("doc_id").as("doc_a"), col("h"), col("sz").as("sz_a"))
-          .join(keptSz.select(col("doc_id").as("doc_b"), col("h").as("h_r"), col("sz").as("sz_b")),
+        val inter = kept.select(col("doc_id").as("doc_a"), col("h"))
+          .join(kept.select(col("doc_id").as("doc_b"), col("h").as("h_r")),
             col("h") === col("h_r") && col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b")
-          .agg(expr("count(*) AS inter"), expr("min(sz_a) AS sz_a"), expr("min(sz_b) AS sz_b"))
+          .groupBy("doc_a", "doc_b").agg(expr("count(*) AS inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
           .selectExpr("doc_a", "doc_b", "sz_a", "sz_b", "inter",
             "cast(inter AS double) / cast(least(sz_a, sz_b) AS double) AS cont")
           .where(s"cont >= $ContainmentThreshold")

@@ -216,4 +216,37 @@ class CurationSpec extends SparkSpec {
     assert(droppedByGate == planted)
     assert(rows.forall(r => r.getAs[Long]("n_after_dedup") <= r.getAs[Long]("n_after_clf")))
   }
+
+  test("tp_bpe_train: merge counts non-increasing, each merge shrinks the token total") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("tp_bpe_train").run(spark, sf).collect()
+    val merges = rows.filter(_.getLong(0) > 0).sortBy(_.getLong(0))
+    assert(merges.length == 10)
+    // BPE invariant: a merge can only create pairs no more frequent
+    // than itself (new pairs contain the merged symbol, count ≤ its
+    // count; old pairs only lose occurrences) — so the picked counts
+    // must be non-increasing round over round
+    val cnts = merges.map(_.getLong(4))
+    assert(cnts.zip(cnts.tail).forall { case (x, y) => x >= y },
+      s"merge counts increased: ${cnts.mkString(",")}")
+    // merged symbol is the concatenation of its parts
+    merges.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+    }
+    // each applied merge removes one symbol per NON-overlapping
+    // occurrence; pair counts include overlapping runs, so Σcnt is an
+    // upper bound on the removals — the total must land inside
+    // [raw − Σcnt, raw), strictly below raw (every round merged
+    // something)
+    val raw = Tables.documents(spark, sf)
+      .selectExpr(
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .selectExpr("explode(split(tc, ' ')) AS w").where("w != ''")
+      .selectExpr("cast(length(w) AS bigint) AS n")
+      .groupBy().agg(org.apache.spark.sql.functions.expr("sum(n)"))
+      .collect().head.getLong(0)
+    val total = rows.find(_.getLong(0) == -1L).get.getLong(4)
+    assert(total < raw && total >= raw - cnts.sum,
+      s"token accounting: raw $raw, Σmerges ${cnts.sum}, total $total")
+  }
 }
