@@ -70,7 +70,20 @@ object ScaleUp {
     gen("lineitem")(shifted("l_orderkey" -> 10000000L, "l_partkey" -> 1000000L,
       "l_suppkey" -> 100000L))
     gen("orders")(shifted("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
-    gen("customer")(shifted("c_custkey" -> 1000000L))
+    // names must decollide like document tokens: copy i keeps the
+    // ORIGINAL key-shifted rows but rewrites c_name with a DOUBLED
+    // suffix ('~i~i'), so any two copies' names sit at edit distance
+    // ≥ 2 (each digit of i appears twice; one-digit-vs-two-digit
+    // suffixes differ by ≥ 2 inserts). Without this, cross-copy names
+    // are ed-0/ed-1 of each other and every edit-distance miner's TRUE
+    // OUTPUT grows quadratically in the copy count (r11 measured
+    // dd_record_linkage's link set at exactly factor² × the per-copy
+    // links — a fixture artifact, not an operator property).
+    gen("customer") { (d, i) =>
+      val s = shifted("c_custkey" -> 1000000L)(d, i)
+      if (i == 0) s
+      else s.withColumn("c_name", expr(s"concat(c_name, '~', $i, '~', $i)"))
+    }
     gen("part")(shifted("p_partkey" -> 1000000L))
     gen("supplier")(shifted("s_suppkey" -> 100000L))
     gen("nation")((d, i) => if (i == 0) d else d.limit(0)) // shared dims

@@ -1114,8 +1114,12 @@ object Dedup {
     * r4-degenerate (16 × 2) grouping against the production (4 × 8) one
     * over the same 32 planes.
     */
-  private[graft] def embedBandCandidates(corpus: DataFrame,
-                                         bands: Int, bits: Int): DataFrame = {
+  /** Band-signature rows for a (label, vec_id, emb_n) corpus: one row
+    * per (vector, band) with the band's sign-bit value, the embedding
+    * carried along for inline verification.
+    */
+  private[graft] def embedBandRows(corpus: DataFrame,
+                                   bands: Int, bits: Int): DataFrame = {
     require(bands * bits <= Knn.LshPlanes.size, "not enough fixed planes")
     def bandVal(b: Int): String =
       (0 until bits).map { j =>
@@ -1124,9 +1128,15 @@ object Dedup {
     val bandStructs = (0 until bands)
       .map(b => s"named_struct('band_id', $b, 'band_val', ${bandVal(b)})")
       .mkString("array(", ", ", ")")
-    val bk = corpus
-      .selectExpr("label", "vec_id", s"explode($bandStructs) AS bk")
-      .selectExpr("label", "vec_id", "bk.band_id AS band_id", "bk.band_val AS band_val")
+    corpus
+      .selectExpr("label", "vec_id", "emb_n", s"explode($bandStructs) AS bk")
+      .selectExpr("label", "vec_id", "emb_n",
+        "bk.band_id AS band_id", "bk.band_val AS band_val")
+  }
+
+  private[graft] def embedBandCandidates(corpus: DataFrame,
+                                         bands: Int, bits: Int): DataFrame = {
+    val bk = embedBandRows(corpus, bands, bits)
     val l = bk.select(col("label"), col("band_id"), col("band_val"), col("vec_id").as("vec_a"))
     val r = bk.select(col("label").as("label_r"), col("band_id").as("band_id_r"),
       col("band_val").as("band_val_r"), col("vec_id").as("vec_b"))
@@ -1139,13 +1149,33 @@ object Dedup {
 
   /** The registered dd_embed_neardup pipeline: twin corpus → 4 × 8-bit
     * banded candidates → exact cosine verify at the production 0.9
-    * threshold.
+    * threshold. The verify runs INLINE in the band join (each band row
+    * carries its emb_n; candidates that fail the exact cosine die in
+    * the join's output filter), so only TRUE pairs ever reach the
+    * distinct — the r11 sf10 decade check measured the previous shape
+    * (ids-only candidates → quadratic distinct → two verify joins) at
+    * exponent 2.37: clustered sign patterns make band buckets hold a
+    * corpus fraction, and the candidate pair space — harmless when it
+    * stays inside one codegen'd filter — was being shuffled TWICE.
+    * Same exactness (identical candidate set, identical verify
+    * expression, fused), same recall pin in DedupSpec. The trade is
+    * the mm_ahash_neardup one: the dot product runs once per
+    * colliding band (≤4× per pair) instead of once per distinct pair.
     */
   private[graft] def embedNearDupBanded(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embedTwinCorpus(spark, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds banding AND verify
-    verifyCosine(embedBandCandidates(corpus, bands = 4, bits = 8),
-      corpus.select(col("label"), col("vec_id"), col("emb_n")), EmbNearDupThreshold)
+    val bk = embedBandRows(corpus, bands = 4, bits = 8)
+    val l = bk.select(col("label"), col("band_id"), col("band_val"),
+      col("vec_id").as("vec_a"), col("emb_n").as("emb_a"))
+    val r = bk.select(col("label").as("label_r"), col("band_id").as("band_id_r"),
+      col("band_val").as("band_val_r"), col("vec_id").as("vec_b"), col("emb_n").as("emb_b"))
+    l.join(r,
+        l("label") === r("label_r") && l("band_id") === r("band_id_r") &&
+          l("band_val") === r("band_val_r") && l("vec_a") < r("vec_b"))
+      .selectExpr("label", "vec_a", "vec_b", "dot_f(emb_a, emb_b) AS cos")
+      .where(s"cos >= $EmbNearDupThreshold")
+      .selectExpr("label", "vec_a", "vec_b", "round(cos, 6) AS cosine")
+      .distinct()
   }
 
   /** All-pairs-within-label ground truth over the SAME twin corpus at
