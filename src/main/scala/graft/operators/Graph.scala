@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointOps.checkpointHashPartitioned
 
 /** Graph analytics over relational edge lists — the companion family to
   * Curation.connectedComponents. PageRank here is INTEGER-EXACT: scores
@@ -28,26 +29,80 @@ object Graph {
   private val BasePpm = 150000L // (1 - 0.85) × 1e6
   private val Iters = 5
 
+  /** Partition width for the once-checkpointed iteration tables. An
+    * EXPLICIT count (repartition(w, col) — REPARTITION_BY_NUM) is load-
+    * bearing: a bare repartition(col) is an AQE-coalescible exchange,
+    * and AQE sizes it by shuffle BYTES (~1 MB/partition floor), so the
+    * checkpointed edge table comes out ~10 partitions at sf0.1 and
+    * every subsequent round — the expensive part, replayed 5–120× —
+    * runs on 10 of 32 cores (profiled: gr_pagerank_conv wall 67 s over
+    * 338 s summed task time). Rounds re-scan the checkpoint, so its
+    * width must be sized for the ITERATION's CPU, not one exchange's
+    * data volume: session parallelism, same policy as gr_linkpred's
+    * wedge join.
+    */
+  private def iterWidth(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Run a Pregel-style round loop with adaptive execution and
+    * whole-stage codegen OFF, restoring both afterwards. Measured on
+    * the sf0.1 purchase graph (20-round PageRank, idle machine, both
+    * orders tried, 2 reps): baseline ~14-17 s, AQE off ~13-15 s,
+    * codegen off ~11-12 s, both off **~8-9 s** — per-round wall is
+    * driver-bound, not executor-bound (338 s of task time fit in a
+    * 56 s wall at 32 threads). Every round is a NEW plan with fresh
+    * expr-ids, so whole-stage codegen compiles ~3 never-reused
+    * classes per round (Janino time on the critical path) and AQE
+    * re-optimizes every shuffle stage to coalesce a few-MB exchange
+    * it should leave alone. Interpreted eval is slower per row, but a
+    * round touches only O(E/n) rows per task — the driver overhead
+    * dominates by an order of magnitude. The loop STRUCTURE
+    * (stationary co-partitioned edges, shuffle_hash score joins) is
+    * unchanged and scale-independent; this trades a per-row constant
+    * that is irrelevant at test SF and amortized at 100 TB (where
+    * task time, not plan time, dominates and a fixed plan per round
+    * still skips the per-round compile).
+    */
+  private def withIterConf[T](spark: SparkSession)(f: => T): T = {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    val wsc = conf.get("spark.sql.codegen.wholeStage")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    try f finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.codegen.wholeStage", wsc)
+    }
+  }
+
   /** Integer PageRank over a directed edge list `(src, dst)`. Every
     * vertex must appear as a source (undirected graphs: union both
     * directions); init score = 1e6 ppm.
     */
   def pageRank(edges: DataFrame, iters: Int = Iters): DataFrame = {
     val e = edges.toDF("src", "dst").localCheckpoint(true)
+    withIterConf(e.sparkSession) {
+    val w = iterWidth(edges)
     val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
-    // hash-partition the edge table on src ONCE and checkpoint it:
-    // localCheckpoint preserves outputPartitioning, so every round's
-    // edge⋈score join reuses this layout and only the O(V) score table
-    // moves — the edge list (the 100 TB side) never re-shuffles
-    val withDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
-    val verts = e.select(col("src").as("id")).distinct()
-      .repartition(col("id")).localCheckpoint(true)
+    // hash-partition the edge table on src ONCE and checkpoint it with
+    // the partitioning ADVERTISED (checkpointHashPartitioned — a plain
+    // localCheckpoint forgets it under AQE and every round re-shuffled
+    // the E-sized table), so every round's edge⋈score join reuses this
+    // layout and only the O(V) score table moves — the edge list (the
+    // 100 TB side) never re-shuffles. The score side carries a
+    // shuffle_hash hint: the stationary edge side streams against a
+    // per-partition hash map of the O(V/n) scores, no per-round
+    // E-sized sort the way default SMJ would.
+    val withDeg = checkpointHashPartitioned(e.join(deg, "src"), w, "src")
+    val verts = checkpointHashPartitioned(
+      e.select(col("src").as("id")).distinct(), w, "id")
     var r = verts.withColumn("r", lit(1000000L))
     (1 to iters).foreach { i =>
       val contrib = withDeg
-        .join(r.selectExpr("id AS src", "r AS rs"), "src")
+        .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
         .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
-      r = verts.join(contrib.selectExpr("dst AS id", "c"), Seq("id"), "left")
+      r = verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
+          Seq("id"), "left")
         .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
       // a FIXED iteration count needs no per-round convergence action,
       // so lineage stays lazy — one job plans all rounds (materializing
@@ -55,7 +110,35 @@ object Graph {
       // walks deep enough for plan analysis to grow noticeable
       if (i % 6 == 0 && i < iters) r = r.localCheckpoint(true)
     }
-    r
+    // materialize INSIDE the guard so the rounds execute under the
+    // iteration confs (returned lazily, they would plan at the
+    // caller's action with codegen+AQE back on)
+    checkpointHashPartitioned(r, w, "id")
+    }
+  }
+
+  /** One un-materialized PageRank round's executed-plan string, built
+    * exactly the way the loop builds it — for PlanShapeSpec to pin the
+    * round shape (1 contribution exchange, 2 shuffled-hash joins, no
+    * sort) without reaching into the guarded loop.
+    */
+  private[graft] def oneRoundPlanForSpec(edges: DataFrame): String = {
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    withIterConf(e.sparkSession) {
+      val w = iterWidth(e)
+      val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
+      val withDeg = checkpointHashPartitioned(e.join(deg, "src"), w, "src")
+      val verts = checkpointHashPartitioned(
+        e.select(col("src").as("id")).distinct(), w, "id")
+      val r = verts.withColumn("r", lit(1000000L))
+      val contrib = withDeg
+        .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
+        .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
+      verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
+          Seq("id"), "left")
+        .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
+        .queryExecution.executedPlan.toString
+    }
   }
 
   /** PageRank iterated to the exact integer FIXPOINT CYCLE instead of a
@@ -81,24 +164,31 @@ object Graph {
   def pageRankConverged(edges: DataFrame, maxIters: Int = 190,
                         checkEvery: Int = 10): DataFrame = {
     val e = edges.toDF("src", "dst").localCheckpoint(true)
+    withIterConf(e.sparkSession) {
+    val w = iterWidth(edges)
     val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
-    val withDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
-    val verts = e.select(col("src").as("id")).distinct()
-      .repartition(col("id")).localCheckpoint(true)
-    var r = verts.withColumn("r", lit(1000000L)).localCheckpoint(true)
+    val withDeg = checkpointHashPartitioned(e.join(deg, "src"), w, "src")
+    val verts = checkpointHashPartitioned(
+      e.select(col("src").as("id")).distinct(), w, "id")
+    var r = checkpointHashPartitioned(
+      verts.withColumn("r", lit(1000000L)), w, "id")
     var prevFence = r
     var i = 0
     var cycled = false
     while (i < maxIters && !cycled) {
       (1 to checkEvery).foreach { _ =>
         val contrib = withDeg
-          .join(r.selectExpr("id AS src", "r AS rs"), "src")
+          .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
           .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
-        r = verts.join(contrib.selectExpr("dst AS id", "c"), Seq("id"), "left")
+        r = verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
+            Seq("id"), "left")
           .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
       }
       i += checkEvery
-      r = r.localCheckpoint(true)
+      // fence WITH the id-layout advertised: the cycle-detection join
+      // below and next fence's rounds then start from a co-partitioned
+      // state table instead of re-deriving the layout
+      r = checkpointHashPartitioned(r, w, "id")
       cycled = r.join(prevFence.selectExpr("id", "r AS rp"), "id")
         .where("r != rp").isEmpty
       prevFence = r
@@ -113,6 +203,7 @@ object Graph {
         s"$maxIters rounds — returning round-$maxIters scores; a fixed-round " +
         "oracle may disagree (raise maxIters or checkEvery for this graph)")
     r
+    }
   }
 
   /** Personalized PageRank: teleport mass returns only to the SEED set
@@ -124,24 +215,28 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iters: Int = Iters): DataFrame = {
     val e = edges.toDF("src", "dst").localCheckpoint(true)
+    withIterConf(e.sparkSession) {
+    val w = iterWidth(edges)
     val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
-    val withDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
-    val verts = e.select(col("src").as("id")).distinct()
-      .join(seeds.toDF("id").withColumn("seed", lit(true)), Seq("id"), "left")
-      .selectExpr("id", "coalesce(seed, false) AS seed")
-      .repartition(col("id")).localCheckpoint(true)
+    val withDeg = checkpointHashPartitioned(e.join(deg, "src"), w, "src")
+    val verts = checkpointHashPartitioned(
+      e.select(col("src").as("id")).distinct()
+        .join(seeds.toDF("id").withColumn("seed", lit(true)), Seq("id"), "left")
+        .selectExpr("id", "coalesce(seed, false) AS seed"), w, "id")
     var r = verts.selectExpr("id", "seed",
       "CASE WHEN seed THEN 1000000L ELSE 0L END AS r")
     (1 to iters).foreach { i =>
       val contrib = withDeg
-        .join(r.selectExpr("id AS src", "r AS rs"), "src")
+        .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
         .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
-      r = verts.join(contrib.selectExpr("dst AS id", "c"), Seq("id"), "left")
+      r = verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
+          Seq("id"), "left")
         .selectExpr("id", "seed",
           s"CASE WHEN seed THEN $BasePpm ELSE 0L END + ($Damping * coalesce(c, 0L)) div 100 AS r")
       if (i % 6 == 0 && i < iters) r = r.localCheckpoint(true)
     }
-    r.select("id", "r")
+    checkpointHashPartitioned(r.select("id", "r"), w, "id")
+    }
   }
 
   /** Weighted integer PageRank: each edge carries an integer weight and
@@ -151,20 +246,24 @@ object Graph {
     */
   def pageRankWeighted(edges: DataFrame, iters: Int = Iters): DataFrame = {
     val e = edges.toDF("src", "dst", "w").localCheckpoint(true)
+    withIterConf(e.sparkSession) {
+    val wdt = iterWidth(edges)
     val sw = e.groupBy("src").agg(expr("cast(sum(w) AS bigint) AS sw"))
-    val withW = e.join(sw, "src").repartition(col("src")).localCheckpoint(true)
-    val verts = e.select(col("src").as("id")).distinct()
-      .repartition(col("id")).localCheckpoint(true)
+    val withW = checkpointHashPartitioned(e.join(sw, "src"), wdt, "src")
+    val verts = checkpointHashPartitioned(
+      e.select(col("src").as("id")).distinct(), wdt, "id")
     var r = verts.withColumn("r", lit(1000000L))
     (1 to iters).foreach { i =>
       val contrib = withW
-        .join(r.selectExpr("id AS src", "r AS rs"), "src")
+        .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
         .groupBy("dst").agg(expr("cast(sum((rs * w) div sw) AS bigint) AS c"))
-      r = verts.join(contrib.selectExpr("dst AS id", "c"), Seq("id"), "left")
+      r = verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
+          Seq("id"), "left")
         .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
       if (i % 6 == 0 && i < iters) r = r.localCheckpoint(true)
     }
-    r
+    checkpointHashPartitioned(r, wdt, "id")
+    }
   }
 
   def queries: Seq[QueryDef] = Seq(

@@ -504,18 +504,28 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a partition-local (global=false) secondary sort:\n${p.take(600)}")
   }
 
-  test("pageRank: the edge table never re-shuffles across rounds") {
+  test("pageRank: one O(V) exchange per round, edge table stationary") {
     import spark.implicits._
     val edges = (0L until 200L).flatMap(i => Seq((i, (i + 1) % 200), ((i + 1) % 200, i)))
       .toDF("src", "dst")
-    // 3 checkpoint-free rounds: the only exchanges are the O(V) score
-    // table re-keying (3 per round) plus the initial vertex layout —
-    // an edge-side exchange per round would add an E-sized shuffle and
-    // push this count to 4·iters + 1
-    val p = graft.operators.Graph.pageRank(edges, 3)
-      .queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 3 * 3 + 1,
-      s"expected ≤ 10 exchanges (score-table only), got $exchanges — edge list is re-shuffling")
+    // pageRank materializes inside its iteration-conf guard, so the
+    // RETURNED plan is a checkpoint scan — pin the plan of one round
+    // built the way the loop builds it: stationary advertised-
+    // partitioning checkpoints + shuffle_hash score joins. The ONLY
+    // exchange a round may contain is the partial-aggregated
+    // contribution shuffle (O(V) after map-side combine); the edge
+    // checkpoint must feed its join with no exchange and no sort.
+    val r = graft.operators.Graph.pageRank(edges, 1)
+    val scan = r.queryExecution.executedPlan.toString
+    assert(scan.contains("Scan ExistingRDD"),
+      s"expected a checkpoint-scan result plan:\n${scan.take(400)}")
+    val round = graft.operators.Graph.oneRoundPlanForSpec(edges)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(round).length
+    assert(exchanges == 1,
+      s"expected exactly 1 exchange per round (the contribution shuffle), got $exchanges:\n$round")
+    assert(!round.contains("SortMergeJoin"),
+      s"per-round SMJ would sort the edge table every round:\n$round")
+    assert("ShuffledHashJoin".r.findAllIn(round).length == 2,
+      s"expected both round joins to be shuffled-hash against the stationary checkpoints:\n$round")
   }
 }
