@@ -1121,7 +1121,60 @@ object Curation {
             AND NOT EXISTS (SELECT 1 FROM p WHERE p.doc_b = d.anchor AND p.doc_a = r.doc_id))
         SELECT doc_a AS anchor, doc_b AS partner, 'positive' AS label FROM p
         UNION ALL
-        SELECT anchor, partner, label FROM negs"""))
+        SELECT anchor, partner, label FROM negs""")),
+
+    // --------------------------- fixed-window sequence packing (trainer)
+    // Third member of the packing family, and the one that matches how
+    // GPT-style pretraining actually consumes data: tp_pack_tokens
+    // keeps docs whole and lets a bin overflow, tp_pack_ffd keeps docs
+    // whole and optimizes fill, THIS op concatenates the corpus in the
+    // deterministic tp_shard_shuffle order and cuts EXACT 2048-token
+    // context windows, documents spanning boundaries — no padding, no
+    // overflow, every window full except each shard's last. A doc's
+    // windows are pure key arithmetic on its [offset, offset + tok)
+    // span — offset comes from ONE cumulative sum per shard (N
+    // independent parallel windows, the tp_shard_shuffle scale story;
+    // never a global single-partition sort), the span explode adds
+    // ≤ ⌈tok/2048⌉ + 1 rows per doc, and the final accounting is a
+    // hash aggregate bounded by corpus_tokens / 2048. Output per
+    // (shard, window): docs touching it, docs starting in it, token
+    // fill — the exact-fill invariant CurationSpec pins.
+    QueryDef(
+      "tp_pack_sequences",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "(n_chars + 3) div 4 AS tok",
+            "cast(conv(substring(md5(concat('shuf:', cast(doc_id AS string))), 1, 15), 16, 10) AS bigint) AS h")
+          .where("tok > 0")
+          .selectExpr("doc_id", "tok", "h", "pmod(h, 8) AS shard")
+          .withColumn("off",
+            expr("sum(tok) OVER (PARTITION BY shard ORDER BY h, doc_id) - tok"))
+          .selectExpr("shard", "tok", "off",
+            "explode(sequence(off div 2048, (off + tok - 1) div 2048)) AS win")
+          .groupBy("shard", "win")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(sum(CASE WHEN off >= win * 2048 THEN 1 ELSE 0 END) AS bigint) AS n_starts"),
+            expr("cast(sum(least((win + 1) * 2048, off + tok) - greatest(win * 2048, off)) AS bigint) AS n_tokens")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, (n_chars + 3) // 4 AS tok,
+                 ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM documents
+          WHERE (n_chars + 3) // 4 > 0),
+        s AS (
+          SELECT doc_id, tok, h % 8 AS shard,
+                 (sum(tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - tok)::BIGINT AS off
+          FROM d),
+        e AS (
+          SELECT shard, tok, off,
+                 unnest(generate_series(off // 2048, (off + tok - 1) // 2048)) AS win
+          FROM s)
+        SELECT shard, win, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN off >= win * 2048 THEN 1 ELSE 0 END)::BIGINT AS n_starts,
+               sum(least((win + 1) * 2048, off + tok) - greatest(win * 2048, off))::BIGINT AS n_tokens
+        FROM e
+        GROUP BY shard, win"""))
   )
 
   /** Layout-independent dense rank over the doc-id set: (doc_id, rk)

@@ -249,4 +249,33 @@ class CurationSpec extends SparkSpec {
     assert(total < raw && total >= raw - cnts.sum,
       s"token accounting: raw $raw, Σmerges ${cnts.sum}, total $total")
   }
+
+  test("tp_pack_sequences: windows fill to exactly 2048 except each shard's last") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Curation.queries.find(_.name == "tp_pack_sequences").get
+      .run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("win"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_starts"), r.getAs[Long]("n_tokens")))
+    assert(rows.nonEmpty)
+    val byShard = rows.groupBy(_._1)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    byShard.foreach { case (shard, ws) =>
+      val last = ws.map(_._2).max
+      // windows are contiguous from 0
+      assert(ws.map(_._2).sorted.sameElements(0L to last),
+        s"shard $shard windows not contiguous")
+      ws.foreach { case (_, win, nd, ns, nt) =>
+        if (win < last)
+          assert(nt == 2048L, s"shard $shard window $win under-filled: $nt")
+        else assert(nt > 0L && nt <= 2048L)
+        assert(ns <= nd && nd > 0)
+      }
+    }
+    // every doc starts in exactly one window; token mass is conserved
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("(n_chars + 3) div 4 AS tok").where("tok > 0")
+      .collect().map(_.getLong(0))
+    assert(rows.map(_._4).sum == docs.length)
+    assert(rows.map(_._5).sum == docs.sum)
+  }
 }
