@@ -993,7 +993,71 @@ object TextOps {
                syllables,
                round(0.39 * (words::DOUBLE / ceil(words::DOUBLE / sent_len::DOUBLE))
                      + 11.8 * (syllables::DOUBLE / words::DOUBLE) - 15.59, 6) AS fk_grade
-        FROM m"""))
+        FROM m""")),
+
+    // ------------------------- novel-content growth curve (Heaps-style)
+    // How fast does NEW content stop appearing as the corpus grows —
+    // the saturation curve behind "is more crawl worth it" and the
+    // denominator of every novelty/contamination budget. Corpus order
+    // is a deterministic md5 decile of doc_id (reproducible across
+    // engines/runs, no global sort); content units are word TRIGRAMS
+    // (the documents fixture's 31-word unigram vocabulary saturates in
+    // the first slice — trigram space is what actually grows). Shape:
+    // one corpus scan exploding ≤ len-2 trigrams per doc, ONE
+    // gram-keyed aggregate (min first-decile — vocab-bounded, the
+    // tp_bpe_train factoring), then decile-level accounting over
+    // exactly 10 rows (the only window, trivially bounded). Output per
+    // decile: trigram occurrences, first-seen distinct trigrams, and
+    // both running totals.
+    QueryDef(
+      "ta_ngram_growth",
+      (spark, dir) => {
+        val grams = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id",
+            "pmod(cast(conv(substring(md5(concat('vg:', cast(doc_id AS string))), 1, 15), 16, 10) AS bigint), 10) AS decile",
+            "filter(split(tc, ' '), x -> x != '') AS ws")
+          .where("size(ws) >= 3")
+          .selectExpr("decile",
+            "explode(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))) AS gram")
+        val perDecile = grams.groupBy("decile")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS grams"))
+        val firstSeen = grams.groupBy("gram")
+          .agg(org.apache.spark.sql.functions.expr("min(decile) AS first_decile"))
+          .groupBy("first_decile")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS new_grams"))
+        perDecile
+          .join(firstSeen.selectExpr("first_decile AS decile", "new_grams"),
+            Seq("decile"), "left")
+          .selectExpr("decile", "grams", "coalesce(new_grams, 0L) AS new_grams")
+          .selectExpr("decile", "grams",
+            "sum(grams) OVER (ORDER BY decile) AS cum_grams",
+            "new_grams",
+            "sum(new_grams) OVER (ORDER BY decile) AS cum_vocab")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('vg:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10 AS decile,
+                 list_filter(string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' '), x -> x != '') AS ws
+          FROM documents),
+        g AS (
+          SELECT decile,
+                 unnest(list_transform(generate_series(1, len(ws) - 2),
+                   i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS gram
+          FROM d WHERE len(ws) >= 3),
+        per_decile AS (
+          SELECT decile, count(*)::BIGINT AS grams FROM g GROUP BY decile),
+        first_seen AS (
+          SELECT first_decile, count(*)::BIGINT AS new_grams FROM (
+            SELECT gram, min(decile) AS first_decile FROM g GROUP BY gram)
+          GROUP BY first_decile)
+        SELECT p.decile, p.grams,
+               (sum(p.grams) OVER (ORDER BY p.decile))::BIGINT AS cum_grams,
+               coalesce(f.new_grams, 0)::BIGINT AS new_grams,
+               (sum(coalesce(f.new_grams, 0)) OVER (ORDER BY p.decile))::BIGINT AS cum_vocab
+        FROM per_decile p LEFT JOIN first_seen f ON f.first_decile = p.decile"""))
   )
 
   /** Synthetic per-doc URL (the fixture half of ta_urls): every doc

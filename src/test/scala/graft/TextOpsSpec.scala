@@ -107,4 +107,24 @@ class TextOpsSpec extends SparkSpec {
       assert(rs == expected(id), s"doc $id: got $rs expected ${expected(id)}")
     }
   }
+
+  test("ngram growth: decile curve conserves mass and saturates monotonically") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.operators.TextOps.queries.find(_.name == "ta_ngram_growth").get
+      .run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("grams"),
+        r.getAs[Long]("cum_grams"), r.getAs[Long]("new_grams"), r.getAs[Long]("cum_vocab")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).sameElements(0L until 10L))
+    // running totals really are running totals
+    assert(rows.map(_._2).scanLeft(0L)(_ + _).tail.sameElements(rows.map(_._3)))
+    assert(rows.map(_._4).scanLeft(0L)(_ + _).tail.sameElements(rows.map(_._5)))
+    // every decile's novel grams are bounded by its occurrences
+    rows.foreach { case (d, g, _, ng, _) =>
+      assert(ng <= g, s"decile $d: $ng novel > $g occurrences") }
+    // the curve grows (a random-sequence corpus never saturates fully
+    // at sf0.001) and the final vocab is bounded by total occurrences
+    assert(rows.last._5 > rows.head._4)
+    assert(rows.last._5 <= rows.last._3)
+  }
 }
