@@ -783,36 +783,7 @@ object Curation {
     QueryDef(
       "tp_bpe_train",
       (spark, dir) => {
-        val Rounds = 10
-        val vocab = Tables.documents(spark, dir)
-          .selectExpr(
-            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-          .selectExpr("explode(split(tc, ' ')) AS w")
-          .where("w != ''")
-          .groupBy("w").agg(expr("cast(count(*) AS bigint) AS wc"))
-          .selectExpr("w", "wc",
-            "concat(array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|'), '|') AS seq")
-          .localCheckpoint(true)
-        var cur = vocab
-        var merges: DataFrame = null
-        (1 to Rounds).foreach { r =>
-          val top = cur
-            .selectExpr("wc", "filter(split(seq, '[|]'), x -> x != '') AS syms")
-            .where("size(syms) >= 2") // Spark sequence(1,0) counts DOWN — guard it out
-            .selectExpr("wc",
-              "explode(transform(sequence(1, size(syms) - 1), i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))) AS p")
-            .selectExpr("p.a AS a", "p.b AS b", "wc")
-            .groupBy("a", "b").agg(expr("cast(sum(wc) AS bigint) AS cnt"))
-            .orderBy(col("cnt").desc, col("a"), col("b"))
-            .limit(1)
-            .localCheckpoint(true) // 1 row — feeds the merge row AND the replace
-          val row = top.selectExpr(s"${r}L AS round", "a", "b", "concat(a, b) AS merged", "cnt")
-          merges = if (merges == null) row else merges.unionByName(row)
-          cur = cur.crossJoin(broadcast(top.select(col("a").as("ma"), col("b").as("mb"))))
-            .selectExpr("w", "wc",
-              "replace(seq, concat(ma, '|', mb, '|'), concat(ma, mb, '|')) AS seq")
-            .localCheckpoint(true)
-        }
+        val (merges, cur) = bpeLearned(spark, dir)
         val total = cur
           .selectExpr("wc", "cast(size(filter(split(seq, '[|]'), x -> x != '')) AS bigint) AS ns")
           .groupBy().agg(expr("cast(sum(wc * ns) AS bigint) AS cnt"))
@@ -845,6 +816,86 @@ object Curation {
         SELECT -1::BIGINT, '(tokens)', '', '',
                sum(wc * len(list_filter(string_split(seq, '|'), x -> x != '')))::BIGINT
         FROM v$Rounds"""
+      }),
+
+    // ------------------------------ BPE encode with the learned merges
+    // The tokenizer lifecycle's second half: take tp_bpe_train's 10
+    // learned merges (shared via the memoized learner — the pair
+    // trains once per session) and ENCODE the corpus with them, the
+    // way a tokenizer ships. The merge table is vocab-bounded and tiny
+    // (10 rows — a bounded driver collect, like Knn's probe ids), so
+    // application is a single scan-local projection: each document
+    // becomes its per-word pipe-terminated symbol string and the 10
+    // replaces compose as one nested codegen'd expression — no joins,
+    // no shuffles, nothing corpus-sized past the scan. Token counts
+    // fall out as '|' occurrences (every symbol owns exactly one
+    // terminator). Output per doc: pre-merge symbol count, post-merge
+    // BPE token count, and the integer-ppm compression — the
+    // before/after a tokenizer rollout is judged on.
+    QueryDef(
+      "tp_bpe_apply",
+      (spark, dir) => {
+        val (merges, _) = bpeLearned(spark, dir)
+        val ms = merges.orderBy("round").collect()
+          .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+        def esc(s: String) =
+          "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        val rep0 = "concat_ws(' ', transform(filter(split(tc, ' '), x -> x != ''), " +
+          "w -> concat(array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|'), '|')))"
+        val repN = ms.foldLeft(rep0) { case (acc, (a, b)) =>
+          s"replace($acc, ${esc(a + "|" + b + "|")}, ${esc(a + b + "|")})"
+        }
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id",
+            s"cast(length($rep0) - length(replace($rep0, '|', '')) AS bigint) AS n_syms",
+            s"cast(length($repN) - length(replace($repN, '|', '')) AS bigint) AS n_tokens")
+          .selectExpr("doc_id", "n_syms", "n_tokens",
+            "CASE WHEN n_syms = 0 THEN 0L ELSE (n_syms - n_tokens) * 1000000L div n_syms END AS saved_ppm")
+      },
+      Some {
+        val Rounds = 10
+        val iters = (1 to Rounds).map { r => s"""
+        p$r AS MATERIALIZED (
+          SELECT syms[i] AS a, syms[i + 1] AS b, sum(wc)::BIGINT AS cnt
+          FROM (SELECT wc, list_filter(string_split(seq, '|'), x -> x != '') AS syms FROM v${r - 1}),
+               unnest(generate_series(1, len(syms) - 1)) AS t(i)
+          GROUP BY 1, 2),
+        t$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+        v$r AS MATERIALIZED (
+          SELECT w, wc, replace(seq, a || '|' || b || '|', a || b || '|') AS seq
+          FROM v${r - 1}, t$r)"""
+        }.mkString(",")
+        val reps = (1 to Rounds).map { r => s"""
+        r$r AS MATERIALIZED (
+          SELECT doc_id, n_syms, replace(rep, a || '|' || b || '|', a || b || '|') AS rep
+          FROM r${r - 1}, t$r)"""
+        }.mkString(",")
+        s"""
+        WITH v0 AS MATERIALIZED (
+          SELECT w, count(*)::BIGINT AS wc,
+                 array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), '|') || '|' AS seq
+          FROM (SELECT unnest(string_split(regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g'), ' ')) AS w
+                FROM documents)
+          WHERE w != '' GROUP BY w),
+        $iters,
+        r0 AS MATERIALIZED (
+          SELECT doc_id,
+                 (length(rep) - length(replace(rep, '|', '')))::BIGINT AS n_syms, rep
+          FROM (
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                     list_filter(string_split(regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g'), ' '), x -> x != ''),
+                     w -> array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), '|') || '|'), ' ') AS rep
+            FROM documents)),
+        $reps
+        SELECT doc_id, n_syms,
+               (length(rep) - length(replace(rep, '|', '')))::BIGINT AS n_tokens,
+               CASE WHEN n_syms = 0 THEN 0
+                    ELSE (n_syms - (length(rep) - length(replace(rep, '|', '')))) * 1000000 // n_syms
+               END::BIGINT AS saved_ppm
+        FROM r$Rounds"""
       }),
 
     // --------------------------------- full semantic curation pipeline
@@ -1176,6 +1227,63 @@ object Curation {
         FROM e
         GROUP BY shard, win"""))
   )
+
+
+  /** One-shot holder for the learned BPE state (the Ml.trainChain
+    * discipline): the 10-round merge learning over the word-frequency
+    * table runs ONCE per (session, dir) and is shared by tp_bpe_train
+    * (which reports the merges) and tp_bpe_apply (which encodes the
+    * corpus with them).
+    */
+  private final class BpeHolder(spark: org.apache.spark.sql.SparkSession,
+                                dir: String) {
+    lazy val value: (DataFrame, DataFrame) = {
+      val Rounds = 10
+      val vocab = Tables.documents(spark, dir)
+        .selectExpr(
+          "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+        .selectExpr("explode(split(tc, ' ')) AS w")
+        .where("w != ''")
+        .groupBy("w").agg(expr("cast(count(*) AS bigint) AS wc"))
+        .selectExpr("w", "wc",
+          "concat(array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|'), '|') AS seq")
+        .localCheckpoint(true)
+      var cur = vocab
+      var merges: DataFrame = null
+      (1 to Rounds).foreach { r =>
+        val top = cur
+          .selectExpr("wc", "filter(split(seq, '[|]'), x -> x != '') AS syms")
+          .where("size(syms) >= 2") // Spark sequence(1,0) counts DOWN — guard it out
+          .selectExpr("wc",
+            "explode(transform(sequence(1, size(syms) - 1), i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))) AS p")
+          .selectExpr("p.a AS a", "p.b AS b", "wc")
+          .groupBy("a", "b").agg(expr("cast(sum(wc) AS bigint) AS cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1)
+          .localCheckpoint(true) // 1 row — feeds the merge row AND the replace
+        val row = top.selectExpr(s"${r}L AS round", "a", "b", "concat(a, b) AS merged", "cnt")
+        merges = if (merges == null) row else merges.unionByName(row)
+        cur = cur.crossJoin(broadcast(top.select(col("a").as("ma"), col("b").as("mb"))))
+          .selectExpr("w", "wc",
+            "replace(seq, concat(ma, '|', mb, '|'), concat(ma, mb, '|')) AS seq")
+          .localCheckpoint(true)
+      }
+      (merges.localCheckpoint(true), cur)
+    }
+  }
+
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), BpeHolder]
+
+  /** (learned merges, final post-merge word-frequency vocab), memoized
+    * per (session, dir) with stopped-session eviction.
+    */
+  private[graft] def bpeLearned(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): (DataFrame, DataFrame) = {
+    bpeCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    val fresh = new BpeHolder(spark, dir)
+    bpeCache.putIfAbsent((spark, dir), fresh).getOrElse(fresh).value
+  }
 
   /** Layout-independent dense rank over the doc-id set: (doc_id, rk)
     * with rk the 0-based position in ascending doc_id order — the draw

@@ -278,4 +278,25 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_._4).sum == docs.length)
     assert(rows.map(_._5).sum == docs.sum)
   }
+
+  test("tp_bpe_apply: encoding agrees with the train query's corpus totals") {
+    val sf = "/root/testdata/sf0.001"
+    val applied = Registry.byName("tp_bpe_apply").run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_syms"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("saved_ppm")))
+    assert(applied.nonEmpty)
+    applied.foreach { case (d, syms, toks, ppm) =>
+      assert(toks <= syms, s"doc $d grew: $syms -> $toks")
+      assert(ppm >= 0 && ppm < 1000000, s"doc $d ppm out of range: $ppm")
+      if (syms > 0)
+        assert(ppm == (syms - toks) * 1000000L / syms)
+    }
+    // the corpus-wide post-merge token total must equal the one
+    // tp_bpe_train reports from the word-frequency table (same merges
+    // applied word-by-word vs doc-by-doc — identical by construction)
+    val trainTotal = Registry.byName("tp_bpe_train").run(spark, sf).collect()
+      .find(_.getLong(0) == -1L).get.getLong(4)
+    assert(applied.map(_._3).sum == trainTotal,
+      s"apply total ${applied.map(_._3).sum} != train total $trainTotal")
+  }
 }
