@@ -304,6 +304,35 @@ object Graph {
     }
   }
 
+  /** Synchronous label propagation: `rounds` fixed rounds, each vertex
+    * adopting the most frequent neighbor label, ties to the SMALLEST —
+    * a deterministic total order. Same stationary-edge iteration shape
+    * as [[pageRank]]. Returns (id, lbl).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    withIterConf(e.sparkSession) {
+      val w = iterWidth(e)
+      val withE = checkpointHashPartitioned(e, w, "src")
+      val verts = checkpointHashPartitioned(
+        e.select(col("src").as("id")).distinct(), w, "id")
+      var lbls = verts.withColumn("lbl", col("id"))
+      (1 to rounds).foreach { r =>
+        val win = withE
+          .join(lbls.selectExpr("id AS src", "lbl").hint("shuffle_hash"), "src")
+          .groupBy("dst", "lbl")
+          .agg(expr("cast(count(*) AS bigint) AS cnt"))
+          .groupBy("dst")
+          .agg(expr("max(named_struct('c', cnt, 'nl', -lbl)) AS m"))
+          .selectExpr("dst AS id", "-m.nl AS wl")
+        lbls = lbls.join(win.hint("shuffle_hash"), Seq("id"), "left")
+          .selectExpr("id", "coalesce(wl, lbl) AS lbl")
+        if (r % 3 == 0 && r < rounds) lbls = checkpointHashPartitioned(lbls, w, "id")
+      }
+      checkpointHashPartitioned(lbls, w, "id")
+    }
+  }
+
   def queries: Seq[QueryDef] = Seq(
     // -------------------------------------- PageRank over purchase graph
     // Vertices: customers (2k) and suppliers (2k+1) — the two TPC-H key
@@ -665,6 +694,64 @@ object Graph {
                id // 2 AS key, min(d)::BIGINT AS dist
         FROM reach
         GROUP BY id""")),
+
+    // -------------------- community detection (label propagation)
+    // Synchronous label propagation over the purchase graph, made
+    // deterministic and integer-exact: every vertex starts as its own
+    // community (label = id), and each of 5 fixed rounds every vertex
+    // adopts the most frequent label among its neighbors, ties broken
+    // by SMALLEST label — a total order, so the fixpoint prefix is
+    // bit-identical across engines and layouts (the gr_pagerank
+    // discipline; no convergence semantics to negotiate, fixed rounds
+    // like the oracle). Per round: the stationary edge checkpoint
+    // streams against the shuffled O(V) label table (shuffle_hash, no
+    // per-round edge exchange or sort — checkpointHashPartitioned),
+    // one (dst, lbl) count aggregate bounded by E, and the argmax
+    // folds as max(struct(count, -label)) — one hash aggregate, no
+    // window over the corpus. Output: each vertex's community and the
+    // community's size.
+    QueryDef(
+      "gr_labelprop",
+      (spark, dir) => {
+        val labels = labelPropagation(purchaseEdges(spark, dir), rounds = 5)
+        val sizes = labels.groupBy("lbl")
+          .agg(expr("cast(count(*) AS bigint) AS n_members"))
+        labels.join(sizes, "lbl")
+          .selectExpr("id",
+            "CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
+            "id div 2 AS key", "lbl AS community", "n_members")
+      },
+      Some {
+        val iters = (1 to 5).map { r => s"""
+        c$r AS MATERIALIZED (
+          SELECT e.dst, l.lbl, count(*)::BIGINT AS cnt
+          FROM edges e JOIN l${r - 1} l ON e.src = l.id
+          GROUP BY e.dst, l.lbl),
+        w$r AS MATERIALIZED (
+          SELECT dst, lbl FROM (
+            SELECT dst, lbl,
+                   row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl) AS rn
+            FROM c$r) WHERE rn = 1),
+        l$r AS MATERIALIZED (
+          SELECT p.id, coalesce(w.lbl, p.lbl) AS lbl
+          FROM l${r - 1} p LEFT JOIN w$r w ON w.dst = p.id)"""
+        }.mkString(",")
+        s"""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey * 2 AS cv, l_suppkey * 2 + 1 AS sv
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (
+          SELECT cv AS src, sv AS dst FROM cs
+          UNION ALL
+          SELECT sv AS src, cv AS dst FROM cs),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+        $iters,
+        sizes AS (SELECT lbl, count(*)::BIGINT AS n_members FROM l5 GROUP BY lbl)
+        SELECT l.id,
+               CASE WHEN l.id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               l.id // 2 AS key, l.lbl AS community, s.n_members
+        FROM l5 l JOIN sizes s ON s.lbl = l.lbl"""
+      }),
 
     // ----------------- link prediction (common neighbors + RA index)
     // "Which supplier pairs are most likely to be related?" — scored

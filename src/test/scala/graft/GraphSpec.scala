@@ -138,4 +138,18 @@ class GraphSpec extends SparkSpec {
     // suppliers are the high-degree side of the bipartite walk
     assert(avg(supp) > avg(cust))
   }
+
+  test("label propagation: bridged triangles resolve to two min-label communities") {
+    import spark.implicits._
+    // triangle {1,2,3}, triangle {10,11,12}, bridge 3-10; undirected
+    val und = Seq((1L,2L),(2L,3L),(1L,3L),(10L,11L),(11L,12L),(10L,12L),(3L,10L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // traced by hand under synchronous min-tie-break updates: the
+    // left triangle settles on label 1, the right on label 3 (the
+    // bridge vertex 10 first adopts 3, then its neighbors follow)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), s"got $got")
+  }
 }
