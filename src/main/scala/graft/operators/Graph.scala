@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.CheckpointOps.checkpointHashPartitioned
+import org.apache.spark.sql.graft.CheckpointOps.{checkpointHashPartitioned, release}
 
 /** Graph analytics over relational edge lists — the companion family to
   * Curation.connectedComponents. PageRank here is INTEGER-EXACT: scores
@@ -113,7 +113,12 @@ object Graph {
     // materialize INSIDE the guard so the rounds execute under the
     // iteration confs (returned lazily, they would plan at the
     // caller's action with codegen+AQE back on)
-    checkpointHashPartitioned(r, w, "id")
+    val out = checkpointHashPartitioned(r, w, "id")
+    // the result is materialized — drop the iteration-only checkpoint
+    // blocks so repeated invocations (bench passes) don't pile dead
+    // blocks into the block manager
+    release(withDeg); release(verts); release(e)
+    out
     }
   }
 
@@ -229,6 +234,7 @@ object Graph {
       r = checkpointHashPartitioned(r, w, "id")
       cycled = r.join(prevFence.selectExpr("id", "r AS rp"), "id")
         .where("r != rp").isEmpty
+      if (prevFence ne r) release(prevFence) // superseded fence blocks
       prevFence = r
     }
     // A maxIters exit means NO period-dividing-`checkEvery` cycle was
@@ -240,6 +246,7 @@ object Graph {
         s"[graft] pageRankConverged: no period-$checkEvery cycle within " +
         s"$maxIters rounds — returning round-$maxIters scores; a fixed-round " +
         "oracle may disagree (raise maxIters or checkEvery for this graph)")
+    release(withDeg); release(verts); release(e)
     r
     }
   }
@@ -273,7 +280,9 @@ object Graph {
           s"CASE WHEN seed THEN $BasePpm ELSE 0L END + ($Damping * coalesce(c, 0L)) div 100 AS r")
       if (i % 6 == 0 && i < iters) r = r.localCheckpoint(true)
     }
-    checkpointHashPartitioned(r.select("id", "r"), w, "id")
+    val out = checkpointHashPartitioned(r.select("id", "r"), w, "id")
+    release(withDeg); release(verts); release(e)
+    out
     }
   }
 
@@ -300,7 +309,9 @@ object Graph {
         .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
       if (i % 6 == 0 && i < iters) r = r.localCheckpoint(true)
     }
-    checkpointHashPartitioned(r, wdt, "id")
+    val out = checkpointHashPartitioned(r, wdt, "id")
+    release(withW); release(verts); release(e)
+    out
     }
   }
 
@@ -311,6 +322,10 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.toDF("src", "dst").localCheckpoint(true)
+    // the iteration-conf guard wins here too: unguarded (codegen+AQE
+    // on) measured 11.4 s vs 6.6 s solo at sf0.1 — even 5 rounds of
+    // fresh-exprId plans pay more in per-round compiles and AQE
+    // re-planning than interpreted eval costs on the E-bounded counts
     withIterConf(e.sparkSession) {
       val w = iterWidth(e)
       val withE = checkpointHashPartitioned(e, w, "src")
@@ -327,9 +342,15 @@ object Graph {
           .selectExpr("dst AS id", "-m.nl AS wl")
         lbls = lbls.join(win.hint("shuffle_hash"), Seq("id"), "left")
           .selectExpr("id", "coalesce(wl, lbl) AS lbl")
-        if (r % 3 == 0 && r < rounds) lbls = checkpointHashPartitioned(lbls, w, "id")
+        if (r % 3 == 0 && r < rounds) {
+          val old = lbls
+          lbls = checkpointHashPartitioned(lbls, w, "id")
+          release(old) // superseded mid-loop fence (no-op on lazy plans)
+        }
       }
-      checkpointHashPartitioned(lbls, w, "id")
+      val out = checkpointHashPartitioned(lbls, w, "id")
+      release(withE); release(verts); release(e)
+      out
     }
   }
 
