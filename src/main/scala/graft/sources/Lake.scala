@@ -532,6 +532,19 @@ object Lake {
                  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
           FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey)"""
 
+
+  /** (p, s, zb): min-max normalize both columns to 16 bits against the
+    * broadcast stats row, fold the closed-form Morton interleave, and
+    * take the top 4 Z-bits as the bucket id (a 4×4 quadrant grid).
+    */
+  private def zz(li: DataFrame, stats: DataFrame): DataFrame =
+    li.crossJoin(broadcast(stats))
+      .selectExpr("p", "s",
+        "(p - minp) * 65535L div greatest(maxp - minp, 1L) AS p16",
+        "(s - mins) * 65535L div greatest(maxs - mins, 1L) AS s16")
+      .selectExpr("p", "s", "cast(shiftleft(shiftright(p16, 0) & 1, 0) | shiftleft(shiftright(s16, 0) & 1, 1) | shiftleft(shiftright(p16, 1) & 1, 2) | shiftleft(shiftright(s16, 1) & 1, 3) | shiftleft(shiftright(p16, 2) & 1, 4) | shiftleft(shiftright(s16, 2) & 1, 5) | shiftleft(shiftright(p16, 3) & 1, 6) | shiftleft(shiftright(s16, 3) & 1, 7) | shiftleft(shiftright(p16, 4) & 1, 8) | shiftleft(shiftright(s16, 4) & 1, 9) | shiftleft(shiftright(p16, 5) & 1, 10) | shiftleft(shiftright(s16, 5) & 1, 11) | shiftleft(shiftright(p16, 6) & 1, 12) | shiftleft(shiftright(s16, 6) & 1, 13) | shiftleft(shiftright(p16, 7) & 1, 14) | shiftleft(shiftright(s16, 7) & 1, 15) | shiftleft(shiftright(p16, 8) & 1, 16) | shiftleft(shiftright(s16, 8) & 1, 17) | shiftleft(shiftright(p16, 9) & 1, 18) | shiftleft(shiftright(s16, 9) & 1, 19) | shiftleft(shiftright(p16, 10) & 1, 20) | shiftleft(shiftright(s16, 10) & 1, 21) | shiftleft(shiftright(p16, 11) & 1, 22) | shiftleft(shiftright(s16, 11) & 1, 23) | shiftleft(shiftright(p16, 12) & 1, 24) | shiftleft(shiftright(s16, 12) & 1, 25) | shiftleft(shiftright(p16, 13) & 1, 26) | shiftleft(shiftright(s16, 13) & 1, 27) | shiftleft(shiftright(p16, 14) & 1, 28) | shiftleft(shiftright(s16, 14) & 1, 29) | shiftleft(shiftright(p16, 15) & 1, 30) | shiftleft(shiftright(s16, 15) & 1, 31) AS bigint) AS z")
+      .selectExpr("p", "s", "shiftright(z, 28) AS zb")
+
   def queries: Seq[QueryDef] = Seq(
     // --------------------------- MERGE upsert (copy-on-write commit)
     // Base snapshot = the customer table committed as v0; the update
@@ -921,7 +934,59 @@ object Lake {
                coalesce(CAST(round(old_acct * 1000000, 0) AS BIGINT), -1) AS old_bal_micros,
                coalesce(CAST(round(new_acct * 1000000, 0) AS BIGINT), -1) AS new_bal_micros,
                coalesce(new_seg, '(none)') AS new_segment
-        FROM diff"""))
+        FROM diff""")),
+
+    // ------------------------- Z-order layout clustering (OPTIMIZE)
+    // The lakehouse maintenance primitive behind Delta/Iceberg
+    // OPTIMIZE ZORDER BY: min-max NORMALIZE both filter columns to 16
+    // bits (real implementations interleave normalized ranks, not raw
+    // values — a narrow column would otherwise never reach the
+    // interleaved high bits and only the wide dimension would
+    // cluster), interleave the bits into one Morton key, and
+    // range-bucket on its top 4 bits — a 4×4 quadrant grid, never an
+    // ntile/global-rank sort. The audit output is each bucket's row
+    // count and per-dimension bounds — the min/max statistics a scan
+    // planner prunes files with; a predicate on EITHER column now
+    // skips ~3/4 of the buckets, which is the whole point and is what
+    // LakeSpec pins (average bucket span ≤ half the global span on
+    // both dimensions). Scale shape: one 1-row min/max broadcast, one
+    // scan folding the closed-form 16-term interleave, one
+    // partial-aggregated groupBy on the bucket id.
+    QueryDef(
+      "s22_zorder",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .selectExpr("cast(l_partkey AS bigint) AS p", "cast(l_suppkey AS bigint) AS s")
+        val stats = li.groupBy().agg(
+          expr("min(p) AS minp"), expr("max(p) AS maxp"),
+          expr("min(s) AS mins"), expr("max(s) AS maxs"))
+        zz(li, stats)
+          .groupBy("zb")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_rows"),
+            expr("min(p) AS min_p"), expr("max(p) AS max_p"),
+            expr("min(s) AS min_s"), expr("max(s) AS max_s"))
+          .selectExpr("zb", "n_rows", "min_p", "max_p", "min_s", "max_s",
+            "max_p - min_p + 1 AS span_p", "max_s - min_s + 1 AS span_s")
+      },
+      Some("""
+        WITH k AS (
+          SELECT l_partkey::BIGINT AS p, l_suppkey::BIGINT AS s FROM lineitem),
+        st AS (SELECT min(p) AS minp, max(p) AS maxp, min(s) AS mins, max(s) AS maxs FROM k),
+        n AS (
+          SELECT p, s,
+                 (p - minp) * 65535 // greatest(maxp - minp, 1) AS p16,
+                 (s - mins) * 65535 // greatest(maxs - mins, 1) AS s16
+          FROM k, st),
+        z AS (SELECT p, s, ((((p16 >> 0) & 1) << 0) | (((s16 >> 0) & 1) << 1) | (((p16 >> 1) & 1) << 2) | (((s16 >> 1) & 1) << 3) | (((p16 >> 2) & 1) << 4) | (((s16 >> 2) & 1) << 5) | (((p16 >> 3) & 1) << 6) | (((s16 >> 3) & 1) << 7) | (((p16 >> 4) & 1) << 8) | (((s16 >> 4) & 1) << 9) | (((p16 >> 5) & 1) << 10) | (((s16 >> 5) & 1) << 11) | (((p16 >> 6) & 1) << 12) | (((s16 >> 6) & 1) << 13) | (((p16 >> 7) & 1) << 14) | (((s16 >> 7) & 1) << 15) | (((p16 >> 8) & 1) << 16) | (((s16 >> 8) & 1) << 17) | (((p16 >> 9) & 1) << 18) | (((s16 >> 9) & 1) << 19) | (((p16 >> 10) & 1) << 20) | (((s16 >> 10) & 1) << 21) | (((p16 >> 11) & 1) << 22) | (((s16 >> 11) & 1) << 23) | (((p16 >> 12) & 1) << 24) | (((s16 >> 12) & 1) << 25) | (((p16 >> 13) & 1) << 26) | (((s16 >> 13) & 1) << 27) | (((p16 >> 14) & 1) << 28) | (((s16 >> 14) & 1) << 29) | (((p16 >> 15) & 1) << 30) | (((s16 >> 15) & 1) << 31))::BIGINT AS z FROM n),
+        b AS (SELECT p, s, z >> 28 AS zb FROM z)
+        SELECT zb, count(*)::BIGINT AS n_rows,
+               min(p) AS min_p, max(p) AS max_p,
+               min(s) AS min_s, max(s) AS max_s,
+               (max(p) - min(p) + 1)::BIGINT AS span_p,
+               (max(s) - min(s) + 1)::BIGINT AS span_s
+        FROM b
+        GROUP BY zb"""))
   )
 
   /** CDC-style diff of two committed snapshots: every key classified

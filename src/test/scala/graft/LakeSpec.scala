@@ -326,4 +326,25 @@ class LakeSpec extends SparkSpec {
       Lake.readVersion(spark, root + "_missing")
     }
   }
+
+  test("s22_zorder: buckets partition the table and tighten both dimensions") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("s22_zorder").run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("zb"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_p"), r.getAs[Long]("max_p"),
+        r.getAs[Long]("min_s"), r.getAs[Long]("max_s")))
+    assert(rows.length > 1)
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(rows.map(_._2).sum == total)
+    val gSpanP = rows.map(_._4).max - rows.map(_._3).min + 1
+    val gSpanS = rows.map(_._6).max - rows.map(_._5).min + 1
+    // the z-order promise: an average bucket bounds each dimension far
+    // tighter than the full table does (16 range buckets = 2 Z-bits
+    // per dimension => spans around a quarter of the global range)
+    // weight by rows so a sliver bucket cannot carry the average
+    val avgSpanP = rows.map(r => (r._4 - r._3 + 1) * r._2).sum / total
+    val avgSpanS = rows.map(r => (r._6 - r._5 + 1) * r._2).sum / total
+    assert(avgSpanP * 2 <= gSpanP, s"p spans not tightened: $avgSpanP vs $gSpanP")
+    assert(avgSpanS * 2 <= gSpanS, s"s spans not tightened: $avgSpanS vs $gSpanS")
+  }
 }
