@@ -63,12 +63,15 @@ object Graph {
     * task time, not plan time, dominates and a fixed plan per round
     * still skips the per-round compile).
     */
-  private def withIterConf[T](spark: SparkSession)(f: => T): T = {
+  private def withIterConf[T](spark: SparkSession)(f: => T): T =
+    withIterConf(spark, codegen = false)(f)
+
+  private def withIterConf[T](spark: SparkSession, codegen: Boolean)(f: => T): T = {
     val conf = spark.conf
     val aqe = conf.get("spark.sql.adaptive.enabled")
     val wsc = conf.get("spark.sql.codegen.wholeStage")
     conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.wholeStage", codegen.toString)
     try f finally {
       conf.set("spark.sql.adaptive.enabled", aqe)
       conf.set("spark.sql.codegen.wholeStage", wsc)
@@ -322,11 +325,7 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.toDF("src", "dst").localCheckpoint(true)
-    // the iteration-conf guard wins here too: unguarded (codegen+AQE
-    // on) measured 11.4 s vs 6.6 s solo at sf0.1 — even 5 rounds of
-    // fresh-exprId plans pay more in per-round compiles and AQE
-    // re-planning than interpreted eval costs on the E-bounded counts
-    withIterConf(e.sparkSession) {
+    withIterConf(e.sparkSession, codegen = true) {
       val w = iterWidth(e)
       val withE = checkpointHashPartitioned(e, w, "src")
       val verts = checkpointHashPartitioned(
