@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
   *
   * All manifest I/O goes through the Hadoop `FileSystem` for the
   * table root's scheme — the store works wherever Spark can write
-  * parquet (local, HDFS; object stores inherit their rename/create
-  * semantics), not just driver-visible POSIX paths.
+  * parquet (local and HDFS natively; S3-class object stores through
+  * the [[ObjectStoreCoordinator]] conditional-PUT commit binding),
+  * not just driver-visible POSIX paths.
   *
   * Scale notes: upsert is COPY-ON-WRITE — one key-partitioned
   * full-outer join of the current snapshot against the (typically
@@ -78,12 +79,13 @@ object Lake {
   /** The ONE primitive the whole commit protocol needs from storage:
     * atomically publish `body` at `path` iff no marker is there, false
     * when the slot is already taken (the losing side of a race). This
-    * is the pluggable coordinator seam: HDFS gets it from the
-    * namespace (`create(overwrite=false)` is a server-side check), the
-    * local filesystem from a POSIX hard link (below), and an object
-    * store without conditional PUT plugs an external commit service
-    * here — the SAME seam Delta (S3 commit coordinator) and Iceberg
-    * (catalog compare-and-swap) expose. Swapping stores means
+    * is the pluggable coordinator seam with three supported bindings:
+    * HDFS gets it from the namespace (`create(overwrite=false)` is a
+    * server-side check), the local filesystem from a POSIX hard link
+    * (below), and S3-class object stores from
+    * [[ObjectStoreCoordinator]] — winner selection in the store's own
+    * conditional PUT — the SAME seam Delta (S3 commit coordinator) and
+    * Iceberg (catalog compare-and-swap) expose. Swapping stores means
     * swapping only this trait's binding, never Lake's logic;
     * [[Lake.withCoordinator]] injects one (LakeSpec proves a
     * lock-serialized coordinator linearizes two racing publishers even
@@ -126,6 +128,75 @@ object Lake {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
       }
+  }
+
+  /** The two calls an S3-class object store must supply for the commit
+    * protocol — the surface every major store exposes natively:
+    * conditional PUT (`If-None-Match: *` on S3 and Azure Blob,
+    * `ifGenerationMatch=0` on GCS — succeeds only when the key is
+    * absent, the server is the arbiter) and a plain GET. The store is
+    * INJECTED rather than bound to a vendor SDK (this sandbox is
+    * zero-egress); a production binding maps these 1:1 onto the
+    * client's put-with-precondition and get calls and changes nothing
+    * else in Lake.
+    */
+  trait ConditionalObjectStore {
+    /** Atomic put-if-absent: true = object created (HTTP 200), false =
+      * key already exists (HTTP 412 Precondition Failed). Must be
+      * linearizable — exactly one of N concurrent callers wins.
+      */
+    def putIfAbsent(key: String, body: Array[Byte]): Boolean
+
+    /** Read a committed object; None when the key is absent. */
+    def get(key: String): Option[Array[Byte]]
+  }
+
+  /** In-memory [[ConditionalObjectStore]]: ConcurrentHashMap.putIfAbsent
+    * is the same linearizable compare-and-swap the real store's
+    * conditional PUT provides, so race tests exercise the identical
+    * winner-selection semantics.
+    */
+  final class InMemoryObjectStore extends ConditionalObjectStore {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    def putIfAbsent(key: String, body: Array[Byte]): Boolean =
+      m.putIfAbsent(key, body) == null
+    def get(key: String): Option[Array[Byte]] = Option(m.get(key))
+  }
+
+  /** Object-store commit binding: the conditional PUT on the STORE is
+    * the linearization point — the filesystem marker that [[markers]]
+    * lists becomes a backfilled projection of it. The discipline is
+    * Delta's S3 commit-coordinator shape: a store without atomic
+    * create-if-absent rename still gets a linear history because
+    * winner selection happens in one server-side CAS, and the
+    * readable marker is (re)materialized idempotently afterwards.
+    *
+    * publish():
+    *   1. `putIfAbsent(markerKey, body)` — the commit instant.
+    *   2. Winner: write the fs marker (overwrite is safe — the store
+    *      already serialized this slot, and the bytes equal the
+    *      store's committed body).
+    *   3. Loser: if the fs marker is MISSING, backfill it from the
+    *      store's committed body before returning false — this
+    *      completes a winner that crashed between store-commit and
+    *      fs-write, so a committed version can never stay invisible
+    *      and wedge the table (the "unbackfilled commit" hazard).
+    */
+  final class ObjectStoreCoordinator(store: ConditionalObjectStore)
+      extends CommitCoordinator {
+    private def writeMarker(fs: FileSystem, path: Path, bytes: Array[Byte]): Unit = {
+      val out = fs.create(path, true)
+      try out.write(bytes) finally out.close()
+    }
+    def publish(fs: FileSystem, path: Path, body: String): Boolean = {
+      val key = path.toUri.getPath
+      val bytes = body.getBytes("UTF-8")
+      if (store.putIfAbsent(key, bytes)) { writeMarker(fs, path, bytes); true }
+      else {
+        if (!fs.exists(path)) store.get(key).foreach(writeMarker(fs, path, _))
+        false
+      }
+    }
   }
 
   @volatile private var coordinator: CommitCoordinator = ConditionalCreate
@@ -401,6 +472,37 @@ object Lake {
       dropData(spark, root, d)
     }
     v
+  }
+
+  /** OPTIMIZE ZORDER: rewrite the table tip clustered by the Morton
+    * interleave of (`x`, `y`) — same rows, new file layout — committed
+    * as a NEW version, so history and time travel stay intact and a
+    * concurrent writer loses or wins the slot under the ordinary OCC
+    * protocol (a lost race drops the rewritten files and re-clusters
+    * the new tip). The rewrite itself is [[Layout.zOrderWrite]]: one
+    * bounded min/max stats row, one range shuffle of the table on the
+    * z-key, sorted within files — the cost class of a compaction, paid
+    * once so that every later selective scan on EITHER dimension
+    * prunes most files via parquet min/max statistics (the
+    * s11_zorder_scan proof, now applying to lake versions).
+    */
+  def optimizeZOrder(spark: SparkSession, root: String, x: String, y: String,
+      nFiles: Int = 16): Int = {
+    var attempts = 0
+    while (true) {
+      val base = versions(spark, root).lastOption
+        .getOrElse(throw new IllegalArgumentException(s"no committed versions under $root"))
+      val cur = readVersion(spark, root, Some(base))
+      val n = base + 1
+      val tok = java.util.UUID.randomUUID().toString.take(8)
+      val dirName = s"v=$n-$tok"
+      Layout.zOrderWrite(cur, s"$root/$dirName", nFiles, col(x), col(y))
+      if (createMarker(spark, root, "_versions", n, dirName)) return n
+      dropData(spark, root, dirName)
+      attempts += 1
+      require(attempts < 20, s"optimize contention on $root: lost $attempts races")
+    }
+    -1 // unreachable
   }
 
   /** Vacuum: physically drop history beyond the `keep` most recent

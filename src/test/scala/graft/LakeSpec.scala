@@ -286,6 +286,104 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("object-store CAS coordinator: conditional PUT linearizes racers") {
+    // the third coordinator binding: winner selection happens in the
+    // STORE's put-if-absent (the S3/GCS/Azure conditional-PUT model),
+    // the fs marker is a backfilled projection — exactly one of two
+    // racing publishers of the same slot may win, same contract the
+    // file:// hard-link and HDFS conditional-create bindings satisfy
+    val store = new Lake.InMemoryObjectStore
+    Lake.withCoordinator(new Lake.ObjectStoreCoordinator(store)) {
+      val root = freshRoot()
+      Lake.commitVersion(spark, Seq((1L, 10L)).toDF("k", "x"), root)
+      val tip = Lake.versions(spark, root).last
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      val wins = (0 until 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+          def call(): Option[Int] = {
+            gate.await(5, TimeUnit.SECONDS)
+            Lake.commitVersionAt(spark,
+              Seq((1L, 100L + i)).toDF("k", "x"), root, tip)
+          }
+        })
+      }
+      gate.countDown()
+      val results = wins.map(_.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(results.count(_.isDefined) == 1,
+        s"exactly one racer may publish version ${tip + 1}: $results")
+      assert(Lake.versions(spark, root) == Seq(0, 1))
+      val x = Lake.readVersion(spark, root).collect().map(_.getLong(1)).toSeq
+      assert(x == Seq(100L) || x == Seq(101L))
+      // and upserts keep flowing through the store binding afterwards
+      Lake.upsert(spark, Seq((2L, 22L)).toDF("k", "x"), root, "k")
+      assert(Lake.versions(spark, root) == Seq(0, 1, 2))
+    }
+  }
+
+  test("object-store coordinator backfills a winner that crashed before the fs marker") {
+    val store = new Lake.InMemoryObjectStore
+    Lake.withCoordinator(new Lake.ObjectStoreCoordinator(store)) {
+      val root = freshRoot()
+      Lake.commitVersion(spark, Seq((1L, 10L)).toDF("k", "x"), root)
+      // simulate the crash window: a writer committed version 1 in the
+      // STORE (its data files are down, the conditional PUT succeeded)
+      // but died before materializing the readable fs marker
+      val crashedDir = "v=1-crashed0"
+      Seq((1L, 111L)).toDF("k", "x")
+        .write.mode("overwrite").parquet(s"$root/$crashedDir")
+      val key = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, "_versions"), "1").toUri.getPath
+      assert(store.putIfAbsent(key, crashedDir.getBytes("UTF-8")))
+      // the crashed commit is invisible until somebody publishes...
+      assert(Lake.versions(spark, root) == Seq(0))
+      // ...and the next writer completes it: its attempt at slot 1
+      // loses to the store's committed body, BACKFILLS the marker, and
+      // retries onto slot 2 — no wedged table, no lost commit
+      val v = Lake.commitVersion(spark, Seq((2L, 20L)).toDF("k", "x"), root)
+      assert(v == 2 && Lake.versions(spark, root) == Seq(0, 1, 2))
+      assert(Lake.readVersion(spark, root, Some(1))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 111L)),
+        "the backfilled version must carry the crashed winner's content")
+    }
+  }
+
+  test("optimizeZOrder commits a z-clustered rewrite: content intact, scans prune") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = freshRoot()
+    val ev = Tables.events(spark, "/root/testdata/sf0.01").selectExpr(
+      "event_id", "user_id", "event_type", "value", "cast(day(ts) AS int) AS d")
+    Lake.commitVersion(spark, ev, root)
+    val v = Lake.optimizeZOrder(spark, root, "user_id", "d")
+    assert(v == 1 && Lake.versions(spark, root) == Seq(0, 1))
+    // the rewrite is layout-only: same multiset of rows, v0 untouched
+    val total = ev.count()
+    assert(Lake.readVersion(spark, root).count() == total)
+    assert(Lake.readVersion(spark, root, Some(0)).count() == total)
+    assert(Lake.readVersion(spark, root)
+      .agg(org.apache.spark.sql.functions.expr("sum(event_id)")).head.getLong(0)
+      == Lake.readVersion(spark, root, Some(0))
+      .agg(org.apache.spark.sql.functions.expr("sum(event_id)")).head.getLong(0))
+    // scan-level numOutputRows = rows surviving parquet row-group
+    // min/max pruning — the bytes a cluster would actually read
+    def scanned(ver: Int, pred: String): Long = {
+      val df = Lake.readVersion(spark, root, Some(ver)).where(pred)
+      df.collect()
+      val scan = df.queryExecution.executedPlan
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      scan.metrics("numOutputRows").value
+    }
+    val zUser = scanned(1, "user_id BETWEEN 3 AND 5")
+    val zDay = scanned(1, "d BETWEEN 10 AND 12")
+    val baseUser = scanned(0, "user_id BETWEEN 3 AND 5")
+    assert(zUser < total / 2, s"user band read $zUser of $total rows after OPTIMIZE")
+    assert(zDay < total / 2, s"day band read $zDay of $total rows after OPTIMIZE")
+    assert(zUser < baseUser,
+      s"OPTIMIZE must read strictly less than the unclustered base ($zUser vs $baseUser)")
+  }
+
   test("upsert survives a table whose own column is named _u") {
     val root = freshRoot()
     Lake.commitVersion(spark,
