@@ -56,6 +56,12 @@ object Dedup {
   private[graft] val SpanBoiler =
     "this document is provided under the standard corpus license and may be " +
       "redistributed only with this notice attached in full to every copy made"
+  // dd_exact_substr: a SECOND planted phrase (26 words), PREPENDED, so
+  // some documents carry two disjoint duplicated islands (one at each
+  // end) and the span-merge logic is exercised on both boundaries
+  private[graft] val SpanBoiler2 =
+    "the contents of this file are generated for benchmark purposes and any " +
+      "resemblance to real documents is purely coincidental as stated in the shared preamble text"
   private val SimBits = 60
   private val SimBandBits = 15
   private val SimBands = 4
@@ -210,6 +216,68 @@ object Dedup {
           SELECT c.doc_a, c.doc_b, $duckJaccard AS jaccard
           FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)
         WHERE jaccard >= $JaccardThreshold"""
+
+  /** ExactSubstr dedup core (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", at token granularity): find every
+    * MAXIMAL token span of length ≥ k repeated across ≥ 2 documents, at
+    * ARBITRARY boundaries — the operator that catches boilerplate
+    * which paragraph- or doc-grain dedup (dd_spandup / dd_paragraph)
+    * cannot, because a duplicated run need not align with any
+    * structural unit. Input: (doc_id, tc) with tc single-space
+    * normalized; output one row per maximal duplicated span:
+    * (doc_id, span_start, span_end, span_tokens), token positions
+    * 1-based inclusive.
+    *
+    * Shape: a span of length L ≥ k is repeated iff ALL of its L−k+1
+    * k-token windows are repeated, so flagging every window whose
+    * hash occurs in ≥ 2 documents and merging flagged starts whose
+    * gap ≤ k (their windows overlap or touch) reconstructs exactly
+    * the maximal repeated spans — the rolling-hash factoring of the
+    * suffix-array formulation, and the one that distributes: cost is
+    * LINEAR in corpus tokens, no pair space.
+    *
+    * 100 TB notes: the posting table (h, doc_id, pos) is corpus-token
+    * sized but fixed-width; it is exchanged ON h exactly ONCE
+    * (explicit repartition — window hashes are ~unique per map task,
+    * so map-side partial aggregation would be the gr_linkpred lost
+    * bet; the df aggregate and the flagged semi join both reuse the
+    * same partitioning exchange-free). The flagged set and everything
+    * after it is output-sized (only actually-duplicated windows), so
+    * the per-doc island merge windows run over a few positions per
+    * document, not the corpus.
+    */
+  private[graft] def exactSubstrSpans(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.CheckpointOps.{checkpointHashPartitioned, release}
+    // ONE exchange of the corpus-sized posting on h, with the
+    // partitioning kept TRUTHFUL through the fence (a plain
+    // localCheckpoint forgets it under AQE — the r11 iterative-loop
+    // lesson — and both consumers would silently re-shuffle)
+    val post = checkpointHashPartitioned(
+      docs
+        .selectExpr("doc_id", s"shingle_hashes(split(tc, ' '), $k) AS hs")
+        .selectExpr("doc_id", "posexplode(hs) AS (p0, h)")
+        .selectExpr("doc_id", "cast(p0 + 1 AS bigint) AS pos", "h"),
+      Par, "h")
+    // df ≥ 2 DISTINCT docs: the (h, doc_id) distinct and the count both
+    // run on the existing h-partitioning (subset clustering), no shuffle
+    val dup = post.select("h", "doc_id").distinct()
+      .groupBy("h").agg(expr("count(*) AS df"))
+      .where("df >= 2").select("h")
+    // flagged is output-sized (only actually-duplicated windows);
+    // materialize it, then drop the corpus-sized posting blocks
+    val flagged = post.join(dup, "h").select("doc_id", "pos").localCheckpoint(true)
+    release(post)
+    flagged
+      .selectExpr("doc_id", "pos",
+        s"CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k " +
+          "THEN 0 ELSE 1 END AS brk")
+      .selectExpr("doc_id", "pos",
+        "sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl")
+      .groupBy("doc_id", "isl")
+      .agg(expr("min(pos) AS span_start"), expr(s"max(pos) + ${k - 1} AS span_end"))
+      .selectExpr("doc_id", "span_start", "span_end",
+        "span_end - span_start + 1 AS span_tokens")
+  }
 
   def queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------- exact dedup
@@ -628,6 +696,61 @@ object Dedup {
                round(dup_spans::DOUBLE / n_spans::DOUBLE, 6) AS dup_frac
         FROM (SELECT s.doc_id, len(s.hs)::BIGINT AS n_spans, h.dup_spans
               FROM sh s JOIN hits h ON s.doc_id = h.doc_id)""")),
+
+    // ----------------------- ExactSubstr: maximal duplicated token spans
+    // dd_spandup counts duplicated windows; THIS operator reconstructs
+    // the maximal repeated spans themselves, at arbitrary boundaries —
+    // the Lee-et-al ExactSubstr member of the dedup family, the output
+    // a removal pass consumes ([[exactSubstrSpans]] for the algebra:
+    // flag ≥2-doc window hashes, merge flagged starts with gap ≤ k).
+    // Two planted phrases make the geometry non-trivial: the 24-word
+    // license APPENDED on doc_id % 7 == 0 and the 26-word preamble
+    // PREPENDED on doc_id % 5 == 0, so doc_id % 35 == 0 documents carry
+    // two disjoint islands, one at each end, and windows STRADDLING a
+    // plant/salad boundary flag exactly when two documents share the
+    // same salad context (the 31-word vocabulary makes that common) —
+    // identical in both engines because the corpus derivation is.
+    QueryDef(
+      "dd_exact_substr",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val docs = Tables.documents(spark, dir)
+          .repartition(Par, col("doc_id"))
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id",
+            s"CASE WHEN doc_id % 7 = 0 THEN concat(tc, ' ', '$SpanBoiler') ELSE tc END AS tc")
+          .selectExpr("doc_id",
+            s"CASE WHEN doc_id % 5 = 0 THEN concat('$SpanBoiler2', ' ', tc) ELSE tc END AS tc")
+        exactSubstrSpans(docs, SpanTokens)
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN '$SpanBoiler2' || ' ' || tc ELSE tc END AS tc
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN tc || ' ' || '$SpanBoiler' ELSE tc END AS tc
+                FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                      FROM documents))),
+        t AS (SELECT doc_id, string_split(tc, ' ') AS toks FROM c),
+        p0 AS (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(toks) - ${SpanTokens - 1}),
+                   i -> struct_pack(pos := i,
+                          h := ('0x' || substr(md5(array_to_string(toks[i:i+${SpanTokens - 1}], ' ')), 1, 15))::BIGINT))) AS ph
+          FROM t WHERE len(toks) >= $SpanTokens),
+        p AS (SELECT doc_id, ph.pos AS pos, ph.h AS h FROM p0),
+        dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM p) GROUP BY h HAVING count(*) >= 2),
+        f AS (SELECT doc_id, pos FROM p JOIN dup USING (h)),
+        b AS (SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanTokens
+                          THEN 0 ELSE 1 END AS brk
+              FROM f),
+        g AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM b)
+        SELECT doc_id, min(pos)::BIGINT AS span_start,
+               (max(pos) + ${SpanTokens - 1})::BIGINT AS span_end,
+               (max(pos) + ${SpanTokens - 1} - min(pos) + 1)::BIGINT AS span_tokens
+        FROM g GROUP BY doc_id, isl""")),
 
     // ------------------------------- low-threshold similarity pairs
     // Within-label pairwise cosine at 0.35 — a SIMILARITY-MINING

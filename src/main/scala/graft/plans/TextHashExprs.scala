@@ -153,6 +153,46 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL hash60 of every word n-gram in order — one entry per
+    * window start, NO dedup (unlike [[wordShingles]], whose set form
+    * serves document-frequency counting where positions are noise).
+    * ExactSubstr-style span dedup needs the positions back: index i of
+    * the result is the window starting at token i, so a flagged hash
+    * maps straight to the token span [i, i+n-1] it covers. Fewer than
+    * n tokens → empty array (a short doc cannot contain an n-token
+    * repeated span). Cost: O(tokens · n) bytes hashed per doc, one
+    * static call per row inside WholeStageCodegen.
+    */
+  def shingleHashPositions(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i + n <= m) {
+      var sz = n - 1
+      var k = i
+      while (k < i + n) { sz += toks(k).length; k += 1 }
+      val joined = new Array[Byte](sz)
+      var pos = 0
+      k = i
+      while (k < i + n) {
+        if (k > i) { joined(pos) = ' '.toByte; pos += 1 }
+        System.arraycopy(toks(k), 0, joined, pos, toks(k).length)
+        pos += toks(k).length
+        k += 1
+      }
+      out(i) = hash60(joined)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All 16 minhash permutations in one pass over the shingle set. */
   def minhash16(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
@@ -311,6 +351,27 @@ case class WordShingles(left: Expression, right: Expression)
     TextHash.wordShingles(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, n) => s"graft.plans.TextHash.wordShingles($a, $n)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** shingle_hashes(array<string>, n) → array<bigint> — positional n-gram
+  * hash60, entry i = window starting at token i (no dedup; empty when
+  * fewer than n tokens).
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with TextHashInputCheck {
+  override def prettyName: String = "shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = requireType(left, isStringArray, "array<string>")
+    if (l != org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess) l
+    else requireType(right, _ == IntegerType, "int n")
+  }
+  override protected def nullSafeEval(a: Any, n: Any): Any =
+    TextHash.shingleHashPositions(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, n) => s"graft.plans.TextHash.shingleHashPositions($a, $n)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }

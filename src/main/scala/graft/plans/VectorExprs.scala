@@ -365,6 +365,7 @@ object VectorExprs {
     ("rank52", classOf[Rank52], c => Rank52(c.head)),
     ("nfc_normalize", classOf[NfcNormalize], c => NfcNormalize(c.head)),
     ("word_shingles", classOf[WordShingles], c => WordShingles(c.head, c(1))),
+    ("shingle_hashes", classOf[ShingleHashes], c => ShingleHashes(c.head, c(1))),
     ("minhash16", classOf[MinHash16], c => MinHash16(c.head)),
     ("simhash60", classOf[SimHash60], c => SimHash60(c.head)),
     ("del_hashes", classOf[DelHashes], c => DelHashes(c.head)))

@@ -31,6 +31,45 @@ class DedupSpec extends SparkSpec {
     assert(phantom.isEmpty, s"banding invented ${phantom.size} pairs: ${phantom.take(5)}")
   }
 
+  test("exactSubstrSpans == brute-force maximal repeated spans on a toy corpus") {
+    import spark.implicits._
+    graft.plans.VectorExprs.register(spark)
+    val k = 4
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens: 3 windows merge into ONE span
+    val shared2 = "one two three four"                 // exactly k tokens: single-window span
+    val docs = Seq(
+      (0L, s"$shared filler01 filler02 $shared2"),
+      (1L, s"pre1 pre2 $shared post1"),
+      (2L, s"$shared2 mid1 mid2 mid3 $shared2"), // twice here AND elsewhere
+      (3L, "u1 u2 u3 u4 z u1 u2 u3 u4"),         // repeats ONLY within one doc — must NOT flag
+      (4L, "short doc"),                          // < k tokens — no windows
+      (5L, s"x1 x2 $shared $shared2 y1"))         // two shared runs back to back — gap-≤-k merge
+    val out = Dedup.exactSubstrSpans(docs.toDF("doc_id", "tc"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // brute force over the DEFINITION: flag every k-window whose token
+    // string occurs in >= 2 distinct docs, merge flagged starts with
+    // gap <= k, emit (doc, start, end, len) 1-based inclusive
+    val toks = docs.map { case (id, s) => id -> s.split(' ') }.toMap
+    val grams = toks.toSeq.flatMap { case (id, t) =>
+      (0 until t.length - k + 1).map(i => (t.slice(i, i + k).mkString(" "), id, i + 1)) }
+    val docsPerGram = grams.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val flagged = grams.filter(g => docsPerGram(g._1) >= 2)
+      .groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+    val expect = flagged.flatMap { case (id, starts) =>
+      val runs = scala.collection.mutable.ListBuffer[(Int, Int)]()
+      for (p <- starts) runs.lastOption match {
+        case Some((s, e)) if p - e <= k => runs(runs.length - 1) = (s, p)
+        case _ => runs += ((p, p))
+      }
+      runs.map { case (s, e) =>
+        (id, s.toLong, (e + k - 1).toLong, (e + k - 1 - s + 1).toLong) }
+    }.toSet
+    assert(out == expect, s"operator=${out.toSeq.sorted} brute=${expect.toSeq.sorted}")
+    assert(expect.exists(_._4 > k), "fixture must exercise window merging")
+    assert(!out.exists(_._1 == 3L), "within-doc-only repeats must not flag")
+    assert(!out.exists(_._1 == 4L), "sub-k docs have no windows")
+  }
+
   test("paragraph dedup: planted boilerplate survives exactly once, in doc 0") {
     val rows = Dedup.queries.find(_.name == "dd_paragraph").get.run(spark, sf)
       .collect()
