@@ -55,6 +55,18 @@ object Bench {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_BPE_DEPTH=10,50,100: the tokenizer-trainer depth
+    // grid — times bpeLearn at each merge depth on the target SF. The
+    // vocab-bounded-rounds claim (corpus scanned once; merge cost flat
+    // in corpus size, linear in depth) is the whole 100 TB argument
+    // for tp_bpe_train, so it gets its own measured artifact
+    // (bench/bpe_depth_<sf>.json) instead of staying an assertion.
+    sys.env.get("SPARK_GRAFT_BPE_DEPTH").foreach { depths =>
+      bpeDepthBench(spark, sfDir,
+        depths.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+      spark.stop()
+      return
+    }
     // optional comma-separated subset filter for local profiling runs;
     // unset (the driver's invocation) benches every registered query
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -118,6 +130,36 @@ object Bench {
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // the stdout line is the contract; the artifact is best-effort
     spark.stop()
+  }
+
+  /** Merge-depth cost grid for the BPE trainer: one timed bpeLearn per
+    * requested depth (fresh learn each time — no memo), reporting the
+    * depth actually reached (learning stops early once every word is a
+    * single symbol, so `learned < requested` marks vocab exhaustion,
+    * not a failure).
+    */
+  private def bpeDepthBench(spark: SparkSession, sfDir: String, depths: Seq[Int]): Unit = {
+    import org.apache.spark.sql.graft.CheckpointOps.release
+    graft.operators.Curation.bpeLearn(spark, "/root/testdata/sf0.001", 5) // warmup
+    val rows = depths.map { d =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val (m, cur) = graft.operators.Curation.bpeLearn(spark, sfDir, d)
+      val learned = m.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      release(m); release(cur)
+      (d, learned, sec)
+    }
+    val qs = rows.map { case (d, l, s) =>
+      s""""m$d":{"requested":$d,"learned":$l,"sec":$s}""" }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"bpe_depth","value":${rows.map(_._3).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    val sfName = new java.io.File(sfDir).getName
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench/bpe_depth_$sfName.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
   }
 
   /** The stateful streaming twins (state stores: dropDuplicates,

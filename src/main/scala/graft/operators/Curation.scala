@@ -1237,39 +1237,68 @@ object Curation {
     */
   private final class BpeHolder(spark: org.apache.spark.sql.SparkSession,
                                 dir: String) {
-    lazy val value: (DataFrame, DataFrame) = {
-      val Rounds = 10
-      val vocab = Tables.documents(spark, dir)
-        .selectExpr(
-          "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-        .selectExpr("explode(split(tc, ' ')) AS w")
-        .where("w != ''")
-        .groupBy("w").agg(expr("cast(count(*) AS bigint) AS wc"))
-        .selectExpr("w", "wc",
-          "concat(array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|'), '|') AS seq")
-        .localCheckpoint(true)
-      var cur = vocab
-      var merges: DataFrame = null
-      (1 to Rounds).foreach { r =>
-        val top = cur
-          .selectExpr("wc", "filter(split(seq, '[|]'), x -> x != '') AS syms")
-          .where("size(syms) >= 2") // Spark sequence(1,0) counts DOWN — guard it out
-          .selectExpr("wc",
-            "explode(transform(sequence(1, size(syms) - 1), i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))) AS p")
-          .selectExpr("p.a AS a", "p.b AS b", "wc")
-          .groupBy("a", "b").agg(expr("cast(sum(wc) AS bigint) AS cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1)
-          .localCheckpoint(true) // 1 row — feeds the merge row AND the replace
+    lazy val value: (DataFrame, DataFrame) = bpeLearn(spark, dir, rounds = 10)
+  }
+
+  /** Learn `rounds` BPE merges over the word-frequency table. The
+    * corpus is scanned ONCE (the vocab build); every merge round
+    * touches only the vocab-bounded state — pair counts, a 1-row
+    * argmax, one replace projection — so round cost is flat in corpus
+    * size and the depth cost is linear in `rounds` (the
+    * SPARK_GRAFT_BPE_DEPTH bench mode measures exactly that grid).
+    * Two depth-scaling details that 10 rounds never exposed:
+    * superseded per-round vocab checkpoints are RELEASED (at 100+
+    * rounds they otherwise pile vocab-sized dead blocks into the
+    * block manager), and learning STOPS when no adjacent pair remains
+    * (every word fused to one symbol — continuing would cross-join
+    * the vocab against an empty argmax and silently annihilate it).
+    */
+  private[graft] def bpeLearn(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, rounds: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graft.CheckpointOps.release
+    val vocab = Tables.documents(spark, dir)
+      .selectExpr(
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .selectExpr("explode(split(tc, ' ')) AS w")
+      .where("w != ''")
+      .groupBy("w").agg(expr("cast(count(*) AS bigint) AS wc"))
+      .selectExpr("w", "wc",
+        "concat(array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|'), '|') AS seq")
+      .localCheckpoint(true)
+    var cur = vocab
+    var merges: DataFrame = null
+    val tops = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = cur
+        .selectExpr("wc", "filter(split(seq, '[|]'), x -> x != '') AS syms")
+        .where("size(syms) >= 2") // Spark sequence(1,0) counts DOWN — guard it out
+        .selectExpr("wc",
+          "explode(transform(sequence(1, size(syms) - 1), i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))) AS p")
+        .selectExpr("p.a AS a", "p.b AS b", "wc")
+        .groupBy("a", "b").agg(expr("cast(sum(wc) AS bigint) AS cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .localCheckpoint(true) // 1 row — feeds the merge row AND the replace
+      if (top.isEmpty) exhausted = true
+      else {
+        tops += top
         val row = top.selectExpr(s"${r}L AS round", "a", "b", "concat(a, b) AS merged", "cnt")
         merges = if (merges == null) row else merges.unionByName(row)
-        cur = cur.crossJoin(broadcast(top.select(col("a").as("ma"), col("b").as("mb"))))
+        val next = cur.crossJoin(broadcast(top.select(col("a").as("ma"), col("b").as("mb"))))
           .selectExpr("w", "wc",
             "replace(seq, concat(ma, '|', mb, '|'), concat(ma, mb, '|')) AS seq")
           .localCheckpoint(true)
+        release(cur) // superseded vocab fence (incl. the initial build)
+        cur = next
+        r += 1
       }
-      (merges.localCheckpoint(true), cur)
     }
+    require(merges != null, s"corpus under $dir yielded no mergeable pairs")
+    val m = merges.localCheckpoint(true)
+    tops.foreach(release) // 1-row blocks, folded into m now
+    (m, cur)
   }
 
   private val bpeCache = scala.collection.concurrent.TrieMap

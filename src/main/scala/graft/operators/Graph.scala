@@ -322,6 +322,17 @@ object Graph {
     * adopting the most frequent neighbor label, ties to the SMALLEST —
     * a deterministic total order. Same stationary-edge iteration shape
     * as [[pageRank]]. Returns (id, lbl).
+    *
+    * codegen stays ON here (unlike the pagerank family): 5 fixed
+    * rounds over E-sized data are EXECUTOR-bound, not driver-bound
+    * (sf10 profile: 2 927 s task time in a 103 s wall, zero spill), so
+    * the interpreted-loop trade inverts. Measured r13, idle, 48 g:
+    * sf10 codegen on 114.3 s vs off 118.0 s (wash), sf3 on 34.6 s vs
+    * off 29.4 s — but at the DEFAULT 16 g driver codegen-off
+    * reproducibly kills the context at sf3 (interpreted rounds hold
+    * more live rows per task), while on survives. Decade exponent
+    * sf3→sf10 = 0.89 (PLANS.md r13 adjudication; the committed 1.55
+    * point was ambient-load contamination).
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.toDF("src", "dst").localCheckpoint(true)
