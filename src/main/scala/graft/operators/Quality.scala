@@ -322,7 +322,89 @@ object Quality {
                sum(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END)::BIGINT,
                sum(CASE WHEN l_distinct < 3 THEN n ELSE 0 END)::BIGINT,
                -1, -1
-        FROM classes"""))
+        FROM classes""")),
+
+    // ----------------------- t-closeness audit (skewness attack)
+    // l-diversity's blind spot: a class can hold l ≥ 3 DISTINCT
+    // sensitive values and still leak when its DISTRIBUTION over them
+    // departs far from the table's (the skewness attack — "90 % of
+    // this class is BUILDING" is a disclosure even with 3 segments
+    // present). t-closeness (Li et al.) bounds the distance between
+    // each class's sensitive distribution and the global one; for a
+    // categorical attribute the equal-ground-distance EMD is total
+    // variation = Σ|p_class − p_global| / 2, computed here in exact
+    // integer ppm so both engines agree bit-for-bit. t = 0.2 (200 000
+    // ppm). Scale shape: one corpus hash aggregate on (class,
+    // segment); everything after is CLASS-bounded — the per-class ×
+    // 5-segment dense grid (missing segments must still contribute
+    // |0 − p_global|, hence the broadcast cross join, never a corpus
+    // product), a broadcast global-distribution row, one bounded
+    // rollup. The (class, segment) counts are checkpoint-fenced once
+    // because three aggregates consume them (the recompute hazard).
+    QueryDef(
+      "dq_t_closeness",
+      (spark, dir) => {
+        val t = 200000L
+        val cnt = Tables.customer(spark, dir)
+          .selectExpr("cast(c_nationkey AS bigint) AS nation",
+            "cast(floor(c_acctbal / 2000) AS bigint) AS bal_band", "c_mktsegment AS segment")
+          .groupBy("nation", "bal_band", "segment")
+          .agg(expr("cast(count(*) AS bigint) AS nc"))
+          .localCheckpoint(true) // class-bounded; feeds cls + segs + glob + grid
+        val cls = cnt.groupBy("nation", "bal_band").agg(expr("cast(sum(nc) AS bigint) AS n"))
+        val segs = cnt.select("segment").distinct()
+        val glob = cnt.groupBy("segment").agg(expr("cast(sum(nc) AS bigint) AS ns"))
+          .crossJoin(broadcast(cnt.groupBy().agg(expr("cast(sum(nc) AS bigint) AS ntot"))))
+          .selectExpr("segment", "ns * 1000000 div ntot AS gppm")
+        val per = cls.crossJoin(broadcast(segs))
+          .join(cnt, Seq("nation", "bal_band", "segment"), "left")
+          .join(broadcast(glob), "segment")
+          .selectExpr("nation", "bal_band", "n",
+            "abs(coalesce(nc, 0L) * 1000000 div n - gppm) AS d")
+          .groupBy("nation", "bal_band")
+          .agg(expr("cast(max(n) AS bigint) AS n"),
+            expr("cast(sum(d) div 2 AS bigint) AS dist_ppm"))
+          .selectExpr("nation", "bal_band", "n", "dist_ppm",
+            s"CASE WHEN dist_ppm <= $t THEN 1L ELSE 0L END AS t_close")
+        per.unionByName(
+          per.groupBy().agg(
+              expr("cast(sum(CASE WHEN t_close = 0 THEN 1 ELSE 0 END) AS bigint) AS risky_classes"),
+              expr("cast(sum(CASE WHEN t_close = 0 THEN n ELSE 0 END) AS bigint) AS risky_rows"))
+            .selectExpr("-1L AS nation", "risky_classes AS bal_band",
+              "risky_rows AS n", "-1L AS dist_ppm", "-1L AS t_close"))
+      },
+      Some("""
+        WITH cnt AS (
+          SELECT c_nationkey::BIGINT AS nation,
+                 floor(c_acctbal / 2000)::BIGINT AS bal_band,
+                 c_mktsegment AS segment, count(*)::BIGINT AS nc
+          FROM customer GROUP BY 1, 2, 3),
+        cls AS (SELECT nation, bal_band, sum(nc)::BIGINT AS n FROM cnt GROUP BY 1, 2),
+        gdist AS (
+          SELECT segment,
+                 (sum(nc)::BIGINT * 1000000 // (SELECT sum(nc)::BIGINT FROM cnt))::BIGINT AS gppm
+          FROM cnt GROUP BY 1),
+        per0 AS (
+          SELECT c.nation, c.bal_band, c.n,
+                 abs(coalesce(t.nc, 0) * 1000000 // c.n - g.gppm)::BIGINT AS d
+          FROM cls c
+          CROSS JOIN (SELECT DISTINCT segment FROM cnt) s
+          JOIN gdist g ON g.segment = s.segment
+          LEFT JOIN cnt t ON t.nation = c.nation AND t.bal_band = c.bal_band
+                         AND t.segment = s.segment),
+        per AS (
+          SELECT nation, bal_band, max(n)::BIGINT AS n,
+                 (sum(d) // 2)::BIGINT AS dist_ppm
+          FROM per0 GROUP BY 1, 2)
+        SELECT nation, bal_band, n, dist_ppm,
+               (CASE WHEN dist_ppm <= 200000 THEN 1 ELSE 0 END)::BIGINT AS t_close
+        FROM per
+        UNION ALL
+        SELECT -1,
+               sum(CASE WHEN dist_ppm > 200000 THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN dist_ppm > 200000 THEN n ELSE 0 END)::BIGINT,
+               -1, -1
+        FROM per"""))
   )
 
   /** Per-event-type robust stats (median + MAD) for the outlier rule —
