@@ -1061,6 +1061,74 @@ object Events {
         GROUP BY item
         HAVING count(*) * 500 > (SELECT count(*) FROM i)""")),
 
+    // ------------------------- Count-Min sketch (mergeable frequency)
+    // The sketch counterpart to ev_heavyhitters' Misra-Gries summary:
+    // a d=4 × w=256 grid of integer counters, each row j counting the
+    // stream under an independent hash ((A_j·x + B_j) mod P) mod w —
+    // the coefficients are graft's minhash family, inlined as literals
+    // into BOTH engines. A point estimate is min_j cell(j, h_j(x)),
+    // which can only OVERcount (collisions add, never subtract) — the
+    // oracle checks the estimates exactly and the overcount column
+    // exhibits the guarantee. Why it matters at 100 TB: the grid is
+    // the canonical mergeable-aggregate shape — map-side partial
+    // combine collapses every task's stream to ≤ d·w cells, the
+    // exchange carries ≤ d·w rows per task regardless of corpus size,
+    // and cross-shard/cross-day merging is elementwise addition (the
+    // same reason st_hll/ta_hll_merge earn their place). Item stream =
+    // the heavy-hitter fixture: 70 % of mass in 20 hot keys, 30 % a
+    // unique tail that supplies the colliding noise the estimator has
+    // to survive. Output: per hot item, true count vs estimate vs
+    // overcount.
+    QueryDef(
+      "ev_countmin",
+      (spark, dir) => {
+        import org.apache.spark.sql.functions.{broadcast, expr}
+        val P = graft.plans.TextHash.P
+        val W = 256
+        val D = 4
+        def bucket(j: Int, x: String) =
+          s"((${graft.plans.TextHash.A(j)}L * ($x % $P) + ${graft.plans.TextHash.B(j)}L) % $P) % $W"
+        val structs = (0 until D)
+          .map(j => s"named_struct('j', $j, 'b', ${bucket(j, "item")})").mkString(", ")
+        val items = Tables.events(spark, dir).selectExpr(
+          "CASE WHEN event_id % 10 < 7 THEN event_id % 20 ELSE event_id + 1000000000L END AS item")
+        val cells = items
+          .selectExpr(s"explode(array($structs)) AS c")
+          .selectExpr("c.j AS j", "c.b AS b")
+          .groupBy("j", "b").agg(expr("cast(count(*) AS bigint) AS n"))
+        items.where("item < 20")
+          .groupBy("item").agg(expr("cast(count(*) AS bigint) AS true_cnt"))
+          .selectExpr("item", "true_cnt", s"explode(array($structs)) AS c")
+          .selectExpr("item", "true_cnt", "c.j AS j", "c.b AS b")
+          .join(broadcast(cells), Seq("j", "b"))
+          .groupBy("item")
+          .agg(expr("cast(max(true_cnt) AS bigint) AS true_cnt"),
+            expr("cast(min(n) AS bigint) AS est"))
+          .selectExpr("item", "true_cnt", "est", "est - true_cnt AS overcount")
+      },
+      Some {
+        val P = graft.plans.TextHash.P
+        val hashRows = (0 until 4)
+          .map(j => s"(${j}, ${graft.plans.TextHash.A(j)}, ${graft.plans.TextHash.B(j)})")
+          .mkString(", ")
+        s"""
+        WITH i AS (
+          SELECT CASE WHEN event_id % 10 < 7 THEN event_id % 20
+                      ELSE event_id + 1000000000 END AS item
+          FROM events),
+        h(j, a, b) AS (SELECT * FROM (VALUES $hashRows)),
+        cells AS (
+          SELECT j, ((a * (item % $P) + b) % $P) % 256 AS bkt, count(*)::BIGINT AS n
+          FROM i, h GROUP BY 1, 2),
+        hot AS (SELECT item, count(*)::BIGINT AS true_cnt FROM i WHERE item < 20 GROUP BY 1)
+        SELECT hot.item AS item, max(true_cnt)::BIGINT AS true_cnt,
+               min(n)::BIGINT AS est, (min(n) - max(true_cnt))::BIGINT AS overcount
+        FROM hot, h
+        JOIN cells ON cells.j = h.j
+                  AND cells.bkt = ((h.a * (hot.item % $P) + h.b) % $P) % 256
+        GROUP BY 1"""
+      }),
+
     // ----------------------- top user-journey paths (sequence mining)
     // The product-analytics "what do users actually do" query: each
     // user's first 8 events (event-time order, event_id tie-break)
