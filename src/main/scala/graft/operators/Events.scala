@@ -13,6 +13,63 @@ import graft.{QueryDef, Tables}
   */
 object Events {
 
+  // ---- Count-Min sketch pieces, shared by batch ev_countmin and the
+  // streaming st_countmin twin so the two grids cannot diverge: the
+  // skewed item derivation (the ev_heavyhitters fixture), the d=4
+  // hash-row bucket structs (minhash coefficient family, inlined as
+  // literals into both engines), and the post-sketch estimate lookup.
+  private val CmP = graft.plans.TextHash.P
+  private val CmW = 256
+  private val CmD = 4
+  private[graft] val CmItemExpr =
+    "CASE WHEN event_id % 10 < 7 THEN event_id % 20 ELSE event_id + 1000000000L END"
+  private def cmBucket(j: Int, x: String) =
+    s"((${graft.plans.TextHash.A(j)}L * ($x % $CmP) + ${graft.plans.TextHash.B(j)}L) % $CmP) % $CmW"
+  private[graft] def cmStructs: String = (0 until CmD)
+    .map(j => s"named_struct('j', $j, 'b', ${cmBucket(j, "item")})").mkString(", ")
+
+  /** Point estimates for the hot items against a drained (j, b, n)
+    * sketch grid: est = min over the d cells each item hashes to,
+    * joined against exact batch truth.
+    */
+  private[graft] def cmEstimates(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String,
+                                 cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    Tables.events(spark, dir).selectExpr(s"$CmItemExpr AS item")
+      .where("item < 20")
+      .groupBy("item").agg(expr("cast(count(*) AS bigint) AS true_cnt"))
+      .selectExpr("item", "true_cnt", s"explode(array($cmStructs)) AS c")
+      .selectExpr("item", "true_cnt", "c.j AS j", "c.b AS b")
+      .join(broadcast(cells), Seq("j", "b"))
+      .groupBy("item")
+      .agg(expr("cast(max(true_cnt) AS bigint) AS true_cnt"),
+        expr("cast(min(n) AS bigint) AS est"))
+      .selectExpr("item", "true_cnt", "est", "est - true_cnt AS overcount")
+  }
+
+  private[graft] def cmOracleSql: String = {
+    val hashRows = (0 until CmD)
+      .map(j => s"(${j}, ${graft.plans.TextHash.A(j)}, ${graft.plans.TextHash.B(j)})")
+      .mkString(", ")
+    s"""
+        WITH i AS (
+          SELECT CASE WHEN event_id % 10 < 7 THEN event_id % 20
+                      ELSE event_id + 1000000000 END AS item
+          FROM events),
+        h(j, a, b) AS (SELECT * FROM (VALUES $hashRows)),
+        cells AS (
+          SELECT j, ((a * (item % $CmP) + b) % $CmP) % $CmW AS bkt, count(*)::BIGINT AS n
+          FROM i, h GROUP BY 1, 2),
+        hot AS (SELECT item, count(*)::BIGINT AS true_cnt FROM i WHERE item < 20 GROUP BY 1)
+        SELECT hot.item AS item, max(true_cnt)::BIGINT AS true_cnt,
+               min(n)::BIGINT AS est, (min(n) - max(true_cnt))::BIGINT AS overcount
+        FROM hot, h
+        JOIN cells ON cells.j = h.j
+                  AND cells.bkt = ((h.a * (hot.item % $CmP) + h.b) % $CmP) % $CmW
+        GROUP BY 1"""
+  }
+
   def queries: Seq[QueryDef] = Seq(
     // Tumbling 1-hour event-time window per event_type. In streaming this
     // is `window($"ts", "1 hour")` + watermark; batch-side date_trunc is
@@ -1082,52 +1139,15 @@ object Events {
     QueryDef(
       "ev_countmin",
       (spark, dir) => {
-        import org.apache.spark.sql.functions.{broadcast, expr}
-        val P = graft.plans.TextHash.P
-        val W = 256
-        val D = 4
-        def bucket(j: Int, x: String) =
-          s"((${graft.plans.TextHash.A(j)}L * ($x % $P) + ${graft.plans.TextHash.B(j)}L) % $P) % $W"
-        val structs = (0 until D)
-          .map(j => s"named_struct('j', $j, 'b', ${bucket(j, "item")})").mkString(", ")
-        val items = Tables.events(spark, dir).selectExpr(
-          "CASE WHEN event_id % 10 < 7 THEN event_id % 20 ELSE event_id + 1000000000L END AS item")
+        val items = Tables.events(spark, dir).selectExpr(s"$CmItemExpr AS item")
         val cells = items
-          .selectExpr(s"explode(array($structs)) AS c")
+          .selectExpr(s"explode(array($cmStructs)) AS c")
           .selectExpr("c.j AS j", "c.b AS b")
-          .groupBy("j", "b").agg(expr("cast(count(*) AS bigint) AS n"))
-        items.where("item < 20")
-          .groupBy("item").agg(expr("cast(count(*) AS bigint) AS true_cnt"))
-          .selectExpr("item", "true_cnt", s"explode(array($structs)) AS c")
-          .selectExpr("item", "true_cnt", "c.j AS j", "c.b AS b")
-          .join(broadcast(cells), Seq("j", "b"))
-          .groupBy("item")
-          .agg(expr("cast(max(true_cnt) AS bigint) AS true_cnt"),
-            expr("cast(min(n) AS bigint) AS est"))
-          .selectExpr("item", "true_cnt", "est", "est - true_cnt AS overcount")
+          .groupBy("j", "b")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n"))
+        cmEstimates(spark, dir, cells)
       },
-      Some {
-        val P = graft.plans.TextHash.P
-        val hashRows = (0 until 4)
-          .map(j => s"(${j}, ${graft.plans.TextHash.A(j)}, ${graft.plans.TextHash.B(j)})")
-          .mkString(", ")
-        s"""
-        WITH i AS (
-          SELECT CASE WHEN event_id % 10 < 7 THEN event_id % 20
-                      ELSE event_id + 1000000000 END AS item
-          FROM events),
-        h(j, a, b) AS (SELECT * FROM (VALUES $hashRows)),
-        cells AS (
-          SELECT j, ((a * (item % $P) + b) % $P) % 256 AS bkt, count(*)::BIGINT AS n
-          FROM i, h GROUP BY 1, 2),
-        hot AS (SELECT item, count(*)::BIGINT AS true_cnt FROM i WHERE item < 20 GROUP BY 1)
-        SELECT hot.item AS item, max(true_cnt)::BIGINT AS true_cnt,
-               min(n)::BIGINT AS est, (min(n) - max(true_cnt))::BIGINT AS overcount
-        FROM hot, h
-        JOIN cells ON cells.j = h.j
-                  AND cells.bkt = ((h.a * (hot.item % $P) + h.b) % $P) % 256
-        GROUP BY 1"""
-      }),
+      Some(cmOracleSql)),
 
     // ----------------------- top user-journey paths (sequence mining)
     // The product-analytics "what do users actually do" query: each

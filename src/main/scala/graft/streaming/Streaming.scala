@@ -1043,6 +1043,35 @@ object Streaming {
         FROM agg"""),
       bench = false),
 
+    // ------------------------- streaming Count-Min sketch maintenance
+    // ev_countmin's grid maintained ON the stream: events flow in, each
+    // explodes into its d=4 (row, bucket) cells row-locally, and the
+    // ONLY state the stream carries is the d × w counter grid itself —
+    // ≤ 1024 count rows in the state store however many events flow
+    // past (the st_hll discipline: the sketch IS the state). The
+    // drained grid feeds the identical hot-item min-cell lookup as the
+    // batch operator (shared cmEstimates — the estimate path cannot
+    // diverge), so the streamed sketch is bit-equal to batch
+    // ev_countmin, whose oracle SQL this row reuses verbatim.
+    graft.QueryDef(
+      "st_countmin",
+      (spark, dir) => {
+        val cells = eventsStream(spark, dir)
+          .selectExpr(s"${graft.operators.Events.CmItemExpr} AS item")
+          .selectExpr(s"explode(array(${graft.operators.Events.cmStructs})) AS c")
+          .selectExpr("c.j AS j", "c.b AS b")
+          .groupBy("j", "b").agg(expr("cast(count(*) AS bigint) AS n"))
+        val qn = "st_countmin_sink"
+        val q = cells.writeStream.format("memory").queryName(qn)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.operators.Events.cmEstimates(spark, dir, spark.table(qn))
+      },
+      Some(graft.operators.Events.cmOracleSql),
+      bench = false),
+
     // ----------------------------- streaming EWMA (live forecasting)
     // ev_ewma's recurrence running against the stream: per-user state
     // is (count, s) — two longs per user however long the stream runs.
