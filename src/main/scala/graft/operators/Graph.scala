@@ -198,17 +198,22 @@ object Graph {
     * period-≤2 fixpoint.
     *
     * Determinism across engines without agreeing on the detection
-    * round: scores are fenced every `checkEvery` = 10 rounds (lazy
+    * round: scores are fenced every `checkEvery` rounds (lazy
     * composition in between — materializing each round tripled
-    * wall-clock) and compared to the previous fence. `r_t == r_{t-10}`
-    * proves a cycle of period dividing 10; every multiple-of-10 round
-    * from then on carries the SAME scores, so the first detected fence
-    * equals any later multiple-of-10 round — which is exactly what the
-    * oracle computes with a fixed 120 rounds. Output is bit-identical
-    * whether detection happens at 90, 100, or the oracle's 120.
+    * wall-clock) and compared to the previous fence. `r_t == r_{t-k}`
+    * proves a cycle of period dividing k; detection lands on a
+    * multiple of k, and 120 − t is then also a multiple of k, so the
+    * detected fence carries EXACTLY the scores of the oracle's fixed
+    * 120th round. Any EVEN k that divides 120 is therefore
+    * semantics-identical (the realized period is 2; odd k would never
+    * detect it). k = 6 is the measured sweet spot of the
+    * block-depth-vs-fence-count trade (r13, sf0.1 solo, idle:
+    * k = 2 → 37.4 s, 4 → 37.1 s, 6 → 35.1 s, 10 → 40.2 s — deeper
+    * lazy blocks pay per-stage lineage-serialization, shallower ones
+    * pay fence+cycle-check jobs).
     */
   def pageRankConverged(edges: DataFrame, maxIters: Int = 190,
-                        checkEvery: Int = 10): DataFrame = {
+                        checkEvery: Int = 6): DataFrame = {
     val e = edges.toDF("src", "dst").localCheckpoint(true)
     withIterConf(e.sparkSession) {
     val w = iterWidth(edges)
