@@ -248,6 +248,7 @@ object Dedup {
     */
   private[graft] def exactSubstrSpans(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graft.CheckpointOps.{checkpointHashPartitioned, release}
+    graft.plans.VectorExprs.register(docs.sparkSession) // shingle_hashes
     // ONE exchange of the corpus-sized posting on h, with the
     // partitioning kept TRUTHFUL through the fence (a plain
     // localCheckpoint forgets it under AQE — the r11 iterative-loop
@@ -278,6 +279,54 @@ object Dedup {
       .selectExpr("doc_id", "span_start", "span_end",
         "span_end - span_start + 1 AS span_tokens")
   }
+
+  /** The planted ExactSubstr corpus: normalized text, the 24-word
+    * license APPENDED on doc_id % 7 == 0, the 26-word preamble
+    * PREPENDED on doc_id % 5 == 0 — %35 documents carry both.
+    */
+  private[graft] def exactSubstrCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(Par, col("doc_id"))
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .selectExpr("doc_id",
+        s"CASE WHEN doc_id % 7 = 0 THEN concat(tc, ' ', '$SpanBoiler') ELSE tc END AS tc")
+      .selectExpr("doc_id",
+        s"CASE WHEN doc_id % 5 = 0 THEN concat('$SpanBoiler2', ' ', tc) ELSE tc END AS tc")
+
+  /** DuckDB CTE chain for the ExactSubstr span mining, ending in
+    * `spanout(doc_id, span_start, span_end, span_tokens)` (with `t`
+    * exposing the tokenized corpus) — shared by dd_exact_substr and
+    * the dd_exact_substr_cut rewrite so the two oracles cannot
+    * diverge. Matches [[exactSubstrCorpus]] + [[exactSubstrSpans]].
+    */
+  private def exactSubstrSpansSql: String = s"""c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN '$SpanBoiler2' || ' ' || tc ELSE tc END AS tc
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN tc || ' ' || '$SpanBoiler' ELSE tc END AS tc
+                FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                      FROM documents))),
+        t AS (SELECT doc_id, string_split(tc, ' ') AS toks FROM c),
+        p0 AS (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(toks) - ${SpanTokens - 1}),
+                   i -> struct_pack(pos := i,
+                          h := ('0x' || substr(md5(array_to_string(toks[i:i+${SpanTokens - 1}], ' ')), 1, 15))::BIGINT))) AS ph
+          FROM t WHERE len(toks) >= $SpanTokens),
+        p AS (SELECT doc_id, ph.pos AS pos, ph.h AS h FROM p0),
+        dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM p) GROUP BY h HAVING count(*) >= 2),
+        f AS (SELECT doc_id, pos FROM p JOIN dup USING (h)),
+        b AS (SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanTokens
+                          THEN 0 ELSE 1 END AS brk
+              FROM f),
+        g AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM b),
+        spanout AS (
+          SELECT doc_id, min(pos)::BIGINT AS span_start,
+                 (max(pos) + ${SpanTokens - 1})::BIGINT AS span_end,
+                 (max(pos) + ${SpanTokens - 1} - min(pos) + 1)::BIGINT AS span_tokens
+          FROM g GROUP BY doc_id, isl)"""
 
   def queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------- exact dedup
@@ -712,45 +761,62 @@ object Dedup {
     // identical in both engines because the corpus derivation is.
     QueryDef(
       "dd_exact_substr",
+      (spark, dir) => exactSubstrSpans(exactSubstrCorpus(spark, dir), SpanTokens),
+      Some(s"""
+        WITH $exactSubstrSpansSql
+        SELECT doc_id, span_start, span_end, span_tokens FROM spanout""")),
+
+    // ------------------- ExactSubstr removal pass (the actionable half)
+    // dd_exact_substr FINDS the maximal duplicated spans; this rewrites
+    // every document with them EXCISED — the destructive "drop all
+    // copies of any ≥ k-token repeated span" mode of Lee et al., at
+    // arbitrary boundaries (dd_paragraph's structural-unit analog).
+    // Output: per doc, original/cut token accounting and the rewritten
+    // text; documents with no duplicated spans pass through verbatim.
+    // Scale shape: the span set is OUTPUT-sized, so the rewrite is one
+    // doc-keyed broadcast-or-shuffle join of spans onto the corpus and
+    // a row-local filter-by-position rebuild — the corpus moves once;
+    // untouched documents never join at all (anti-join branch).
+    QueryDef(
+      "dd_exact_substr_cut",
       (spark, dir) => {
-        graft.plans.VectorExprs.register(spark)
-        val docs = Tables.documents(spark, dir)
-          .repartition(Par, col("doc_id"))
-          .selectExpr("doc_id",
-            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-          .selectExpr("doc_id",
-            s"CASE WHEN doc_id % 7 = 0 THEN concat(tc, ' ', '$SpanBoiler') ELSE tc END AS tc")
-          .selectExpr("doc_id",
-            s"CASE WHEN doc_id % 5 = 0 THEN concat('$SpanBoiler2', ' ', tc) ELSE tc END AS tc")
-        exactSubstrSpans(docs, SpanTokens)
+        val docs = exactSubstrCorpus(spark, dir)
+          .localCheckpoint(true) // feeds the span mining AND the rewrite
+        val spansAgg = exactSubstrSpans(docs, SpanTokens)
+          .groupBy("doc_id")
+          .agg(expr("collect_list(named_struct('s', span_start, 'e', span_end)) AS sp"))
+          .localCheckpoint(true) // output-sized; feeds join + anti-join
+        val rewritten = docs.join(spansAgg, "doc_id")
+          .selectExpr("doc_id", "split(tc, ' ') AS toks", "sp")
+          .selectExpr("doc_id", "cast(size(toks) AS bigint) AS n_tokens",
+            """filter(transform(toks, (t, i) -> named_struct('t', t, 'i', cast(i + 1 AS bigint))),
+                      x -> NOT exists(sp, r -> x.i >= r.s AND x.i <= r.e)) AS kept""")
+          .selectExpr("doc_id", "n_tokens",
+            "n_tokens - cast(size(kept) AS bigint) AS n_cut",
+            "array_join(transform(kept, x -> x.t), ' ') AS text_kept")
+        val untouched = docs
+          .join(spansAgg.select("doc_id"), Seq("doc_id"), "left_anti")
+          .selectExpr("doc_id", "cast(size(split(tc, ' ')) AS bigint) AS n_tokens",
+            "0L AS n_cut", "tc AS text_kept")
+        rewritten.unionByName(untouched)
       },
       Some(s"""
-        WITH c AS (
-          SELECT doc_id,
-                 CASE WHEN doc_id % 5 = 0 THEN '$SpanBoiler2' || ' ' || tc ELSE tc END AS tc
-          FROM (SELECT doc_id,
-                       CASE WHEN doc_id % 7 = 0 THEN tc || ' ' || '$SpanBoiler' ELSE tc END AS tc
-                FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
-                      FROM documents))),
-        t AS (SELECT doc_id, string_split(tc, ' ') AS toks FROM c),
-        p0 AS (
-          SELECT doc_id, unnest(list_transform(
-                   generate_series(1, len(toks) - ${SpanTokens - 1}),
-                   i -> struct_pack(pos := i,
-                          h := ('0x' || substr(md5(array_to_string(toks[i:i+${SpanTokens - 1}], ' ')), 1, 15))::BIGINT))) AS ph
-          FROM t WHERE len(toks) >= $SpanTokens),
-        p AS (SELECT doc_id, ph.pos AS pos, ph.h AS h FROM p0),
-        dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM p) GROUP BY h HAVING count(*) >= 2),
-        f AS (SELECT doc_id, pos FROM p JOIN dup USING (h)),
-        b AS (SELECT doc_id, pos,
-                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanTokens
-                          THEN 0 ELSE 1 END AS brk
-              FROM f),
-        g AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM b)
-        SELECT doc_id, min(pos)::BIGINT AS span_start,
-               (max(pos) + ${SpanTokens - 1})::BIGINT AS span_end,
-               (max(pos) + ${SpanTokens - 1} - min(pos) + 1)::BIGINT AS span_tokens
-        FROM g GROUP BY doc_id, isl""")),
+        WITH $exactSubstrSpansSql,
+        tok AS (
+          SELECT doc_id, len(toks) AS n, unnest(list_transform(
+                   generate_series(1, len(toks)),
+                   i -> struct_pack(i := i, t := toks[i]))) AS tp
+          FROM t),
+        cut AS (
+          SELECT doc_id, n, tp.i AS i, tp.t AS t,
+                 EXISTS(SELECT 1 FROM spanout s
+                        WHERE s.doc_id = tok.doc_id
+                          AND tp.i BETWEEN s.span_start AND s.span_end) AS dropped
+          FROM tok)
+        SELECT doc_id, max(n)::BIGINT AS n_tokens,
+               sum(dropped::INT)::BIGINT AS n_cut,
+               coalesce(string_agg(t, ' ' ORDER BY i) FILTER (WHERE NOT dropped), '') AS text_kept
+        FROM cut GROUP BY doc_id""")),
 
     // ------------------------------- low-threshold similarity pairs
     // Within-label pairwise cosine at 0.35 — a SIMILARITY-MINING
