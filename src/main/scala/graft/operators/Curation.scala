@@ -1225,7 +1225,62 @@ object Curation {
                sum(CASE WHEN off >= win * 2048 THEN 1 ELSE 0 END)::BIGINT AS n_starts,
                sum(least((win + 1) * 2048, off + tok) - greatest(win * 2048, off))::BIGINT AS n_tokens
         FROM e
-        GROUP BY shard, win"""))
+        GROUP BY shard, win""")),
+
+    // -------------------- attention/loss-mask boundaries for packing
+    // tp_pack_sequences accounts each window; THIS emits what the
+    // trainer actually loads next to the token buffer: one row per
+    // (window, segment) — the document slice occupying [seg_start,
+    // seg_end] within the 2048-token window, in order, with the
+    // doc-start flag. Exactly the metadata document-boundary attention
+    // masking and split-document loss masking consume (segments that
+    // CONTINUE a document from the previous window carry
+    // is_doc_start = 0). Same derivation as the packer — one md5 hash
+    // order, one per-shard cumulative sum, one explode — plus a
+    // row_number whose partition is a single window (≤ 2048 segments
+    // by construction: every segment holds ≥ 1 token), so the rank
+    // runs window-local and N-parallel, never corpus-wide.
+    QueryDef(
+      "tp_pack_masks",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "(n_chars + 3) div 4 AS tok",
+            "cast(conv(substring(md5(concat('shuf:', cast(doc_id AS string))), 1, 15), 16, 10) AS bigint) AS h")
+          .where("tok > 0")
+          .selectExpr("doc_id", "tok", "h", "pmod(h, 8) AS shard")
+          .withColumn("off",
+            expr("sum(tok) OVER (PARTITION BY shard ORDER BY h, doc_id) - tok"))
+          .selectExpr("doc_id", "shard", "tok", "off",
+            "explode(sequence(off div 2048, (off + tok - 1) div 2048)) AS win")
+          .selectExpr("shard", "win", "doc_id",
+            "greatest(win * 2048, off) - win * 2048 AS seg_start",
+            "least((win + 1) * 2048, off + tok) - 1 - win * 2048 AS seg_end",
+            "CASE WHEN off >= win * 2048 THEN 1L ELSE 0L END AS is_doc_start")
+          .selectExpr("shard", "win",
+            "cast(row_number() OVER (PARTITION BY shard, win ORDER BY seg_start, doc_id) AS bigint) AS seg_idx",
+            "doc_id", "seg_start", "seg_end", "is_doc_start"),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, (n_chars + 3) // 4 AS tok,
+                 ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM documents
+          WHERE (n_chars + 3) // 4 > 0),
+        s AS (
+          SELECT doc_id, tok, h % 8 AS shard,
+                 (sum(tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - tok)::BIGINT AS off
+          FROM d),
+        e AS (
+          SELECT doc_id, shard, tok, off,
+                 unnest(generate_series(off // 2048, (off + tok - 1) // 2048)) AS win
+          FROM s)
+        SELECT shard, win,
+               row_number() OVER (PARTITION BY shard, win
+                                  ORDER BY greatest(win * 2048, off) - win * 2048, doc_id) AS seg_idx,
+               doc_id,
+               (greatest(win * 2048, off) - win * 2048)::BIGINT AS seg_start,
+               (least((win + 1) * 2048, off + tok) - 1 - win * 2048)::BIGINT AS seg_end,
+               (CASE WHEN off >= win * 2048 THEN 1 ELSE 0 END)::BIGINT AS is_doc_start
+        FROM e"""))
   )
 
 
