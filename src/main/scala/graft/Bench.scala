@@ -172,7 +172,7 @@ object Bench {
   private def streamBench(spark: SparkSession, sfDir: String): Unit = {
     val names = Seq("st_dedup_ingest", "st_semdedup", "st_ewma",
       "st_funnel_strict", "st_sessionize", "st_heavyhitters",
-      "st_lake_ingest", "st_ivm")
+      "st_lake_ingest", "st_ivm", "st_countmin")
     val defs = Registry.all.filter(d => names.contains(d.name))
     def exhaust(d: QueryDef, dir: String): Unit =
       d.run(spark, dir).write.mode("overwrite").format("noop").save()

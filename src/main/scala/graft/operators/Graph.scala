@@ -328,20 +328,24 @@ object Graph {
     * a deterministic total order. Same stationary-edge iteration shape
     * as [[pageRank]]. Returns (id, lbl).
     *
-    * codegen stays ON here (unlike the pagerank family): 5 fixed
-    * rounds over E-sized data are EXECUTOR-bound, not driver-bound
-    * (sf10 profile: 2 927 s task time in a 103 s wall, zero spill), so
-    * the interpreted-loop trade inverts. Measured r13, idle, 48 g:
-    * sf10 codegen on 114.3 s vs off 118.0 s (wash), sf3 on 34.6 s vs
-    * off 29.4 s — but at the DEFAULT 16 g driver codegen-off
-    * reproducibly kills the context at sf3 (interpreted rounds hold
-    * more live rows per task), while on survives. Decade exponent
-    * sf3→sf10 = 0.89 (PLANS.md r13 adjudication; the committed 1.55
-    * point was ambient-load contamination).
+    * codegen stays OFF here like the rest of the family — the r11
+    * late flip to ON was REVERTED in r13 on measurement: ON costs
+    * ~1.7× at sf0.1 (solo 10.0 s vs ~5.9 s — five rounds of fresh
+    * Janino compiles dominate small data; this was the one bench_diff
+    * regression in three idle lane runs) and +18 % at sf3 (34.6 vs
+    * 29.4 s at 48 g), for a wash at sf10 (114.3 vs 118.0 s). The one
+    * thing ON bought was surviving a 16 GiB driver at sf3 — but that
+    * is the local[32] single-JVM conflating executor heap with driver
+    * heap, the same envelope gr_linkpred already documents: sf3+ runs
+    * set SPARK_DRIVER_MEM (48 g sf3 / 96 g sf10); on a real cluster
+    * this is ordinary per-executor memory scaled by executor count.
+    * Decade exponent sf3→sf10 = 0.94 codegen-off (PLANS.md r13
+    * adjudication; the committed 1.55 point was ambient-load
+    * contamination).
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.toDF("src", "dst").localCheckpoint(true)
-    withIterConf(e.sparkSession, codegen = true) {
+    withIterConf(e.sparkSession) {
       val w = iterWidth(e)
       val withE = checkpointHashPartitioned(e, w, "src")
       val verts = checkpointHashPartitioned(

@@ -1029,8 +1029,90 @@ object Knn {
                  sqrt(list_sum(list_transform(q0, x -> x * x))) AS nq
           FROM cand)
         ORDER BY cosine DESC, vec_id
+        LIMIT 10""")),
+
+    // ------------- Matryoshka (prefix-dimension) coarse search + refine
+    // The MRL serving pattern: embeddings trained so information
+    // concentrates in the leading dimensions let the index score a
+    // 16-dim PREFIX (4× less arithmetic and bytes in the hot scan, and
+    // a prefix index at rest is 4× smaller) and re-rank only the M=64
+    // coarse survivors at full 64 dims — the dimension-axis sibling of
+    // v14's int8 (precision axis) and v15's sign bits (1-bit axis).
+    // Same scale shape: scan → 1-row broadcast probe →
+    // TakeOrderedAndProject bounded heap (the coarse top-M fenced as
+    // its own plan root, the v15 lesson), re-rank touches M rows only.
+    // Both stages use the fixed left-to-right double folds + round-6
+    // discipline, so candidate sets and final ranks hash-match.
+    QueryDef(
+      "v16_matryoshka",
+      (spark, dir) => {
+        val cand = matryoshkaCandidates(spark, dir).localCheckpoint(true)
+        cand
+          .selectExpr("vec_id", "label", "coarse",
+            "aggregate(zip_with(v, q0, (a, b) -> a * b), cast(0 AS double), (acc, x) -> acc + x) AS dot",
+            "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x)) AS na",
+            "sqrt(aggregate(q0, cast(0 AS double), (acc, x) -> acc + x * x)) AS nq")
+          .selectExpr("vec_id", "label", "coarse",
+            "round(CASE WHEN na = 0D OR nq = 0D THEN 0D ELSE dot / (na * nq) END, 6) AS cosine")
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+        p AS (SELECT vec_id, label, v, v[1:16] AS pfx FROM e),
+        probe AS (SELECT v AS q0, pfx AS qp FROM p WHERE vec_id = 0),
+        cand AS (
+          SELECT vec_id, label, v, q0, coarse
+          FROM (
+            SELECT vec_id, label, v, q0,
+                   round(CASE WHEN npa = 0 OR npq = 0 THEN 0
+                              ELSE pdot / (npa * npq) END, 6) AS coarse
+            FROM (
+              SELECT vec_id, label, v, q0,
+                     list_sum(list_transform(generate_series(1, 16), i -> pfx[i] * qp[i])) AS pdot,
+                     sqrt(list_sum(list_transform(pfx, x -> x * x))) AS npa,
+                     sqrt(list_sum(list_transform(qp, x -> x * x))) AS npq
+              FROM p, probe WHERE vec_id != 0))
+          ORDER BY coarse DESC, vec_id
+          LIMIT 64)
+        SELECT vec_id, label::INT AS label, coarse,
+               round(CASE WHEN na = 0 OR nq = 0 THEN 0 ELSE dot / (na * nq) END, 6) AS cosine
+        FROM (
+          SELECT vec_id, label, coarse,
+                 list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * q0[i])) AS dot,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS na,
+                 sqrt(list_sum(list_transform(q0, x -> x * x))) AS nq
+          FROM cand)
+        ORDER BY cosine DESC, vec_id
         LIMIT 10"""))
   )
+
+  /** Matryoshka candidate stage for v16: 16-dim prefix cosine against
+    * the 1-row broadcast probe, top-M=64 by (coarse DESC, vec_id), the
+    * rounded score computed BEFORE the rank so both engines cut the
+    * identical candidate set. Returned UN-fenced with sort+limit at
+    * the root (TakeOrderedAndProject); the caller fences before the
+    * full-dimension re-rank.
+    */
+  private[graft] def matryoshkaCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "cast(label AS int) AS label",
+        "transform(embedding, x -> cast(x AS double)) AS v")
+      .selectExpr("vec_id", "label", "v", "slice(v, 1, 16) AS pfx")
+    val probe = e.where("vec_id = 0").selectExpr("v AS q0", "pfx AS qp")
+    e.where("vec_id != 0")
+      .crossJoin(broadcast(probe))
+      .selectExpr("vec_id", "label", "v", "q0",
+        "aggregate(zip_with(pfx, qp, (a, b) -> a * b), cast(0 AS double), (acc, x) -> acc + x) AS pdot",
+        "sqrt(aggregate(pfx, cast(0 AS double), (acc, x) -> acc + x * x)) AS npa",
+        "sqrt(aggregate(qp, cast(0 AS double), (acc, x) -> acc + x * x)) AS npq")
+      .selectExpr("vec_id", "label", "v", "q0",
+        "round(CASE WHEN npa = 0D OR npq = 0D THEN 0D ELSE pdot / (npa * npq) END, 6) AS coarse")
+      .orderBy(col("coarse").desc, col("vec_id"))
+      .limit(64)
+  }
 
   /** Binary-quantization candidate stage for v15: sign-bit pack (two
     * 32-bit words per vector, MSB-first integer fold), 1-row probe

@@ -222,6 +222,63 @@ object Search {
         FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
         ORDER BY rrf_ppm DESC, doc_id
         LIMIT 10"""
-      })
+      }),
+
+    // ------------------- typo-tolerant term lookup (fuzzy vocabulary)
+    // "Did you mean": each (misspelled) query term expands to every
+    // corpus vocabulary word within edit distance 1, with its document
+    // frequency — the fuzzy expansion a search engine feeds back into
+    // retrieval. Candidates come from the FastSS both-sides deletion-
+    // neighborhood equi-join (the dd_record_linkage machinery on the
+    // native del_hashes kernel): equal strings collide at (0,0),
+    // deletion/insertion as whole-vs-variant, substitution as
+    // same-position variants — ONE hash equi-join, no vocabulary cross
+    // product, exact levenshtein kills the rare 64-bit collision. The
+    // query side is 4 terms × O(len) variants — a broadcast; the vocab
+    // side is one corpus aggregate + O(len) variants per DISTINCT
+    // word. The DuckDB oracle deliberately brute-forces levenshtein
+    // over vocab × terms, so a green row proves the neighborhood join
+    // recalls EVERY within-distance word, not that two copies of one
+    // idea agree. Typos are d1 edits of boilerplate words (deletion,
+    // truncation, substitution, deletion): the %7 plant guarantees
+    // they exist in-vocabulary.
+    QueryDef(
+      "ts_fuzzy",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val qterms = Seq("standrd", "corpu", "licence", "redistribted")
+        val q = spark.sql(
+            s"SELECT explode(array(${qterms.map(t => s"'$t'").mkString(", ")})) AS qt")
+          .selectExpr("qt", "posexplode(del_hashes(qt)) AS (qi, qh)")
+        val vocab = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id",
+            s"CASE WHEN doc_id % 7 = 0 THEN concat(tc, ' ', '${graft.operators.Dedup.SpanBoiler}') ELSE tc END AS tc")
+          .selectExpr("explode(split(tc, ' ')) AS w")
+          .where("w != ''")
+          .groupBy("w").agg(expr("cast(count(*) AS bigint) AS df"))
+          .selectExpr("w", "df", "posexplode(del_hashes(w)) AS (vi, vh)")
+        vocab.join(broadcast(q), expr("vh = qh AND (vi = 0 OR qi = 0 OR vi = qi)"))
+          .where("levenshtein(qt, w) <= 1")
+          .selectExpr("qt AS query_term", "w AS word", "df",
+            "cast(levenshtein(qt, w) AS bigint) AS dist")
+          .distinct()
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN tc || ' ' || '${graft.operators.Dedup.SpanBoiler}' ELSE tc END AS tc
+          FROM (SELECT doc_id,
+                       regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                FROM documents)),
+        v AS (
+          SELECT w, count(*)::BIGINT AS df
+          FROM (SELECT unnest(string_split(tc, ' ')) AS w FROM c)
+          WHERE w != '' GROUP BY 1),
+        q(qt) AS (SELECT * FROM (VALUES ('standrd'), ('corpu'), ('licence'), ('redistribted')))
+        SELECT qt AS query_term, w AS word, df, levenshtein(qt, w)::BIGINT AS dist
+        FROM v, q
+        WHERE levenshtein(qt, w) <= 1"""))
   )
 }
