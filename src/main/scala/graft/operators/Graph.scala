@@ -146,6 +146,24 @@ object Graph {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), EdgeHolder]
 
+  /** Memoized 5-round label propagation over the purchase graph —
+    * shared by gr_labelprop (which reports the communities) and
+    * gr_modularity (which scores them), the purchaseEdges/bpeLearned
+    * holder discipline.
+    */
+  private final class LabelHolder(spark: SparkSession, dir: String) {
+    lazy val value: DataFrame = labelPropagation(purchaseEdges(spark, dir), rounds = 5)
+  }
+
+  private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LabelHolder]
+
+  private[graft] def propagatedLabels(spark: SparkSession, dir: String): DataFrame = {
+    labelCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    val fresh = new LabelHolder(spark, dir)
+    labelCache.putIfAbsent((spark, dir), fresh).getOrElse(fresh).value
+  }
+
   /** The undirected customer⇄supplier purchase edge list, built ONCE
     * per (session, dir) and shared: four graph queries (gr_pagerank,
     * gr_pagerank_conv, gr_ppr_segment, gr_bfs_dist) re-derive the
@@ -371,6 +389,39 @@ object Graph {
       release(withE); release(verts); release(e)
       out
     }
+  }
+
+  /** DuckDB CTE chain for 5-round label propagation over the purchase
+    * graph, ending in `l5(id, lbl)` (with `edges` exposed) — shared by
+    * the gr_labelprop and gr_modularity oracles so they cannot
+    * diverge. Mirrors [[labelPropagation]] exactly: per-round
+    * (dst, lbl) counts, most-frequent-smallest winner, left-join
+    * carry-over.
+    */
+  private def labelChainSql: String = {
+    val iters = (1 to 5).map { r => s"""
+        c$r AS MATERIALIZED (
+          SELECT e.dst, l.lbl, count(*)::BIGINT AS cnt
+          FROM edges e JOIN l${r - 1} l ON e.src = l.id
+          GROUP BY e.dst, l.lbl),
+        w$r AS MATERIALIZED (
+          SELECT dst, lbl FROM (
+            SELECT dst, lbl,
+                   row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl) AS rn
+            FROM c$r) WHERE rn = 1),
+        l$r AS MATERIALIZED (
+          SELECT p.id, coalesce(w.lbl, p.lbl) AS lbl
+          FROM l${r - 1} p LEFT JOIN w$r w ON w.dst = p.id)"""
+    }.mkString(",")
+    s"""cs AS (
+          SELECT DISTINCT o_custkey * 2 AS cv, l_suppkey * 2 + 1 AS sv
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (
+          SELECT cv AS src, sv AS dst FROM cs
+          UNION ALL
+          SELECT sv AS src, cv AS dst FROM cs),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+        $iters"""
   }
 
   def queries: Seq[QueryDef] = Seq(
@@ -753,7 +804,7 @@ object Graph {
     QueryDef(
       "gr_labelprop",
       (spark, dir) => {
-        val labels = labelPropagation(purchaseEdges(spark, dir), rounds = 5)
+        val labels = propagatedLabels(spark, dir)
         val sizes = labels.groupBy("lbl")
           .agg(expr("cast(count(*) AS bigint) AS n_members"))
         labels.join(sizes, "lbl")
@@ -761,37 +812,75 @@ object Graph {
             "CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
             "id div 2 AS key", "lbl AS community", "n_members")
       },
-      Some {
-        val iters = (1 to 5).map { r => s"""
-        c$r AS MATERIALIZED (
-          SELECT e.dst, l.lbl, count(*)::BIGINT AS cnt
-          FROM edges e JOIN l${r - 1} l ON e.src = l.id
-          GROUP BY e.dst, l.lbl),
-        w$r AS MATERIALIZED (
-          SELECT dst, lbl FROM (
-            SELECT dst, lbl,
-                   row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl) AS rn
-            FROM c$r) WHERE rn = 1),
-        l$r AS MATERIALIZED (
-          SELECT p.id, coalesce(w.lbl, p.lbl) AS lbl
-          FROM l${r - 1} p LEFT JOIN w$r w ON w.dst = p.id)"""
-        }.mkString(",")
-        s"""
-        WITH cs AS (
-          SELECT DISTINCT o_custkey * 2 AS cv, l_suppkey * 2 + 1 AS sv
-          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        edges AS (
-          SELECT cv AS src, sv AS dst FROM cs
-          UNION ALL
-          SELECT sv AS src, cv AS dst FROM cs),
-        l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
-        $iters,
+      Some(s"""
+        WITH $labelChainSql,
         sizes AS (SELECT lbl, count(*)::BIGINT AS n_members FROM l5 GROUP BY lbl)
         SELECT l.id,
                CASE WHEN l.id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
                l.id // 2 AS key, l.lbl AS community, s.n_members
-        FROM l5 l JOIN sizes s ON s.lbl = l.lbl"""
-      }),
+        FROM l5 l JOIN sizes s ON s.lbl = l.lbl""")),
+
+    // ---------------- modularity of the propagated communities
+    // The quality score for gr_labelprop's output — Newman modularity
+    // Q = Σ_c (e_c/|E| − (d_c/|E|)²) over the symmetric edge list, in
+    // exact integer arithmetic: intra fraction in ppm (10⁶ div), the
+    // expected fraction as squared per-mille (so d_c² never overflows
+    // a 64-bit lane at any SF — (d·10³ div |E|)² IS ppm), both
+    // identical op sequences cross-engine. Per-community contribution
+    // rows plus the '-1 summary' carrying Q itself. Scale shape: the
+    // label table is memoized and shared with gr_labelprop (the
+    // purchaseEdges holder discipline); scoring is two E-bounded
+    // hash joins of edges against the O(V) labels (src label, dst
+    // label) and community-bounded aggregates — nothing wider than
+    // one labelprop round.
+    QueryDef(
+      "gr_modularity",
+      (spark, dir) => {
+        val lab = propagatedLabels(spark, dir)
+        val e = purchaseEdges(spark, dir)
+        val ne = e.groupBy().agg(expr("cast(count(*) AS bigint) AS ne"))
+        val intra = e
+          .join(lab.selectExpr("id AS src", "lbl AS sl"), "src")
+          .join(lab.selectExpr("id AS dst", "lbl AS dl"), "dst")
+          .where("sl = dl")
+          .groupBy("sl").agg(expr("cast(count(*) AS bigint) AS in_e"))
+        val deg = e.join(lab.selectExpr("id AS src", "lbl"), "src")
+          .groupBy("lbl").agg(expr("cast(count(*) AS bigint) AS d"))
+        val per = deg
+          .join(intra.selectExpr("sl AS lbl", "in_e"), Seq("lbl"), "left")
+          .crossJoin(broadcast(ne))
+          .selectExpr("lbl AS community",
+            "coalesce(in_e, 0L) AS in_edges", "d AS degree",
+            "coalesce(in_e, 0L) * 1000000 div ne - (d * 1000 div ne) * (d * 1000 div ne) AS q_ppm")
+        per.unionByName(
+          per.groupBy().agg(
+              expr("cast(sum(in_edges) AS bigint) AS ie"),
+              expr("cast(sum(degree) AS bigint) AS dg"),
+              expr("cast(sum(q_ppm) AS bigint) AS q"))
+            .selectExpr("-1L AS community", "ie AS in_edges", "dg AS degree", "q AS q_ppm"))
+      },
+      Some(s"""
+        WITH $labelChainSql,
+        lab AS (SELECT id, lbl FROM l5),
+        m AS (SELECT count(*)::BIGINT AS ne FROM edges),
+        intra AS (
+          SELECT a.lbl, count(*)::BIGINT AS in_e
+          FROM edges e
+          JOIN lab a ON e.src = a.id
+          JOIN lab b ON e.dst = b.id AND a.lbl = b.lbl
+          GROUP BY a.lbl),
+        deg AS (
+          SELECT l.lbl, count(*)::BIGINT AS d
+          FROM edges e JOIN lab l ON e.src = l.id GROUP BY l.lbl),
+        per AS (
+          SELECT deg.lbl AS community,
+                 coalesce(in_e, 0)::BIGINT AS in_edges, d AS degree,
+                 (coalesce(in_e, 0) * 1000000 // ne
+                  - (d * 1000 // ne) * (d * 1000 // ne))::BIGINT AS q_ppm
+          FROM deg LEFT JOIN intra ON intra.lbl = deg.lbl, m)
+        SELECT community, in_edges, degree, q_ppm FROM per
+        UNION ALL
+        SELECT -1, sum(in_edges)::BIGINT, sum(degree)::BIGINT, sum(q_ppm)::BIGINT FROM per""")),
 
     // ----------------- link prediction (common neighbors + RA index)
     // "Which supplier pairs are most likely to be related?" — scored
