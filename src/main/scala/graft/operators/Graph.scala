@@ -391,6 +391,35 @@ object Graph {
     }
   }
 
+  /** Newman modularity of a community assignment over a symmetric
+    * directed edge list, exact integer arithmetic (see gr_modularity's
+    * commentary): per-community rows + the '-1' Q summary.
+    */
+  private[graft] def modularityOf(lab0: DataFrame, edges: DataFrame): DataFrame = {
+    val lab = lab0.toDF("id", "lbl")
+    val e = edges.toDF("src", "dst")
+    val ne = e.groupBy().agg(expr("cast(count(*) AS bigint) AS ne"))
+    val intra = e
+      .join(lab.selectExpr("id AS src", "lbl AS sl"), "src")
+      .join(lab.selectExpr("id AS dst", "lbl AS dl"), "dst")
+      .where("sl = dl")
+      .groupBy("sl").agg(expr("cast(count(*) AS bigint) AS in_e"))
+    val deg = e.join(lab.selectExpr("id AS src", "lbl"), "src")
+      .groupBy("lbl").agg(expr("cast(count(*) AS bigint) AS d"))
+    val per = deg
+      .join(intra.selectExpr("sl AS lbl", "in_e"), Seq("lbl"), "left")
+      .crossJoin(broadcast(ne))
+      .selectExpr("lbl AS community",
+        "coalesce(in_e, 0L) AS in_edges", "d AS degree",
+        "coalesce(in_e, 0L) * 1000000 div ne - (d * 1000 div ne) * (d * 1000 div ne) AS q_ppm")
+    per.unionByName(
+      per.groupBy().agg(
+          expr("cast(sum(in_edges) AS bigint) AS ie"),
+          expr("cast(sum(degree) AS bigint) AS dg"),
+          expr("cast(sum(q_ppm) AS bigint) AS q"))
+        .selectExpr("-1L AS community", "ie AS in_edges", "dg AS degree", "q AS q_ppm"))
+  }
+
   /** DuckDB CTE chain for 5-round label propagation over the purchase
     * graph, ending in `l5(id, lbl)` (with `edges` exposed) — shared by
     * the gr_labelprop and gr_modularity oracles so they cannot
@@ -835,30 +864,8 @@ object Graph {
     // one labelprop round.
     QueryDef(
       "gr_modularity",
-      (spark, dir) => {
-        val lab = propagatedLabels(spark, dir)
-        val e = purchaseEdges(spark, dir)
-        val ne = e.groupBy().agg(expr("cast(count(*) AS bigint) AS ne"))
-        val intra = e
-          .join(lab.selectExpr("id AS src", "lbl AS sl"), "src")
-          .join(lab.selectExpr("id AS dst", "lbl AS dl"), "dst")
-          .where("sl = dl")
-          .groupBy("sl").agg(expr("cast(count(*) AS bigint) AS in_e"))
-        val deg = e.join(lab.selectExpr("id AS src", "lbl"), "src")
-          .groupBy("lbl").agg(expr("cast(count(*) AS bigint) AS d"))
-        val per = deg
-          .join(intra.selectExpr("sl AS lbl", "in_e"), Seq("lbl"), "left")
-          .crossJoin(broadcast(ne))
-          .selectExpr("lbl AS community",
-            "coalesce(in_e, 0L) AS in_edges", "d AS degree",
-            "coalesce(in_e, 0L) * 1000000 div ne - (d * 1000 div ne) * (d * 1000 div ne) AS q_ppm")
-        per.unionByName(
-          per.groupBy().agg(
-              expr("cast(sum(in_edges) AS bigint) AS ie"),
-              expr("cast(sum(degree) AS bigint) AS dg"),
-              expr("cast(sum(q_ppm) AS bigint) AS q"))
-            .selectExpr("-1L AS community", "ie AS in_edges", "dg AS degree", "q AS q_ppm"))
-      },
+      (spark, dir) =>
+        modularityOf(propagatedLabels(spark, dir), purchaseEdges(spark, dir)),
       Some(s"""
         WITH $labelChainSql,
         lab AS (SELECT id, lbl FROM l5),

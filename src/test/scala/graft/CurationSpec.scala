@@ -279,6 +279,41 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_._5).sum == docs.sum)
   }
 
+  test("tp_pack_masks: segments tile each window exactly and agree with the packer") {
+    val sf = "/root/testdata/sf0.001"
+    val segs = Curation.queries.find(_.name == "tp_pack_masks").get
+      .run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("win"), r.getAs[Long]("seg_idx"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end"),
+        r.getAs[Long]("is_doc_start")))
+    val packs = Curation.queries.find(_.name == "tp_pack_sequences").get
+      .run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("win")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_starts"), r.getAs[Long]("n_tokens")))
+      .toMap
+    val byWin = segs.groupBy(s => (s._1, s._2))
+    assert(byWin.keySet == packs.keySet, "masks and packer cover the same windows")
+    byWin.foreach { case (key, ss) =>
+      val (nd, nst, nt) = packs(key)
+      assert(ss.length.toLong == nd, s"$key: segment count != packer n_docs")
+      assert(ss.count(_._7 == 1L).toLong == nst, s"$key: doc-start count mismatch")
+      assert(ss.map(s => s._6 - s._5 + 1).sum == nt, s"$key: token mass mismatch")
+      // dense seg_idx in seg_start order; segments tile with no gaps/overlaps
+      val ordered = ss.sortBy(_._3)
+      assert(ordered.map(_._3).sameElements(1L to ss.length.toLong))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 == a._6 + 1, s"$key: gap/overlap at ${a._3}")
+        case _ => ()
+      }
+      assert(ordered.head._5 == 0L, s"$key: first segment must start at 0")
+      // a segment continuing a split doc is flagged as NOT a doc start
+      ordered.foreach { s =>
+        if (s._5 == 0L && s._7 == 0L)
+          assert(s._3 == 1L, s"$key: only the window-opening carry-over may be unflagged at 0")
+      }
+    }
+  }
+
   test("tp_bpe_apply: encoding agrees with the train query's corpus totals") {
     val sf = "/root/testdata/sf0.001"
     val applied = Registry.byName("tp_bpe_apply").run(spark, sf).collect()

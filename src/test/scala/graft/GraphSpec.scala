@@ -152,4 +152,21 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 3L, 11L -> 3L, 12L -> 3L), s"got $got")
   }
+
+  test("modularity: two disjoint triangles score exactly Q = 0.5") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (12L, 10L))
+      .toDF("id", "lbl")
+    val rows = Graph.modularityOf(lab, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // per clique: in_e = 6 of 12 directed edges, degree = 6;
+    // q = 6e6 div 12 − (6000 div 12)² = 500000 − 250000 = 250000;
+    // summary Q = 500000 ppm — the textbook 0.5 for two equal cliques
+    assert(rows == Set(
+      (1L, 6L, 6L, 250000L),
+      (10L, 6L, 6L, 250000L),
+      (-1L, 12L, 12L, 500000L)), s"got $rows")
+  }
 }
