@@ -445,6 +445,43 @@ class PlanShapeSpec extends SparkSpec {
       s"global sort in the re-rank:\n${p.take(600)}")
   }
 
+  test("v16_matryoshka: prefix top-M is a bounded heap, probe a 1-row broadcast") {
+    // same discipline as v15: the coarse sort+limit must plan as
+    // TakeOrderedAndProject at the candidate-stage root, never a
+    // corpus range shuffle for 64 rows
+    val c = operators.Knn.matryoshkaCandidates(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(c.contains("TakeOrderedAndProject"), s"coarse top-M not a bounded heap:\n${c.take(600)}")
+    assert(!c.contains("Exchange rangepartitioning"),
+      s"global sort in the coarse stage:\n${c.take(600)}")
+    assert(c.contains("BroadcastNestedLoopJoin"), "1-row probe must broadcast")
+    val p = plan("v16_matryoshka")
+    assert(p.contains("TakeOrderedAndProject"), s"re-rank not a bounded heap:\n${p.take(600)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort in the re-rank:\n${p.take(600)}")
+  }
+
+  test("dd_exact_substr: island merge is doc-parallel, no global sort anywhere") {
+    val p = plan("dd_exact_substr")
+    // the visible (post-fence) plan is the flagged-set island merge:
+    // windows PARTITION BY doc_id over the output-sized flagged rows —
+    // a SinglePartition window or a range exchange would mean the
+    // merge serializes the corpus through one task
+    assert(p.contains("Window"), "expected the per-doc island windows")
+    assert(!p.contains("SinglePartition"),
+      s"island merge fell back to a single-partition window:\n${p.take(600)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort in the span assembly:\n${p.take(600)}")
+  }
+
+  test("ev_countmin: grid aggregate combines map-side; estimates join the broadcast grid") {
+    val p = plan("ev_countmin")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"cell counts must partial-aggregate before the exchange:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=1024-cell grid must broadcast into the estimate join:\n${p.take(800)}")
+  }
+
   test("tp_shard_shuffle: positions come from per-shard windows, never one global order") {
     val p = plan("tp_shard_shuffle")
     // the window is PARTITION BY shard — N parallel sorts; a
