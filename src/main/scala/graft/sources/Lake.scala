@@ -486,6 +486,60 @@ object Lake {
     * prunes most files via parquet min/max statistics (the
     * s11_zorder_scan proof, now applying to lake versions).
     */
+  /** ANALYZE TABLE for a lake snapshot: one long-format stats row per
+    * column — row/null/exact-NDV counts plus min/max (numeric columns
+    * as round-6 doubles, strings verbatim) — the statistics layer a
+    * catalog/CBO and data-skipping planner consume (Delta/Iceberg
+    * collect the same shape per commit). ONE scan computes every
+    * column's aggregates in a single 1-row pass (the per-column rows
+    * are projections of that row, not rescans); exact NDV keeps the
+    * gate deterministic — the HLL sketch (ta_vocab_hll machinery) is
+    * the drop-in when a column's distinct count is itself corpus-sized.
+    */
+  def analyze(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val df = readVersion(spark, root, version)
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = s"`${f.name}`"
+      val base = Seq(
+        expr(s"cast(count($c) AS bigint) AS `${f.name}__cnt`"),
+        expr(s"cast(count(DISTINCT $c) AS bigint) AS `${f.name}__ndv`"))
+      base ++ (f.dataType match {
+        case _: NumericType => Seq(
+          expr(s"round(cast(min($c) AS double), 6) AS `${f.name}__minn`"),
+          expr(s"round(cast(max($c) AS double), 6) AS `${f.name}__maxn`"))
+        case StringType => Seq(
+          expr(s"min($c) AS `${f.name}__mins`"),
+          expr(s"max($c) AS `${f.name}__maxs`"))
+        case _ => Seq.empty
+      })
+    }
+    val row = df.groupBy()
+      .agg(expr("cast(count(*) AS bigint) AS __total"), aggs.toSeq: _*)
+      .localCheckpoint(true) // 1 row; every per-column projection reuses it
+    df.schema.fields.map { f =>
+      val (minN, maxN, minS, maxS) = f.dataType match {
+        case _: NumericType =>
+          (s"`${f.name}__minn`", s"`${f.name}__maxn`",
+            "cast(null AS string)", "cast(null AS string)")
+        case StringType =>
+          ("cast(null AS double)", "cast(null AS double)",
+            s"`${f.name}__mins`", s"`${f.name}__maxs`")
+        case _ =>
+          ("cast(null AS double)", "cast(null AS double)",
+            "cast(null AS string)", "cast(null AS string)")
+      }
+      row.selectExpr(
+        s"'${f.name}' AS col_name",
+        "__total AS n_rows",
+        s"__total - `${f.name}__cnt` AS n_nulls",
+        s"`${f.name}__ndv` AS ndv",
+        s"$minN AS min_num", s"$maxN AS max_num",
+        s"$minS AS min_str", s"$maxS AS max_str")
+    }.reduce(_ unionByName _)
+  }
+
   def optimizeZOrder(spark: SparkSession, root: String, x: String, y: String,
       nFiles: Int = 16): Int = {
     var attempts = 0
@@ -1088,7 +1142,50 @@ object Lake {
                (max(p) - min(p) + 1)::BIGINT AS span_p,
                (max(s) - min(s) + 1)::BIGINT AS span_s
         FROM b
-        GROUP BY zb"""))
+        GROUP BY zb""")),
+
+    // -------------------------------- ANALYZE TABLE (catalog statistics)
+    // The statistics layer a catalog, cost-based optimizer, and
+    // data-skipping planner consume: per-column row/null/exact-NDV
+    // counts and min/max bounds over a committed snapshot, computed by
+    // [[analyze]] in ONE scan (every per-column output row is a
+    // projection of a single 1-row aggregate, never a rescan). The
+    // oracle recomputes the identical statistics from the base table —
+    // a green row proves the lake snapshot is byte-faithful AND the
+    // stats pass is exact.
+    QueryDef(
+      "s23_analyze",
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/customer"
+        commitVersion(spark, Tables.customer(spark, dir).selectExpr(
+          "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), root)
+        analyze(spark, root)
+      },
+      Some("""
+        WITH s AS (
+          SELECT count(*)::BIGINT AS total,
+            count(c_custkey)::BIGINT AS c1, count(DISTINCT c_custkey)::BIGINT AS d1,
+            round(min(c_custkey)::DOUBLE, 6) AS mn1, round(max(c_custkey)::DOUBLE, 6) AS mx1,
+            count(c_name)::BIGINT AS c2, count(DISTINCT c_name)::BIGINT AS d2,
+            min(c_name) AS mn2, max(c_name) AS mx2,
+            count(c_nationkey)::BIGINT AS c3, count(DISTINCT c_nationkey)::BIGINT AS d3,
+            round(min(c_nationkey)::DOUBLE, 6) AS mn3, round(max(c_nationkey)::DOUBLE, 6) AS mx3,
+            count(c_acctbal)::BIGINT AS c4, count(DISTINCT c_acctbal)::BIGINT AS d4,
+            round(min(c_acctbal)::DOUBLE, 6) AS mn4, round(max(c_acctbal)::DOUBLE, 6) AS mx4,
+            count(c_mktsegment)::BIGINT AS c5, count(DISTINCT c_mktsegment)::BIGINT AS d5,
+            min(c_mktsegment) AS mn5, max(c_mktsegment) AS mx5
+          FROM customer)
+        SELECT 'c_custkey' AS col_name, total AS n_rows, (total - c1)::BIGINT AS n_nulls,
+               d1 AS ndv, mn1 AS min_num, mx1 AS max_num,
+               NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM s
+        UNION ALL SELECT 'c_name', total, (total - c2)::BIGINT, d2,
+                         NULL::DOUBLE, NULL::DOUBLE, mn2, mx2 FROM s
+        UNION ALL SELECT 'c_nationkey', total, (total - c3)::BIGINT, d3,
+                         mn3, mx3, NULL::VARCHAR, NULL::VARCHAR FROM s
+        UNION ALL SELECT 'c_acctbal', total, (total - c4)::BIGINT, d4,
+                         mn4, mx4, NULL::VARCHAR, NULL::VARCHAR FROM s
+        UNION ALL SELECT 'c_mktsegment', total, (total - c5)::BIGINT, d5,
+                         NULL::DOUBLE, NULL::DOUBLE, mn5, mx5 FROM s"""))
   )
 
   /** CDC-style diff of two committed snapshots: every key classified
