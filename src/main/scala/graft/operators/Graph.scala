@@ -889,6 +889,62 @@ object Graph {
         UNION ALL
         SELECT -1, sum(in_edges)::BIGINT, sum(degree)::BIGINT, sum(q_ppm)::BIGINT FROM per""")),
 
+    // ---------------- degree assortativity (graph-structure fingerprint)
+    // Newman's r over the purchase graph: do high-degree vertices
+    // attach to high-degree vertices? The moments Σjk, Σ(j+k),
+    // Σ(j²+k²) over the symmetric directed edge list are EXACT 64-bit
+    // integers (j, k are degrees; the sums bounded by E·deg² — inside
+    // bigint for ~10⁹-edge shards); only the final coefficient
+    // (4M·Σjk − B²) / (2M·ΣC − B²) is one fixed-op-order double — the
+    // bm25/ln discipline — because B² escapes 64 bits at cluster
+    // scale. Bipartite purchase graphs skew negative (customers attach
+    // to suppliers, never to each other) — the structural fingerprint
+    // a graph-data release ships next to modularity. Scale shape: one
+    // degree aggregate, two E-bounded joins of edges against the O(V)
+    // degree table, one scalar row out.
+    QueryDef(
+      "gr_assortativity",
+      (spark, dir) => {
+        val e = purchaseEdges(spark, dir)
+        val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS d"))
+        e.join(deg.selectExpr("src", "d AS dj"), "src")
+          .join(deg.selectExpr("src AS dst", "d AS dk"), "dst")
+          .groupBy()
+          .agg(
+            expr("cast(count(*) AS bigint) AS m_edges"),
+            expr("cast(sum(dj * dk) AS bigint) AS sum_jk"),
+            expr("cast(sum(dj + dk) AS bigint) AS sum_j_plus_k"),
+            expr("cast(sum(dj * dj + dk * dk) AS bigint) AS sum_j2_k2"))
+          .selectExpr("m_edges", "sum_jk", "sum_j_plus_k", "sum_j2_k2",
+            """round((4.0D * cast(m_edges AS double) * cast(sum_jk AS double)
+                      - cast(sum_j_plus_k AS double) * cast(sum_j_plus_k AS double))
+                     / (2.0D * cast(m_edges AS double) * cast(sum_j2_k2 AS double)
+                        - cast(sum_j_plus_k AS double) * cast(sum_j_plus_k AS double)), 6) AS r6""")
+      },
+      Some("""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey * 2 AS cv, l_suppkey * 2 + 1 AS sv
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (
+          SELECT cv AS src, sv AS dst FROM cs
+          UNION ALL
+          SELECT sv AS src, cv AS dst FROM cs),
+        deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+        mom AS (
+          SELECT count(*)::BIGINT AS m_edges,
+                 sum(j.d * k.d)::BIGINT AS sum_jk,
+                 sum(j.d + k.d)::BIGINT AS sum_j_plus_k,
+                 sum(j.d * j.d + k.d * k.d)::BIGINT AS sum_j2_k2
+          FROM edges e
+          JOIN deg j ON e.src = j.src
+          JOIN deg k ON e.dst = k.src)
+        SELECT m_edges, sum_jk, sum_j_plus_k, sum_j2_k2,
+               round((4.0 * m_edges::DOUBLE * sum_jk::DOUBLE
+                      - sum_j_plus_k::DOUBLE * sum_j_plus_k::DOUBLE)
+                     / (2.0 * m_edges::DOUBLE * sum_j2_k2::DOUBLE
+                        - sum_j_plus_k::DOUBLE * sum_j_plus_k::DOUBLE), 6) AS r6
+        FROM mom""")),
+
     // ----------------- link prediction (common neighbors + RA index)
     // "Which supplier pairs are most likely to be related?" — scored
     // by shared customers: common-neighbor count plus the
