@@ -946,6 +946,66 @@ object Events {
                s::BIGINT AS ewma_micros
         FROM r""")),
 
+    // ------------- Holt's linear smoothing (trend-aware forecasting)
+    // ev_ewma's level-only recurrence misses drifting series; Holt
+    // carries a TREND term: l_t = α·v + (1−α)(l+b),
+    // b_t = β·(l_t − l_{t−1}) + (1−β)·b, forecast = l_t + b_t — the
+    // double-exponential smoother capacity planners run per entity.
+    // Integer micros with α = 0.3, β = 0.2; the trend difference can
+    // be NEGATIVE, where division semantics BITE: DuckDB's `//`
+    // truncates toward zero (measured: (-7)//2 = -3), exactly like
+    // Scala's Long `/` — so the fold uses plain `/`, and floorDiv
+    // (which rounds toward -inf) would diverge on every
+    // downward-trending user. Same scale shape as ev_ewma: one
+    // user-keyed repartition + secondary sort, O(1) state per user in
+    // a streaming partition fold — no window buffers, spill-safe; the
+    // oracle replays the recurrence as a recursive CTE.
+    QueryDef(
+      "ev_holt",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.events(spark, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+          .as[(Long, Long, Long, Long)]
+          .repartition(org.apache.spark.sql.functions.col("user_id"))
+          .sortWithinPartitions("user_id", "ts_us", "event_id")
+          .mapPartitions { it =>
+            var cur = Long.MinValue; var l = 0L; var b = 0L; var rn = 0L
+            var first = true
+            it.map { case (uid, eid, _, v) =>
+              if (first || uid != cur) { cur = uid; l = v; b = 0L; rn = 1L; first = false }
+              else {
+                val lNew = (300L * v + 700L * (l + b)) / 1000L
+                b = (200L * (lNew - l) + 800L * b) / 1000L
+                l = lNew; rn += 1L
+              }
+              (uid, eid, rn, v, l, b, l + b)
+            }
+          }
+          .toDF("user_id", "event_id", "rn", "v_micros",
+            "level_micros", "trend_micros", "forecast_micros")
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+        r AS (
+          SELECT user_id, event_id, rn, v, v AS l, 0::BIGINT AS b FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.rn, e.v,
+                 ((300 * e.v + 700 * (r.l + r.b)) // 1000)::BIGINT,
+                 ((200 * (((300 * e.v + 700 * (r.l + r.b)) // 1000) - r.l)
+                   + 800 * r.b) // 1000)::BIGINT
+          FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, event_id, rn::BIGINT AS rn, v AS v_micros,
+               l::BIGINT AS level_micros, b::BIGINT AS trend_micros,
+               (l + b)::BIGINT AS forecast_micros
+        FROM r""")),
+
     // ----------------- EWMA forecast-residual anomaly flags
     // The alerting half of ev_ewma: each event's one-step-ahead
     // forecast is the PREVIOUS smoothed value; the residual
