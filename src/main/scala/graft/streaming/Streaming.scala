@@ -401,6 +401,9 @@ object Streaming {
   case class EwmaPoint(user_id: Long, event_id: Long, ts_us: Long, v: Long)
   case class EwmaScore(user_id: Long, event_id: Long, rn: Long,
                        v_micros: Long, ewma_micros: Long)
+  case class HoltScore(user_id: Long, event_id: Long, rn: Long,
+                       v_micros: Long, level_micros: Long,
+                       trend_micros: Long, forecast_micros: Long)
 
   /** Streaming EWMA: each user's smoothing state is TWO longs (count,
     * current s) in the state store — the recurrence carries across
@@ -531,6 +534,37 @@ object Streaming {
             EwmaResid(uid, r.event_id, n, r.v, resid)
           }
           state.update((n, s))
+          out.iterator
+      }
+  }
+
+  /** Streaming Holt: level + trend per user — THREE longs of state
+    * (count, level, trend) in the state store, the trend-aware sibling
+    * of [[ewmaStream]] with the identical ordered-arrival contract and
+    * the identical truncating integer division as the batch ev_holt
+    * (DuckDB `//` truncates toward zero, matching Long `/`).
+    */
+  def holtStream(spark: SparkSession, src: DataFrame): Dataset[HoltScore] = {
+    import spark.implicits._
+    src.as[EwmaPoint]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), HoltScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state) =>
+          var (n, l, b) = state.getOption.getOrElse((0L, 0L, 0L))
+          val buf = batch.toArray
+          java.util.Arrays.sort(buf, Ordering.by((r: EwmaPoint) => (r.ts_us, r.event_id)))
+          val out = buf.map { r =>
+            if (n == 0L) { l = r.v; b = 0L }
+            else {
+              val lNew = (300L * r.v + 700L * (l + b)) / 1000L
+              b = (200L * (lNew - l) + 800L * b) / 1000L
+              l = lNew
+            }
+            n += 1L
+            HoltScore(uid, r.event_id, n, r.v, l, b, l + b)
+          }
+          state.update((n, l, b))
           out.iterator
       }
   }
@@ -1112,6 +1146,53 @@ object Streaming {
           FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
         SELECT user_id, event_id, rn::BIGINT AS rn, v AS v_micros,
                s::BIGINT AS ewma_micros
+        FROM r"""),
+      bench = false),
+
+    // ---------------------- streaming Holt (trend-aware forecasting)
+    // ev_holt's level+trend recurrence live on the stream: three longs
+    // of state per user however long the stream runs — the
+    // forecasting-baseline upgrade for drifting series, same ordered-
+    // arrival contract and truncating integer division as the batch
+    // operator, whose oracle this row reuses verbatim.
+    graft.QueryDef(
+      "st_holt",
+      (spark, dir) => {
+        val src = eventsStream(spark, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = holtStream(spark, src).writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read
+          .schema("user_id BIGINT, event_id BIGINT, rn BIGINT, v_micros BIGINT, " +
+            "level_micros BIGINT, trend_micros BIGINT, forecast_micros BIGINT")
+          .parquet(s"$tmp/out")
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+        r AS (
+          SELECT user_id, event_id, rn, v, v AS l, 0::BIGINT AS b FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.rn, e.v,
+                 ((300 * e.v + 700 * (r.l + r.b)) // 1000)::BIGINT,
+                 ((200 * (((300 * e.v + 700 * (r.l + r.b)) // 1000) - r.l)
+                   + 800 * r.b) // 1000)::BIGINT
+          FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, event_id, rn::BIGINT AS rn, v AS v_micros,
+               l::BIGINT AS level_micros, b::BIGINT AS trend_micros,
+               (l + b)::BIGINT AS forecast_micros
         FROM r"""),
       bench = false),
 
