@@ -1280,7 +1280,66 @@ object Curation {
                (greatest(win * 2048, off) - win * 2048)::BIGINT AS seg_start,
                (least((win + 1) * 2048, off + tok) - 1 - win * 2048)::BIGINT AS seg_end,
                (CASE WHEN off >= win * 2048 THEN 1 ELSE 0 END)::BIGINT AS is_doc_start
-        FROM e"""))
+        FROM e""")),
+
+    // ------------------- curriculum ordering (token-budget phases)
+    // Curriculum learning's data-side half: order the corpus by a
+    // difficulty proxy (mean token length in exact integer ppm — long
+    // words ≈ harder text; any integer score plugs in) and cut it into
+    // 4 phases of EQUAL TOKEN BUDGET, so a trainer consumes phases in
+    // difficulty order with each phase contributing the same compute.
+    // Scale shape — the global order WITHOUT a global sort (the
+    // rankedDocIds discipline): scores range-bucket into ≤ 256
+    // order-preserving bands, band token totals cumulate in one
+    // bounded ≤ 256-row window, within-band positions come from
+    // band-partitioned windows (N-parallel), and global token position
+    // = band offset + in-band cumsum — bit-identical to the oracle's
+    // naive one-window global order, provable because banding
+    // preserves the (score, doc_id) total order.
+    QueryDef(
+      "tp_curriculum",
+      (spark, dir) => {
+        val scored = Tables.documents(spark, dir)
+          .selectExpr("doc_id", "n_chars",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id", "(n_chars + 3) div 4 AS tok",
+            """(cast(length(tc) AS bigint) - (cast(size(split(tc, ' ')) AS bigint) - 1))
+               * 1000000 div cast(size(split(tc, ' ')) AS bigint) AS score_ppm""")
+          .where("tok > 0")
+          .selectExpr("doc_id", "tok", "score_ppm",
+            "least(255L, score_ppm div 100000) AS band")
+        val offsets = scored.groupBy("band")
+          .agg(expr("cast(sum(tok) AS bigint) AS bt"))
+          // ≤ 256 rows: the one place a single-partition window is the
+          // RIGHT plan (bounded set, rankedDocIds discipline)
+          .selectExpr("band", "sum(bt) OVER (ORDER BY band) - bt AS boff")
+        val total = scored.groupBy().agg(expr("cast(sum(tok) AS bigint) AS total"))
+        scored
+          .withColumn("wcum",
+            expr("sum(tok) OVER (PARTITION BY band ORDER BY score_ppm, doc_id) - tok"))
+          .join(broadcast(offsets), "band")
+          .crossJoin(broadcast(total))
+          .selectExpr("doc_id", "score_ppm", "tok AS n_tok",
+            "least(3L, (boff + wcum) * 4 div total) AS phase")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id, n_chars,
+                 regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
+          FROM documents),
+        d AS (
+          SELECT doc_id, (n_chars + 3) // 4 AS tok,
+                 ((length(tc) - (len(string_split(tc, ' ')) - 1)) * 1000000
+                  // len(string_split(tc, ' ')))::BIGINT AS score_ppm
+          FROM c WHERE (n_chars + 3) // 4 > 0),
+        t AS (SELECT sum(tok)::BIGINT AS total FROM d),
+        o AS (
+          SELECT doc_id, score_ppm, tok,
+                 (sum(tok) OVER (ORDER BY score_ppm, doc_id) - tok)::BIGINT AS sp
+          FROM d)
+        SELECT doc_id, score_ppm, tok AS n_tok,
+               least(3, sp * 4 // total)::BIGINT AS phase
+        FROM o, t"""))
   )
 
 
