@@ -404,7 +404,60 @@ object Quality {
                sum(CASE WHEN dist_ppm > 200000 THEN 1 ELSE 0 END)::BIGINT,
                sum(CASE WHEN dist_ppm > 200000 THEN n ELSE 0 END)::BIGINT,
                -1, -1
-        FROM per"""))
+        FROM per""")),
+
+    // ------------------------ Benford first-digit audit (fraud/forensics)
+    // The classic forensic screen: naturally-occurring magnitudes
+    // follow Benford's law (P(d) = log10(1 + 1/d)); fabricated or
+    // systematically-generated numbers usually don't, so the per-digit
+    // deviation profile is the first thing an auditor pulls on a
+    // numeric column. Cross-engine exactness: the first significant
+    // digit comes from the INTEGER micros value's canonical decimal
+    // string (both engines print integers identically — no log10, no
+    // float formatting), and the Benford expectations are inlined
+    // integer ppm CONSTANTS computed once offline, so every output
+    // cell is integer arithmetic. One scan, one 9-bucket aggregate —
+    // the dq_kanon cost class. The synthetic uniform `value` column
+    // deliberately VIOLATES Benford (uniform magnitudes are the
+    // textbook non-conforming case) — the gate pins the deviation
+    // measurement, not conformity.
+    QueryDef(
+      "dq_benford",
+      (spark, dir) => {
+        val benford = (1 to 9)
+          .map(d => s"WHEN $d THEN ${Seq(301030, 176091, 124939, 96910, 79181,
+            66947, 57992, 51153, 45757)(d - 1)}L")
+          .mkString("CASE digit ", " ", " END")
+        val digits = Tables.events(spark, dir)
+          .selectExpr("cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS vm")
+          .where("vm > 0")
+          .selectExpr("cast(substring(cast(vm AS string), 1, 1) AS bigint) AS digit")
+          .groupBy("digit").agg(expr("cast(count(*) AS bigint) AS n"))
+        digits
+          .crossJoin(broadcast(digits.groupBy().agg(expr("cast(sum(n) AS bigint) AS total"))))
+          .selectExpr("digit", "n",
+            "n * 1000000 div total AS share_ppm",
+            s"$benford AS benford_ppm")
+          .selectExpr("digit", "n", "share_ppm", "benford_ppm",
+            "abs(share_ppm - benford_ppm) AS dev_ppm")
+      },
+      Some {
+        val rows = (1 to 9).map(d => s"($d, ${Seq(301030, 176091, 124939, 96910,
+          79181, 66947, 57992, 51153, 45757)(d - 1)})").mkString(", ")
+        s"""
+        WITH b(digit, benford_ppm) AS (SELECT * FROM (VALUES $rows)),
+        d AS (
+          SELECT CAST(substr(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM events
+          WHERE CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) > 0),
+        cnt AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+        t AS (SELECT sum(n)::BIGINT AS total FROM cnt)
+        SELECT cnt.digit AS digit, n,
+               (n * 1000000 // total)::BIGINT AS share_ppm,
+               benford_ppm::BIGINT AS benford_ppm,
+               abs(n * 1000000 // total - benford_ppm)::BIGINT AS dev_ppm
+        FROM cnt JOIN b ON b.digit = cnt.digit, t"""
+      })
   )
 
   /** Per-event-type robust stats (median + MAD) for the outlier rule —
