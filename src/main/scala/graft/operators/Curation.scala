@@ -1339,7 +1339,53 @@ object Curation {
           FROM d)
         SELECT doc_id, score_ppm, tok AS n_tok,
                least(3, sp * 4 // total)::BIGINT AS phase
-        FROM o, t"""))
+        FROM o, t""")),
+
+    // ------------------ span-corruption plan (T5/UL2 denoising prep)
+    // The data-side half of span-corruption pretraining: pick the
+    // token spans each document will have masked, DETERMINISTICALLY —
+    // a reproducible corruption plan (re-runs, shards, and both
+    // engines agree), not an RNG pass. Rule: every FULL 20-token block
+    // contributes one 3-token span whose offset is md5(doc_id:block)
+    // mod 18 — exactly 15 % corruption, spans never overlap and never
+    // cross block boundaries, zero sequential state (each block
+    // decides row-locally, so the plan is one scan + one explode at
+    // any corpus size). Output one row per span: sentinel id (the
+    // block ordinal), global 1-based span bounds, and the masked
+    // tokens themselves — the targets a denoising trainer pairs with
+    // the corrupted input.
+    QueryDef(
+      "tp_span_corruption",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id", "split(tc, ' ') AS toks")
+          .selectExpr("doc_id", "toks", "cast(size(toks) AS bigint) div 20 AS nblk")
+          .where("nblk >= 1")
+          .selectExpr("doc_id", "toks", "explode(sequence(0L, nblk - 1)) AS blk")
+          .selectExpr("doc_id", "toks", "blk",
+            """blk * 20 + cast(conv(substring(md5(concat(cast(doc_id AS string), ':', cast(blk AS string))), 1, 15), 16, 10) AS bigint) % 18 + 1 AS ss""")
+          .selectExpr("doc_id", "blk AS sentinel_id", "ss AS span_start",
+            "ss + 2 AS span_end",
+            "array_join(slice(toks, cast(ss AS int), 3), ' ') AS masked"),
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
+          FROM documents),
+        t AS (SELECT doc_id, string_split(tc, ' ') AS toks FROM c),
+        b AS (
+          SELECT doc_id, toks, unnest(generate_series(0, len(toks) // 20 - 1)) AS blk
+          FROM t WHERE len(toks) // 20 >= 1),
+        s AS (
+          SELECT doc_id, toks, blk,
+                 blk * 20 + ('0x' || substr(md5(doc_id::VARCHAR || ':' || blk::VARCHAR), 1, 15))::BIGINT % 18 + 1 AS ss
+          FROM b)
+        SELECT doc_id, blk::BIGINT AS sentinel_id, ss::BIGINT AS span_start,
+               (ss + 2)::BIGINT AS span_end,
+               array_to_string(toks[ss:ss+2], ' ') AS masked
+        FROM s"""))
   )
 
 
