@@ -140,7 +140,14 @@ object Bench {
     */
   private def bpeDepthBench(spark: SparkSession, sfDir: String, depths: Seq[Int]): Unit = {
     import org.apache.spark.sql.graft.CheckpointOps.release
-    graft.operators.Curation.bpeLearn(spark, "/root/testdata/sf0.001", 5) // warmup
+    // warmup: release both returned checkpointed frames immediately —
+    // discarding them would hold the warmup corpus's block sets in the
+    // block manager for the whole depth grid (the exact leak bpeLearn's
+    // own release discipline exists to prevent)
+    locally {
+      val (wm, wc) = graft.operators.Curation.bpeLearn(spark, "/root/testdata/sf0.001", 5)
+      release(wm); release(wc)
+    }
     val rows = depths.map { d =>
       System.gc()
       val t0 = System.nanoTime()

@@ -1192,10 +1192,11 @@ object Events {
     // exchange carries ≤ d·w rows per task regardless of corpus size,
     // and cross-shard/cross-day merging is elementwise addition (the
     // same reason st_hll/ta_hll_merge earn their place). Item stream =
-    // the heavy-hitter fixture: 70 % of mass in 20 hot keys, 30 % a
-    // unique tail that supplies the colliding noise the estimator has
-    // to survive. Output: per hot item, true count vs estimate vs
-    // overcount.
+    // the heavy-hitter fixture: ~70 % of mass in 14 hot keys (event_id
+    // % 10 < 7 mapped through event_id % 20 yields the values 0–6 and
+    // 10–16), 30 % a unique tail that supplies the colliding noise the
+    // estimator has to survive. Output: per hot item, true count vs
+    // estimate vs overcount.
     QueryDef(
       "ev_countmin",
       (spark, dir) => {

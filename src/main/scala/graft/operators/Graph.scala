@@ -245,7 +245,12 @@ object Graph {
     var i = 0
     var cycled = false
     while (i < maxIters && !cycled) {
-      (1 to checkEvery).foreach { _ =>
+      // clamp the last block so a maxIters that is not a multiple of
+      // checkEvery still runs EXACTLY maxIters rounds (an unclamped
+      // block would overshoot and the no-cycle diagnostic would
+      // misreport the returned round)
+      val block = math.min(checkEvery, maxIters - i)
+      (1 to block).foreach { _ =>
         val contrib = withDeg
           .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
           .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
@@ -253,7 +258,7 @@ object Graph {
             Seq("id"), "left")
           .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
       }
-      i += checkEvery
+      i += block
       // fence WITH the id-layout advertised: the cycle-detection join
       // below and next fence's rounds then start from a co-partitioned
       // state table instead of re-deriving the layout
@@ -270,7 +275,7 @@ object Graph {
     if (!cycled)
       System.err.println(
         s"[graft] pageRankConverged: no period-$checkEvery cycle within " +
-        s"$maxIters rounds — returning round-$maxIters scores; a fixed-round " +
+        s"$maxIters rounds — returning round-$i scores; a fixed-round " +
         "oracle may disagree (raise maxIters or checkEvery for this graph)")
     release(withDeg); release(verts); release(e)
     r

@@ -428,11 +428,16 @@ object Quality {
           .map(d => s"WHEN $d THEN ${Seq(301030, 176091, 124939, 96910, 79181,
             66947, 57992, 51153, 45757)(d - 1)}L")
           .mkString("CASE digit ", " ", " END")
+        // fence the 9-row aggregate: it feeds BOTH the output rows and
+        // the re-aggregated total below, and without a checkpoint the
+        // events scan+aggregate can execute once per consumer (the
+        // dq_t_closeness recompute-hazard pattern)
         val digits = Tables.events(spark, dir)
           .selectExpr("cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS vm")
           .where("vm > 0")
           .selectExpr("cast(substring(cast(vm AS string), 1, 1) AS bigint) AS digit")
           .groupBy("digit").agg(expr("cast(count(*) AS bigint) AS n"))
+          .localCheckpoint(true)
         digits
           .crossJoin(broadcast(digits.groupBy().agg(expr("cast(sum(n) AS bigint) AS total"))))
           .selectExpr("digit", "n",

@@ -184,9 +184,21 @@ object Lake {
     */
   final class ObjectStoreCoordinator(store: ConditionalObjectStore)
       extends CommitCoordinator {
+    /** Materialize the fs marker ATOMICALLY: write a private temp name
+      * and rename into place. A truncate+overwrite (`fs.create(path,
+      * true)`) would let a concurrent `markers()` listing observe an
+      * empty/partial marker while a loser backfills mid-winner-write;
+      * rename is all-or-nothing, and since every writer of this slot
+      * carries the store's committed (byte-identical) body, losing the
+      * rename race just means the marker already exists — drop the temp.
+      */
     private def writeMarker(fs: FileSystem, path: Path, bytes: Array[Byte]): Unit = {
-      val out = fs.create(path, true)
+      if (fs.exists(path)) return // already materialized, body is byte-identical
+      val tmp = new Path(path.getParent,
+        s".${path.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
       try out.write(bytes) finally out.close()
+      if (!fs.rename(tmp, path)) fs.delete(tmp, false)
     }
     def publish(fs: FileSystem, path: Path, body: String): Boolean = {
       val key = path.toUri.getPath
