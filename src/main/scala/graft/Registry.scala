@@ -13,12 +13,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *               records a weaker rows-only check)
   * @param bench  whether Bench.scala should time this query (heavy or
   *               redundant queries can opt out)
+  * @param streamBench whether this query belongs to the stateful
+  *               streaming timing lane (bench/stream_<sf>.json). Set on
+  *               every streaming twin at registration so a new twin can
+  *               never be silently untimed — the lane derives its
+  *               membership from this flag, not a hardcoded name list.
+  * @param resetMemo for queries whose RESULT is memoized in a holder
+  *               (gr_labelprop's label table, tp_bpe_train's merges,
+  *               ml_train_linear's chain): drop + release the memo so a
+  *               timed bench pass measures the kernel, not a cached
+  *               read. Input-level memos (purchaseEdges) stay — sharing
+  *               an input table across queries is legitimate; caching a
+  *               query's own answer in the timed lane is not.
   */
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = true)
+    bench: Boolean = true,
+    streamBench: Boolean = false,
+    resetMemo: Option[(SparkSession, String) => Unit] = None)
 
 /** Central registry: every module contributes its QueryDefs here. */
 object Registry {

@@ -816,7 +816,8 @@ object Curation {
         SELECT -1::BIGINT, '(tokens)', '', '',
                sum(wc * len(list_filter(string_split(seq, '|'), x -> x != '')))::BIGINT
         FROM v$Rounds"""
-      }),
+      },
+      resetMemo = Some((s, d) => resetBpeLearned(s, d))),
 
     // ------------------------------ BPE encode with the learned merges
     // The tokenizer lifecycle's second half: take tp_bpe_train's 10
@@ -1397,7 +1398,12 @@ object Curation {
     */
   private final class BpeHolder(spark: org.apache.spark.sql.SparkSession,
                                 dir: String) {
-    lazy val value: (DataFrame, DataFrame) = bpeLearn(spark, dir, rounds = 10)
+    @volatile var built = false
+    lazy val value: (DataFrame, DataFrame) = {
+      val v = bpeLearn(spark, dir, rounds = 10)
+      built = true
+      v
+    }
   }
 
   /** Learn `rounds` BPE merges over the word-frequency table. The
@@ -1472,6 +1478,20 @@ object Curation {
     bpeCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     val fresh = new BpeHolder(spark, dir)
     bpeCache.putIfAbsent((spark, dir), fresh).getOrElse(fresh).value
+  }
+
+  /** Drop + release the memoized BPE state so the next [[bpeLearned]]
+    * call re-learns. tp_bpe_train's OUTPUT-level memo: Bench resets it
+    * before each timed pass so the lane row measures the merge
+    * learning, not a cached checkpoint read (tp_bpe_apply keeps
+    * reading the memo — the merges are its INPUT).
+    */
+  private[graft] def resetBpeLearned(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String): Unit = {
+    import org.apache.spark.sql.graft.CheckpointOps.release
+    bpeCache.remove((spark, dir)).foreach { h =>
+      if (h.built) { release(h.value._1); release(h.value._2) }
+    }
   }
 
   /** Layout-independent dense rank over the doc-id set: (doc_id, rk)

@@ -53,6 +53,12 @@ object Dedup {
   // inlined literally into both engines) yields 24−20+1 = 5 shared
   // fully-internal spans per planted doc
   private val SpanTokens = 20
+  // dd_decontaminate: the GPT-3 appendix-C rule — a training doc is
+  // contaminated when it shares any 13-gram with the eval set; eval
+  // split = doc_id % 97 (coprime to the %5/%7 plants, so the eval set
+  // samples both planted and clean documents)
+  private val DecontamTokens = 13
+  private val EvalMod = 97
   private[graft] val SpanBoiler =
     "this document is provided under the standard corpus license and may be " +
       "redistributed only with this notice attached in full to every copy made"
@@ -817,6 +823,79 @@ object Dedup {
                sum(dropped::INT)::BIGINT AS n_cut,
                coalesce(string_agg(t, ' ' ORDER BY i) FILTER (WHERE NOT dropped), '') AS text_kept
         FROM cut GROUP BY doc_id""")),
+
+    // ------------------- eval-set decontamination (GPT-3 appendix C)
+    // The release gate every production corpus runs before training:
+    // flag any TRAINING document sharing a ≥ 13-token n-gram with the
+    // held-out EVAL set, so benchmark answers cannot leak into the
+    // training data (Brown et al. 2020, appendix C, use exactly this
+    // 13-gram overlap rule). Fixture split: doc_id % 97 == 0 is the
+    // eval set, everything else trains, over the SAME planted corpus
+    // as dd_exact_substr — doc 0 is an eval doc carrying both planted
+    // boilers (24- and 26-word), so every %5/%7 training doc has a
+    // guaranteed ≥ 13-gram hit, plus whatever salad-context windows
+    // genuinely coincide (identical in both engines by construction).
+    //
+    // Scale shape — why this is the 100 TB plan: an eval set is
+    // fixed-size (benchmarks, not corpora), so its distinct 13-gram
+    // hash set broadcasts; the training side is ONE scan producing
+    // positional window hashes checked against the broadcast set
+    // row-locally, and only HITS (output-sized) reach the per-doc
+    // aggregate. No shuffle touches anything corpus-sized: the corpus
+    // moves zero times, unlike dd_exact_substr's one h-exchange —
+    // decontamination is strictly cheaper than self-dedup because one
+    // side is tiny. Output per contaminated doc: window accounting,
+    // the dirty span envelope, and the contamination fraction in ppm
+    // (the keep/drop decision column).
+    QueryDef(
+      "dd_decontaminate",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark) // shingle_hashes
+        val corpus = exactSubstrCorpus(spark, dir)
+          .localCheckpoint(true) // feeds the eval AND the train branch
+        val evalHashes = corpus.where(s"doc_id % $EvalMod = 0")
+          .selectExpr(s"explode(shingle_hashes(split(tc, ' '), $DecontamTokens)) AS h")
+          .distinct()
+        val post = corpus.where(s"doc_id % $EvalMod != 0")
+          .selectExpr("doc_id", s"shingle_hashes(split(tc, ' '), $DecontamTokens) AS hs")
+          .selectExpr("doc_id", "cast(size(hs) AS bigint) AS n_windows",
+            "posexplode(hs) AS (p0, h)")
+          .selectExpr("doc_id", "n_windows", "cast(p0 + 1 AS bigint) AS pos", "h")
+        post.join(broadcast(evalHashes), Seq("h"), "left_semi")
+          .groupBy("doc_id")
+          .agg(expr("max(n_windows) AS n_windows"),
+            expr("cast(count(*) AS bigint) AS dirty_windows"),
+            expr("min(pos) AS first_dirty"),
+            expr(s"max(pos) + ${DecontamTokens - 1} AS last_dirty"))
+          .selectExpr("doc_id", "n_windows", "dirty_windows", "first_dirty",
+            "last_dirty", "dirty_windows * 1000000 div n_windows AS dirty_ppm")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN '$SpanBoiler2' || ' ' || tc ELSE tc END AS tc
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN tc || ' ' || '$SpanBoiler' ELSE tc END AS tc
+                FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                      FROM documents))),
+        t AS (SELECT doc_id, string_split(tc, ' ') AS toks FROM c),
+        ph AS (
+          SELECT doc_id, (len(toks) - ${DecontamTokens - 1})::BIGINT AS n_windows,
+                 unnest(list_transform(
+                   generate_series(1, len(toks) - ${DecontamTokens - 1}),
+                   i -> struct_pack(pos := i,
+                          h := ('0x' || substr(md5(array_to_string(toks[i:i+${DecontamTokens - 1}], ' ')), 1, 15))::BIGINT))) AS w
+          FROM t WHERE len(toks) >= $DecontamTokens),
+        p AS (SELECT doc_id, n_windows, w.pos AS pos, w.h AS h FROM ph),
+        ev AS (SELECT DISTINCT h FROM p WHERE doc_id % $EvalMod = 0),
+        hit AS (SELECT doc_id, n_windows, pos FROM p
+                WHERE doc_id % $EvalMod != 0 AND h IN (SELECT h FROM ev))
+        SELECT doc_id, max(n_windows)::BIGINT AS n_windows,
+               count(*)::BIGINT AS dirty_windows,
+               min(pos)::BIGINT AS first_dirty,
+               (max(pos) + ${DecontamTokens - 1})::BIGINT AS last_dirty,
+               (count(*)::BIGINT * 1000000 // max(n_windows))::BIGINT AS dirty_ppm
+        FROM hit GROUP BY doc_id""")),
 
     // ------------------------------- low-threshold similarity pairs
     // Within-label pairwise cosine at 0.35 — a SIMILARITY-MINING

@@ -152,7 +152,12 @@ object Graph {
     * holder discipline.
     */
   private final class LabelHolder(spark: SparkSession, dir: String) {
-    lazy val value: DataFrame = labelPropagation(purchaseEdges(spark, dir), rounds = 5)
+    @volatile var built = false
+    lazy val value: DataFrame = {
+      val v = labelPropagation(purchaseEdges(spark, dir), rounds = 5)
+      built = true
+      v
+    }
   }
 
   private val labelCache =
@@ -163,6 +168,16 @@ object Graph {
     val fresh = new LabelHolder(spark, dir)
     labelCache.putIfAbsent((spark, dir), fresh).getOrElse(fresh).value
   }
+
+  /** Drop + release the memoized label table so the next
+    * [[propagatedLabels]] call rebuilds it. This is gr_labelprop's
+    * OUTPUT-level memo: Bench resets it before each timed pass so the
+    * lane row measures labelPropagation, not a cached checkpoint read
+    * (the r13 0.22 s-vs-5.9 s-solo accounting gap). The `built` guard
+    * keeps release from materializing a never-evaluated lazy val.
+    */
+  private[graft] def resetPropagatedLabels(spark: SparkSession, dir: String): Unit =
+    labelCache.remove((spark, dir)).foreach(h => if (h.built) release(h.value))
 
   /** The undirected customer⇄supplier purchase edge list, built ONCE
     * per (session, dir) and shared: four graph queries (gr_pagerank,
@@ -852,7 +867,8 @@ object Graph {
         SELECT l.id,
                CASE WHEN l.id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
                l.id // 2 AS key, l.lbl AS community, s.n_members
-        FROM l5 l JOIN sizes s ON s.lbl = l.lbl""")),
+        FROM l5 l JOIN sizes s ON s.lbl = l.lbl"""),
+      resetMemo = Some((s, d) => resetPropagatedLabels(s, d))),
 
     // ---------------- modularity of the propagated communities
     // The quality score for gr_labelprop's output — Newman modularity

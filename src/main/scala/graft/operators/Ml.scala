@@ -77,8 +77,12 @@ object Ml {
     * function runs once.
     */
   private final class ChainHolder(spark: SparkSession, dir: String) {
-    lazy val value: (DataFrame, DataFrame, Seq[DataFrame]) =
-      trainChainUncached(spark, dir)
+    @volatile var built = false
+    lazy val value: (DataFrame, DataFrame, Seq[DataFrame]) = {
+      val v = trainChainUncached(spark, dir)
+      built = true
+      v
+    }
   }
 
   private val chainCache =
@@ -104,6 +108,25 @@ object Ml {
       val fresh = new ChainHolder(spark, dir)
       chainCache.putIfAbsent((spark, dir), fresh).getOrElse(fresh).value
     }
+
+  /** Drop + release the memoized training chain so the next
+    * [[trainChain]] call retrains. ml_train_linear's OUTPUT-level
+    * memo: Bench resets it before each timed pass so the lane row
+    * measures the epoch loop, not a cached read (ml_score_docs /
+    * tp_curate_clf / st_ml_score keep reading the memo — the trained
+    * model is their INPUT).
+    */
+  private[graft] def resetTrainChain(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.graft.CheckpointOps.release
+    chainCache.remove((spark, dir)).foreach { h =>
+      if (h.built) {
+        val (f, w, margins) = h.value
+        f.unpersist(false)
+        release(w)
+        margins.foreach(release)
+      }
+    }
+  }
 
   private def trainChainUncached(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
@@ -197,7 +220,8 @@ object Ml {
             s"SELECT ${t}::BIGINT AS t, count(*)::BIGINT AS n_wrong FROM wr$t")
             .mkString("\n          UNION ALL ")}
         ) CROSS JOIN n"""
-      }),
+      },
+      resetMemo = Some((s, d) => resetTrainChain(s, d))),
 
     // ----------------------------- classifier deployment (the gate itself)
     // The operator a pipeline actually runs: every document scored by

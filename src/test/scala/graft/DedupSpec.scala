@@ -70,6 +70,44 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(_._1 == 4L), "sub-k docs have no windows")
   }
 
+  test("dd_decontaminate == brute-force 13-gram eval-overlap on sf0.001") {
+    // Brute force over the DEFINITION (Brown et al. appendix C): a
+    // training doc's window is dirty iff its 13-token string occurs
+    // anywhere in the eval split (doc_id % 97 == 0) — gram STRINGS
+    // here, hash60 in the operator, so a hash-collision bug or an
+    // off-by-one in the window positions fails this before the gate.
+    val k = 13
+    val corpus = Dedup.exactSubstrCorpus(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("tc").split(' '))
+    val evalGrams = corpus.filter(_._1 % 97 == 0).flatMap { case (_, t) =>
+      (0 to t.length - k).map(i => t.slice(i, i + k).mkString(" "))
+    }.toSet
+    assert(evalGrams.nonEmpty, "eval split produced no grams — fixture drifted")
+    val expect = corpus.filter(_._1 % 97 != 0).flatMap { case (id, t) =>
+      val dirty = (0 to t.length - k).filter(i => evalGrams(t.slice(i, i + k).mkString(" ")))
+      if (dirty.isEmpty) None
+      else {
+        val nw = (t.length - k + 1).toLong
+        val dw = dirty.size.toLong
+        Some((id, nw, dw, (dirty.min + 1).toLong, (dirty.max + k).toLong,
+          dw * 1000000L / nw))
+      }
+    }.toSet
+    val out = Dedup.queries.find(_.name == "dd_decontaminate").get.run(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_windows"),
+        r.getAs[Long]("dirty_windows"), r.getAs[Long]("first_dirty"),
+        r.getAs[Long]("last_dirty"), r.getAs[Long]("dirty_ppm"))).toSet
+    assert(out == expect,
+      s"operator-only=${(out -- expect).take(3)} brute-only=${(expect -- out).take(3)}")
+    // the planted geometry must actually be exercised: appended-boiler
+    // docs (%7) and prepended-boiler docs (%5) both contaminate
+    assert(expect.exists(r => r._1 % 7 == 0 && r._1 % 97 != 0), "no appended-boiler hit")
+    assert(expect.exists(r => r._1 % 5 == 0 && r._1 % 97 != 0), "no prepended-boiler hit")
+    // eval docs never appear in the output
+    assert(!out.exists(_._1 % 97 == 0), "eval docs leaked into the report")
+  }
+
   test("paragraph dedup: planted boilerplate survives exactly once, in doc 0") {
     val rows = Dedup.queries.find(_.name == "dd_paragraph").get.run(spark, sf)
       .collect()
