@@ -425,6 +425,80 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("two racing optimizeZOrder calls serialize: linear history, loser debris cleaned") {
+    val root = freshRoot()
+    val base = (0L until 64L).map(i => (i % 8, i / 8, i)).toDF("a", "b", "k")
+    Lake.commitVersion(spark, base, root)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val futures = (0 until 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          gate.await(5, TimeUnit.SECONDS)
+          Lake.optimizeZOrder(spark, root, "a", "b", nFiles = 4)
+        }
+      })
+    }
+    gate.countDown()
+    val got = futures.map(_.get(180, TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+    // both calls complete; the loser re-reads the winner's tip and
+    // commits its own (content-identical) rewrite on the next slot —
+    // a LINEAR history with no skipped or duplicated version numbers
+    assert(got == Seq(1, 2), s"racing optimizes must land on consecutive slots: $got")
+    assert(Lake.versions(spark, root) == Seq(0, 1, 2))
+    // every version carries the identical row set (optimize rewrites
+    // layout, never content)
+    val want = base.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    (0 to 2).foreach { v =>
+      val gotRows = Lake.readVersion(spark, root, Some(v)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotRows == want, s"version $v content drifted")
+    }
+    // the race loser's first-attempt directory is GONE: on-disk v=*
+    // dirs are exactly the marker-referenced set, no debris
+    val referenced = (0 to 2).flatMap { v =>
+      val p = java.nio.file.Paths.get(root, "_versions", v.toString)
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    }.toSet
+    val onDisk = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("v=")).toSet
+    assert(onDisk == referenced, s"loser debris survived: ${onDisk -- referenced}")
+  }
+
+  test("vacuum racing live committers never deletes an in-flight commit's data") {
+    // the orphanRetention contract under REAL interleaving: a data dir
+    // that exists without a marker may be a commit mid-publish, and
+    // default retention must protect it — here vacuum hammers the root
+    // while a committer lands 8 versions, and every landed version
+    // must stay complete and readable afterwards
+    val root = freshRoot()
+    Lake.commitVersion(spark, Seq((0L, 0L)).toDF("k", "x"), root)
+    import java.util.concurrent.atomic.AtomicBoolean
+    val done = new AtomicBoolean(false)
+    val vacuumErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val vac = new Thread(() => {
+      while (!done.get()) {
+        try Lake.vacuum(spark, root, keep = 1000) // default retention
+        catch { case t: Throwable => vacuumErrors.add(t) }
+      }
+    })
+    vac.start()
+    val landed = (1 to 8).map { i =>
+      Lake.commitVersion(spark, Seq((i.toLong, i * 10L)).toDF("k", "x"), root)
+    }
+    done.set(true)
+    vac.join(30000)
+    assert(vacuumErrors.isEmpty, s"vacuum threw mid-race: ${vacuumErrors.peek()}")
+    assert(landed == (1 to 8), s"commits must land consecutively: $landed")
+    // every committed version survived the concurrent vacuums intact
+    (0 to 8).foreach { v =>
+      val rows = Lake.readVersion(spark, root, Some(v)).collect()
+      assert(rows.length == 1, s"version $v lost its data to a racing vacuum")
+    }
+  }
+
   test("s22_zorder: buckets partition the table and tighten both dimensions") {
     val sf = "/root/testdata/sf0.001"
     val rows = Registry.byName("s22_zorder").run(spark, sf).collect()
