@@ -42,6 +42,16 @@ ACCEPTED = {
     # one bucketed two-phase ranking pass over the id column that the
     # old row-local draw never paid. Clean-machine figure ~0.99 s.
     "tp_contrastive_pairs": (1.3, "r10 rank-based negatives: one ranking pass over the id column"),
+    # r14 made the lane honest for queries whose RESULT is memoized:
+    # Bench now resets the output-level holders (label table, BPE
+    # merges, training chain) before each timed pass, so these rows
+    # measure the kernel instead of a cached checkpoint read (the r13
+    # verdict's one `weak`: gr_labelprop recorded 0.22 s vs ~5.9 s
+    # solo and the gate was blind to its kernel). Ceilings = measured
+    # rebuild cost + in-suite headroom.
+    "gr_labelprop": (8.0, "r14 memo reset: row times the 5-round propagation again"),
+    "tp_bpe_train": (3.5, "r14 memo reset: row times the 10-merge learn again"),
+    "ml_train_linear": (14.0, "r14 memo reset: row times the epoch chain again"),
 }
 
 
