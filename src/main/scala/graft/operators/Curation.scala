@@ -1386,7 +1386,81 @@ object Curation {
         SELECT doc_id, blk::BIGINT AS sentinel_id, ss::BIGINT AS span_start,
                (ss + 2)::BIGINT AS span_end,
                array_to_string(toks[ss:ss+2], ' ') AS masked
-        FROM s"""))
+        FROM s""")),
+
+    // --------------- DSIR importance selection (domain up-weighting)
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every training document by how much more likely its hashed
+    // n-gram features are under a TARGET domain than under the raw
+    // corpus, and keep the top slice — the principled replacement for
+    // source-level mix weights when the target is "more like THIS
+    // data". Features are word bigrams hashed into 4096 buckets (the
+    // paper's hashed n-gram model); the target here is the src1-3
+    // provenance slice. The per-bucket log-likelihood-ratio weight is
+    // replaced by its integer-ppm probability-difference surrogate
+    // (t+1)·1e6 div (T+B) − (r+1)·1e6 div (R+B) — add-one smoothed,
+    // monotone in the per-bucket evidence, and free of ln()'s
+    // last-ulp cross-engine trap (the ta_lm_score / ta_pmi
+    // discipline); a doc's score is the exact BIGINT sum of its
+    // bucket weights. Two corpus scans by construction — DSIR is a
+    // two-pass algorithm (fit the bucket model, then score): the
+    // bucket table is 4096 rows (checkpoint-fenced, it feeds the
+    // totals AND the weight projection), the weight table broadcasts
+    // to the scoring join, and the per-doc aggregate partial-combines
+    // in the scan. Selection is TakeOrdered top-1000 on (score desc,
+    // doc_id) — a deterministic total order, never a global sort.
+    QueryDef(
+      "tp_dsir",
+      (spark, dir) => {
+        val bg = Tables.documents(spark, dir)
+          .selectExpr("doc_id", "source IN ('src1', 'src2', 'src3') AS tgt",
+            "split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ') AS toks")
+          .selectExpr("doc_id", "tgt",
+            "explode(transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))) AS bgr")
+          .selectExpr("doc_id", "tgt",
+            "pmod(cast(conv(substring(md5(bgr), 1, 15), 16, 10) AS bigint), 4096) AS b")
+        val counts = bg.groupBy("b")
+          .agg(expr("cast(count(*) AS bigint) AS r"),
+            expr("cast(count_if(tgt) AS bigint) AS t"))
+          .localCheckpoint(true) // 4096 rows — feeds totals AND weights
+        val tot = counts.groupBy()
+          .agg(expr("cast(sum(r) AS bigint) AS rt"), expr("cast(sum(t) AS bigint) AS tt"))
+        val w = counts.crossJoin(org.apache.spark.sql.functions.broadcast(tot))
+          .selectExpr("b",
+            """(t + 1) * 1000000 div (tt + 4096)
+               - (r + 1) * 1000000 div (rt + 4096) AS w_ppm""")
+        bg.join(org.apache.spark.sql.functions.broadcast(w), "b")
+          .groupBy("doc_id")
+          .agg(expr("cast(count(*) AS bigint) AS n_bigrams"),
+            expr("cast(sum(w_ppm) AS bigint) AS dsir_ppm"))
+          .orderBy(col("dsir_ppm").desc, col("doc_id"))
+          .limit(1000)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, (source IN ('src1', 'src2', 'src3')) AS tgt,
+                 string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ') AS toks
+          FROM documents),
+        bg AS (
+          SELECT doc_id, tgt,
+                 ('0x' || substr(md5(bgr), 1, 15))::BIGINT % 4096 AS b
+          FROM (SELECT doc_id, tgt,
+                       unnest(list_transform(generate_series(1, len(toks) - 1),
+                                             i -> toks[i] || ' ' || toks[i + 1])) AS bgr
+                FROM d)),
+        c AS (
+          SELECT b, count(*)::BIGINT AS r, count_if(tgt)::BIGINT AS t
+          FROM bg GROUP BY 1),
+        tot AS (SELECT sum(r)::BIGINT AS rt, sum(t)::BIGINT AS tt FROM c),
+        w AS (
+          SELECT b, ((t + 1) * 1000000 // (tt + 4096)
+                     - (r + 1) * 1000000 // (rt + 4096))::BIGINT AS w_ppm
+          FROM c, tot)
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(w_ppm)::BIGINT AS dsir_ppm
+        FROM bg JOIN w ON bg.b = w.b
+        GROUP BY doc_id
+        ORDER BY dsir_ppm DESC, doc_id
+        LIMIT 1000"""))
   )
 
 

@@ -70,6 +70,74 @@ object Events {
         GROUP BY 1"""
   }
 
+  // ---- CUSUM pieces, shared by batch ev_cusum and the streaming
+  // st_cusum twin so the recurrences cannot diverge. Page's cumulative
+  // sum test with per-user RELATIVE parameters (one user's scale never
+  // sets another's threshold — the ev_anomaly discipline): allowance
+  // k = μ/4, decision interval h = 2μ, restart-after-alarm variant.
+  // All integer micros; μ is the user's integer mean (sum div count,
+  // truncating division — identical in Spark `div` and DuckDB `//` on
+  // the non-negative fixture values).
+  /** One CUSUM step. Returns (sp, sm, alarm, spCarry, smCarry): the
+    * emitted one-sided sums, the alarm verdict, and the post-reset
+    * state to carry into the next step.
+    */
+  private[graft] def cusumStep(mu: Long, v: Long, spc: Long, smc: Long)
+      : (Long, Long, Boolean, Long, Long) = {
+    val k = mu / 4
+    val h = 2L * mu
+    val sp = math.max(0L, spc + (v - mu - k))
+    val sm = math.max(0L, smc + (mu - v - k))
+    val alarm = sp > h || sm > h
+    (sp, sm, alarm, if (alarm) 0L else sp, if (alarm) 0L else sm)
+  }
+
+  /** The recursive-CTE oracle for the CUSUM fold — shared verbatim by
+    * ev_cusum and st_cusum (an independent sequential replay of the
+    * same recurrence, like the ev_ewma/ev_holt oracles).
+    */
+  private[graft] val cusumOracleSql: String = """
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+                 ((sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                     OVER (PARTITION BY user_id))::BIGINT
+                  // (count(*) OVER (PARTITION BY user_id))::BIGINT)::BIGINT AS mu,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+        r AS (
+          SELECT user_id, event_id, rn, v, mu,
+                 greatest(0, v - mu - mu // 4)::BIGINT AS sp,
+                 greatest(0, mu - v - mu // 4)::BIGINT AS sm,
+                 (greatest(0, v - mu - mu // 4) > 2 * mu
+                  OR greatest(0, mu - v - mu // 4) > 2 * mu) AS alarm,
+                 (CASE WHEN greatest(0, v - mu - mu // 4) > 2 * mu
+                         OR greatest(0, mu - v - mu // 4) > 2 * mu
+                       THEN 0 ELSE greatest(0, v - mu - mu // 4) END)::BIGINT AS spc,
+                 (CASE WHEN greatest(0, v - mu - mu // 4) > 2 * mu
+                         OR greatest(0, mu - v - mu // 4) > 2 * mu
+                       THEN 0 ELSE greatest(0, mu - v - mu // 4) END)::BIGINT AS smc
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.rn, e.v, e.mu,
+                 greatest(0, r.spc + (e.v - e.mu - e.mu // 4))::BIGINT,
+                 greatest(0, r.smc + (e.mu - e.v - e.mu // 4))::BIGINT,
+                 (greatest(0, r.spc + (e.v - e.mu - e.mu // 4)) > 2 * e.mu
+                  OR greatest(0, r.smc + (e.mu - e.v - e.mu // 4)) > 2 * e.mu),
+                 (CASE WHEN greatest(0, r.spc + (e.v - e.mu - e.mu // 4)) > 2 * e.mu
+                         OR greatest(0, r.smc + (e.mu - e.v - e.mu // 4)) > 2 * e.mu
+                       THEN 0
+                       ELSE greatest(0, r.spc + (e.v - e.mu - e.mu // 4)) END)::BIGINT,
+                 (CASE WHEN greatest(0, r.spc + (e.v - e.mu - e.mu // 4)) > 2 * e.mu
+                         OR greatest(0, r.smc + (e.mu - e.v - e.mu // 4)) > 2 * e.mu
+                       THEN 0
+                       ELSE greatest(0, r.smc + (e.mu - e.v - e.mu // 4)) END)::BIGINT
+          FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, event_id, rn::BIGINT AS rn, v AS v_micros,
+               mu AS mu_micros, sp AS sp_micros, sm AS sm_micros, alarm
+        FROM r"""
+
   def queries: Seq[QueryDef] = Seq(
     // Tumbling 1-hour event-time window per event_type. In streaming this
     // is `window($"ts", "1 hour")` + watermark; batch-side date_trunc is
@@ -1253,7 +1321,116 @@ object Events {
         SELECT path, count(*)::BIGINT AS n_users
         FROM p GROUP BY path
         ORDER BY n_users DESC, path
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // --------------- CUSUM change-point detection (sequential audit)
+    // Page's cumulative-sum test per user: S⁺ accumulates sustained
+    // upward drift beyond the allowance k, S⁻ downward; crossing the
+    // decision interval h raises an alarm and restarts the
+    // accumulators. Where ev_anomaly flags INDIVIDUAL surprising
+    // events, CUSUM flags SUSTAINED small shifts — the data-quality
+    // sentinel that catches a pipeline silently re-scaling a feed.
+    // Parameters are per-user relative (k = μ/4, h = 2μ with μ the
+    // user's integer-micros mean) so one user's volume never sets
+    // another's threshold. Two-pass by construction (μ first, then
+    // the fold) — the window computing μ rides the SAME user-keyed
+    // exchange the fold sorts on, so the plan pays one shuffle total.
+    // Scale shape: the ev_ewma secondary-sort discipline — hash
+    // exchange on user_id, spill-safe sortWithinPartitions, O(1)
+    // state per user in a single mapPartitions pass; the recurrence
+    // is the shared cusumStep, replayed independently by the oracle's
+    // recursive CTE.
+    QueryDef(
+      "ev_cusum",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.events(spark, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+          .selectExpr("user_id", "event_id", "ts_us", "v",
+            """(sum(v) OVER (PARTITION BY user_id))
+               div (count(v) OVER (PARTITION BY user_id)) AS mu""")
+          .as[(Long, Long, Long, Long, Long)]
+          .sortWithinPartitions("user_id", "ts_us", "event_id")
+          .mapPartitions { it =>
+            var cur = Long.MinValue; var spc = 0L; var smc = 0L; var rn = 0L
+            var first = true
+            it.map { case (uid, eid, _, v, mu) =>
+              if (first || uid != cur) {
+                cur = uid; spc = 0L; smc = 0L; rn = 0L; first = false
+              }
+              val (sp, sm, alarm, sp2, sm2) = cusumStep(mu, v, spc, smc)
+              spc = sp2; smc = sm2; rn += 1L
+              (uid, eid, rn, v, mu, sp, sm, alarm)
+            }
+          }
+          .toDF("user_id", "event_id", "rn", "v_micros", "mu_micros",
+            "sp_micros", "sm_micros", "alarm")
+      },
+      Some(cusumOracleSql)),
+
+    // ------------- seasonal-trend decomposition (periodic baseline)
+    // The classical additive decomposition v = trend + seasonal +
+    // remainder over per-series hourly buckets (series key =
+    // event_type, period = 24 h): trend is a centered ±12-hour moving
+    // mean (RANGE frame on the hour index, so sparse hours widen the
+    // gap instead of sliding the window), seasonal is the
+    // hour-of-day mean of the detrended series, the remainder is what
+    // capacity alerting should watch. All integer micros — bucket
+    // means, trend and seasonal are truncating integer divisions
+    // (identical in Spark `div` and DuckDB `//` — the sums stay
+    // non-negative-dominated but the DETRENDED sums can be negative,
+    // where both engines truncate toward zero, the ev_holt finding).
+    // Scale shape: the corpus folds to a (series × hour)-bounded
+    // table in ONE partial-aggregated scan; both window passes run on
+    // that bounded series partitioned by series key — per-partition
+    // sorts, never a global one; output is series-sized, not
+    // corpus-sized.
+    QueryDef(
+      "ev_seasonal",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("event_type", "unix_micros(ts) div 3600000000L AS hr",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+          .groupBy("event_type", "hr")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_events"),
+            org.apache.spark.sql.functions.expr("sum(v) div count(*) AS vb"))
+          .selectExpr("event_type", "hr", "hr % 24 AS hod", "n_events", "vb",
+            """(sum(vb) OVER (PARTITION BY event_type ORDER BY hr
+                              RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+               div
+               (count(vb) OVER (PARTITION BY event_type ORDER BY hr
+                                RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)) AS trend""")
+          .selectExpr("event_type", "hr", "hod", "n_events", "vb", "trend",
+            "vb - trend AS detr")
+          .selectExpr("event_type", "hr", "hod", "n_events", "vb", "trend", "detr",
+            """(sum(detr) OVER (PARTITION BY event_type, hod))
+               div (count(*) OVER (PARTITION BY event_type, hod)) AS seasonal""")
+          .selectExpr("event_type", "hr", "hod", "n_events",
+            "vb AS v_micros", "trend AS trend_micros",
+            "seasonal AS seasonal_micros", "detr - seasonal AS resid_micros"),
+      Some("""
+        WITH h AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                 count(*)::BIGINT AS n_events,
+                 (sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))::BIGINT
+                  // count(*)::BIGINT)::BIGINT AS vb
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT event_type, hr, hr % 24 AS hod, n_events, vb,
+                 ((sum(vb) OVER w)::BIGINT // (count(vb) OVER w)::BIGINT)::BIGINT AS trend
+          FROM h
+          WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                       RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        s AS (
+          SELECT event_type, hr, hod, n_events, vb, trend, vb - trend AS detr,
+                 ((sum(vb - trend) OVER (PARTITION BY event_type, hod))::BIGINT
+                  // (count(*) OVER (PARTITION BY event_type, hod))::BIGINT)::BIGINT AS seasonal
+          FROM t)
+        SELECT event_type, hr, hod, n_events, vb AS v_micros, trend AS trend_micros,
+               seasonal AS seasonal_micros, (detr - seasonal)::BIGINT AS resid_micros
+        FROM s"""))
   )
 
   /** Exact φ = 1/k heavy hitters over an arbitrary key stream with

@@ -424,8 +424,15 @@ object Graph {
       .join(lab.selectExpr("id AS dst", "lbl AS dl"), "dst")
       .where("sl = dl")
       .groupBy("sl").agg(expr("cast(count(*) AS bigint) AS in_e"))
-    val deg = e.join(lab.selectExpr("id AS src", "lbl"), "src")
-      .groupBy("lbl").agg(expr("cast(count(*) AS bigint) AS d"))
+    // community degree WITHOUT a second E-sized join: fold E to the
+    // O(V) per-vertex degree table first, then join the O(V) labels
+    // and sum — Σ_v deg(v)·1[lbl(v)=c] ≡ counting edge rows by source
+    // label, row for row. The r14 sf10 profile caught the old shape
+    // (e ⋈ lab twice) re-running the E-join per consumer: two ~equal
+    // 400 s-class task-time stages, 35 % of the query's compute.
+    val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS vd"))
+      .join(lab.selectExpr("id AS src", "lbl"), "src")
+      .groupBy("lbl").agg(expr("cast(sum(vd) AS bigint) AS d"))
     val per = deg
       .join(intra.selectExpr("sl AS lbl", "in_e"), Seq("lbl"), "left")
       .crossJoin(broadcast(ne))

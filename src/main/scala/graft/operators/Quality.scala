@@ -462,7 +462,57 @@ object Quality {
                benford_ppm::BIGINT AS benford_ppm,
                abs(n * 1000000 // total - benford_ppm)::BIGINT AS dev_ppm
         FROM cnt JOIN b ON b.digit = cnt.digit, t"""
-      })
+      }),
+
+    // ------------------------ column profiling (dataset statistics)
+    // The Deequ/Great-Expectations-style profiler a release gate runs
+    // BEFORE writing constraints: per column of `orders`, row count,
+    // null count, EXACT distinct count, and lexicographic min/max over
+    // a canonical string form (decimals with fixed scale, timestamps
+    // as epoch seconds — the established cross-engine forms, never raw
+    // double/timestamp rendering). One corpus scan: each row explodes
+    // to 6 (column, value) pairs, a first aggregate keyed (column,
+    // value) collapses to the distinct-value table with partial
+    // map-side combine (this is where 100 TB dies to ~vocab size), and
+    // a 6-group rollup derives every statistic from those counts —
+    // n_distinct is NOT a count(DISTINCT) over the corpus (which would
+    // Expand the scan 6×) but a count over the already-collapsed
+    // groups.
+    QueryDef(
+      "dq_profile",
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .selectExpr("""explode(array(
+              named_struct('col', 'o_orderkey', 'v', cast(o_orderkey AS string)),
+              named_struct('col', 'o_custkey', 'v', cast(o_custkey AS string)),
+              named_struct('col', 'o_orderstatus', 'v', o_orderstatus),
+              named_struct('col', 'o_totalprice', 'v', cast(cast(o_totalprice AS decimal(18,2)) AS string)),
+              named_struct('col', 'o_orderdate', 'v', cast(cast(cast(o_orderdate AS timestamp) AS long) AS string)),
+              named_struct('col', 'o_orderpriority', 'v', o_orderpriority))) AS c""")
+          .selectExpr("c.col AS col", "c.v AS v")
+          .groupBy("col", "v")
+          .agg(expr("cast(count(*) AS bigint) AS cnt"))
+          .groupBy("col")
+          .agg(
+            expr("cast(sum(cnt) AS bigint) AS n_rows"),
+            expr("cast(coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0) AS bigint) AS n_null"),
+            expr("cast(count(v) AS bigint) AS n_distinct"),
+            expr("min(v) AS min_s"),
+            expr("max(v) AS max_s")),
+      Some("""
+        WITH u AS (
+          SELECT 'o_orderkey' AS col, o_orderkey::VARCHAR AS v FROM orders
+          UNION ALL SELECT 'o_custkey', o_custkey::VARCHAR FROM orders
+          UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+          UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS DECIMAL(18,2))::VARCHAR FROM orders
+          UNION ALL SELECT 'o_orderdate', epoch(o_orderdate)::BIGINT::VARCHAR FROM orders
+          UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+        g AS (SELECT col, v, count(*)::BIGINT AS cnt FROM u GROUP BY 1, 2)
+        SELECT col, sum(cnt)::BIGINT AS n_rows,
+               coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0)::BIGINT AS n_null,
+               count(v)::BIGINT AS n_distinct,
+               min(v) AS min_s, max(v) AS max_s
+        FROM g GROUP BY col"""))
   )
 
   /** Per-event-type robust stats (median + MAD) for the outlier rule —

@@ -226,6 +226,58 @@ object TextOps {
             FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
                   FROM documents)))""")),
 
+    // ------------------------------------- Gopher quality rules (extension)
+    // The full repetition-free rule set from Rae et al. 2021 (Gopher,
+    // appendix A1.1) as a per-document rule TABLE — where ta_quality is
+    // a composite score, this is the production go/no-go filter corpora
+    // actually ship with: word-count bounds, mean-word-length band,
+    // symbol-to-word ratio (# and ... marks), alphabetic-word floor,
+    // bullet-/ellipsis-line caps, and the required-stopword floor.
+    // Every ratio test is an INTEGER cross-multiplication (sym·10 ≤
+    // n_words, alpha·10 ≥ n_words·8, …) — no float boundary can flip a
+    // verdict cross-engine. Scale shape: pure per-row projection over
+    // one corpus scan; the rule columns all derive from the same split
+    // arrays, nothing shuffles until the caller aggregates.
+    QueryDef(
+      "ta_gopher",
+      (spark, dir) => gopherRules(Tables.documents(spark, dir)),
+      Some("""
+        SELECT doc_id, n_words, alpha_words, sym_count, stop_hits,
+               r_words, r_word_len, r_symbols, r_alpha, r_bullets, r_ellipsis,
+               r_stopwords,
+               (r_words AND r_word_len AND r_symbols AND r_alpha AND r_bullets
+                AND r_ellipsis AND r_stopwords) AS keep
+        FROM (
+          SELECT doc_id, n_words, alpha_words, sym_count, stop_hits,
+                 (n_words >= 50 AND n_words <= 100000) AS r_words,
+                 (3 * n_words <= char_len - (n_words - 1)
+                  AND char_len - (n_words - 1) <= 10 * n_words) AS r_word_len,
+                 (sym_count * 10 <= n_words) AS r_symbols,
+                 (alpha_words * 10 >= n_words * 8) AS r_alpha,
+                 (bullet_lines * 10 <= n_lines * 9) AS r_bullets,
+                 (ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis,
+                 (stop_hits >= 2) AS r_stopwords
+          FROM (
+            SELECT doc_id,
+                   len(ws)::BIGINT AS n_words,
+                   length(tc)::BIGINT AS char_len,
+                   len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS alpha_words,
+                   (length(text) - length(replace(text, '#', ''))
+                    + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS sym_count,
+                   len(lines)::BIGINT AS n_lines,
+                   len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                       OR starts_with(l, chr(8226))))::BIGINT AS bullet_lines,
+                   len(list_filter(lines, l -> ends_with(l, '...')
+                       OR ends_with(l, chr(8230))))::BIGINT AS ellipsis_lines,
+                   len(list_filter(['the','be','to','of','and','that','have','with'],
+                                   s -> list_contains(ws, s)))::BIGINT AS stop_hits
+            FROM (
+              SELECT doc_id, text,
+                     regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc,
+                     string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ') AS ws,
+                     string_split(text, chr(10)) AS lines
+              FROM documents)))""")),
+
     // ----------------------------------------- bigram frequency (extension)
     // Corpus-wide top-20 word bigrams: explode → hash aggregate (partial
     // map-side combine) → TakeOrderedAndProject. The shuffle carries one
@@ -1065,6 +1117,46 @@ object TextOps {
     * `WWW.` casing and trailing-slash noise exist to be canonicalized
     * away.
     */
+  /** The ta_gopher rule table over any (doc_id, text) frame — factored
+    * out so the spec can pin each rule's flip point on crafted
+    * documents (the fixture corpus never exercises the bullet/ellipsis
+    * branches). Pure per-row projections; see the QueryDef commentary.
+    */
+  private[graft] def gopherRules(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .selectExpr("doc_id", "text",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .selectExpr("doc_id", "text", "tc",
+        "split(tc, ' ') AS ws", "split(text, '\\n') AS lines")
+      .selectExpr("doc_id",
+        "cast(size(ws) AS bigint) AS n_words",
+        "cast(length(tc) AS bigint) AS char_len",
+        "cast(size(filter(ws, w -> w rlike '[A-Za-z]')) AS bigint) AS alpha_words",
+        """cast(length(text) - length(replace(text, '#', ''))
+           + (length(text) - length(replace(text, '...', ''))) div 3 AS bigint) AS sym_count""",
+        "cast(size(lines) AS bigint) AS n_lines",
+        """cast(size(filter(lines, l -> startswith(l, '- ') OR startswith(l, '* ')
+           OR startswith(l, '•'))) AS bigint) AS bullet_lines""",
+        """cast(size(filter(lines, l -> endswith(l, '...')
+           OR endswith(l, '…'))) AS bigint) AS ellipsis_lines""",
+        """cast(size(filter(array('the','be','to','of','and','that','have','with'),
+                           s -> array_contains(ws, s))) AS bigint) AS stop_hits""")
+      .selectExpr("doc_id", "n_words", "alpha_words", "sym_count", "stop_hits",
+        "n_words >= 50 AND n_words <= 100000 AS r_words",
+        """3 * n_words <= char_len - (n_words - 1)
+           AND char_len - (n_words - 1) <= 10 * n_words AS r_word_len""",
+        "sym_count * 10 <= n_words AS r_symbols",
+        "alpha_words * 10 >= n_words * 8 AS r_alpha",
+        "bullet_lines * 10 <= n_lines * 9 AS r_bullets",
+        "ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis",
+        "stop_hits >= 2 AS r_stopwords")
+      .selectExpr("doc_id", "n_words", "alpha_words", "sym_count", "stop_hits",
+        "r_words", "r_word_len", "r_symbols", "r_alpha", "r_bullets",
+        "r_ellipsis", "r_stopwords",
+        """r_words AND r_word_len AND r_symbols AND r_alpha
+           AND r_bullets AND r_ellipsis AND r_stopwords AS keep""")
+
   private val UrlExpr =
     "concat('https://WWW.', source, CASE WHEN doc_id % 3 = 0 THEN '.spam-mirror.example' ELSE '.example.org' END, '/p/', cast(doc_id AS string), '/')"
   private val UrlExprSql =

@@ -404,6 +404,11 @@ object Streaming {
   case class HoltScore(user_id: Long, event_id: Long, rn: Long,
                        v_micros: Long, level_micros: Long,
                        trend_micros: Long, forecast_micros: Long)
+  case class CusumPoint(user_id: Long, event_id: Long, ts_us: Long,
+                        v: Long, mu: Long)
+  case class CusumRow(user_id: Long, event_id: Long, rn: Long,
+                      v_micros: Long, mu_micros: Long, sp_micros: Long,
+                      sm_micros: Long, alarm: Boolean)
 
   /** Streaming EWMA: each user's smoothing state is TWO longs (count,
     * current s) in the state store — the recurrence carries across
@@ -565,6 +570,36 @@ object Streaming {
             HoltScore(uid, r.event_id, n, r.v, l, b, l + b)
           }
           state.update((n, l, b))
+          out.iterator
+      }
+  }
+
+  /** Streaming CUSUM change-point monitor: per-user state is THREE
+    * longs (count, S⁺ carry, S⁻ carry) in the state store; the μ each
+    * step needs rides IN THE ROW (a stream-static join against the
+    * user-mean table — the reference-profile side of a monitoring
+    * deployment, recomputed offline and joined to the live feed). The
+    * recurrence itself is the batch operator's [[graft.operators
+    * .Events.cusumStep]], shared so the twins cannot diverge. Same
+    * ordered-arrival contract as [[ewmaStream]].
+    */
+  def cusumStream(spark: SparkSession, src: Dataset[CusumPoint]): Dataset[CusumRow] = {
+    import spark.implicits._
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), CusumRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state) =>
+          var (n, spc, smc) = state.getOption.getOrElse((0L, 0L, 0L))
+          val buf = batch.toArray
+          java.util.Arrays.sort(buf, Ordering.by((r: CusumPoint) => (r.ts_us, r.event_id)))
+          val out = buf.map { r =>
+            val (sp, sm, alarm, sp2, sm2) =
+              graft.operators.Events.cusumStep(r.mu, r.v, spc, smc)
+            spc = sp2; smc = sm2; n += 1L
+            CusumRow(uid, r.event_id, n, r.v, r.mu, sp, sm, alarm)
+          }
+          state.update((n, spc, smc))
           out.iterator
       }
   }
@@ -1194,6 +1229,46 @@ object Streaming {
                l::BIGINT AS level_micros, b::BIGINT AS trend_micros,
                (l + b)::BIGINT AS forecast_micros
         FROM r"""),
+      bench = false),
+
+    // --------------------- streaming CUSUM (live change-point watch)
+    // ev_cusum's sequential audit running against the stream: the
+    // per-user reference mean comes from a STREAM-STATIC join (the
+    // offline profile side of a monitoring deployment), the S⁺/S⁻
+    // carries live in three longs of state per user, and the shared
+    // cusumStep keeps the twins bit-equal — the drained Append output
+    // is row-for-row the batch fold, which the shared recursive-CTE
+    // oracle replays independently.
+    graft.QueryDef(
+      "st_cusum",
+      (spark, dir) => {
+        import spark.implicits._
+        val mu = graft.Tables.events(spark, dir)
+          .selectExpr("user_id",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+          .groupBy("user_id")
+          .agg(expr("sum(v) div count(v) AS mu"))
+        val src = eventsStream(spark, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+          .join(mu, "user_id")
+          .selectExpr("user_id", "event_id", "ts_us", "v", "mu")
+          .as[CusumPoint]
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = cusumStream(spark, src).writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read
+          .schema("user_id BIGINT, event_id BIGINT, rn BIGINT, v_micros BIGINT, " +
+            "mu_micros BIGINT, sp_micros BIGINT, sm_micros BIGINT, alarm BOOLEAN")
+          .parquet(s"$tmp/out")
+      },
+      Some(graft.operators.Events.cusumOracleSql),
       bench = false),
 
     // ------------------- native session-window sessionization stream

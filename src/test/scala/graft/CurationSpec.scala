@@ -334,4 +334,41 @@ class CurationSpec extends SparkSpec {
     assert(applied.map(_._3).sum == trainTotal,
       s"apply total ${applied.map(_._3).sum} != train total $trainTotal")
   }
+
+  test("tp_dsir matches a sequential replay of the hashed-bigram model") {
+    val sf = "/root/testdata/sf0.001"
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+    val target = Set("src1", "src2", "src3")
+    val perDoc = docs.map { case (id, src, text) =>
+      val toks = text.replaceAll("\\s{2,}", " ")
+        .replaceAll("^\\s+|\\s+$", "").split(' ')
+      val buckets =
+        if (toks.length < 2) Seq.empty[Long]
+        else toks.sliding(2).map(p => h60(p(0) + " " + p(1)) % 4096).toSeq
+      (id, target.contains(src), buckets)
+    }
+    val r = new Array[Long](4096); val t = new Array[Long](4096)
+    perDoc.foreach { case (_, tgt, bs) =>
+      bs.foreach { b => r(b.toInt) += 1; if (tgt) t(b.toInt) += 1 }
+    }
+    val rt = r.sum; val tt = t.sum
+    val w = (0 until 4096).map(b =>
+      (t(b) + 1) * 1000000L / (tt + 4096) - (r(b) + 1) * 1000000L / (rt + 4096))
+    val want = perDoc.map { case (id, _, bs) =>
+      (id, bs.length.toLong, bs.map(b => w(b.toInt)).sum)
+    }.sortBy { case (id, _, s) => (-s, id) }.take(1000).toSet
+    val got = Registry.byName("tp_dsir").run(spark, sf).collect()
+      .map(row => (row.getAs[Long]("doc_id"), row.getAs[Long]("n_bigrams"),
+        row.getAs[Long]("dsir_ppm"))).toSet
+    assert(got == want,
+      s"DSIR diverged: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+  }
 }

@@ -519,4 +519,29 @@ class LakeSpec extends SparkSpec {
     assert(avgSpanP * 2 <= gSpanP, s"p spans not tightened: $avgSpanP vs $gSpanP")
     assert(avgSpanS * 2 <= gSpanS, s"s spans not tightened: $avgSpanS vs $gSpanS")
   }
+
+  test("bloom index: point lookups prune files, never rows") {
+    val root = freshRoot()
+    // 64 keys hashed into 8 files — any one key lives in exactly one
+    // file, so a perfect skip reads 1/8 of the table
+    val df = (0L until 64L).flatMap(k => Seq((k, s"a$k"), (k, s"b$k")))
+      .toDF("k", "payload").repartition(8, org.apache.spark.sql.functions.col("k"))
+    Lake.commitVersion(spark, df, root)
+    val idx = Lake.buildBloomIndex(spark, root, "k")
+    assert(idx.count() == 8, "one sidecar row per data file")
+    // no false negatives: every key's lookup returns BOTH its rows
+    for (k <- Seq(0L, 17L, 63L)) {
+      val got = Lake.bloomLookup(spark, root, "k", k)
+        .collect().map(_.getAs[String]("payload")).sorted
+      assert(got.toSeq == Seq(s"a$k", s"b$k"), s"key $k: got ${got.toSeq}")
+    }
+    // pruning: the candidate file set is a strict subset of the 8
+    // files (with 4 hashes in 2^16 bits over ≤ 8 keys/file, a false
+    // positive on all 7 other files is impossible in practice)
+    val cands = Lake.bloomCandidates(spark, root, "k", 17L)
+    assert(cands.nonEmpty && cands.length < 8,
+      s"expected file pruning, candidates = ${cands.length} of 8 files")
+    // absent key: empty result, same schema
+    assert(Lake.bloomLookup(spark, root, "k", 999L).count() == 0)
+  }
 }

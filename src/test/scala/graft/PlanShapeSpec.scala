@@ -541,6 +541,19 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a partition-local (global=false) secondary sort:\n${p.take(600)}")
   }
 
+  test("ev_cusum: μ window and fold share ONE user exchange, no group buffering") {
+    val p = plan("ev_cusum")
+    assert(p.contains("MapPartitions"),
+      s"expected a streaming mapPartitions fold:\n${p.take(600)}")
+    assert(!p.contains("MapGroups"),
+      s"per-group materialization reintroduced:\n${p.take(600)}")
+    // the per-user mean is a window over the SAME hashpartitioning the
+    // fold sorts within — a second user-keyed exchange would mean the
+    // two-pass structure paid two shuffles instead of one
+    assert(p.split("Exchange hashpartitioning\\(user_id").length - 1 == 1,
+      s"expected exactly one user_id exchange:\n${p.take(900)}")
+  }
+
   test("pageRank: one O(V) exchange per round, edge table stationary") {
     import spark.implicits._
     val edges = (0L until 200L).flatMap(i => Seq((i, (i + 1) % 200), ((i + 1) % 200, i)))

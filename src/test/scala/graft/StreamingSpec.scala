@@ -255,6 +255,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumStream: S+/S- carry across batches and reset after an alarm") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // μ = 1_000_000 rides in every row (the stream-static join's
+    // contract); the series drifts high enough that the 2μ decision
+    // interval fires mid-stream, and the points split 3/3 so the
+    // post-alarm reset must carry across the batch boundary
+    val mu = 1000000L
+    val vs = Seq(1000000L, 2500000L, 3000000L, 3000000L, 900000L, 3200000L)
+    val pts = vs.zipWithIndex.map { case (v, i) => (9L, 200L + i, 1000L * i, v, mu) }
+    val input = MemoryStream[(Long, Long, Long, Long, Long)]
+    val scored = Streaming.cusumStream(
+      spark, input.toDF().toDF("user_id", "event_id", "ts_us", "v", "mu")
+        .as[Streaming.CusumPoint])
+    val q = scored.writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = pts.splitAt(3)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("cusum_stream").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("sp_micros"), r.getAs[Long]("sm_micros"),
+            r.getAs[Boolean]("alarm"))).toMap
+      var spc = 0L; var smc = 0L
+      val want = pts.map { case (_, eid, _, v, m) =>
+        val (sp, sm, alarm, sp2, sm2) = operators.Events.cusumStep(m, v, spc, smc)
+        spc = sp2; smc = sm2
+        eid -> (sp, sm, alarm)
+      }.toMap
+      assert(got == want, s"streamed CUSUM diverged: got $got want $want")
+      assert(want.values.exists(_._3), "fixture should trip at least one alarm")
+    } finally q.stop()
+  }
+
   test("nearDupPairsStream: LSH-bucket state finds pairs within and across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

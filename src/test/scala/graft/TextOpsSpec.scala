@@ -127,4 +127,36 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.last._5 > rows.head._4)
     assert(rows.last._5 <= rows.last._3)
   }
+
+  test("gopherRules: each rule flips exactly where its boundary says") {
+    import spark.implicits._
+    val the49 = Seq.fill(49)("the").mkString(" ")   // 49 words
+    val good = (1 to 48).map(i => s"word$i").mkString("the and ", " ", "") // 50 words, 2 stopwords
+    val docs = Seq(
+      1L -> good,                                   // passes every rule
+      2L -> the49,                                  // r_words: 49 < 50
+      3L -> good.replace("word1", "## ## ## ## ##"),// r_symbols: 10 hashes in 54 words
+      4L -> (1 to 50).map(_ => "12345").mkString("the and ", " ", ""), // r_alpha: 50/52 numeric
+      5L -> ("the and " + Seq.fill(48)("a").mkString(" ")),            // r_word_len: mean < 3
+      6L -> good.replaceFirst("the and ", "xx yy "),                   // r_stopwords: 0 of 8
+      7L -> (Seq.fill(3)("- " + good).mkString("\n") + "\nplain"),     // bullets 3/4 ≤ 90% — keeps
+      8L -> Seq.fill(4)("- " + good).mkString("\n"),                   // bullets 4/4 > 90% — fails
+      9L -> (good + "...\n" + good + "\n" + good)                      // ellipsis 1/3 > 30% — fails
+    ).toDF("doc_id", "text")
+    val got = operators.TextOps.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("r_words"), r.getAs[Boolean]("r_word_len"),
+         r.getAs[Boolean]("r_symbols"), r.getAs[Boolean]("r_alpha"),
+         r.getAs[Boolean]("r_bullets"), r.getAs[Boolean]("r_ellipsis"),
+         r.getAs[Boolean]("r_stopwords"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(1L)._8, s"doc 1 should pass all rules: ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._8, "doc 2: word-count floor")
+    assert(!got(3L)._3, "doc 3: symbol ratio > 0.1")
+    assert(!got(4L)._4, "doc 4: alphabetic-word floor")
+    assert(!got(5L)._2, "doc 5: mean word length < 3")
+    assert(!got(6L)._7, "doc 6: required-stopword floor")
+    assert(got(7L)._5, "doc 7: 75% bullet lines is allowed")
+    assert(!got(8L)._5, "doc 8: 100% bullet lines is not")
+    assert(!got(9L)._6, "doc 9: a third of lines end in ellipsis")
+  }
 }
