@@ -138,6 +138,31 @@ object Events {
                mu AS mu_micros, sp AS sp_micros, sm AS sm_micros, alarm
         FROM r"""
 
+  /** The hourly per-series bucket table shared by ev_seasonal and
+    * ev_acf (series key = event_type, values = integer-micros bucket
+    * means): one partial-aggregated corpus scan folding to a
+    * (series × hour)-bounded frame — everything downstream operates
+    * on this reduction, never the corpus.
+    */
+  private[graft] def hourlySeries(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame =
+    Tables.events(spark, dir)
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000L AS hr",
+        "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+      .groupBy("event_type", "hr")
+      .agg(
+        org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_events"),
+        org.apache.spark.sql.functions.expr("sum(v) div count(*) AS vb"))
+
+  /** The DuckDB twin of [[hourlySeries]] (CTE named `h`). */
+  private[graft] val hourlySeriesSql: String = """
+        h AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                 count(*)::BIGINT AS n_events,
+                 (sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))::BIGINT
+                  // count(*)::BIGINT)::BIGINT AS vb
+          FROM events GROUP BY 1, 2)"""
+
   def queries: Seq[QueryDef] = Seq(
     // Tumbling 1-hour event-time window per event_type. In streaming this
     // is `window($"ts", "1 hour")` + watermark; batch-side date_trunc is
@@ -1389,13 +1414,7 @@ object Events {
     QueryDef(
       "ev_seasonal",
       (spark, dir) =>
-        Tables.events(spark, dir)
-          .selectExpr("event_type", "unix_micros(ts) div 3600000000L AS hr",
-            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
-          .groupBy("event_type", "hr")
-          .agg(
-            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_events"),
-            org.apache.spark.sql.functions.expr("sum(v) div count(*) AS vb"))
+        hourlySeries(spark, dir)
           .selectExpr("event_type", "hr", "hr % 24 AS hod", "n_events", "vb",
             """(sum(vb) OVER (PARTITION BY event_type ORDER BY hr
                               RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING))
@@ -1410,13 +1429,8 @@ object Events {
           .selectExpr("event_type", "hr", "hod", "n_events",
             "vb AS v_micros", "trend AS trend_micros",
             "seasonal AS seasonal_micros", "detr - seasonal AS resid_micros"),
-      Some("""
-        WITH h AS (
-          SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
-                 count(*)::BIGINT AS n_events,
-                 (sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))::BIGINT
-                  // count(*)::BIGINT)::BIGINT AS vb
-          FROM events GROUP BY 1, 2),
+      Some(s"""
+        WITH $hourlySeriesSql,
         t AS (
           SELECT event_type, hr, hr % 24 AS hod, n_events, vb,
                  ((sum(vb) OVER w)::BIGINT // (count(vb) OVER w)::BIGINT)::BIGINT AS trend
@@ -1430,7 +1444,76 @@ object Events {
           FROM t)
         SELECT event_type, hr, hod, n_events, vb AS v_micros, trend AS trend_micros,
                seasonal AS seasonal_micros, (detr - seasonal)::BIGINT AS resid_micros
-        FROM s"""))
+        FROM s""")),
+
+    // --------------------- autocorrelation audit (seasonality probe)
+    // Pearson autocorrelation of each series at lags 1–3 hours — the
+    // diagnostic that says whether ev_seasonal's period assumption and
+    // ev_holt's trend term have anything to model. Rides the SAME
+    // hourly reduction as ev_seasonal ([[hourlySeries]]); lag pairs
+    // come from an equi-join of the series to itself on (type,
+    // hr + lag) — gaps drop pairs instead of sliding them, matching
+    // the RANGE-frame discipline. The five moment sums are exact
+    // BIGINTs in integer MILLI-units (micros² × hours would escape 64
+    // bits; milli² × 10⁵ hours stays ~2⁵⁴) and only the final
+    // coefficient is one fixed-op-order rounded double — the
+    // gr_assortativity discipline; IEEE sqrt is correctly rounded, so
+    // the engines agree bit for bit before the round(6).
+    QueryDef(
+      "ev_acf",
+      (spark, dir) => {
+        val h = hourlySeries(spark, dir)
+          .selectExpr("event_type", "hr", "vb div 1000 AS vm")
+          .localCheckpoint(true) // series-bounded; feeds both join sides
+        val lags = spark.range(1L, 4L).selectExpr("id AS lag_h")
+        h.selectExpr("event_type", "hr", "vm AS x")
+          .crossJoin(org.apache.spark.sql.functions.broadcast(lags))
+          .join(h.selectExpr("event_type AS et2", "hr AS hr2", "vm AS y"),
+            org.apache.spark.sql.functions.expr("event_type = et2 AND hr2 = hr + lag_h"))
+          .groupBy("event_type", "lag_h")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_pairs"),
+            org.apache.spark.sql.functions.expr("cast(sum(x) AS bigint) AS sx"),
+            org.apache.spark.sql.functions.expr("cast(sum(y) AS bigint) AS sy"),
+            org.apache.spark.sql.functions.expr("cast(sum(x * y) AS bigint) AS sxy"),
+            org.apache.spark.sql.functions.expr("cast(sum(x * x) AS bigint) AS sxx"),
+            org.apache.spark.sql.functions.expr("cast(sum(y * y) AS bigint) AS syy"))
+          .selectExpr("event_type", "lag_h", "n_pairs",
+            """cast(n_pairs AS double) * cast(sxy AS double)
+               - cast(sx AS double) * cast(sy AS double) AS num""",
+            """cast(n_pairs AS double) * cast(sxx AS double)
+               - cast(sx AS double) * cast(sx AS double) AS dx""",
+            """cast(n_pairs AS double) * cast(syy AS double)
+               - cast(sy AS double) * cast(sy AS double) AS dy""")
+          .selectExpr("event_type", "lag_h", "n_pairs",
+            """CASE WHEN dx > 0.0D AND dy > 0.0D
+                    THEN round(num / sqrt(dx * dy), 6)
+                    ELSE cast(NULL AS double) END AS acf6""")
+      },
+      Some(s"""
+        WITH $hourlySeriesSql,
+        l AS (SELECT unnest(generate_series(1, 3))::BIGINT AS lag_h),
+        p AS (
+          SELECT a.event_type AS event_type, l.lag_h AS lag_h,
+                 a.vb // 1000 AS x, b.vb // 1000 AS y
+          FROM h a CROSS JOIN l
+          JOIN h b ON b.event_type = a.event_type AND b.hr = a.hr + l.lag_h),
+        m AS (
+          SELECT event_type, lag_h, count(*)::BIGINT AS n_pairs,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+                 sum(y * y)::BIGINT AS syy
+          FROM p GROUP BY 1, 2),
+        d AS (
+          SELECT event_type, lag_h, n_pairs,
+                 n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+                 n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS dx,
+                 n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS dy
+          FROM m)
+        SELECT event_type, lag_h, n_pairs,
+               CASE WHEN dx > 0 AND dy > 0 THEN round(num / sqrt(dx * dy), 6)
+                    ELSE NULL END AS acf6
+        FROM d"""))
   )
 
   /** Exact φ = 1/k heavy hitters over an arbitrary key stream with

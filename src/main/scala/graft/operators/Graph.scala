@@ -125,6 +125,53 @@ object Graph {
     }
   }
 
+  private val HitsIters = 8
+
+  /** Kleinberg HITS over a symmetric ±-coded purchase edge list (only
+    * the even→odd customer→supplier direction is used). Integer
+    * max-normalized ppm scores, 8 rounds — see gr_hits's commentary.
+    * Returns one row per vertex with its role score at round 8
+    * (hub score for customers, authority score for suppliers).
+    */
+  def hits(edges: DataFrame, iters: Int = HitsIters): DataFrame = {
+    require(iters >= 1, "hits needs at least one round")
+    val dirE = edges.toDF("src", "dst").where("src % 2 = 0").localCheckpoint(true)
+    withIterConf(dirE.sparkSession) {
+      val w = iterWidth(dirE)
+      val eSrc = checkpointHashPartitioned(dirE, w, "src")
+      val eDst = checkpointHashPartitioned(dirE, w, "dst")
+      var h = eSrc.select(col("src").as("id")).distinct()
+        .withColumn("h", lit(1000000L))
+      var a: DataFrame = null
+      (1 to iters).foreach { i =>
+        val araw = eSrc
+          .join(h.selectExpr("id AS src", "h AS hs").hint("shuffle_hash"), "src")
+          .groupBy("dst").agg(expr("cast(sum(hs) AS bigint) AS ar"))
+        val amax = araw.groupBy().agg(expr("max(ar) AS am"))
+        a = araw.crossJoin(broadcast(amax))
+          .selectExpr("dst AS id", "ar * 1000000 div am AS a")
+        val hraw = eDst
+          .join(a.selectExpr("id AS dst", "a AS av").hint("shuffle_hash"), "dst")
+          .groupBy("src").agg(expr("cast(sum(av) AS bigint) AS hrw"))
+        val hmax = hraw.groupBy().agg(expr("max(hrw) AS hm"))
+        h = hraw.crossJoin(broadcast(hmax))
+          .selectExpr("src AS id", "hrw * 1000000 div hm AS h")
+        // lazy rounds, periodic fence — the pageRank plan-growth rule
+        if (i % 2 == 0 && i < iters) {
+          h = h.localCheckpoint(true); a = a.localCheckpoint(true)
+        }
+      }
+      // materialize INSIDE the conf guard (the pageRank lesson)
+      val out = h.selectExpr("id", "'customer' AS kind", "id div 2 AS key",
+          "h AS score_ppm")
+        .unionByName(a.selectExpr("id", "'supplier' AS kind", "id div 2 AS key",
+          "a AS score_ppm"))
+        .localCheckpoint(true)
+      release(eSrc); release(eDst); release(dirE)
+      out
+    }
+  }
+
   /** One-shot holder (the Ml.trainChain discipline): putIfAbsent
     * decides the winner atomically, and only the winning holder's
     * lazy val ever materializes, so a lost race can never checkpoint
@@ -972,6 +1019,52 @@ object Graph {
                      / (2.0 * m_edges::DOUBLE * sum_j2_k2::DOUBLE
                         - sum_j_plus_k::DOUBLE * sum_j_plus_k::DOUBLE), 6) AS r6
         FROM mom""")),
+
+    // ------------------- HITS hubs & authorities (bipartite ranking)
+    // Kleinberg's HITS over the DIRECTED customer→supplier purchase
+    // edges (the natural bipartite reading: hub customers aggregate
+    // many good suppliers, authority suppliers aggregate many good
+    // customers — where PageRank measures stationary mass, HITS
+    // separates the two roles). Mutual recursion a = Eᵀh, h = Ea for
+    // 8 rounds; the usual L2 normalization is replaced by integer
+    // MAX-normalization to ppm (score·10⁶ div round-max) — same
+    // fixpoint direction, exact 64-bit arithmetic, bit-identical
+    // cross-engine (the PageRank ppm discipline; per-round sums stay
+    // under 10¹⁷ for in-degrees ≲ 10⁵ per mille-scaled step — re-range
+    // before the multiply if a deployment's hubs exceed that). Scale
+    // shape: the pageRank loop machinery verbatim — the E-sized edge
+    // table is checkpointHashPartitioned ONCE per join side (src for
+    // the authority step, dst for the hub step) and never re-shuffles;
+    // each round moves only the O(V) score tables (shuffle_hash
+    // hints), the round max is a 1-row broadcast, and the whole walk
+    // runs under withIterConf with periodic O(V) fences.
+    QueryDef(
+      "gr_hits",
+      (spark, dir) => hits(purchaseEdges(spark, dir)),
+      Some {
+        val iter = (i: Int) => s"""
+        ar$i AS MATERIALIZED (
+          SELECT e.dst, sum(h.h)::BIGINT AS ar
+          FROM cs e JOIN hc${i - 1} h ON e.src = h.id GROUP BY e.dst),
+        am$i AS (SELECT max(ar) AS am FROM ar$i),
+        an$i AS MATERIALIZED (
+          SELECT dst AS id, (ar * 1000000 // am)::BIGINT AS a FROM ar$i, am$i),
+        hr$i AS MATERIALIZED (
+          SELECT e.src, sum(an.a)::BIGINT AS hr
+          FROM cs e JOIN an$i an ON e.dst = an.id GROUP BY e.src),
+        hm$i AS (SELECT max(hr) AS hm FROM hr$i),
+        hc$i AS MATERIALIZED (
+          SELECT src AS id, (hr * 1000000 // hm)::BIGINT AS h FROM hr$i, hm$i)"""
+        s"""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        hc0 AS (SELECT DISTINCT src AS id, 1000000::BIGINT AS h FROM cs),
+        ${(1 to HitsIters).map(iter).mkString(",")}
+        SELECT id, 'customer' AS kind, id // 2 AS key, h AS score_ppm FROM hc$HitsIters
+        UNION ALL
+        SELECT id, 'supplier' AS kind, id // 2 AS key, a AS score_ppm FROM an$HitsIters"""
+      }),
 
     // ----------------- link prediction (common neighbors + RA index)
     // "Which supplier pairs are most likely to be related?" — scored

@@ -238,6 +238,42 @@ object TextOps {
     // verdict cross-engine. Scale shape: pure per-row projection over
     // one corpus scan; the rule columns all derive from the same split
     // arrays, nothing shuffles until the caller aggregates.
+    // --------------------------- source concentration (data-card HHI)
+    // The Herfindahl–Hirschman concentration index of provenance
+    // shares within each language — the dataset-card number that says
+    // "is this slice one crawl wearing twenty source tags?". Exact
+    // integers end to end: per-source share in ppm (1e6 div over the
+    // per-lang window total), HHI = Σ share² div 1e6 (≤ 1e6, no
+    // overflow), top share alongside. Scale shape: one
+    // partial-aggregated (lang, source) count — the corpus reduction —
+    // then a provenance-bounded window + rollup; nothing after the
+    // first aggregate touches corpus-sized data.
+    QueryDef(
+      "ta_hhi",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .groupBy("lang", "source")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n"))
+          .selectExpr("lang", "source", "n",
+            "n * 1000000 div (sum(n) OVER (PARTITION BY lang)) AS share_ppm")
+          .groupBy("lang")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(sum(n) AS bigint) AS n_docs"),
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_sources"),
+            org.apache.spark.sql.functions.expr("cast(max(share_ppm) AS bigint) AS top_share_ppm"),
+            org.apache.spark.sql.functions.expr("cast(sum(share_ppm * share_ppm) div 1000000 AS bigint) AS hhi_ppm")),
+      Some("""
+        WITH c AS (
+          SELECT lang, source, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+        s AS (
+          SELECT lang, source, n,
+                 (n * 1000000 // (sum(n) OVER (PARTITION BY lang))::BIGINT)::BIGINT AS share_ppm
+          FROM c)
+        SELECT lang, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_sources,
+               max(share_ppm)::BIGINT AS top_share_ppm,
+               (sum(share_ppm * share_ppm)::BIGINT // 1000000)::BIGINT AS hhi_ppm
+        FROM s GROUP BY lang""")),
+
     QueryDef(
       "ta_gopher",
       (spark, dir) => gopherRules(Tables.documents(spark, dir)),

@@ -169,4 +169,23 @@ class GraphSpec extends SparkSpec {
       (10L, 6L, 6L, 250000L),
       (-1L, 12L, 12L, 500000L)), s"got $rows")
   }
+
+  test("hits: the shared supplier is the authority, the busy customer the hub") {
+    import spark.implicits._
+    // customers 1, 2 (nodes 2, 4) and suppliers 1, 2, 3 (nodes 3, 5, 7):
+    // c1 buys from all three suppliers, c2 only from s1 — so s1 must be
+    // the max authority, c1 the max hub, and s2/s3 tie by symmetry
+    val pairs = Seq((2L, 3L), (2L, 5L), (2L, 7L), (4L, 3L))
+    val edges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }.toDF("src", "dst")
+    val got = Graph.hits(edges).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("kind"),
+        r.getAs[Long]("score_ppm"))).toSet
+    val byId = got.map(t => t._1 -> t._3).toMap
+    assert(got.map(_._2) == Set("customer", "supplier"))
+    assert(byId(2L) == 1000000L, s"c1 should be the max hub: $got")
+    assert(byId(4L) < 1000000L, s"c2 must rank below c1: $got")
+    assert(byId(3L) == 1000000L, s"s1 should be the max authority: $got")
+    assert(byId(5L) == byId(7L) && byId(5L) < 1000000L,
+      s"s2/s3 must tie below s1: $got")
+  }
 }
