@@ -1513,7 +1513,41 @@ object Events {
         SELECT event_type, lag_h, n_pairs,
                CASE WHEN dx > 0 AND dy > 0 THEN round(num / sqrt(dx * dy), 6)
                     ELSE NULL END AS acf6
-        FROM d"""))
+        FROM d""")),
+
+    // ------------------- burstiness audit (Fano dispersion index)
+    // Fano factor of the hourly arrival counts per series — the
+    // variance-to-mean ratio that separates Poisson-like traffic
+    // (F ≈ 1) from bursty ingestion (F ≫ 1): the capacity-planning
+    // number behind shard sizing and rate-limit budgets. Rides the
+    // same [[hourlySeries]] reduction; the two count moments are
+    // exact BIGINTs and F = (n·Σc² − (Σc)²)/(n·Σc) is one
+    // fixed-op-order rounded double (the gr_assortativity
+    // discipline — the ppm form would overflow 64 bits first).
+    QueryDef(
+      "ev_fano",
+      (spark, dir) =>
+        hourlySeries(spark, dir)
+          .groupBy("event_type")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_hours"),
+            org.apache.spark.sql.functions.expr("cast(sum(n_events) AS bigint) AS sc"),
+            org.apache.spark.sql.functions.expr("cast(sum(n_events * n_events) AS bigint) AS sc2"))
+          .selectExpr("event_type", "n_hours", "sc AS n_events",
+            """round((cast(n_hours AS double) * cast(sc2 AS double)
+                      - cast(sc AS double) * cast(sc AS double))
+                     / (cast(n_hours AS double) * cast(sc AS double)), 6) AS fano6"""),
+      Some(s"""
+        WITH $hourlySeriesSql,
+        m AS (
+          SELECT event_type, count(*)::BIGINT AS n_hours,
+                 sum(n_events)::BIGINT AS sc,
+                 sum(n_events * n_events)::BIGINT AS sc2
+          FROM h GROUP BY 1)
+        SELECT event_type, n_hours, sc AS n_events,
+               round((n_hours::DOUBLE * sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE)
+                     / (n_hours::DOUBLE * sc::DOUBLE), 6) AS fano6
+        FROM m"""))
   )
 
   /** Exact φ = 1/k heavy hitters over an arbitrary key stream with

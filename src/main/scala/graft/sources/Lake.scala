@@ -571,6 +571,41 @@ object Lake {
     -1 // unreachable
   }
 
+  // --------------------- constraint-gated commit (write-audit-publish)
+
+  /** Audit `df` against named SQL constraints and commit it as the
+    * next version ONLY if every row passes — the Delta CHECK-constraint
+    * / Iceberg WAP gate: bad data never becomes a readable version,
+    * and the audit itself is what the caller gets back. ONE scan
+    * regardless of constraint count (per-constraint violation counts
+    * and a min-key sample fold in a single aggregate row, then unpivot
+    * to one audit row per constraint); the commit, when it happens,
+    * goes through the normal marker protocol. Returns the audit frame
+    * — (constraint, n_violations, min_bad_key, committed) — where
+    * `committed` reflects whether the version landed.
+    */
+  def commitChecked(spark: SparkSession, df: DataFrame, root: String,
+      keyCol: String, constraints: Seq[(String, String)]): DataFrame = {
+    require(constraints.nonEmpty, "commitChecked needs at least one constraint")
+    val aggs = constraints.zipWithIndex.flatMap { case ((_, pred), i) =>
+      Seq(
+        expr(s"cast(count_if(NOT ($pred)) AS bigint) AS v$i"),
+        expr(s"min(CASE WHEN NOT ($pred) THEN `$keyCol` END) AS k$i"))
+    }
+    val row = df.groupBy().agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // 1 row; every audit projection + the gate reuse it
+    val totalBad = row.selectExpr(
+      constraints.indices.map(i => s"v$i").mkString("", " + ", " AS t"))
+      .collect().head.getLong(0)
+    if (totalBad == 0L) commitVersion(spark, df, root)
+    val audit = constraints.zipWithIndex.map { case ((name, _), i) =>
+      row.selectExpr(s"'$name' AS constraint_name", s"v$i AS n_violations",
+        s"cast(k$i AS bigint) AS min_bad_key",
+        s"${totalBad == 0L} AS committed")
+    }.reduce(_ unionByName _)
+    audit
+  }
+
   // ----------------- per-file Bloom index (point-lookup data skipping)
 
   /** Build a per-file Bloom sidecar for BIGINT key column `colName`
@@ -1277,6 +1312,52 @@ object Lake {
     // skip makes false positives invisible, so the oracle is the
     // plain base-table filter; LakeSpec pins the pruning itself
     // (files scanned < files committed).
+    // ----------------- constraint-gated commit (WAP audit as data)
+    // The release gate in action: version 0 commits the clean
+    // BUILDING-segment slice, then a checked commit of the FULL
+    // customer table trips the non-negative-balance constraint — no
+    // version 1 appears (LakeSpec pins the history), and the audit
+    // table the operator returns is the gate row: per constraint, how
+    // many rows violated and the smallest offending key. The oracle
+    // recomputes the same audit straight off the base table. At
+    // 100 TB the audit is ONE corpus scan however many constraints
+    // ride it; the sample key is a min, not a collect.
+    QueryDef(
+      "s25_commit_check",
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/customer"
+        val cust = Tables.customer(spark, dir).selectExpr(
+          "c_custkey", "c_name", "c_nationkey",
+          "cast(cast(c_acctbal AS decimal(18,2)) * 100 AS bigint) AS bal_cents",
+          "c_mktsegment")
+        commitVersion(spark, cust.where("c_mktsegment = 'BUILDING' AND bal_cents >= 0"), root)
+        commitChecked(spark, cust, root, "c_custkey", Seq(
+          "non_negative_balance" -> "bal_cents >= 0",
+          "name_present" -> "c_name IS NOT NULL",
+          "valid_nation" -> "c_nationkey >= 0 AND c_nationkey < 25"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+                 c_mktsegment
+          FROM customer),
+        a AS (
+          SELECT
+            count_if(NOT (bal_cents >= 0))::BIGINT AS v0,
+            min(CASE WHEN NOT (bal_cents >= 0) THEN c_custkey END)::BIGINT AS k0,
+            count_if(NOT (c_name IS NOT NULL))::BIGINT AS v1,
+            min(CASE WHEN NOT (c_name IS NOT NULL) THEN c_custkey END)::BIGINT AS k1,
+            count_if(NOT (c_nationkey >= 0 AND c_nationkey < 25))::BIGINT AS v2,
+            min(CASE WHEN NOT (c_nationkey >= 0 AND c_nationkey < 25) THEN c_custkey END)::BIGINT AS k2
+          FROM c)
+        SELECT 'non_negative_balance' AS constraint_name, v0 AS n_violations,
+               k0 AS min_bad_key, (v0 + v1 + v2 = 0) AS committed FROM a
+        UNION ALL
+        SELECT 'name_present', v1, k1, (v0 + v1 + v2 = 0) FROM a
+        UNION ALL
+        SELECT 'valid_nation', v2, k2, (v0 + v1 + v2 = 0) FROM a""")),
+
     QueryDef(
       "s24_bloom_skip",
       (spark, dir) => {

@@ -544,4 +544,29 @@ class LakeSpec extends SparkSpec {
     // absent key: empty result, same schema
     assert(Lake.bloomLookup(spark, root, "k", 999L).count() == 0)
   }
+
+  test("commitChecked: a violating batch never becomes a version; a clean one does") {
+    val root = freshRoot()
+    Lake.commitVersion(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root)
+    // the dirty batch trips one of two constraints → audit says so,
+    // committed=false on every row, and the history is UNCHANGED
+    val bad = Lake.commitChecked(spark,
+      Seq((3L, 30L), (4L, -5L), (5L, -7L)).toDF("k", "v"), root, "k",
+      Seq("non_negative" -> "v >= 0", "key_present" -> "k IS NOT NULL"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSet
+    assert(bad == Set(
+      ("non_negative", 2L, 4L, false),
+      ("key_present", 0L, -1L, false)), s"got $bad")
+    assert(Lake.versions(spark, root) == Seq(0))
+    assert(Lake.readVersion(spark, root).count() == 2)
+    // the clean batch commits version 1 and the audit reports it
+    val ok = Lake.commitChecked(spark,
+      Seq((3L, 30L)).toDF("k", "v"), root, "k",
+      Seq("non_negative" -> "v >= 0"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(3))).toSet
+    assert(ok == Set(("non_negative", 0L, true)), s"got $ok")
+    assert(Lake.versions(spark, root) == Seq(0, 1))
+    assert(Lake.readVersion(spark, root).count() == 1)
+  }
 }
