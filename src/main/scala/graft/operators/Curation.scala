@@ -1460,7 +1460,77 @@ object Curation {
         FROM bg JOIN w ON bg.b = w.b
         GROUP BY doc_id
         ORDER BY dsir_ppm DESC, doc_id
-        LIMIT 1000"""))
+        LIMIT 1000""")),
+
+    // ------------------- token-budget waterfill (mix planning)
+    // The budgeting step between tp_mix_weights (rates someone chose)
+    // and the sampler: given a 60 % token budget, allocate per-source
+    // caps by max-min fair WATERFILL — small sources keep everything,
+    // large sources are capped at a common water level t, chosen as
+    // the largest level the budget affords (Σ min(tok_s, t) ≤ B). The
+    // closed form needs no iteration: sort sources by token count,
+    // prefix-sum, and for each rank i test the level that saturates
+    // exactly the i−1 smaller sources — the FIRST feasible rank wins
+    // (integer truncation can only under-fill by < n_sources tokens,
+    // documented, never over-fill). All BIGINT arithmetic, identical
+    // in both engines. Scale shape: the corpus folds to one
+    // source-bounded aggregate in a single partial-aggregated scan;
+    // the waterfill windows run on that ~|sources|-row table — a
+    // global sort of twenty rows, not of the corpus.
+    QueryDef(
+      "tp_token_budget",
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .selectExpr("source",
+            "cast(size(split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ')) AS bigint) AS tok")
+          .groupBy("source")
+          .agg(expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(sum(tok) AS bigint) AS tok"))
+        toks
+          .selectExpr("source", "n_docs", "tok",
+            "cast(row_number() OVER (ORDER BY tok, source) AS bigint) AS i",
+            "sum(tok) OVER (ORDER BY tok, source ROWS UNBOUNDED PRECEDING) AS p",
+            "count(*) OVER () AS n",
+            "sum(tok) OVER () * 600 div 1000 AS b")
+          .selectExpr("source", "n_docs", "tok", "i", "n", "b",
+            "(b - (p - tok)) div (n - i + 1) AS t",
+            "lag(tok) OVER (ORDER BY i) AS prev_tok")
+          .selectExpr("source", "n_docs", "tok", "b",
+            """min(CASE WHEN t < tok AND (prev_tok IS NULL OR prev_tok <= t)
+                        THEN t END) OVER () AS level""")
+          .selectExpr("source", "n_docs", "tok", "b AS budget_tok",
+            // no feasible rank ⇒ the budget covers every source whole
+            "coalesce(level, tok) AS level",
+            "least(tok, coalesce(level, tok)) AS alloc_tok",
+            "tok > coalesce(level, tok) AS capped")
+      },
+      Some("""
+        WITH s AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(len(string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ')))::BIGINT AS tok
+          FROM documents GROUP BY source),
+        r AS (
+          SELECT source, n_docs, tok,
+                 row_number() OVER (ORDER BY tok, source) AS i,
+                 (sum(tok) OVER (ORDER BY tok, source ROWS UNBOUNDED PRECEDING))::BIGINT AS p,
+                 (count(*) OVER ())::BIGINT AS n,
+                 ((sum(tok) OVER ())::BIGINT * 600 // 1000)::BIGINT AS b
+          FROM s),
+        c AS (
+          SELECT source, n_docs, tok, i, n, b,
+                 ((b - (p - tok)) // (n - i + 1))::BIGINT AS t,
+                 lag(tok) OVER (ORDER BY i) AS prev_tok
+          FROM r),
+        lvl AS (
+          SELECT source, n_docs, tok, b,
+                 (min(CASE WHEN t < tok AND (prev_tok IS NULL OR prev_tok <= t)
+                           THEN t END) OVER ())::BIGINT AS level
+          FROM c)
+        SELECT source, n_docs, tok, b AS budget_tok,
+               coalesce(level, tok)::BIGINT AS level,
+               least(tok, coalesce(level, tok))::BIGINT AS alloc_tok,
+               (tok > coalesce(level, tok)) AS capped
+        FROM lvl"""))
   )
 
 

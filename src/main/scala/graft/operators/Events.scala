@@ -1547,7 +1547,64 @@ object Events {
         SELECT event_type, n_hours, sc AS n_events,
                round((n_hours::DOUBLE * sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE)
                      / (n_hours::DOUBLE * sc::DOUBLE), 6) AS fano6
-        FROM m"""))
+        FROM m""")),
+
+    // ----------------- inter-arrival profile (per-entity gap stats)
+    // Each user's event-gap distribution — the liveness/SLA table a
+    // monitoring deployment keys alerts off: gap count, exact integer
+    // mean, EXACT ORDER-STATISTIC p50/p95 (the gap at rank
+    // ⌈n/2⌉ / ⌈0.95·n⌉ — no interpolation, so no engine's
+    // quantile-interpolation formula is trusted; both sides select
+    // the same integer by rank), and the max. Scale shape: one
+    // user-keyed exchange carries ALL THREE window passes (time-order
+    // lag, gap-order rank, per-user count share the partition key)
+    // plus the final per-user aggregate — per-user bounded state,
+    // output entity-sized.
+    QueryDef(
+      "ev_gap_stats",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us")
+          .selectExpr("user_id", "ts_us",
+            """ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) AS gap""")
+          .where("gap IS NOT NULL")
+          .selectExpr("user_id", "gap",
+            """cast(row_number() OVER (PARTITION BY user_id ORDER BY gap)
+               AS bigint) AS rnk""",
+            "count(*) OVER (PARTITION BY user_id) AS n")
+          .selectExpr("user_id", "gap", "rnk", "n",
+            "(n + 1) div 2 AS med_rank", "(95 * n + 99) div 100 AS p95_rank")
+          .groupBy("user_id")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(max(n) AS bigint) AS n_gaps"),
+            org.apache.spark.sql.functions.expr("sum(gap) div max(n) AS mean_gap_us"),
+            org.apache.spark.sql.functions.expr(
+              "max(CASE WHEN rnk = med_rank THEN gap END) AS p50_gap_us"),
+            org.apache.spark.sql.functions.expr(
+              "max(CASE WHEN rnk = p95_rank THEN gap END) AS p95_gap_us"),
+            org.apache.spark.sql.functions.expr("max(gap) AS max_gap_us")),
+      Some("""
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                        ORDER BY epoch_us(ts), event_id) AS gap
+          FROM events),
+        r AS (
+          SELECT user_id, gap,
+                 row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rnk,
+                 (count(*) OVER (PARTITION BY user_id))::BIGINT AS n
+          FROM g WHERE gap IS NOT NULL),
+        k AS (
+          SELECT user_id, gap, rnk, n,
+                 (n + 1) // 2 AS med_rank, (95 * n + 99) // 100 AS p95_rank
+          FROM r)
+        SELECT user_id, max(n)::BIGINT AS n_gaps,
+               (sum(gap)::BIGINT // max(n))::BIGINT AS mean_gap_us,
+               max(CASE WHEN rnk = med_rank THEN gap END)::BIGINT AS p50_gap_us,
+               max(CASE WHEN rnk = p95_rank THEN gap END)::BIGINT AS p95_gap_us,
+               max(gap)::BIGINT AS max_gap_us
+        FROM k GROUP BY user_id"""))
   )
 
   /** Exact φ = 1/k heavy hitters over an arbitrary key stream with
