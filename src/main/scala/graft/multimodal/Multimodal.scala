@@ -492,7 +492,49 @@ object Multimodal {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS hamming
         FROM codes a JOIN codes b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""))
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""")),
+
+    // --------------- cross-modal alignment filter (LAION-style gate)
+    // The curation rule web-scale image-text corpora are BUILT with:
+    // keep a (caption, image) pair only when the two modalities'
+    // embeddings agree — cosine(text_emb, image_emb) ≥ θ (LAION ran
+    // CLIP at θ = 0.28; here θ = 0.1 splits the synthetic pairing
+    // meaningfully). Pairing is the deterministic stand-in the
+    // multimodal lane uses throughout: even vec_ids play the caption
+    // tower, odd the image tower, pair_id = vec_id div 2 — the
+    // embedding-side plumbing (pair join, native codegen'd cosine,
+    // threshold gate) is the real operator and a real CLIP head drops
+    // in by replacing the fixture. Scale shape: ONE self-equi-join on
+    // pair_id (both sides hash-partition on it; no broadcast of
+    // corpus data), cosine inside codegen via `cosine_f`, verdict in
+    // the scan — output pair-sized.
+    QueryDef(
+      "mm_clip_filter",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val e = Tables.embeddings(spark, dir)
+        val txt = e.where("vec_id % 2 = 0")
+          .selectExpr("vec_id div 2 AS pair_id", "embedding AS t_emb",
+            "label AS t_label")
+        val img = e.where("vec_id % 2 = 1")
+          .selectExpr("vec_id div 2 AS pair_id", "embedding AS i_emb",
+            "label AS i_label")
+        txt.join(img, "pair_id")
+          .selectExpr("pair_id",
+            "round(cosine_f(t_emb, i_emb), 6) AS sim6",
+            "t_label = i_label AS label_match")
+          .selectExpr("pair_id", "sim6", "label_match", "sim6 >= 0.1D AS kept")
+      },
+      Some(s"""
+        WITH t AS (SELECT vec_id // 2 AS pair_id, embedding AS t_emb, label AS t_label
+                   FROM embeddings WHERE vec_id % 2 = 0),
+        i AS (SELECT vec_id // 2 AS pair_id, embedding AS i_emb, label AS i_label
+              FROM embeddings WHERE vec_id % 2 = 1),
+        p AS (SELECT t.pair_id AS pair_id,
+                     round(${graft.operators.Knn.dCos("t_emb", "i_emb")}, 6) AS sim6,
+                     (t_label = i_label) AS label_match
+              FROM t JOIN i ON t.pair_id = i.pair_id)
+        SELECT pair_id, sim6, label_match, (sim6 >= 0.1) AS kept FROM p"""))
   )
 
   /** The mm_ahash code table (doc_id, ahash_lo, ahash_hi) — the shared

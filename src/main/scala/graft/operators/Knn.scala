@@ -69,7 +69,7 @@ object Knn {
     """list_sum(list_transform(generate_series(1, len(%A)), i -> %A[i]::DOUBLE * %B[i]::DOUBLE))
       |/ (sqrt(list_sum(list_transform(%A, x -> x::DOUBLE * x::DOUBLE)))
       |   * sqrt(list_sum(list_transform(%B, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
-  private[operators] def dCos(a: String, b: String): String =
+  private[graft] def dCos(a: String, b: String): String =
     duckCos.replace("%A", a).replace("%B", b)
 
   def queries: Seq[QueryDef] = Seq(
