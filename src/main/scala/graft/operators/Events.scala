@@ -1099,6 +1099,84 @@ object Events {
                (l + b)::BIGINT AS forecast_micros
         FROM r""")),
 
+    // ------ Holt-Winters additive triple smoothing (seasonal series)
+    // ev_holt's level+trend recurrence is blind to the daily cycle
+    // ev_seasonal showed the hourly series carries; Holt-Winters adds
+    // a third, SEASONAL state — a ring of m=24 hour-of-day indices:
+    //   l_t = α(v − s_{t−m}) + (1−α)(l+b)
+    //   b_t = β(l_t − l_{t−1}) + (1−β)b
+    //   s_t = γ(v − l_t) + (1−γ)s_{t−m}
+    // with α/β/γ = 0.3/0.2/0.1 in thousandths over integer micros
+    // (truncating division; DuckDB `//` ≡ Scala Long `/`, measured on
+    // negatives in ev_holt). Deterministic cold start: l₁ = v₁, b = 0,
+    // seasonal ring all-zero — the first day's indices learn from 0,
+    // exactly what the oracle's anchor list replays. One-step-ahead
+    // forecast = l + b + s_{t+1−m} (the ring slot the NEXT step will
+    // consume). Runs per event_type over the shared hourly reduction:
+    // the corpus folds to (type, hour) rows in one partial-aggregated
+    // exchange, then the recurrence is an O(1)-state partition fold —
+    // 26 longs of state (l, b, 24-slot ring) per type regardless of
+    // series length, spill-safe because ordering comes from the
+    // exchange's sortWithinPartitions, never a heap. The oracle
+    // replays the recurrence as a recursive CTE carrying the ring as
+    // a LIST column (s[1] = s_{t−m}; append-shift per step).
+    QueryDef(
+      "ev_holt_winters",
+      (spark, dir) => {
+        import spark.implicits._
+        hourlySeries(spark, dir)
+          .select("event_type", "hr", "vb")
+          .as[(String, Long, Long)]
+          .repartition(org.apache.spark.sql.functions.col("event_type"))
+          .sortWithinPartitions("event_type", "hr")
+          .mapPartitions { it =>
+            var cur: String = null
+            var l = 0L; var b = 0L; var rn = 0L
+            var ring: Array[Long] = null
+            it.map { case (et, hr, v) =>
+              if (cur == null || et != cur) {
+                cur = et; ring = new Array[Long](24); l = v; b = 0L; rn = 1L
+              } else {
+                rn += 1L
+                val sOld = ring(((rn - 1L) % 24L).toInt)
+                val lNew = (300L * (v - sOld) + 700L * (l + b)) / 1000L
+                b = (200L * (lNew - l) + 800L * b) / 1000L
+                l = lNew
+              }
+              val idx = ((rn - 1L) % 24L).toInt
+              val sNew = (100L * (v - l) + 900L * ring(idx)) / 1000L
+              ring(idx) = sNew
+              (et, hr, rn, v, l, b, sNew, l + b + ring((rn % 24L).toInt))
+            }
+          }
+          .toDF("event_type", "hr", "rn", "vb_micros", "level_micros",
+            "trend_micros", "season_micros", "forecast_micros")
+      },
+      Some(s"""
+        WITH RECURSIVE $hourlySeriesSql,
+        e AS (
+          SELECT event_type, hr, vb,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+          FROM h),
+        r AS (
+          SELECT event_type, hr, rn, vb, vb AS l, 0::BIGINT AS b,
+                 [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0]::BIGINT[] AS s
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.event_type, e.hr, e.rn, e.vb,
+                 ((300 * (e.vb - r.s[1]) + 700 * (r.l + r.b)) // 1000)::BIGINT,
+                 ((200 * (((300 * (e.vb - r.s[1]) + 700 * (r.l + r.b)) // 1000) - r.l)
+                   + 800 * r.b) // 1000)::BIGINT,
+                 list_append(r.s[2:],
+                   ((100 * (e.vb - ((300 * (e.vb - r.s[1]) + 700 * (r.l + r.b)) // 1000))
+                     + 900 * r.s[1]) // 1000)::BIGINT)
+          FROM r JOIN e ON e.event_type = r.event_type AND e.rn = r.rn + 1)
+        SELECT event_type, hr::BIGINT AS hr, rn::BIGINT AS rn, vb AS vb_micros,
+               l::BIGINT AS level_micros, b::BIGINT AS trend_micros,
+               s[24]::BIGINT AS season_micros,
+               (l + b + s[1])::BIGINT AS forecast_micros
+        FROM r""")),
+
     // ----------------- EWMA forecast-residual anomaly flags
     // The alerting half of ev_ewma: each event's one-step-ahead
     // forecast is the PREVIOUS smoothed value; the residual

@@ -1,0 +1,45 @@
+package graft
+
+/** Value-level pins for the batch event-series recurrences. The DuckDB
+  * oracle is the primary cross-check (an independent recursive-CTE
+  * replay); these tests pin invariants the oracle comparison cannot
+  * localize — here, the Holt-Winters seasonal RING indexing, whose
+  * off-by-one failures (consuming s_{t−23} or s_{t−25} instead of
+  * s_{t−m}) would shift every number plausibly rather than obviously.
+  */
+class EventsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ev_holt_winters: every step satisfies the three recurrences against its own t−24 row") {
+    val rows = Registry.byName("ev_holt_winters").run(spark, sf)
+      .collect()
+      .map { r =>
+        (r.getString(0), r.getLong(2)) -> // (event_type, rn)
+          (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      }
+      .toMap
+    assert(rows.nonEmpty)
+    // columns: vb, level, trend, season, forecast
+    var checkedDeep = 0
+    rows.foreach { case ((et, rn), (vb, l, b, s, f)) =>
+      if (rn >= 2L) {
+        val (_, lPrev, bPrev, _, _) = rows((et, rn - 1L))
+        // s_{t−m}: the season written 24 steps ago, 0 inside the first day
+        val sOld = rows.get((et, rn - 24L)).map(_._4).getOrElse(0L)
+        val lExp = (300L * (vb - sOld) + 700L * (lPrev + bPrev)) / 1000L
+        val bExp = (200L * (lExp - lPrev) + 800L * bPrev) / 1000L
+        val sExp = (100L * (vb - lExp) + 900L * sOld) / 1000L
+        assert(l == lExp && b == bExp && s == sExp,
+          s"$et rn=$rn: got (l=$l,b=$b,s=$s) expected (l=$lExp,b=$bExp,s=$sExp)")
+        // one-step-ahead forecast consumes the NEXT ring slot: s_{t+1−m}
+        val sNext = rows.get((et, rn - 23L)).map(_._4).getOrElse(0L)
+        assert(f == l + b + sNext, s"$et rn=$rn: forecast $f != $l+$b+$sNext")
+        if (rn > 24L) checkedDeep += 1
+      } else {
+        assert(l == vb && b == 0L && s == 0L && f == vb, s"$et cold start broken")
+      }
+    }
+    // the fixture must actually exercise the wrapped ring, not just day one
+    assert(checkedDeep > 100, s"only $checkedDeep steps beyond the first day")
+  }
+}

@@ -541,6 +541,24 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a partition-local (global=false) secondary sort:\n${p.take(600)}")
   }
 
+  test("ev_holt_winters: hourly reduction partial-aggregates BEFORE the series exchange") {
+    val p = plan("ev_holt_winters")
+    // fold shape: O(1)-state mapPartitions over a partition-local sort,
+    // never a MapGroups heap buffer
+    assert(p.contains("MapPartitions"),
+      s"expected a streaming mapPartitions fold:\n${p.take(600)}")
+    assert(!p.contains("MapGroups"),
+      s"per-group materialization reintroduced:\n${p.take(600)}")
+    // the corpus-sized exchange is the (event_type, hr) aggregate with a
+    // map-side partial; the event_type series exchange then moves only
+    // the reduced hourly rows. Folding the aggregation INTO the series
+    // exchange (repartition first) would shuffle raw events instead.
+    assert(p.contains("partial_"),
+      s"expected a map-side partial aggregate before the exchange:\n${p.take(900)}")
+    assert(p.split("Exchange hashpartitioning\\(event_type").length - 1 == 2,
+      s"expected the agg exchange + the reduced series exchange:\n${p.take(900)}")
+  }
+
   test("ev_cusum: μ window and fold share ONE user exchange, no group buffering") {
     val p = plan("ev_cusum")
     assert(p.contains("MapPartitions"),
