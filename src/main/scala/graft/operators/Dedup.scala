@@ -1159,7 +1159,80 @@ object Dedup {
         FROM links
         UNION ALL
         SELECT 'nation', -1, -1, t.d_nationkey::INT, n_dirty, coalesce(n_linked, 0)
-        FROM totals t LEFT JOIN by_nation b ON t.d_nationkey = b.d_nationkey"""))
+        FROM totals t LEFT JOIN by_nation b ON t.d_nationkey = b.d_nationkey""")),
+
+    // ------------------- URL canonicalization dedup (crawl first pass)
+    // The cheapest dedup every web-corpus pipeline runs BEFORE any
+    // content comparison: two crawls of the same page differ only in
+    // URL decoration — scheme case, www, default port, duplicate
+    // slashes, tracking parameters (utm_*/fbclid), fragments, trailing
+    // slash — so canonicalizing the URL and keeping the first fetch
+    // per canonical key removes refetches for free. The fixture
+    // synthesizes exactly those decorations (deterministic per doc_id;
+    // docs 2k/2k+1 are the same logical page fetched twice with
+    // disjoint decoration sets), and the canonicalizer is a fixed
+    // 8-step regexp chain — each anchored step matches at most once,
+    // the two multi-match steps (slash collapse, tracking strip) are
+    // global on both engines (Spark regexp_replace is always-global;
+    // the oracle passes 'g'). Real query params (id=7) survive.
+    // Scale shape: canonicalization is row-local in the scan; keeper
+    // election is ONE exchange on the canonical key (min doc_id
+    // window) — no content ever moves, and a hot URL's key fan-in is
+    // bounded by its refetch count, not corpus size.
+    QueryDef(
+      "dd_url_dedup",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            """concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END,
+                      'cdn', cast((doc_id div 2) % 20 AS string), '.example.org',
+                      CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END,
+                      '/p//', cast(doc_id div 2 AS string), '/',
+                      CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=x&id=7#frag'
+                           ELSE '?id=7&fbclid=abc123' END) AS url""")
+          .selectExpr("doc_id", "url",
+            """regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                   lower(url),
+                   '#.*$', ''),
+                   '^https?://(www\\.)?', ''),
+                   ':(443|80)/', '/'),
+                   '//+', '/'),
+                   '(utm_[a-z]+|fbclid)=[^&#]*&?', ''),
+                   '[?&]$', ''),
+                   '/\\?', '?'),
+                   '/$', '') AS canon""")
+          .selectExpr("doc_id", "url", "canon",
+            """CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon)
+                    THEN 1L ELSE 0L END AS is_keeper"""),
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+                 || 'cdn' || ((doc_id // 2) % 20)::VARCHAR || '.example.org'
+                 || (CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+                 || '/p//' || (doc_id // 2)::VARCHAR || '/'
+                 || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=x&id=7#frag'
+                          ELSE '?id=7&fbclid=abc123' END) AS url
+          FROM documents),
+        canon AS (
+          SELECT doc_id, url,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(
+                lower(url),
+                '#.*$', ''),
+                '^https?://(www\.)?', ''),
+                ':(443|80)/', '/'),
+                '//+', '/', 'g'),
+                '(utm_[a-z]+|fbclid)=[^&#]*&?', '', 'g'),
+                '[?&]$', ''),
+                '/\?', '?'),
+                '/$', '') AS canon
+          FROM raw)
+        SELECT doc_id, url, canon,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon)
+                    THEN 1 ELSE 0 END::BIGINT AS is_keeper
+        FROM canon"""))
   )
 
   // dd_paragraph: 12-token paragraph folds; the planted boilerplate is

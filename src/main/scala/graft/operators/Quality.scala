@@ -230,6 +230,66 @@ object Quality {
                (sum(diff_ppm) // 2)::BIGINT
         FROM per""")),
 
+    // ---------------- two-sample Kolmogorov–Smirnov drift (exact)
+    // dq_drift's decile TVD quantizes the distribution into 10 buckets
+    // a drift can hide inside; the KS statistic is the EXACT
+    // distribution-free alternative — D = sup_x |F_ref(x) − F_cur(x)|,
+    // evaluated per event_type between the month's halves. All
+    // arithmetic is integer: at every distinct value, the ECDF gap
+    // |cum_ref·n_cur − cum_cur·n_ref| is an exact cross-product (never
+    // a float quotient), D's numerator is the max of those, and the
+    // reported d_ppm divides once at the end in DECIMAL(38,0) (the
+    // 10⁶-scaled product overflows int64 once n_ref·n_cur > 9.2e12 —
+    // per-type halves beyond ~3M×3M rows — so the widening is load-
+    // bearing at scale, not pedantry). Ties need no special-casing:
+    // grouping by value first makes each ECDF step land exactly once.
+    // Scale shape: one (type, value) partial-aggregated reduction,
+    // then ONE exchange on event_type whose windows (cumsum + totals)
+    // and final max share it — the raw corpus never shuffles.
+    QueryDef(
+      "dq_ks_drift",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("event_type", "cast(value AS decimal(18,6)) AS v",
+            "CASE WHEN day(ts) <= 15 THEN 1L ELSE 0L END AS is_ref")
+          .groupBy("event_type", "v")
+          .agg(
+            expr("cast(sum(is_ref) AS bigint) AS r"),
+            expr("cast(sum(1 - is_ref) AS bigint) AS c"))
+          .selectExpr("event_type",
+            """cast(sum(r) OVER (PARTITION BY event_type ORDER BY v) AS bigint) AS cr""",
+            """cast(sum(c) OVER (PARTITION BY event_type ORDER BY v) AS bigint) AS cc""",
+            """cast(sum(r) OVER (PARTITION BY event_type) AS bigint) AS nr""",
+            """cast(sum(c) OVER (PARTITION BY event_type) AS bigint) AS nc""")
+          .groupBy("event_type")
+          .agg(
+            expr("max(nr) AS n_ref"),
+            expr("max(nc) AS n_cur"),
+            expr("cast(max(abs(cr * nc - cc * nr)) AS bigint) AS d_num"),
+            expr("""cast(cast(max(abs(cr * nc - cc * nr)) AS decimal(38,0)) * 1000000
+                    div (cast(max(nr) AS decimal(38,0)) * max(nc)) AS bigint) AS d_ppm""")),
+      Some("""
+        WITH ev AS (
+          SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+                 CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref
+          FROM events),
+        pts AS (
+          SELECT event_type, v,
+                 sum(is_ref)::BIGINT AS r, sum(1 - is_ref)::BIGINT AS c
+          FROM ev GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type,
+                 sum(r) OVER (PARTITION BY event_type ORDER BY v)::BIGINT AS cr,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY v)::BIGINT AS cc,
+                 sum(r) OVER (PARTITION BY event_type)::BIGINT AS nr,
+                 sum(c) OVER (PARTITION BY event_type)::BIGINT AS nc
+          FROM pts)
+        SELECT event_type, max(nr) AS n_ref, max(nc) AS n_cur,
+               max(abs(cr * nc - cc * nr))::BIGINT AS d_num,
+               CAST((max(abs(cr * nc - cc * nr))::HUGEINT * 1000000)
+                    // (max(nr)::HUGEINT * max(nc)) AS BIGINT) AS d_ppm
+        FROM cum GROUP BY event_type""")),
+
     // ------------------------- k-anonymity audit (privacy readiness)
     // Before a table ships as training data, the release gate every
     // privacy review runs: bucket each record by its quasi-identifier

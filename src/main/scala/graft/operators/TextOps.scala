@@ -1145,7 +1145,59 @@ object TextOps {
                (sum(p.grams) OVER (ORDER BY p.decile))::BIGINT AS cum_grams,
                coalesce(f.new_grams, 0)::BIGINT AS new_grams,
                (sum(coalesce(f.new_grams, 0)) OVER (ORDER BY p.decile))::BIGINT AS cum_vocab
-        FROM per_decile p LEFT JOIN first_seen f ON f.first_decile = p.decile"""))
+        FROM per_decile p LEFT JOIN first_seen f ON f.first_decile = p.decile""")),
+
+    // ------------------------- code-vs-prose routing (corpus triage)
+    // Mixed crawls route code and prose to different tokenizers,
+    // dedup policies, and mixture weights (the StarCoder/Stack split),
+    // so the first triage every corpus runs is a cheap structural
+    // classifier: code betrays itself through symbol density
+    // ({}();=<>#) and indented lines, prose through their absence.
+    // The fixture plants a deterministic code block on every 5th doc
+    // (the dd_record_linkage fixture discipline: synthesize the
+    // pathology, then detect it); counting is all NON-regex — symbol
+    // census via translate() deletion-length, indent census via
+    // replace() on the \n+4-spaces token — so cross-engine regex
+    // dialect drift cannot touch the numbers. The flag anchors on
+    // indented-line count (length-invariant), not the ratio a long
+    // prose tail dilutes. Scale shape: every column is row-local in
+    // the scan — zero shuffles, full codegen; at 100 TB this runs at
+    // I/O speed in the same pass as any other per-doc metric.
+    QueryDef(
+      "ta_code_detect",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            """CASE WHEN doc_id % 5 = 0 THEN
+                 concat('def fn_', cast(doc_id AS string), '(x) {', chr(10),
+                        '    y = (x + 1);', chr(10),
+                        '    return y;', chr(10), '}', chr(10), text)
+               ELSE text END AS t""")
+          .selectExpr("doc_id", "cast(length(t) AS bigint) AS n_chars",
+            "cast(length(t) - length(translate(t, '{}();=<>#', '')) AS bigint) AS n_sym",
+            """cast((length(t) - length(replace(t, concat(chr(10), '    '), chr(10)))) div 4
+               AS bigint) AS n_indent""")
+          .selectExpr("doc_id", "n_chars", "n_sym", "n_indent",
+            "n_sym * 1000000L div n_chars AS sym_ppm",
+            "CASE WHEN n_indent >= 2 THEN 1L ELSE 0L END AS is_code"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN
+                   'def fn_' || doc_id::VARCHAR || '(x) {' || chr(10)
+                   || '    y = (x + 1);' || chr(10)
+                   || '    return y;' || chr(10) || '}' || chr(10) || text
+                 ELSE text END AS t
+          FROM documents),
+        m AS (
+          SELECT doc_id, length(t)::BIGINT AS n_chars,
+                 (length(t) - length(translate(t, '{}();=<>#', '')))::BIGINT AS n_sym,
+                 ((length(t) - length(replace(t, chr(10) || '    ', chr(10)))) // 4)::BIGINT AS n_indent
+          FROM t)
+        SELECT doc_id, n_chars, n_sym, n_indent,
+               (n_sym * 1000000 // n_chars)::BIGINT AS sym_ppm,
+               (CASE WHEN n_indent >= 2 THEN 1 ELSE 0 END)::BIGINT AS is_code
+        FROM m"""))
   )
 
   /** Synthetic per-doc URL (the fixture half of ta_urls): every doc

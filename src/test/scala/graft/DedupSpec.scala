@@ -126,4 +126,27 @@ class DedupSpec extends SparkSpec {
     // reassembled text never grows
     rows.foreach { case (_, np, nk, _) => assert(nk <= np) }
   }
+
+  test("dd_url_dedup: decorations are fully canonicalized away, pairs collapse, keeper is the first fetch") {
+    val rows = Registry.byName("dd_url_dedup").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, url, canon, _) =>
+      // nothing decorative survives the 8-step chain
+      assert(!canon.contains("http") && !canon.contains("www."), s"$id: $canon")
+      assert(!canon.contains(":443") && !canon.contains("#"), s"$id: $canon")
+      assert(!canon.contains("utm_") && !canon.contains("fbclid"), s"$id: $canon")
+      assert(!canon.contains("//") && !canon.endsWith("/") && !canon.endsWith("?"), s"$id: $canon")
+      assert(canon.contains("id=7"), s"$id: real query param must survive: $canon")
+      assert(url.toLowerCase.contains(canon.takeWhile(_ != '/')), s"$id: host mangled: $canon")
+    }
+    // the fixture fetches every logical page twice: clusters are exact pairs
+    val byCanon = rows.groupBy(_._3)
+    byCanon.foreach { case (c, fetches) =>
+      assert(fetches.length == 2, s"$c: expected a refetch pair, got ${fetches.length}")
+      val keepers = fetches.filter(_._4 == 1L)
+      assert(keepers.map(_._1).toSeq == fetches.map(_._1).sorted.take(1).toSeq,
+        s"$c: keeper must be the earliest fetch")
+    }
+  }
 }

@@ -45,4 +45,32 @@ class QualitySpec extends SparkSpec {
         s"only-expected=${(expected.keySet -- got.keySet).take(3)}")
     expected.foreach { case (id, z) => assert((got(id) - z).abs <= BigDecimal("0.000001")) }
   }
+
+  test("dq_ks_drift equals a brute-force sequential KS recompute") {
+    val rows = Registry.byName("dq_ks_drift").run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "cast(value AS decimal(18,6)) AS v",
+        "CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref")
+      .collect()
+      .map(r => (r.getString(0), r.getDecimal(1), r.getInt(2)))
+    ev.groupBy(_._1).foreach { case (et, xs) =>
+      val ref = xs.filter(_._3 == 1).map(_._2).sorted(Ordering.by((d: java.math.BigDecimal) => BigDecimal(d)))
+      val cur = xs.filter(_._3 == 0).map(_._2).sorted(Ordering.by((d: java.math.BigDecimal) => BigDecimal(d)))
+      val (nr, nc) = (ref.length.toLong, cur.length.toLong)
+      // sequential two-pointer sup over the merged distinct points
+      val points = (ref ++ cur).distinct.sorted(Ordering.by((d: java.math.BigDecimal) => BigDecimal(d)))
+      var best = 0L
+      points.foreach { x =>
+        val cr = ref.count(_.compareTo(x) <= 0).toLong
+        val cc = cur.count(_.compareTo(x) <= 0).toLong
+        best = math.max(best, math.abs(cr * nc - cc * nr))
+      }
+      val (gnr, gnc, dnum, dppm) = rows(et)
+      assert(gnr == nr && gnc == nc, s"$et: counts")
+      assert(dnum == best, s"$et: D numerator $dnum != brute $best")
+      assert(dppm == best * 1000000L / (nr * nc), s"$et: ppm")
+    }
+  }
 }

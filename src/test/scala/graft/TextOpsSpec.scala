@@ -159,4 +159,20 @@ class TextOpsSpec extends SparkSpec {
     assert(!got(8L)._5, "doc 8: 100% bullet lines is not")
     assert(!got(9L)._6, "doc 9: a third of lines end in ellipsis")
   }
+
+  test("ta_code_detect: planted code blocks flag, prose never does") {
+    val rows = Registry.byName("ta_code_detect").run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nChars, nSym, nIndent, symPpm, isCode) =>
+      if (id % 5 == 0) {
+        // the planted block contributes exactly 2 indented lines and >= 8 symbols
+        assert(nIndent == 2L && isCode == 1L, s"doc $id: planted block not detected")
+        assert(nSym >= 8L, s"doc $id: symbol census missed the block ($nSym)")
+      } else {
+        assert(nIndent == 0L && isCode == 0L, s"doc $id: prose misrouted as code")
+      }
+      assert(symPpm == nSym * 1000000L / nChars, s"doc $id: ratio")
+    }
+  }
 }
