@@ -240,10 +240,13 @@ object Lake {
   /** Write `df` under a token-suffixed directory no other writer can
     * pick, returning the directory name the marker will publish.
     */
-  private def writeData(df: DataFrame, root: String, label: String, n: Int): String = {
+  private def writeData(df: DataFrame, root: String, label: String, n: Int,
+      partitionBy: Seq[String] = Nil): String = {
     val tok = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"$label=$n-$tok"
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dirName")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+      .parquet(s"$root/$dirName")
     dirName
   }
 
@@ -279,6 +282,38 @@ object Lake {
   def commitVersion(spark: SparkSession, df: DataFrame, root: String): Int = {
     var n = versions(spark, root).lastOption.map(_ + 1).getOrElse(0)
     val dirName = writeData(df, root, "v", n)
+    var attempts = 0
+    while (!createMarker(spark, root, "_versions", n, dirName)) {
+      attempts += 1
+      require(attempts < 100, s"commit contention on $root: gave up after $attempts slots")
+      n = versions(spark, root).last + 1
+    }
+    n
+  }
+
+  /** Partition-spec evolution (the Iceberg headline feature Hive-era
+    * tables cannot do without a full rewrite): commit `df` as the next
+    * version with a HIVE-PARTITIONED data layout — `partCols` become
+    * directory keys (`col=value/`) inside this version's data dir,
+    * while every earlier version keeps whatever layout it was written
+    * with. Because each version owns its data directory outright, the
+    * spec change is purely forward-looking: time travel, vacuum, CDC
+    * and clones all keep working unmodified, and [[readVersion]]
+    * restores the partition columns through Spark's partition
+    * discovery (values round-trip through the path escaping layer —
+    * spaces and specials included; they come back as STRING columns,
+    * the discovery contract). Readers filtering on a partition column
+    * prune whole directories before any file I/O (PartitionFilters,
+    * not row-group stats) — the scan never even lists the pruned
+    * files, which at 100 TB is the difference between a metadata
+    * operation and a cluster-wide list+skip. Same OCC marker protocol
+    * as [[commitVersion]].
+    */
+  def commitVersionPartitioned(spark: SparkSession, df: DataFrame, root: String,
+      partCols: Seq[String]): Int = {
+    require(partCols.nonEmpty, "partition evolution needs at least one partition column")
+    var n = versions(spark, root).lastOption.map(_ + 1).getOrElse(0)
+    val dirName = writeData(df, root, "v", n, partCols)
     var attempts = 0
     while (!createMarker(spark, root, "_versions", n, dirName)) {
       attempts += 1
@@ -1374,7 +1409,56 @@ object Lake {
       },
       Some("""
         SELECT l_orderkey, l_partkey, l_suppkey, l_quantity::BIGINT AS qty
-        FROM lineitem WHERE l_partkey = 1"""))
+        FROM lineitem WHERE l_partkey = 1""")),
+
+    // ------------------- partition-spec evolution (layout migration)
+    // A table's query pattern changes mid-life — the fix is a NEW
+    // partition spec for data written from now on, not a full-history
+    // rewrite. v0 commits a subset of orders unpartitioned (the
+    // original spec); v1 commits the grown table hive-partitioned by
+    // o_orderpriority (the evolved spec). Both versions are then read
+    // BACK through the store and reduced per priority: the v1 rows
+    // hash-check the partition round-trip itself (every group key is
+    // a value that survived path encode/decode — including
+    // '4-NOT SPECIFIED' with its space), and the v0 rows pin that
+    // evolution never rewrites or re-reads history through the new
+    // spec. LakeSpec pins the physical side: directory-level
+    // PartitionFilters pruning on v1, flat files on v0.
+    QueryDef(
+      "s26_partition_evolution",
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/orders"
+        val ord = Tables.orders(spark, dir).selectExpr(
+          "o_orderkey", "o_custkey",
+          "cast(round(o_totalprice * 1000000, 0) AS bigint) AS price_micros",
+          "o_orderpriority")
+        commitVersion(spark, ord.where("o_orderkey % 3 != 0"), root)
+        commitVersionPartitioned(spark, ord, root, Seq("o_orderpriority"))
+        Seq(0, 1).map { v =>
+          readVersion(spark, root, Some(v))
+            .groupBy("o_orderpriority")
+            .agg(
+              expr("cast(count(*) AS bigint) AS n_orders"),
+              expr("cast(sum(price_micros) AS bigint) AS price_total"),
+              expr("cast(sum(o_orderkey) AS bigint) AS key_sum"))
+            .selectExpr(s"${v}L AS version", "o_orderpriority",
+              "n_orders", "price_total", "key_sum")
+        }.reduce(_ unionByName _)
+      },
+      Some("""
+        WITH ord AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 1000000, 0) AS BIGINT) AS price_micros,
+                 o_orderpriority
+          FROM orders)
+        SELECT 0::BIGINT AS version, o_orderpriority,
+               count(*)::BIGINT AS n_orders, sum(price_micros)::BIGINT AS price_total,
+               sum(o_orderkey)::BIGINT AS key_sum
+        FROM ord WHERE o_orderkey % 3 != 0 GROUP BY 2
+        UNION ALL
+        SELECT 1::BIGINT, o_orderpriority,
+               count(*)::BIGINT, sum(price_micros)::BIGINT, sum(o_orderkey)::BIGINT
+        FROM ord GROUP BY 2"""))
   )
 
   /** CDC-style diff of two committed snapshots: every key classified

@@ -569,4 +569,51 @@ class LakeSpec extends SparkSpec {
     assert(Lake.versions(spark, root) == Seq(0, 1))
     assert(Lake.readVersion(spark, root).count() == 1)
   }
+
+  test("partition evolution: v1 prunes directories on the partition filter, v0 stays flat") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = freshRoot()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001").selectExpr(
+      "o_orderkey", "o_custkey",
+      "cast(round(o_totalprice * 1000000, 0) AS bigint) AS price_micros",
+      "o_orderpriority")
+    Lake.commitVersion(spark, ord, root)
+    Lake.commitVersionPartitioned(spark, ord, root, Seq("o_orderpriority"))
+    assert(Lake.versions(spark, root) == Seq(0, 1))
+
+    // the evolved layout is hive directories, space-bearing value included;
+    // the original layout has none
+    def dataDir(v: Int) = {
+      val marker = new java.io.File(s"$root/_versions/$v")
+      new java.io.File(root, new String(
+        java.nio.file.Files.readAllBytes(marker.toPath)).trim)
+    }
+    val v1Dirs = dataDir(1).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(v1Dirs.exists(_.startsWith("o_orderpriority=")), s"no hive dirs: $v1Dirs")
+    assert(v1Dirs.size == 5, s"expected 5 priority directories: $v1Dirs")
+    assert(!dataDir(0).listFiles().exists(d =>
+      d.isDirectory && d.getName.startsWith("o_orderpriority=")), "v0 layout rewritten")
+
+    // the space in '4-NOT SPECIFIED' survives the path encode/decode
+    val got = Lake.readVersion(spark, root, Some(1))
+      .select("o_orderpriority").distinct().collect().map(_.getString(0)).toSet
+    val want = ord.select("o_orderpriority").distinct().collect().map(_.getString(0)).toSet
+    assert(got == want, s"partition values mangled: $got vs $want")
+
+    def scan(v: Int, pred: String): FileSourceScanExec = {
+      val df = Lake.readVersion(spark, root, Some(v)).where(pred)
+      df.collect()
+      df.queryExecution.executedPlan.collectFirst { case s: FileSourceScanExec => s }.get
+    }
+    // v1: the filter is a PartitionFilter — whole directories pruned
+    // before any file I/O; only the urgent rows are ever scanned
+    val s1 = scan(1, "o_orderpriority = '1-URGENT'")
+    assert(s1.partitionFilters.nonEmpty, "filter did not reach the partition layer")
+    val urgent = ord.where("o_orderpriority = '1-URGENT'").count()
+    assert(s1.metrics("numOutputRows").value == urgent,
+      s"scanned ${s1.metrics("numOutputRows").value}, urgent partition holds $urgent")
+    // v0: same predicate is only a data filter on the flat layout
+    val s0 = scan(0, "o_orderpriority = '1-URGENT'")
+    assert(s0.partitionFilters.isEmpty, "flat v0 cannot have partition filters")
+  }
 }
