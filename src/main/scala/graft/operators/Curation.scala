@@ -1530,7 +1530,157 @@ object Curation {
                coalesce(level, tok)::BIGINT AS level,
                least(tok, coalesce(level, tok))::BIGINT AS alloc_tok,
                (tok > coalesce(level, tok)) AS capped
-        FROM lvl"""))
+        FROM lvl""")),
+
+    // ---------------- WordPiece encode (greedy longest-match-first)
+    // The BERT-family tokenizer next to tp_bpe_apply's merge-based
+    // one: a piece VOCABULARY (not a merge list) and, per word, the
+    // longest vocab piece at each position — word-initial pieces and
+    // continuation pieces are distinct entries (the ## distinction,
+    // carried as an is_head flag). The vocabulary derives from the
+    // corpus deterministically: every single character (both flags —
+    // the UNK-free floor real tokenizers guarantee with byte
+    // fallback) plus the top-300 2..4-char pieces by occurrence count
+    // (ties: piece ASC, head-first — a total order, so both engines
+    // rank identically). Encoding touches DISTINCT words only; per-doc
+    // counts come back through the (doc, word) multiplicity join —
+    // the factoring that makes tokenization corpus-size-independent
+    // past one scan. The Scala matcher steps by CODEPOINTS
+    // (String.codePoints), because the vocab census uses SQL
+    // substring() codepoint semantics on both engines and a Java
+    // UTF-16 substring would split surrogate pairs differently.
+    // Scale shape: census = two explodes + one partial-agg reduction
+    // (the n-gram counting shape); vocab = bounded TakeOrdered +
+    // driver collect (300 + alphabet rows — the Knn probe-id
+    // precedent); encode = mapPartitions over distinct words with the
+    // broadcast vocab; one word-keyed join carries counts back. The
+    // oracle re-derives the vocabulary AND replays the greedy walk as
+    // a recursive CTE with four vocab left-joins (longest coalesce
+    // wins) — an independent implementation of both halves.
+    QueryDef(
+      "tp_wordpiece",
+      (spark, dir) => {
+        import spark.implicits._
+        val dw = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "explode(split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ')) AS w")
+          .where("w != ''")
+          .groupBy("doc_id", "w")
+          .agg(expr("cast(count(*) AS bigint) AS wc"))
+        val gw = dw.groupBy("w").agg(expr("cast(sum(wc) AS bigint) AS wc"))
+          .localCheckpoint(true) // census + encode both read it; one distinct pass
+        val ranked = gw
+          .selectExpr("w", "wc", "explode(sequence(2, 4)) AS l")
+          .where("length(w) >= l")
+          .selectExpr("wc", "explode(sequence(1, length(w) - l + 1)) AS s", "w", "l")
+          .selectExpr("substring(w, s, l) AS piece", "s = 1 AS is_head", "wc")
+          .groupBy("piece", "is_head")
+          .agg(expr("cast(sum(wc) AS bigint) AS cnt"))
+          .orderBy(col("cnt").desc, col("piece").asc, col("is_head").desc)
+          .limit(300)
+          .select("piece", "is_head")
+          .collect()
+        val chars = gw
+          .selectExpr("explode(sequence(1, length(w))) AS i", "w")
+          .selectExpr("substring(w, i, 1) AS piece").distinct()
+          .collect().map(_.getString(0))
+        val head = new java.util.HashSet[String]()
+        val cont = new java.util.HashSet[String]()
+        ranked.foreach(r => (if (r.getBoolean(1)) head else cont).add(r.getString(0)))
+        chars.foreach { c => head.add(c); cont.add(c) }
+        val bc = spark.sparkContext.broadcast((head, cont))
+        val enc = gw.select("w").as[String].mapPartitions { it =>
+          val (h, c) = bc.value
+          it.map { w =>
+            val cps = w.codePoints().toArray
+            var pos = 0; var np = 0L
+            val byLen = Array.fill(5)(0L)
+            while (pos < cps.length) {
+              val vocab = if (pos == 0) h else c
+              var l = math.min(4, cps.length - pos)
+              while (l >= 2 && !vocab.contains(new String(cps, pos, l))) l -= 1
+              if (l < 2) l = 1 // single chars are always in vocab
+              np += 1L; byLen(l) += 1L; pos += l
+            }
+            (w, np, byLen(1), byLen(2), byLen(3), byLen(4))
+          }
+        }.toDF("w", "np", "c1", "c2", "c3", "c4")
+        dw.join(enc, "w")
+          .groupBy("doc_id")
+          .agg(
+            expr("cast(sum(wc) AS bigint) AS n_words"),
+            expr("cast(sum(wc * np) AS bigint) AS n_pieces"),
+            expr("cast(sum(wc * c1) AS bigint) AS p1"),
+            expr("cast(sum(wc * c2) AS bigint) AS p2"),
+            expr("cast(sum(wc * c3) AS bigint) AS p3"),
+            expr("cast(sum(wc * c4) AS bigint) AS p4"))
+      },
+      Some("""
+        WITH RECURSIVE dw AS MATERIALIZED (
+          SELECT doc_id, w, count(*)::BIGINT AS wc
+          FROM (SELECT doc_id,
+                       unnest(string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ')) AS w
+                FROM documents)
+          WHERE w != '' GROUP BY doc_id, w),
+        gw AS MATERIALIZED (SELECT w, sum(wc)::BIGINT AS wc FROM dw GROUP BY w),
+        subs AS (
+          SELECT piece, is_head, sum(wc)::BIGINT AS cnt
+          FROM (
+            SELECT substr(w, sl['s'], sl['l']) AS piece, sl['s'] = 1 AS is_head, wc
+            FROM (SELECT w, wc,
+                         unnest(flatten(list_transform(generate_series(2, 4), l ->
+                           list_transform(generate_series(1, greatest(length(w) - l + 1, 0)),
+                             s -> {'s': s, 'l': l})))) AS sl
+                  FROM gw))
+          GROUP BY piece, is_head),
+        ranked AS (
+          SELECT piece, is_head FROM (
+            SELECT piece, is_head,
+                   row_number() OVER (ORDER BY cnt DESC, piece ASC, is_head DESC) AS rk
+            FROM subs)
+          WHERE rk <= 300),
+        chars AS (
+          SELECT DISTINCT c AS piece, h.is_head
+          FROM (SELECT unnest(list_transform(generate_series(1, length(w)), i -> w[i])) AS c
+                FROM gw),
+               (VALUES (true), (false)) AS h(is_head)),
+        vocab AS MATERIALIZED (
+          SELECT DISTINCT piece, is_head
+          FROM (SELECT * FROM ranked UNION ALL SELECT * FROM chars)),
+        enc AS (
+          SELECT w, 1 AS pos, 0::BIGINT AS np,
+                 0::BIGINT AS p1, 0::BIGINT AS p2, 0::BIGINT AS p3, 0::BIGINT AS p4
+          FROM gw
+          UNION ALL
+          SELECT r.w, r.pos + length(coalesce(v4.piece, v3.piece, v2.piece, v1.piece)),
+                 r.np + 1,
+                 r.p1 + (length(coalesce(v4.piece, v3.piece, v2.piece, v1.piece)) = 1)::BIGINT,
+                 r.p2 + (length(coalesce(v4.piece, v3.piece, v2.piece, v1.piece)) = 2)::BIGINT,
+                 r.p3 + (length(coalesce(v4.piece, v3.piece, v2.piece, v1.piece)) = 3)::BIGINT,
+                 r.p4 + (length(coalesce(v4.piece, v3.piece, v2.piece, v1.piece)) = 4)::BIGINT
+          FROM enc r
+          LEFT JOIN vocab v4 ON v4.piece = substr(r.w, r.pos, 4)
+                             AND v4.is_head = (r.pos = 1)
+                             AND length(substr(r.w, r.pos, 4)) = 4
+          LEFT JOIN vocab v3 ON v3.piece = substr(r.w, r.pos, 3)
+                             AND v3.is_head = (r.pos = 1)
+                             AND length(substr(r.w, r.pos, 3)) = 3
+          LEFT JOIN vocab v2 ON v2.piece = substr(r.w, r.pos, 2)
+                             AND v2.is_head = (r.pos = 1)
+                             AND length(substr(r.w, r.pos, 2)) = 2
+          LEFT JOIN vocab v1 ON v1.piece = substr(r.w, r.pos, 1)
+                             AND v1.is_head = (r.pos = 1)
+          WHERE r.pos <= length(r.w)),
+        done AS (SELECT w, np, p1, p2, p3, p4 FROM enc WHERE pos = length(w) + 1)
+        SELECT d.doc_id,
+               sum(d.wc)::BIGINT AS n_words,
+               sum(d.wc * e.np)::BIGINT AS n_pieces,
+               sum(d.wc * e.p1)::BIGINT AS p1,
+               sum(d.wc * e.p2)::BIGINT AS p2,
+               sum(d.wc * e.p3)::BIGINT AS p3,
+               sum(d.wc * e.p4)::BIGINT AS p4
+        FROM dw d JOIN done e ON d.w = e.w
+        GROUP BY d.doc_id"""))
   )
 
 

@@ -371,4 +371,32 @@ class CurationSpec extends SparkSpec {
     assert(got == want,
       s"DSIR diverged: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
   }
+
+  test("tp_wordpiece: pieces tile every word exactly — char-weighted counts conserve") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Registry.byName("tp_wordpiece").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val want = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "explode(split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ')) AS w")
+      .where("w != ''")
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS nw"),
+        org.apache.spark.sql.functions.expr("cast(sum(length(w)) AS bigint) AS chars"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (doc, (nWords, nPieces, p1, p2, p3, p4)) =>
+      val (nw, chars) = want(doc)
+      assert(nWords == nw, s"doc $doc: word count")
+      assert(nPieces == p1 + p2 + p3 + p4, s"doc $doc: piece histogram sums to the total")
+      // every codepoint of every word is covered by exactly one piece
+      assert(p1 + 2 * p2 + 3 * p3 + 4 * p4 == chars, s"doc $doc: tiling broken")
+      // greedy can never do worse than one piece per char or better than 4 chars/piece
+      assert(nPieces >= (chars + 3) / 4 && nPieces <= chars, s"doc $doc: bounds")
+    }
+  }
 }
