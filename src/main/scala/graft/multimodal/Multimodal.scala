@@ -534,7 +534,63 @@ object Multimodal {
                      round(${graft.operators.Knn.dCos("t_emb", "i_emb")}, 6) AS sim6,
                      (t_label = i_label) AS label_match
               FROM t JOIN i ON t.pair_id = i.pair_id)
-        SELECT pair_id, sim6, label_match, (sim6 >= 0.1) AS kept FROM p"""))
+        SELECT pair_id, sim6, label_match, (sim6 >= 0.1) AS kept FROM p""")),
+
+    // ---------------- perceptual fingerprint, frequency domain (pHash)
+    // mm_ahash thresholds raw block energies, so uniform brightness or
+    // contrast shifts flip bits; pHash thresholds DCT COEFFICIENTS
+    // against their own median, which survives those global transforms
+    // — the standard second fingerprint an image-dedup stack runs when
+    // aHash buckets look too coarse. Construction over the 16-wide
+    // byte image: the 8×8 pixel grid (every other column of the first
+    // 8 rows, |b−128| via the codegen'd byte_energy kernel), then an
+    // EXACT INTEGER 2-D DCT-II — the cosine basis is embedded as one
+    // table of millionths (the same 64 literals in both engines, so
+    // cross-engine equality is by construction; max |term| =
+    // 255·10¹²·64 ≈ 1.6e16, well inside int64), bit k set when
+    // coefficient k exceeds the MEDIAN of the 63 AC coefficients
+    // (rank-32 of a sorted 63-list — exact, no float mean; DC is
+    // excluded per the standard construction, bit 0 stays unused).
+    // Emitted as two halves like mm_ahash (sign-bit discipline).
+    // Scale shape: entirely row-local — pixels, 63 coefficients,
+    // median and bits are higher-order-function folds inside the
+    // scan's codegen span; zero shuffles, output one row per doc.
+    QueryDef(
+      "mm_phash",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        phash(Tables.documents(spark, dir)
+          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+            "cast(octet_length(text) AS int) AS n_bytes")
+          .where("n_bytes >= 128"))
+      },
+      Some(s"""
+        WITH img AS (
+          SELECT doc_id, hex(encode(text)) AS ph
+          FROM documents WHERE octet_length(encode(text)) >= 128),
+        pix AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, 63),
+                   i -> abs(('0x' || substr(ph, ((i // 8) * 16 + (i % 8) * 2) * 2 + 1, 2))::INT - 128)::BIGINT) AS p
+          FROM img),
+        dct AS (
+          SELECT doc_id, p,
+                 list_transform(generate_series(1, 63), k ->
+                   list_sum(list_transform(generate_series(0, 63), i ->
+                     p[i + 1] * ($DctCSql)[(k // 8) * 8 + (i // 8) + 1]
+                              * ($DctCSql)[(k % 8) * 8 + (i % 8) + 1]))::BIGINT) AS f
+          FROM pix),
+        med AS (
+          SELECT doc_id, p, f, list_sort(f)[32] AS m FROM dct)
+        SELECT doc_id,
+               list_sum(p)::BIGINT AS pix_total, m AS median_coef,
+               list_sum(list_transform(generate_series(1, 31),
+                 k -> CASE WHEN f[k] > m THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS phash_lo,
+               list_sum(list_transform(generate_series(32, 63),
+                 k -> CASE WHEN f[k] > m THEN (1::BIGINT << (k - 32)) ELSE 0 END))::BIGINT AS phash_hi,
+               list_sum(list_transform(generate_series(1, 63),
+                 k -> CASE WHEN f[k] > m THEN 1 ELSE 0 END))::BIGINT AS n_ones
+        FROM med"""))
   )
 
   /** The mm_ahash code table (doc_id, ahash_lo, ahash_hi) — the shared
@@ -560,6 +616,52 @@ object Multimodal {
                      0L, (acc, x) -> acc + shiftleft(1L, x.k - 32)) AS ahash_hi""")
 
   /** mm_scenecut: per-mille mean-energy jump that counts as a cut. */
+  /** 8×8 DCT-II cosine basis in integer MILLIONTHS, row-major
+    * C[u*8+x] = round(10⁶·cos((2x+1)uπ/16)). One table embedded in
+    * BOTH engines' mm_phash expressions, so the transforms are equal
+    * by construction — no per-engine trig, no float drift.
+    */
+  private val DctFlat: Seq[Long] = Seq(
+    1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L,
+    980785L, 831470L, 555570L, 195090L, -195090L, -555570L, -831470L, -980785L,
+    923880L, 382683L, -382683L, -923880L, -923880L, -382683L, 382683L, 923880L,
+    831470L, -195090L, -980785L, -555570L, 555570L, 980785L, 195090L, -831470L,
+    707107L, -707107L, -707107L, 707107L, 707107L, -707107L, -707107L, 707107L,
+    555570L, -980785L, 195090L, 831470L, -831470L, -195090L, 980785L, -555570L,
+    382683L, -923880L, 923880L, -382683L, -382683L, 923880L, -923880L, 382683L,
+    195090L, -555570L, 831470L, -980785L, 980785L, -831470L, 555570L, -195090L)
+  private val DctC = DctFlat.map(v => s"${v}L").mkString("array(", ", ", ")")
+  private val DctCSql = DctFlat.mkString("[", ", ", "]::BIGINT[]")
+
+  /** pHash over (doc_id, payload≥128 bytes): 8×8 pixel grid from the
+    * 16-wide byte image, exact integer 2-D DCT-II against [[DctFlat]],
+    * bit k set when AC coefficient k beats the rank-32 median of all
+    * 63. Every integer-millionths basis row u ≥ 1 sums to EXACTLY
+    * zero (the rounded table keeps the cosine antisymmetry), so a
+    * uniform pixel shift provably cannot move any AC coefficient —
+    * the brightness invariance MultimodalSpec pins. Row-local
+    * end-to-end: all folds run inside the scan's codegen span.
+    */
+  private[graft] def phash(df: DataFrame): DataFrame =
+    df
+      .selectExpr("doc_id",
+        "transform(sequence(0, 63), i -> byte_energy(payload, (i div 8) * 16 + (i % 8) * 2, 1)) AS p")
+      .selectExpr("doc_id", "p",
+        s"""transform(sequence(1, 63), k ->
+              aggregate(sequence(0, 63), 0L, (acc, i) ->
+                acc + element_at(p, i + 1)
+                    * element_at($DctC, cast((k div 8) * 8 + (i div 8) + 1 AS int))
+                    * element_at($DctC, cast((k % 8) * 8 + (i % 8) + 1 AS int)))) AS f""")
+      .selectExpr("doc_id", "p", "f", "element_at(array_sort(f), 32) AS m")
+      .selectExpr("doc_id",
+        "aggregate(p, 0L, (acc, x) -> acc + x) AS pix_total",
+        "m AS median_coef",
+        """aggregate(sequence(1, 31), 0L, (acc, k) ->
+             acc + CASE WHEN element_at(f, k) > m THEN shiftleft(1L, k) ELSE 0L END) AS phash_lo""",
+        """aggregate(sequence(32, 63), 0L, (acc, k) ->
+             acc + CASE WHEN element_at(f, k) > m THEN shiftleft(1L, k - 32) ELSE 0L END) AS phash_hi""",
+        "cast(size(filter(f, x -> x > m)) AS bigint) AS n_ones")
+
   private val CutThreshold = 2500L
 
   /** mm_ahash_neardup: band-bucket size above which candidates refine

@@ -136,4 +136,32 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == brute)
     assert(banded.nonEmpty, "fixture must contain near-dup payloads")
   }
+
+  test("phash: invariant to uniform brightness shift, sensitive to structure") {
+    import spark.implicits._
+    graft.plans.VectorExprs.register(spark)
+    // bytes in [128, 228]: pixel = b - 128, so +5 on every byte is a
+    // uniform +5 pixel shift (no abs() folding)
+    val base = Array.tabulate(128)(i => (128 + (i * 7) % 100).toByte)
+    val bright = base.map(b => (b + 5).toByte)
+    // structured edit: swap two pixels the 8x8 grid actually samples
+    val swapped = base.clone()
+    val (a, b) = (0 * 16 + 0 * 2, 3 * 16 + 4 * 2)
+    swapped(a) = base(b); swapped(b) = base(a)
+    val df = Seq((0L, base), (1L, bright), (2L, swapped))
+      .toDF("doc_id", "payload")
+    val got = multimodal.Multimodal.phash(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val (pixB, loB, hiB, onesB) = got(0L)
+    val (pixL, loL, hiL, onesL) = got(1L)
+    // uniform shift: every AC basis row sums to exactly zero in the
+    // integer table, so all 63 coefficients — and the code — are unchanged
+    assert(pixL == pixB + 64L * 5L, "sampled pixels must shift by exactly +5 each")
+    assert((loL, hiL, onesL) == (loB, hiB, onesB),
+      s"brightness shift flipped bits: ($loB,$hiB) -> ($loL,$hiL)")
+    // structure moved: the code must move too
+    val (_, loS, hiS, _) = got(2L)
+    assert((loS, hiS) != (loB, hiB), "pixel swap left the fingerprint unchanged")
+  }
 }
