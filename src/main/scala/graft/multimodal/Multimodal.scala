@@ -616,22 +616,13 @@ object Multimodal {
                      0L, (acc, x) -> acc + shiftleft(1L, x.k - 32)) AS ahash_hi""")
 
   /** mm_scenecut: per-mille mean-energy jump that counts as a cut. */
-  /** 8×8 DCT-II cosine basis in integer MILLIONTHS, row-major
-    * C[u*8+x] = round(10⁶·cos((2x+1)uπ/16)). One table embedded in
-    * BOTH engines' mm_phash expressions, so the transforms are equal
-    * by construction — no per-engine trig, no float drift.
+  /** The DuckDB-side rendering of the 8×8 integer-millionths DCT
+    * basis. ONE source of truth: [[graft.plans.Dct8.C]] — the same 64
+    * longs the Spark kernel multiplies with, so the two engines'
+    * transforms are equal by construction (no per-engine trig, no
+    * float drift).
     */
-  private val DctFlat: Seq[Long] = Seq(
-    1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L,
-    980785L, 831470L, 555570L, 195090L, -195090L, -555570L, -831470L, -980785L,
-    923880L, 382683L, -382683L, -923880L, -923880L, -382683L, 382683L, 923880L,
-    831470L, -195090L, -980785L, -555570L, 555570L, 980785L, 195090L, -831470L,
-    707107L, -707107L, -707107L, 707107L, 707107L, -707107L, -707107L, 707107L,
-    555570L, -980785L, 195090L, 831470L, -831470L, -195090L, 980785L, -555570L,
-    382683L, -923880L, 923880L, -382683L, -382683L, 923880L, -923880L, 382683L,
-    195090L, -555570L, 831470L, -980785L, 980785L, -831470L, 555570L, -195090L)
-  private val DctC = DctFlat.map(v => s"${v}L").mkString("array(", ", ", ")")
-  private val DctCSql = DctFlat.mkString("[", ", ", "]::BIGINT[]")
+  private val DctCSql = graft.plans.Dct8.C.mkString("[", ", ", "]::BIGINT[]")
 
   /** pHash over (doc_id, payload≥128 bytes): 8×8 pixel grid from the
     * 16-wide byte image, exact integer 2-D DCT-II against [[DctFlat]],
@@ -645,13 +636,14 @@ object Multimodal {
   private[graft] def phash(df: DataFrame): DataFrame =
     df
       .selectExpr("doc_id",
-        "transform(sequence(0, 63), i -> byte_energy(payload, (i div 8) * 16 + (i % 8) * 2, 1)) AS p")
-      .selectExpr("doc_id", "p",
-        s"""transform(sequence(1, 63), k ->
-              aggregate(sequence(0, 63), 0L, (acc, i) ->
-                acc + element_at(p, i + 1)
-                    * element_at($DctC, cast((k div 8) * 8 + (i div 8) + 1 AS int))
-                    * element_at($DctC, cast((k % 8) * 8 + (i % 8) + 1 AS int)))) AS f""")
+        "transform(sequence(0, 63), i -> byte_energy(payload, (i div 8) * 16 + (i % 8) * 2, 1)) AS p",
+        // the whole 63-coefficient transform is ONE native codegen'd
+        // kernel (separable integer DCT, ~1 000 fused multiply-adds).
+        // The HOF formulation is the documented anti-pattern here:
+        // CollapseProject inlines the intermediate table into every
+        // lambda reference and the interpreted cost goes quadratic —
+        // see graft.plans.Dct8's scaladoc for the measured blowup.
+        "dct8(payload) AS f")
       .selectExpr("doc_id", "p", "f", "element_at(array_sort(f), 32) AS m")
       .selectExpr("doc_id",
         "aggregate(p, 0L, (acc, x) -> acc + x) AS pix_total",

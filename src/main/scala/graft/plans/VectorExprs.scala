@@ -346,6 +346,93 @@ case class ByteEnergy(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** dct8(payload) — the 63 AC coefficients of the exact integer 2-D
+  * DCT-II over the pHash pixel grid (8×8, every other column of the
+  * first 8 rows of the 16-wide byte image, pixel = |b − 128|), as
+  * ARRAY<BIGINT>. The cosine basis is [[Dct8.C]] in integer millionths
+  * — the SAME 64 literals the DuckDB oracle embeds, so cross-engine
+  * equality is by construction. Computed SEPARABLY (row pass then
+  * column pass: ~1 000 multiply-adds instead of the direct form's
+  * 4 032) in one static Java loop; integer + and × are exact, so the
+  * reassociation is value-identical to the oracle's direct double sum.
+  * This kernel exists because the HOF formulation was quadratic in
+  * practice: CollapseProject inlined the per-row G table into the
+  * 63-coefficient lambda (504 references), re-evaluating it per
+  * reference — ~260 k interpreted multiplies per row where this loop
+  * does 1 000 fused ones. Out-of-range bytes read as 128 (pixel 0),
+  * so short payloads need no call-site guard.
+  */
+case class Dct8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "dct8"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dct8 expects binary, got ${t.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any): Any =
+    Dct8.compute(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.Dct8.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Dct8 {
+  /** Row-major C[u*8+x] = round(10⁶·cos((2x+1)uπ/16)). */
+  val C: Array[Long] = Array(
+    1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L,
+    980785L, 831470L, 555570L, 195090L, -195090L, -555570L, -831470L, -980785L,
+    923880L, 382683L, -382683L, -923880L, -923880L, -382683L, 382683L, 923880L,
+    831470L, -195090L, -980785L, -555570L, 555570L, 980785L, 195090L, -831470L,
+    707107L, -707107L, -707107L, 707107L, 707107L, -707107L, -707107L, 707107L,
+    555570L, -980785L, 195090L, 831470L, -831470L, -195090L, 980785L, -555570L,
+    382683L, -923880L, 923880L, -382683L, -382683L, 923880L, -923880L, 382683L,
+    195090L, -555570L, 831470L, -980785L, 980785L, -831470L, 555570L, -195090L)
+
+  def compute(in: Array[Byte]): ArrayData = {
+    val p = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      val off = (i / 8) * 16 + (i % 8) * 2
+      p(i) = if (off < in.length) math.abs((in(off) & 0xff) - 128).toLong else 0L
+      i += 1
+    }
+    // separable: G[x][v] = Σ_y p[x][y]·C[v][y]
+    val g = new Array[Long](64)
+    var x = 0
+    while (x < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L; var y = 0
+        while (y < 8) { s += p(x * 8 + y) * C(v * 8 + y); y += 1 }
+        g(x * 8 + v) = s
+        v += 1
+      }
+      x += 1
+    }
+    // F[u][v] = Σ_x C[u][x]·G[x][v]; k = u*8+v, DC (k=0) excluded
+    val f = new Array[Long](63)
+    var k = 1
+    while (k < 64) {
+      val u = k / 8; val v = k % 8
+      var s = 0L; var xx = 0
+      while (xx < 8) { s += C(u * 8 + xx) * g(xx * 8 + v); xx += 1 }
+      f(k - 1) = s
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(f)
+  }
+}
+
 /** Registration — both as a [[org.apache.spark.sql.SparkSessionExtensions]]
   * installer (`spark.sql.extensions=graft.plans.GraftExtensions`) and as
   * an idempotent imperative call for sessions built without the config
@@ -368,7 +455,8 @@ object VectorExprs {
     ("shingle_hashes", classOf[ShingleHashes], c => ShingleHashes(c.head, c(1))),
     ("minhash16", classOf[MinHash16], c => MinHash16(c.head)),
     ("simhash60", classOf[SimHash60], c => SimHash60(c.head)),
-    ("del_hashes", classOf[DelHashes], c => DelHashes(c.head)))
+    ("del_hashes", classOf[DelHashes], c => DelHashes(c.head)),
+    ("dct8", classOf[Dct8], c => Dct8(c.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
