@@ -478,24 +478,65 @@ object Lake {
     // so a long-running stream appending one delta per micro-batch
     // paid ever-growing analysis time until compaction. The dir names
     // are token-suffixed (unique per delta), so the parent-directory
-    // component keys the map exactly.
-    val all =
-      if (deltas.isEmpty) base
+    // component keys the map exactly. Tombstone deltas (dirName label
+    // `t=`, published by [[deleteKeysMor]] into the SAME seq space —
+    // delete/upsert ordering must be total or delete-then-reinsert
+    // would be ambiguous) arrive through their own key-only scan: the
+    // plan stays three relations wide at any delta count.
+    def multiScan(ds: Seq[(Int, String)]): Option[DataFrame] =
+      if (ds.isEmpty) None
       else {
-        val seqByDir = map(deltas.flatMap { case (s, d) =>
+        val seqByDir = map(ds.flatMap { case (s, d) =>
           Seq(lit(new Path(resolveData(root, d)).getName), lit(s))
         }: _*)
-        val dd = spark.read.parquet(deltas.map { case (_, d) => resolveData(root, d) }: _*)
+        Some(spark.read.parquet(ds.map { case (_, d) => resolveData(root, d) }: _*)
           .withColumn("_seq",
             element_at(seqByDir,
-              regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1)))
-        base.unionByName(dd)
+              regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1))))
       }
+    val (tombs, datas) = deltas.partition(_._2.startsWith("t="))
+    val withData = multiScan(datas).map(base.unionByName(_)).getOrElse(base)
+      .withColumn("_del", lit(false))
+    val all = multiScan(tombs) match {
+      case None => withData
+      // the tombstone scan carries only (key, _seq); unionByName pads
+      // the data columns with null — they never survive the filter
+      case Some(td) =>
+        withData.unionByName(td.withColumn("_del", lit(true)),
+          allowMissingColumns = true)
+    }
     all
       .withColumn("_rn", expr(
         s"row_number() OVER (PARTITION BY $key ORDER BY _seq DESC)"))
-      .where("_rn = 1")
-      .drop("_seq", "_rn")
+      .where("_rn = 1 AND NOT _del")
+      .drop("_seq", "_rn", "_del")
+  }
+
+  /** Merge-on-read DELETE (the deletion-vector/position-delete idea at
+    * key granularity): publish the doomed KEYS as a tombstone delta —
+    * an O(delete)-sized append, no base rewrite — and let
+    * [[readResolved]] drop a key whose latest-seq row is a tombstone.
+    * Tombstones share `_deltas`' seq space with data deltas, so
+    * delete-then-reinsert resolves by the same total order as
+    * everything else (a later [[appendDelta]] of the key wins over the
+    * tombstone; LakeSpec pins the round trip). [[compact]] folds
+    * tombstones away with the rest: the new base simply lacks the
+    * deleted keys, and the consumed markers retire.
+    */
+  def deleteKeysMor(spark: SparkSession, keys: DataFrame, root: String,
+      key: String): Int = {
+    require(keys.columns.toSeq == Seq(key),
+      s"tombstone batch must be exactly the key column '$key', got ${keys.columns.mkString(",")}")
+    val batch = keys.distinct()
+    var s = deltaSeqs(spark, root).lastOption.map(_._1 + 1).getOrElse(1)
+    val dirName = writeData(batch, root, "t", s)
+    var attempts = 0
+    while (!createMarker(spark, root, "_deltas", s, dirName)) {
+      attempts += 1
+      require(attempts < 100, s"tombstone contention on $root: gave up after $attempts slots")
+      s = deltaSeqs(spark, root).last._1 + 1
+    }
+    s
   }
 
   /** Fold the deltas into a fresh base version; the resolved content
@@ -1458,7 +1499,61 @@ object Lake {
         UNION ALL
         SELECT 1::BIGINT, o_orderpriority,
                count(*)::BIGINT, sum(price_micros)::BIGINT, sum(o_orderkey)::BIGINT
-        FROM ord GROUP BY 2"""))
+        FROM ord GROUP BY 2""")),
+
+    // ------------------ merge-on-read DELETE (tombstone resolution)
+    // deleteWhere rewrites the whole base (copy-on-write); the
+    // write-optimized path appends an O(delete)-sized TOMBSTONE delta
+    // and lets the reader drop keys whose latest row is a tombstone —
+    // Delta deletion-vectors / Iceberg position-deletes at key
+    // granularity. The sequence here exercises the ordering semantics
+    // end to end: base → data delta (every 10th balance bumped, seq 1)
+    // → tombstone (every 7th key, seq 2 — deletes the UPDATED state) →
+    // data delta RE-INSERTING every 14th key (seq 3 — a later insert
+    // must beat the tombstone). The emitted rows are the full resolved
+    // table: one key resolved to the wrong side of its tombstone
+    // breaks the hash. All three appends are O(change)-sized; the
+    // resolution plan stays three relations wide at any delta count
+    // (base + one data multi-scan + one tombstone multi-scan) and
+    // shuffles once on the key.
+    QueryDef(
+      "s27_mor_delete",
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/customer"
+        val cust = Tables.customer(spark, dir).selectExpr(
+          "c_custkey", "c_name", "cast(c_nationkey AS bigint) AS nation",
+          "cast(cast(c_acctbal AS decimal(18,2)) * 100 AS bigint) AS bal_cents",
+          "c_mktsegment AS segment")
+        commitVersion(spark, cust, root)
+        appendDelta(spark,
+          cust.where("c_custkey % 10 = 0")
+            .selectExpr("c_custkey", "c_name", "nation",
+              "bal_cents + 111L AS bal_cents", "'MERGED' AS segment"),
+          root, "c_custkey")
+        deleteKeysMor(spark,
+          cust.where("c_custkey % 7 = 0").select("c_custkey"), root, "c_custkey")
+        appendDelta(spark,
+          cust.where("c_custkey % 14 = 0")
+            .selectExpr("c_custkey", "concat('reborn_', cast(c_custkey AS string)) AS c_name",
+              "nation", "0L AS bal_cents", "'REBORN' AS segment"),
+          root, "c_custkey")
+        readResolved(spark, root, "c_custkey")
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey, c_name, c_nationkey::BIGINT AS nation,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+                 c_mktsegment AS segment
+          FROM customer),
+        upd AS (
+          SELECT c_custkey, c_name, nation,
+                 CASE WHEN c_custkey % 10 = 0 THEN bal_cents + 111 ELSE bal_cents END AS bal_cents,
+                 CASE WHEN c_custkey % 10 = 0 THEN 'MERGED' ELSE segment END AS segment
+          FROM base)
+        SELECT * FROM upd WHERE c_custkey % 7 != 0
+        UNION ALL
+        SELECT c_custkey, 'reborn_' || c_custkey::VARCHAR, nation, 0::BIGINT, 'REBORN'
+        FROM base WHERE c_custkey % 14 = 0"""))
   )
 
   /** CDC-style diff of two committed snapshots: every key classified

@@ -616,4 +616,30 @@ class LakeSpec extends SparkSpec {
     val s0 = scan(0, "o_orderpriority = '1-URGENT'")
     assert(s0.partitionFilters.isEmpty, "flat v0 cannot have partition filters")
   }
+
+  test("MOR delete: tombstones drop keys, a later insert revives them, compaction folds it all") {
+    val root = freshRoot()
+    Lake.commitVersion(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "name", "v"), root)
+    Lake.appendDelta(spark, Seq((2L, "b2", 22L)).toDF("k", "name", "v"), root, "k")
+    Lake.deleteKeysMor(spark, Seq(2L, 3L, 99L).toDF("k"), root, "k") // 99 never existed
+    Lake.appendDelta(spark, Seq((3L, "c-back", 33L)).toDF("k", "name", "v"), root, "k")
+    def resolved() = Lake.readResolved(spark, root, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = Seq((1L, "a", 10L), (3L, "c-back", 33L))
+    assert(resolved() == want, s"got ${resolved()}")
+    // tombstone batches must be exactly the key column
+    intercept[IllegalArgumentException] {
+      Lake.deleteKeysMor(spark, Seq((1L, "x")).toDF("k", "junk"), root, "k")
+    }
+    // compaction: identical content, markers retired, deleted keys
+    // physically absent from the new base
+    Lake.compact(spark, root, "k")
+    assert(resolved() == want, "compaction changed the resolved content")
+    assert(!new java.io.File(s"$root/_deltas").exists() ||
+      new java.io.File(s"$root/_deltas").listFiles().isEmpty,
+      "consumed tombstone markers must retire")
+    val baseKeys = Lake.readVersion(spark, root).select("k").collect().map(_.getLong(0)).sorted
+    assert(baseKeys.toSeq == Seq(1L, 3L), "tombstoned key survived into the compacted base")
+  }
 }
