@@ -1177,6 +1177,68 @@ object Events {
                (l + b + s[1])::BIGINT AS forecast_micros
         FROM r""")),
 
+    // ----------------- A/B contingency audit (exact-integer chi-square)
+    // The experiment-analysis primitive: users split into two variants
+    // (parity of user_id — the deterministic stand-in for an
+    // assignment table), success = a high-value event, and the 2×2
+    // contingency table per event_type yields Pearson's χ² =
+    // N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). Everything stays EXACT:
+    // the cross-product d = s_a(n_b−s_b) − s_b(n_a−s_a) is int64-safe
+    // to ~3M users per arm, and the χ² numerator/denominator are
+    // emitted as DECIMAL(38,0) products (d² alone reaches 1e24 at sf10
+    // — the widening is load-bearing); the scaled χ²·1000 quotient
+    // divides once at the end, zero-guarded for degenerate tables
+    // (an all-failure type divides by zero otherwise — Spark would
+    // null, DuckDB would throw; the guard keeps both at 0). Scale
+    // shape: ONE partial-aggregated pass folds the corpus to a
+    // types-bounded table; all the arithmetic happens on that.
+    QueryDef(
+      "ev_ab_chisq",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("event_type", "user_id % 2 AS variant",
+            "CASE WHEN value > 50 THEN 1L ELSE 0L END AS succ")
+          .groupBy("event_type")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS bigint) AS n_a"),
+            org.apache.spark.sql.functions.expr("cast(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS bigint) AS n_b"),
+            org.apache.spark.sql.functions.expr("cast(sum(CASE WHEN variant = 0 THEN succ ELSE 0 END) AS bigint) AS s_a"),
+            org.apache.spark.sql.functions.expr("cast(sum(CASE WHEN variant = 1 THEN succ ELSE 0 END) AS bigint) AS s_b"))
+          .selectExpr("event_type", "n_a", "n_b", "s_a", "s_b",
+            "s_a * (n_b - s_b) - s_b * (n_a - s_a) AS d")
+          .selectExpr("event_type", "n_a", "n_b", "s_a", "s_b",
+            """cast(cast(n_a + n_b AS decimal(38,0)) * cast(d AS decimal(38,0))
+                    * cast(d AS decimal(38,0)) AS decimal(38,0)) AS chi2_num""",
+            """cast(cast(s_a + s_b AS decimal(38,0)) * ((n_a - s_a) + (n_b - s_b))
+                    * n_a * n_b AS decimal(38,0)) AS chi2_den""")
+          .selectExpr("event_type", "n_a", "n_b", "s_a", "s_b",
+            "chi2_num", "chi2_den",
+            """CASE WHEN chi2_den = 0 THEN 0L
+                    ELSE cast(chi2_num * 1000 div chi2_den AS bigint) END AS chi2_milli"""),
+      Some("""
+        WITH cells AS (
+          SELECT event_type,
+                 sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                 sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                 sum(CASE WHEN user_id % 2 = 0 AND value > 50 THEN 1 ELSE 0 END)::BIGINT AS s_a,
+                 sum(CASE WHEN user_id % 2 = 1 AND value > 50 THEN 1 ELSE 0 END)::BIGINT AS s_b
+          FROM events GROUP BY event_type),
+        dd AS (
+          SELECT event_type, n_a, n_b, s_a, s_b,
+                 (s_a::HUGEINT * (n_b - s_b) - s_b::HUGEINT * (n_a - s_a)) AS d
+          FROM cells),
+        prods AS (
+          SELECT event_type, n_a, n_b, s_a, s_b,
+                 CAST((n_a + n_b)::HUGEINT * d * d AS DECIMAL(38,0)) AS chi2_num,
+                 CAST((s_a + s_b)::HUGEINT * ((n_a - s_a) + (n_b - s_b))
+                      * n_a::HUGEINT * n_b AS DECIMAL(38,0)) AS chi2_den
+          FROM dd)
+        SELECT event_type, n_a, n_b, s_a, s_b, chi2_num, chi2_den,
+               CASE WHEN chi2_den = 0 THEN 0
+                    ELSE CAST((chi2_num::HUGEINT * 1000) // chi2_den::HUGEINT AS BIGINT)
+               END::BIGINT AS chi2_milli
+        FROM prods""")),
+
     // ----------------- EWMA forecast-residual anomaly flags
     // The alerting half of ev_ewma: each event's one-step-ahead
     // forecast is the PREVIOUS smoothed value; the residual

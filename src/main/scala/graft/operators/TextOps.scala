@@ -1147,6 +1147,59 @@ object TextOps {
                (sum(coalesce(f.new_grams, 0)) OVER (ORDER BY p.decile))::BIGINT AS cum_vocab
         FROM per_decile p LEFT JOIN first_seen f ON f.first_decile = p.decile""")),
 
+    // -------------------- cross-source vocabulary overlap (mirrors)
+    // Which sources republish each other's content? The corpus-level
+    // mirror detector: per unordered source pair, the Jaccard overlap
+    // of their word VOCABULARIES (presence, not frequency — a mirror
+    // carrying 1 copy or 50 scores the same). Zero-overlap pairs don't
+    // exist in the output (the intersection join produces nothing for
+    // them — document, don't densify). Scale shape: one distinct
+    // (source, word) reduction — the per-source vocab table, orders of
+    // magnitude under the corpus — then a word-keyed self-equi-join
+    // whose fan-out per word is bounded by SOURCES², never corpus
+    // size, and a pair-keyed aggregate over that. On the driver's
+    // shared-salad fixture every pair overlaps fully (jaccard = 1e6) —
+    // the hash still pins the whole join/count machinery, and the
+    // ScaleUp corpus (per-copy decollided tokens) gives the metric
+    // real spread at sf3.
+    QueryDef(
+      "ta_source_overlap",
+      (spark, dir) => {
+        val sw = Tables.documents(spark, dir)
+          .selectExpr("source",
+            "explode(split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ')) AS w")
+          .where("w != ''")
+          .select("source", "w").distinct()
+        val sizes = sw.groupBy("source")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS vocab"))
+        sw.selectExpr("source AS src_a", "w")
+          .join(sw.selectExpr("source AS src_b", "w"), "w")
+          .where("src_a < src_b")
+          .groupBy("src_a", "src_b")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS common"))
+          .join(sizes.selectExpr("source AS src_a", "vocab AS vocab_a"), "src_a")
+          .join(sizes.selectExpr("source AS src_b", "vocab AS vocab_b"), "src_b")
+          .selectExpr("src_a", "src_b", "vocab_a", "vocab_b", "common",
+            "common * 1000000L div (vocab_a + vocab_b - common) AS jaccard_ppm")
+      },
+      Some("""
+        WITH sw AS (
+          SELECT DISTINCT source, w
+          FROM (SELECT source,
+                       unnest(string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ')) AS w
+                FROM documents)
+          WHERE w != ''),
+        sizes AS (SELECT source, count(*)::BIGINT AS vocab FROM sw GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS common
+          FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT i.src_a, i.src_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b, i.common,
+               (i.common * 1000000 // (sa.vocab + sb.vocab - i.common))::BIGINT AS jaccard_ppm
+        FROM inter i
+        JOIN sizes sa ON sa.source = i.src_a
+        JOIN sizes sb ON sb.source = i.src_b""")),
+
     // ------------------------- code-vs-prose routing (corpus triage)
     // Mixed crawls route code and prose to different tokenizers,
     // dedup policies, and mixture weights (the StarCoder/Stack split),

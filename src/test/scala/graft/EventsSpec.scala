@@ -42,4 +42,28 @@ class EventsSpec extends SparkSpec {
     // the fixture must actually exercise the wrapped ring, not just day one
     assert(checkedDeep > 100, s"only $checkedDeep steps beyond the first day")
   }
+
+  test("ev_ab_chisq: integer products equal the textbook chi-square on the raw table") {
+    val rows = Registry.byName("ev_ab_chisq").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, sa, sb) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (num, den) = (BigInt(r.getDecimal(5).toBigInteger), BigInt(r.getDecimal(6).toBigInteger))
+      val milli = r.getLong(7)
+      val d = BigInt(sa) * (nb - sb) - BigInt(sb) * (na - sa)
+      assert(num == BigInt(na + nb) * d * d, s"${r.getString(0)}: numerator")
+      assert(den == BigInt(sa + sb) * ((na - sa) + (nb - sb)) * BigInt(na) * nb,
+        s"${r.getString(0)}: denominator")
+      if (den != 0) {
+        assert(milli == (num * 1000 / den).toLong, s"${r.getString(0)}: scaled quotient")
+        // and it IS Pearson's chi-square: compare against the float textbook form
+        val (a, b, c2, dd) = (sa.toDouble, (na - sa).toDouble, sb.toDouble, (nb - sb).toDouble)
+        val n = (na + nb).toDouble
+        val chi = n * math.pow(a * dd - c2 * b, 2) /
+          ((a + b) * (c2 + dd) * (a + c2) * (b + dd))
+        assert(math.abs(milli / 1000.0 - chi) <= 0.001 + chi * 1e-9,
+          s"${r.getString(0)}: $milli vs textbook $chi")
+      } else assert(milli == 0L)
+    }
+  }
 }

@@ -175,4 +175,20 @@ class TextOpsSpec extends SparkSpec {
       assert(symPpm == nSym * 1000000L / nChars, s"doc $id: ratio")
     }
   }
+
+  test("ta_source_overlap: Jaccard identities hold and the pair grid is complete") {
+    val rows = Registry.byName("ta_source_overlap").run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, va, vb, common, ppm) =>
+      assert(a < b, s"pairs must be unordered-canonical: $a !< $b")
+      assert(common >= 1L && common <= math.min(va, vb), s"$a/$b: impossible intersection")
+      assert(ppm == common * 1000000L / (va + vb - common), s"$a/$b: formula")
+    }
+    // the shared-salad fixture: every source pair overlaps, so the
+    // output is the full C(S,2) grid
+    val sources = (rows.map(_._1) ++ rows.map(_._2)).distinct.length
+    assert(rows.length == sources * (sources - 1) / 2,
+      s"${rows.length} pairs for $sources sources")
+  }
 }
