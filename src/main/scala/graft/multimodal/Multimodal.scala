@@ -590,7 +590,60 @@ object Multimodal {
                  k -> CASE WHEN f[k] > m THEN (1::BIGINT << (k - 32)) ELSE 0 END))::BIGINT AS phash_hi,
                list_sum(list_transform(generate_series(1, 63),
                  k -> CASE WHEN f[k] > m THEN 1 ELSE 0 END))::BIGINT AS n_ones
-        FROM med"""))
+        FROM med""")),
+
+    // ------------------ perceptual fingerprint (difference hash)
+    // dHash completes the standard perceptual trio (aHash = global
+    // mean, pHash = frequency domain, dHash = local GRADIENT): bit
+    // r·8+c set when pixel (r,c) outshines its right neighbor (r,c+1)
+    // on a 9-wide × 8-tall single-byte pixel grid over the image's
+    // first 128 bytes. Gradients survive global brightness and
+    // contrast shifts that move every aHash bit at once, which is why
+    // production image dedup banks all three codes, not one. Strict
+    // inequality is the deterministic tie rule (equal neighbors → 0),
+    // and the code is emitted as two 32-bit halves for the same
+    // sum-accumulator reason as mm_ahash. Scale shape: entirely
+    // row-local — each bit is two byte_energy kernel probes folded
+    // inside the scan's codegen span; zero shuffles, one row per doc.
+    QueryDef(
+      "mm_dhash",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        def half(lo: Int): String =
+          s"""aggregate(sequence($lo, ${lo + 31}), 0L, (acc, k) ->
+                acc + CASE WHEN byte_energy(payload, (k div 8) * 16 + (k % 8), 1)
+                              > byte_energy(payload, (k div 8) * 16 + (k % 8) + 1, 1)
+                           THEN shiftleft(1L, k - $lo) ELSE 0L END)"""
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+            "cast(octet_length(text) AS int) AS n_bytes")
+          .where("n_bytes >= 128")
+          .selectExpr("doc_id",
+            s"${half(0)} AS dhash_lo",
+            s"${half(32)} AS dhash_hi",
+            """aggregate(sequence(0, 63), 0L, (acc, k) ->
+                 acc + CASE WHEN byte_energy(payload, (k div 8) * 16 + (k % 8), 1)
+                               > byte_energy(payload, (k div 8) * 16 + (k % 8) + 1, 1)
+                            THEN 1L ELSE 0L END) AS n_ones""")
+      },
+      Some("""
+        WITH img AS (
+          SELECT doc_id, hex(encode(text)) AS ph
+          FROM documents WHERE octet_length(encode(text)) >= 128),
+        px AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, 63), k ->
+                   CASE WHEN abs(('0x' || substr(ph, ((k // 8) * 16 + (k % 8)) * 2 + 1, 2))::INT - 128)
+                           > abs(('0x' || substr(ph, ((k // 8) * 16 + (k % 8) + 1) * 2 + 1, 2))::INT - 128)
+                        THEN 1::BIGINT ELSE 0::BIGINT END) AS b
+          FROM img)
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(1, 32),
+                 k -> b[k] * (1::BIGINT << (k - 1))))::BIGINT AS dhash_lo,
+               list_sum(list_transform(generate_series(33, 64),
+                 k -> b[k] * (1::BIGINT << (k - 33))))::BIGINT AS dhash_hi,
+               list_sum(b)::BIGINT AS n_ones
+        FROM px"""))
   )
 
   /** The mm_ahash code table (doc_id, ahash_lo, ahash_hi) — the shared

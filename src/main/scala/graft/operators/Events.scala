@@ -1744,7 +1744,181 @@ object Events {
                max(CASE WHEN rnk = med_rank THEN gap END)::BIGINT AS p50_gap_us,
                max(CASE WHEN rnk = p95_rank THEN gap END)::BIGINT AS p95_gap_us,
                max(gap)::BIGINT AS max_gap_us
-        FROM k GROUP BY user_id"""))
+        FROM k GROUP BY user_id""")),
+
+    // --------------- A/B rank test (exact Mann-Whitney U / AUC)
+    // The nonparametric sibling of ev_ab_chisq: where chi-square
+    // compares conversion RATES, Mann-Whitney compares the whole value
+    // DISTRIBUTION between the two variants — no normality assumption,
+    // robust to the heavy right tail every spend metric has. U has a
+    // direct ML reading too: U_a / (n_a·n_b) is the AUC of "variant
+    // predicts higher value". Everything stays exact: ranks are over
+    // integer micros, and tie groups contribute through the midrank
+    // identity 2·avgrank = 2·rank_min + ties − 1, so DOUBLED rank sums
+    // are integers and no .5 ever floats. Scale shape: the corpus scan
+    // partial-aggregates map-side to (type, value) cells — bounded by
+    // DISTINCT values (2-decimal fixture values keep it tiny; at 100 TB
+    // with near-unique values the same prefix-sum runs two-pass over a
+    // range partitioning: per-range subtotals broadcast as offsets) —
+    // the ordered window walks only that reduced table, and the final
+    // per-type aggregate is types-bounded. The AUC quotient widens to
+    // DECIMAL(38,0) before the single division (2·U·1e6 would pass
+    // int64 at sf10 but not at sf100 — same widening as ev_ab_chisq).
+    QueryDef(
+      "ev_ab_mannwhitney",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("event_type",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v",
+            "CASE WHEN user_id % 2 = 0 THEN 1L ELSE 0L END AS ia")
+          .groupBy("event_type", "v")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(sum(ia) AS bigint) AS cnt_a"),
+            org.apache.spark.sql.functions.expr(
+              "cast(count(*) - sum(ia) AS bigint) AS cnt_b"))
+          .selectExpr("event_type", "cnt_a", "cnt_b",
+            """coalesce(sum(cnt_a + cnt_b) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cum_before""")
+          .groupBy("event_type")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(sum(cnt_a) AS bigint) AS n_a"),
+            org.apache.spark.sql.functions.expr("cast(sum(cnt_b) AS bigint) AS n_b"),
+            org.apache.spark.sql.functions.expr(
+              "cast(sum(cnt_a * (2 * cum_before + cnt_a + cnt_b + 1)) AS bigint) AS r2_a"))
+          .selectExpr("event_type", "n_a", "n_b", "r2_a",
+            "r2_a - n_a * (n_a + 1) AS u2_a")
+          .selectExpr("event_type", "n_a", "n_b", "r2_a", "u2_a",
+            "2 * n_a * n_b - u2_a AS u2_b",
+            """CASE WHEN n_a = 0 OR n_b = 0 THEN 0L
+                    ELSE cast(cast(u2_a AS decimal(38,0)) * 1000000
+                              div (2 * cast(n_a AS decimal(38,0)) * n_b) AS bigint)
+               END AS auc_ppm"""),
+      Some("""
+        WITH cells AS (
+          SELECT event_type,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+                 sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+                 sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS cnt_b
+          FROM events GROUP BY 1, 2),
+        w AS (
+          SELECT event_type, cnt_a, cnt_b,
+                 coalesce(sum(cnt_a + cnt_b) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+          FROM cells),
+        agg AS (
+          SELECT event_type, sum(cnt_a)::BIGINT AS n_a, sum(cnt_b)::BIGINT AS n_b,
+                 sum(cnt_a * (2 * cum_before + cnt_a + cnt_b + 1))::BIGINT AS r2_a
+          FROM w GROUP BY 1),
+        u AS (
+          SELECT event_type, n_a, n_b, r2_a,
+                 (r2_a - n_a * (n_a + 1))::BIGINT AS u2_a
+          FROM agg)
+        SELECT event_type, n_a, n_b, r2_a, u2_a,
+               (2 * n_a * n_b - u2_a)::BIGINT AS u2_b,
+               CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                    ELSE (u2_a::HUGEINT * 1000000 // (2::HUGEINT * n_a * n_b))
+               END::BIGINT AS auc_ppm
+        FROM u""")),
+
+    // --------------- Kaplan-Meier time-to-conversion life table
+    // The survival-analysis primitive growth teams run on every funnel:
+    // time from a user's FIRST event to their first high-value
+    // purchase (value > 150 — the deterministic conversion event; the
+    // raw churn framing is degenerate on this fixture: every user is
+    // active through the window). Users who never convert are
+    // right-CENSORED at their last observed hour — exactly the case
+    // naive "average time to convert" silently drops and KM exists to
+    // handle. The life table is exact integers (hour t, n_risk, d, c)
+    // and the KM survival curve is integer ppm with truncating division
+    // per death step, so no float product can drift cross-engine.
+    // Scale shape: ONE user-keyed partial-aggregated exchange folds the
+    // corpus to per-user (t, dead) rows; the life table aggregate is
+    // bounded by distinct hours; the ordered KM recurrence walks that
+    // hour-bounded table in a single-partition fold (≤ observation
+    // window in rows — the same bounded-table discipline as
+    // ev_holt's per-type fold), and the oracle replays it as a
+    // recursive CTE. n_risk > 0 on every emitted row by construction
+    // (a row exists only because ≥ 1 user leaves at that hour, and
+    // leavers are still at risk at their own t).
+    QueryDef(
+      "ev_survival",
+      (spark, dir) => {
+        import spark.implicits._
+        val perUser = Tables.events(spark, dir)
+          .selectExpr("user_id", "unix_micros(ts) AS us",
+            """CASE WHEN event_type = 'purchase' AND value > 150.0D
+                    THEN unix_micros(ts) ELSE NULL END AS cus""")
+          .groupBy("user_id")
+          .agg(
+            org.apache.spark.sql.functions.expr("min(us) AS first_us"),
+            org.apache.spark.sql.functions.expr("max(us) AS last_us"),
+            org.apache.spark.sql.functions.expr("min(cus) AS conv_us"))
+          .selectExpr(
+            """CASE WHEN conv_us IS NULL THEN (last_us - first_us) div 3600000000L
+                    ELSE (conv_us - first_us) div 3600000000L END AS t""",
+            "CASE WHEN conv_us IS NULL THEN 0L ELSE 1L END AS dead")
+        val lifeRaw = perUser.groupBy("t")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(sum(dead) AS bigint) AS d"),
+            org.apache.spark.sql.functions.expr("cast(count(*) - sum(dead) AS bigint) AS c"))
+          .selectExpr("t", "d", "c",
+            // global ordered prefix over the hour-bounded life table:
+            // single-partition window is the point, not an accident
+            """coalesce(sum(d + c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS left_before""")
+        val total = perUser.groupBy()
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_users"))
+        lifeRaw
+          .crossJoin(org.apache.spark.sql.functions.broadcast(total))
+          .selectExpr("t", "n_users - left_before AS n_risk", "d", "c")
+          .as[(Long, Long, Long, Long)]
+          .coalesce(1)
+          .sortWithinPartitions("t")
+          .mapPartitions { it =>
+            var s = 1000000L
+            it.map { case (t, nRisk, d, c) =>
+              s = s * (nRisk - d) / nRisk
+              (t, nRisk, d, c, s)
+            }
+          }
+          .toDF("t_hours", "n_risk", "d_conv", "c_censored", "km_ppm")
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CASE WHEN event_type = 'purchase' AND value > 150.0 THEN epoch_us(ts) END AS cus
+          FROM events),
+        u AS (
+          SELECT user_id, min(us) AS first_us, max(us) AS last_us, min(cus) AS conv_us
+          FROM e GROUP BY 1),
+        pu AS (
+          SELECT CASE WHEN conv_us IS NULL THEN (last_us - first_us) // 3600000000
+                      ELSE (conv_us - first_us) // 3600000000 END AS t,
+                 CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS dead
+          FROM u),
+        lt AS (
+          SELECT t, sum(dead)::BIGINT AS d, (count(*) - sum(dead))::BIGINT AS c
+          FROM pu GROUP BY 1),
+        lw AS (
+          SELECT t, d, c,
+                 coalesce(sum(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS left_before,
+                 row_number() OVER (ORDER BY t) AS rn
+          FROM lt),
+        tot AS (SELECT count(*)::BIGINT AS n_users FROM pu),
+        base AS (
+          SELECT lw.t, (n_users - left_before)::BIGINT AS n_risk, lw.d, lw.c, lw.rn
+          FROM lw, tot),
+        r AS (
+          SELECT t, n_risk, d, c, rn,
+                 (1000000 * (n_risk - d) // n_risk)::BIGINT AS km
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.t, b.n_risk, b.d, b.c, b.rn,
+                 (r.km * (b.n_risk - b.d) // b.n_risk)::BIGINT
+          FROM r JOIN base b ON b.rn = r.rn + 1)
+        SELECT t AS t_hours, n_risk, d AS d_conv, c AS c_censored, km AS km_ppm
+        FROM r"""))
   )
 
   /** Exact φ = 1/k heavy hitters over an arbitrary key stream with

@@ -1038,6 +1038,82 @@ object Relational {
         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
           AND l_shipdate < TIMESTAMP '1996-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07
-          AND l_quantity < 24"""))
+          AND l_quantity < 24""")),
+
+    // ---------------- market-basket pair mining (a-priori pruned)
+    // Frequent co-purchased part pairs with confidence and lift — the
+    // association-rule primitive behind "customers also bought". Orders
+    // are baskets, distinct parts are items. The plan is the a-priori
+    // downward-closure argument made physical: items below MinItemSup
+    // orders cannot participate in a frequent pair, so the per-order
+    // self-join runs AFTER a frequent-item semi-join prunes the basket
+    // rows — the pair space is Σ basket'² over PRUNED baskets, never
+    // items². Thresholds are ABSOLUTE counts on purpose: relative
+    // (ppm-of-orders) support would self-destruct on sharded corpora
+    // where every item's count is per-shard-bounded while the
+    // denominator grows with shards (the ScaleUp decollision makes
+    // this concrete at sf3). Lift's cross-product widens through
+    // DECIMAL(38,0) before its single division. Scale shape: one
+    // distinct (order, part) reduction; frequent-item counts are a
+    // parts-bounded aggregate joined back as a broadcast-able dim; the
+    // pair explode shuffles on order key (high-cardinality, no skew:
+    // basket size ≤ tens); the pair aggregate partial-combines
+    // map-side.
+    QueryDef(
+      "q23_basket_pairs",
+      (spark, dir) => {
+        val baskets = Tables.lineitem(spark, dir)
+          .selectExpr("l_orderkey AS o", "l_partkey AS p").distinct()
+        val itemCnt = baskets.groupBy("p")
+          .agg(expr("cast(count(*) AS bigint) AS item_cnt"))
+          .where(s"item_cnt >= $MinItemSup")
+        val pruned = baskets
+          .join(broadcast(itemCnt), "p")
+          .selectExpr("o", "p", "item_cnt")
+        val nOrders = baskets.selectExpr("o").distinct()
+          .groupBy().agg(expr("cast(count(*) AS bigint) AS n_orders"))
+        pruned.selectExpr("o", "p AS p1", "item_cnt AS cnt1")
+          .join(pruned.selectExpr("o", "p AS p2", "item_cnt AS cnt2"), "o")
+          .where("p1 < p2")
+          .groupBy("p1", "p2")
+          .agg(
+            expr("cast(count(*) AS bigint) AS pair_cnt"),
+            expr("any_value(cnt1) AS cnt1"),
+            expr("any_value(cnt2) AS cnt2"))
+          .where(s"pair_cnt >= $MinPairSup")
+          .crossJoin(broadcast(nOrders))
+          .selectExpr("p1", "p2", "pair_cnt", "cnt1", "cnt2",
+            "pair_cnt * 1000000L div cnt1 AS conf12_ppm",
+            "pair_cnt * 1000000L div cnt2 AS conf21_ppm",
+            """cast(cast(pair_cnt AS decimal(38,0)) * n_orders * 1000000
+                    div (cast(cnt1 AS decimal(38,0)) * cnt2) AS bigint) AS lift_ppm""")
+      },
+      Some(s"""
+        WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        item AS (
+          SELECT p, count(*)::BIGINT AS item_cnt FROM b GROUP BY 1
+          HAVING count(*) >= $MinItemSup),
+        pruned AS (SELECT b.o, b.p, item.item_cnt FROM b JOIN item USING (p)),
+        tot AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM b),
+        pairs AS (
+          SELECT a.p AS p1, c.p AS p2, count(*)::BIGINT AS pair_cnt,
+                 any_value(a.item_cnt) AS cnt1, any_value(c.item_cnt) AS cnt2
+          FROM pruned a JOIN pruned c ON a.o = c.o AND a.p < c.p
+          GROUP BY 1, 2
+          HAVING count(*) >= $MinPairSup)
+        SELECT p1, p2, pair_cnt, cnt1, cnt2,
+               (pair_cnt * 1000000 // cnt1)::BIGINT AS conf12_ppm,
+               (pair_cnt * 1000000 // cnt2)::BIGINT AS conf21_ppm,
+               (pair_cnt::HUGEINT * n_orders * 1000000
+                // (cnt1::HUGEINT * cnt2))::BIGINT AS lift_ppm
+        FROM pairs, tot"""))
   )
+
+  /** q23_basket_pairs: minimum orders an ITEM must appear in (a-priori
+    * item prune) and minimum orders a PAIR must co-occur in. Absolute
+    * counts — see the QueryDef comment for why relative support breaks
+    * on sharded corpora.
+    */
+  private val MinItemSup = 20L
+  private val MinPairSup = 2L
 }

@@ -279,6 +279,81 @@ object Search {
         q(qt) AS (SELECT * FROM (VALUES ('standrd'), ('corpu'), ('licence'), ('redistribted')))
         SELECT qt AS query_term, w AS word, df, levenshtein(qt, w)::BIGINT AS dist
         FROM v, q
-        WHERE levenshtein(qt, w) <= 1"""))
+        WHERE levenshtein(qt, w) <= 1""")),
+
+    // ------------------- ranking quality audit (NDCG@k, every k ≤ K)
+    // The eval half of the retrieval stack: how good is the ts_bm25
+    // ranking against a graded relevance label? Relevance here is the
+    // deterministic rel = min(matched_terms, 3) (0–3 grades), gain is
+    // the standard 2^rel − 1, and the log2 rank discounts are
+    // PRECOMPUTED integer ppm constants ([[NdcgDiscountPpm]]) rendered
+    // into both engines — the Dct8 one-source-of-truth discipline, so
+    // no per-engine transcendental can drift a single unit. DCG and
+    // IDCG accumulate as exact integers over the top-K and the ideal
+    // (relevance-sorted) top-K respectively; one truncating division
+    // per cutoff yields NDCG@k for EVERY k ≤ K in one output table —
+    // the eval curve, not a single scalar. Scale shape: both rankings
+    // are TakeOrderedAndProject roots over the shared broadcast-stats
+    // scoring scan (no global sort); everything after the two top-K
+    // cuts is K-row-bounded arithmetic.
+    QueryDef(
+      "ts_ndcg",
+      (spark, dir) => {
+        val scored = bm25Scored(spark, dir)
+          .selectExpr("doc_id", "bm25", "least(matched_terms, 3L) AS rel")
+        val top = scored.orderBy(desc("bm25"), col("doc_id")).limit(TopK)
+          .selectExpr("doc_id", "rel", "bm25")
+          .selectExpr("doc_id", "rel",
+            "cast(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bigint) AS k")
+        val ideal = scored.orderBy(desc("rel"), desc("bm25"), col("doc_id")).limit(TopK)
+          .selectExpr("rel AS irel", "bm25")
+          .selectExpr("irel",
+            "cast(row_number() OVER (ORDER BY irel DESC, bm25 DESC) AS bigint) AS k")
+        val w = s"element_at(array(${NdcgDiscountPpm.mkString("L, ")}L), cast(k AS int))"
+        top.join(broadcast(ideal), "k")
+          .selectExpr("k", "doc_id", "rel", "irel",
+            s"(shiftleft(1L, cast(rel AS int)) - 1) * $w AS g",
+            s"(shiftleft(1L, cast(irel AS int)) - 1) * $w AS ig")
+          .selectExpr("k", "doc_id", "rel", "irel",
+            "sum(g) OVER (ORDER BY k) AS dcg_m",
+            "sum(ig) OVER (ORDER BY k) AS idcg_m")
+          .selectExpr("k", "doc_id", "rel", "irel", "dcg_m", "idcg_m",
+            "CASE WHEN idcg_m = 0 THEN 0L ELSE dcg_m * 1000000L div idcg_m END AS ndcg_ppm")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, bm25, least(matched_terms, 3)::BIGINT AS rel
+          FROM ($bm25ScoredSql)),
+        top AS (
+          SELECT doc_id, rel,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS k
+          FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT $TopK)),
+        ideal AS (
+          SELECT rel AS irel,
+                 row_number() OVER (ORDER BY rel DESC, bm25 DESC, doc_id)::BIGINT AS k
+          FROM (SELECT * FROM scored ORDER BY rel DESC, bm25 DESC, doc_id LIMIT $TopK)),
+        wt(k, w) AS (SELECT unnest(generate_series(1, $TopK)),
+                            unnest(${NdcgDiscountPpm.mkString("[", ", ", "]")}::BIGINT[])),
+        gains AS (
+          SELECT t.k, t.doc_id, t.rel, i.irel,
+                 ((1::BIGINT << t.rel) - 1) * wt.w AS g,
+                 ((1::BIGINT << i.irel) - 1) * wt.w AS ig
+          FROM top t JOIN ideal i USING (k) JOIN wt USING (k)),
+        cum AS (
+          SELECT k, doc_id, rel, irel,
+                 sum(g) OVER (ORDER BY k)::BIGINT AS dcg_m,
+                 sum(ig) OVER (ORDER BY k)::BIGINT AS idcg_m
+          FROM gains)
+        SELECT k, doc_id, rel, irel, dcg_m, idcg_m,
+               CASE WHEN idcg_m = 0 THEN 0
+                    ELSE dcg_m * 1000000 // idcg_m END::BIGINT AS ndcg_ppm
+        FROM cum"""))
   )
+
+  /** ts_ndcg: integer ppm log2 rank discounts, round(1e6 / log2(r+1))
+    * for r = 1..TopK — ONE source of truth rendered into both engines'
+    * plans so the discount table cannot drift (the Dct8 discipline).
+    */
+  private val NdcgDiscountPpm: Seq[Long] =
+    (1 to TopK).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
 }

@@ -66,4 +66,78 @@ class EventsSpec extends SparkSpec {
       } else assert(milli == 0L)
     }
   }
+
+  test("ev_ab_mannwhitney: doubled rank sums equal a brute-force midrank computation") {
+    val rows = Registry.byName("ev_ab_mannwhitney").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent third derivation: collect the raw table, assign
+    // midranks with a naive sort, and compare every output column
+    val events = Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v",
+        "user_id % 2 AS variant")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val sample = events.filter(_._1 == et)
+      val sorted = sample.sortBy(_._2)
+      // 2×midrank per element: group ties, avg rank = (first + last)/2
+      val ranks2 = scala.collection.mutable.Map.empty[Long, Long]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+        ranks2(sorted(i)._2) = (i + 1).toLong + j.toLong // 2×avg of ranks i+1..j
+        i = j
+      }
+      val a = sample.filter(_._3 == 0L)
+      val nA = a.length.toLong
+      val nB = sample.length.toLong - nA
+      val r2A = a.map(x => ranks2(x._2)).sum
+      val u2A = r2A - nA * (nA + 1)
+      assert(r.getLong(1) == nA && r.getLong(2) == nB, s"$et: counts")
+      assert(r.getLong(3) == r2A, s"$et: doubled rank sum ${r.getLong(3)} vs $r2A")
+      assert(r.getLong(4) == u2A && r.getLong(5) == 2 * nA * nB - u2A, s"$et: U")
+      assert(r.getLong(6) == (BigInt(u2A) * 1000000 / (2 * BigInt(nA) * nB)).toLong,
+        s"$et: auc_ppm")
+      assert(r.getLong(6) >= 0L && r.getLong(6) <= 1000000L, s"$et: AUC in [0,1]")
+    }
+  }
+
+  test("ev_survival: life table and KM curve equal a brute-force per-user replay") {
+    val out = Registry.byName("ev_survival").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.nonEmpty)
+    val perUser = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .toSeq // BEFORE the map: Map.map would dedupe users sharing (t, dead)
+      .map { case (_, es) =>
+        val first = es.map(_._2).min
+        val conv = es.filter(e => e._3 == "purchase" && e._4 > 150.0).map(_._2)
+        if (conv.nonEmpty) ((conv.min - first) / 3600000000L, true)
+        else ((es.map(_._2).max - first) / 3600000000L, false)
+      }
+    val total = perUser.size.toLong
+    var s = 1000000L
+    var left = 0L
+    val expected = perUser.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, us) =>
+      val d = us.count(_._2).toLong
+      val c = us.size.toLong - d
+      val nRisk = total - left
+      left += d + c
+      s = s * (nRisk - d) / nRisk
+      (t, nRisk, d, c, s)
+    }
+    assert(out.toSeq == expected, s"life table mismatch:\n$out\nvs\n$expected")
+    // KM curve is non-increasing and ends ≥ 0
+    assert(out.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // the fixture must exercise BOTH branches
+    assert(out.map(_._3).sum > 0L, "no conversions — fixture degenerate")
+    assert(out.map(_._4).sum > 0L, "no censoring — fixture degenerate")
+  }
 }

@@ -164,4 +164,29 @@ class MultimodalSpec extends SparkSpec {
     val (_, loS, hiS, _) = got(2L)
     assert((loS, hiS) != (loB, hiB), "pixel swap left the fingerprint unchanged")
   }
+
+  test("mm_dhash: every bit equals a byte-level gradient recompute on the raw UTF-8") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Registry.byName("mm_dhash").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sf).selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var nonTrivial = 0
+    out.foreach { case (id, (lo, hi, ones)) =>
+      val b = texts(id).getBytes("UTF-8")
+      assert(b.length >= 128, s"$id: filter must have dropped short payloads")
+      def px(k: Int): Long = math.abs((b((k / 8) * 16 + (k % 8)) & 0xff) - 128).toLong
+      var eLo = 0L; var eHi = 0L; var eOnes = 0L
+      (0 until 64).foreach { k =>
+        if (px(k) > math.abs((b((k / 8) * 16 + (k % 8) + 1) & 0xff) - 128).toLong) {
+          eOnes += 1L
+          if (k < 32) eLo |= 1L << k else eHi |= 1L << (k - 32)
+        }
+      }
+      assert((lo, hi, ones) == (eLo, eHi, eOnes), s"doc $id: dhash mismatch")
+      if (ones > 0L && ones < 64L) nonTrivial += 1
+    }
+    assert(nonTrivial > out.size / 2, "fixture too uniform to pin the gradient rule")
+  }
 }

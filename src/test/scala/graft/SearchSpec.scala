@@ -201,4 +201,51 @@ class SearchSpec extends SparkSpec {
       "MMR must trade relevance for diversity on this corpus (λ=0.5)")
     assert(plain.collect().length == 5) // sanity: the plain row still runs
   }
+
+  test("ts_ndcg: cumulative sums replay from the emitted grades and the discount table") {
+    val rows = run("ts_ndcg").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(rows.length == 20, s"expected a full top-20 table, got ${rows.length}")
+    val w = (1 to 20).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+    var dcg = 0L; var idcg = 0L
+    rows.foreach { case (k, rel, irel, dcgM, idcgM, ndcg) =>
+      assert(rel >= 0L && rel <= 3L && irel >= 0L && irel <= 3L, s"k=$k: grades out of range")
+      dcg += ((1L << rel.toInt) - 1L) * w(k.toInt - 1)
+      idcg += ((1L << irel.toInt) - 1L) * w(k.toInt - 1)
+      assert(dcgM == dcg && idcgM == idcg, s"k=$k: cumulative sums")
+      assert(ndcg == (if (idcg == 0) 0L else dcg * 1000000L / idcg), s"k=$k: quotient")
+      assert(ndcg <= 1000000L, s"k=$k: NDCG must never exceed 1 — ideal is ideal")
+    }
+    // the ideal grade sequence must be non-increasing (it IS sorted by rel)
+    assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // and the fixture must exercise a non-trivial curve, not all-zero grades
+    assert(rows.map(_._2).sum > 0L, "top-20 has zero total relevance — fixture degenerate")
+  }
+
+  test("q23_basket_pairs: counts, confidence, and lift equal a brute-force basket scan") {
+    val out = Registry.byName("q23_basket_pairs").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(out.nonEmpty, "no frequent pairs at sf0.001 — thresholds kill the fixture")
+    val baskets = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val itemCnt = baskets.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val freq = itemCnt.filter(_._2 >= 20L).keySet
+    val pairCnt = baskets.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.filter(freq).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2L)
+    assert(out.keySet == pairCnt.keySet, "pair set mismatch vs brute force")
+    pairCnt.foreach { case ((p1, p2), cnt) =>
+      val (oCnt, c1, c2, conf12, conf21, lift) = out((p1, p2))
+      assert(oCnt == cnt && c1 == itemCnt(p1) && c2 == itemCnt(p2), s"($p1,$p2): counts")
+      assert(conf12 == cnt * 1000000L / c1 && conf21 == cnt * 1000000L / c2, s"($p1,$p2): conf")
+      assert(lift == (BigInt(cnt) * nOrders * 1000000 / (BigInt(c1) * c2)).toLong, s"($p1,$p2): lift")
+    }
+  }
 }
