@@ -129,8 +129,13 @@ object Bench {
     // tools/bench_diff.py diffs round-over-round.
     try {
       val sfName = new java.io.File(sfDir).getName
+      // a SPARK_GRAFT_ONLY subset run lands in its own scratch file:
+      // the default path is the COMMITTED round artifact bench_diff
+      // gates on, and a 5-query local probe must never overwrite it
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench/bench_$sfName.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          if (only.isDefined) s"bench/only_$sfName.json"
+          else s"bench/bench_$sfName.json"))
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // the stdout line is the contract; the artifact is best-effort
