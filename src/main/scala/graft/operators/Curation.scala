@@ -1680,6 +1680,158 @@ object Curation {
                sum(d.wc * e.p3)::BIGINT AS p3,
                sum(d.wc * e.p4)::BIGINT AS p4
         FROM dw d JOIN done e ON d.w = e.w
+        GROUP BY d.doc_id""")),
+
+    // --------------- unigram-LM tokenizer encode (Viterbi, exact DP)
+    // The third tokenizer family next to tp_bpe_* (merge-based) and
+    // tp_wordpiece (greedy longest-match): SentencePiece-style unigram
+    // segmentation picks, per word, the GLOBALLY cheapest piece
+    // sequence under per-piece costs — Viterbi DP, not greedy, so a
+    // locally attractive long piece loses when its tail segments badly.
+    // Kudo (2018) is the spec, not the code. Determinism is engineered
+    // at three layers: (1) piece costs are INTEGER surprisal proxies,
+    // cost = max(40 − bitlength(count), 1) — bitlength via length(bin())
+    // on both engines, no log2 double whose floor could straddle a
+    // power-of-two boundary; (2) the DP state is the lexicographic
+    // (cost, n_pieces) pair, which is translation-invariant under
+    // extension, so per-position lex-min IS the global lex-min — ties
+    // cannot diverge cross-engine because the VALUE, not the path, is
+    // the output; (3) the vocab cut (top-300 multi-char pieces by
+    // count, piece ASC tiebreak, plus every single char) reuses
+    // tp_wordpiece's proven deterministic ranking. The oracle replays
+    // the DP as reachable-state closure: a recursive CTE over
+    // (word, pos, cost, n) states joined to a precomputed equi-join
+    // edge table; UNION dedupe bounds states because costs are small
+    // bounded integers. Scale shape: identical to tp_wordpiece — the
+    // census and the DP both run over the DISTINCT-WORD table (vocab-
+    // bounded, not corpus-bounded), the vocab is a ≤ ~350-entry
+    // broadcast, and the per-doc aggregate joins encode results back
+    // on the word key; 10× corpus ⇒ same DP work, one more scan.
+    QueryDef(
+      "tp_unigram",
+      (spark, dir) => {
+        import spark.implicits._
+        val dw = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "explode(split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ')) AS w")
+          .where("w != ''")
+          .groupBy("doc_id", "w")
+          .agg(expr("cast(count(*) AS bigint) AS wc"))
+        val gw = dw.groupBy("w").agg(expr("cast(sum(wc) AS bigint) AS wc"))
+          .localCheckpoint(true) // census + encode both read it; one distinct pass
+        val census = gw
+          .selectExpr("w", "wc", "explode(sequence(1, 4)) AS l")
+          .where("length(w) >= l")
+          .selectExpr("wc", "explode(sequence(1, length(w) - l + 1)) AS s", "w", "l")
+          .selectExpr("substring(w, s, l) AS piece", "wc")
+          .groupBy("piece")
+          .agg(expr("cast(sum(wc) AS bigint) AS cnt"))
+          .localCheckpoint(true) // ranked cut + char floor share one pass
+        val ranked = census.where("length(piece) >= 2")
+          .orderBy(col("cnt").desc, col("piece").asc).limit(300)
+          .select("piece", "cnt").collect()
+        val chars = census.where("length(piece) = 1")
+          .select("piece", "cnt").collect()
+        val costs = new java.util.HashMap[String, java.lang.Long]()
+        (ranked ++ chars).foreach { r =>
+          val bl = 64 - java.lang.Long.numberOfLeadingZeros(r.getLong(1))
+          costs.put(r.getString(0), math.max(40L - bl, 1L))
+        }
+        val bc = spark.sparkContext.broadcast(costs)
+        val enc = gw.select("w").as[String].mapPartitions { it =>
+          val v = bc.value
+          it.map { w =>
+            val cps = w.codePoints().toArray
+            val n = cps.length
+            val inf = Long.MaxValue / 4
+            val dpC = Array.fill(n + 1)(inf)
+            val dpN = Array.fill(n + 1)(inf)
+            dpC(0) = 0L; dpN(0) = 0L
+            var pos = 0
+            while (pos < n) {
+              if (dpC(pos) < inf) {
+                var l = 1
+                while (l <= 4 && pos + l <= n) {
+                  val c = v.get(new String(cps, pos, l))
+                  if (c != null) {
+                    val nc = dpC(pos) + c.longValue()
+                    val nn = dpN(pos) + 1L
+                    if (nc < dpC(pos + l) ||
+                      (nc == dpC(pos + l) && nn < dpN(pos + l))) {
+                      dpC(pos + l) = nc; dpN(pos + l) = nn
+                    }
+                  }
+                  l += 1
+                }
+              }
+              pos += 1
+            }
+            (w, dpC(n), dpN(n))
+          }
+        }.toDF("w", "cost", "np")
+        dw.join(enc, "w")
+          .groupBy("doc_id")
+          .agg(
+            expr("cast(sum(wc) AS bigint) AS n_words"),
+            expr("cast(sum(wc * np) AS bigint) AS n_pieces"),
+            expr("cast(sum(wc * cost) AS bigint) AS total_cost"))
+      },
+      Some("""
+        WITH RECURSIVE dw AS MATERIALIZED (
+          SELECT doc_id, w, count(*)::BIGINT AS wc
+          FROM (SELECT doc_id,
+                       unnest(string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ')) AS w
+                FROM documents)
+          WHERE w != '' GROUP BY doc_id, w),
+        gw AS MATERIALIZED (SELECT w, sum(wc)::BIGINT AS wc FROM dw GROUP BY w),
+        census AS MATERIALIZED (
+          SELECT piece, sum(wc)::BIGINT AS cnt
+          FROM (
+            SELECT substr(w, sl['s'], sl['l']) AS piece, wc
+            FROM (SELECT w, wc,
+                         unnest(flatten(list_transform(generate_series(1, 4), l ->
+                           list_transform(generate_series(1, greatest(length(w) - l + 1, 0)),
+                             s -> {'s': s, 'l': l})))) AS sl
+                  FROM gw))
+          GROUP BY piece),
+        ranked AS (
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+            FROM census WHERE length(piece) >= 2)
+          WHERE rk <= 300),
+        vocab AS MATERIALIZED (
+          SELECT piece, greatest(40 - length(bin(cnt)), 1)::BIGINT AS cost
+          FROM (SELECT piece, cnt FROM ranked
+                UNION ALL
+                SELECT piece, cnt FROM census WHERE length(piece) = 1)),
+        cand AS (
+          SELECT w, sl['s'] AS pos, substr(w, sl['s'], sl['l']) AS piece
+          FROM (SELECT w,
+                       unnest(flatten(list_transform(generate_series(1, 4), l ->
+                         list_transform(generate_series(1, greatest(length(w) - l + 1, 0)),
+                           s -> {'s': s, 'l': l})))) AS sl
+                FROM gw)),
+        edges AS MATERIALIZED (
+          SELECT c.w, c.pos, length(c.piece) AS l, v.cost
+          FROM cand c JOIN vocab v USING (piece)),
+        states AS (
+          SELECT w, 1 AS pos, 0::BIGINT AS cost, 0::BIGINT AS np FROM gw
+          UNION
+          SELECT s.w, s.pos + e.l, s.cost + e.cost, s.np + 1
+          FROM states s JOIN edges e ON e.w = s.w AND e.pos = s.pos
+          WHERE s.pos <= length(s.w)),
+        fin AS (SELECT w, cost, np FROM states WHERE pos = length(w) + 1),
+        best AS (SELECT w, min(cost)::BIGINT AS cost FROM fin GROUP BY w),
+        done AS (
+          SELECT f.w, b.cost, min(f.np)::BIGINT AS np
+          FROM fin f JOIN best b ON b.w = f.w AND f.cost = b.cost
+          GROUP BY f.w, b.cost)
+        SELECT d.doc_id,
+               sum(d.wc)::BIGINT AS n_words,
+               sum(d.wc * e.np)::BIGINT AS n_pieces,
+               sum(d.wc * e.cost)::BIGINT AS total_cost
+        FROM dw d JOIN done e ON d.w = e.w
         GROUP BY d.doc_id"""))
   )
 

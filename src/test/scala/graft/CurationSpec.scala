@@ -399,4 +399,78 @@ class CurationSpec extends SparkSpec {
       assert(nPieces >= (chars + 3) / 4 && nPieces <= chars, s"doc $doc: bounds")
     }
   }
+
+  test("tp_unigram: per-doc sums equal an independent suffix-recursion replay") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Registry.byName("tp_unigram").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    // ---- third derivation, plain Scala: tokenization, census, vocab
+    // cut, and a recursive suffix-decomposition search (the iterative
+    // prefix DP under test is never consulted)
+    def toks(t: String): Array[String] =
+      t.replaceAll("\\s{2,}", " ").replaceAll("^\\s+|\\s+$", "")
+        .split(" ").filter(_.nonEmpty)
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1)))
+    val gw = docs.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val census = scala.collection.mutable.Map.empty[String, Long]
+    gw.foreach { case (w, wc) =>
+      val cps = w.codePoints().toArray
+      for (l <- 1 to 4; s <- 0 to cps.length - l)
+        census.updateWith(new String(cps, s, l))(c => Some(c.getOrElse(0L) + wc))
+    }
+    // top-300 multichar pieces: cnt DESC, piece ASC in UTF-8 byte order
+    def utf8Lt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val multi = census.toSeq.filter { case (p, _) => p.codePoints().count() >= 2 }
+      .sortWith { case ((pa, ca), (pb, cb)) => if (ca != cb) ca > cb else utf8Lt(pa, pb) }
+      .take(300)
+    val vocab = (multi ++ census.toSeq.filter(_._1.codePoints().count() == 1)).map {
+      case (p, cnt) =>
+        val bl = 64 - java.lang.Long.numberOfLeadingZeros(cnt)
+        p -> math.max(40L - bl, 1L)
+    }.toMap
+    // independent replay: recursive SUFFIX decomposition (the operator
+    // DP iterates prefix positions in an array — different shape, same
+    // semantics), min lexicographic (cost, pieces)
+    val memo = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def best(w: String): (Long, Long) = memo.get(w) match {
+      case Some(v) => v
+      case None =>
+        val cps = w.codePoints().toArray
+        val v =
+          if (cps.isEmpty) (0L, 0L)
+          else {
+            var bc = Long.MaxValue / 4
+            var bn = Long.MaxValue / 4
+            for (l <- 1 to math.min(4, cps.length)) {
+              vocab.get(new String(cps, 0, l)).foreach { c =>
+                val (tc, tn) = best(new String(cps, l, cps.length - l))
+                val (nc, nn) = (c + tc, 1L + tn)
+                if (nc < bc || (nc == bc && nn < bn)) { bc = nc; bn = nn }
+              }
+            }
+            (bc, bn)
+          }
+        memo(w) = v
+        v
+    }
+    docs.foreach { case (doc, ws) =>
+      val nWords = ws.length.toLong
+      var np = 0L; var cost = 0L
+      ws.foreach { w => val (c, n) = best(w); cost += c; np += n }
+      assert(out(doc) == ((nWords, np, cost)),
+        s"doc $doc: ${out(doc)} vs ($nWords, $np, $cost)")
+    }
+  }
 }
