@@ -253,29 +253,14 @@ object Multimodal {
     // binary column.
     QueryDef(
       "mm_audio_energy",
-      (spark, dir) => {
-        graft.plans.VectorExprs.register(spark)
-        Tables.documents(spark, dir)
-          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
-            "cast(octet_length(text) AS int) AS n_bytes")
-          .selectExpr("doc_id", "payload", "n_bytes",
-            """explode(filter(sequence(0, greatest(n_bytes - 1, 0), 80),
-                              i -> i < n_bytes)) AS off""")
-          .selectExpr("doc_id",
-            "cast(off div 80 AS bigint) AS frame_no",
-            "cast(least(160, n_bytes - off) AS bigint) AS frame_len",
-            "byte_energy(payload, off, 160) AS energy")
-          .selectExpr("doc_id", "frame_no", "frame_len", "energy",
-            // per-sample mean ≥ 40 counts as voiced (integer compare)
-            "energy >= frame_len * 40 AS voiced")
-      },
+      (spark, dir) => audioFrames(spark, dir),
       Some("""
         SELECT doc_id, frame_no, frame_len,
                list_sum(list_transform(generate_series(1, frame_len::INT),
                  i -> abs(('0x' || substr(ph, (off + i - 1) * 2 + 1, 2))::INT - 128)))::BIGINT AS energy,
                (list_sum(list_transform(generate_series(1, frame_len::INT),
                  i -> abs(('0x' || substr(ph, (off + i - 1) * 2 + 1, 2))::INT - 128)))::BIGINT
-                >= frame_len * 40) AS voiced
+                >= frame_len * 34) AS voiced
         FROM (
           SELECT doc_id, ph, g.frame_no * 80 AS off,
                  g.frame_no::BIGINT AS frame_no,
@@ -643,8 +628,93 @@ object Multimodal {
                list_sum(list_transform(generate_series(33, 64),
                  k -> b[k] * (1::BIGINT << (k - 33))))::BIGINT AS dhash_hi,
                list_sum(b)::BIGINT AS n_ones
-        FROM px"""))
+        FROM px""")),
+
+    // ------------------- voice-activity segments (energy-gated VAD)
+    // The segmentation half of the audio pipeline: consecutive VOICED
+    // frames (the mm_audio_energy gate — shared audioFrames kernel, so
+    // the voicing rule cannot diverge between the two queries) merge
+    // into utterance segments via the classic island trick
+    // (frame_no − row_number() is constant exactly on a consecutive
+    // run). Emits per segment: frame span, length, exact energy mass,
+    // and the integer-mean level — what an ASR pre-processor cuts
+    // audio on before transcription. Scale shape: frames are row-local
+    // explodes off the scan; the island window and the segment
+    // aggregate both key on doc_id (one exchange, per-doc bounded
+    // state); output is segments, not frames.
+    QueryDef(
+      "mm_audio_vad",
+      (spark, dir) =>
+        audioFrames(spark, dir)
+          .where("voiced")
+          .selectExpr("doc_id", "frame_no", "energy",
+            """frame_no - row_number() OVER (PARTITION BY doc_id
+                 ORDER BY frame_no) AS grp""")
+          .groupBy("doc_id", "grp")
+          .agg(
+            expr("cast(min(frame_no) AS bigint) AS start_frame"),
+            expr("cast(max(frame_no) AS bigint) AS end_frame"),
+            expr("cast(count(*) AS bigint) AS n_frames"),
+            expr("cast(sum(energy) AS bigint) AS energy"))
+          .selectExpr("doc_id", "start_frame", "end_frame", "n_frames",
+            "energy", "energy div n_frames AS mean_energy"),
+      Some("""
+        WITH frames AS (
+          SELECT doc_id, frame_no, frame_len,
+                 list_sum(list_transform(generate_series(1, frame_len::INT),
+                   i -> abs(('0x' || substr(ph, (off + i - 1) * 2 + 1, 2))::INT - 128)))::BIGINT AS energy
+          FROM (
+            SELECT doc_id, ph, g.frame_no * 80 AS off,
+                   g.frame_no::BIGINT AS frame_no,
+                   least(160, n_bytes - g.frame_no * 80)::BIGINT AS frame_len
+            FROM (SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n_bytes
+                  FROM documents) d,
+            LATERAL (SELECT unnest(generate_series(0, greatest(d.n_bytes - 1, 0) // 80)) AS frame_no) g
+            WHERE g.frame_no * 80 < d.n_bytes)),
+        voiced AS (
+          SELECT doc_id, frame_no, energy,
+                 frame_no - row_number() OVER (PARTITION BY doc_id
+                   ORDER BY frame_no) AS grp
+          FROM frames WHERE energy >= frame_len * 34)
+        SELECT doc_id,
+               min(frame_no)::BIGINT AS start_frame,
+               max(frame_no)::BIGINT AS end_frame,
+               count(*)::BIGINT AS n_frames,
+               sum(energy)::BIGINT AS energy,
+               (sum(energy)::BIGINT // count(*)::BIGINT)::BIGINT AS mean_energy
+        FROM voiced
+        GROUP BY doc_id, grp"""))
   )
+
+  /** The 80-byte-hop / 160-byte audio frame table
+    * (doc_id, frame_no, frame_len, energy, voiced) — ONE kernel for
+    * mm_audio_energy (which emits it) and mm_audio_vad (which segments
+    * it), so the frame grid and the voicing gate cannot diverge.
+    * Voiced = per-sample mean energy ≥ 34, as an integer
+    * cross-multiplication (energy ≥ frame_len · 34). The gate was
+    * re-tuned from 40 when mm_audio_vad landed: on the synthetic
+    * fixture's byte distribution (letters ≈ 6–31, spaces = 96) the
+    * per-frame mean tops out just under 40, so the old threshold made
+    * `voiced` an all-false column — 34 sits inside the distribution
+    * (≈ 34 % of frames fire at sf0.001) and both the flag and the
+    * segmenter exercise real decision boundaries.
+    */
+  private def audioFrames(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExprs.register(spark)
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+        "cast(octet_length(text) AS int) AS n_bytes")
+      .selectExpr("doc_id", "payload", "n_bytes",
+        """explode(filter(sequence(0, greatest(n_bytes - 1, 0), 80),
+                          i -> i < n_bytes)) AS off""")
+      .selectExpr("doc_id",
+        "cast(off div 80 AS bigint) AS frame_no",
+        "cast(least(160, n_bytes - off) AS bigint) AS frame_len",
+        "byte_energy(payload, off, 160) AS energy")
+      .selectExpr("doc_id", "frame_no", "frame_len", "energy",
+        // per-sample mean ≥ 34 counts as voiced (integer compare)
+        "energy >= frame_len * 34 AS voiced")
+  }
 
   /** The mm_ahash code table (doc_id, ahash_lo, ahash_hi) — the shared
     * row-local fingerprint scan mm_ahash emits and mm_ahash_neardup

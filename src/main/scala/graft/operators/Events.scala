@@ -154,6 +154,68 @@ object Events {
         org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_events"),
         org.apache.spark.sql.functions.expr("sum(v) div count(*) AS vb"))
 
+  /** ev_ab_chisq's contingency-cell aggregates over
+    * (event_type, variant, succ) rows — shared with the streaming twin
+    * so the cells the two maintain are the same expressions.
+    */
+  private[graft] val abCellAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    org.apache.spark.sql.functions.expr(
+      "cast(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS bigint) AS n_a"),
+    org.apache.spark.sql.functions.expr(
+      "cast(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS bigint) AS n_b"),
+    org.apache.spark.sql.functions.expr(
+      "cast(sum(CASE WHEN variant = 0 THEN succ ELSE 0 END) AS bigint) AS s_a"),
+    org.apache.spark.sql.functions.expr(
+      "cast(sum(CASE WHEN variant = 1 THEN succ ELSE 0 END) AS bigint) AS s_b"))
+
+  /** Shared exact-integer Pearson χ² arithmetic over a 2×2 contingency
+    * table (event_type, n_a, n_b, s_a, s_b) — ONE kernel for
+    * ev_ab_chisq and st_ab_chisq so batch and stream cannot diverge.
+    * See ev_ab_chisq's QueryDef comment for the widening/zero-guard
+    * reasoning.
+    */
+  private[graft] def chisqFromCells(
+      cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cells
+      .selectExpr("event_type", "n_a", "n_b", "s_a", "s_b",
+        "s_a * (n_b - s_b) - s_b * (n_a - s_a) AS d")
+      .selectExpr("event_type", "n_a", "n_b", "s_a", "s_b",
+        """cast(cast(n_a + n_b AS decimal(38,0)) * cast(d AS decimal(38,0))
+                * cast(d AS decimal(38,0)) AS decimal(38,0)) AS chi2_num""",
+        """cast(cast(s_a + s_b AS decimal(38,0)) * ((n_a - s_a) + (n_b - s_b))
+                * n_a * n_b AS decimal(38,0)) AS chi2_den""")
+      .selectExpr("event_type", "n_a", "n_b", "s_a", "s_b",
+        "chi2_num", "chi2_den",
+        """CASE WHEN chi2_den = 0 THEN 0L
+                ELSE cast(chi2_num * 1000 div chi2_den AS bigint) END AS chi2_milli""")
+
+  /** The DuckDB replay of the full χ² pipeline — reused verbatim by the
+    * streaming twin (AvailableNow drain ≡ batch on a bounded source).
+    */
+  private[graft] val abChisqOracleSql: String = """
+        WITH cells AS (
+          SELECT event_type,
+                 sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                 sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                 sum(CASE WHEN user_id % 2 = 0 AND value > 50 THEN 1 ELSE 0 END)::BIGINT AS s_a,
+                 sum(CASE WHEN user_id % 2 = 1 AND value > 50 THEN 1 ELSE 0 END)::BIGINT AS s_b
+          FROM events GROUP BY event_type),
+        dd AS (
+          SELECT event_type, n_a, n_b, s_a, s_b,
+                 (s_a::HUGEINT * (n_b - s_b) - s_b::HUGEINT * (n_a - s_a)) AS d
+          FROM cells),
+        prods AS (
+          SELECT event_type, n_a, n_b, s_a, s_b,
+                 CAST((n_a + n_b)::HUGEINT * d * d AS DECIMAL(38,0)) AS chi2_num,
+                 CAST((s_a + s_b)::HUGEINT * ((n_a - s_a) + (n_b - s_b))
+                      * n_a::HUGEINT * n_b AS DECIMAL(38,0)) AS chi2_den
+          FROM dd)
+        SELECT event_type, n_a, n_b, s_a, s_b, chi2_num, chi2_den,
+               CASE WHEN chi2_den = 0 THEN 0
+                    ELSE CAST((chi2_num::HUGEINT * 1000) // chi2_den::HUGEINT AS BIGINT)
+               END::BIGINT AS chi2_milli
+        FROM prods"""
+
   /** The DuckDB twin of [[hourlySeries]] (CTE named `h`). */
   private[graft] val hourlySeriesSql: String = """
         h AS (
@@ -1195,49 +1257,13 @@ object Events {
     QueryDef(
       "ev_ab_chisq",
       (spark, dir) =>
-        Tables.events(spark, dir)
-          .selectExpr("event_type", "user_id % 2 AS variant",
-            "CASE WHEN value > 50 THEN 1L ELSE 0L END AS succ")
-          .groupBy("event_type")
-          .agg(
-            org.apache.spark.sql.functions.expr("cast(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS bigint) AS n_a"),
-            org.apache.spark.sql.functions.expr("cast(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS bigint) AS n_b"),
-            org.apache.spark.sql.functions.expr("cast(sum(CASE WHEN variant = 0 THEN succ ELSE 0 END) AS bigint) AS s_a"),
-            org.apache.spark.sql.functions.expr("cast(sum(CASE WHEN variant = 1 THEN succ ELSE 0 END) AS bigint) AS s_b"))
-          .selectExpr("event_type", "n_a", "n_b", "s_a", "s_b",
-            "s_a * (n_b - s_b) - s_b * (n_a - s_a) AS d")
-          .selectExpr("event_type", "n_a", "n_b", "s_a", "s_b",
-            """cast(cast(n_a + n_b AS decimal(38,0)) * cast(d AS decimal(38,0))
-                    * cast(d AS decimal(38,0)) AS decimal(38,0)) AS chi2_num""",
-            """cast(cast(s_a + s_b AS decimal(38,0)) * ((n_a - s_a) + (n_b - s_b))
-                    * n_a * n_b AS decimal(38,0)) AS chi2_den""")
-          .selectExpr("event_type", "n_a", "n_b", "s_a", "s_b",
-            "chi2_num", "chi2_den",
-            """CASE WHEN chi2_den = 0 THEN 0L
-                    ELSE cast(chi2_num * 1000 div chi2_den AS bigint) END AS chi2_milli"""),
-      Some("""
-        WITH cells AS (
-          SELECT event_type,
-                 sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
-                 sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
-                 sum(CASE WHEN user_id % 2 = 0 AND value > 50 THEN 1 ELSE 0 END)::BIGINT AS s_a,
-                 sum(CASE WHEN user_id % 2 = 1 AND value > 50 THEN 1 ELSE 0 END)::BIGINT AS s_b
-          FROM events GROUP BY event_type),
-        dd AS (
-          SELECT event_type, n_a, n_b, s_a, s_b,
-                 (s_a::HUGEINT * (n_b - s_b) - s_b::HUGEINT * (n_a - s_a)) AS d
-          FROM cells),
-        prods AS (
-          SELECT event_type, n_a, n_b, s_a, s_b,
-                 CAST((n_a + n_b)::HUGEINT * d * d AS DECIMAL(38,0)) AS chi2_num,
-                 CAST((s_a + s_b)::HUGEINT * ((n_a - s_a) + (n_b - s_b))
-                      * n_a::HUGEINT * n_b AS DECIMAL(38,0)) AS chi2_den
-          FROM dd)
-        SELECT event_type, n_a, n_b, s_a, s_b, chi2_num, chi2_den,
-               CASE WHEN chi2_den = 0 THEN 0
-                    ELSE CAST((chi2_num::HUGEINT * 1000) // chi2_den::HUGEINT AS BIGINT)
-               END::BIGINT AS chi2_milli
-        FROM prods""")),
+        chisqFromCells(
+          Tables.events(spark, dir)
+            .selectExpr("event_type", "user_id % 2 AS variant",
+              "CASE WHEN value > 50 THEN 1L ELSE 0L END AS succ")
+            .groupBy("event_type")
+            .agg(abCellAggs.head, abCellAggs.tail: _*)),
+      Some(abChisqOracleSql)),
 
     // ----------------- EWMA forecast-residual anomaly flags
     // The alerting half of ev_ewma: each event's one-step-ahead

@@ -240,8 +240,116 @@ object Ml {
             "CASE WHEN m > 0 THEN 1L ELSE -1L END AS pred",
             "CASE WHEN y * m > 0 THEN 1L ELSE 0L END AS correct")
       },
-      Some(scoreOracleSql))
+      Some(scoreOracleSql)),
+
+    // ------------- closed-form ridge regression (exact normal equations)
+    // The GLM counterpart of the perceptron: fit
+    // y = β₀ + β₁·quantity + β₂·discount_bp on lineitem (y in cents)
+    // by solving (XᵀX + λI)β = Xᵀy EXACTLY — nine integer moment sums
+    // and Cramer's rule on the 3×3 system, no gradient loop, no float.
+    // This is the 100 TB shape for any fixed-width linear fit: the
+    // ENTIRE corpus contribution is ONE partial-aggregated scan down
+    // to 10 numbers (map-side combine does almost all the work; the
+    // exchange carries 10 values per map task), and the solve is O(1)
+    // arithmetic on the driver-side row. Exactness engineering: moment
+    // sums accumulate in DECIMAL(38,0) (int64 passes sf10 but not
+    // sf1000 for Σx₁y); determinants stay ≤ ~1e36 through sf10 (the
+    // QueryDef emits them, so overflow would be VISIBLE as a gate
+    // diff, not silent); β is emitted in exact ppm via the two-step
+    // split β_ppm = q·1e6 + (r·1e6 div det) with q = det_i div det,
+    // r = det_i − q·det — algebraically equal to (det_i·1e6) div det
+    // (signs of the two addends always agree) but never forming the
+    // 1e40-at-sf10 product that would overflow DECIMAL(38,0)/HUGEINT.
+    // λ penalizes all three coefficients (incl. intercept — documented
+    // simplification, λ = 10000 in the integer units of the moments).
+    QueryDef(
+      "ml_train_ridge",
+      (spark, dir) =>
+        ridgeSolve(
+          Tables.lineitem(spark, dir)
+            .selectExpr(
+              "cast(l_quantity AS bigint) AS x1", // integral by fixture
+              "cast(cast(l_discount AS decimal(18,4)) * 10000 AS bigint) AS x2",
+              "cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) AS y")
+            .groupBy()
+            .agg(
+              expr("cast(count(*) AS decimal(38,0)) AS n"),
+              expr("cast(sum(cast(x1 AS decimal(38,0))) AS decimal(38,0)) AS sx1"),
+              expr("cast(sum(cast(x2 AS decimal(38,0))) AS decimal(38,0)) AS sx2"),
+              expr("cast(sum(cast(x1 AS decimal(38,0)) * x1) AS decimal(38,0)) AS s11"),
+              expr("cast(sum(cast(x1 AS decimal(38,0)) * x2) AS decimal(38,0)) AS s12"),
+              expr("cast(sum(cast(x2 AS decimal(38,0)) * x2) AS decimal(38,0)) AS s22"),
+              expr("cast(sum(cast(y AS decimal(38,0))) AS decimal(38,0)) AS sy"),
+              expr("cast(sum(cast(y AS decimal(38,0)) * x1) AS decimal(38,0)) AS sy1"),
+              expr("cast(sum(cast(y AS decimal(38,0)) * x2) AS decimal(38,0)) AS sy2"))),
+      Some(s"""
+        WITH m AS (
+          SELECT count(*)::HUGEINT AS n,
+                 sum(x1::HUGEINT)::HUGEINT AS sx1,
+                 sum(x2::HUGEINT)::HUGEINT AS sx2,
+                 sum(x1::HUGEINT * x1)::HUGEINT AS s11,
+                 sum(x1::HUGEINT * x2)::HUGEINT AS s12,
+                 sum(x2::HUGEINT * x2)::HUGEINT AS s22,
+                 sum(y::HUGEINT)::HUGEINT AS sy,
+                 sum(y::HUGEINT * x1)::HUGEINT AS sy1,
+                 sum(y::HUGEINT * x2)::HUGEINT AS sy2
+          FROM (SELECT l_quantity::BIGINT AS x1,
+                       CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x2,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+                FROM lineitem)),
+        g AS (
+          SELECT *, (n + $RidgeLambda) AS a, sx1 AS b, sx2 AS c,
+                 (s11 + $RidgeLambda) AS d, s12 AS e, (s22 + $RidgeLambda) AS f
+          FROM m),
+        dets AS (
+          SELECT n, sx1, sx2, s11, s12, s22, sy, sy1, sy2,
+                 (a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d)) AS det,
+                 (sy * (d * f - e * e) - b * (sy1 * f - e * sy2) + c * (sy1 * e - d * sy2)) AS det0,
+                 (a * (sy1 * f - e * sy2) - sy * (b * f - e * c) + c * (b * sy2 - sy1 * c)) AS det1,
+                 (a * (d * sy2 - sy1 * e) - b * (b * sy2 - sy1 * c) + sy * (b * e - d * c)) AS det2
+          FROM g),
+        q AS (
+          SELECT *, det0 // det AS q0, det1 // det AS q1, det2 // det AS q2
+          FROM dets)
+        SELECT CAST(n AS DECIMAL(38,0)) AS n,
+               CAST(sx1 AS DECIMAL(38,0)) AS sx1, CAST(sx2 AS DECIMAL(38,0)) AS sx2,
+               CAST(s11 AS DECIMAL(38,0)) AS s11, CAST(s12 AS DECIMAL(38,0)) AS s12,
+               CAST(s22 AS DECIMAL(38,0)) AS s22,
+               CAST(sy AS DECIMAL(38,0)) AS sy,
+               CAST(sy1 AS DECIMAL(38,0)) AS sy1, CAST(sy2 AS DECIMAL(38,0)) AS sy2,
+               CAST(det AS DECIMAL(38,0)) AS det,
+               (q0 * 1000000 + ((det0 - q0 * det) * 1000000) // det)::BIGINT AS beta0_ppm,
+               (q1 * 1000000 + ((det1 - q1 * det) * 1000000) // det)::BIGINT AS beta1_ppm,
+               (q2 * 1000000 + ((det2 - q2 * det) * 1000000) // det)::BIGINT AS beta2_ppm
+        FROM q"""))
   )
+
+  /** ml_train_ridge's regularizer, in the integer units of the moment
+    * sums (quantity / discount basis points / cents).
+    */
+  private val RidgeLambda = 10000L
+
+  /** The O(1) tail of ml_train_ridge: Cramer's rule + the two-step
+    * exact ppm division over the single moments row. Split out so the
+    * spec can feed it hand-built moments.
+    */
+  private[graft] def ridgeSolve(moments: DataFrame): DataFrame =
+    moments
+      .selectExpr("n", "sx1", "sx2", "s11", "s12", "s22", "sy", "sy1", "sy2",
+        s"n + $RidgeLambda AS a", "sx1 AS b", "sx2 AS c",
+        s"s11 + $RidgeLambda AS d", "s12 AS e", s"s22 + $RidgeLambda AS f")
+      .selectExpr("n", "sx1", "sx2", "s11", "s12", "s22", "sy", "sy1", "sy2",
+        "cast(a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d) AS decimal(38,0)) AS det",
+        "cast(sy * (d * f - e * e) - b * (sy1 * f - e * sy2) + c * (sy1 * e - d * sy2) AS decimal(38,0)) AS det0",
+        "cast(a * (sy1 * f - e * sy2) - sy * (b * f - e * c) + c * (b * sy2 - sy1 * c) AS decimal(38,0)) AS det1",
+        "cast(a * (d * sy2 - sy1 * e) - b * (b * sy2 - sy1 * c) + sy * (b * e - d * c) AS decimal(38,0)) AS det2")
+      .selectExpr("n", "sx1", "sx2", "s11", "s12", "s22", "sy", "sy1", "sy2",
+        "det", "det0", "det1", "det2",
+        "det0 div det AS q0", "det1 div det AS q1", "det2 div det AS q2")
+      .selectExpr("n", "sx1", "sx2", "s11", "s12", "s22", "sy", "sy1", "sy2", "det",
+        "cast(q0 * 1000000 + ((det0 - q0 * det) * 1000000) div det AS bigint) AS beta0_ppm",
+        "cast(q1 * 1000000 + ((det1 - q1 * det) * 1000000) div det AS bigint) AS beta1_ppm",
+        "cast(q2 * 1000000 + ((det2 - q2 * det) * 1000000) div det AS bigint) AS beta2_ppm")
 
   /** ml_score_docs' oracle — also st_ml_score's (the streamed scorer
     * must drain row-identical to the batch one, so they share the SQL

@@ -1141,6 +1141,37 @@ object Streaming {
       Some(graft.operators.Events.cmOracleSql),
       bench = false),
 
+    // ------------------- streaming A/B chi-square (live experiment)
+    // ev_ab_chisq's contingency table maintained ON the stream — the
+    // always-on experiment dashboard: per event_type the state is four
+    // counters (n_a, n_b, s_a, s_b) however many events flow past, a
+    // plain streaming aggregation in Complete mode (types-bounded
+    // output, the st_countmin "the sketch IS the state" discipline).
+    // The drained cells feed the IDENTICAL exact-integer χ² arithmetic
+    // as the batch operator (shared Events.chisqFromCells — the
+    // widening and zero-guard cannot diverge), and the oracle SQL is
+    // ev_ab_chisq's verbatim: an AvailableNow drain over a bounded
+    // source must equal batch.
+    graft.QueryDef(
+      "st_ab_chisq",
+      (spark, dir) => {
+        val cells = eventsStream(spark, dir)
+          .selectExpr("event_type", "user_id % 2 AS variant",
+            "CASE WHEN value > 50 THEN 1L ELSE 0L END AS succ")
+          .groupBy("event_type")
+          .agg(graft.operators.Events.abCellAggs.head,
+            graft.operators.Events.abCellAggs.tail: _*)
+        val qn = "st_ab_chisq_sink"
+        val q = cells.writeStream.format("memory").queryName(qn)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.operators.Events.chisqFromCells(spark.table(qn))
+      },
+      Some(graft.operators.Events.abChisqOracleSql),
+      bench = false),
+
     // ----------------------------- streaming EWMA (live forecasting)
     // ev_ewma's recurrence running against the stream: per-user state
     // is (count, s) — two longs per user however long the stream runs.

@@ -111,4 +111,36 @@ class MlSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
+
+  test("ml_train_ridge: determinants and betas equal a BigInt Cramer replay") {
+    val r = Registry.byName("ml_train_ridge").run(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def dec(i: Int): BigInt = BigInt(row.getDecimal(i).toBigInteger)
+    val Seq(n, sx1, sx2, s11, s12, s22, sy, sy1, sy2) = (0 to 8).map(dec)
+    val lam = BigInt(10000)
+    val (a, b, c, d, e, f) = (n + lam, sx1, sx2, s11 + lam, s12, s22 + lam)
+    val det = a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d)
+    val det0 = sy * (d * f - e * e) - b * (sy1 * f - e * sy2) + c * (sy1 * e - d * sy2)
+    val det1 = a * (sy1 * f - e * sy2) - sy * (b * f - e * c) + c * (b * sy2 - sy1 * c)
+    val det2 = a * (d * sy2 - sy1 * e) - b * (b * sy2 - sy1 * c) + sy * (b * e - d * c)
+    assert(det > 0, "ridge normal matrix must be positive definite")
+    assert(dec(9) == det, "determinant")
+    // BigInt / truncates toward zero — the div semantics both engines use
+    val betas = Seq(det0, det1, det2).map(di => (di * 1000000 / det).toLong)
+    assert((row.getLong(10), row.getLong(11), row.getLong(12)) ==
+      ((betas(0), betas(1), betas(2))),
+      "two-step ppm split must equal the direct (det_i * 1e6) div det")
+    // and the fit IS a regression: β residuals satisfy the normal
+    // equations within ppm quantization — |M·β − 1e6·v| per equation
+    // is bounded by the row's coefficient mass
+    val beta = betas.map(BigInt(_))
+    val rows = Seq((a, b, c, sy), (b, d, e, sy1), (c, e, f, sy2))
+    rows.foreach { case (m0, m1, m2, v) =>
+      val lhs = m0 * beta(0) + m1 * beta(1) + m2 * beta(2)
+      val slack = (m0.abs + m1.abs + m2.abs) // one ppm unit per coefficient
+      assert((lhs - v * 1000000).abs <= slack,
+        s"normal equation violated beyond quantization: $lhs vs ${v * 1000000}")
+    }
+  }
 }

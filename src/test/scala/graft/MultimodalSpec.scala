@@ -189,4 +189,34 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(nonTrivial > out.size / 2, "fixture too uniform to pin the gradient rule")
   }
+
+  test("mm_audio_vad: segments equal a consecutive-run scan of the voiced frames") {
+    val sf = "/root/testdata/sf0.001"
+    val frames = Registry.byName("mm_audio_energy").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    val segs = Registry.byName("mm_audio_vad").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(s => (s._1, s._2))
+    assert(segs.nonEmpty, "threshold produced zero segments — gate degenerate again")
+    val expected = frames.groupBy(_._1).toSeq.flatMap { case (doc, fs) =>
+      val runs = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+      var start = -1L; var prev = -1L; var n = 0L; var e = 0L
+      fs.sortBy(_._2).foreach { case (_, fn, energy, voiced) =>
+        if (voiced) {
+          if (start < 0 || fn != prev + 1) {
+            if (start >= 0) runs += ((doc, start, prev, n, e, e / n))
+            start = fn; n = 0L; e = 0L
+          }
+          prev = fn; n += 1L; e += energy
+        }
+      }
+      if (start >= 0) runs += ((doc, start, prev, n, e, e / n))
+      runs.toSeq
+    }.sortBy(s => (s._1, s._2))
+    assert(segs.toSeq == expected, "segment set mismatch vs consecutive-run replay")
+    // the fixture must contain a multi-frame segment AND a doc with > 1
+    // segment, or the island arithmetic is untested
+    assert(segs.exists(_._4 > 1L), "no multi-frame segment")
+    assert(segs.groupBy(_._1).exists(_._2.length > 1), "no doc with multiple segments")
+  }
 }
