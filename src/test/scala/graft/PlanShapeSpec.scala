@@ -596,4 +596,29 @@ class PlanShapeSpec extends SparkSpec {
     assert("ShuffledHashJoin".r.findAllIn(round).length == 2,
       s"expected both round joins to be shuffled-hash against the stationary checkpoints:\n$round")
   }
+
+  test("q23_basket_pairs: a-priori prune is a broadcast join; pair explode never cartesian") {
+    val p = plan("q23_basket_pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "frequent-item prune must broadcast the parts-bounded item table")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "the per-order self-join must key on the order, never cross")
+    assert(!p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "pair join must be a hash join family")
+  }
+
+  test("ml_train_ridge: one partial-aggregated scan — moments combine map-side, no join") {
+    val p = plan("ml_train_ridge")
+    assert(!p.contains("Join"), "the moment pass must not join anything")
+    // partial_ aggregate functions before the single-row exchange =
+    // map-side combine carries the 10 sums, not the corpus
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected partial aggregation before the exchange:\n${p.take(1500)}")
+  }
+
+  test("ts_ndcg: both rankings are TakeOrderedAndProject roots, never a global Sort") {
+    val p = plan("ts_ndcg")
+    assert(p.split("TakeOrderedAndProject").length >= 3,
+      "ranked and ideal top-K must both be TakeOrdered cuts")
+  }
 }
