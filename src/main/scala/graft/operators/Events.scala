@@ -1944,7 +1944,121 @@ object Events {
                  (r.km * (b.n_risk - b.d) // b.n_risk)::BIGINT
           FROM r JOIN base b ON b.rn = r.rn + 1)
         SELECT t AS t_hours, n_risk, d AS d_conv, c AS c_censored, km AS km_ppm
-        FROM r"""))
+        FROM r""")),
+
+    // ----------------- CUPED variance reduction (pre-period control)
+    // The third leg of the experimentation suite (rates → ev_ab_chisq,
+    // distributions → ev_ab_mannwhitney, means with variance reduction
+    // → here): adjust each user's post-period spend Y by their OWN
+    // pre-period spend X, Y' = Y − θ(X − E[X]) with θ = cov(X,Y)/var(X)
+    // pooled across variants (Deng et al. 2013 is the spec). A user's
+    // habitual level explains most spend variance, so the adjusted
+    // variant delta is the same estimate with far tighter error bars —
+    // the reason every mature platform runs CUPED by default. The
+    // split is a FIXED timestamp literal (pre < 2024-01-16 ≤ post) so
+    // ScaleUp corpora (ts untouched) keep both windows populated.
+    // Exactness: per-user (x, y) micros sums are int64; the pooled
+    // moments n·Σxy − Σx·Σy and n·Σxx − Σx² widen to DECIMAL(38,0);
+    // θ lands as exact ppm via the same two-step quotient split as
+    // ml_train_ridge (never forming num·1e6); means and deltas are
+    // truncating integer micros end to end. Scale shape: ONE
+    // partial-aggregated exchange folds the corpus to the
+    // (type, user) table; the pooled and per-variant moments are two
+    // types-bounded aggregates over it; everything after is O(1)
+    // arithmetic per event_type.
+    QueryDef(
+      "ev_ab_cuped",
+      (spark, dir) => {
+        val ux = Tables.events(spark, dir)
+          .selectExpr("event_type", "user_id",
+            """CASE WHEN ts < timestamp'2024-01-16 00:00:00'
+                    THEN cast(cast(value AS decimal(18,6)) * 1000000 AS bigint)
+                    ELSE 0L END AS xv""",
+            """CASE WHEN ts >= timestamp'2024-01-16 00:00:00'
+                    THEN cast(cast(value AS decimal(18,6)) * 1000000 AS bigint)
+                    ELSE 0L END AS yv""")
+          .groupBy("event_type", "user_id")
+          .agg(
+            org.apache.spark.sql.functions.expr("sum(xv) AS x"),
+            org.apache.spark.sql.functions.expr("sum(yv) AS y"))
+          .selectExpr("event_type", "user_id % 2 AS variant", "x", "y")
+        ux.groupBy("event_type")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_users"),
+            org.apache.spark.sql.functions.expr("cast(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS bigint) AS n_a"),
+            org.apache.spark.sql.functions.expr("cast(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS bigint) AS n_b"),
+            org.apache.spark.sql.functions.expr("cast(sum(cast(x AS decimal(38,0))) AS decimal(38,0)) AS sx"),
+            org.apache.spark.sql.functions.expr("cast(sum(cast(y AS decimal(38,0))) AS decimal(38,0)) AS sy"),
+            org.apache.spark.sql.functions.expr("cast(sum(cast(x AS decimal(38,0)) * x) AS decimal(38,0)) AS sxx"),
+            org.apache.spark.sql.functions.expr("cast(sum(cast(x AS decimal(38,0)) * y) AS decimal(38,0)) AS sxy"),
+            org.apache.spark.sql.functions.expr("sum(CASE WHEN variant = 0 THEN x ELSE 0L END) AS sx_a"),
+            org.apache.spark.sql.functions.expr("sum(CASE WHEN variant = 1 THEN x ELSE 0L END) AS sx_b"),
+            org.apache.spark.sql.functions.expr("sum(CASE WHEN variant = 0 THEN y ELSE 0L END) AS sy_a"),
+            org.apache.spark.sql.functions.expr("sum(CASE WHEN variant = 1 THEN y ELSE 0L END) AS sy_b"))
+          .selectExpr("event_type", "n_users", "n_a", "n_b",
+            "sx_a", "sx_b", "sy_a", "sy_b",
+            "cast(n_users * sxy - sx * sy AS decimal(38,0)) AS th_num",
+            "cast(n_users * sxx - sx * sx AS decimal(38,0)) AS th_den")
+          .selectExpr("event_type", "n_users", "n_a", "n_b",
+            "sx_a", "sx_b", "sy_a", "sy_b", "th_num", "th_den",
+            "CASE WHEN th_den = 0 THEN 0L ELSE cast(th_num div th_den AS bigint) END AS q")
+          .selectExpr("event_type", "n_users", "n_a", "n_b",
+            """CASE WHEN th_den = 0 THEN 0L
+                    ELSE cast(q * 1000000 + ((th_num - q * th_den) * 1000000) div th_den AS bigint)
+               END AS theta_ppm""",
+            "sx_a div n_a AS mean_x_a", "sx_b div n_b AS mean_x_b",
+            "sy_a div n_a AS mean_y_a", "sy_b div n_b AS mean_y_b")
+          .selectExpr("event_type", "n_users", "n_a", "n_b", "theta_ppm",
+            "mean_x_a", "mean_x_b", "mean_y_a", "mean_y_b",
+            "mean_y_a - mean_y_b AS raw_delta_micros",
+            """(mean_y_a - mean_y_b)
+               - (theta_ppm * (mean_x_a - mean_x_b)) div 1000000 AS adj_delta_micros""")
+      },
+      Some("""
+        WITH ux AS (
+          SELECT event_type, user_id % 2 AS variant,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                          THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                          ELSE 0 END)::BIGINT AS x,
+                 sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                          THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                          ELSE 0 END)::BIGINT AS y
+          FROM events GROUP BY event_type, user_id),
+        m AS (
+          SELECT event_type,
+                 count(*)::BIGINT AS n_users,
+                 sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                 sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                 sum(x::HUGEINT)::HUGEINT AS sx,
+                 sum(y::HUGEINT)::HUGEINT AS sy,
+                 sum(x::HUGEINT * x)::HUGEINT AS sxx,
+                 sum(x::HUGEINT * y)::HUGEINT AS sxy,
+                 sum(CASE WHEN variant = 0 THEN x ELSE 0 END)::BIGINT AS sx_a,
+                 sum(CASE WHEN variant = 1 THEN x ELSE 0 END)::BIGINT AS sx_b,
+                 sum(CASE WHEN variant = 0 THEN y ELSE 0 END)::BIGINT AS sy_a,
+                 sum(CASE WHEN variant = 1 THEN y ELSE 0 END)::BIGINT AS sy_b
+          FROM ux GROUP BY event_type),
+        t AS (
+          SELECT *, (n_users::HUGEINT * sxy - sx * sy) AS th_num,
+                    (n_users::HUGEINT * sxx - sx * sx) AS th_den
+          FROM m),
+        qq AS (
+          SELECT *, CASE WHEN th_den = 0 THEN 0 ELSE th_num // th_den END AS q
+          FROM t),
+        s AS (
+          SELECT event_type, n_users, n_a, n_b,
+                 CASE WHEN th_den = 0 THEN 0
+                      ELSE q * 1000000 + ((th_num - q * th_den) * 1000000) // th_den
+                 END::BIGINT AS theta_ppm,
+                 (sx_a // n_a)::BIGINT AS mean_x_a, (sx_b // n_b)::BIGINT AS mean_x_b,
+                 (sy_a // n_a)::BIGINT AS mean_y_a, (sy_b // n_b)::BIGINT AS mean_y_b
+          FROM qq)
+        SELECT event_type, n_users, n_a, n_b, theta_ppm,
+               mean_x_a, mean_x_b, mean_y_a, mean_y_b,
+               (mean_y_a - mean_y_b)::BIGINT AS raw_delta_micros,
+               ((mean_y_a - mean_y_b)
+                - (theta_ppm * (mean_x_a - mean_x_b)) // 1000000)::BIGINT AS adj_delta_micros
+        FROM s"""))
   )
 
   /** Exact φ = 1/k heavy hitters over an arbitrary key stream with

@@ -347,7 +347,60 @@ object Search {
         SELECT k, doc_id, rel, irel, dcg_m, idcg_m,
                CASE WHEN idcg_m = 0 THEN 0
                     ELSE dcg_m * 1000000 // idcg_m END::BIGINT AS ndcg_ppm
-        FROM cum"""))
+        FROM cum""")),
+
+    // --------------------- reciprocal-rank fusion (the OTHER fusion)
+    // ts_hybrid fuses SCORES; RRF (Cormack et al. 2009) fuses RANKS —
+    // the fusion that needs no score calibration at all, which is why
+    // it's the default in every hybrid-search stack. Two retrievers
+    // over the shared scoring scan: the BM25 ranking and a brevity
+    // prior (dl ASC — the deterministic stand-in for any second
+    // retriever's rank list; at 100 TB this column is an ANN ranker's
+    // output). Each contributes 1e6 div (60 + rank) integer ppm for
+    // docs inside its top-100 pool, zero outside (missing-from-pool is
+    // the standard RRF convention, kept explicit via the outer join).
+    // Everything is exact integers — rank fusion is drift-immune by
+    // construction, the whole point of RRF. Scale shape: two
+    // TakeOrderedAndProject pools (K-bounded) off one shared scan,
+    // a pool-sized outer join, and a final top-20 cut — nothing after
+    // the scan touches more than 200 rows.
+    QueryDef(
+      "ts_rrf",
+      (spark, dir) => {
+        val scored = bm25Scored(spark, dir)
+        val poolA = scored.orderBy(desc("bm25"), col("doc_id")).limit(100)
+          .selectExpr("doc_id", "bm25",
+            "cast(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bigint) AS rank_bm25")
+        val poolB = scored.orderBy(col("dl"), col("doc_id")).limit(100)
+          .selectExpr("doc_id", "dl",
+            "cast(row_number() OVER (ORDER BY dl, doc_id) AS bigint) AS rank_brev")
+        poolA.join(poolB, Seq("doc_id"), "full_outer")
+          .selectExpr("doc_id",
+            "coalesce(rank_bm25, 0L) AS rank_bm25",
+            "coalesce(rank_brev, 0L) AS rank_brev",
+            s"""coalesce(1000000L div ($RrfK + rank_bm25), 0L)
+                + coalesce(1000000L div ($RrfK + rank_brev), 0L) AS rrf_ppm""")
+          .orderBy(desc("rrf_ppm"), col("doc_id")).limit(TopK)
+      },
+      Some(s"""
+        WITH scored AS ($bm25ScoredSql),
+        pool_a AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS rank_bm25
+          FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT 100)),
+        pool_b AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY dl, doc_id)::BIGINT AS rank_brev
+          FROM (SELECT * FROM scored ORDER BY dl, doc_id LIMIT 100)),
+        fused AS (
+          SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 coalesce(a.rank_bm25, 0)::BIGINT AS rank_bm25,
+                 coalesce(b.rank_brev, 0)::BIGINT AS rank_brev,
+                 (coalesce(1000000 // ($RrfK + a.rank_bm25), 0)
+                  + coalesce(1000000 // ($RrfK + b.rank_brev), 0))::BIGINT AS rrf_ppm
+          FROM pool_a a FULL OUTER JOIN pool_b b ON a.doc_id = b.doc_id)
+        SELECT doc_id, rank_bm25, rank_brev, rrf_ppm
+        FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT $TopK"""))
   )
 
   /** ts_ndcg: integer ppm log2 rank discounts, round(1e6 / log2(r+1))
@@ -356,4 +409,9 @@ object Search {
     */
   private val NdcgDiscountPpm: Seq[Long] =
     (1 to TopK).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** ts_rrf's smoothing constant — the k in 1/(k + rank), the
+    * literature default (Cormack et al. 2009).
+    */
+  private val RrfK = 60L
 }

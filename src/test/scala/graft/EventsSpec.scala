@@ -140,4 +140,40 @@ class EventsSpec extends SparkSpec {
     assert(out.map(_._3).sum > 0L, "no conversions — fixture degenerate")
     assert(out.map(_._4).sum > 0L, "no censoring — fixture degenerate")
   }
+
+  test("ev_ab_cuped: theta and adjusted delta equal a BigInt per-user replay") {
+    val rows = Registry.byName("ev_ab_cuped").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val split = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli * 1000L
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id", "unix_micros(ts) AS us",
+        "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val perUser = raw.filter(_._1 == et).groupBy(_._2).map { case (u, es) =>
+        (u, es.filter(_._3 < split).map(_._4).sum, es.filter(_._3 >= split).map(_._4).sum)
+      }.toSeq
+      val n = BigInt(perUser.size)
+      val sx = perUser.map(p => BigInt(p._2)).sum
+      val sy = perUser.map(p => BigInt(p._3)).sum
+      val sxx = perUser.map(p => BigInt(p._2) * p._2).sum
+      val sxy = perUser.map(p => BigInt(p._2) * p._3).sum
+      val (num, den) = (n * sxy - sx * sy, n * sxx - sx * sx)
+      val theta = if (den == 0) 0L else (num * 1000000 / den).toLong
+      assert(r.getLong(4) == theta, s"$et: theta ${r.getLong(4)} vs $theta")
+      val a = perUser.filter(_._1 % 2 == 0)
+      val b = perUser.filter(_._1 % 2 == 1)
+      val (mxa, mxb) = (a.map(_._2).sum / a.size, b.map(_._2).sum / b.size)
+      val (mya, myb) = (a.map(_._3).sum / a.size, b.map(_._3).sum / b.size)
+      assert((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) ==
+        ((mxa, mxb, mya, myb)), s"$et: means")
+      assert(r.getLong(9) == mya - myb, s"$et: raw delta")
+      assert(r.getLong(10) == (mya - myb) - theta * (mxa - mxb) / 1000000L,
+        s"$et: adjusted delta")
+      // CUPED must REDUCE something: theta is non-trivial on this fixture
+      assert(theta != 0L, s"$et: zero theta — pre/post uncorrelated, fixture degenerate")
+    }
+  }
 }

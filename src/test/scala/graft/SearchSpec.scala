@@ -223,6 +223,25 @@ class SearchSpec extends SparkSpec {
     assert(rows.map(_._2).sum > 0L, "top-20 has zero total relevance — fixture degenerate")
   }
 
+  test("ts_rrf: scores recompute from the emitted ranks; BM25's top doc carries rank 1") {
+    val rows = run("ts_rrf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (doc, ra, rb, rrf) =>
+      def f(r: Long): Long = if (r == 0L) 0L else 1000000L / (60L + r)
+      assert(rrf == f(ra) + f(rb), s"doc $doc: rrf $rrf != ${f(ra)} + ${f(rb)}")
+      assert(ra >= 0L && ra <= 100L && rb >= 0L && rb <= 100L, s"doc $doc: pool ranks")
+      assert(ra > 0L || rb > 0L, s"doc $doc: fused row outside both pools")
+    }
+    // the lexical retriever's #1 must enter the fusion at rank 1
+    val bm25Top = run("ts_bm25").collect().head.getLong(0)
+    assert(rows.exists(r => r._1 == bm25Top && r._2 == 1L),
+      "BM25 rank-1 doc missing from the fused table at rank_bm25 = 1")
+    // the fusion must actually mix: some emitted doc is in exactly one pool
+    assert(rows.exists(r => r._2 == 0L || r._3 == 0L),
+      "every fused doc sits in both pools — pools too correlated to test fusion")
+  }
+
   test("q23_basket_pairs: counts, confidence, and lift equal a brute-force basket scan") {
     val out = Registry.byName("q23_basket_pairs").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
