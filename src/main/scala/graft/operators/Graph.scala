@@ -1038,6 +1038,66 @@ object Graph {
                         - sum_j_plus_k::DOUBLE * sum_j_plus_k::DOUBLE), 6) AS r6
         FROM mom""")),
 
+    // ------------- community conductance (the cut-quality complement)
+    // gr_modularity scores how much BETTER than random each community's
+    // internal density is; conductance φ(C) = cut(C) / min(vol(C),
+    // vol(rest)) scores how LEAKY its boundary is — the metric sparse-
+    // cut theory (Cheeger) and every graph-partitioner report next to
+    // Q. Over the directed-symmetric edge rows: cut(C) counts rows
+    // whose SOURCE is in C and destination is not (each undirected cut
+    // edge once from C's side), vol(C) is the member out-degree mass
+    // via the same fold-E-to-degrees-first shape the r14 modularity
+    // profile forced (never a second E-join per consumer), and φ is
+    // exact integer ppm with the min() in directed-row units. Shares
+    // the memoized label table with gr_labelprop/gr_modularity and the
+    // labelChainSql oracle — three community queries, one propagation.
+    // Scale shape: two E-bounded joins (cut needs both endpoints'
+    // labels), one O(V) degree fold, communities-bounded output.
+    QueryDef(
+      "gr_conductance",
+      (spark, dir) => {
+        val lab = propagatedLabels(spark, dir).toDF("id", "lbl")
+        val e = purchaseEdges(spark, dir).toDF("src", "dst")
+        val ne = e.groupBy().agg(expr("cast(count(*) AS bigint) AS ne"))
+        val cut = e
+          .join(lab.selectExpr("id AS src", "lbl AS sl"), "src")
+          .join(lab.selectExpr("id AS dst", "lbl AS dl"), "dst")
+          .where("sl != dl")
+          .groupBy("sl").agg(expr("cast(count(*) AS bigint) AS cut_e"))
+        val vol = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS vd"))
+          .join(lab.selectExpr("id AS src", "lbl"), "src")
+          .groupBy("lbl").agg(expr("cast(sum(vd) AS bigint) AS vol"))
+        vol
+          .join(cut.selectExpr("sl AS lbl", "cut_e"), Seq("lbl"), "left")
+          .crossJoin(broadcast(ne))
+          .selectExpr("lbl AS community",
+            "coalesce(cut_e, 0L) AS cut_edges", "vol AS volume",
+            """CASE WHEN least(vol, ne - vol) = 0 THEN 0L
+                    ELSE coalesce(cut_e, 0L) * 1000000 div least(vol, ne - vol)
+               END AS phi_ppm""")
+      },
+      Some(s"""
+        WITH $labelChainSql,
+        lab AS (SELECT id, lbl FROM l5),
+        m AS (SELECT count(*)::BIGINT AS ne FROM edges),
+        cut AS (
+          SELECT a.lbl, count(*)::BIGINT AS cut_e
+          FROM edges e
+          JOIN lab a ON e.src = a.id
+          JOIN lab b ON e.dst = b.id AND a.lbl != b.lbl
+          GROUP BY a.lbl),
+        vol AS (
+          SELECT l.lbl, sum(vd)::BIGINT AS vol
+          FROM (SELECT src, count(*)::BIGINT AS vd FROM edges GROUP BY src) d
+          JOIN lab l ON d.src = l.id GROUP BY l.lbl)
+        SELECT vol.lbl AS community,
+               coalesce(cut_e, 0)::BIGINT AS cut_edges,
+               vol AS volume,
+               CASE WHEN least(vol, ne - vol) = 0 THEN 0
+                    ELSE coalesce(cut_e, 0) * 1000000 // least(vol, ne - vol)
+               END::BIGINT AS phi_ppm
+        FROM vol LEFT JOIN cut ON cut.lbl = vol.lbl, m""")),
+
     // ------------------- HITS hubs & authorities (bipartite ranking)
     // Kleinberg's HITS over the DIRECTED customer→supplier purchase
     // edges (the natural bipartite reading: hub customers aggregate

@@ -188,4 +188,27 @@ class GraphSpec extends SparkSpec {
     assert(byId(5L) == byId(7L) && byId(5L) < 1000000L,
       s"s2/s3 must tie below s1: $got")
   }
+
+  test("gr_conductance × gr_modularity: per community, volume = intra + cut exactly") {
+    val sf = "/root/testdata/sf0.001"
+    // over directed-symmetric rows every edge row with src ∈ C is
+    // either intra (dst ∈ C) or cut (dst ∉ C) — the two operators
+    // compute the two halves independently, so the identity pins both
+    val cond = Registry.byName("gr_conductance").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val mod = Registry.byName("gr_modularity").run(spark, sf).collect()
+      .filter(_.getLong(0) != -1L)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cond.nonEmpty && cond.keySet == mod.keySet, "community sets differ")
+    val ne = mod.values.map(_._2).sum // Σ volumes = all directed rows
+    cond.foreach { case (c, (cut, vol, phi)) =>
+      val (intra, degree) = mod(c)
+      assert(vol == degree, s"community $c: volume $vol != modularity degree $degree")
+      assert(vol == intra + cut, s"community $c: $vol != $intra + $cut")
+      val denom = math.min(vol, ne - vol)
+      assert(denom == 0 && phi == 0L || phi == cut * 1000000L / denom,
+        s"community $c: phi")
+      assert(phi >= 0L && phi <= 1000000L, s"community $c: phi out of range")
+    }
+  }
 }
