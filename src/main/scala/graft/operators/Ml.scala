@@ -321,8 +321,218 @@ object Ml {
                (q0 * 1000000 + ((det0 - q0 * det) * 1000000) // det)::BIGINT AS beta0_ppm,
                (q1 * 1000000 + ((det1 - q1 * det) * 1000000) // det)::BIGINT AS beta1_ppm,
                (q2 * 1000000 + ((det2 - q2 * det) * 1000000) // det)::BIGINT AS beta2_ppm
-        FROM q"""))
+        FROM q""")),
+
+    // -------------------- engine-native Lloyd k-means (integer-exact)
+    // The clustering counterpart of ml_train_ridge's "model is a few
+    // numbers, corpus folds to it" shape: K=8 centroids over the
+    // embedding corpus, [[KmIters]] Lloyd rounds, everything in EXACT
+    // integer micros so the trace is bit-identical cross-engine (MLlib
+    // KMeans — exercised in MlSpec as interop — can never be
+    // oracle-gated; this one is). Per round: the K×D model broadcasts
+    // out as a literal, assignment is ONE native codegen'd scan
+    // (argmin_q — ties to the smallest centroid id, matching the
+    // oracle's row_number order), and the centroid update folds back
+    // through one K-group partial aggregate of D component sums —
+    // the k-means allreduce, exchange bounded by K·D·partitions
+    // regardless of corpus size. New centroid = component sum div
+    // count (truncating division, = DuckDB `//`); a cluster that
+    // empties keeps its previous centroid on both engines. Output is
+    // membership-sensitive per final cluster: size, id-sum, exact
+    // integer inertia (DECIMAL(38,0) — int64 passes sf10 but not the
+    // 100 TB headroom the ridge moments also reserve), and the final
+    // centroid's L1 mass pinning the model itself.
+    QueryDef(
+      "ml_kmeans",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        val q = Tables.embeddings(spark, dir)
+          .selectExpr("vec_id",
+            "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000D) AS bigint)) AS qv")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          var cents: Array[Array[Long]] =
+            q.where(s"vec_id < $KmK").orderBy("vec_id").select("qv")
+              .collect().map(_.getSeq[Long](0).toArray)
+          val dim = cents.head.length
+          for (_ <- 1 to KmIters) {
+            val sums = (0 until dim).map(i => expr(s"cast(sum(qv[$i]) AS bigint) AS s$i"))
+            val rows = q
+              .selectExpr("qv", s"argmin_q(qv, ${kmCentLit(cents)}) AS cluster")
+              .groupBy("cluster")
+              .agg(expr("cast(count(*) AS bigint) AS n"), sums: _*)
+              .collect()
+            val next = cents.map(_.clone()) // empty cluster keeps its centroid
+            rows.foreach { r =>
+              val n = r.getLong(1)
+              next(r.getLong(0).toInt) = Array.tabulate(dim)(i => r.getLong(2 + i) / n)
+            }
+            cents = next
+          }
+          val lit = kmCentLit(cents)
+          val l1Case = cents.map(_.map(math.abs).sum).zipWithIndex
+            .map { case (v, j) => s"WHEN $j THEN ${v}L" }
+            .mkString("CASE cluster ", " ", " END")
+          q.selectExpr("vec_id", s"argmin_q(qv, $lit) AS cluster", s"minsq_q(qv, $lit) AS d")
+            .groupBy("cluster")
+            .agg(
+              expr("cast(count(*) AS bigint) AS n_vecs"),
+              expr("cast(sum(vec_id) AS bigint) AS sum_ids"),
+              expr("cast(sum(cast(d AS decimal(38,0))) AS decimal(38,0)) AS inertia"))
+            .selectExpr("cluster", "n_vecs", "sum_ids", "inertia",
+              s"cast($l1Case AS bigint) AS c_l1")
+        } finally q.unpersist(false)
+      },
+      Some {
+        // one (assign → component-mean → coalesce-empty) CTE trio per
+        // Lloyd round — the ml_train_linear fixed-unroll discipline
+        val sq = (qa: String, ca: String) =>
+          s"""list_sum(list_transform(generate_series(1, $KmDim),
+                 i -> ($qa.qv[i] - $ca.cv[i]) * ($qa.qv[i] - $ca.cv[i])))"""
+        val round = (t: Int) => s"""
+        a$t AS MATERIALIZED (
+          SELECT vec_id, qv, cid FROM (
+            SELECT q.vec_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ${sq("q", "c")} ASC, c.cid ASC) AS rn
+            FROM q CROSS JOIN c${t - 1} c)
+          WHERE rn = 1),
+        m$t AS (
+          SELECT cid, list(s ORDER BY i) AS cv
+          FROM (SELECT cid, i, (sum(qv[i]) // count(*))::BIGINT AS s
+                FROM a$t CROSS JOIN generate_series(1, $KmDim) AS g(i)
+                GROUP BY cid, i)
+          GROUP BY cid),
+        c$t AS (
+          SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+          FROM c${t - 1} p LEFT JOIN m$t m USING (cid))"""
+        s"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < $KmK),
+        ${(1 to KmIters).map(round).mkString(",")},
+        af AS (
+          SELECT vec_id, cid, d FROM (
+            SELECT q.vec_id, c.cid, ${sq("q", "c")} AS d,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ${sq("q", "c")} ASC, c.cid ASC) AS rn
+            FROM q CROSS JOIN c$KmIters c)
+          WHERE rn = 1)
+        SELECT a.cid AS cluster, count(*)::BIGINT AS n_vecs,
+               sum(a.vec_id)::BIGINT AS sum_ids,
+               CAST(sum(a.d) AS DECIMAL(38,0)) AS inertia,
+               any_value(l.c_l1)::BIGINT AS c_l1
+        FROM af a JOIN (SELECT cid, list_sum(list_transform(cv, x -> abs(x))) AS c_l1
+                        FROM c$KmIters) l USING (cid)
+        GROUP BY a.cid"""
+      }),
+
+    // ------------------- top principal direction (exact power method)
+    // PCA is the standard embedding-pipeline step before compression /
+    // whitening / IVF coarse quantization; this computes the TOP
+    // principal direction of the embedding corpus with zero float
+    // drift. The corpus folds to its second moments in ONE scan: the
+    // gram_u kernel packs [count, components, upper-triangle products]
+    // per row and a single posexplode + partial-aggregated sum is the
+    // covariance allreduce (exchange bounded by 1 + D + D(D+1)/2 values
+    // per map task — the ridge-moments shape at D dims). The UNSCALED
+    // covariance A = N·Σqqᵀ − (Σq)(Σq)ᵀ (= N²·Cov, scale is
+    // eigenvector-irrelevant) stays exact in BigInt; PcaRounds power
+    // iterations then run on the COLLECTED moments (a D²-bounded model,
+    // the ridge "solve is O(1) driver arithmetic on the reduced row"
+    // discipline — an earlier in-plan formulation spent 14.5 s
+    // scheduling 8 rounds of 4096-row joins that compute in
+    // microseconds), each round renormalizing to ±1e6 ppm by
+    // truncating division, so every intermediate is exact integer and
+    // the trace is bit-identical cross-engine regardless of
+    // convergence state. BigInt ≡ the oracle's HUGEINT on these
+    // magnitudes (≤ ~1e37 ≪ either bound). Output: the direction in
+    // ppm, max-abs component = ±1e6 by construction.
+    QueryDef(
+      "ml_pca_power",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        import spark.implicits._
+        val D = KmDim
+        val m = Tables.embeddings(spark, dir)
+          .selectExpr(
+            "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000D) AS bigint)) AS qv")
+          .selectExpr("posexplode(gram_u(qv)) AS (p, c)")
+          .groupBy("p")
+          .agg(expr("cast(sum(cast(c AS decimal(38,0))) AS decimal(38,0)) AS s"))
+          .collect()
+          .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+        val n = m(0)
+        val sx = Array.tabulate(D)(i => m(1 + i))
+        val a = Array.ofDim[BigInt](D, D)
+        var k = 1 + D
+        for (i <- 0 until D; j <- i until D) {
+          val v = n * m(k) - sx(i) * sx(j)
+          a(i)(j) = v; a(j)(i) = v
+          k += 1
+        }
+        var v = Array.fill(D)(BigInt(1000000))
+        for (_ <- 1 to PcaRounds) {
+          val w = Array.tabulate(D)(i => (0 until D).map(j => a(i)(j) * v(j)).sum)
+          val mx = w.map(_.abs).max
+          v = w.map(x => x * 1000000 / mx) // BigInt / truncates toward zero = //
+        }
+        v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong) }.toSeq
+          .toDF("dim_i", "v_ppm")
+      },
+      Some {
+        val round = (t: Int) => s"""
+        w$t AS (SELECT a.i, sum(a.av * v.vv) AS w
+                FROM a JOIN v${t - 1} v ON a.j = v.i GROUP BY a.i),
+        v$t AS (SELECT i, ((w * 1000000) // (SELECT max(abs(w)) FROM w$t))::HUGEINT AS vv
+                FROM w$t)"""
+        s"""
+        WITH q AS MATERIALIZED (
+          SELECT list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+          FROM embeddings),
+        n AS (SELECT count(*)::HUGEINT AS n FROM q),
+        sx AS MATERIALIZED (
+          SELECT i, sum(qv[i])::HUGEINT AS sx
+          FROM q CROSS JOIN generate_series(1, $KmDim) AS g(i)
+          GROUP BY i),
+        su AS MATERIALIZED (
+          SELECT i, j, sum(qv[i] * qv[j])::HUGEINT AS s
+          FROM q CROSS JOIN generate_series(1, $KmDim) AS gi(i)
+                 CROSS JOIN generate_series(1, $KmDim) AS gj(j)
+          WHERE j >= i
+          GROUP BY i, j),
+        fullm AS (SELECT i, j, s FROM su
+                  UNION ALL SELECT j AS i, i AS j, s FROM su WHERE i < j),
+        a AS MATERIALIZED (
+          SELECT f.i, f.j, (n.n * f.s - x1.sx * x2.sx) AS av
+          FROM fullm f, n, sx x1, sx x2
+          WHERE x1.i = f.i AND x2.i = f.j),
+        v0 AS (SELECT i, 1000000::HUGEINT AS vv FROM generate_series(1, $KmDim) AS g(i)),
+        ${(1 to PcaRounds).map(round).mkString(",")}
+        SELECT (i - 1)::BIGINT AS dim_i, vv::BIGINT AS v_ppm FROM v$PcaRounds"""
+      })
   )
+
+  /** ml_pca_power's fixed power-method schedule — exactness does not
+    * depend on convergence, so both engines run the same 8 rounds.
+    */
+  private val PcaRounds = 8
+
+  /** ml_kmeans model size / schedule: K centroids over the [[KmDim]]-dim
+    * embedding fixture, [[KmIters]] Lloyd update rounds (the final
+    * output assigns against the round-[[KmIters]] model).
+    */
+  private val KmK = 8
+  private val KmIters = 2
+  private val KmDim = 64
+
+  /** The broadcast-model literal: K×D quantized centroids as a nested
+    * array expression (512 long literals — the planeSpark pattern).
+    */
+  private def kmCentLit(cents: Array[Array[Long]]): String =
+    cents.map(_.map(v => s"${v}L").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
 
   /** ml_train_ridge's regularizer, in the integer units of the moment
     * sums (quantity / discount basis points / cents).

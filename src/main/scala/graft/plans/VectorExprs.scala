@@ -433,6 +433,148 @@ object Dct8 {
   }
 }
 
+/** Shared contract for the quantized-centroid scan kernels backing the
+  * engine's Lloyd k-means (`ml_kmeans`): `left` is a row's quantized
+  * embedding (`array<bigint>`, integer micros), `right` the K×D
+  * centroid model (`array<array<bigint>>` — the broadcast-model
+  * literal, K and D both tiny). Distances are exact integer squared-L2,
+  * so assignment is bit-identical across engines, partitionings and
+  * retries; ties resolve to the SMALLEST centroid index (= the
+  * oracle's `ORDER BY d ASC, cid ASC` row_number). A higher-order
+  * `aggregate(zip_with(...))` formulation would interpret K·D lambdas
+  * per row and CollapseProject would re-inline the quantization into
+  * every distance reference (the dct8 lesson) — these compile to one
+  * fused long loop inside whole-stage codegen.
+  */
+abstract class CentroidScanExpression extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<bigint>, array<array<bigint>>), got " +
+            s"${l.catalogString} / ${r.catalogString}")
+    }
+}
+
+/** argmin_q(qv, cents) — index (0-based) of the nearest centroid by
+  * exact integer squared-L2; ties → smallest index.
+  */
+case class ArgMinQ(left: Expression, right: Expression) extends CentroidScanExpression {
+  override def prettyName: String = "argmin_q"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CentroidScan.argmin(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.CentroidScan.argmin($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** minsq_q(qv, cents) — the squared-L2 distance to that same nearest
+  * centroid (the row's inertia contribution).
+  */
+case class MinSqQ(left: Expression, right: Expression) extends CentroidScanExpression {
+  override def prettyName: String = "minsq_q"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CentroidScan.minsq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.CentroidScan.minsq($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** gram_u(qv) — the packed per-row second-moment contribution backing
+  * `ml_pca_power`: for a D-dim quantized vector, one `array<bigint>` of
+  * length 1 + D + D(D+1)/2 holding [count=1, the D components, the
+  * upper-triangle products qᵢ·qⱼ (i ≤ j, row-major)]. One posexplode +
+  * partial-aggregated sum over this array IS the covariance allreduce —
+  * the whole corpus folds to 1 + D + D(D+1)/2 numbers in a single scan,
+  * map-side combine doing almost all the work. A HOF formulation would
+  * interpret D²/2 lambdas per row (the dct8 lesson); this is one fused
+  * long loop. Products are exact in int64 (|q| ≤ 1e6 micros ⇒
+  * |qᵢ·qⱼ| ≤ 1e12); the SUMS accumulate downstream in DECIMAL(38,0).
+  */
+case class GramU(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "gram_u"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_u expects array<bigint>, got ${t.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any): Any =
+    GramU.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.GramU.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramU {
+  def compute(q: ArrayData): ArrayData = {
+    val n = q.numElements()
+    val out = new Array[Long](1 + n + n * (n + 1) / 2)
+    out(0) = 1L
+    var i = 0
+    while (i < n) { out(1 + i) = q.getLong(i); i += 1 }
+    var k = 1 + n
+    i = 0
+    while (i < n) {
+      val qi = q.getLong(i)
+      var j = i
+      while (j < n) { out(k) = qi * q.getLong(j); k += 1; j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+object CentroidScan {
+  /** Best (distance, index) over the centroid table; one fused loop,
+    * strict-less update keeps the first (smallest) index on ties.
+    */
+  private def scan(q: ArrayData, cents: ArrayData): (Long, Long) = {
+    val k = cents.numElements()
+    var bestD = Long.MaxValue
+    var bestJ = 0L
+    var j = 0
+    while (j < k) {
+      val cv = cents.getArray(j)
+      val n = math.min(q.numElements(), cv.numElements())
+      var d = 0L
+      var i = 0
+      while (i < n) {
+        val diff = q.getLong(i) - cv.getLong(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; bestJ = j.toLong }
+      j += 1
+    }
+    (bestD, bestJ)
+  }
+
+  def argmin(q: ArrayData, cents: ArrayData): Long = scan(q, cents)._2
+  def minsq(q: ArrayData, cents: ArrayData): Long = scan(q, cents)._1
+}
+
 /** Registration — both as a [[org.apache.spark.sql.SparkSessionExtensions]]
   * installer (`spark.sql.extensions=graft.plans.GraftExtensions`) and as
   * an idempotent imperative call for sessions built without the config
@@ -456,7 +598,10 @@ object VectorExprs {
     ("minhash16", classOf[MinHash16], c => MinHash16(c.head)),
     ("simhash60", classOf[SimHash60], c => SimHash60(c.head)),
     ("del_hashes", classOf[DelHashes], c => DelHashes(c.head)),
-    ("dct8", classOf[Dct8], c => Dct8(c.head)))
+    ("dct8", classOf[Dct8], c => Dct8(c.head)),
+    ("argmin_q", classOf[ArgMinQ], c => ArgMinQ(c.head, c(1))),
+    ("minsq_q", classOf[MinSqQ], c => MinSqQ(c.head, c(1))),
+    ("gram_u", classOf[GramU], c => GramU(c.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -112,6 +112,76 @@ class MlSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("ml_kmeans: the operator equals an in-memory integer Lloyd replay bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf).selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1)
+          .map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+      .sortBy(_._1)
+    val dim = emb.head._2.length
+    var cents: Array[Array[Long]] = emb.filter(_._1 < 8).map(_._2.clone())
+    def assign(v: Array[Long]): (Int, Long) = {
+      var bj = 0; var bd = Long.MaxValue
+      for (j <- cents.indices) {
+        var d = 0L; var i = 0
+        while (i < dim) { val t = v(i) - cents(j)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; bj = j }
+      }
+      (bj, bd)
+    }
+    for (_ <- 1 to 2) {
+      val byC = emb.groupBy(e => assign(e._2)._1)
+      cents = Array.tabulate(8) { j =>
+        byC.get(j)
+          .map(m => Array.tabulate(dim)(i => m.map(_._2(i)).sum / m.length))
+          .getOrElse(cents(j))
+      }
+    }
+    val expected = emb.groupBy(e => assign(e._2)._1).map { case (j, m) =>
+      (j.toLong, m.length.toLong, m.map(_._1).sum,
+        m.map(e => BigInt(assign(e._2)._2)).sum, cents(j).map(math.abs).sum)
+    }.toSet
+    val got = Registry.byName("ml_kmeans").run(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger), r.getLong(4))
+    }.toSet
+    assert(got == expected)
+    // K=8 over the fixture: the partition covers every vector
+    assert(got.toSeq.map(_._2).sum == emb.length.toLong)
+  }
+
+  test("ml_kmeans plan: assignment is one native codegen scan — no join, no sort") {
+    val p = Registry.byName("ml_kmeans").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("argmin_q") && p.contains("minsq_q"),
+      "assignment must run through the native centroid-scan kernels")
+    assert(!p.toLowerCase.contains("join"), "final pass must not join")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("ml_pca_power: the direction equals a BigInt power-method replay") {
+    val qs = Tables.embeddings(spark, sf).selectExpr("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0)
+        .map(x => BigInt(math.floor(x.toDouble * 1e6).toLong)).toArray)
+    val d = qs.head.length
+    val n = BigInt(qs.length)
+    val sx = Array.tabulate(d)(i => qs.map(_(i)).sum)
+    val a = Array.tabulate(d, d)((i, j) =>
+      n * qs.map(q => q(i) * q(j)).sum - sx(i) * sx(j))
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      v = w.map(x => x * 1000000 / mx) // BigInt / truncates toward zero = div = //
+    }
+    val got = Registry.byName("ml_pca_power").run(spark, sf).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(got.size == d)
+    assert((0 until d).forall(i => BigInt(got(i)) == v(i)))
+    // renormalization contract: the max-abs component is exactly ±1e6
+    assert(got.values.map(math.abs).max == 1000000L)
+  }
+
   test("ml_train_ridge: determinants and betas equal a BigInt Cramer replay") {
     val r = Registry.byName("ml_train_ridge").run(spark, sf).collect()
     assert(r.length == 1)
