@@ -400,7 +400,98 @@ object Search {
                   + coalesce(1000000 // ($RrfK + b.rank_brev), 0))::BIGINT AS rrf_ppm
           FROM pool_a a FULL OUTER JOIN pool_b b ON a.doc_id = b.doc_id)
         SELECT doc_id, rank_bm25, rank_brev, rrf_ppm
-        FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT $TopK"""))
+        FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT $TopK""")),
+
+    // -------------- pseudo-relevance feedback (Rocchio-style expansion)
+    // The classic second-pass retrieval trick (Rocchio 1971 / RM1):
+    // assume the lexical top-[[PrfPool]] are relevant, mine their
+    // vocabulary for the [[PrfExpand]] terms most characteristic of the
+    // pool (frequent in the pool, rare in the corpus, stopwords
+    // excluded by the 2·df ≤ N cut), and re-retrieve with the expanded
+    // query. Term selection and the final score are EXACT INTEGERS —
+    // weight_t·idf_ppm(t) summed per token occurrence (idf_ppm =
+    // (N−df+1)·10⁶ div (df+1), original terms weight 2, expansion
+    // weight 1) — so the data-dependent expanded query stays
+    // hash-identical cross-engine with no float fold-order to pin.
+    // Everything is in-plan (no driver-side collect): the pool is a
+    // 10-row TakeOrdered broadcast, candidate mining is the vocab-
+    // bounded df table joined against the pool's term set, and the
+    // re-score is one token explode joined to the 9-row broadcast
+    // term table — per-occurrence contributions summed per doc, so no
+    // (doc, term) intermediate materializes. Scale shape: three
+    // corpus passes (BM25 scan, distinct-token df reduce, scoring
+    // explode), each one partial-aggregated exchange; nothing after
+    // them touches more than vocab- or K-bounded rows.
+    QueryDef(
+      "ts_prf",
+      (spark, dir) => {
+        val cleaned = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+        val toks = cleaned.selectExpr("doc_id", "split(tc, ' ') AS t")
+        val pool = bm25Scored(spark, dir)
+          .orderBy(desc("bm25"), col("doc_id")).limit(PrfPool).select("doc_id")
+        val expl = toks.selectExpr("doc_id", "explode(array_distinct(t)) AS w")
+        val df = expl.groupBy("w").agg(expr("cast(count(*) AS bigint) AS df"))
+        val n = cleaned.groupBy().agg(expr("cast(count(*) AS bigint) AS n_docs"))
+        val origList = Terms.map(t => s"'$t'").mkString(", ")
+        val cand = expl.join(broadcast(pool), "doc_id")
+          .groupBy("w").agg(expr("cast(count(*) AS bigint) AS pool_df"))
+          .join(df, "w").crossJoin(broadcast(n))
+          .where(s"w NOT IN ($origList) AND w rlike '^[a-z0-9~]+$$' AND 2 * df <= n_docs")
+          .orderBy(desc("pool_df"), col("df"), col("w")).limit(PrfExpand)
+          .selectExpr("w AS term", "cast(1 AS bigint) AS wt", "df")
+        val orig = n.selectExpr(s"explode(array($origList)) AS term")
+          .selectExpr("term", "cast(2 AS bigint) AS wt")
+          .join(df.withColumnRenamed("w", "term"), Seq("term"), "left")
+        val w9 = cand.unionByName(orig).crossJoin(broadcast(n))
+          .selectExpr("term", "wt",
+            "cast((n_docs - coalesce(df, 0L) + 1L) * 1000000L div (coalesce(df, 0L) + 1L) AS bigint) AS idf_ppm")
+        toks.selectExpr("doc_id", "explode(t) AS w")
+          .join(broadcast(w9), expr("w = term"))
+          .groupBy("doc_id")
+          .agg(
+            expr("cast(sum(wt * idf_ppm) AS bigint) AS prf_score"),
+            expr("cast(count(DISTINCT term) AS bigint) AS n_terms"))
+          .orderBy(desc("prf_score"), col("doc_id")).limit(TopK)
+      },
+      Some {
+        val origList = Terms.map(t => s"'$t'").mkString(", ")
+        val origRows = Terms.map(t => s"('$t')").mkString(", ")
+        s"""
+        WITH c AS (
+          SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+          FROM documents),
+        toks AS (SELECT doc_id, string_split(tc, ' ') AS t FROM c),
+        scored AS ($bm25ScoredSql),
+        pool AS (SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id LIMIT $PrfPool),
+        expl AS (SELECT doc_id, unnest(list_distinct(t)) AS w FROM toks),
+        df AS (SELECT w, count(*)::BIGINT AS df FROM expl GROUP BY w),
+        n AS (SELECT count(*)::BIGINT AS n_docs FROM c),
+        cand AS (
+          SELECT w AS term, 1::BIGINT AS wt, d.df
+          FROM (SELECT w, count(*)::BIGINT AS pool_df
+                FROM expl JOIN pool USING (doc_id) GROUP BY w) p
+          JOIN df d USING (w), n
+          WHERE w NOT IN ($origList)
+            AND regexp_full_match(w, '[a-z0-9~]+')
+            AND 2 * d.df <= n.n_docs
+          ORDER BY pool_df DESC, d.df ASC, w ASC
+          LIMIT $PrfExpand),
+        w9 AS (
+          SELECT term, wt,
+                 ((n_docs - coalesce(df, 0) + 1) * 1000000 // (coalesce(df, 0) + 1))::BIGINT AS idf_ppm
+          FROM (SELECT term, wt, df FROM cand
+                UNION ALL
+                SELECT t.term, 2::BIGINT, d.df
+                FROM (VALUES $origRows) t(term) LEFT JOIN df d ON d.w = t.term), n)
+        SELECT doc_id, sum(wt * idf_ppm)::BIGINT AS prf_score,
+               count(DISTINCT term)::BIGINT AS n_terms
+        FROM (SELECT doc_id, unnest(t) AS w FROM toks) tok
+        JOIN w9 ON tok.w = w9.term
+        GROUP BY doc_id
+        ORDER BY prf_score DESC, doc_id LIMIT $TopK"""
+      })
   )
 
   /** ts_ndcg: integer ppm log2 rank discounts, round(1e6 / log2(r+1))
@@ -414,4 +505,8 @@ object Search {
     * literature default (Cormack et al. 2009).
     */
   private val RrfK = 60L
+
+  /** ts_prf: pseudo-relevant pool size and expansion-term count. */
+  private val PrfPool = 10
+  private val PrfExpand = 5
 }

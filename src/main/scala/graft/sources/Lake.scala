@@ -824,6 +824,34 @@ object Lake {
     0
   }
 
+  /** RESTORE (the Delta `RESTORE TABLE … VERSION AS OF` shape): make
+    * the table tip equal an EARLIER version's content by committing a
+    * NEW version whose marker points at the old version's existing
+    * data directory — metadata-only, no data rewrite (a 100 TB
+    * rollback is one marker PUT through the same OCC coordinator as
+    * any commit). History stays append-only: every intermediate
+    * version remains time-travelable, and vacuum retention is
+    * REFERENCE-based (retainedDirs is the set of dirs retained markers
+    * point at), so the shared data directory survives exactly as long
+    * as any referencing version does — even after the original
+    * version's marker expires.
+    */
+  def restore(spark: SparkSession, root: String, v: Int): Int = {
+    val ms = markers(spark, root, "_versions")
+    require(ms.nonEmpty, s"no committed versions under $root")
+    val dir = ms.collectFirst { case (`v`, d) => d }
+    require(dir.isDefined,
+      s"version $v not committed (have ${ms.map(_._1).mkString(",")})")
+    var n = ms.last._1 + 1
+    var attempts = 0
+    while (!createMarker(spark, root, "_versions", n, dir.get)) {
+      attempts += 1
+      require(attempts < 100, s"restore contention on $root: gave up after $attempts slots")
+      n = versions(spark, root).last + 1
+    }
+    n
+  }
+
   /** Evolved snapshot read: version `v`'s rows presented under the
     * LATEST version's schema — columns added since `v` read as null
     * (the additive half of schema evolution; renames/drops need a
@@ -1553,7 +1581,49 @@ object Lake {
         SELECT * FROM upd WHERE c_custkey % 7 != 0
         UNION ALL
         SELECT c_custkey, 'reborn_' || c_custkey::VARCHAR, nation, 0::BIGINT, 'REBORN'
-        FROM base WHERE c_custkey % 14 = 0"""))
+        FROM base WHERE c_custkey % 14 = 0""")),
+
+    // ------------------------------- RESTORE (metadata-only rollback)
+    // v0 = customer base, v1 = the shared MERGE fixture, then
+    // restore(v0) commits v2 as a marker pointing at v0's EXISTING
+    // data dir — no rewrite. The emitted rows are per-version
+    // accounting for all three versions read back AFTER the restore:
+    // v2 must be bit-identical to v0 (rollback), while v1 must still
+    // be the merged table (history stays time-travelable) — a restore
+    // that rewrote, mutated, or clobbered history breaks the hash.
+    // LakeSpec separately pins the zero-copy property (no new data
+    // dir) and vacuum safety for the shared directory.
+    QueryDef(
+      "s28_restore",
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/customer"
+        commitVersion(spark, Tables.customer(spark, dir), root)
+        upsert(spark, updatesFixture(spark, dir), root, "c_custkey")
+        val tip = restore(spark, root, 0)
+        Seq(0, 1, tip).map { v =>
+          readVersion(spark, root, Some(v))
+            .groupBy()
+            .agg(
+              expr("cast(count(*) AS bigint) AS n_rows"),
+              expr("cast(sum(cast(round(c_acctbal * 1000000, 0) AS bigint)) AS bigint) AS bal_micros_total"),
+              expr("cast(sum(CASE WHEN c_mktsegment = 'MERGED' THEN 1 ELSE 0 END) AS bigint) AS n_merged"))
+            .selectExpr(s"${v}L AS version", "n_rows", "bal_micros_total", "n_merged")
+        }.reduce(_ unionByName _)
+      },
+      Some(s"""
+        WITH $mergedOracle,
+        b AS (
+          SELECT count(*)::BIGINT AS n_rows,
+                 sum(CAST(round(c_acctbal * 1000000, 0) AS BIGINT))::BIGINT AS bal_micros_total,
+                 0::BIGINT AS n_merged
+          FROM base),
+        m AS (
+          SELECT count(*)::BIGINT, sum(CAST(round(c_acctbal * 1000000, 0) AS BIGINT))::BIGINT,
+                 sum(CASE WHEN c_mktsegment = 'MERGED' THEN 1 ELSE 0 END)::BIGINT
+          FROM merged)
+        SELECT 0::BIGINT AS version, * FROM b
+        UNION ALL SELECT 1::BIGINT, * FROM m
+        UNION ALL SELECT 2::BIGINT, * FROM b"""))
   )
 
   /** CDC-style diff of two committed snapshots: every key classified

@@ -499,6 +499,39 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("restore is metadata-only: no data rewrite, tip rolls back, history stays readable") {
+    val root = freshRoot()
+    Lake.commitVersion(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    Lake.commitVersion(spark, Seq((1L, "A"), (3L, "c")).toDF("k", "v"), root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    def dataDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v=")).toSet
+    val before = dataDirs()
+    val tip = Lake.restore(spark, root, 0)
+    assert(tip == 2)
+    // zero-copy: the restore commit wrote NO new data directory
+    assert(dataDirs() == before, "restore must not rewrite data")
+    // the tip is v0's content; v1 stays time-travelable
+    assert(Lake.readVersion(spark, root).collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(Lake.readVersion(spark, root, Some(1)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "A"), (3L, "c")))
+  }
+
+  test("vacuum keeps a restored tip's shared data dir even after the source version expires") {
+    val root = freshRoot()
+    Lake.commitVersion(spark, Seq((1L, "a")).toDF("k", "v"), root)
+    Lake.commitVersion(spark, Seq((2L, "b")).toDF("k", "v"), root)
+    val tip = Lake.restore(spark, root, 0) // v2 references v0's dir
+    // retain only the tip: v0 and v1 markers expire, but v0's DATA DIR
+    // is still referenced by v2 — reference-based retention must keep it
+    Lake.vacuum(spark, root, keep = 1, orphanRetentionMs = 0L)
+    assert(Lake.versions(spark, root) == Seq(tip))
+    assert(Lake.readVersion(spark, root).collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the shared data dir must survive while the restored tip references it")
+  }
+
   test("s22_zorder: buckets partition the table and tighten both dimensions") {
     val sf = "/root/testdata/sf0.001"
     val rows = Registry.byName("s22_zorder").run(spark, sf).collect()

@@ -242,6 +242,46 @@ class SearchSpec extends SparkSpec {
       "every fused doc sits in both pools — pools too correlated to test fusion")
   }
 
+  test("ts_prf: expansion terms replay from a brute-force pool mine; scores recompute per doc") {
+    import org.apache.spark.sql.functions._
+    val rows = run("ts_prf").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Long]("prf_score"))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall(w => w(0) >= w(1)), "not sorted by score desc")
+    assert(rows.map(_.getAs[Long]("n_terms")).forall(n => n >= 1 && n <= 9))
+
+    // brute-force replay: pool = bm25 top-10 (ts_bm25's own gate-checked
+    // ranking at pool size), then candidate mining + integer scoring in
+    // plain Scala over the collected corpus
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ') AS t")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val orig = Seq("sort", "hash", "window", "spark")
+    val pool = run("ts_bm25").orderBy(desc("bm25"), col("doc_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val nDocs = docs.size.toLong
+    val df = docs.values.flatMap(_.distinct).groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val poolDf = pool.toSeq.flatMap(d => docs(d).distinct)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val cand = poolDf.toSeq
+      .filter { case (w, _) => !orig.contains(w) && w.matches("[a-z0-9~]+") && 2 * df(w) <= nDocs }
+      .sortBy { case (w, pdf) => (-pdf, df(w), w) }.take(5).map(_._1)
+    val weights = (cand.map(_ -> 1L) ++ orig.map(_ -> 2L)).toMap
+    def idf(w: String) = {
+      val d = df.getOrElse(w, 0L)
+      (nDocs - d + 1L) * 1000000L / (d + 1L)
+    }
+    val expected = docs.toSeq.flatMap { case (id, t) =>
+      val s = t.filter(weights.contains).map(w => weights(w) * idf(w)).sum
+      val nt = t.filter(weights.contains).distinct.size.toLong
+      if (s > 0) Some((id, s, nt)) else None
+    }.sortBy { case (id, s, _) => (-s, id) }.take(20)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == expected)
+  }
+
   test("q23_basket_pairs: counts, confidence, and lift equal a brute-force basket scan") {
     val out = Registry.byName("q23_basket_pairs").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
