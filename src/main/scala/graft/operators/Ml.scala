@@ -345,88 +345,30 @@ object Ml {
     QueryDef(
       "ml_kmeans",
       (spark, dir) => {
-        graft.plans.VectorExprs.register(spark)
-        val q = Tables.embeddings(spark, dir)
-          .selectExpr("vec_id",
-            "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000D) AS bigint)) AS qv")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          var cents: Array[Array[Long]] =
-            q.where(s"vec_id < $KmK").orderBy("vec_id").select("qv")
-              .collect().map(_.getSeq[Long](0).toArray)
-          val dim = cents.head.length
-          for (_ <- 1 to KmIters) {
-            val sums = (0 until dim).map(i => expr(s"cast(sum(qv[$i]) AS bigint) AS s$i"))
-            val rows = q
-              .selectExpr("qv", s"argmin_q(qv, ${kmCentLit(cents)}) AS cluster")
-              .groupBy("cluster")
-              .agg(expr("cast(count(*) AS bigint) AS n"), sums: _*)
-              .collect()
-            val next = cents.map(_.clone()) // empty cluster keeps its centroid
-            rows.foreach { r =>
-              val n = r.getLong(1)
-              next(r.getLong(0).toInt) = Array.tabulate(dim)(i => r.getLong(2 + i) / n)
-            }
-            cents = next
-          }
-          val lit = kmCentLit(cents)
-          val l1Case = cents.map(_.map(math.abs).sum).zipWithIndex
-            .map { case (v, j) => s"WHEN $j THEN ${v}L" }
-            .mkString("CASE cluster ", " ", " END")
-          q.selectExpr("vec_id", s"argmin_q(qv, $lit) AS cluster", s"minsq_q(qv, $lit) AS d")
-            .groupBy("cluster")
-            .agg(
-              expr("cast(count(*) AS bigint) AS n_vecs"),
-              expr("cast(sum(vec_id) AS bigint) AS sum_ids"),
-              expr("cast(sum(cast(d AS decimal(38,0))) AS decimal(38,0)) AS inertia"))
-            .selectExpr("cluster", "n_vecs", "sum_ids", "inertia",
-              s"cast($l1Case AS bigint) AS c_l1")
-        } finally q.unpersist(false)
+        val cents = kmTrain(spark, dir)
+        val lit = kmCentLit(cents)
+        val l1Case = cents.map(_.map(math.abs).sum).zipWithIndex
+          .map { case (v, j) => s"WHEN $j THEN ${v}L" }
+          .mkString("CASE cluster ", " ", " END")
+        kmQuantized(spark, dir)
+          .selectExpr("vec_id", s"argmin_q(qv, $lit) AS cluster", s"minsq_q(qv, $lit) AS d")
+          .groupBy("cluster")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_vecs"),
+            expr("cast(sum(vec_id) AS bigint) AS sum_ids"),
+            expr("cast(sum(cast(d AS decimal(38,0))) AS decimal(38,0)) AS inertia"))
+          .selectExpr("cluster", "n_vecs", "sum_ids", "inertia",
+            s"cast($l1Case AS bigint) AS c_l1")
       },
-      Some {
-        // one (assign → component-mean → coalesce-empty) CTE trio per
-        // Lloyd round — the ml_train_linear fixed-unroll discipline
-        val sq = (qa: String, ca: String) =>
-          s"""list_sum(list_transform(generate_series(1, $KmDim),
-                 i -> ($qa.qv[i] - $ca.cv[i]) * ($qa.qv[i] - $ca.cv[i])))"""
-        val round = (t: Int) => s"""
-        a$t AS MATERIALIZED (
-          SELECT vec_id, qv, cid FROM (
-            SELECT q.vec_id, q.qv, c.cid,
-                   row_number() OVER (PARTITION BY q.vec_id
-                                      ORDER BY ${sq("q", "c")} ASC, c.cid ASC) AS rn
-            FROM q CROSS JOIN c${t - 1} c)
-          WHERE rn = 1),
-        m$t AS (
-          SELECT cid, list(s ORDER BY i) AS cv
-          FROM (SELECT cid, i, (sum(qv[i]) // count(*))::BIGINT AS s
-                FROM a$t CROSS JOIN generate_series(1, $KmDim) AS g(i)
-                GROUP BY cid, i)
-          GROUP BY cid),
-        c$t AS (
-          SELECT p.cid, coalesce(m.cv, p.cv) AS cv
-          FROM c${t - 1} p LEFT JOIN m$t m USING (cid))"""
-        s"""
-        WITH q AS MATERIALIZED (
-          SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
-          FROM embeddings),
-        c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < $KmK),
-        ${(1 to KmIters).map(round).mkString(",")},
-        af AS (
-          SELECT vec_id, cid, d FROM (
-            SELECT q.vec_id, c.cid, ${sq("q", "c")} AS d,
-                   row_number() OVER (PARTITION BY q.vec_id
-                                      ORDER BY ${sq("q", "c")} ASC, c.cid ASC) AS rn
-            FROM q CROSS JOIN c$KmIters c)
-          WHERE rn = 1)
+      Some(s"""
+        WITH $kmAssignCtes
         SELECT a.cid AS cluster, count(*)::BIGINT AS n_vecs,
                sum(a.vec_id)::BIGINT AS sum_ids,
                CAST(sum(a.d) AS DECIMAL(38,0)) AS inertia,
                any_value(l.c_l1)::BIGINT AS c_l1
         FROM af a JOIN (SELECT cid, list_sum(list_transform(cv, x -> abs(x))) AS c_l1
                         FROM c$KmIters) l USING (cid)
-        GROUP BY a.cid"""
-      }),
+        GROUP BY a.cid""")),
 
     // ------------------- top principal direction (exact power method)
     // PCA is the standard embedding-pipeline step before compression /
@@ -524,7 +466,7 @@ object Ml {
     * output assigns against the round-[[KmIters]] model).
     */
   private val KmK = 8
-  private val KmIters = 2
+  private[graft] val KmIters = 2
   private val KmDim = 64
 
   /** The broadcast-model literal: K×D quantized centroids as a nested
@@ -533,6 +475,91 @@ object Ml {
   private def kmCentLit(cents: Array[Array[Long]]): String =
     cents.map(_.map(v => s"${v}L").mkString("array(", ", ", ")"))
       .mkString("array(", ", ", ")")
+
+  /** The quantized embedding corpus (vec_id, qv): integer micros via
+    * floor(x·1e6) — float→double widening is exact and the single
+    * double multiply + floor is IEEE-identical cross-engine.
+    */
+  private def kmQuantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000D) AS bigint)) AS qv")
+
+  /** Run the Lloyd schedule and return the final K×D centroid model —
+    * the batch trainer ml_kmeans reports on and st_kmeans_score serves
+    * from. Per round: the model broadcasts as a literal, assignment is
+    * the native argmin_q scan, the update folds back through one
+    * K-group aggregate of component sums; new centroid = sum div count
+    * (truncating, = DuckDB `//`), an emptied cluster keeps its
+    * previous centroid.
+    */
+  private[graft] def kmTrain(spark: SparkSession, dir: String): Array[Array[Long]] = {
+    graft.plans.VectorExprs.register(spark)
+    val q = kmQuantized(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Long]] =
+        q.where(s"vec_id < $KmK").orderBy("vec_id").select("qv")
+          .collect().map(_.getSeq[Long](0).toArray)
+      val dim = cents.head.length
+      for (_ <- 1 to KmIters) {
+        val sums = (0 until dim).map(i => expr(s"cast(sum(qv[$i]) AS bigint) AS s$i"))
+        val rows = q
+          .selectExpr("qv", s"argmin_q(qv, ${kmCentLit(cents)}) AS cluster")
+          .groupBy("cluster")
+          .agg(expr("cast(count(*) AS bigint) AS n"), sums: _*)
+          .collect()
+        val next = cents.map(_.clone()) // empty cluster keeps its centroid
+        rows.foreach { r =>
+          val n = r.getLong(1)
+          next(r.getLong(0).toInt) = Array.tabulate(dim)(i => r.getLong(2 + i) / n)
+        }
+        cents = next
+      }
+      cents
+    } finally q.unpersist(false)
+  }
+
+  /** The shared DuckDB CTE chain replaying [[kmTrain]] + the final
+    * assignment: quantize → init c0 → one (assign → component-mean →
+    * coalesce-empty) trio per Lloyd round (the ml_train_linear
+    * fixed-unroll discipline) → `af` = every vector's final (cid, d).
+    * ml_kmeans aggregates it; st_kmeans_score emits it row-for-row.
+    */
+  private[graft] val kmAssignCtes: String = {
+    val sq = (qa: String, ca: String) =>
+      s"""list_sum(list_transform(generate_series(1, $KmDim),
+             i -> ($qa.qv[i] - $ca.cv[i]) * ($qa.qv[i] - $ca.cv[i])))"""
+    val round = (t: Int) => s"""
+        a$t AS MATERIALIZED (
+          SELECT vec_id, qv, cid FROM (
+            SELECT q.vec_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ${sq("q", "c")} ASC, c.cid ASC) AS rn
+            FROM q CROSS JOIN c${t - 1} c)
+          WHERE rn = 1),
+        m$t AS (
+          SELECT cid, list(s ORDER BY i) AS cv
+          FROM (SELECT cid, i, (sum(qv[i]) // count(*))::BIGINT AS s
+                FROM a$t CROSS JOIN generate_series(1, $KmDim) AS g(i)
+                GROUP BY cid, i)
+          GROUP BY cid),
+        c$t AS (
+          SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+          FROM c${t - 1} p LEFT JOIN m$t m USING (cid))"""
+    s"""q AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < $KmK),
+        ${(1 to KmIters).map(round).mkString(",")},
+        af AS (
+          SELECT vec_id, cid, d FROM (
+            SELECT q.vec_id, c.cid, ${sq("q", "c")} AS d,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ${sq("q", "c")} ASC, c.cid ASC) AS rn
+            FROM q CROSS JOIN c$KmIters c)
+          WHERE rn = 1)"""
+  }
 
   /** ml_train_ridge's regularizer, in the integer units of the moment
     * sums (quantity / discount basis points / cents).

@@ -147,6 +147,48 @@ object TextOps {
           FROM (SELECT doc_id, string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ') AS toks
                 FROM documents))""")),
 
+    // ---------------- per-source lexical concentration (Gini–Simpson)
+    // ta_ttr measures per-DOC lexical variety; this measures per-SOURCE
+    // concentration: 1 − Σ(c_w/N)², the probability two random tokens
+    // from the source differ — near 1 for natural text, collapsing
+    // toward 0 for template/boilerplate-dominated sources, which is
+    // what makes it a corpus-triage signal next to ta_gopher/ta_hhi
+    // (ta_hhi applies the same index to source SHARES; this applies it
+    // to each source's own vocabulary). Exact rational arithmetic:
+    // simpson_ppm = 1e6 − Σc²·1e6 div N², with Σc² accumulated in
+    // DECIMAL(38,0) (N² at 100 TB exceeds int64; the ridge-moments
+    // headroom). Scale shape: one (source, word)-keyed count exchange
+    // (partial-aggregated) then a source-bounded reduce.
+    QueryDef(
+      "ta_simpson",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("source",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("source", "explode(split(tc, ' ')) AS w")
+          .groupBy("source", "w")
+          .agg(org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS c"))
+          .groupBy("source")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(sum(cast(c AS decimal(38,0))) AS decimal(38,0)) AS nt"),
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_types"),
+            org.apache.spark.sql.functions.expr("cast(sum(cast(c AS decimal(38,0)) * c) AS decimal(38,0)) AS sumsq"))
+          .selectExpr("source",
+            "cast(nt AS bigint) AS n_tokens", "n_types",
+            "cast(1000000L - (sumsq * 1000000L) div (nt * nt) AS bigint) AS simpson_ppm"),
+      Some("""
+        SELECT source, n_tokens::BIGINT AS n_tokens, n_types,
+               (1000000 - (sumsq * 1000000) // (n_tokens * n_tokens))::BIGINT AS simpson_ppm
+        FROM (
+          SELECT source, sum(c)::HUGEINT AS n_tokens, count(*)::BIGINT AS n_types,
+                 sum(c::HUGEINT * c)::HUGEINT AS sumsq
+          FROM (SELECT source, w, count(*)::BIGINT AS c
+                FROM (SELECT source,
+                             unnest(string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ')) AS w
+                      FROM documents)
+                GROUP BY source, w)
+          GROUP BY source)""")),
+
     // ------------------------------------------------- language ID (extension)
     // n-gram/charclass heuristic: CJK-codepoint ratio decides zh; else a
     // stopword vote (same tiny list both engines). On the synthetic corpus

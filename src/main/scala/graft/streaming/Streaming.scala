@@ -1626,6 +1626,67 @@ object Streaming {
       Some(graft.operators.Ml.scoreOracleSql),
       bench = false),
 
+    // ------------------- streaming k-means assignment (model serving)
+    // ml_kmeans' deployment shape taken live, the st_ml_score pattern
+    // for the clustering model: Lloyd trains batch-side
+    // (graft.operators.Ml.kmTrain — K×D integer centroids BY
+    // CONSTRUCTION), the model ships as a broadcast variable, and the
+    // embedding stream assigns ROW-LOCALLY in a typed map (quantize,
+    // exact integer argmin with smallest-index ties, inertia
+    // contribution). No state store — broadcast-model inference, the
+    // strongest streaming scale shape. Drained Append output equals
+    // the batch assignment row for row; oracle = the kmeans CTE
+    // chain's `af` table verbatim.
+    graft.QueryDef(
+      "st_kmeans_score",
+      (spark, dir) => {
+        import spark.implicits._
+        val bc = spark.sparkContext.broadcast(graft.operators.Ml.kmTrain(spark, dir))
+        val embSchema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("label", IntegerType)))
+        val src = spark.readStream
+          .schema(embSchema)
+          .parquet(stageDir(s"$dir/embeddings.parquet"))
+        val scored = src.selectExpr("vec_id", "embedding")
+          .as[(Long, Seq[Float])]
+          .map { case (id, e) =>
+            val cents = bc.value
+            val qv = new Array[Long](e.length)
+            var i = 0
+            while (i < e.length) { qv(i) = math.floor(e(i).toDouble * 1e6).toLong; i += 1 }
+            var bj = 0L; var bd = Long.MaxValue
+            var j = 0
+            while (j < cents.length) {
+              val cv = cents(j)
+              val n = math.min(qv.length, cv.length)
+              var d = 0L; var k = 0
+              while (k < n) { val t = qv(k) - cv(k); d += t * t; k += 1 }
+              if (d < bd) { bd = d; bj = j.toLong }
+              j += 1
+            }
+            (id, bj, bd)
+          }
+          .toDF("vec_id", "cluster", "d")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = scored.writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read
+          .schema("vec_id BIGINT, cluster BIGINT, d BIGINT")
+          .parquet(s"$tmp/out")
+      },
+      Some(s"""
+        WITH ${graft.operators.Ml.kmAssignCtes}
+        SELECT vec_id, cid::BIGINT AS cluster, d::BIGINT AS d FROM af"""),
+      bench = false),
+
     // ---------------- streaming upsert into the versioned store
     // The foreachBatch surface: a file stream of updates lands in the
     // Lake's merge-on-read path — each micro-batch APPENDS one delta

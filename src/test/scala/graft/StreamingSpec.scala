@@ -15,6 +15,22 @@ class StreamingSpec extends SparkSpec {
 
   private def tmp(): String = Files.createTempDirectory("graft_stream").toString
 
+  test("st_kmeans_score: drained per-vector assignments fold to exactly ml_kmeans' cluster rows") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = Registry.byName("st_kmeans_score").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val folded = streamed.groupBy(_._2).map { case (c, rows) =>
+      (c, rows.length.toLong, rows.map(_._1).sum, rows.map(r => BigInt(r._3)).sum)
+    }.toSet
+    val batch = Registry.byName("ml_kmeans").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger))).toSet
+    assert(folded == batch,
+      "streamed assignments must aggregate to the batch trainer's cluster accounting")
+    // every vector streams exactly once
+    assert(streamed.map(_._1).distinct.length == streamed.length)
+  }
+
   test("topKStream: bounded per-query heap improves across micro-batches, O(k) state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

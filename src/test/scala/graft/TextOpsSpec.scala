@@ -8,6 +8,26 @@ package graft
   */
 class TextOpsSpec extends SparkSpec {
 
+  test("ta_simpson: per-source index equals a BigInt replay and sits in [0, 1e6)") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source",
+        "split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ') AS t")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    val expected = docs.groupBy(_._1).map { case (src, g) =>
+      val toks = g.flatMap(_._2)
+      val counts = toks.groupBy(identity).map(_._2.size.toLong)
+      val n = BigInt(toks.size)
+      val sumsq = counts.map(c => BigInt(c) * c).sum
+      (src, toks.size.toLong, counts.size.toLong,
+        (BigInt(1000000) - sumsq * 1000000 / (n * n)).toLong)
+    }.toSet
+    val got = Registry.byName("ta_simpson").run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.forall { case (_, _, _, s) => s >= 0L && s < 1000000L })
+  }
+
   test("approx_percentile in the sketch regime honors the rank-error bound") {
     import spark.implicits._
     val n = 10000
