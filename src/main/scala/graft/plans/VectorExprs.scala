@@ -502,6 +502,11 @@ case class MinSqQ(left: Expression, right: Expression) extends CentroidScanExpre
   * interpret D²/2 lambdas per row (the dct8 lesson); this is one fused
   * long loop. Products are exact in int64 (|q| ≤ 1e6 micros ⇒
   * |qᵢ·qⱼ| ≤ 1e12); the SUMS accumulate downstream in DECIMAL(38,0).
+  * Switch point: the packed array is D(D+1)/2 longs per row (2 145 at
+  * D=64) — at D ≥ ~512 both the per-row buffer and the power-method
+  * ppm headroom (N·Σqq·1e6·D under 38 digits) call for a blocked-Gram
+  * variant that tiles the triangle across column-range stripes, one
+  * packed stripe per scan.
   */
 case class GramU(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
