@@ -1832,7 +1832,128 @@ object Curation {
                sum(d.wc * e.np)::BIGINT AS n_pieces,
                sum(d.wc * e.cost)::BIGINT AS total_cost
         FROM dw d JOIN done e ON d.w = e.w
-        GROUP BY d.doc_id"""))
+        GROUP BY d.doc_id""")),
+
+    // -------------------- fill-in-the-middle transform (training prep)
+    // FIM (Bavarian et al. 2022, "Efficient Training of Language Models
+    // to Fill in the Middle"): split each document at two deterministic
+    // cut points into (prefix, middle, suffix) and re-serialize in PSM
+    // sentinel order — the format an infilling-capable model trains on.
+    // Cut points are md5-derived from doc_id (the tp_span_corruption
+    // discipline — retry-stable, engine-identical): c1 uniform in
+    // [1, n-2], c2 in [c1+1, n-1], so all three parts are non-empty.
+    // Plan: ONE scan, zero shuffles — the transform is row-local, so
+    // at 100 TB it is embarrassingly parallel and pipeline-fusable
+    // with the upstream quality gate.
+    QueryDef(
+      "tp_fim",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ') AS toks")
+          .selectExpr("doc_id", "toks", "cast(size(toks) AS bigint) AS n")
+          .where("n >= 8")
+          .selectExpr("doc_id", "toks", "n",
+            "1 + cast(conv(substring(md5(concat(cast(doc_id AS string), ':c1')), 1, 15), 16, 10) AS bigint) % (n - 2) AS c1")
+          .selectExpr("doc_id", "toks", "n", "c1",
+            "c1 + 1 + cast(conv(substring(md5(concat(cast(doc_id AS string), ':c2')), 1, 15), 16, 10) AS bigint) % (n - 1 - c1) AS c2")
+          .selectExpr("doc_id", "n AS n_toks", "c1", "c2",
+            "array_join(slice(toks, 1, cast(c1 AS int)), ' ') AS prefix",
+            "array_join(slice(toks, cast(c1 AS int) + 1, cast(c2 - c1 AS int)), ' ') AS middle",
+            "array_join(slice(toks, cast(c2 AS int) + 1, cast(n - c2 AS int)), ' ') AS suffix")
+          .selectExpr("doc_id", "n_toks", "c1", "c2", "prefix", "middle", "suffix",
+            "concat('<PRE>', prefix, '<SUF>', suffix, '<MID>', middle) AS psm"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ') AS toks
+          FROM documents),
+        sized AS (
+          SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) >= 8),
+        cut1 AS (
+          SELECT doc_id, toks, n,
+                 1 + ('0x' || substr(md5(doc_id::VARCHAR || ':c1'), 1, 15))::BIGINT % (n - 2) AS c1
+          FROM sized),
+        cut2 AS (
+          SELECT doc_id, toks, n, c1,
+                 c1 + 1 + ('0x' || substr(md5(doc_id::VARCHAR || ':c2'), 1, 15))::BIGINT % (n - 1 - c1) AS c2
+          FROM cut1),
+        parts AS (
+          SELECT doc_id, n AS n_toks, c1, c2,
+                 array_to_string(toks[1:c1], ' ') AS prefix,
+                 array_to_string(toks[c1+1:c2], ' ') AS middle,
+                 array_to_string(toks[c2+1:n], ' ') AS suffix
+          FROM cut2)
+        SELECT doc_id, n_toks, c1, c2, prefix, middle, suffix,
+               '<PRE>' || prefix || '<SUF>' || suffix || '<MID>' || middle AS psm
+        FROM parts""")),
+
+    // ---------------- Kneser–Ney continuation counts (LM data prep)
+    // The count tables an interpolated Kneser–Ney bigram LM is built
+    // from (Kneser & Ney 1995; Chen & Goodman 1999): per bigram the
+    // raw count c(w1 w2), the history mass c(w1 •), the fan-out
+    // N1+(w1 •) (distinct continuations of w1), the continuation count
+    // N1+(• w2) (distinct histories of w2 — the "novel contexts"
+    // numerator that replaces raw frequency in the lower-order model),
+    // and the interpolated probability with absolute discount D = 0.75
+    // in exact integer ppm:
+    //   p_kn = (c − D)/c(w1 •) + D·N1+(w1 •)/c(w1 •) · N1+(• w2)/T
+    // (c ≥ 1 so c − D > 0), T = total bigram types. D = 3/4 keeps both
+    // terms integer: each is one quarter-scaled multiply and a single
+    // `div`, identically ordered in both engines. Plan: ONE corpus
+    // scan exploding row-local bigram structs → one (w1,w2)
+    // partial-agg exchange, checkpoint-fenced because FOUR readers
+    // (marginals ×3 + output filter) reuse it; the marginal tables are
+    // aggregates over the already-type-bounded bigram table joined
+    // back on its own keys; T is a 1-row broadcast. Output bounded to
+    // bigrams with c ≥ 5. Magnitudes: 3·n1l·250000·n1r needs
+    // n1l·n1r < 1.2e13 — safe to ~3e6-type vocabularies; beyond that,
+    // lift the two products to decimal(38,0) (the ev_ab_cuped
+    // widening).
+    QueryDef(
+      "tp_kn_counts",
+      (spark, dir) => {
+        val bg = Tables.documents(spark, dir)
+          .selectExpr(
+            "split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ') AS toks")
+          .where("size(toks) >= 2")
+          .selectExpr(
+            "explode(transform(sequence(2, size(toks)), i -> struct(toks[i - 2] AS w1, toks[i - 1] AS w2))) AS b")
+          .selectExpr("b.w1 AS w1", "b.w2 AS w2")
+          .groupBy("w1", "w2")
+          .agg(expr("cast(count(*) AS bigint) AS c"))
+          .localCheckpoint(true)
+        val h = bg.groupBy("w1").agg(
+          expr("cast(sum(c) AS bigint) AS ch"),
+          expr("cast(count(*) AS bigint) AS n1l"))
+        val r = bg.groupBy("w2").agg(expr("cast(count(*) AS bigint) AS n1r"))
+        val t = bg.groupBy().agg(expr("cast(count(*) AS bigint) AS bigram_types"))
+        bg.where("c >= 5")
+          .join(h, "w1")
+          .join(r, "w2")
+          .crossJoin(broadcast(t))
+          .selectExpr("w1", "w2", "c", "ch", "n1l", "n1r", "bigram_types",
+            """((4L * c - 3L) * 250000L) div ch
+               + (3L * n1l * 250000L * n1r) div (ch * bigram_types) AS pkn_ppm""")
+      },
+      Some("""
+        WITH bg AS MATERIALIZED (
+          SELECT b['w1'] AS w1, b['w2'] AS w2, count(*)::BIGINT AS c
+          FROM (
+            SELECT unnest(list_transform(generate_series(2, len(toks)),
+                          i -> {'w1': toks[i-1], 'w2': toks[i]})) AS b
+            FROM (SELECT string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 2)
+          GROUP BY 1, 2),
+        h AS (SELECT w1, sum(c)::BIGINT AS ch, count(*)::BIGINT AS n1l FROM bg GROUP BY w1),
+        r AS (SELECT w2, count(*)::BIGINT AS n1r FROM bg GROUP BY w2),
+        t AS (SELECT count(*)::BIGINT AS bigram_types FROM bg)
+        SELECT bg.w1, bg.w2, c, ch, n1l, n1r, bigram_types,
+               ((4 * c - 3) * 250000) // ch
+               + (3 * n1l * 250000 * n1r) // (ch * bigram_types) AS pkn_ppm
+        FROM bg JOIN h USING (w1) JOIN r USING (w2) CROSS JOIN t
+        WHERE c >= 5"""))
   )
 
 

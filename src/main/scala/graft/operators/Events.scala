@@ -2058,7 +2058,81 @@ object Events {
                (mean_y_a - mean_y_b)::BIGINT AS raw_delta_micros,
                ((mean_y_a - mean_y_b)
                 - (theta_ppm * (mean_x_a - mean_x_b)) // 1000000)::BIGINT AS adj_delta_micros
-        FROM s"""))
+        FROM s""")),
+
+    // ----------------- difference-in-differences estimator (causal)
+    // The parallel-trends estimator for a launch that hit everyone in
+    // the treated arm at a known date: per event_type the treated
+    // (user_id % 2 = 1) vs control per-user outcome means before and
+    // after the 2024-01-16 split, and
+    //   DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)
+    // — the pre-period delta nets out the groups' standing level
+    // difference that a raw post comparison would absorb (Card &
+    // Krueger 1994 two-period form). A user contributes BOTH period
+    // cells (zero if silent in one) — DiD means are over the cohort,
+    // not the active slice. Exact integer micros end-to-end; the means
+    // are single `div`s per cell, identically ordered in both engines.
+    // Plan: ONE events scan folded to the (event_type, user) table in
+    // one partial-aggregated exchange (the ev_ab_cuped shape);
+    // everything downstream is a types-bounded aggregate — at 100 TB
+    // the cost is the scan, the estimator is free.
+    QueryDef(
+      "ev_did",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("event_type", "user_id",
+            """CASE WHEN ts < timestamp'2024-01-16 00:00:00'
+                    THEN cast(cast(value AS decimal(18,6)) * 1000000 AS bigint)
+                    ELSE 0L END AS pre""",
+            """CASE WHEN ts >= timestamp'2024-01-16 00:00:00'
+                    THEN cast(cast(value AS decimal(18,6)) * 1000000 AS bigint)
+                    ELSE 0L END AS post""")
+          .groupBy("event_type", "user_id")
+          .agg(org.apache.spark.sql.functions.expr("sum(pre) AS pre"),
+            org.apache.spark.sql.functions.expr("sum(post) AS post"))
+          .selectExpr("event_type", "user_id % 2 AS variant", "pre", "post")
+          .groupBy("event_type")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS bigint) AS n_c"),
+            org.apache.spark.sql.functions.expr("cast(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS bigint) AS n_t"),
+            org.apache.spark.sql.functions.expr("sum(CASE WHEN variant = 0 THEN pre ELSE 0L END) AS s_pre_c"),
+            org.apache.spark.sql.functions.expr("sum(CASE WHEN variant = 1 THEN pre ELSE 0L END) AS s_pre_t"),
+            org.apache.spark.sql.functions.expr("sum(CASE WHEN variant = 0 THEN post ELSE 0L END) AS s_post_c"),
+            org.apache.spark.sql.functions.expr("sum(CASE WHEN variant = 1 THEN post ELSE 0L END) AS s_post_t"))
+          .selectExpr("event_type", "n_c", "n_t",
+            "s_pre_c div n_c AS mean_pre_c", "s_pre_t div n_t AS mean_pre_t",
+            "s_post_c div n_c AS mean_post_c", "s_post_t div n_t AS mean_post_t")
+          .selectExpr("event_type", "n_c", "n_t",
+            "mean_pre_c", "mean_pre_t", "mean_post_c", "mean_post_t",
+            "(mean_post_t - mean_pre_t) - (mean_post_c - mean_pre_c) AS did_micros"),
+      Some("""
+        WITH ux AS (
+          SELECT event_type, user_id % 2 AS variant,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                          THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                          ELSE 0 END)::BIGINT AS pre,
+                 sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                          THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                          ELSE 0 END)::BIGINT AS post
+          FROM events GROUP BY event_type, user_id),
+        m AS (
+          SELECT event_type,
+                 sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+                 sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+                 sum(CASE WHEN variant = 0 THEN pre ELSE 0 END)::BIGINT AS s_pre_c,
+                 sum(CASE WHEN variant = 1 THEN pre ELSE 0 END)::BIGINT AS s_pre_t,
+                 sum(CASE WHEN variant = 0 THEN post ELSE 0 END)::BIGINT AS s_post_c,
+                 sum(CASE WHEN variant = 1 THEN post ELSE 0 END)::BIGINT AS s_post_t
+          FROM ux GROUP BY event_type),
+        means AS (
+          SELECT event_type, n_c, n_t,
+                 s_pre_c // n_c AS mean_pre_c, s_pre_t // n_t AS mean_pre_t,
+                 s_post_c // n_c AS mean_post_c, s_post_t // n_t AS mean_post_t
+          FROM m)
+        SELECT event_type, n_c, n_t,
+               mean_pre_c, mean_pre_t, mean_post_c, mean_post_t,
+               (mean_post_t - mean_pre_t) - (mean_post_c - mean_pre_c) AS did_micros
+        FROM means"""))
   )
 
   /** Exact φ = 1/k heavy hitters over an arbitrary key stream with

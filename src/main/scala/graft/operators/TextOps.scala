@@ -1292,7 +1292,73 @@ object TextOps {
         SELECT doc_id, n_chars, n_sym, n_indent,
                (n_sym * 1000000 // n_chars)::BIGINT AS sym_ppm,
                (CASE WHEN n_indent >= 2 THEN 1 ELSE 0 END)::BIGINT AS is_code
-        FROM m"""))
+        FROM m""")),
+
+    // --------------------------- winnowing fingerprints (extension)
+    // Schleimer/Wilkerson/Aiken 2003 (MOSS): hash every token 4-gram,
+    // then in every window of w = 4 consecutive positions keep the
+    // RIGHTMOST minimal hash — the guarantee is one fingerprint per w
+    // positions (density 2/(w+1) expected) while any shared substring
+    // of ≥ k + w − 1 tokens shares a fingerprint, the local property
+    // plagiarism/copy detection needs and ta_fingerprint's whole-doc
+    // hash cannot give. Selection is stated window-free: position p is
+    // picked iff SOME window containing p has p as its rightmost
+    // argmin, i.e. iff for some split s ∈ {0..3} the s in-window
+    // predecessors all have h ≥ h_p and the 3−s successors all have
+    // h > h_p — four fixed lag/lead comparisons, no per-window
+    // explode. Plan: one scan → row-local position explode → ONE
+    // doc-partitioned sort for the 6 lag/lead frames; windows never
+    // cross documents, so at 100 TB this partitions perfectly by
+    // doc_id and the exchange is the only shuffle.
+    QueryDef(
+      "ta_winnowing",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ') AS toks")
+          .where("size(toks) >= 7")
+          .selectExpr("doc_id", "toks", "explode(sequence(1, size(toks) - 3)) AS pos")
+          .selectExpr("doc_id", "cast(pos AS bigint) AS pos",
+            s"cast(conv(substring(md5(array_join(slice(toks, pos, 4), ' ')), 1, 15), 16, 10) AS bigint) % $P AS h",
+            "cast(size(toks) - 3 AS bigint) AS npos")
+          .selectExpr("doc_id", "pos", "h", "npos",
+            "lag(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b1",
+            "lag(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS b2",
+            "lag(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS b3",
+            "lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS f1",
+            "lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS f2",
+            "lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS f3")
+          .where("""(pos + 3 <= npos AND f1 > h AND f2 > h AND f3 > h)
+                 OR (pos >= 2 AND pos + 2 <= npos AND b1 >= h AND f1 > h AND f2 > h)
+                 OR (pos >= 3 AND pos + 1 <= npos AND b1 >= h AND b2 >= h AND f1 > h)
+                 OR (pos >= 4 AND b1 >= h AND b2 >= h AND b3 >= h)""")
+          .selectExpr("doc_id", "pos", "h AS fp"),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g'), ' ') AS toks
+          FROM documents),
+        p AS (
+          SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS pos
+          FROM t WHERE len(toks) >= 7),
+        hh AS (
+          SELECT doc_id, pos::BIGINT AS pos,
+                 ('0x' || substr(md5(array_to_string(toks[pos:pos+3], ' ')), 1, 15))::BIGINT % $P AS h,
+                 (len(toks) - 3)::BIGINT AS npos
+          FROM p),
+        w AS (
+          SELECT doc_id, pos, h, npos,
+                 lag(h, 1) OVER win AS b1, lag(h, 2) OVER win AS b2,
+                 lag(h, 3) OVER win AS b3,
+                 lead(h, 1) OVER win AS f1, lead(h, 2) OVER win AS f2,
+                 lead(h, 3) OVER win AS f3
+          FROM hh WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+        SELECT doc_id, pos, h AS fp
+        FROM w
+        WHERE (pos + 3 <= npos AND f1 > h AND f2 > h AND f3 > h)
+           OR (pos >= 2 AND pos + 2 <= npos AND b1 >= h AND f1 > h AND f2 > h)
+           OR (pos >= 3 AND pos + 1 <= npos AND b1 >= h AND b2 >= h AND f1 > h)
+           OR (pos >= 4 AND b1 >= h AND b2 >= h AND b3 >= h)"""))
   )
 
   /** Synthetic per-doc URL (the fixture half of ta_urls): every doc

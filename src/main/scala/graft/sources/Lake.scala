@@ -399,6 +399,62 @@ object Lake {
     -1 // unreachable
   }
 
+  /** Full ANSI MERGE (COW): ONE commit applying all three WHEN clauses
+    * against the latest version, matched on `key`:
+    *   WHEN MATCHED AND <deleteCond on the source row> THEN DELETE;
+    *   WHEN MATCHED THEN UPDATE SET * (whole source row wins);
+    *   WHEN NOT MATCHED AND NOT <deleteCond> THEN INSERT *.
+    * Unmatched target rows pass through; an unmatched source row whose
+    * deleteCond holds is a no-op (ANSI: a DELETE clause only fires on a
+    * match). `deleteCond` is evaluated over the SOURCE row's columns
+    * before the join (so same-named base columns can never capture it).
+    * `source` must be key-unique — the ANSI "cardinality violation"
+    * rule (two source rows hitting one target row has no deterministic
+    * result); enforced with one bounded aggregate, the appendDelta
+    * discipline. Same OCC commit-retry as [[upsert]]; the plan is ONE
+    * full-outer key shuffle of base ⋈ source — the minimal COW merge
+    * exchange, and a base bucketed on `key` at rest co-partitions even
+    * that away at 100 TB.
+    */
+  def merge(spark: SparkSession, source: DataFrame, root: String, key: String,
+            deleteCond: String): Int = {
+    require(
+      source.groupBy(key).count().where("count > 1").limit(1).count() == 0,
+      s"merge source has duplicate $key rows (ANSI cardinality violation)")
+    var attempts = 0
+    while (true) {
+      val base = versions(spark, root).lastOption
+        .getOrElse(throw new IllegalArgumentException(s"no committed versions under $root"))
+      val cur = readVersion(spark, root, Some(base))
+      val cols = cur.columns
+      val su = Iterator.from(0).map(i => "_u" + ("_" * i))
+        .find(s => !cols.contains(s)).get
+      val sd = Iterator.from(0).map(i => "_del" + ("_" * i))
+        .find(s => !cols.contains(s)).get
+      val src = source
+        .withColumn(su, lit(1))
+        .withColumn(sd, expr(deleteCond))
+      val merged = cur.as("b")
+        .join(src.as("u"), Seq(key), "full_outer")
+        // one predicate covers both DELETE shapes: a matched pair whose
+        // source row says delete drops the base row; an unmatched
+        // source delete row never inserts
+        .where(s"u.$sd IS NULL OR NOT u.$sd")
+        .select(cols.map {
+          case `key` => col(key)
+          case c => when(col(s"u.$su").isNotNull, col(s"u.$c"))
+            .otherwise(col(s"b.$c")).as(c)
+        }: _*)
+      commitVersionAt(spark, merged, root, base) match {
+        case Some(v) => return v
+        case None =>
+          attempts += 1
+          require(attempts < 20, s"merge contention on $root: lost $attempts races")
+      }
+    }
+    -1 // unreachable
+  }
+
   // ------------------------------------------------- merge-on-read
   // The write-optimized twin of [[upsert]]: an upsert APPENDS a small
   // delta file (no base rewrite — O(update) write cost instead of
@@ -1623,7 +1679,58 @@ object Lake {
           FROM merged)
         SELECT 0::BIGINT AS version, * FROM b
         UNION ALL SELECT 1::BIGINT, * FROM m
-        UNION ALL SELECT 2::BIGINT, * FROM b"""))
+        UNION ALL SELECT 2::BIGINT, * FROM b""")),
+
+    // ------------------------------ full ANSI MERGE in one commit
+    // The three-clause MERGE the COW path was missing: s13_upsert is
+    // update+insert only and s27 deletes through MoR tombstones; this
+    // is DELETE + UPDATE + INSERT as ONE atomic version. The source
+    // mixes all three shapes keyed off the base: %7 keys carry the
+    // delete marker (and win over %10 — one source row per key, the
+    // enforced cardinality rule), %10 keys update bal/segment, %13
+    // keys insert under shifted ids, and one unmatched marker row pins
+    // the ANSI no-op (a DELETE clause never inserts). The gate
+    // hash-checks the full resolved table, so a row deleted twice,
+    // resurrected, or mis-classified breaks it.
+    QueryDef(
+      "s29_merge",
+      (spark, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/customer"
+        val cust = Tables.customer(spark, dir).selectExpr(
+          "c_custkey", "c_name", "cast(c_nationkey AS bigint) AS nation",
+          "cast(cast(c_acctbal AS decimal(18,2)) * 100 AS bigint) AS bal_cents",
+          "c_mktsegment AS segment")
+        commitVersion(spark, cust, root)
+        val src = cust.where("c_custkey % 7 = 0 OR c_custkey % 10 = 0")
+          .selectExpr("c_custkey", "c_name", "nation",
+            "CASE WHEN c_custkey % 7 = 0 THEN bal_cents ELSE bal_cents + 111L END AS bal_cents",
+            "CASE WHEN c_custkey % 7 = 0 THEN 'DROP' ELSE 'MERGED' END AS segment")
+          .unionByName(
+            cust.where("c_custkey % 13 = 0")
+              .selectExpr("c_custkey + 1000000 AS c_custkey",
+                "concat('Customer#ins', cast(c_custkey + 1000000 AS string)) AS c_name",
+                "nation", "0L AS bal_cents", "'FRESH' AS segment"))
+          .unionByName(
+            cust.groupBy().agg(expr("max(c_custkey) AS mx"))
+              .selectExpr("mx + 5000000 AS c_custkey", "'ghost' AS c_name",
+                "0L AS nation", "0L AS bal_cents", "'DROP' AS segment"))
+        merge(spark, src, root, "c_custkey", "segment = 'DROP'")
+        readVersion(spark, root)
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey, c_name, c_nationkey::BIGINT AS nation,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+                 c_mktsegment AS segment
+          FROM customer)
+        SELECT c_custkey, c_name, nation,
+               CASE WHEN c_custkey % 10 = 0 THEN bal_cents + 111 ELSE bal_cents END AS bal_cents,
+               CASE WHEN c_custkey % 10 = 0 THEN 'MERGED' ELSE segment END AS segment
+        FROM base WHERE c_custkey % 7 != 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'Customer#ins' || (c_custkey + 1000000)::VARCHAR,
+               nation, 0::BIGINT, 'FRESH'
+        FROM base WHERE c_custkey % 13 = 0"""))
   )
 
   /** CDC-style diff of two committed snapshots: every key classified

@@ -473,4 +473,59 @@ class CurationSpec extends SparkSpec {
         s"doc $doc: ${out(doc)} vs ($nWords, $np, $cost)")
     }
   }
+  test("tp_fim: parts are non-empty, in-bounds, and reassemble the cleaned document") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("tp_fim").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val clean = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, n, c1, c2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (pre, mid, suf) = (r.getString(4), r.getString(5), r.getString(6))
+      assert(1 <= c1 && c1 < c2 && c2 <= n - 1, s"doc $id: cuts out of range")
+      assert(pre.nonEmpty && mid.nonEmpty && suf.nonEmpty, s"doc $id: empty part")
+      assert(s"$pre $mid $suf" == clean(id), s"doc $id: reassembly mismatch")
+      assert(r.getString(7) == s"<PRE>$pre<SUF>$suf<MID>$mid", s"doc $id: psm format")
+      assert(pre.split(' ').length.toLong == c1 && mid.split(' ').length.toLong == c2 - c1,
+        s"doc $id: cut points do not match part sizes")
+    }
+    val nToks = clean.view.mapValues(_.split(' ').length).toMap
+    assert(rows.map(_.getLong(0)).toSet == nToks.filter(_._2 >= 8).keySet,
+      "every >= 8-token doc gets exactly one FIM row")
+  }
+
+  test("tp_kn_counts: counts and the discounted ppm equal a sequential replay") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("tp_kn_counts").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .collect().map(_.getString(0))
+    val bg = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { tc =>
+      val t = tc.split(' ')
+      var i = 1
+      while (i < t.length) {
+        val k = (t(i - 1), t(i)); bg(k) = bg.getOrElse(k, 0L) + 1; i += 1
+      }
+    }
+    val ch = bg.groupBy(_._1._1).map { case (w, m) => (w, (m.values.sum, m.size.toLong)) }
+    val n1r = bg.groupBy(_._1._2).map { case (w, m) => (w, m.size.toLong) }
+    val tTypes = bg.size.toLong
+    val expected = bg.filter(_._2 >= 5)
+    assert(rows.length == expected.size, s"${rows.length} rows vs ${expected.size} bigrams")
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val c = expected(k)
+      val (chv, n1l) = ch(k._1)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+        ((c, chv, n1l, n1r(k._2), tTypes)), s"$k: count columns")
+      val pkn = ((4 * c - 3) * 250000L) / chv +
+        (3L * n1l * 250000L * n1r(k._2)) / (chv * tTypes)
+      assert(r.getLong(7) == pkn, s"$k: pkn_ppm")
+    }
+  }
+
 }

@@ -176,4 +176,31 @@ class EventsSpec extends SparkSpec {
       assert(theta != 0L, s"$et: zero theta — pre/post uncorrelated, fixture degenerate")
     }
   }
+  test("ev_did: group-period means and the DiD delta equal a per-user replay") {
+    val rows = Registry.byName("ev_did").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val split = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli * 1000L
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id", "unix_micros(ts) AS us",
+        "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val perUser = raw.filter(_._1 == et).groupBy(_._2).map { case (u, es) =>
+        (u, es.filter(_._3 < split).map(_._4).sum, es.filter(_._3 >= split).map(_._4).sum)
+      }.toSeq
+      val c = perUser.filter(_._1 % 2 == 0)
+      val t = perUser.filter(_._1 % 2 == 1)
+      assert((r.getLong(1), r.getLong(2)) == ((c.size.toLong, t.size.toLong)), s"$et: arm sizes")
+      val mPreC = c.map(_._2).sum / c.size
+      val mPreT = t.map(_._2).sum / t.size
+      val mPostC = c.map(_._3).sum / c.size
+      val mPostT = t.map(_._3).sum / t.size
+      assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+        ((mPreC, mPreT, mPostC, mPostT)), s"$et: cell means")
+      assert(r.getLong(7) == (mPostT - mPreT) - (mPostC - mPreC), s"$et: DiD")
+    }
+  }
+
 }

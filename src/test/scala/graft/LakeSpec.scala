@@ -675,4 +675,26 @@ class LakeSpec extends SparkSpec {
     val baseKeys = Lake.readVersion(spark, root).select("k").collect().map(_.getLong(0)).sorted
     assert(baseKeys.toSeq == Seq(1L, 3L), "tombstoned key survived into the compacted base")
   }
+  test("full MERGE: delete + update + insert land in one commit; unmatched delete is a no-op") {
+    val root = freshRoot()
+    Lake.commitVersion(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "name", "x"), root)
+    val src = Seq(
+      (2L, "b2", 99L, "UPD"), (3L, "c", 0L, "DROP"),
+      (4L, "d", 40L, "UPD"), (9L, "ghost", 0L, "DROP"))
+      .toDF("k", "name", "x", "op")
+    val v = Lake.merge(spark, src, root, "k", "op = 'DROP'")
+    assert(v == 1)
+    val tip = Lake.readVersion(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tip == Set((1L, "a", 10L), (2L, "b2", 99L), (4L, "d", 40L)),
+      "exactly: 1 carried, 2 updated, 3 deleted, 4 inserted, ghost ignored")
+    assert(Lake.readVersion(spark, root, Some(0)).count() == 3,
+      "MERGE must not touch the old snapshot")
+    val dup = Seq((5L, "x", 1L, "UPD"), (5L, "y", 2L, "UPD")).toDF("k", "name", "x", "op")
+    intercept[IllegalArgumentException](Lake.merge(spark, dup, root, "k", "op = 'DROP'"))
+    assert(Lake.versions(spark, root) == Seq(0, 1),
+      "a rejected cardinality violation must not commit")
+  }
+
 }

@@ -211,4 +211,43 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.length == sources * (sources - 1) / 2,
       s"${rows.length} pairs for $sources sources")
   }
+  test("ta_winnowing: selection equals a per-window rightmost-argmin replay; density holds") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("ta_winnowing").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val P = 1000000007L
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % P
+    }
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val perDocHashes = scala.collection.mutable.Map.empty[Long, IndexedSeq[Long]]
+    docs.foreach { case (id, tc) =>
+      val t = tc.split(' ')
+      val npos = t.length - 3
+      if (npos >= 4) {
+        val hs = (0 until npos).map(i => h60(t.slice(i, i + 4).mkString(" ")))
+        perDocHashes(id) = hs
+        for (j <- 0 to npos - 4) {
+          val win = hs.slice(j, j + 4)
+          val p = j + win.lastIndexOf(win.min)
+          expected += ((id, (p + 1).toLong, hs(p)))
+        }
+      }
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"winnowing sets differ: got ${got.size} vs ${expected.size}")
+    // the guarantee the scheme exists for: >= 1 fingerprint per window
+    perDocHashes.foreach { case (id, hs) =>
+      val sel = got.collect { case (d, p, _) if d == id => p }
+      for (j <- 1 to hs.length - 3)
+        assert((j until j + 4).exists(p => sel(p.toLong)), s"doc $id: window $j empty")
+    }
+  }
+
 }
