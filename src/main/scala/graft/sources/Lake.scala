@@ -1706,9 +1706,13 @@ object Lake {
             "CASE WHEN c_custkey % 7 = 0 THEN bal_cents ELSE bal_cents + 111L END AS bal_cents",
             "CASE WHEN c_custkey % 7 = 0 THEN 'DROP' ELSE 'MERGED' END AS segment")
           .unionByName(
+            // strictly-negative keys: disjoint from every base key at
+            // ANY scale (base keys are >= 0; plain negation left key 0
+            // colliding with its own delete row) — an additive offset
+            // collided with shifted shard keys on the ScaleUp corpora
             cust.where("c_custkey % 13 = 0")
-              .selectExpr("c_custkey + 1000000 AS c_custkey",
-                "concat('Customer#ins', cast(c_custkey + 1000000 AS string)) AS c_name",
+              .selectExpr("-(c_custkey + 1) AS c_custkey",
+                "concat('Customer#ins', cast(c_custkey AS string)) AS c_name",
                 "nation", "0L AS bal_cents", "'FRESH' AS segment"))
           .unionByName(
             cust.groupBy().agg(expr("max(c_custkey) AS mx"))
@@ -1728,7 +1732,7 @@ object Lake {
                CASE WHEN c_custkey % 10 = 0 THEN 'MERGED' ELSE segment END AS segment
         FROM base WHERE c_custkey % 7 != 0
         UNION ALL
-        SELECT c_custkey + 1000000, 'Customer#ins' || (c_custkey + 1000000)::VARCHAR,
+        SELECT -(c_custkey + 1), 'Customer#ins' || c_custkey::VARCHAR,
                nation, 0::BIGINT, 'FRESH'
         FROM base WHERE c_custkey % 13 = 0"""))
   )
