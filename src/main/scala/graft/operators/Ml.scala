@@ -453,6 +453,122 @@ object Ml {
         v0 AS (SELECT i, 1000000::HUGEINT AS vv FROM generate_series(1, $KmDim) AS g(i)),
         ${(1 to PcaRounds).map(round).mkString(",")}
         SELECT (i - 1)::BIGINT AS dim_i, vv::BIGINT AS v_ppm FROM v$PcaRounds"""
+      }),
+
+    // ----------------- multinomial Naive Bayes boilerplate classifier
+    // The second learned model family next to the perceptron, on the
+    // SAME learnable fixture (docs ≡ 0 mod 7 carry dd_spandup's
+    // appended boilerplate — the corpus's lang/source columns are
+    // measured noise w.r.t. word statistics, so they would only test
+    // that NB converges to the prior): add-one-smoothed multinomial NB
+    // over word counts, trained on the %5≠0 split and
+    // confusion-scored on the %5=0 holdout. Log-probabilities are
+    // replaced by INTEGER SURPRISAL costs — the tp_unigram
+    // discipline: cost(w|cls) = max(34 − bitlength(P·2²⁰), 1), a
+    // transcendental-free −log₂P within one bit, identical in both
+    // engines via length(bin(x)); prediction = argmin Σ n_w·cost +
+    // prior_cost with the (score, cls) tie order. A holdout doc whose
+    // every word is train-OOV scores nowhere and drops — deterministic
+    // in both engines. Plan = fit-then-score (the DSIR shape): one
+    // (cls, word) partial-agg exchange over the train scan,
+    // checkpoint-fenced because THREE readers (marginals, vocab, model
+    // join) reuse it; the dense vocab×classes cost model and priors
+    // are vocab-bounded and broadcast-able; scoring is one holdout
+    // scan → model hash join → (doc, cls)-keyed aggregate → per-doc
+    // argmin window; the confusion output is classes². 10× corpus =
+    // same model size, two more scans.
+    QueryDef(
+      "ml_nb_classify",
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id",
+            s"CASE WHEN doc_id % 7 = 0 THEN concat(tc, ' ', '${Dedup.SpanBoiler}') ELSE tc END AS tc")
+          .selectExpr("doc_id",
+            "CASE WHEN doc_id % 7 = 0 THEN 'planted' ELSE 'clean' END AS lang",
+            "split(tc, ' ') AS toks")
+        val cw = toks.where("doc_id % 5 != 0")
+          .selectExpr("lang", "explode(toks) AS w")
+          .groupBy("lang", "w")
+          .agg(expr("cast(count(*) AS bigint) AS c"))
+          .localCheckpoint(true)
+        val nl = cw.groupBy("lang").agg(expr("cast(sum(c) AS bigint) AS n_l"))
+        val vocab = cw.select("w").distinct()
+        val vsize = vocab.groupBy().agg(expr("cast(count(*) AS bigint) AS v"))
+        val model = vocab.crossJoin(nl.crossJoin(broadcast(vsize)))
+          .join(cw, Seq("lang", "w"), "left")
+          .selectExpr("lang", "w",
+            "greatest(34L - length(bin((coalesce(c, 0L) + 1L) * 1048576L div (n_l + v))), 1L) AS cost")
+        val nd = toks.where("doc_id % 5 != 0")
+          .groupBy("lang").agg(expr("cast(count(*) AS bigint) AS nd"))
+        val ndTot = nd.groupBy().agg(expr("cast(sum(nd) AS bigint) AS ndt"))
+        val prior = nd.crossJoin(broadcast(ndTot))
+          .selectExpr("lang", "greatest(34L - length(bin(nd * 1048576L div ndt)), 1L) AS prior_cost")
+        val testW = toks.where("doc_id % 5 = 0")
+          .selectExpr("doc_id", "lang AS true_cls", "explode(toks) AS w")
+          .groupBy("doc_id", "true_cls", "w")
+          .agg(expr("cast(count(*) AS bigint) AS n"))
+        testW
+          .join(model.withColumnRenamed("lang", "cand_cls"), "w")
+          .groupBy("doc_id", "true_cls", "cand_cls")
+          .agg(expr("cast(sum(n * cost) AS bigint) AS wcost"))
+          .join(prior.selectExpr("lang AS cand_cls", "prior_cost"), "cand_cls")
+          .selectExpr("doc_id", "true_cls", "cand_cls",
+            "prior_cost + wcost AS score")
+          .selectExpr("doc_id", "true_cls", "cand_cls",
+            """row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score ASC, cand_cls ASC) AS rk""")
+          .where("rk = 1")
+          .groupBy("true_cls", "cand_cls")
+          .agg(expr("cast(count(*) AS bigint) AS n_docs"))
+          .selectExpr("true_cls", "cand_cls AS pred_cls", "n_docs")
+      },
+      Some {
+        val boiler = Dedup.SpanBoiler
+        s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN 'planted' ELSE 'clean' END AS lang,
+                 string_split(CASE WHEN doc_id % 7 = 0 THEN tc || ' ' || '$boiler' ELSE tc END, ' ') AS toks
+          FROM (SELECT doc_id,
+                       regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                FROM documents)),
+        tr AS (SELECT lang, unnest(toks) AS w FROM t WHERE doc_id % 5 != 0),
+        cw AS MATERIALIZED (SELECT lang, w, count(*)::BIGINT AS c FROM tr GROUP BY 1, 2),
+        nl AS (SELECT lang, sum(c)::BIGINT AS n_l FROM cw GROUP BY lang),
+        vocab AS MATERIALIZED (SELECT DISTINCT w FROM cw),
+        vs AS (SELECT count(*)::BIGINT AS v FROM vocab),
+        model AS MATERIALIZED (
+          SELECT nl.lang, vocab.w,
+                 greatest(34 - length(bin((coalesce(cw.c, 0) + 1) * 1048576 // (nl.n_l + vs.v))), 1)::BIGINT AS cost
+          FROM vocab CROSS JOIN nl CROSS JOIN vs
+          LEFT JOIN cw ON cw.lang = nl.lang AND cw.w = vocab.w),
+        nd AS (SELECT lang, count(*)::BIGINT AS nd FROM t WHERE doc_id % 5 != 0 GROUP BY lang),
+        ndt AS (SELECT sum(nd)::BIGINT AS ndt FROM nd),
+        prior AS (
+          SELECT lang, greatest(34 - length(bin(nd * 1048576 // ndt)), 1)::BIGINT AS prior_cost
+          FROM nd, ndt),
+        tw AS (
+          SELECT doc_id, true_cls, w, count(*)::BIGINT AS n
+          FROM (SELECT doc_id, lang AS true_cls, unnest(toks) AS w
+                FROM t WHERE doc_id % 5 = 0)
+          GROUP BY 1, 2, 3),
+        sc AS (
+          SELECT tw.doc_id, tw.true_cls, m.lang AS cand_cls,
+                 (p.prior_cost + sum(tw.n * m.cost))::BIGINT AS score
+          FROM tw JOIN model m ON m.w = tw.w
+          JOIN prior p ON p.lang = m.lang
+          GROUP BY 1, 2, 3, p.prior_cost),
+        pred AS (
+          SELECT doc_id, true_cls, cand_cls AS pred_cls
+          FROM (SELECT doc_id, true_cls, cand_cls,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score ASC, cand_cls ASC) AS rk
+                FROM sc)
+          WHERE rk = 1)
+        SELECT true_cls, pred_cls, count(*)::BIGINT AS n_docs
+        FROM pred GROUP BY 1, 2"""
       })
   )
 

@@ -491,6 +491,77 @@ object Search {
         JOIN w9 ON tok.w = w9.term
         GROUP BY doc_id
         ORDER BY prf_score DESC, doc_id LIMIT $TopK"""
+      }),
+
+    // --------------------- best-passage snippet extraction (display)
+    // The last mile of the retrieval stack: for every matching document
+    // the densest 20-token window of query-term hits and its text — the
+    // highlighted passage a search result shows. The optimal window
+    // always starts AT a hit (shifting a window right to its first hit
+    // never loses one), so candidates are hit positions only: one
+    // match-bounded explode (positions of the 4 query terms, never all
+    // tokens), hit density per candidate as ONE doc-partitioned RANGE
+    // window over the hit rows, leftmost-argmax per doc via the
+    // (density DESC, pos ASC) row_number, and the winner joins BACK to
+    // the doc scan to slice its snippet — so document text never rides
+    // the exchange; only the output-sized winner set touches it.
+    QueryDef(
+      "ts_snippet",
+      (spark, dir) => {
+        val termList = Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+        val toks = Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ') AS toks")
+        val best = toks
+          // posexplode + codegen'd IN filter, NOT a filter() lambda
+          // over sequence(1, n): the interpreted per-token lambda cost
+          // 3× the generator pipeline on the same 10⁸ token stream
+          .selectExpr("doc_id", "posexplode(toks) AS (p, w)")
+          .where(s"w IN $termList")
+          .selectExpr("doc_id", "cast(p + 1 AS bigint) AS pos")
+          .selectExpr("doc_id", "pos",
+            """count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              RANGE BETWEEN CURRENT ROW AND 19 FOLLOWING) AS n_hits""")
+          .selectExpr("doc_id", "pos", "n_hits",
+            """row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n_hits DESC, pos ASC) AS rk""")
+          .where("rk = 1")
+        best.join(toks, "doc_id")
+          .selectExpr("doc_id", "pos AS win_start",
+            "least(pos + 19, cast(size(toks) AS bigint)) AS win_end",
+            "n_hits",
+            "array_join(slice(toks, cast(pos AS int), cast(least(20L, size(toks) - pos + 1) AS int)), ' ') AS snippet")
+      },
+      Some {
+        val termList = Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+        s"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g'), ' ') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, s['pos']::BIGINT AS pos
+          FROM (SELECT doc_id,
+                       unnest(list_filter(list_transform(generate_series(1, len(toks)),
+                         i -> {'pos': i, 'w': toks[i]}), s -> s['w'] IN $termList)) AS s
+                FROM t)),
+        w AS (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                RANGE BETWEEN CURRENT ROW AND 19 FOLLOWING) AS n_hits
+          FROM m),
+        b AS (
+          SELECT doc_id, pos, n_hits
+          FROM (SELECT doc_id, pos, n_hits,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY n_hits DESC, pos ASC) AS rk
+                FROM w)
+          WHERE rk = 1)
+        SELECT b.doc_id, pos AS win_start,
+               least(pos + 19, len(toks))::BIGINT AS win_end,
+               n_hits::BIGINT AS n_hits,
+               array_to_string(toks[pos:least(pos + 19, len(toks))], ' ') AS snippet
+        FROM b JOIN t ON b.doc_id = t.doc_id"""
       })
   )
 

@@ -346,6 +346,72 @@ case class ByteEnergy(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** byte_zcr(payload, off, len) — the zero-crossing count of the
+  * centered samples (b & 0xFF) − 64 over the byte window
+  * [off, off+len): the number of adjacent pairs whose product is
+  * strictly negative (a zero sample crosses nothing — the strict rule
+  * both engines can state identically). The classic voiced/unvoiced
+  * discriminator next to [[ByteEnergy]]'s level: fricatives cross
+  * often at low energy, voiced speech rarely at high energy. The
+  * center is 64, NOT byte_energy's 128: the synthetic fixture is pure
+  * ASCII (every byte < 0x80), so 128-centering is sign-constant and
+  * counts zero crossings everywhere — 64 splits the ASCII
+  * distribution (spaces/digits below, letters above), making the
+  * count track token boundaries the way a real waveform's crossings
+  * track pitch. Same single fused codegen loop discipline as
+  * byte_energy — one long counter, no per-sample allocation.
+  */
+case class ByteZcr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "byte_zcr"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, IntegerType | LongType, IntegerType | LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"byte_zcr expects (binary, int|bigint, int|bigint), got " +
+            s"${first.dataType.catalogString} / ${second.dataType.catalogString} / ${third.dataType.catalogString}")
+    }
+
+  private def asInt(v: Any): Int =
+    v match { case l: Long => math.min(math.max(l, Int.MinValue.toLong), Int.MaxValue.toLong).toInt; case i: Int => i }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val in = a.asInstanceOf[Array[Byte]]
+    val off = math.max(asInt(b), 0)
+    val end = math.min(in.length.toLong, off.toLong + math.max(asInt(c), 0)).toInt
+    var s = 0L; var i = off
+    while (i + 1 < end) {
+      if (((in(i) & 0xff) - 64) * ((in(i + 1) & 0xff) - 64) < 0) s += 1
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val off = ctx.freshName("off"); val end = ctx.freshName("end")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      s"""
+         |int $off = (int) java.lang.Math.max(java.lang.Math.min((long) $b, 2147483647L), 0L);
+         |int $end = (int) java.lang.Math.min((long) $a.length,
+         |    $off + java.lang.Math.max(java.lang.Math.min((long) $c, 2147483647L), 0L));
+         |long $s = 0L;
+         |for (int $i = $off; $i + 1 < $end; $i++) {
+         |  if ((($a[$i] & 0xff) - 64) * (($a[$i + 1] & 0xff) - 64) < 0) $s++;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** dct8(payload) — the 63 AC coefficients of the exact integer 2-D
   * DCT-II over the pHash pixel grid (8×8, every other column of the
   * first 8 rows of the 16-wide byte image, pixel = |b − 128|), as
@@ -594,6 +660,7 @@ object VectorExprs {
     ("argmax_cos", classOf[ArgMaxCos], c => ArgMaxCos(c.head, c(1))),
     ("byte_stride", classOf[ByteStride], c => ByteStride(c.head, c(1))),
     ("byte_energy", classOf[ByteEnergy], c => ByteEnergy(c.head, c(1), c(2))),
+    ("byte_zcr", classOf[ByteZcr], c => ByteZcr(c.head, c(1), c(2))),
     ("hash_tokens", classOf[HashTokens], c => HashTokens(c.head)),
     ("embed64", classOf[Embed64], c => Embed64(c.head)),
     ("rank52", classOf[Rank52], c => Rank52(c.head)),

@@ -211,4 +211,43 @@ class GraphSpec extends SparkSpec {
       assert(phi >= 0L && phi <= 1000000L, s"community $c: phi out of range")
     }
   }
+  test("gr_walks: every step follows an edge and replays the md5 rank choice") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Registry.byName("gr_walks").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // rebuild the bipartite graph + ranked adjacency sequentially
+    val cs = Tables.orders(spark, sf).selectExpr("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf).selectExpr("l_orderkey AS o_orderkey", "l_suppkey"),
+        "o_orderkey")
+      .selectExpr("o_custkey * 2 AS cv", "l_suppkey * 2 + 1 AS sv")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (cs.map(p => (p._1, p._2)) ++ cs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (s, es) => (s, es.map(_._2).distinct.sorted) }
+    def h(seed: Long, step: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$step".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val walks = out.groupBy(_._1)
+    assert(walks.keySet == adj.keySet.filter(_ % 101 == 0), "seed set mismatch")
+    walks.foreach { case (wid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L), s"walk $wid: steps")
+      val byStep = rows.map(r => r._2 -> r).toMap
+      def vertex(t: Long): Long = {
+        val (_, _, kind, key) = byStep(t)
+        if (kind == "customer") key * 2 else key * 2 + 1
+      }
+      assert(vertex(0) == wid, s"walk $wid: step 0 is the seed")
+      (1L to 4L).foreach { t =>
+        val prev = vertex(t - 1)
+        val ns = adj(prev)
+        val want = ns((h(wid, t) % ns.size).toInt)
+        assert(vertex(t) == want, s"walk $wid step $t: ${vertex(t)} vs $want")
+        // bipartite alternation is structural
+        assert(vertex(t) % 2 != prev % 2, s"walk $wid step $t: same side")
+      }
+    }
+  }
+
 }

@@ -213,4 +213,55 @@ class MlSpec extends SparkSpec {
         s"normal equation violated beyond quantization: $lhs vs ${v * 1000000}")
     }
   }
+  test("ml_nb_classify: the confusion matrix equals a sequential NB replay") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("ml_nb_classify").run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    val boiler = graft.operators.Dedup.SpanBoiler
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\s{2,}', ' '), '^\\s+|\\s+$', '') AS tc")
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val tc = if (id % 7 == 0) r.getString(1) + " " + boiler else r.getString(1)
+        val cls = if (id % 7 == 0) "planted" else "clean"
+        (id, cls, tc.split(' ').toSeq)
+      }
+    val train = docs.filter(_._1 % 5 != 0)
+    val cw = scala.collection.mutable.Map.empty[(String, String), Long]
+    train.foreach { case (_, l, ws) => ws.foreach { w => cw((l, w)) = cw.getOrElse((l, w), 0L) + 1 } }
+    val nl = cw.groupBy(_._1._1).map { case (l, m) => (l, m.values.sum) }
+    val vocab = cw.keySet.map(_._2)
+    val v = vocab.size.toLong
+    def bl(x: Long): Long = if (x == 0) 1L else 64L - java.lang.Long.numberOfLeadingZeros(x)
+    def cost(l: String, w: String): Long =
+      math.max(34L - bl((cw.getOrElse((l, w), 0L) + 1L) * 1048576L / (nl(l) + v)), 1L)
+    val nd = train.groupBy(_._2).map { case (l, ds) => (l, ds.size.toLong) }
+    val ndt = nd.values.sum
+    val prior = nd.map { case (l, n) => (l, math.max(34L - bl(n * 1048576L / ndt), 1L)) }
+    val classes = nl.keys.toSeq.sorted
+    val expected = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.filter(_._1 % 5 == 0).foreach { case (_, trueC, ws) =>
+      val inVocab = ws.filter(vocab.contains)
+      if (inVocab.nonEmpty) {
+        val pred = classes.map { l =>
+          (prior(l) + inVocab.map(w => cost(l, w)).sum, l)
+        }.min._2
+        expected((trueC, pred)) = expected.getOrElse((trueC, pred), 0L) + 1
+      }
+    }
+    assert(rows == expected.toMap, s"confusion differs: got $rows vs $expected")
+    // the model must actually learn the planted class: every holdout
+    // planted doc carries the full boilerplate, whose word costs under
+    // the planted model are far cheaper - the planted diagonal is exact
+    val plantedRight = expected.getOrElse(("planted", "planted"), 0L)
+    val plantedWrong = expected.getOrElse(("planted", "clean"), 0L)
+    assert(plantedRight > 0 && plantedWrong == 0,
+      s"planted recall broken: $plantedRight right / $plantedWrong wrong")
+    val diag = expected.collect { case ((a, b), n) if a == b => n }.sum
+    assert(diag * 2 > expected.values.sum, "diagonal not dominant - model learned nothing")
+  }
+
+
 }

@@ -219,4 +219,33 @@ class MultimodalSpec extends SparkSpec {
     assert(segs.exists(_._4 > 1L), "no multi-frame segment")
     assert(segs.groupBy(_._1).exists(_._2.length > 1), "no doc with multiple segments")
   }
+  test("mm_audio_zcr: crossings replay per frame and all three classes fire") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("mm_audio_zcr").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    rows.foreach { case (id, fno, flen, energy, zcr, cls) =>
+      val bytes = docs.find(_._1 == id).get._2
+      val off = (fno * 80).toInt
+      val end = math.min(bytes.length, off + 160)
+      assert(flen == math.min(160, bytes.length - off).toLong, s"doc $id frame $fno: len")
+      var e = 0L; var z = 0L
+      (off until end).foreach { i =>
+        e += math.abs((bytes(i) & 0xff) - 128)
+        if (i + 1 < end && ((bytes(i) & 0xff) - 64) * ((bytes(i + 1) & 0xff) - 64) < 0) z += 1
+      }
+      assert(energy == e && zcr == z, s"doc $id frame $fno: energy/zcr")
+      val want =
+        if (energy < flen * 30) "silence"
+        else if (zcr * 8 >= flen * 3) "unvoiced"
+        else "voiced"
+      assert(cls == want, s"doc $id frame $fno: class")
+    }
+    assert(rows.map(_._6).distinct.sorted.toSeq == Seq("silence", "unvoiced", "voiced"),
+      "all three classes must fire on the fixture")
+  }
+
 }

@@ -307,4 +307,31 @@ class SearchSpec extends SparkSpec {
       assert(lift == (BigInt(cnt) * nOrders * 1000000 / (BigInt(c1) * c2)).toLong, s"($p1,$p2): lift")
     }
   }
+  test("ts_snippet: the winner is the leftmost densest 20-token window and the text matches") {
+    val sf = "/root/testdata/sf0.001"
+    val terms = Set("sort", "hash", "window", "spark")
+    val rows = Registry.byName("ts_snippet").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(' ').toSeq))
+    val expected = docs.flatMap { case (id, toks) =>
+      val hits = toks.zipWithIndex.collect { case (w, i) if terms(w) => i + 1 }
+      if (hits.isEmpty) None
+      else {
+        val best = hits.map(p => (hits.count(q => q >= p && q <= p + 19), p))
+          .maxBy { case (n, p) => (n, -p) }
+        val (n, p) = best
+        Some((id, p.toLong, math.min(p + 19, toks.length).toLong, n.toLong,
+          toks.slice(p - 1, math.min(p + 19, toks.length)).mkString(" ")))
+      }
+    }.toSet
+    assert(rows.toSet == expected,
+      s"snippet sets differ: ${rows.length} vs ${expected.size}")
+    // liveness: some doc has more than one hit in its window
+    assert(rows.exists(_._4 > 1L), "no multi-hit snippet - fixture degenerate")
+  }
+
 }
