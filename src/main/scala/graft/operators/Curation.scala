@@ -1953,7 +1953,58 @@ object Curation {
                ((4 * c - 3) * 250000) // ch
                + (3 * n1l * 250000 * n1r) // (ch * bigram_types) AS pkn_ppm
         FROM bg JOIN h USING (w1) JOIN r USING (w2) CROSS JOIN t
-        WHERE c >= 5"""))
+        WHERE c >= 5""")),
+
+    // ------------------- BERT masked-LM corruption plan (training prep)
+    // Devlin et al. 2018 §3.1 masking: 15% of positions select for
+    // prediction; of those, 80% become [MASK], 10% a random token, 10%
+    // keep the original (so the encoder cannot rely on [MASK] always
+    // marking the target). All three draws are md5-derived (the
+    // tp_span_corruption/tp_fim discipline — retry-stable,
+    // engine-identical, any shard regenerable from doc_id alone); the
+    // random replacement draws from the document's own tokens, keeping
+    // the plan corpus-vocabulary-free. Selection runs as posexplode +
+    // a codegen'd predicate, NOT a filter() lambda (the ts_snippet
+    // 5.3× lesson); output is the ~15% selected slice. One scan, zero
+    // shuffles at any corpus size.
+    QueryDef(
+      "tp_mlm_masks",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ') AS toks")
+          .where("size(toks) >= 1")
+          .selectExpr("doc_id", "toks", "cast(size(toks) AS bigint) AS n",
+            "posexplode(toks) AS (p0, w)")
+          .where("cast(conv(substring(md5(concat(cast(doc_id AS string), ':', cast(p0 + 1 AS string))), 1, 15), 16, 10) AS bigint) % 100 < 15")
+          .selectExpr("doc_id", "cast(p0 + 1 AS bigint) AS pos", "w AS original",
+            "cast(conv(substring(md5(concat(cast(doc_id AS string), ':', cast(p0 + 1 AS string), ':op')), 1, 15), 16, 10) AS bigint) % 10 AS opr",
+            "toks[cast(cast(conv(substring(md5(concat(cast(doc_id AS string), ':', cast(p0 + 1 AS string), ':rnd')), 1, 15), 16, 10) AS bigint) % n AS int)] AS rtok")
+          .selectExpr("doc_id", "pos", "original",
+            "CASE WHEN opr < 8 THEN 'mask' WHEN opr = 8 THEN 'random' ELSE 'keep' END AS op",
+            "CASE WHEN opr < 8 THEN '[MASK]' WHEN opr = 8 THEN rtok ELSE original END AS replacement"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, toks, len(toks)::BIGINT AS n,
+                 unnest(generate_series(1, len(toks))) AS p
+          FROM t WHERE len(toks) >= 1),
+        sel AS (
+          SELECT doc_id, toks, n, p::BIGINT AS pos
+          FROM s
+          WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':' || p::VARCHAR), 1, 15))::BIGINT % 100 < 15),
+        d AS (
+          SELECT doc_id, pos, toks[pos::INT] AS original,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR || ':op'), 1, 15))::BIGINT % 10 AS opr,
+                 toks[(('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR || ':rnd'), 1, 15))::BIGINT % n)::INT + 1] AS rtok
+          FROM sel)
+        SELECT doc_id, pos, original,
+               CASE WHEN opr < 8 THEN 'mask' WHEN opr = 8 THEN 'random' ELSE 'keep' END AS op,
+               CASE WHEN opr < 8 THEN '[MASK]' WHEN opr = 8 THEN rtok ELSE original END AS replacement
+        FROM d"""))
   )
 
 

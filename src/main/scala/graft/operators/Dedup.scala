@@ -1232,7 +1232,70 @@ object Dedup {
         SELECT doc_id, url, canon,
                CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon)
                     THEN 1 ELSE 0 END::BIGINT AS is_keeper
-        FROM canon"""))
+        FROM canon""")),
+
+    // ------------- content-defined chunking (storage-level dedup)
+    // LBFS/FastCDC-style variable-size chunking over the token stream
+    // (Muthitacharoen et al. 2001): a chunk boundary falls at gap g
+    // (between tokens g and g+1) whenever the gap's 2-gram hash ≡ 0
+    // (mod 16) — boundaries are CONTENT-anchored, so an insertion
+    // early in a document shifts only its own chunk while every later
+    // chunk re-aligns on the same anchors (the resilience fixed-size
+    // blocks lack, and the reason backup/dedup stores chunk this way;
+    // expected chunk length = 16 tokens). Chunk fingerprints reuse
+    // ta_fingerprint's seeded polynomial fold over the token hashes,
+    // so identical chunks ANYWHERE in the corpus share an fp and the
+    // downstream dedup is one groupBy on fp. Everything is row-local
+    // array arithmetic off the one scan — one explode per chunk, zero
+    // shuffles at any corpus size.
+    QueryDef(
+      "dd_cdc_chunks",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark) // hash_tokens, shingle_hashes
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            "split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ') AS toks")
+          .where("size(toks) >= 1")
+          // the whole per-doc pass — token hashes, gap anchors, chunk
+          // fingerprint folds — runs through native kernels in one
+          // projection (hash_tokens + shingle_hashes + cdc_chunks).
+          // The HOF formulations both failed at scale: the explode-
+          // then-fold form re-shipped the n-long hash array once per
+          // chunk (measured 41 s at sf10), and the fold-before-explode
+          // transform lambda hit the CollapseProject trap (the O(n)
+          // bounds filter inlined per lambda reference — the dct8
+          // lesson, one core pegged for minutes). cdc_chunks touches
+          // each hash exactly once and explodes only the results.
+          .selectExpr("doc_id",
+            "explode(cdc_chunks(hash_tokens(toks), shingle_hashes(toks, 2))) AS c")
+          .selectExpr("doc_id", "c.chunk_no AS chunk_no", "c.start_pos AS start_pos",
+            "c.len AS len", "c.fp AS fp")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g'), ' ') AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id, toks,
+                 list_transform(toks, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $P) AS hs
+          FROM t WHERE len(toks) >= 1),
+        b AS (
+          SELECT doc_id, hs,
+                 [0] || list_filter(generate_series(1, len(toks) - 1),
+                          g -> ('0x' || substr(md5(toks[g] || ' ' || toks[g + 1]), 1, 15))::BIGINT % 16 = 0)
+                     || [len(toks)] AS bounds
+          FROM h),
+        c AS (
+          SELECT doc_id, hs, bounds,
+                 unnest(generate_series(1, len(bounds) - 1)) AS j
+          FROM b)
+        SELECT doc_id, j::BIGINT AS chunk_no,
+               (bounds[j] + 1)::BIGINT AS start_pos,
+               (bounds[j + 1] - bounds[j])::BIGINT AS len,
+               list_reduce(hs[(bounds[j] + 1)::INT : bounds[j + 1]::INT],
+                           (acc, x) -> (acc * 31 + x) % $P) AS fp
+        FROM c"""))
   )
 
   // dd_paragraph: 12-token paragraph folds; the planted boilerplate is

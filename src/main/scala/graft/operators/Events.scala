@@ -2132,7 +2132,49 @@ object Events {
         SELECT event_type, n_c, n_t,
                mean_pre_c, mean_pre_t, mean_post_c, mean_post_t,
                (mean_post_t - mean_pre_t) - (mean_post_c - mean_pre_c) AS did_micros
-        FROM means"""))
+        FROM means""")),
+
+    // ---------------- SCD Type-2 dimension build (warehouse modeling)
+    // Kimball's slowly-changing-dimension history over the stream:
+    // each user's current event_type is the tracked attribute; every
+    // CHANGE (the first event, or a type differing from the previous
+    // event in (ts, event_id) order) opens a new version row with
+    // [valid_from, valid_to) micros and a dense version ordinal; the
+    // open row carries NULL valid_to — exactly the dimension table a
+    // warehouse load maintains, derived here as a pure view. Plan: ONE
+    // user-keyed exchange carries the lag compare, the close-time lead
+    // AND the version rank (all three windows share the (user_id) ×
+    // (ts, event_id) sort — the ev_gap_stats single-exchange shape);
+    // output is change-bounded, not event-bounded.
+    QueryDef(
+      "ev_scd2",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS ts_us")
+          .selectExpr("user_id", "event_id", "event_type", "ts_us",
+            """lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS prev""")
+          .where("prev IS NULL OR prev != event_type")
+          .selectExpr("user_id", "event_type", "ts_us AS valid_from_us",
+            """lead(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS valid_to_us""",
+            """cast(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS bigint) AS version"""),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev
+          FROM events),
+        ch AS (
+          SELECT user_id, event_id, event_type, ts_us
+          FROM e WHERE prev IS NULL OR prev != event_type)
+        SELECT user_id, event_type, ts_us AS valid_from_us,
+               lead(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS valid_to_us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id)::BIGINT AS version
+        FROM ch"""))
   )
 
   /** Exact φ = 1/k heavy hitters over an arbitrary key stream with

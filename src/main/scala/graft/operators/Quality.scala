@@ -572,7 +572,101 @@ object Quality {
                coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0)::BIGINT AS n_null,
                count(v)::BIGINT AS n_distinct,
                min(v) AS min_s, max(v) AS max_s
-        FROM g GROUP BY col"""))
+        FROM g GROUP BY col""")),
+
+    // --------------- referential-integrity audit (full FK census)
+    // The foreign-key half of the Deequ pass as one report: every FK
+    // relation in the star schema, plus the reverse childless-parent
+    // census (orders with no lineitem — 27 fire at sf0.001, so the
+    // audit's nonzero path is exercised on a real fixture property)
+    // with child row count, orphan count, and orphan share in ppm. Each relation
+    // is ONE LEFT ANTI hash join against the parent's distinct key set
+    // (dimension keys broadcast; the child side never re-sorts) + two
+    // 1-row aggregates — O(relations) report rows out, never violating
+    // rows. This is the load-gate census; row-level drill-down is a
+    // separate targeted query by design.
+    QueryDef(
+      "dq_referential",
+      (spark, dir) => {
+        def audit(rel: String, child: DataFrame, ck: String,
+                  parent: DataFrame, pk: String): DataFrame = {
+          val orphans = child.selectExpr(s"$ck AS k")
+            .join(broadcast(parent.selectExpr(s"$pk AS k").distinct()),
+              Seq("k"), "left_anti")
+          child.groupBy().agg(expr("cast(count(*) AS bigint) AS n_child"))
+            .crossJoin(orphans.groupBy().agg(expr("cast(count(*) AS bigint) AS n_orphan")))
+            .selectExpr(s"'$rel' AS relation", "n_child", "n_orphan",
+              "n_orphan * 1000000L div n_child AS orphan_ppm")
+        }
+        val li = Tables.lineitem(spark, dir)
+        Seq(
+          audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+            Tables.orders(spark, dir), "o_orderkey"),
+          audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+            Tables.supplier(spark, dir), "s_suppkey"),
+          audit("lineitem.l_partkey->part", li, "l_partkey",
+            Tables.part(spark, dir), "p_partkey"),
+          audit("orders.o_custkey->customer", Tables.orders(spark, dir), "o_custkey",
+            Tables.customer(spark, dir), "c_custkey"),
+          audit("customer.c_nationkey->nation", Tables.customer(spark, dir), "c_nationkey",
+            Tables.nation(spark, dir), "n_nationkey"),
+          audit("supplier.s_nationkey->nation", Tables.supplier(spark, dir), "s_nationkey",
+            Tables.nation(spark, dir), "n_nationkey"),
+          audit("nation.n_regionkey->region", Tables.nation(spark, dir), "n_regionkey",
+            Tables.region(spark, dir), "r_regionkey"),
+          audit("events.user_id->customer", Tables.events(spark, dir), "user_id",
+            Tables.customer(spark, dir), "c_custkey"),
+          audit("orders.o_orderkey->lineitem", Tables.orders(spark, dir), "o_orderkey",
+            li, "l_orderkey")
+        ).reduce(_ unionByName _)
+      },
+      Some("""
+        SELECT 'lineitem.l_orderkey->orders' AS relation,
+               count(*)::BIGINT AS n_child,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphan,
+               (sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT AS orphan_ppm
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier', count(*)::BIGINT,
+               sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               (sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+        FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', count(*)::BIGINT,
+               sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               (sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', count(*)::BIGINT,
+               sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               (sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation', count(*)::BIGINT,
+               sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               (sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+        FROM customer LEFT JOIN nation n ON c_nationkey = n.n_nationkey
+        UNION ALL
+        SELECT 'supplier.s_nationkey->nation', count(*)::BIGINT,
+               sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               (sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+        FROM supplier LEFT JOIN nation n ON s_nationkey = n.n_nationkey
+        UNION ALL
+        SELECT 'nation.n_regionkey->region', count(*)::BIGINT,
+               sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               (sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+        FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+        UNION ALL
+        SELECT 'events.user_id->customer', count(*)::BIGINT,
+               sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               (sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        UNION ALL
+        SELECT 'orders.o_orderkey->lineitem', count(*)::BIGINT,
+               sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               (sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+        FROM orders LEFT JOIN (SELECT DISTINCT l_orderkey AS lk FROM lineitem) l
+          ON o_orderkey = lk"""))
   )
 
   /** Per-event-type robust stats (median + MAD) for the outlier rule —

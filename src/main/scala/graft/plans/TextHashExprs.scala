@@ -276,6 +276,41 @@ object TextHash {
     }
     new GenericArrayData(counts)
   }
+
+  /** Content-defined chunking over per-token hashes in ONE fused pass
+    * (the dd_cdc_chunks kernel): `hs` = raw hash60 per token, `gh` =
+    * positional 2-gram hash60 (gh(i) covers tokens i,i+1 — the gap
+    * after 1-based position i+1). A chunk closes after token i when
+    * gh(i) ≡ 0 (mod 16) or the document ends; its fingerprint is the
+    * ta_fingerprint polynomial fold of hs%P seeded with the first
+    * element. Returns array<struct<chunk_no, start_pos, len, fp>>.
+    * This kernel exists for the same reason as dct8: the HOF
+    * formulation (a bounds projection consumed by a per-chunk
+    * transform lambda) triggers CollapseProject inlining — the O(n)
+    * bounds filter re-evaluates per reference, and the fold form
+    * re-ships the n-long hash array once per chunk.
+    */
+  def cdcChunks(hs: ArrayData, gh: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var start = 0
+    var acc = 0L
+    var cn = 0L
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i) % P
+      acc = if (i == start) h else (acc * 31 + h) % P
+      if (i == n - 1 || gh.getLong(i) % 16 == 0) {
+        cn += 1
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          cn, (start + 1).toLong, (i - start + 1).toLong, acc)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 private[plans] trait TextHashInputCheck { self: Expression =>
@@ -379,6 +414,34 @@ case class ShingleHashes(left: Expression, right: Expression)
 /** del_hashes(string) → array<bigint> — FastSS deletion-neighborhood
   * polynomial hashes: [whole string, minus char 0, minus char 1, ...].
   */
+/** cdc_chunks(hs, gh) → array<struct<chunk_no, start_pos, len, fp>> —
+  * see [[TextHash.cdcChunks]].
+  */
+case class CdcChunks(left: Expression, right: Expression)
+    extends BinaryExpression with TextHashInputCheck {
+  override def prettyName: String = "cdc_chunks"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_no", LongType, nullable = false),
+    StructField("start_pos", LongType, nullable = false),
+    StructField("len", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = requireType(left, isLongArray, "array<bigint>")
+    if (l != org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess) l
+    else requireType(right, isLongArray, "array<bigint>")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.cdcChunks(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.TextHash.cdcChunks($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class DelHashes(child: Expression) extends UnaryExpression with TextHashInputCheck {
   override def prettyName: String = "del_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -670,6 +670,7 @@ object VectorExprs {
     ("minhash16", classOf[MinHash16], c => MinHash16(c.head)),
     ("simhash60", classOf[SimHash60], c => SimHash60(c.head)),
     ("del_hashes", classOf[DelHashes], c => DelHashes(c.head)),
+    ("cdc_chunks", classOf[CdcChunks], c => CdcChunks(c.head, c(1))),
     ("dct8", classOf[Dct8], c => Dct8(c.head)),
     ("argmin_q", classOf[ArgMinQ], c => ArgMinQ(c.head, c(1))),
     ("minsq_q", classOf[MinSqQ], c => MinSqQ(c.head, c(1))),

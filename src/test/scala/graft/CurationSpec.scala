@@ -528,4 +528,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tp_mlm_masks: selection, op split, and replacements replay from md5 draws") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("tp_mlm_masks").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(' ').toIndexedSeq))
+    val expected = docs.flatMap { case (id, toks) =>
+      (1 to toks.length).filter(p => h(s"$id:$p") % 100 < 15).map { p =>
+        val opr = h(s"$id:$p:op") % 10
+        val rtok = toks((h(s"$id:$p:rnd") % toks.length).toInt)
+        val op = if (opr < 8) "mask" else if (opr == 8) "random" else "keep"
+        val repl = if (opr < 8) "[MASK]" else if (opr == 8) rtok else toks(p - 1)
+        (id, p.toLong, toks(p - 1), op, repl)
+      }
+    }.toSet
+    assert(rows.toSet == expected, s"mask plans differ: ${rows.length} vs ${expected.size}")
+    // the three op kinds all fire, and the selection rate is ~15%
+    assert(rows.map(_._4).distinct.sorted.toSeq == Seq("keep", "mask", "random"))
+    val total = docs.map(_._2.length).sum
+    val rate = rows.length * 1000 / total
+    assert(rate >= 120 && rate <= 180, s"selection rate $rate permille not ~150")
+  }
+
 }

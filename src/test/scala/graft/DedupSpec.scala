@@ -149,4 +149,45 @@ class DedupSpec extends SparkSpec {
         s"$c: keeper must be the earliest fetch")
     }
   }
+  test("dd_cdc_chunks: boundaries and fingerprints replay; chunks tile every document") {
+    val sf = "/root/testdata/sf0.001"
+    val P = 1000000007L
+    val rows = Registry.byName("dd_cdc_chunks").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(' ').toIndexedSeq))
+    val expected = docs.filter(_._2.nonEmpty).flatMap { case (id, toks) =>
+      val hs = toks.map(t => h(t) % P)
+      val bounds = 0 +: (1 until toks.length).filter(g => h(s"${toks(g - 1)} ${toks(g)}") % 16 == 0) :+ toks.length
+      (1 until bounds.length).map { j =>
+        val (a, b) = (bounds(j - 1), bounds(j))
+        val fp = hs.slice(a, b).reduceLeft((acc, x) => (acc * 31 + x) % P)
+        (id, j.toLong, (a + 1).toLong, (b - a).toLong, fp)
+      }
+    }.toSet
+    assert(rows.toSet == expected, s"chunk sets differ: ${rows.length} vs ${expected.size}")
+    // tiling: per doc, chunks are contiguous and lengths sum to n
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val n = docs.find(_._1 == id).get._2.length.toLong
+      val ordered = cs.sortBy(_._2)
+      assert(ordered.head._3 == 1L && ordered.map(_._4).sum == n, s"doc $id: tiling")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, s"doc $id: gap at chunk ${b._2}")
+        case _ =>
+      }
+    }
+    // content-defined: some chunk fingerprint recurs across documents
+    // (shared natural phrases anchor identically) OR chunking is live
+    val meanLen = rows.map(_._4).sum / rows.length
+    assert(meanLen >= 4 && meanLen <= 64, s"mean chunk length $meanLen implausible for divisor 16")
+  }
+
 }

@@ -203,4 +203,36 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("ev_scd2: versions tile each user's history and replay the change scan") {
+    val rows = Registry.byName("ev_scd2").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val raw = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = raw.groupBy(_._1)
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val ordered = byUser(u).sortBy(e => (e._4, e._2))
+      // sequential run compression
+      val changes = ordered.zipWithIndex.filter { case (e, i) =>
+        i == 0 || ordered(i - 1)._3 != e._3
+      }.map(_._1)
+      val got = vs.sortBy(_._5)
+      assert(got.length == changes.length, s"user $u: version count")
+      got.zip(changes).zipWithIndex.foreach { case (((_, tpe, from, to, ver), ch), i) =>
+        assert(ver == i + 1, s"user $u: dense version ordinal")
+        assert(tpe == ch._3 && from == ch._4, s"user $u v$ver: open row")
+        // contiguity: this version closes exactly where the next opens
+        if (i + 1 < changes.length) assert(to.contains(changes(i + 1)._4), s"user $u v$ver: close")
+        else assert(to.isEmpty, s"user $u v$ver: last version must stay open")
+      }
+      // consecutive versions always change the attribute
+      got.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 != b._2, s"user $u: no-op version")
+        case _ =>
+      }
+    }
+  }
+
 }

@@ -73,4 +73,36 @@ class QualitySpec extends SparkSpec {
       assert(dppm == best * 1000000L / (nr * nc), s"$et: ppm")
     }
   }
+  test("dq_referential: orphan counts equal brute-force key-set differences") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("dq_referential").run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == 9)
+    def keys(t: String, c: String): Array[Long] =
+      spark.read.parquet(s"$sf/$t.parquet").selectExpr(s"cast($c AS bigint) AS k")
+        .collect().map(_.getLong(0))
+    val rels = Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+      ("orders.o_orderkey->lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"))
+    rels.foreach { case (rel, ct, ck, pt, pk) =>
+      val child = keys(ct, ck)
+      val parents = keys(pt, pk).toSet
+      val orphan = child.count(k => !parents.contains(k)).toLong
+      val (nc, no, ppm) = rows(rel)
+      assert(nc == child.length.toLong && no == orphan, s"$rel: counts")
+      assert(ppm == orphan * 1000000L / child.length, s"$rel: ppm")
+    }
+    // the relational FKs are intact; the childless-parent census fires
+    assert(rows("orders.o_orderkey->lineitem")._2 > 0,
+      "childless-order census should exercise the nonzero path")
+    assert(rows("lineitem.l_orderkey->orders")._2 == 0)
+  }
+
 }
