@@ -2004,7 +2004,73 @@ object Curation {
         SELECT doc_id, pos, original,
                CASE WHEN opr < 8 THEN 'mask' WHEN opr = 8 THEN 'random' ELSE 'keep' END AS op,
                CASE WHEN opr < 8 THEN '[MASK]' WHEN opr = 8 THEN rtok ELSE original END AS replacement
-        FROM d"""))
+        FROM d""")),
+
+    // -------------- DPO preference-pair construction (training prep)
+    // The data half of preference optimization (Rafailov et al. 2023):
+    // per (source, lang) prompt group, pair the quality-ranked best
+    // document (chosen) against the worst (rejected). The quality
+    // proxy is integer lexical diversity — distinct words per mille of
+    // total words, the ta_ttr signal — and both elections are
+    // deterministic rank windows under the (score, doc_id) total
+    // order; groups of one document emit nothing (no self-pairs).
+    // Plan: the score is row-local in the scan (two array ops), both
+    // rank windows and the group fold share ONE (source, lang)
+    // exchange; output is groups-bounded. At 100 TB with a learned
+    // reward model, the score column is its output — the pairing plan
+    // is unchanged.
+    QueryDef(
+      "tp_dpo_pairs",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id", "source", "lang",
+            "split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ') AS toks")
+          .where("size(toks) >= 1")
+          .selectExpr("doc_id", "source", "lang",
+            "cast(size(array_distinct(toks)) AS bigint) * 1000 div size(toks) AS score")
+          .selectExpr("doc_id", "source", "lang", "score",
+            """row_number() OVER (PARTITION BY source, lang
+                                  ORDER BY score DESC, doc_id ASC) AS rk_hi""",
+            """row_number() OVER (PARTITION BY source, lang
+                                  ORDER BY score ASC, doc_id ASC) AS rk_lo""",
+            "count(*) OVER (PARTITION BY source, lang) AS n_docs")
+          .where("n_docs >= 2 AND (rk_hi = 1 OR rk_lo = 1)")
+          .groupBy("source", "lang")
+          .agg(
+            expr("max(CASE WHEN rk_hi = 1 THEN doc_id END) AS chosen_doc"),
+            expr("max(CASE WHEN rk_hi = 1 THEN score END) AS chosen_score"),
+            expr("max(CASE WHEN rk_lo = 1 THEN doc_id END) AS rejected_doc"),
+            expr("max(CASE WHEN rk_lo = 1 THEN score END) AS rejected_score"))
+          .selectExpr("source", "lang", "chosen_doc", "chosen_score",
+            "rejected_doc", "rejected_score",
+            "chosen_score - rejected_score AS margin_permille"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source, lang,
+                 string_split(regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g'), ' ') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, source, lang,
+                 len(list_distinct(toks))::BIGINT * 1000 // len(toks) AS score
+          FROM t WHERE len(toks) >= 1),
+        r AS (
+          SELECT doc_id, source, lang, score,
+                 row_number() OVER (PARTITION BY source, lang
+                                    ORDER BY score DESC, doc_id ASC) AS rk_hi,
+                 row_number() OVER (PARTITION BY source, lang
+                                    ORDER BY score ASC, doc_id ASC) AS rk_lo,
+                 count(*) OVER (PARTITION BY source, lang) AS n_docs
+          FROM s)
+        SELECT source, lang,
+               max(CASE WHEN rk_hi = 1 THEN doc_id END) AS chosen_doc,
+               max(CASE WHEN rk_hi = 1 THEN score END) AS chosen_score,
+               max(CASE WHEN rk_lo = 1 THEN doc_id END) AS rejected_doc,
+               max(CASE WHEN rk_lo = 1 THEN score END) AS rejected_score,
+               (max(CASE WHEN rk_hi = 1 THEN score END)
+                - max(CASE WHEN rk_lo = 1 THEN score END))::BIGINT AS margin_permille
+        FROM r
+        WHERE n_docs >= 2 AND (rk_hi = 1 OR rk_lo = 1)
+        GROUP BY source, lang"""))
   )
 
 

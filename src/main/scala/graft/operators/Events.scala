@@ -2160,7 +2160,13 @@ object Events {
                                  ORDER BY ts_us, event_id) AS valid_to_us""",
             """cast(row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts_us, event_id) AS bigint) AS version"""),
-      Some("""
+      Some(scd2OracleSql))
+  )
+
+  /** ev_scd2's oracle — shared verbatim with the streaming twin
+    * (st_scd2), the cusumOracleSql discipline.
+    */
+  private[graft] val scd2OracleSql = """
         WITH e AS (
           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
                  lag(event_type) OVER (PARTITION BY user_id
@@ -2174,8 +2180,7 @@ object Events {
                                  ORDER BY ts_us, event_id) AS valid_to_us,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts_us, event_id)::BIGINT AS version
-        FROM ch"""))
-  )
+        FROM ch"""
 
   /** Exact φ = 1/k heavy hitters over an arbitrary key stream with
     * cardinality-independent memory. Pass 1 folds each partition into a

@@ -349,6 +349,58 @@ object Search {
                     ELSE dcg_m * 1000000 // idcg_m END::BIGINT AS ndcg_ppm
         FROM cum""")),
 
+    // ------------------ binary-relevance IR metrics (the eval row)
+    // The other half of the eval stack next to ts_ndcg's graded curve:
+    // MRR, precision@k, and recall@k for every k ≤ 20 under binary
+    // relevance (rel = matched_terms ≥ 2 — strict enough that the
+    // metrics move). All integers: hits is a cumulative sum over the
+    // top-K cut, each metric one truncating ppm division, MRR =
+    // 10⁶ div first-relevant-rank (0 when the top-K holds none). Scale
+    // shape: the ranking is the shared broadcast-stats scoring scan's
+    // TakeOrderedAndProject; the recall denominator is ONE 1-row
+    // aggregate over the same scan; everything after is 20-row
+    // arithmetic.
+    QueryDef(
+      "ts_ir_metrics",
+      (spark, dir) => {
+        val scored = bm25Scored(spark, dir)
+          .selectExpr("doc_id", "bm25",
+            "CASE WHEN matched_terms >= 2 THEN 1L ELSE 0L END AS rel")
+        val totalRel = scored.groupBy().agg(expr("cast(sum(rel) AS bigint) AS n_rel"))
+        val top = scored.orderBy(desc("bm25"), col("doc_id")).limit(TopK)
+          .selectExpr("doc_id", "rel", "bm25")
+          .selectExpr("doc_id", "rel",
+            "cast(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bigint) AS k")
+        val mrr = top.groupBy().agg(expr(
+          "coalesce(1000000L div min(CASE WHEN rel = 1 THEN k END), 0L) AS mrr_ppm"))
+        top
+          .selectExpr("k", "sum(rel) OVER (ORDER BY k) AS hits")
+          .crossJoin(broadcast(totalRel))
+          .crossJoin(broadcast(mrr))
+          .selectExpr("k", "hits",
+            "hits * 1000000L div k AS precision_ppm",
+            "CASE WHEN n_rel = 0 THEN 0L ELSE hits * 1000000L div n_rel END AS recall_ppm",
+            "mrr_ppm")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, bm25,
+                 CASE WHEN matched_terms >= 2 THEN 1 ELSE 0 END::BIGINT AS rel
+          FROM ($bm25ScoredSql)),
+        tot AS (SELECT sum(rel)::BIGINT AS n_rel FROM scored),
+        top AS (
+          SELECT doc_id, rel,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS k
+          FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT $TopK)),
+        m AS (SELECT coalesce(1000000 // min(CASE WHEN rel = 1 THEN k END), 0)::BIGINT AS mrr_ppm
+              FROM top),
+        cum AS (SELECT k, sum(rel) OVER (ORDER BY k)::BIGINT AS hits FROM top)
+        SELECT k, hits,
+               (hits * 1000000 // k)::BIGINT AS precision_ppm,
+               (CASE WHEN n_rel = 0 THEN 0 ELSE hits * 1000000 // n_rel END)::BIGINT AS recall_ppm,
+               mrr_ppm
+        FROM cum, tot, m""")),
+
     // --------------------- reciprocal-rank fusion (the OTHER fusion)
     // ts_hybrid fuses SCORES; RRF (Cormack et al. 2009) fuses RANKS —
     // the fusion that needs no score calibration at all, which is why

@@ -1358,7 +1358,51 @@ object TextOps {
         WHERE (pos + 3 <= npos AND f1 > h AND f2 > h AND f3 > h)
            OR (pos >= 2 AND pos + 2 <= npos AND b1 >= h AND f1 > h AND f2 > h)
            OR (pos >= 3 AND pos + 1 <= npos AND b1 >= h AND b2 >= h AND f1 > h)
-           OR (pos >= 4 AND b1 >= h AND b2 >= h AND b3 >= h)"""))
+           OR (pos >= 4 AND b1 >= h AND b2 >= h AND b3 >= h)""")),
+
+    // ---------------------------- entity census (extension)
+    // Pattern-based named-entity mention mining — the provenance /
+    // PII-adjacent census a corpus audit runs before any model-based
+    // NER: maximal runs of ≥ 2 capitalized words extracted with ONE
+    // greedy regex (identical semantics in Java regex and RE2), then
+    // a (entity) count fold for mentions and document frequency. The
+    // fixture is all-lowercase, so mentions are PLANTED in-query (the
+    // ta_redact discipline) — two overlapping name sets on the %6
+    // residues exercise multi-doc df, multi-mention counts, and the
+    // maximal-run rule ("New York City" is one entity, never two).
+    // Row-local extract + explode off the scan, one entity-keyed
+    // aggregate; output is bounded by the entity vocabulary.
+    QueryDef(
+      "ta_entities",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("doc_id",
+            """CASE WHEN doc_id % 6 = 0
+                 THEN concat(text, ' Alice Johnson met Bob Smith in New York City while Mary Ann Lee waited')
+               WHEN doc_id % 6 = 3
+                 THEN concat(text, ' Bob Smith and Carol Jones toured San Francisco')
+               ELSE text END AS t""")
+          .selectExpr("doc_id",
+            "explode(regexp_extract_all(t, '[A-Z][a-z]+(?: [A-Z][a-z]+)+', 0)) AS entity")
+          .groupBy("entity")
+          .agg(
+            org.apache.spark.sql.functions.expr("cast(count(*) AS bigint) AS n_mentions"),
+            org.apache.spark.sql.functions.expr("cast(count(DISTINCT doc_id) AS bigint) AS n_docs")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 6 = 0
+                   THEN text || ' Alice Johnson met Bob Smith in New York City while Mary Ann Lee waited'
+                 WHEN doc_id % 6 = 3
+                   THEN text || ' Bob Smith and Carol Jones toured San Francisco'
+                 ELSE text END AS t
+          FROM documents),
+        m AS (
+          SELECT doc_id, unnest(regexp_extract_all(t, '[A-Z][a-z]+(?: [A-Z][a-z]+)+')) AS entity
+          FROM t)
+        SELECT entity, count(*)::BIGINT AS n_mentions,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM m GROUP BY entity"""))
   )
 
   /** Synthetic per-doc URL (the fixture half of ta_urls): every doc

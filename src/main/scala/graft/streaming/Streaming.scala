@@ -409,6 +409,10 @@ object Streaming {
   case class CusumRow(user_id: Long, event_id: Long, rn: Long,
                       v_micros: Long, mu_micros: Long, sp_micros: Long,
                       sm_micros: Long, alarm: Boolean)
+  case class Scd2Point(user_id: Long, event_id: Long, event_type: String,
+                       ts_us: Long)
+  case class Scd2Row(user_id: Long, event_type: String, valid_from_us: Long,
+                     valid_to_us: Long, version: Long)
 
   /** Streaming EWMA: each user's smoothing state is TWO longs (count,
     * current s) in the state store — the recurrence carries across
@@ -657,6 +661,39 @@ object Streaming {
             seen = (v.vec_id, v.embedding) :: seen
           }
           state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Streaming SCD Type-2 maintenance: per-user state is the OPEN
+    * dimension row — (current type, valid_from, version), one string +
+    * two longs however long the stream runs. A version row is emitted
+    * exactly when the NEXT change closes it, so Append mode never
+    * revises; the still-open tail is closed by a per-user far-future
+    * sentinel event (the st_sessionize watermark-drag trick, pointed
+    * at group state instead of a session window) whose close rows the
+    * batch side rewrites to the NULL-terminated open row. Same
+    * ordered-arrival contract as [[ewmaStream]].
+    */
+  def scd2Stream(spark: SparkSession, src: Dataset[Scd2Point]): Dataset[Scd2Row] = {
+    import spark.implicits._
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, Long, Long), Scd2Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state) =>
+          var (cur, from, ver) = state.getOption.getOrElse(("", 0L, 0L))
+          val buf = batch.toArray
+          java.util.Arrays.sort(buf, Ordering.by((r: Scd2Point) => (r.ts_us, r.event_id)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+          buf.foreach { r =>
+            if (ver == 0L) { cur = r.event_type; from = r.ts_us; ver = 1L }
+            else if (r.event_type != cur) {
+              out += Scd2Row(uid, cur, from, r.ts_us, ver)
+              cur = r.event_type; from = r.ts_us; ver += 1L
+            }
+          }
+          state.update((cur, from, ver))
           out.iterator
       }
   }
@@ -1805,6 +1842,58 @@ object Streaming {
                sum(CAST(round(c_acctbal * 1000000, 0) AS BIGINT))::BIGINT AS bal_micros
         FROM merged
         GROUP BY c_mktsegment"""),
+      bench = false),
+
+    // -------------- streaming SCD Type-2 dimension maintenance
+    // ev_scd2 live: the warehouse dimension stays current as events
+    // flow — per-user state is the one OPEN row, closed versions emit
+    // exactly once (Append never revises). The open tail is flushed by
+    // a per-user far-future sentinel event appended to the staged
+    // source (the st_sessionize watermark-drag trick pointed at group
+    // state); the batch side rewrites sentinel-closed rows to the
+    // NULL-terminated open rows the batch operator emits, so the
+    // drained table is row-identical to ev_scd2 and shares its oracle
+    // verbatim.
+    graft.QueryDef(
+      "st_scd2",
+      (spark, dir) => {
+        import spark.implicits._
+        val staged = stageDir(s"$dir/events.parquet")
+        val raw = spark.read.parquet(staged)
+        val sentinelTs = raw.schema("ts").dataType match {
+          case LongType => "mts + 7200000000000L" // 2 h in nanos
+          case _ => "mts + INTERVAL 2 HOURS"
+        }
+        raw.selectExpr("user_id").distinct()
+          .crossJoin(raw.groupBy().agg(expr("max(ts) AS mts")))
+          .selectExpr("-1L AS event_id", s"$sentinelTs AS ts", "user_id",
+            "' sentinel' AS event_type", "0.0D AS value", "'' AS props")
+          .write.mode("append").parquet(staged)
+        val sentinelUs = graft.Tables.events(spark, dir)
+          .groupBy().agg(expr("max(unix_micros(ts)) + 7200000000L AS s"))
+          .collect()(0).getLong(0)
+        val src = eventsStreamFrom(spark, staged)
+          .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS ts_us")
+          .as[Scd2Point]
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st_gate").toString
+        val q = scd2Stream(spark, src).writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read
+          .schema("user_id BIGINT, event_type STRING, valid_from_us BIGINT, " +
+            "valid_to_us BIGINT, version BIGINT")
+          .parquet(s"$tmp/out")
+          .selectExpr("user_id", "event_type", "valid_from_us",
+            s"CASE WHEN valid_to_us = ${sentinelUs}L THEN cast(null AS bigint) " +
+              "ELSE valid_to_us END AS valid_to_us",
+            "version")
+      },
+      Some(graft.operators.Events.scd2OracleSql),
       bench = false)
     // every streaming twin carries streamBench = true: the stateful
     // timing lane (Bench's SPARK_GRAFT_STREAM_BENCH mode) derives its

@@ -559,4 +559,31 @@ class CurationSpec extends SparkSpec {
     assert(rate >= 120 && rate <= 180, s"selection rate $rate permille not ~150")
   }
 
+  test("tp_dpo_pairs: elections equal a per-group brute-force score ranking") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("tp_dpo_pairs").run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "source", "lang",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .collect().map { r =>
+        val toks = r.getString(3).split(' ')
+        (r.getLong(0), r.getString(1), r.getString(2),
+          toks.distinct.length.toLong * 1000L / toks.length)
+      }
+    val groups = docs.groupBy(d => (d._2, d._3)).filter(_._2.length >= 2)
+    assert(rows.keySet == groups.keySet, "one pair per multi-doc group")
+    groups.foreach { case (g, ds) =>
+      val chosen = ds.minBy(d => (-d._4, d._1))
+      val rejected = ds.minBy(d => (d._4, d._1))
+      val (cd, cs, rd, rs, m) = rows(g)
+      assert((cd, cs) == ((chosen._1, chosen._4)), s"$g: chosen")
+      assert((rd, rs) == ((rejected._1, rejected._4)), s"$g: rejected")
+      assert(m == cs - rs && m >= 0, s"$g: margin")
+      assert(cd != rd, s"$g: self-pair")
+    }
+  }
+
 }

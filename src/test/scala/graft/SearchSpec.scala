@@ -334,4 +334,29 @@ class SearchSpec extends SparkSpec {
     assert(rows.exists(_._4 > 1L), "no multi-hit snippet - fixture degenerate")
   }
 
+  test("ts_ir_metrics: metrics are internally consistent and agree with the ndcg ranking") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("ts_ir_metrics").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.length == 20)
+    // cross-operator: the ndcg query emits the SAME ranking with graded
+    // rel — binary hits must equal its rel >= 2 prefix counts
+    val ndcg = Registry.byName("ts_ndcg").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1) // (k, rel)
+    val prefixHits = ndcg.scanLeft(0L) { case (acc, (_, rel)) =>
+      acc + (if (rel >= 2) 1L else 0L)
+    }.drop(1)
+    rows.zip(prefixHits).foreach { case ((k, hits, p, _, _), want) =>
+      assert(hits == want, s"k=$k: hits $hits vs ndcg prefix $want")
+      assert(p == hits * 1000000L / k, s"k=$k: precision")
+    }
+    // hits monotone; recall monotone; mrr = 1e6 / first relevant rank
+    assert(rows.map(_._2).sliding(2).forall { w => w.length < 2 || w(1) >= w(0) })
+    val firstRel = rows.find(_._2 > 0).map(_._1)
+    val mrr = rows.head._5
+    assert(mrr == firstRel.map(1000000L / _).getOrElse(0L), s"mrr $mrr vs $firstRel")
+    assert(rows.map(_._5).distinct.length == 1, "mrr must be constant across k")
+  }
+
 }

@@ -569,4 +569,32 @@ class StreamingSpec extends SparkSpec {
     assert(s.session_end_us == (t0 + 120) * 1000000L)
     q.stop()
   }
+  test("scd2Stream: open-row state carries across batches; closes emit exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one user, type runs A A B B A split 3/2: the B->A change sits in
+    // batch 2 and must close the B version opened in batch 1
+    val pts = Seq("A", "A", "B", "B", "A")
+      .zipWithIndex.map { case (t, i) => (5L, 300L + i, t, 1000L * i) }
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val rows = Streaming.scd2Stream(
+      spark, input.toDF().toDF("user_id", "event_id", "event_type", "ts_us")
+        .as[Streaming.Scd2Point])
+    val q = rows.writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = pts.splitAt(3)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("scd2_stream").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("valid_from_us"),
+          r.getAs[Long]("valid_to_us"), r.getAs[Long]("version"))).toSet
+      // closed versions only: A [0, 2000) v1, B [2000, 4000) v2;
+      // the final A run stays open in state and must NOT have emitted
+      assert(got == Set(("A", 0L, 2000L, 1L), ("B", 2000L, 4000L, 2L)),
+        s"streamed SCD2 closes diverged: $got")
+    } finally q.stop()
+  }
+
 }

@@ -250,4 +250,23 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ta_entities: the planted mention census is exact and runs are maximal") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("ta_entities").run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ids = Tables.documents(spark, sf).selectExpr("doc_id").collect().map(_.getLong(0))
+    val n0 = ids.count(_ % 6 == 0).toLong
+    val n3 = ids.count(_ % 6 == 3).toLong
+    assert(n0 > 0 && n3 > 0, "both plant residues must exist")
+    // maximal runs: "New York City" is ONE entity; "Bob Smith" merges
+    // mentions across both plant sets
+    assert(rows == Map(
+      "Alice Johnson" -> ((n0, n0)),
+      "Bob Smith" -> ((n0 + n3, n0 + n3)),
+      "New York City" -> ((n0, n0)),
+      "Mary Ann Lee" -> ((n0, n0)),
+      "Carol Jones" -> ((n3, n3)),
+      "San Francisco" -> ((n3, n3))), s"census differs: $rows")
+  }
+
 }
