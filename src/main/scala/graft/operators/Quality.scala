@@ -666,7 +666,105 @@ object Quality {
                sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END)::BIGINT,
                (sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
         FROM orders LEFT JOIN (SELECT DISTINCT l_orderkey AS lk FROM lineitem) l
-          ON o_orderkey = lk"""))
+          ON o_orderkey = lk""")),
+
+    // ------------- CBO selectivity-estimation audit (stats quality)
+    // The consumer side of ANALYZE (s23): textbook cardinality
+    // estimates from one stats row — equality = n/ndv, range =
+    // linear-interpolated fraction of [min, max], conjunction =
+    // independence — against the ACTUAL row counts, with the error in
+    // ppm. This is the audit that tells a planner whether uniform/
+    // independent assumptions hold on this data (the estimation gap is
+    // the finding, not a defect). All-integer: prices in cents, dates
+    // in epoch seconds, thresholds derived FROM the stats row so both
+    // engines compute identical literals. Plan: one stats aggregate
+    // (checkpoint-fenced — estimates and actuals both read it,
+    // broadcast), one flag-projection scan folding all four actuals in
+    // a single aggregate, then 4 rows of O(1) arithmetic. Magnitudes:
+    // n·(mx−mn) cents needs n·range < 9.2e18 — past ~10¹⁰ rows widen
+    // the products to decimal(38,0) (the ev_ab_cuped discipline).
+    QueryDef(
+      "dq_selectivity",
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir).selectExpr(
+          "o_custkey",
+          "cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS price_cents",
+          "cast(cast(o_orderdate AS timestamp) AS long) AS od_s")
+        val stats = o.groupBy().agg(
+            expr("cast(count(*) AS bigint) AS n"),
+            expr("cast(count(DISTINCT o_custkey) AS bigint) AS ndv_ck"),
+            expr("min(price_cents) AS mn_p"), expr("max(price_cents) AS mx_p"),
+            expr("min(od_s) AS mn_d"), expr("max(od_s) AS mx_d"))
+          .selectExpr("n", "ndv_ck", "mn_p", "mx_p", "mn_d", "mx_d",
+            "mn_p + (mx_p - mn_p) * 7 div 10 AS p70",
+            "mn_d + (mx_d - mn_d) * 3 div 10 AS d30")
+          .localCheckpoint(true)
+        val act = o.crossJoin(broadcast(stats))
+          .selectExpr(
+            "CASE WHEN o_custkey = 42 THEN 1L ELSE 0L END AS f_eq",
+            "CASE WHEN price_cents > p70 THEN 1L ELSE 0L END AS f_gt",
+            "CASE WHEN od_s < d30 THEN 1L ELSE 0L END AS f_lt",
+            "CASE WHEN price_cents > p70 AND od_s < d30 THEN 1L ELSE 0L END AS f_conj")
+          .groupBy().agg(
+            expr("cast(sum(f_eq) AS bigint) AS a_eq"),
+            expr("cast(sum(f_gt) AS bigint) AS a_gt"),
+            expr("cast(sum(f_lt) AS bigint) AS a_lt"),
+            expr("cast(sum(f_conj) AS bigint) AS a_conj"))
+        val joined = stats.selectExpr(
+            "n div ndv_ck AS e_eq",
+            "n * (mx_p - p70) div (mx_p - mn_p) AS e_gt",
+            "n * (d30 - mn_d) div (mx_d - mn_d) AS e_lt",
+            "(n * (mx_p - p70) div (mx_p - mn_p)) * (n * (d30 - mn_d) div (mx_d - mn_d)) div n AS e_conj")
+          .crossJoin(act)
+        Seq(
+          ("eq_custkey", "e_eq", "a_eq"),
+          ("gt_price_p70", "e_gt", "a_gt"),
+          ("lt_date_p30", "e_lt", "a_lt"),
+          ("conj_price_date", "e_conj", "a_conj")
+        ).map { case (nm, e, a) =>
+          joined.selectExpr(s"'$nm' AS predicate", s"$e AS est_rows",
+            s"$a AS actual_rows",
+            s"abs($e - $a) * 1000000L div greatest($a, 1L) AS err_ppm")
+        }.reduce(_ unionByName _)
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+                 epoch(o_orderdate)::BIGINT AS od_s
+          FROM orders),
+        s AS (
+          SELECT count(*)::BIGINT AS n, count(DISTINCT o_custkey)::BIGINT AS ndv_ck,
+                 min(price_cents) AS mn_p, max(price_cents) AS mx_p,
+                 min(od_s) AS mn_d, max(od_s) AS mx_d
+          FROM o),
+        s2 AS (
+          SELECT *, mn_p + (mx_p - mn_p) * 7 // 10 AS p70,
+                 mn_d + (mx_d - mn_d) * 3 // 10 AS d30
+          FROM s),
+        a AS (
+          SELECT sum(CASE WHEN o_custkey = 42 THEN 1 ELSE 0 END)::BIGINT AS a_eq,
+                 sum(CASE WHEN price_cents > p70 THEN 1 ELSE 0 END)::BIGINT AS a_gt,
+                 sum(CASE WHEN od_s < d30 THEN 1 ELSE 0 END)::BIGINT AS a_lt,
+                 sum(CASE WHEN price_cents > p70 AND od_s < d30 THEN 1 ELSE 0 END)::BIGINT AS a_conj
+          FROM o, s2),
+        e AS (
+          SELECT n // ndv_ck AS e_eq,
+                 n * (mx_p - p70) // (mx_p - mn_p) AS e_gt,
+                 n * (d30 - mn_d) // (mx_d - mn_d) AS e_lt,
+                 (n * (mx_p - p70) // (mx_p - mn_p)) * (n * (d30 - mn_d) // (mx_d - mn_d)) // n AS e_conj
+          FROM s2)
+        SELECT 'eq_custkey' AS predicate, e_eq AS est_rows, a_eq AS actual_rows,
+               (abs(e_eq - a_eq) * 1000000 // greatest(a_eq, 1))::BIGINT AS err_ppm FROM e, a
+        UNION ALL
+        SELECT 'gt_price_p70', e_gt, a_gt,
+               (abs(e_gt - a_gt) * 1000000 // greatest(a_gt, 1))::BIGINT FROM e, a
+        UNION ALL
+        SELECT 'lt_date_p30', e_lt, a_lt,
+               (abs(e_lt - a_lt) * 1000000 // greatest(a_lt, 1))::BIGINT FROM e, a
+        UNION ALL
+        SELECT 'conj_price_date', e_conj, a_conj,
+               (abs(e_conj - a_conj) * 1000000 // greatest(a_conj, 1))::BIGINT FROM e, a"""))
   )
 
   /** Per-event-type robust stats (median + MAD) for the outlier rule —

@@ -105,4 +105,37 @@ class QualitySpec extends SparkSpec {
     assert(rows("lineitem.l_orderkey->orders")._2 == 0)
   }
 
+  test("dq_selectivity: estimates and actuals replay from a collected stats row") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("dq_selectivity").run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == 4)
+    val o = Tables.orders(spark, sf)
+      .selectExpr("o_custkey",
+        "cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS pc",
+        "cast(cast(o_orderdate AS timestamp) AS long) AS od")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = o.length.toLong
+    val ndv = o.map(_._1).distinct.length.toLong
+    val (mnP, mxP) = (o.map(_._2).min, o.map(_._2).max)
+    val (mnD, mxD) = (o.map(_._3).min, o.map(_._3).max)
+    val p70 = mnP + (mxP - mnP) * 7 / 10
+    val d30 = mnD + (mxD - mnD) * 3 / 10
+    val eEq = n / ndv
+    val eGt = n * (mxP - p70) / (mxP - mnP)
+    val eLt = n * (d30 - mnD) / (mxD - mnD)
+    val eConj = eGt * eLt / n
+    val aEq = o.count(_._1 == 42L).toLong
+    val aGt = o.count(_._2 > p70).toLong
+    val aLt = o.count(_._3 < d30).toLong
+    val aConj = o.count(r => r._2 > p70 && r._3 < d30).toLong
+    def row(e: Long, a: Long) = (e, a, math.abs(e - a) * 1000000L / math.max(a, 1L))
+    assert(rows("eq_custkey") == row(eEq, aEq), "eq")
+    assert(rows("gt_price_p70") == row(eGt, aGt), "gt")
+    assert(rows("lt_date_p30") == row(eLt, aLt), "lt")
+    assert(rows("conj_price_date") == row(eConj, aConj), "conj")
+    // the audit must measure something live on both sides
+    assert(aGt > 0 && aLt > 0, "range predicates should select nonzero rows")
+  }
+
 }
