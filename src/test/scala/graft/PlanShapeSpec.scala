@@ -621,4 +621,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.split("TakeOrderedAndProject").length >= 3,
       "ranked and ideal top-K must both be TakeOrdered cuts")
   }
+  test("tp_fim / tp_mlm_masks / dd_cdc_chunks: row-local transforms plan ZERO exchanges") {
+    graft.plans.VectorExprs.register(spark)
+    // the 100 TB claim for the corruption/chunking preps is literal:
+    // one scan, no shuffle of any kind anywhere in the plan
+    Seq("tp_fim", "tp_mlm_masks", "dd_cdc_chunks").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q: unexpected exchange in\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian")
+    }
+    // dd_cdc_chunks' whole per-doc pass is the fused kernel chain
+    assert(plan("dd_cdc_chunks").contains("cdc_chunks"), "kernel not in the plan")
+  }
+
+  test("ts_snippet: hit windows are doc-partitioned; doc text joins back only for winners") {
+    val p = plan("ts_snippet")
+    // the window exchange partitions by doc_id (bounded state), and the
+    // winner join back to the document scan is a hash join, not a sort
+    assert(p.contains("hashpartitioning(doc_id"), "window not doc-partitioned")
+    assert(!p.contains("CartesianProduct"), "cartesian snippet join")
+  }
+
 }
