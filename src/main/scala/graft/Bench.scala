@@ -129,13 +129,17 @@ object Bench {
     // tools/bench_diff.py diffs round-over-round.
     try {
       val sfName = new java.io.File(sfDir).getName
-      // a SPARK_GRAFT_ONLY subset run lands in its own scratch file:
-      // the default path is the COMMITTED round artifact bench_diff
-      // gates on, and a 5-query local probe must never overwrite it
+      // default paths are SCRATCH (gitignored): the committed baseline
+      // bench_diff gates on (bench/bench_<sf>.json) is only ever
+      // written when a deliberate idle re-baseline run passes
+      // SPARK_GRAFT_BENCH_OUT explicitly — so neither a subset probe
+      // nor the driver's per-round (load-contaminated) run can
+      // overwrite the idle baseline and dirty the tree (the recurring
+      // r13/r14 hygiene item)
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
           if (only.isDefined) s"bench/only_$sfName.json"
-          else s"bench/bench_$sfName.json"))
+          else s"bench/last_$sfName.json"))
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // the stdout line is the contract; the artifact is best-effort

@@ -2013,7 +2013,11 @@ object Curation {
     // proxy is integer lexical diversity — distinct words per mille of
     // total words, the ta_ttr signal — and both elections are
     // deterministic rank windows under the (score, doc_id) total
-    // order; groups of one document emit nothing (no self-pairs).
+    // order; groups of one document emit nothing, and the two windows
+    // tie-break doc_id in OPPOSITE directions (hi: ASC, lo: DESC) so
+    // an all-tied group still elects two DISTINCT documents — the
+    // no-self-pair invariant holds for every n_docs ≥ 2 group, not
+    // just untied ones.
     // Plan: the score is row-local in the scan (two array ops), both
     // rank windows and the group fold share ONE (source, lang)
     // exchange; output is groups-bounded. At 100 TB with a learned
@@ -2032,7 +2036,7 @@ object Curation {
             """row_number() OVER (PARTITION BY source, lang
                                   ORDER BY score DESC, doc_id ASC) AS rk_hi""",
             """row_number() OVER (PARTITION BY source, lang
-                                  ORDER BY score ASC, doc_id ASC) AS rk_lo""",
+                                  ORDER BY score ASC, doc_id DESC) AS rk_lo""",
             "count(*) OVER (PARTITION BY source, lang) AS n_docs")
           .where("n_docs >= 2 AND (rk_hi = 1 OR rk_lo = 1)")
           .groupBy("source", "lang")
@@ -2058,7 +2062,7 @@ object Curation {
                  row_number() OVER (PARTITION BY source, lang
                                     ORDER BY score DESC, doc_id ASC) AS rk_hi,
                  row_number() OVER (PARTITION BY source, lang
-                                    ORDER BY score ASC, doc_id ASC) AS rk_lo,
+                                    ORDER BY score ASC, doc_id DESC) AS rk_lo,
                  count(*) OVER (PARTITION BY source, lang) AS n_docs
           FROM s)
         SELECT source, lang,

@@ -172,7 +172,12 @@ object Events {
     * table (event_type, n_a, n_b, s_a, s_b) — ONE kernel for
     * ev_ab_chisq and st_ab_chisq so batch and stream cannot diverge.
     * See ev_ab_chisq's QueryDef comment for the widening/zero-guard
-    * reasoning.
+    * reasoning. The DECIMAL(38,0) widening of the χ² numerator /
+    * denominator is strictly INTERNAL: gate outputs must never carry
+    * DecimalType columns (RegistrySpec pins this) because the driver's
+    * typed row-hash is unstable on decimal128 even when the values
+    * agree — the r14 red-row lesson. The statistic itself is emitted
+    * as exact integer milli-units (BIGINT).
     */
   private[graft] def chisqFromCells(
       cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -185,7 +190,6 @@ object Events {
         """cast(cast(s_a + s_b AS decimal(38,0)) * ((n_a - s_a) + (n_b - s_b))
                 * n_a * n_b AS decimal(38,0)) AS chi2_den""")
       .selectExpr("event_type", "n_a", "n_b", "s_a", "s_b",
-        "chi2_num", "chi2_den",
         """CASE WHEN chi2_den = 0 THEN 0L
                 ELSE cast(chi2_num * 1000 div chi2_den AS bigint) END AS chi2_milli""")
 
@@ -210,7 +214,7 @@ object Events {
                  CAST((s_a + s_b)::HUGEINT * ((n_a - s_a) + (n_b - s_b))
                       * n_a::HUGEINT * n_b AS DECIMAL(38,0)) AS chi2_den
           FROM dd)
-        SELECT event_type, n_a, n_b, s_a, s_b, chi2_num, chi2_den,
+        SELECT event_type, n_a, n_b, s_a, s_b,
                CASE WHEN chi2_den = 0 THEN 0
                     ELSE CAST((chi2_num::HUGEINT * 1000) // chi2_den::HUGEINT AS BIGINT)
                END::BIGINT AS chi2_milli

@@ -311,13 +311,10 @@ object Ml {
         q AS (
           SELECT *, det0 // det AS q0, det1 // det AS q1, det2 // det AS q2
           FROM dets)
-        SELECT CAST(n AS DECIMAL(38,0)) AS n,
-               CAST(sx1 AS DECIMAL(38,0)) AS sx1, CAST(sx2 AS DECIMAL(38,0)) AS sx2,
-               CAST(s11 AS DECIMAL(38,0)) AS s11, CAST(s12 AS DECIMAL(38,0)) AS s12,
-               CAST(s22 AS DECIMAL(38,0)) AS s22,
-               CAST(sy AS DECIMAL(38,0)) AS sy,
-               CAST(sy1 AS DECIMAL(38,0)) AS sy1, CAST(sy2 AS DECIMAL(38,0)) AS sy2,
-               CAST(det AS DECIMAL(38,0)) AS det,
+        SELECT ${Seq("n", "sx1", "sx2", "s11", "s12", "s22", "sy", "sy1", "sy2", "det")
+          .map(c => s"""CAST($c // 1000000000000000000 AS BIGINT) AS ${c}_hi,
+               CAST($c % 1000000000000000000 AS BIGINT) AS ${c}_lo""")
+          .mkString(",\n               ")},
                (q0 * 1000000 + ((det0 - q0 * det) * 1000000) // det)::BIGINT AS beta0_ppm,
                (q1 * 1000000 + ((det1 - q1 * det) * 1000000) // det)::BIGINT AS beta1_ppm,
                (q2 * 1000000 + ((det2 - q2 * det) * 1000000) // det)::BIGINT AS beta2_ppm
@@ -339,9 +336,10 @@ object Ml {
     // count (truncating division, = DuckDB `//`); a cluster that
     // empties keeps its previous centroid on both engines. Output is
     // membership-sensitive per final cluster: size, id-sum, exact
-    // integer inertia (DECIMAL(38,0) — int64 passes sf10 but not the
-    // 100 TB headroom the ridge moments also reserve), and the final
-    // centroid's L1 mass pinning the model itself.
+    // integer inertia (accumulated in DECIMAL(38,0) — int64 passes sf10
+    // but not the 100 TB headroom the ridge moments also reserve —
+    // emitted as hi/lo BIGINT halves, never as a decimal column), and
+    // the final centroid's L1 mass pinning the model itself.
     QueryDef(
       "ml_kmeans",
       (spark, dir) => {
@@ -357,14 +355,20 @@ object Ml {
             expr("cast(count(*) AS bigint) AS n_vecs"),
             expr("cast(sum(vec_id) AS bigint) AS sum_ids"),
             expr("cast(sum(cast(d AS decimal(38,0))) AS decimal(38,0)) AS inertia"))
-          .selectExpr("cluster", "n_vecs", "sum_ids", "inertia",
+          // inertia accumulates in DECIMAL(38,0) (100 TB headroom) but is
+          // EMITTED as two non-negative BIGINT halves — gate outputs may
+          // never carry DecimalType (driver-hash-unstable; RegistrySpec).
+          .selectExpr("cluster", "n_vecs", "sum_ids",
+            "cast(inertia div 1000000000000000000 AS bigint) AS inertia_hi",
+            "cast(inertia % 1000000000000000000 AS bigint) AS inertia_lo",
             s"cast($l1Case AS bigint) AS c_l1")
       },
       Some(s"""
         WITH $kmAssignCtes
         SELECT a.cid AS cluster, count(*)::BIGINT AS n_vecs,
                sum(a.vec_id)::BIGINT AS sum_ids,
-               CAST(sum(a.d) AS DECIMAL(38,0)) AS inertia,
+               CAST(sum(a.d)::HUGEINT // 1000000000000000000 AS BIGINT) AS inertia_hi,
+               CAST(sum(a.d)::HUGEINT % 1000000000000000000 AS BIGINT) AS inertia_lo,
                any_value(l.c_l1)::BIGINT AS c_l1
         FROM af a JOIN (SELECT cid, list_sum(list_transform(cv, x -> abs(x))) AS c_l1
                         FROM c$KmIters) l USING (cid)
@@ -699,10 +703,22 @@ object Ml {
       .selectExpr("n", "sx1", "sx2", "s11", "s12", "s22", "sy", "sy1", "sy2",
         "det", "det0", "det1", "det2",
         "det0 div det AS q0", "det1 div det AS q1", "det2 div det AS q2")
-      .selectExpr("n", "sx1", "sx2", "s11", "s12", "s22", "sy", "sy1", "sy2", "det",
-        "cast(q0 * 1000000 + ((det0 - q0 * det) * 1000000) div det AS bigint) AS beta0_ppm",
-        "cast(q1 * 1000000 + ((det1 - q1 * det) * 1000000) div det AS bigint) AS beta1_ppm",
-        "cast(q2 * 1000000 + ((det2 - q2 * det) * 1000000) div det AS bigint) AS beta2_ppm")
+      .selectExpr(
+        // The DECIMAL(38,0) moments/determinant are the overflow
+        // canaries (the QueryDef comment's "VISIBLE as a gate diff"
+        // discipline), but gate outputs may never carry DecimalType
+        // (driver-hash-unstable on decimal128; RegistrySpec pins the
+        // ban) — so each is emitted as two BIGINT halves base 1e18.
+        // All ten are non-negative by construction (quantity/basis-
+        // point/cent sums; det > 0 from the λ-regularized PD matrix),
+        // so Spark's truncating `div` ≡ DuckDB's floor `//` here.
+        Seq("n", "sx1", "sx2", "s11", "s12", "s22", "sy", "sy1", "sy2", "det")
+          .flatMap(c => Seq(
+            s"cast($c div 1000000000000000000 AS bigint) AS ${c}_hi",
+            s"cast($c % 1000000000000000000 AS bigint) AS ${c}_lo")) ++ Seq(
+          "cast(q0 * 1000000 + ((det0 - q0 * det) * 1000000) div det AS bigint) AS beta0_ppm",
+          "cast(q1 * 1000000 + ((det1 - q1 * det) * 1000000) div det AS bigint) AS beta1_ppm",
+          "cast(q2 * 1000000 + ((det2 - q2 * det) * 1000000) div det AS bigint) AS beta2_ppm"): _*)
 
   /** ml_score_docs' oracle — also st_ml_score's (the streamed scorer
     * must drain row-identical to the batch one, so they share the SQL

@@ -581,17 +581,27 @@ object Quality {
     // audit's nonzero path is exercised on a real fixture property)
     // with child row count, orphan count, and orphan share in ppm. Each relation
     // is ONE LEFT ANTI hash join against the parent's distinct key set
-    // (dimension keys broadcast; the child side never re-sorts) + two
-    // 1-row aggregates — O(relations) report rows out, never violating
-    // rows. This is the load-gate census; row-level drill-down is a
-    // separate targeted query by design.
+    // + two 1-row aggregates — O(relations) report rows out, never
+    // violating rows. TRUE dimension parents (region/nation/customer/
+    // supplier/part — bounded or slowly-growing key sets) broadcast
+    // explicitly so the child side never exchanges; FACT parents
+    // (orders for lineitem→orders, lineitem for the reverse
+    // childless-parent census) must NOT be force-broadcast — their
+    // distinct key sets grow linearly with scale and a hinted
+    // broadcast bypasses the size threshold (driver OOM at 100 TB), so
+    // those relations take the plain shuffled anti join and AQE may
+    // still downgrade to broadcast when the run-time size permits.
+    // This is the load-gate census; row-level drill-down is a separate
+    // targeted query by design.
     QueryDef(
       "dq_referential",
       (spark, dir) => {
         def audit(rel: String, child: DataFrame, ck: String,
-                  parent: DataFrame, pk: String): DataFrame = {
+                  parent: DataFrame, pk: String,
+                  broadcastParent: Boolean = true): DataFrame = {
+          val keys = parent.selectExpr(s"$pk AS k").distinct()
           val orphans = child.selectExpr(s"$ck AS k")
-            .join(broadcast(parent.selectExpr(s"$pk AS k").distinct()),
+            .join(if (broadcastParent) broadcast(keys) else keys,
               Seq("k"), "left_anti")
           child.groupBy().agg(expr("cast(count(*) AS bigint) AS n_child"))
             .crossJoin(orphans.groupBy().agg(expr("cast(count(*) AS bigint) AS n_orphan")))
@@ -601,7 +611,7 @@ object Quality {
         val li = Tables.lineitem(spark, dir)
         Seq(
           audit("lineitem.l_orderkey->orders", li, "l_orderkey",
-            Tables.orders(spark, dir), "o_orderkey"),
+            Tables.orders(spark, dir), "o_orderkey", broadcastParent = false),
           audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
             Tables.supplier(spark, dir), "s_suppkey"),
           audit("lineitem.l_partkey->part", li, "l_partkey",
@@ -617,7 +627,7 @@ object Quality {
           audit("events.user_id->customer", Tables.events(spark, dir), "user_id",
             Tables.customer(spark, dir), "c_custkey"),
           audit("orders.o_orderkey->lineitem", Tables.orders(spark, dir), "o_orderkey",
-            li, "l_orderkey")
+            li, "l_orderkey", broadcastParent = false)
         ).reduce(_ unionByName _)
       },
       Some("""

@@ -245,15 +245,19 @@ object TextOps {
             "cast(stop_tokens AS double) / cast(n_tokens AS double) AS stopword_ratio")
           .selectExpr(
             "doc_id", "char_len", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio",
-            // toy composite score, exact arithmetic
-            """CASE WHEN char_len >= 50 AND char_len <= 2000 THEN 0.5 ELSE 0.0 END
-               + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END
-               + CASE WHEN stopword_ratio >= 0.05 THEN 0.2 ELSE 0.0 END AS quality_score"""),
+            // toy composite score. Each term is cast to DOUBLE before the
+            // sum: a bare 0.5 literal parses as DECIMAL in both engines
+            // and the decimal sum would leak a DecimalType gate column
+            // (banned — RegistrySpec); the left-assoc IEEE double sum is
+            // bit-identical cross-engine.
+            """cast(CASE WHEN char_len >= 50 AND char_len <= 2000 THEN 0.5 ELSE 0.0 END AS double)
+               + cast(CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END AS double)
+               + cast(CASE WHEN stopword_ratio >= 0.05 THEN 0.2 ELSE 0.0 END AS double) AS quality_score"""),
       Some(s"""
         SELECT doc_id, char_len, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
-               CASE WHEN char_len >= 50 AND char_len <= 2000 THEN 0.5 ELSE 0.0 END
-               + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END
-               + CASE WHEN stopword_ratio >= 0.05 THEN 0.2 ELSE 0.0 END AS quality_score
+               CAST(CASE WHEN char_len >= 50 AND char_len <= 2000 THEN 0.5 ELSE 0.0 END AS DOUBLE)
+               + CAST(CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END AS DOUBLE)
+               + CAST(CASE WHEN stopword_ratio >= 0.05 THEN 0.2 ELSE 0.0 END AS DOUBLE) AS quality_score
         FROM (
           SELECT doc_id, char_len, n_tokens,
                  (char_len - (n_tokens - 1))::DOUBLE / n_tokens::DOUBLE AS avg_token_len,

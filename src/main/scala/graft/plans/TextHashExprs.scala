@@ -411,9 +411,6 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** del_hashes(string) → array<bigint> — FastSS deletion-neighborhood
-  * polynomial hashes: [whole string, minus char 0, minus char 1, ...].
-  */
 /** cdc_chunks(hs, gh) → array<struct<chunk_no, start_pos, len, fp>> —
   * see [[TextHash.cdcChunks]].
   */
@@ -442,6 +439,9 @@ case class CdcChunks(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** del_hashes(string) → array<bigint> — FastSS deletion-neighborhood
+  * polynomial hashes: [whole string, minus char 0, minus char 1, ...].
+  */
 case class DelHashes(child: Expression) extends UnaryExpression with TextHashInputCheck {
   override def prettyName: String = "del_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -406,7 +406,12 @@ object Lake {
     *   WHEN NOT MATCHED AND NOT <deleteCond> THEN INSERT *.
     * Unmatched target rows pass through; an unmatched source row whose
     * deleteCond holds is a no-op (ANSI: a DELETE clause only fires on a
-    * match). `deleteCond` is evaluated over the SOURCE row's columns
+    * match). A NULL deleteCond follows ANSI three-valued clause
+    * gating: on a MATCHED pair the DELETE clause does not fire and the
+    * row falls through to UPDATE; on an UNMATCHED source row `NOT
+    * <cond>` is unknown, so the INSERT clause does not fire either —
+    * the row is a no-op, NOT an insert. `deleteCond` is evaluated over
+    * the SOURCE row's columns
     * before the join (so same-named base columns can never capture it).
     * `source` must be key-unique — the ANSI "cardinality violation"
     * rule (two source rows hitting one target row has no deterministic
@@ -431,15 +436,23 @@ object Lake {
         .find(s => !cols.contains(s)).get
       val sd = Iterator.from(0).map(i => "_del" + ("_" * i))
         .find(s => !cols.contains(s)).get
+      val sb = Iterator.from(0).map(i => "_b" + ("_" * i))
+        .find(s => !cols.contains(s)).get
       val src = source
         .withColumn(su, lit(1))
         .withColumn(sd, expr(deleteCond))
-      val merged = cur.as("b")
+      val merged = cur.withColumn(sb, lit(1)).as("b")
         .join(src.as("u"), Seq(key), "full_outer")
-        // one predicate covers both DELETE shapes: a matched pair whose
-        // source row says delete drops the base row; an unmatched
-        // source delete row never inserts
-        .where(s"u.$sd IS NULL OR NOT u.$sd")
+        // three-valued clause gating on the survivor predicate:
+        //   target-only row            → passes through;
+        //   MATCHED pair               → dropped only when deleteCond
+        //     IS TRUE (NULL falls through to UPDATE, ANSI);
+        //   unmatched source row       → inserted only when deleteCond
+        //     IS FALSE (TRUE and NULL both leave the INSERT clause
+        //     unfired — a NULL condition must not insert).
+        .where(s"u.$su IS NULL" +
+          s" OR ($sb IS NOT NULL AND NOT (u.$sd <=> true))" +
+          s" OR ($sb IS NULL AND u.$sd <=> false)")
         .select(cols.map {
           case `key` => col(key)
           case c => when(col(s"u.$su").isNotNull, col(s"u.$c"))

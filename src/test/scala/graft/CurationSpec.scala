@@ -577,7 +577,9 @@ class CurationSpec extends SparkSpec {
     assert(rows.keySet == groups.keySet, "one pair per multi-doc group")
     groups.foreach { case (g, ds) =>
       val chosen = ds.minBy(d => (-d._4, d._1))
-      val rejected = ds.minBy(d => (d._4, d._1))
+      // lo election tie-breaks doc_id DESC (opposite of hi) so all-tied
+      // groups still produce two distinct documents
+      val rejected = ds.minBy(d => (d._4, -d._1))
       val (cd, cs, rd, rs, m) = rows(g)
       assert((cd, cs) == ((chosen._1, chosen._4)), s"$g: chosen")
       assert((rd, rs) == ((rejected._1, rejected._4)), s"$g: rejected")

@@ -48,12 +48,12 @@ class EventsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (na, nb, sa, sb) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
-      val (num, den) = (BigInt(r.getDecimal(5).toBigInteger), BigInt(r.getDecimal(6).toBigInteger))
-      val milli = r.getLong(7)
+      val milli = r.getLong(5)
+      // num/den stay internal to the kernel (gate outputs carry no
+      // DecimalType) — replay them here from the emitted cells
       val d = BigInt(sa) * (nb - sb) - BigInt(sb) * (na - sa)
-      assert(num == BigInt(na + nb) * d * d, s"${r.getString(0)}: numerator")
-      assert(den == BigInt(sa + sb) * ((na - sa) + (nb - sb)) * BigInt(na) * nb,
-        s"${r.getString(0)}: denominator")
+      val num = BigInt(na + nb) * d * d
+      val den = BigInt(sa + sb) * ((na - sa) + (nb - sb)) * BigInt(na) * nb
       if (den != 0) {
         assert(milli == (num * 1000 / den).toLong, s"${r.getString(0)}: scaled quotient")
         // and it IS Pearson's chi-square: compare against the float textbook form

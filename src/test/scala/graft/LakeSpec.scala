@@ -697,4 +697,21 @@ class LakeSpec extends SparkSpec {
       "a rejected cardinality violation must not commit")
   }
 
+  test("MERGE: a NULL deleteCond is three-valued — matched row updates, unmatched row does NOT insert") {
+    val root = freshRoot()
+    Lake.commitVersion(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "x"), root)
+    // op NULL ⇒ deleteCond `op = 'DROP'` evaluates to NULL on that row
+    val src = Seq(
+      (2L, "b2", 99L, null.asInstanceOf[String]), // matched + NULL cond → UPDATE (DELETE clause unfired)
+      (5L, "e", 50L, null.asInstanceOf[String]),  // unmatched + NULL cond → no-op (NOT NULL is unknown)
+      (6L, "f", 60L, "UPD"))                      // unmatched + FALSE cond → INSERT
+      .toDF("k", "name", "x", "op")
+    Lake.merge(spark, src, root, "k", "op = 'DROP'")
+    val tip = Lake.readVersion(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tip == Set((1L, "a", 10L), (2L, "b2", 99L), (6L, "f", 60L)),
+      "NULL-cond unmatched source row must be a no-op, not an insert")
+  }
+
 }

@@ -143,7 +143,7 @@ class MlSpec extends SparkSpec {
     }.toSet
     val got = Registry.byName("ml_kmeans").run(spark, sf).collect().map { r =>
       (r.getLong(0), r.getLong(1), r.getLong(2),
-        BigInt(r.getDecimal(3).toBigInteger), r.getLong(4))
+        BigInt(r.getLong(3)) * BigInt(10).pow(18) + r.getLong(4), r.getLong(5))
     }.toSet
     assert(got == expected)
     // K=8 over the fixture: the partition covers every vector
@@ -186,7 +186,9 @@ class MlSpec extends SparkSpec {
     val r = Registry.byName("ml_train_ridge").run(spark, sf).collect()
     assert(r.length == 1)
     val row = r.head
-    def dec(i: Int): BigInt = BigInt(row.getDecimal(i).toBigInteger)
+    // each moment is emitted as (hi, lo) BIGINT halves base 1e18
+    def dec(i: Int): BigInt =
+      BigInt(row.getLong(2 * i)) * BigInt(10).pow(18) + row.getLong(2 * i + 1)
     val Seq(n, sx1, sx2, s11, s12, s22, sy, sy1, sy2) = (0 to 8).map(dec)
     val lam = BigInt(10000)
     val (a, b, c, d, e, f) = (n + lam, sx1, sx2, s11 + lam, s12, s22 + lam)
@@ -198,7 +200,7 @@ class MlSpec extends SparkSpec {
     assert(dec(9) == det, "determinant")
     // BigInt / truncates toward zero — the div semantics both engines use
     val betas = Seq(det0, det1, det2).map(di => (di * 1000000 / det).toLong)
-    assert((row.getLong(10), row.getLong(11), row.getLong(12)) ==
+    assert((row.getLong(20), row.getLong(21), row.getLong(22)) ==
       ((betas(0), betas(1), betas(2))),
       "two-step ppm split must equal the direct (det_i * 1e6) div det")
     // and the fit IS a regression: β residuals satisfy the normal

@@ -24,7 +24,7 @@ class StreamingSpec extends SparkSpec {
     }.toSet
     val batch = Registry.byName("ml_kmeans").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        BigInt(r.getDecimal(3).toBigInteger))).toSet
+        BigInt(r.getLong(3)) * BigInt(10).pow(18) + r.getLong(4))).toSet
     assert(folded == batch,
       "streamed assignments must aggregate to the batch trainer's cluster accounting")
     // every vector streams exactly once
