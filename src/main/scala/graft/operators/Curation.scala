@@ -2074,7 +2074,131 @@ object Curation {
                 - max(CASE WHEN rk_lo = 1 THEN score END))::BIGINT AS margin_permille
         FROM r
         WHERE n_docs >= 2 AND (rk_hi = 1 OR rk_lo = 1)
-        GROUP BY source, lang"""))
+        GROUP BY source, lang""")),
+
+    // --------------------- release gate (lake → quality → dedup →
+    //                       decontaminate → pack, one funnel row each)
+    // The production pre-training release shape END TO END, as one
+    // auditable gate row: the raw corpus is committed to a lake store
+    // and read back from the tip (provenance — the release is cut from
+    // a VERSION, not from whatever files happen to be in a directory),
+    // then quality-gated (length floors), exact-deduped (min doc_id
+    // per normalized-text hash), decontaminated against the eval
+    // fixture's 13-gram windows (the dd_decontaminate discipline:
+    // bounded eval-side hash set broadcasts, the train side is scanned
+    // once; eval docs themselves leave the training corpus here), and
+    // greedily packed into 2048-token shards per salt. The output is
+    // the stage funnel — (rank, stage, docs, tokens, packs) — the
+    // sign-off table a release review actually reads; each stage's
+    // keep/drop applies as a semi/anti join, so the row counts are the
+    // operators' own arithmetic, not a parallel estimate. Scale: one
+    // corpus exchange per stage boundary (md5 groups, 13-gram posting,
+    // per-salt pack windows), every auxiliary set (eval hashes, dirty
+    // doc ids) bounded; the funnel aggregates are 1-row folds.
+    QueryDef(
+      "tp_release_gate",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark) // shingle_hashes
+        val root = java.nio.file.Files.createTempDirectory("graft_gate")
+          .toString + "/documents"
+        graft.sources.Lake.commitVersion(spark, Tables.documents(spark, dir), root)
+        val docs = graft.sources.Lake.readVersion(spark, root)
+          .selectExpr("doc_id",
+            "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+          .selectExpr("doc_id", "tc", "split(tc, ' ') AS toks")
+          .selectExpr("doc_id", "tc", "toks",
+            "cast(length(tc) AS bigint) AS char_len",
+            "cast(size(toks) AS bigint) AS n_tokens")
+        val quality = docs.where("char_len >= 50 AND n_tokens >= 10")
+        val exact = quality
+          .withColumn("rk",
+            expr("row_number() OVER (PARTITION BY md5(tc) ORDER BY doc_id)"))
+          .where("rk = 1").drop("rk")
+        val evalHashes = docs.where(s"doc_id % ${Dedup.EvalMod} = 0")
+          .selectExpr(
+            s"explode(shingle_hashes(toks, ${Dedup.DecontamTokens})) AS h")
+          .distinct()
+        val train = exact.where(s"doc_id % ${Dedup.EvalMod} != 0")
+        val dirtyDocs = train
+          .selectExpr("doc_id",
+            s"explode(shingle_hashes(toks, ${Dedup.DecontamTokens})) AS h")
+          .join(broadcast(evalHashes), Seq("h"), "left_semi")
+          .select("doc_id").distinct()
+        val clean = train.join(dirtyDocs, Seq("doc_id"), "left_anti")
+        val packs = clean
+          .selectExpr("pmod(doc_id, 8) AS salt", "doc_id", "n_tokens")
+          .withColumn("cum", expr(
+            """sum(n_tokens) OVER (PARTITION BY salt ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""))
+          .selectExpr("salt", s"coalesce(cum, 0L) div $Budget AS bin", "n_tokens")
+        def stage(rank: Long, name: String, df: DataFrame) =
+          df.groupBy().agg(
+            expr(s"${rank}L AS stage_rank"),
+            expr(s"'$name' AS stage"),
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(coalesce(sum(n_tokens), 0) AS bigint) AS n_tokens"),
+            expr("0L AS n_packs"))
+        stage(1, "ingested", docs)
+          .unionByName(stage(2, "quality", quality))
+          .unionByName(stage(3, "exact_dedup", exact))
+          .unionByName(stage(4, "decontaminated", clean))
+          .unionByName(packs.groupBy().agg(
+            expr("5L AS stage_rank"),
+            expr("'packed' AS stage"),
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(coalesce(sum(n_tokens), 0) AS bigint) AS n_tokens"),
+            expr("cast(count(DISTINCT salt, bin) AS bigint) AS n_packs")))
+      },
+      Some(s"""
+        WITH d0 AS (
+          SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+          FROM documents),
+        dd AS (
+          SELECT doc_id, tc, toks, length(tc)::BIGINT AS char_len,
+                 len(toks)::BIGINT AS n_tokens
+          FROM (SELECT doc_id, tc, string_split(tc, ' ') AS toks FROM d0)),
+        q AS (SELECT * FROM dd WHERE char_len >= 50 AND n_tokens >= 10),
+        ex AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(tc) ORDER BY doc_id) AS rk
+            FROM q)
+          WHERE rk = 1),
+        ev AS (
+          SELECT DISTINCT h FROM (
+            SELECT unnest(list_transform(
+                     generate_series(1, len(toks) - ${Dedup.DecontamTokens - 1}),
+                     i -> ('0x' || substr(md5(array_to_string(toks[i:i+${Dedup.DecontamTokens - 1}], ' ')), 1, 15))::BIGINT)) AS h
+            FROM dd WHERE doc_id % ${Dedup.EvalMod} = 0)),
+        dirty AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, len(toks) - ${Dedup.DecontamTokens - 1}),
+                     i -> ('0x' || substr(md5(array_to_string(toks[i:i+${Dedup.DecontamTokens - 1}], ' ')), 1, 15))::BIGINT)) AS h
+            FROM ex WHERE doc_id % ${Dedup.EvalMod} != 0)
+          WHERE h IN (SELECT h FROM ev)),
+        cln AS (
+          SELECT * FROM ex
+          WHERE doc_id % ${Dedup.EvalMod} != 0
+            AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+        pk AS (
+          SELECT doc_id % 8 AS salt, n_tokens,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $Budget AS bin
+          FROM cln)
+        SELECT 1::BIGINT AS stage_rank, 'ingested' AS stage,
+               count(*)::BIGINT AS n_docs,
+               coalesce(sum(n_tokens), 0)::BIGINT AS n_tokens, 0::BIGINT AS n_packs
+        FROM dd
+        UNION ALL SELECT 2::BIGINT, 'quality', count(*)::BIGINT,
+               coalesce(sum(n_tokens), 0)::BIGINT, 0::BIGINT FROM q
+        UNION ALL SELECT 3::BIGINT, 'exact_dedup', count(*)::BIGINT,
+               coalesce(sum(n_tokens), 0)::BIGINT, 0::BIGINT FROM ex
+        UNION ALL SELECT 4::BIGINT, 'decontaminated', count(*)::BIGINT,
+               coalesce(sum(n_tokens), 0)::BIGINT, 0::BIGINT FROM cln
+        UNION ALL SELECT 5::BIGINT, 'packed', count(*)::BIGINT,
+               coalesce(sum(n_tokens), 0)::BIGINT,
+               count(DISTINCT (salt, bin))::BIGINT FROM pk"""))
   )
 
 

@@ -57,8 +57,8 @@ object Dedup {
   // contaminated when it shares any 13-gram with the eval set; eval
   // split = doc_id % 97 (coprime to the %5/%7 plants, so the eval set
   // samples both planted and clean documents)
-  private val DecontamTokens = 13
-  private val EvalMod = 97
+  private[graft] val DecontamTokens = 13
+  private[graft] val EvalMod = 97
   private[graft] val SpanBoiler =
     "this document is provided under the standard corpus license and may be " +
       "redistributed only with this notice attached in full to every copy made"
@@ -1295,8 +1295,95 @@ object Dedup {
                (bounds[j + 1] - bounds[j])::BIGINT AS len,
                list_reduce(hs[(bounds[j] + 1)::INT : bounds[j + 1]::INT],
                            (acc, x) -> (acc * 31 + x) % $P) AS fp
-        FROM c"""))
+        FROM c""")),
+
+    // ------------------- per-doc longest-duplicate-substring profile
+    // The curation-threshold companion to dd_exact_substr: instead of
+    // MINING the duplicated spans, profile each document with the
+    // length of its longest token window that also occurs in ANOTHER
+    // document — the per-doc "max dup length" statistic curation
+    // pipelines threshold on (e.g. "drop docs whose longest duplicated
+    // run exceeds 50 tokens"). A literal suffix automaton / suffix
+    // array gives this exactly but is inherently single-machine: a
+    // per-partition automaton cannot see cross-document repeats in
+    // other partitions, and a global SA over 100 TB of text is not a
+    // Spark-shaped build. The distributed equivalent is a DOUBLING
+    // LADDER of window lengths (4, 8, …, 64): level L hashes every
+    // L-token window (native shingle_hashes kernel, one hash per
+    // window) and a window is "duplicated" iff its hash occurs in ≥ 2
+    // distinct docs. max_dup_len is then the largest passing level —
+    // the log-spaced lower bound of the true SA answer (true max ∈
+    // [level, 2·level)), which is what thresholding needs; doubling
+    // refinement to the exact length would just re-run one level per
+    // bisection step. Plan: ONE corpus scan emits all levels (stack +
+    // explode, ~levels × tokens rows), one exchange groups (L, hash,
+    // doc), a window over (L, hash) marks cross-doc hashes (no
+    // join-back of a corpus-sized posting), and one per-doc fold
+    // elects the top level. The planted SpanBoiler (25 tokens, docs
+    // % 7) and SpanBoiler2 (26 tokens, docs % 5) pin levels 4-16;
+    // level 32/64 exercise the empty-level path at fixture scale.
+    QueryDef(
+      "dd_dup_profile",
+      (spark, dir) => {
+        graft.plans.VectorExprs.register(spark) // shingle_hashes
+        val toks = exactSubstrCorpus(spark, dir)
+          .selectExpr("doc_id", "split(tc, ' ') AS toks")
+        val levels = DupProfileLadder
+        val wins = toks.selectExpr("doc_id",
+            s"stack(${levels.size}, ${levels
+              .map(l => s"${l}L, shingle_hashes(toks, $l)").mkString(", ")}) AS (L, hs)")
+          .selectExpr("doc_id", "L", "explode(hs) AS h")
+        val perDocLevel = wins
+          .groupBy("L", "h", "doc_id")
+          .agg(expr("cast(count(*) AS bigint) AS c"))
+          .withColumn("nd", expr("count(*) OVER (PARTITION BY L, h)"))
+          .where("nd >= 2") // the hash occurs in >= 2 distinct docs
+          .groupBy("doc_id", "L")
+          .agg(expr("cast(sum(c) AS bigint) AS dup_windows"))
+        val best = perDocLevel
+          .withColumn("rk", expr("row_number() OVER (PARTITION BY doc_id ORDER BY L DESC)"))
+          .where("rk = 1")
+          .selectExpr("doc_id", "L AS max_dup_len", "dup_windows")
+        toks.selectExpr("doc_id", "cast(size(toks) AS bigint) AS n_tokens")
+          .join(best, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "n_tokens",
+            "coalesce(max_dup_len, 0L) AS max_dup_len",
+            "coalesce(dup_windows, 0L) AS dup_windows")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN '$SpanBoiler2' || ' ' || tc ELSE tc END AS tc
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN tc || ' ' || '$SpanBoiler' ELSE tc END AS tc
+                FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS tc
+                      FROM documents))),
+        t AS (SELECT doc_id, string_split(tc, ' ') AS toks FROM c),
+        lv AS (SELECT unnest([${DupProfileLadder.mkString(", ")}]) AS L),
+        w AS (
+          SELECT t.doc_id, lv.L::BIGINT AS L,
+                 unnest(list_transform(
+                   generate_series(1, len(t.toks) - lv.L + 1),
+                   i -> ('0x' || substr(md5(array_to_string(t.toks[i:i+lv.L-1], ' ')), 1, 15))::BIGINT)) AS h
+          FROM t, lv
+          WHERE len(t.toks) >= lv.L),
+        g AS (SELECT L, h, doc_id, count(*)::BIGINT AS c FROM w GROUP BY 1, 2, 3),
+        d AS (
+          SELECT doc_id, L, sum(c)::BIGINT AS dup_windows
+          FROM (SELECT *, count(*) OVER (PARTITION BY L, h) AS nd FROM g)
+          WHERE nd >= 2 GROUP BY 1, 2),
+        b AS (
+          SELECT doc_id, L AS max_dup_len, dup_windows,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY L DESC) AS rk
+          FROM d)
+        SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+               coalesce(b.max_dup_len, 0)::BIGINT AS max_dup_len,
+               coalesce(b.dup_windows, 0)::BIGINT AS dup_windows
+        FROM t LEFT JOIN (SELECT * FROM b WHERE rk = 1) b USING (doc_id)"""))
   )
+
+  /** dd_dup_profile's doubling ladder of window lengths (tokens). */
+  private[graft] val DupProfileLadder = Seq(4, 8, 16, 32, 64)
 
   // dd_paragraph: 12-token paragraph folds; the planted boilerplate is
   // ≥ ParaWords tokens so it forms (at least) one full duplicate

@@ -588,4 +588,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tp_release_gate: the five-stage funnel equals an in-memory replay") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("tp_release_gate").run(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.size == 5)
+    case class D(id: Long, tc: String, toks: Array[String])
+    val dd = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
+      .collect().map(r => D(r.getLong(0), r.getString(1), r.getString(1).split(' ')))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def grams(d: D): Iterator[String] =
+      if (d.toks.length < 13) Iterator.empty
+      else d.toks.sliding(13).map(_.mkString(" "))
+    val q = dd.filter(d => d.tc.length >= 50 && d.toks.length >= 10)
+    val ex = q.groupBy(d => md5hex(d.tc)).values.map(_.minBy(_.id)).toSeq
+    val ev = dd.filter(_.id % 97 == 0).flatMap(grams).toSet
+    val cln = ex.filter(_.id % 97 != 0).filterNot(d => grams(d).exists(ev.contains))
+    val nPacks = cln.groupBy(_.id % 8).map { case (_, ds) =>
+      var cum = 0L
+      val bins = scala.collection.mutable.Set.empty[Long]
+      ds.sortBy(_.id).foreach { d => bins += cum / 2048; cum += d.toks.length }
+      bins.size
+    }.sum
+    def toksOf(s: Seq[D]) = s.map(_.toks.length.toLong).sum
+    assert(rows(1L) == (("ingested", dd.length.toLong, toksOf(dd.toSeq), 0L)))
+    assert(rows(2L) == (("quality", q.length.toLong, toksOf(q.toSeq), 0L)))
+    assert(rows(3L) == (("exact_dedup", ex.length.toLong, toksOf(ex), 0L)))
+    assert(rows(4L) == (("decontaminated", cln.length.toLong, toksOf(cln), 0L)))
+    assert(rows(5L) == (("packed", cln.length.toLong, toksOf(cln), nPacks.toLong)))
+    // the funnel must actually funnel on this fixture: the eval split
+    // and quality gates each remove documents, and packing packs > 1
+    assert(q.length < dd.length || cln.length < ex.length,
+      "no stage dropped anything — fixture exercises nothing")
+    assert(nPacks > 8, "packing produced ~one bin per salt; budget unexercised")
+  }
+
 }

@@ -190,4 +190,37 @@ class DedupSpec extends SparkSpec {
     assert(meanLen >= 4 && meanLen <= 64, s"mean chunk length $meanLen implausible for divisor 16")
   }
 
+  test("dd_dup_profile: ladder levels equal an in-memory window replay") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("dd_dup_profile").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val corpus = graft.operators.Dedup.exactSubstrCorpus(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').toSeq)
+    val ladder = graft.operators.Dedup.DupProfileLadder
+    // (level, window string) -> distinct docs holding it (string windows:
+    // the 60-bit hash replay is collision-free at fixture scale)
+    val byWin = scala.collection.mutable.HashMap
+      .empty[(Int, String), scala.collection.mutable.Set[Long]]
+    for ((id, toks) <- corpus; l <- ladder; if toks.length >= l; w <- toks.sliding(l))
+      byWin.getOrElseUpdate((l, w.mkString(" ")),
+        scala.collection.mutable.Set.empty[Long]) += id
+    val expected = corpus.map { case (id, toks) =>
+      val perL = ladder.flatMap { l =>
+        if (toks.length < l) None
+        else {
+          val c = toks.sliding(l).count(w => byWin((l, w.mkString(" "))).size >= 2)
+          if (c > 0) Some((l.toLong, c.toLong)) else None
+        }
+      }
+      val (ml, dw) = perL.lastOption.getOrElse((0L, 0L))
+      id -> ((toks.length.toLong, ml, dw))
+    }.toMap
+    assert(rows == expected)
+    // the planted 25/26-token boilers pin level 16 for planted docs (the
+    // corpus also shares longer natural runs, so 32/64 fire organically —
+    // the ladder's whole span is exercised on this fixture)
+    assert(rows.values.exists(_._2 == 16L), "no doc reached ladder level 16")
+    assert(rows.values.exists(_._2 == 0L), "every doc duplicated? fixture broken")
+  }
+
 }
