@@ -238,6 +238,10 @@ object Bench {
 
   private final class ProfileListener extends org.apache.spark.scheduler.SparkListener {
     val stages = scala.collection.mutable.LinkedHashMap.empty[Int, StageAgg]
+    val names = scala.collection.mutable.HashMap.empty[Int, String]
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      synchronized { names(sc.stageInfo.stageId) = sc.stageInfo.name.takeWhile(_ != '\n') }
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
       synchronized {
         val m = te.taskMetrics
@@ -267,6 +271,10 @@ object Bench {
     defs.foreach(d => try exhaust(d) catch { case _: Throwable => () }) // warmup
     val out = new StringBuilder("{")
     defs.zipWithIndex.foreach { case (d, di) =>
+      // the timed lane's memo discipline applies here too: without the
+      // reset a memoized query profiles as a checkpoint READ (17 tiny
+      // stages, ~1 s) instead of its kernel
+      try d.resetMemo.foreach(_(spark, sfDir)) catch { case _: Throwable => () }
       val l = new ProfileListener
       spark.sparkContext.addSparkListener(l)
       val t0 = System.nanoTime()
@@ -290,7 +298,7 @@ object Bench {
       val stageRows = l.stages.toSeq.sortBy(_._1).map { case (sid, a) =>
         val avg = if (a.tasks > 0) a.sumMs.toDouble / a.tasks else 0.0
         val skew = if (avg > 0) a.maxMs / avg else 1.0
-        f"""{"stage":$sid,"tasks":${a.tasks},"task_ms_sum":${a.sumMs},"task_ms_max":${a.maxMs},""" +
+        f"""{"stage":$sid,"name":"${l.names.getOrElse(sid, "").replaceAll("[\"\\\\]", " ").take(80)}","tasks":${a.tasks},"task_ms_sum":${a.sumMs},"task_ms_max":${a.maxMs},""" +
           f""""skew":$skew%.2f,"input_mb":${a.inputB / 1048576L},"shuffle_read_mb":${a.shufReadB / 1048576L},""" +
           f""""shuffle_write_mb":${a.shufWriteB / 1048576L},"spill_mem_mb":${a.memSpillB / 1048576L},""" +
           f""""spill_disk_mb":${a.diskSpillB / 1048576L}}"""

@@ -33,8 +33,25 @@ object Ml {
     * the boilerplate's bigram set.
     */
   private def features(spark: SparkSession, dir: String): DataFrame =
-    featureArrays(Tables.documents(spark, dir))
-      .selectExpr("doc_id", "y", "explode(hs) AS h")
+    // repartition BEFORE the bigram-hashing projection (the
+    // exactSubstrCorpus discipline): the documents parquet is a few
+    // hundred KB compressed — ONE scan split — while the row-local
+    // md5-per-bigram work is corpus-token-sized. Without the exchange
+    // the whole feature build serialized into a single 12 s task at
+    // sf0.1 (r15 profile, stage-level evidence); with it the build
+    // rides every core and the (tiny) exchange ships raw text once.
+    // explode_OUTER, deliberately: hs always carries the -1L bias
+    // bucket (array_union with array(-1L)) so outer ≡ inner here, and
+    // the outer form suppresses InferFiltersFromGenerate's
+    // `size(hs) > 0` guard — which predicate-pushdown inlines BELOW
+    // the exchange as a Filter recomputing the whole md5-per-bigram
+    // feature expression inside the single scan task (12 s of the
+    // 16 s wall at sf0.1, r15 profile; the dct8/CollapseProject
+    // expression-inlining family).
+    featureArrays(Tables.documents(spark, dir)
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          org.apache.spark.sql.functions.col("doc_id")))
+      .selectExpr("doc_id", "y", "explode_outer(hs) AS h")
 
   /** The row-local half of [[features]]: (doc_id, y, hs) with the
     * feature ids still as a per-doc array — every expression is
