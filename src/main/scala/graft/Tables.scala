@@ -14,6 +14,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a NARROW scan across the session's shuffle parallelism
+    * before expensive row-local work (md5 hashing, unpivot fan-out,
+    * tokenize-everything projections). The test fixtures are
+    * single-row-group parquet files, so the scan has ONE split and the
+    * heavy projection serializes into one task regardless of cores
+    * (the r15 ml_train_linear profile: 12 s of a 16 s wall). The
+    * exchange is CONDITIONAL on the actual scan width: a real corpus
+    * (the 100 TB case) arrives in thousands of splits, where a
+    * corpus-sized repartition purely to re-win parallelism the scan
+    * already has would be the wrong trade — those pass through
+    * exchange-free. Checking `rdd.getNumPartitions` builds the RDD
+    * lineage but runs no job.
+    */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= math.max(2, par / 2)) df
+    else df.repartition(par, org.apache.spark.sql.functions.col(key))
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

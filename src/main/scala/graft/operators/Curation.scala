@@ -1412,7 +1412,12 @@ object Curation {
     QueryDef(
       "tp_dsir",
       (spark, dir) => {
-        val bg = Tables.documents(spark, dir)
+        // spread BEFORE the bigram explode so the md5-per-bigram hashing
+        // (run twice — fit and score, DSIR's two scans) rides every core
+        // instead of the single fixture scan split (r15 profile: 1.4 s
+        // of a 2.0 s wall in two 1-task stages); wide real scans pass
+        // through exchange-free
+        val bg = Tables.spread(Tables.documents(spark, dir), "doc_id")
           .selectExpr("doc_id", "source IN ('src1', 'src2', 'src3') AS tgt",
             "split(regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', ''), ' ') AS toks")
           .selectExpr("doc_id", "tgt",
@@ -2102,7 +2107,10 @@ object Curation {
         val root = java.nio.file.Files.createTempDirectory("graft_gate")
           .toString + "/documents"
         graft.sources.Lake.commitVersion(spark, Tables.documents(spark, dir), root)
-        val docs = graft.sources.Lake.readVersion(spark, root)
+        // the lake tip is few-split at gate scale: spread it before the
+        // tokenize projection feeding four stage frames + the eval-hash
+        // broadcast build (r15 profile: two ~0.5 s 1-task stages)
+        val docs = Tables.spread(graft.sources.Lake.readVersion(spark, root), "doc_id")
           .selectExpr("doc_id",
             "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
           .selectExpr("doc_id", "tc", "split(tc, ' ') AS toks")

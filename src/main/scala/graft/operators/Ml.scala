@@ -47,10 +47,10 @@ object Ml {
     // the exchange as a Filter recomputing the whole md5-per-bigram
     // feature expression inside the single scan task (12 s of the
     // 16 s wall at sf0.1, r15 profile; the dct8/CollapseProject
-    // expression-inlining family).
-    featureArrays(Tables.documents(spark, dir)
-        .repartition(spark.sessionState.conf.numShufflePartitions,
-          org.apache.spark.sql.functions.col("doc_id")))
+    // expression-inlining family). Tables.spread parallelizes the
+    // hashing projection when the source scan is narrow (the
+    // one-row-group fixture case); the epoch loop amortizes it.
+    featureArrays(Tables.spread(Tables.documents(spark, dir), "doc_id"))
       .selectExpr("doc_id", "y", "explode_outer(hs) AS h")
 
   /** The row-local half of [[features]]: (doc_id, y, hs) with the

@@ -541,6 +541,14 @@ object Quality {
     QueryDef(
       "dq_profile",
       (spark, dir) =>
+        // NO spread here, measured: the single fixture scan task does
+        // serialize the 6-way stringify (r15 profile, 0.87 s of a
+        // 1.65 s wall), but that task also runs the map-side combine
+        // over the unpivot fan-out — spreading first ships the rows and
+        // re-aggregates post-exchange, and min-of-3 measured it ~equal
+        // to slightly worse (1.54 s baseline vs 1.76–2.15 s spread
+        // under comparable load). Negative result recorded; the wide
+        // real scan parallelizes this naturally.
         Tables.orders(spark, dir)
           .selectExpr("""explode(array(
               named_struct('col', 'o_orderkey', 'v', cast(o_orderkey AS string)),
