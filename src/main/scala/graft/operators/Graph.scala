@@ -350,6 +350,14 @@ object Graph {
         s"[graft] pageRankConverged: no period-$checkEvery cycle within " +
         s"$maxIters rounds — returning round-$i scores; a fixed-round " +
         "oracle may disagree (raise maxIters or checkEvery for this graph)")
+    else
+      // attributability for wall-clock shifts: the round count is
+      // data-dependent (damping x graph structure), so a corpus
+      // regeneration can legitimately move it — make that visible
+      // instead of letting the bench row drift unexplained (r15: the
+      // 2026-08-13 testdata vintage moved sf0.1 detection 84 -> ~132)
+      System.err.println(
+        s"[graft] pageRankConverged: period-$checkEvery cycle detected at round $i")
     release(withDeg); release(verts); release(e)
     r
     }
