@@ -634,6 +634,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("dd_cdc_chunks").contains("cdc_chunks"), "kernel not in the plan")
   }
 
+  test("ml_train_linear feature build: no inferred generate-filter recomputing the hashing") {
+    // the r15 regression class: `explode(hs)` takes an inferred
+    // `size(hs) > 0` filter that predicate-pushdown inlines BELOW the
+    // spread exchange, recomputing the whole md5-per-bigram feature
+    // expression inside the (single) scan task. explode_outer carries
+    // no inferred filter; this pin fails if anyone reverts it.
+    operators.Ml.resetTrainChain(spark, sf)
+    val (f, _, _) = operators.Ml.trainChain(spark, sf)
+    val inner = f.queryExecution.executedPlan.toString
+    val poison = inner.linesIterator.filter(l =>
+      l.contains("Filter") && l.contains("md5")).toList
+    assert(poison.isEmpty,
+      s"feature hashing leaked into a Filter (inferred generate guard): ${poison.take(1).mkString}")
+  }
+
   test("ts_snippet: hit windows are doc-partitioned; doc text joins back only for winners") {
     val p = plan("ts_snippet")
     // the window exchange partitions by doc_id (bounded state), and the
