@@ -2206,7 +2206,76 @@ object Curation {
                coalesce(sum(n_tokens), 0)::BIGINT, 0::BIGINT FROM cln
         UNION ALL SELECT 5::BIGINT, 'packed', count(*)::BIGINT,
                coalesce(sum(n_tokens), 0)::BIGINT,
-               count(DISTINCT (salt, bin))::BIGINT FROM pk"""))
+               count(DISTINCT (salt, bin))::BIGINT FROM pk""")),
+
+    // ----------------- temperature-scaled language mixing (α-sampling)
+    // The multilingual mixing formula mT5 / XLM-R actually train with:
+    // sample language l with probability q_l ∝ p_l^α, α ∈ (0, 1) — low
+    // α upsamples low-resource languages toward uniform, α = 1 is
+    // proportional. tp_mix_weights applies rates someone CHOSE; this
+    // row derives them. The α grid is {1, 3/4, 1/2, 1/4} — exactly the
+    // exponents expressible with one or two IEEE sqrt calls (p^(1/2),
+    // p^(1/4), and p^(3/4) = p^(1/2)·p^(1/4)), keeping the
+    // no-transcendentals discipline: sqrt is correctly rounded in both
+    // engines, so the milli-quantized weights are bit-identical
+    // cross-engine (the α = 1 lane stays exact INTEGER — tokens·1000
+    // exceeds double's 2^53 exactness at 100 TB token counts, so it
+    // never routes through a double). Output per (α, lang): raw token
+    // share, temperature share, and the boost ratio q/p in ppm — the
+    // effective upsampling factor the mix assigns each language.
+    // Widenings (tokens·1e6, w·1e6) are internal DECIMAL; outputs are
+    // BIGINT (RegistrySpec). Scale shape: the corpus folds to ONE
+    // lang-bounded aggregate in a single partial-aggregated scan;
+    // everything downstream operates on ≤ 4·|langs| rows (two bounded
+    // windows partitioned by α).
+    QueryDef(
+      "tp_mix_temperature",
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .selectExpr("lang", "cast((n_chars + 3) div 4 AS bigint) AS tok")
+          .groupBy("lang")
+          .agg(
+            expr("cast(count(*) AS bigint) AS n_docs"),
+            expr("cast(sum(tok) AS bigint) AS tokens"))
+          .selectExpr("lang", "n_docs", "tokens",
+            """stack(4,
+                 1000L, cast(0D AS double),
+                 750L, sqrt(cast(tokens AS double)) * sqrt(sqrt(cast(tokens AS double))),
+                 500L, sqrt(cast(tokens AS double)),
+                 250L, sqrt(sqrt(cast(tokens AS double)))) AS (alpha_permille, wd)""")
+          .selectExpr("alpha_permille", "lang", "n_docs", "tokens",
+            """CASE WHEN alpha_permille = 1000 THEN tokens * 1000
+                    ELSE cast(floor(wd * 1000D) AS bigint) END AS w""")
+          .withColumn("tw", expr("sum(w) OVER (PARTITION BY alpha_permille)"))
+          .withColumn("tt", expr("sum(tokens) OVER (PARTITION BY alpha_permille)"))
+          .selectExpr("alpha_permille", "lang", "n_docs", "tokens",
+            "cast(cast(tokens AS decimal(38,0)) * 1000000 div tt AS bigint) AS share_ppm",
+            "cast(cast(w AS decimal(38,0)) * 1000000 div tw AS bigint) AS q_ppm")
+          .selectExpr("alpha_permille", "lang", "n_docs", "tokens", "share_ppm", "q_ppm",
+            """CASE WHEN share_ppm = 0 THEN 0L
+                    ELSE q_ppm * 1000000L div share_ppm END AS boost_ppm"""),
+      Some("""
+        WITH b AS (
+          SELECT lang, count(*)::BIGINT AS n_docs,
+                 sum((n_chars + 3) // 4)::BIGINT AS tokens
+          FROM documents GROUP BY lang),
+        a AS (SELECT unnest([1000, 750, 500, 250]) AS ap),
+        w AS (
+          SELECT a.ap::BIGINT AS alpha_permille, b.lang, b.n_docs, b.tokens,
+                 CASE WHEN a.ap = 1000 THEN b.tokens * 1000
+                      WHEN a.ap = 750 THEN floor(sqrt(b.tokens::DOUBLE) * sqrt(sqrt(b.tokens::DOUBLE)) * 1000)::BIGINT
+                      WHEN a.ap = 500 THEN floor(sqrt(b.tokens::DOUBLE) * 1000)::BIGINT
+                      ELSE floor(sqrt(sqrt(b.tokens::DOUBLE)) * 1000)::BIGINT END AS w
+          FROM b, a),
+        t AS (SELECT alpha_permille, sum(w)::HUGEINT AS tw, sum(tokens)::HUGEINT AS tt
+              FROM w GROUP BY 1)
+        SELECT w.alpha_permille, w.lang, w.n_docs, w.tokens,
+               (w.tokens::HUGEINT * 1000000 // t.tt)::BIGINT AS share_ppm,
+               (w.w::HUGEINT * 1000000 // t.tw)::BIGINT AS q_ppm,
+               (CASE WHEN (w.tokens::HUGEINT * 1000000 // t.tt) = 0 THEN 0
+                     ELSE (w.w::HUGEINT * 1000000 // t.tw) * 1000000
+                          // (w.tokens::HUGEINT * 1000000 // t.tt) END)::BIGINT AS boost_ppm
+        FROM w JOIN t USING (alpha_permille)"""))
   )
 
 

@@ -627,4 +627,45 @@ class CurationSpec extends SparkSpec {
     assert(nPacks > 8, "packing produced ~one bin per salt; budget unexercised")
   }
 
+  test("tp_mix_temperature: weights equal an IEEE-sqrt replay; alpha=1 is proportional") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("tp_mix_temperature").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val byLang = Tables.documents(spark, sf).selectExpr("lang", "(n_chars + 3) div 4 AS t")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, xs) => l -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val alphas = Seq(1000L, 750L, 500L, 250L)
+    assert(rows.size == alphas.size * byLang.size)
+    val tt = byLang.values.map(_._2).sum
+    alphas.foreach { a =>
+      def wOf(tok: Long): Long = a match {
+        case 1000L => tok * 1000L
+        case 750L => math.floor(math.sqrt(tok.toDouble) * math.sqrt(math.sqrt(tok.toDouble)) * 1000).toLong
+        case 500L => math.floor(math.sqrt(tok.toDouble) * 1000).toLong
+        case _ => math.floor(math.sqrt(math.sqrt(tok.toDouble)) * 1000).toLong
+      }
+      val tw = byLang.values.map(v => BigInt(wOf(v._2))).sum
+      byLang.foreach { case (l, (nd, tok)) =>
+        val share = (BigInt(tok) * 1000000 / tt).toLong
+        val qp = (BigInt(wOf(tok)) * 1000000 / tw).toLong
+        val boost = if (share == 0) 0L else qp * 1000000L / share
+        assert(rows((a, l)) == ((nd, tok, share, qp, boost)), s"alpha $a lang $l")
+      }
+      // shares sum to ~1e6 (truncation slack < |langs|)
+      val qs = byLang.keys.map(l => rows((a, l))._4).sum
+      assert(qs > 1000000L - byLang.size && qs <= 1000000L, s"alpha $a: sum $qs")
+    }
+    // alpha=1 is exactly proportional: q == share per lang
+    byLang.keys.foreach(l => assert(rows((1000L, l))._3 == rows((1000L, l))._4, l))
+    // temperature flattens: the LARGEST language's q share is non-increasing
+    // as alpha drops, the smallest non-decreasing
+    val big = byLang.maxBy(_._2._2)._1
+    val small = byLang.minBy(_._2._2)._1
+    val bigQ = alphas.map(a => rows((a, big))._4)
+    val smallQ = alphas.map(a => rows((a, small))._4)
+    assert(bigQ.sliding(2).forall { case Seq(x, y) => y <= x }, s"big lang not flattening: $bigQ")
+    assert(smallQ.sliding(2).forall { case Seq(x, y) => y >= x }, s"small lang not boosted: $smallQ")
+  }
+
 }

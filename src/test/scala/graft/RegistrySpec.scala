@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DecimalType, MapType, StructType, TimestampNTZType, TimestampType}
 
 /** Registry-wide output-contract guards.
   *
@@ -17,23 +17,27 @@ class RegistrySpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def decimalsIn(dt: DataType, path: String): Seq[String] = dt match {
-    case _: DecimalType => Seq(path)
+  private def bannedIn(dt: DataType, path: String): Seq[String] = dt match {
+    case _: DecimalType => Seq(s"$path:decimal")
+    // raw temporal outputs are the OTHER hash-unstable class: Spark's
+    // tz-adorned timestamps never canonicalize identically to DuckDB's
+    // — the standing rule is "emit epoch bigints", enforced here
+    case TimestampType | TimestampNTZType | DateType => Seq(s"$path:temporal")
     case s: StructType =>
-      s.fields.toSeq.flatMap(f => decimalsIn(f.dataType, s"$path.${f.name}"))
-    case a: ArrayType => decimalsIn(a.elementType, s"$path[]")
+      s.fields.toSeq.flatMap(f => bannedIn(f.dataType, s"$path.${f.name}"))
+    case a: ArrayType => bannedIn(a.elementType, s"$path[]")
     case m: MapType =>
-      decimalsIn(m.keyType, s"$path<key>") ++ decimalsIn(m.valueType, s"$path<val>")
+      bannedIn(m.keyType, s"$path<key>") ++ bannedIn(m.valueType, s"$path<val>")
     case _ => Nil
   }
 
-  test("no gate query emits a DecimalType column (driver-hash-unstable)") {
+  test("no gate query emits a DecimalType or raw temporal column (driver-hash-unstable)") {
     val offending = Registry.all.flatMap { q =>
       val df = q.run(spark, sf)
-      decimalsIn(df.schema, q.name)
+      bannedIn(df.schema, q.name)
     }
     assert(offending.isEmpty,
-      s"gate outputs must be decimal-free (emit ppm/hi-lo BIGINT surrogates): " +
+      s"gate outputs must be decimal- and temporal-free (emit ppm/hi-lo/epoch BIGINTs): " +
         offending.mkString(", "))
   }
 
