@@ -1315,32 +1315,48 @@ object Dedup {
     // the log-spaced lower bound of the true SA answer (true max ∈
     // [level, 2·level)), which is what thresholding needs; doubling
     // refinement to the exact length would just re-run one level per
-    // bisection step. Plan: ONE corpus scan emits all levels (stack +
-    // explode, ~levels × tokens rows), one exchange groups (L, hash,
-    // doc), a window over (L, hash) marks cross-doc hashes (no
-    // join-back of a corpus-sized posting), and one per-doc fold
-    // elects the top level. The planted SpanBoiler (25 tokens, docs
-    // % 7) and SpanBoiler2 (26 tokens, docs % 5) pin levels 4-16;
-    // level 32/64 exercise the empty-level path at fixture scale.
+    // bisection step. Plan: LEVEL-SEQUENTIAL, each level exactly the
+    // proven exactSubstrSpans posting shape — the level's window
+    // hashes exchange on h ONCE with truthful partitioning through the
+    // fence, the cross-doc flag (min doc ≠ max doc) and the join-back
+    // run on that partitioning exchange-free, the per-doc counts
+    // (doc-bounded) checkpoint, and the corpus-sized posting RELEASES
+    // before the next level starts — peak footprint is ONE level's
+    // posting regardless of ladder depth. Two rejected formulations,
+    // both measured at the decade point: `count(*) OVER (PARTITION BY
+    // L, h)` sorts the full 5-level posting (sf3 8.5 s → sf10 38.4 s,
+    // exp 1.25), and a single 5-level stacked posting behind one fence
+    // holds levels×tokens rows in the block manager at once (sf10:
+    // executor OOM in the downstream hash aggregate). The planted
+    // SpanBoiler (25 tokens, docs % 7) and SpanBoiler2 (26 tokens,
+    // docs % 5) pin levels 4-16; level 32/64 exercise the empty-level
+    // path at fixture scale.
     QueryDef(
       "dd_dup_profile",
       (spark, dir) => {
+        import org.apache.spark.sql.graft.CheckpointOps.{checkpointHashPartitioned, release}
         graft.plans.VectorExprs.register(spark) // shingle_hashes
         val toks = exactSubstrCorpus(spark, dir)
           .selectExpr("doc_id", "split(tc, ' ') AS toks")
-        val levels = DupProfileLadder
-        val wins = toks.selectExpr("doc_id",
-            s"stack(${levels.size}, ${levels
-              .map(l => s"${l}L, shingle_hashes(toks, $l)").mkString(", ")}) AS (L, hs)")
-          .selectExpr("doc_id", "L", "explode(hs) AS h")
-        val perDocLevel = wins
-          .groupBy("L", "h", "doc_id")
-          .agg(expr("cast(count(*) AS bigint) AS c"))
-          .withColumn("nd", expr("count(*) OVER (PARTITION BY L, h)"))
-          .where("nd >= 2") // the hash occurs in >= 2 distinct docs
-          .groupBy("doc_id", "L")
-          .agg(expr("cast(sum(c) AS bigint) AS dup_windows"))
-        val best = perDocLevel
+        val perLevel = DupProfileLadder.map { l =>
+          val post = checkpointHashPartitioned(
+            toks.selectExpr("doc_id", s"explode(shingle_hashes(toks, $l)) AS h"),
+            Par, "h")
+          // cross-doc flag per h — min ≠ max over doc_id ⟺ held by
+          // ≥ 2 distinct docs; runs on the existing partitioning
+          val dup = post.groupBy("h")
+            .agg(expr("min(doc_id) AS mn"), expr("max(doc_id) AS mx"))
+            .where("mn != mx").select("h")
+          // only duplicated occurrences survive; the fold is doc-bounded
+          val flagged = post.join(dup, Seq("h"))
+            .groupBy("doc_id")
+            .agg(expr("cast(count(*) AS bigint) AS dup_windows"))
+            .selectExpr("doc_id", s"${l}L AS L", "dup_windows")
+            .localCheckpoint(true)
+          release(post)
+          flagged
+        }
+        val best = perLevel.reduce(_ unionByName _)
           .withColumn("rk", expr("row_number() OVER (PARTITION BY doc_id ORDER BY L DESC)"))
           .where("rk = 1")
           .selectExpr("doc_id", "L AS max_dup_len", "dup_windows")
