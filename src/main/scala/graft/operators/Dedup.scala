@@ -1338,25 +1338,18 @@ object Dedup {
         graft.plans.VectorExprs.register(spark) // shingle_hashes
         val toks = exactSubstrCorpus(spark, dir)
           .selectExpr("doc_id", "split(tc, ' ') AS toks")
-        val perLevel = DupProfileLadder.map { l =>
-          val post = checkpointHashPartitioned(
-            toks.selectExpr("doc_id", s"explode(shingle_hashes(toks, $l)) AS h"),
-            Par, "h")
-          // cross-doc flag per h — min ≠ max over doc_id ⟺ held by
-          // ≥ 2 distinct docs; runs on the existing partitioning
-          val dup = post.groupBy("h")
-            .agg(expr("min(doc_id) AS mn"), expr("max(doc_id) AS mx"))
-            .where("mn != mx").select("h")
-          // only duplicated occurrences survive; the fold is doc-bounded
-          val flagged = post.join(dup, Seq("h"))
-            .groupBy("doc_id")
-            .agg(expr("cast(count(*) AS bigint) AS dup_windows"))
-            .selectExpr("doc_id", s"${l}L AS L", "dup_windows")
-            .localCheckpoint(true)
-          release(post)
-          flagged
-        }
-        val best = perLevel.reduce(_ unionByName _)
+        val levels = DupProfileLadder
+        val post = toks.selectExpr("doc_id",
+            s"stack(${levels.size}, ${levels
+              .map(l => s"${l}L, shingle_hashes(toks, $l)").mkString(", ")}) AS (L, hs)")
+          .selectExpr("doc_id", "L", "explode(hs) AS h")
+          .repartition(Par, col("L"), col("h"))
+        val dup = post.groupBy("L", "h")
+          .agg(expr("min(doc_id) AS mn"), expr("max(doc_id) AS mx"))
+          .where("mn != mx").select("L", "h")
+        val best = post.join(dup.hint("shuffle_hash"), Seq("L", "h"))
+          .groupBy("doc_id", "L")
+          .agg(expr("cast(count(*) AS bigint) AS dup_windows"))
           .withColumn("rk", expr("row_number() OVER (PARTITION BY doc_id ORDER BY L DESC)"))
           .where("rk = 1")
           .selectExpr("doc_id", "L AS max_dup_len", "dup_windows")
