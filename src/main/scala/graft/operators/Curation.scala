@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.graft.CheckpointOps.FenceSyntax
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -35,10 +36,10 @@ object Curation {
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs.toDF("doc_a", "doc_b")
       .unionByName(pairs.toDF("doc_a", "doc_b").selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
-      .localCheckpoint(true)
+      .fenced
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
-      .localCheckpoint(true)
+      .fenced
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -53,7 +54,7 @@ object Curation {
         .selectExpr("doc_id",
           "least(component, coalesce(nmin, component)) AS component",
           "component AS old")
-        .localCheckpoint(true)
+        .fenced
       val changed = next.where("component != old").count()
       labels = next.select("doc_id", "component")
       converged = changed == 0
@@ -1427,7 +1428,7 @@ object Curation {
         val counts = bg.groupBy("b")
           .agg(expr("cast(count(*) AS bigint) AS r"),
             expr("cast(count_if(tgt) AS bigint) AS t"))
-          .localCheckpoint(true) // 4096 rows — feeds totals AND weights
+          .fenced // 4096 rows — feeds totals AND weights
         val tot = counts.groupBy()
           .agg(expr("cast(sum(r) AS bigint) AS rt"), expr("cast(sum(t) AS bigint) AS tt"))
         val w = counts.crossJoin(org.apache.spark.sql.functions.broadcast(tot))
@@ -1573,7 +1574,7 @@ object Curation {
           .groupBy("doc_id", "w")
           .agg(expr("cast(count(*) AS bigint) AS wc"))
         val gw = dw.groupBy("w").agg(expr("cast(sum(wc) AS bigint) AS wc"))
-          .localCheckpoint(true) // census + encode both read it; one distinct pass
+          .fenced // census + encode both read it; one distinct pass
         val ranked = gw
           .selectExpr("w", "wc", "explode(sequence(2, 4)) AS l")
           .where("length(w) >= l")
@@ -1723,7 +1724,7 @@ object Curation {
           .groupBy("doc_id", "w")
           .agg(expr("cast(count(*) AS bigint) AS wc"))
         val gw = dw.groupBy("w").agg(expr("cast(sum(wc) AS bigint) AS wc"))
-          .localCheckpoint(true) // census + encode both read it; one distinct pass
+          .fenced // census + encode both read it; one distinct pass
         val census = gw
           .selectExpr("w", "wc", "explode(sequence(1, 4)) AS l")
           .where("length(w) >= l")
@@ -1731,7 +1732,7 @@ object Curation {
           .selectExpr("substring(w, s, l) AS piece", "wc")
           .groupBy("piece")
           .agg(expr("cast(sum(wc) AS bigint) AS cnt"))
-          .localCheckpoint(true) // ranked cut + char floor share one pass
+          .fenced // ranked cut + char floor share one pass
         val ranked = census.where("length(piece) >= 2")
           .orderBy(col("cnt").desc, col("piece").asc).limit(300)
           .select("piece", "cnt").collect()
@@ -1927,7 +1928,7 @@ object Curation {
           .selectExpr("b.w1 AS w1", "b.w2 AS w2")
           .groupBy("w1", "w2")
           .agg(expr("cast(count(*) AS bigint) AS c"))
-          .localCheckpoint(true)
+          .fenced
         val h = bg.groupBy("w1").agg(
           expr("cast(sum(c) AS bigint) AS ch"),
           expr("cast(count(*) AS bigint) AS n1l"))
@@ -2104,9 +2105,7 @@ object Curation {
       "tp_release_gate",
       (spark, dir) => {
         graft.plans.VectorExprs.register(spark) // shingle_hashes
-        val root = java.nio.file.Files.createTempDirectory("graft_gate")
-          .toString + "/documents"
-        graft.sources.Lake.commitVersion(spark, Tables.documents(spark, dir), root)
+        val root = gateLakeRoot(spark, dir)
         // the lake tip is few-split at gate scale: spread it before the
         // tokenize projection feeding four stage frames + the eval-hash
         // broadcast build (r15 profile: two ~0.5 s 1-task stages)
@@ -2319,7 +2318,7 @@ object Curation {
       .groupBy("w").agg(expr("cast(count(*) AS bigint) AS wc"))
       .selectExpr("w", "wc",
         "concat(array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|'), '|') AS seq")
-      .localCheckpoint(true)
+      .fenced
     var cur = vocab
     var merges: DataFrame = null
     val tops = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -2335,7 +2334,7 @@ object Curation {
         .groupBy("a", "b").agg(expr("cast(sum(wc) AS bigint) AS cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
-        .localCheckpoint(true) // 1 row — feeds the merge row AND the replace
+        .fenced // 1 row — feeds the merge row AND the replace
       if (top.isEmpty) exhausted = true
       else {
         tops += top
@@ -2344,16 +2343,46 @@ object Curation {
         val next = cur.crossJoin(broadcast(top.select(col("a").as("ma"), col("b").as("mb"))))
           .selectExpr("w", "wc",
             "replace(seq, concat(ma, '|', mb, '|'), concat(ma, mb, '|')) AS seq")
-          .localCheckpoint(true)
+          .fenced
         release(cur) // superseded vocab fence (incl. the initial build)
         cur = next
         r += 1
       }
     }
     require(merges != null, s"corpus under $dir yielded no mergeable pairs")
-    val m = merges.localCheckpoint(true)
+    val m = merges.fenced
     tops.foreach(release) // 1-row blocks, folded into m now
     (m, cur)
+  }
+
+  private val gateLakeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  /** One committed lake copy of the corpus per (session, sfDir) for
+    * tp_release_gate, memoized like [[bpeLearned]]. Without the memo,
+    * every PLAN BUILD (Bench warmup + each timed pass, RegistrySpec,
+    * the profile lane) wrote a fresh never-deleted temp-dir corpus
+    * copy — a disk leak across a round. The temp root is registered
+    * for recursive deletion at JVM exit; a lost putIfAbsent race just
+    * commits one extra copy that its own shutdown hook still removes.
+    */
+  private def gateLakeRoot(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): String = {
+    gateLakeCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    gateLakeCache.get((spark, dir)) match {
+      case Some(r) => r
+      case None =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_gate")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def del(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
+          }
+          del(tmp.toFile)
+        }))
+        val root = tmp.toString + "/documents"
+        graft.sources.Lake.commitVersion(spark, Tables.documents(spark, dir), root)
+        gateLakeCache.putIfAbsent((spark, dir), root).getOrElse(root)
+    }
   }
 
   private val bpeCache = scala.collection.concurrent.TrieMap

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.graft.CheckpointOps.FenceSyntax
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -272,7 +273,7 @@ object Dedup {
       .where("df >= 2").select("h")
     // flagged is output-sized (only actually-duplicated windows);
     // materialize it, then drop the corpus-sized posting blocks
-    val flagged = post.join(dup, "h").select("doc_id", "pos").localCheckpoint(true)
+    val flagged = post.join(dup, "h").select("doc_id", "pos").fenced
     release(post)
     flagged
       .selectExpr("doc_id", "pos",
@@ -459,14 +460,14 @@ object Dedup {
         // multi-consumer lineage.
         val post = shingleHashes(spark, dir)
           .selectExpr("doc_id", "explode(hs) AS h")
-          .localCheckpoint(true)
+          .fenced
         // df filter via groupBy+join, NOT count() OVER (PARTITION BY h):
         // the window form sorts the entire posting list; the hash-agg
         // form never sorts and partial-aggregates map-side
         val lowDf = post.groupBy("h").agg(expr("count(*) AS df"))
           .where(s"df <= $MaxShingleDf").select("h")
         val kept = post.join(lowDf, "h").select("doc_id", "h")
-          .localCheckpoint(true)
+          .fenced
         // the sizes joins carry NO broadcast hint: sizes is one row
         // per DOCUMENT — corpus-cardinality, i.e. a forced broadcast
         // is a driver OOM at 10⁹ docs on exactly the boilerplate-heavy
@@ -534,11 +535,11 @@ object Dedup {
       (spark, dir) => {
         val post = shingleHashes(spark, dir)
           .selectExpr("doc_id", "explode(hs) AS h")
-          .localCheckpoint(true)
+          .fenced
         val lowDf = post.groupBy("h").agg(expr("count(*) AS df"))
           .where(s"df <= $MaxShingleDf").select("h")
         val kept = post.join(lowDf, "h").select("doc_id", "h")
-          .localCheckpoint(true)
+          .fenced
         // hint-free sizes joins — same rationale as dd_ngram_jaccard:
         // AQE broadcasts only when sizes measures small at runtime
         val sizes = kept.groupBy("doc_id").agg(expr("count(*) AS sz"))
@@ -600,7 +601,7 @@ object Dedup {
         val post = shingleHashes(spark, dir)
           .selectExpr("doc_id", "explode(hs) AS h")
           .distinct() // per-doc shingle SET (hs can repeat a hash)
-          .localCheckpoint(true) // feeds owners + the join back
+          .fenced // feeds owners + the join back
         val owners = post.groupBy("h")
           .agg(expr("min(doc_id) AS owner"))
         post.join(owners, "h")
@@ -787,11 +788,11 @@ object Dedup {
       "dd_exact_substr_cut",
       (spark, dir) => {
         val docs = exactSubstrCorpus(spark, dir)
-          .localCheckpoint(true) // feeds the span mining AND the rewrite
+          .fenced // feeds the span mining AND the rewrite
         val spansAgg = exactSubstrSpans(docs, SpanTokens)
           .groupBy("doc_id")
           .agg(expr("collect_list(named_struct('s', span_start, 'e', span_end)) AS sp"))
-          .localCheckpoint(true) // output-sized; feeds join + anti-join
+          .fenced // output-sized; feeds join + anti-join
         val rewritten = docs.join(spansAgg, "doc_id")
           .selectExpr("doc_id", "split(tc, ' ') AS toks", "sp")
           .selectExpr("doc_id", "cast(size(toks) AS bigint) AS n_tokens",
@@ -852,7 +853,7 @@ object Dedup {
       (spark, dir) => {
         graft.plans.VectorExprs.register(spark) // shingle_hashes
         val corpus = exactSubstrCorpus(spark, dir)
-          .localCheckpoint(true) // feeds the eval AND the train branch
+          .fenced // feeds the eval AND the train branch
         val evalHashes = corpus.where(s"doc_id % $EvalMod = 0")
           .selectExpr(s"explode(shingle_hashes(split(tc, ' '), $DecontamTokens)) AS h")
           .distinct()
@@ -1338,18 +1339,25 @@ object Dedup {
         graft.plans.VectorExprs.register(spark) // shingle_hashes
         val toks = exactSubstrCorpus(spark, dir)
           .selectExpr("doc_id", "split(tc, ' ') AS toks")
-        val levels = DupProfileLadder
-        val post = toks.selectExpr("doc_id",
-            s"stack(${levels.size}, ${levels
-              .map(l => s"${l}L, shingle_hashes(toks, $l)").mkString(", ")}) AS (L, hs)")
-          .selectExpr("doc_id", "L", "explode(hs) AS h")
-          .repartition(Par, col("L"), col("h"))
-        val dup = post.groupBy("L", "h")
-          .agg(expr("min(doc_id) AS mn"), expr("max(doc_id) AS mx"))
-          .where("mn != mx").select("L", "h")
-        val best = post.join(dup.hint("shuffle_hash"), Seq("L", "h"))
-          .groupBy("doc_id", "L")
-          .agg(expr("cast(count(*) AS bigint) AS dup_windows"))
+        val perLevel = DupProfileLadder.map { l =>
+          val post = checkpointHashPartitioned(
+            toks.selectExpr("doc_id", s"explode(shingle_hashes(toks, $l)) AS h"),
+            Par, "h")
+          // cross-doc flag per h — min ≠ max over doc_id ⟺ held by
+          // ≥ 2 distinct docs; runs on the existing partitioning
+          val dup = post.groupBy("h")
+            .agg(expr("min(doc_id) AS mn"), expr("max(doc_id) AS mx"))
+            .where("mn != mx").select("h")
+          // only duplicated occurrences survive; the fold is doc-bounded
+          val flagged = post.join(dup, Seq("h"))
+            .groupBy("doc_id")
+            .agg(expr("cast(count(*) AS bigint) AS dup_windows"))
+            .selectExpr("doc_id", s"${l}L AS L", "dup_windows")
+            .fenced
+          release(post)
+          flagged
+        }
+        val best = perLevel.reduce(_ unionByName _)
           .withColumn("rk", expr("row_number() OVER (PARTITION BY doc_id ORDER BY L DESC)"))
           .where("rk = 1")
           .selectExpr("doc_id", "L AS max_dup_len", "dup_windows")

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.sql.graft.CheckpointOps.FenceSyntax
 import graft.{QueryDef, Tables}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -436,8 +437,13 @@ object Lake {
         .find(s => !cols.contains(s)).get
       val sd = Iterator.from(0).map(i => "_del" + ("_" * i))
         .find(s => !cols.contains(s)).get
+      // unique against BOTH sides: the predicate below references the
+      // marker unqualified-safe (b.$sb), but a source column with the
+      // same name would still shadow it in error messages — avoid the
+      // collision outright.
+      val allCols = cols ++ source.columns
       val sb = Iterator.from(0).map(i => "_b" + ("_" * i))
-        .find(s => !cols.contains(s)).get
+        .find(s => !allCols.contains(s)).get
       val src = source
         .withColumn(su, lit(1))
         .withColumn(sd, expr(deleteCond))
@@ -451,8 +457,8 @@ object Lake {
         //     IS FALSE (TRUE and NULL both leave the INSERT clause
         //     unfired — a NULL condition must not insert).
         .where(s"u.$su IS NULL" +
-          s" OR ($sb IS NOT NULL AND NOT (u.$sd <=> true))" +
-          s" OR ($sb IS NULL AND u.$sd <=> false)")
+          s" OR (b.$sb IS NOT NULL AND NOT (u.$sd <=> true))" +
+          s" OR (b.$sb IS NULL AND u.$sd <=> false)")
         .select(cols.map {
           case `key` => col(key)
           case c => when(col(s"u.$su").isNotNull, col(s"u.$c"))
@@ -620,7 +626,7 @@ object Lake {
     val resolved = readResolvedAt(spark, root, key, consumed)
       // materialize BEFORE the commit overwrites the delta inputs the
       // lazy plan would otherwise re-read
-      .localCheckpoint(true)
+      .fenced
     val v = commitVersion(spark, resolved, root)
     val dm = new Path(root, "_deltas")
     val fs = fsFor(spark, dm)
@@ -674,7 +680,7 @@ object Lake {
     }
     val row = df.groupBy()
       .agg(expr("cast(count(*) AS bigint) AS __total"), aggs.toSeq: _*)
-      .localCheckpoint(true) // 1 row; every per-column projection reuses it
+      .fenced // 1 row; every per-column projection reuses it
     df.schema.fields.map { f =>
       val (minN, maxN, minS, maxS) = f.dataType match {
         case _: NumericType =>
@@ -738,7 +744,7 @@ object Lake {
         expr(s"min(CASE WHEN NOT ($pred) THEN `$keyCol` END) AS k$i"))
     }
     val row = df.groupBy().agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true) // 1 row; every audit projection + the gate reuse it
+      .fenced // 1 row; every audit projection + the gate reuse it
     val totalBad = row.selectExpr(
       constraints.indices.map(i => s"v$i").mkString("", " + ", " AS t"))
       .collect().head.getLong(0)

@@ -714,4 +714,23 @@ class LakeSpec extends SparkSpec {
       "NULL-cond unmatched source row must be a no-op, not an insert")
   }
 
+  test("MERGE: a source column literally named _b must not make the survivor predicate ambiguous") {
+    val root = freshRoot()
+    Lake.commitVersion(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "x"), root)
+    // sources may carry extra columns (e.g. the op flag); one named
+    // exactly like the base-marker used to collide with it and fail
+    // analysis on the unqualified $sb reference
+    val src = Seq(
+      (2L, "b2", 99L, "UPD", "collide"), (3L, "c", 30L, "UPD", "collide"))
+      .toDF("k", "name", "x", "op", "_b")
+    Lake.merge(spark, src, root, "k", "op = 'DROP'")
+    val tip = Lake.readVersion(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tip == Set((1L, "a", 10L), (2L, "b2", 99L), (3L, "c", 30L)),
+      "merge with a _b-named source column must update and insert normally")
+    assert(!Lake.readVersion(spark, root).columns.contains("_b"),
+      "the extra source column must not leak into the table schema")
+  }
+
 }
