@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.graft.CheckpointOps.FenceSyntax
 import graft.{QueryDef, Tables}
 
 /** Event-time analytics over the `events` table — the batch analogs of
@@ -1634,7 +1635,7 @@ object Events {
       (spark, dir) => {
         val h = hourlySeries(spark, dir)
           .selectExpr("event_type", "hr", "vb div 1000 AS vm")
-          .localCheckpoint(true) // series-bounded; feeds both join sides
+          .fenced // series-bounded; feeds both join sides
         val lags = spark.range(1L, 4L).selectExpr("id AS lag_h")
         h.selectExpr("event_type", "hr", "vm AS x")
           .crossJoin(org.apache.spark.sql.functions.broadcast(lags))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.graft.CheckpointOps.FenceSyntax
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -990,7 +991,7 @@ object Knn {
         // — left inline under the re-rank projections it planned as a
         // full corpus range-shuffle Sort for 64 rows (the PlanShapeSpec
         // pin caught exactly that). The fenced result is M=64 rows.
-        val cand = binaryHammingCandidates(spark, dir).localCheckpoint(true)
+        val cand = binaryHammingCandidates(spark, dir).fenced
         cand
           .selectExpr("vec_id", "cast(label AS int) AS label", "hamming",
             "aggregate(zip_with(v, q0, (a, b) -> a * b), cast(0 AS double), (acc, x) -> acc + x) AS dot",
@@ -1046,7 +1047,7 @@ object Knn {
     QueryDef(
       "v16_matryoshka",
       (spark, dir) => {
-        val cand = matryoshkaCandidates(spark, dir).localCheckpoint(true)
+        val cand = matryoshkaCandidates(spark, dir).fenced
         cand
           .selectExpr("vec_id", "label", "coarse",
             "aggregate(zip_with(v, q0, (a, b) -> a * b), cast(0 AS double), (acc, x) -> acc + x) AS dot",

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.graft.CheckpointOps.FenceSyntax
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -155,13 +156,13 @@ object Ml {
       val m = f.join(broadcast(w), Seq("h"), "left")
         .groupBy("doc_id", "y")
         .agg(expr("sum(coalesce(w, 0L)) AS m"))
-        .localCheckpoint(true)
+        .fenced
       if (epoch <= Epochs) {
         val g = f.join(m.where("y * m <= 0").select("doc_id"), "doc_id")
           .groupBy("h").agg(expr("cast(sum(y) AS bigint) AS g"))
         w = w.join(g, Seq("h"), "full_outer")
           .selectExpr("h", "coalesce(w, 0L) + coalesce(g, 0L) AS w")
-          .localCheckpoint(true)
+          .fenced
       }
       m
     }
@@ -513,7 +514,7 @@ object Ml {
           .selectExpr("lang", "explode(toks) AS w")
           .groupBy("lang", "w")
           .agg(expr("cast(count(*) AS bigint) AS c"))
-          .localCheckpoint(true)
+          .fenced
         val nl = cw.groupBy("lang").agg(expr("cast(sum(c) AS bigint) AS n_l"))
         val vocab = cw.select("w").distinct()
         val vsize = vocab.groupBy().agg(expr("cast(count(*) AS bigint) AS v"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.graft.CheckpointOps.FenceSyntax
 import graft.{QueryDef, Tables}
 
 /** Text normalization / filtering / analysis operators.
@@ -1010,7 +1011,7 @@ object TextOps {
           // 'direct' global pass; without the fence the md5 shingle
           // subtree (the query's dominant CPU, r9 profile: ~35 CPU-s
           // at sf0.1) is recomputed per consumer
-          .localCheckpoint(true)
+          .fenced
         val perSrcRegs = ranks.groupBy("source", "b")
           .agg(org.apache.spark.sql.functions.expr("max(r) AS mr"))
         val foldExpr =

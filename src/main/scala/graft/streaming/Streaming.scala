@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.sql.graft.CheckpointOps.FenceSyntax
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -1807,7 +1808,7 @@ object Streaming {
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val s = batch.sparkSession
             import org.apache.spark.sql.functions.{broadcast, expr}
-            val b = batch.localCheckpoint(true) // one materialization, three consumers
+            val b = batch.fenced // one materialization, three consumers
             Lake.appendDelta(s, b, root, "c_custkey")
             val olds = Lake.readVersion(s, root, Some(0))
               .join(broadcast(b.select("c_custkey")), Seq("c_custkey"))
@@ -1826,7 +1827,7 @@ object Streaming {
                 "coalesce(bal_micros, 0L) + coalesce(db, 0L) AS bal_micros")
               .where("n_rows > 0")
               // materialize before the commit that supersedes our input
-              .localCheckpoint(true)
+              .fenced
             Lake.commitVersion(s, refreshed, viewRoot)
             ()
           }

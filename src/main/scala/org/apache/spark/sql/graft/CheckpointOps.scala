@@ -38,12 +38,64 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object CheckpointOps {
 
+  /** `spark.graft.checkpoint.reliable=true` flips every fence in the
+    * engine from executor-resident `localCheckpoint` blocks to
+    * RELIABLE checkpoint files under the context's checkpoint dir
+    * (`SparkContext.setCheckpointDir` / the `spark.checkpoint.dir`
+    * conf). Local blocks are the right default at local[32] — zero
+    * extra I/O, and a "lost executor" is a lost JVM anyway — but on a
+    * real cluster an executor loss mid-iteration (PageRank round 60 of
+    * 102) KILLS a locally-checkpointed job: the fenced lineage is
+    * truncated, so the lost blocks are unrecomputable. The reliable
+    * mode trades one HDFS/object-store write per fence for
+    * recompute-from-file recovery; the rows stay persisted
+    * MEMORY_AND_DISK as well, so healthy-path reads never touch the
+    * files. PLANS.md ("reliable checkpoint mode") records when a
+    * deployment should flip it.
+    */
+  private def reliableMode(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("spark.graft.checkpoint.reliable", "false").toBoolean
+
+  private def ensureCheckpointDir(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir = spark.conf.getOption("spark.checkpoint.dir").getOrElse(
+        throw new IllegalStateException(
+          "spark.graft.checkpoint.reliable=true requires a checkpoint dir: " +
+            "set spark.checkpoint.dir or call sparkContext.setCheckpointDir"))
+      sc.setCheckpointDir(dir)
+    }
+  }
+
+  /** The conf-gated lineage fence every iterative operator uses:
+    * `localCheckpoint(eager)` by default, `checkpoint(eager)` (reliable
+    * files + MEMORY_AND_DISK blocks) under
+    * `spark.graft.checkpoint.reliable=true`. Both flavors advertise
+    * `UnknownPartitioning` (use [[checkpointHashPartitioned]] when a
+    * downstream join/agg must reuse the layout) and both are
+    * releasable via [[release]].
+    */
+  def fence[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+    if (reliableMode(ds.sparkSession)) {
+      ensureCheckpointDir(ds.sparkSession)
+      ds.checkpoint(eager = true)
+    } else ds.localCheckpoint(eager = true)
+
+  /** Postfix syntax for [[fence]]: `df.fenced` reads like the
+    * `df.localCheckpoint(true)` it replaces at 60+ call sites.
+    */
+  implicit final class FenceSyntax[T](private val ds: org.apache.spark.sql.Dataset[T])
+      extends AnyVal {
+    def fenced: org.apache.spark.sql.Dataset[T] = fence(ds)
+  }
+
   /** Hash-partition `df` by `keys` into `numParts` partitions,
-    * eagerly localCheckpoint the result, and return a DataFrame whose
-    * plan ADVERTISES that partitioning (what `localCheckpoint(true)`
-    * would do if AQE did not erase it). Rows are copied before
-    * caching (UnsafeRow buffers are reused per-task) — the same
-    * discipline as `Dataset.checkpoint`.
+    * eagerly checkpoint the result (local blocks, or reliable files
+    * under `spark.graft.checkpoint.reliable=true`), and return a
+    * DataFrame whose plan ADVERTISES that partitioning (what
+    * `localCheckpoint(true)` would do if AQE did not erase it). Rows
+    * are copied before caching (UnsafeRow buffers are reused
+    * per-task) — the same discipline as `Dataset.checkpoint`.
     */
   def checkpointHashPartitioned(df: DataFrame, numParts: Int,
                                 keys: String*): DataFrame = {
@@ -52,7 +104,16 @@ object CheckpointOps {
     val spark = parted.sparkSession.asInstanceOf[SparkSession]
     val qe = parted.queryExecution
     val rdd: RDD[InternalRow] = qe.toRdd.map(_.copy())
-    rdd.localCheckpoint()
+    if (reliableMode(spark)) {
+      ensureCheckpointDir(spark)
+      // persist BEFORE checkpointing: the post-job checkpoint write
+      // then reads the cached blocks instead of recomputing the
+      // repartition, and healthy-path consumers keep block-speed reads
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+    } else {
+      rdd.localCheckpoint()
+    }
     rdd.count() // materialize NOW so every consumer reuses the blocks
     val output = qe.analyzed.output
     val keyAttrs = keys.map { k =>
@@ -76,7 +137,15 @@ object CheckpointOps {
     */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _             => ()
+      case l: LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        // reliable fences also leave checkpoint FILES; a superseded
+        // iteration fence must delete them or a 100-round loop leaves
+        // 100 corpus-sized file sets under the checkpoint dir
+        if (l.rdd.getCheckpointFile.isDefined) {
+          org.apache.spark.rdd.ReliableRDDCheckpointData
+            .cleanCheckpoint(l.rdd.context, l.rdd.id)
+        }
+      case _ => ()
     }
 }

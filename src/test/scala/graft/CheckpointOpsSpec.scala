@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.CheckpointOps.checkpointHashPartitioned
+import org.apache.spark.sql.graft.CheckpointOps.{checkpointHashPartitioned, fence, release}
 
 /** The partitioning-preserving checkpoint behind the iterative graph
   * operators: the advertised `HashPartitioning` must be BOTH truthful
@@ -53,6 +53,104 @@ class CheckpointOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange hashpartitioning"),
       s"co-partitioned join re-shuffled:\n$p")
+  }
+
+  /** Run `body` with the reliable-checkpoint conf + a temp checkpoint
+    * dir set, restoring both afterward (the session is shared across
+    * suites — leaked conf would silently flip every other spec's
+    * fences to file-backed mode).
+    */
+  private def withReliable[A](body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val hadDir = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir) // dir BEFORE the mode flip
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try body(dir)
+    finally {
+      spark.conf.set("spark.graft.checkpoint.reliable", "false")
+      hadDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
+  }
+
+  private def ckptFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.startsWith("part-"))
+  }
+
+  test("fence: local mode round-trips values and release is a no-op-safe unpersist") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i % 7, i)).toDF("k", "v")
+    val f = fence(df)
+    assert(f.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      (0L until 1000L).map(i => (i % 7, i)).sorted)
+    release(f.toDF())
+  }
+
+  // declared BEFORE any withReliable test: setCheckpointDir is
+  // context-global and has no unset API, so this must run while the
+  // shared context still has none
+  test("reliable mode without a checkpoint dir fails with a clear message") {
+    val s2 = spark.newSession() // session-scoped conf: the flip stays local
+    s2.conf.set("spark.graft.checkpoint.reliable", "true")
+    import s2.implicits._
+    val df = Seq((1L, 2L)).toDF("k", "v")
+    if (s2.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalStateException](fence(df))
+      assert(e.getMessage.contains("spark.checkpoint.dir"))
+    } else cancel("shared context already has a checkpoint dir")
+  }
+
+  test("fence: reliable mode writes checkpoint FILES and release deletes them") {
+    withReliable { dir =>
+      import spark.implicits._
+      val df = (0L until 1000L).map(i => (i % 7, i)).toDF("k", "v")
+      val f = fence(df)
+      assert(f.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+        (0L until 1000L).map(i => (i % 7, i)).sorted,
+        "reliable fence must round-trip values exactly")
+      assert(ckptFiles(dir).nonEmpty,
+        "reliable mode must leave checkpoint part-files under the checkpoint dir")
+      release(f.toDF())
+      assert(ckptFiles(dir).isEmpty,
+        "release must delete a superseded reliable fence's files — a " +
+          "100-round loop would otherwise leave 100 corpus copies")
+    }
+  }
+
+  test("reliable checkpointHashPartitioned: advertisement still holds (zero exchanges) " +
+      "and the layout survives a re-read from files") {
+    withReliable { dir =>
+      import spark.implicits._
+      val df = (0L until 5000L).map(i => (i % 97, i)).toDF("k", "v")
+      val cp = checkpointHashPartitioned(df, 8, "k")
+      assert(ckptFiles(dir).nonEmpty, "reliable mode must write files")
+      val plan = cp.groupBy("k").agg(sum("v").as("s"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"advertised partitioning not honored under reliable mode:\n$plan")
+      // values + physical layout: identical checks to the local-mode
+      // tests, now backed by files — unpersist the blocks FIRST so the
+      // read actually exercises the ReliableCheckpointRDD recompute path
+      cp.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = true)
+        case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+      }
+      val misplaced = cp
+        .withColumn("pid", spark_partition_id())
+        .withColumn("want", pmod(hash(col("k")), lit(8)))
+        .where("pid != want").count()
+      assert(misplaced == 0,
+        s"$misplaced rows not in their advertised partition after file re-read")
+      val got = cp.groupBy("k").agg(sum("v").as("s")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = (0L until 5000L).groupBy(_ % 97).map { case (k, vs) => (k, vs.sum) }
+      assert(got == want)
+      release(cp)
+      assert(ckptFiles(dir).isEmpty, "release must clean the reliable files")
+    }
   }
 
   test("unknown key is rejected") {
