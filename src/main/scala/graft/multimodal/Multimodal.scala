@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import org.apache.spark.sql.graft.CheckpointOps.FenceSyntax
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,8 +12,9 @@ import org.apache.spark.sql.types._
   * The decode step itself is a STUB (no media libs in this container):
   * `decodeFeatures` computes a deterministic fake feature vector (byte
   * histogram) so the Spark-side plumbing — schema, batching via
-  * mapPartitions, partition-sized work units — is real and tested, and a
-  * real decoder drops in by replacing one function.
+  * mapPartitions, partition-sized work units — is real and tested
+  * (MultimodalSpec + the oracle-checked `mm_features` row), and a real
+  * decoder drops in by replacing one function.
   *
   * Scale notes: binary payloads ride in their own column so Parquet
   * column pruning skips them unless the query touches them; feature
@@ -431,7 +433,7 @@ object Multimodal {
                  ELSE (lo % 65536) + (lo div 65536) * 65536L + (hi % 65536) * 4294967296L
                END AS rest""")
           // feeds the bucket-size counter and both sides of both joins
-          .localCheckpoint(true)
+          .fenced
         val sizes = bands.groupBy("band", "v")
           .agg(expr("count(*) AS bc"))
         def verified(cand: DataFrame) = cand
@@ -738,7 +740,43 @@ object Multimodal {
             FROM (SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n_bytes
                   FROM documents) d,
             LATERAL (SELECT unnest(generate_series(0, greatest(d.n_bytes - 1, 0) // 80)) AS frame_no) g
-            WHERE g.frame_no * 80 < d.n_bytes))"""))
+            WHERE g.frame_no * 80 < d.n_bytes))""")),
+
+    // The decoder seam itself as an oracle-checked query: every media
+    // row through [[decodeFeatures]] (per-partition init + row→feature
+    // mapPartitions — the exact contract a real codec/model drops
+    // into), feature vectors exploded to (media_id, bin, share) rows so
+    // the DuckDB oracle can recompute the 16-bin L1-normalized byte
+    // histogram from the same payload bytes (hex-nibble addressing —
+    // DuckDB cannot slice BLOBs). All 16 bins emit, zeros included: the
+    // VECTOR shape is the product, not the sparse support. Scale: the
+    // decode is row-local (no exchange before the explode), and a real
+    // decoder inherits that plan unchanged.
+    QueryDef(
+      "mm_features",
+      (spark, dir) => {
+        val media = mediaFromText(
+          Tables.documents(spark, dir).select("doc_id", "text"), "doc_id", "text")
+        decodeFeatures(spark, media)
+          .selectExpr("media_id", "posexplode(features) AS (bin, share)")
+          .selectExpr("media_id", "cast(bin AS int) AS bin",
+            "round(share, 6) AS share")
+      },
+      Some("""
+        WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                          greatest(octet_length(encode(text)), 1) AS total
+                   FROM documents),
+        n AS (SELECT media_id,
+                     unnest(list_transform(generate_series(1, length(hx), 2),
+                                           i -> substr(hx, i, 1))) AS nib
+              FROM m),
+        c AS (SELECT media_id, ('0x' || nib)::INT AS bin, count(*)::BIGINT AS c
+              FROM n GROUP BY 1, 2),
+        b AS (SELECT unnest(generate_series(0, 15)) AS bin)
+        SELECT m.media_id, b.bin::INT AS bin,
+               round(coalesce(c.c, 0)::DOUBLE / m.total::DOUBLE, 6) AS share
+        FROM m CROSS JOIN b
+        LEFT JOIN c ON c.media_id = m.media_id AND c.bin = b.bin"""))
   )
 
   /** The 80-byte-hop / 160-byte audio frame table

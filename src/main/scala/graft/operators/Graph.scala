@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.CheckpointOps.{checkpointHashPartitioned, release}
+import org.apache.spark.sql.graft.CheckpointOps.{checkpointHashPartitioned, release, FenceSyntax}
 
 /** Graph analytics over relational edge lists — the companion family to
   * Curation.connectedComponents. PageRank here is INTEGER-EXACT: scores
@@ -83,7 +83,7 @@ object Graph {
     * directions); init score = 1e6 ppm.
     */
   def pageRank(edges: DataFrame, iters: Int = Iters): DataFrame = {
-    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val e = edges.toDF("src", "dst").fenced
     withIterConf(e.sparkSession) {
     val w = iterWidth(edges)
     val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
@@ -111,7 +111,7 @@ object Graph {
       // so lineage stays lazy — one job plans all rounds (materializing
       // every round tripled wall-clock); the fence only kicks in on
       // walks deep enough for plan analysis to grow noticeable
-      if (i % 6 == 0 && i < iters) r = r.localCheckpoint(true)
+      if (i % 6 == 0 && i < iters) r = r.fenced
     }
     // materialize INSIDE the guard so the rounds execute under the
     // iteration confs (returned lazily, they would plan at the
@@ -135,7 +135,7 @@ object Graph {
     */
   def hits(edges: DataFrame, iters: Int = HitsIters): DataFrame = {
     require(iters >= 1, "hits needs at least one round")
-    val dirE = edges.toDF("src", "dst").where("src % 2 = 0").localCheckpoint(true)
+    val dirE = edges.toDF("src", "dst").where("src % 2 = 0").fenced
     withIterConf(dirE.sparkSession) {
       val w = iterWidth(dirE)
       val eSrc = checkpointHashPartitioned(dirE, w, "src")
@@ -144,29 +144,38 @@ object Graph {
         .withColumn("h", lit(1000000L))
       var a: DataFrame = null
       val fences = scala.collection.mutable.ListBuffer.empty[DataFrame]
-      (1 to iters).foreach { _ =>
-        // the round max must MATERIALIZE to broadcast, so unlike the
-        // pageRank loop (which stays lazy for a fixed round count) the
-        // raw per-round aggregate is checkpoint-fenced FIRST — without
-        // the fence each broadcast re-executes the whole prior-round
-        // lineage and the plan re-runs combinatorially (first measured
-        // shape: 48 s solo at sf0.1 for 8 rounds; fenced: ~1 s)
+      (1 to iters).foreach { i =>
+        // the round max must MATERIALIZE, so unlike the pageRank loop
+        // (which stays lazy for a fixed round count) the raw per-round
+        // aggregate is checkpoint-fenced FIRST — without the fence each
+        // max re-executes the whole prior-round lineage and the plan
+        // re-runs combinatorially (first measured shape: 48 s solo at
+        // sf0.1 for 8 rounds; fenced: ~1 s). The max itself rides the
+        // FENCE job as an observed metric (r16): the eager checkpoint
+        // is already an action over every araw/hraw row, so a
+        // CollectMetrics node yields the round max for free — replacing
+        // the 2 extra aggregate jobs + broadcast exchanges + crossJoins
+        // per round the old amax/hmax DataFrames cost (16 scheduler
+        // round-trips across the run), and the normalization becomes a
+        // row-local projection with a literal divisor.
+        val obsA = org.apache.spark.sql.Observation(s"hits_amax_$i")
         val araw = eSrc
           .join(h.selectExpr("id AS src", "h AS hs").hint("shuffle_hash"), "src")
           .groupBy("dst").agg(expr("cast(sum(hs) AS bigint) AS ar"))
-          .localCheckpoint(true)
+          .observe(obsA, expr("max(ar) AS am"))
+          .fenced
         fences += araw
-        val amax = araw.groupBy().agg(expr("max(ar) AS am"))
-        a = araw.crossJoin(broadcast(amax))
-          .selectExpr("dst AS id", "ar * 1000000 div am AS a")
+        val am = obsA.get("am").asInstanceOf[Long]
+        a = araw.selectExpr("dst AS id", s"ar * 1000000 div ${am}L AS a")
+        val obsH = org.apache.spark.sql.Observation(s"hits_hmax_$i")
         val hraw = eDst
           .join(a.selectExpr("id AS dst", "a AS av").hint("shuffle_hash"), "dst")
           .groupBy("src").agg(expr("cast(sum(av) AS bigint) AS hrw"))
-          .localCheckpoint(true)
+          .observe(obsH, expr("max(hrw) AS hm"))
+          .fenced
         fences += hraw
-        val hmax = hraw.groupBy().agg(expr("max(hrw) AS hm"))
-        h = hraw.crossJoin(broadcast(hmax))
-          .selectExpr("src AS id", "hrw * 1000000 div hm AS h")
+        val hm = obsH.get("hm").asInstanceOf[Long]
+        h = hraw.selectExpr("src AS id", s"hrw * 1000000 div ${hm}L AS h")
       }
       // materialize INSIDE the conf guard (the pageRank lesson); `out`
       // is then self-contained, so every per-round fence releases —
@@ -176,7 +185,7 @@ object Graph {
           "h AS score_ppm")
         .unionByName(a.selectExpr("id", "'supplier' AS kind", "id div 2 AS key",
           "a AS score_ppm"))
-        .localCheckpoint(true)
+        .fenced
       fences.foreach(release)
       release(eSrc); release(eDst); release(dirE)
       out
@@ -197,7 +206,7 @@ object Graph {
         .distinct()
       cs.selectExpr("cv AS src", "sv AS dst")
         .unionByName(cs.selectExpr("sv AS src", "cv AS dst"))
-        .localCheckpoint(true)
+        .fenced
     }
   }
 
@@ -260,7 +269,7 @@ object Graph {
     * sort) without reaching into the guarded loop.
     */
   private[graft] def oneRoundPlanForSpec(edges: DataFrame): String = {
-    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val e = edges.toDF("src", "dst").fenced
     withIterConf(e.sparkSession) {
       val w = iterWidth(e)
       val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
@@ -305,7 +314,7 @@ object Graph {
     */
   def pageRankConverged(edges: DataFrame, maxIters: Int = 190,
                         checkEvery: Int = 6): DataFrame = {
-    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val e = edges.toDF("src", "dst").fenced
     withIterConf(e.sparkSession) {
     val w = iterWidth(edges)
     val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
@@ -371,7 +380,7 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iters: Int = Iters): DataFrame = {
-    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val e = edges.toDF("src", "dst").fenced
     withIterConf(e.sparkSession) {
     val w = iterWidth(edges)
     val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
@@ -390,7 +399,7 @@ object Graph {
           Seq("id"), "left")
         .selectExpr("id", "seed",
           s"CASE WHEN seed THEN $BasePpm ELSE 0L END + ($Damping * coalesce(c, 0L)) div 100 AS r")
-      if (i % 6 == 0 && i < iters) r = r.localCheckpoint(true)
+      if (i % 6 == 0 && i < iters) r = r.fenced
     }
     val out = checkpointHashPartitioned(r.select("id", "r"), w, "id")
     release(withDeg); release(verts); release(e)
@@ -404,7 +413,7 @@ object Graph {
     * per edge per round).
     */
   def pageRankWeighted(edges: DataFrame, iters: Int = Iters): DataFrame = {
-    val e = edges.toDF("src", "dst", "w").localCheckpoint(true)
+    val e = edges.toDF("src", "dst", "w").fenced
     withIterConf(e.sparkSession) {
     val wdt = iterWidth(edges)
     val sw = e.groupBy("src").agg(expr("cast(sum(w) AS bigint) AS sw"))
@@ -419,7 +428,7 @@ object Graph {
       r = verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
           Seq("id"), "left")
         .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
-      if (i % 6 == 0 && i < iters) r = r.localCheckpoint(true)
+      if (i % 6 == 0 && i < iters) r = r.fenced
     }
     val out = checkpointHashPartitioned(r, wdt, "id")
     release(withW); release(verts); release(e)
@@ -448,7 +457,7 @@ object Graph {
     * contamination).
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val e = edges.toDF("src", "dst").fenced
     withIterConf(e.sparkSession) {
       val w = iterWidth(e)
       val withE = checkpointHashPartitioned(e, w, "src")
@@ -1238,7 +1247,7 @@ object Graph {
         val adjArr = edges.groupBy("src")
           .agg(expr("array_sort(collect_list(dst)) AS ns"))
           .selectExpr("src", "ns", "cast(size(ns) AS bigint) AS outdeg")
-          .localCheckpoint(true)
+          .fenced
         val seeds = edges.select(col("src").as("id")).distinct()
           .where("id % 101 = 0")
         var frontier = seeds.selectExpr("id AS walk_id", "id AS cur")
@@ -1302,12 +1311,12 @@ object Graph {
         expr("o_orderkey = l_orderkey"))
       .selectExpr("o_custkey AS c", "l_suppkey AS s")
       .distinct()
-      .localCheckpoint(true) // degree counter + both wedge sides
+      .fenced // degree counter + both wedge sides
     val deg = cs.groupBy("c").agg(expr("cast(count(*) AS bigint) AS dc"))
       .where(s"dc <= $cap")
     cs.join(deg, "c")
       .repartition(spark.sessionState.conf.numShufflePartitions, col("c"))
-      .localCheckpoint(true)
+      .fenced
   }
 
   /** k-core decomposition membership: iteratively peel vertices of
@@ -1341,7 +1350,7 @@ object Graph {
   private[graft] def kCoreWithDepth(edges: DataFrame, k: Int): (DataFrame, Int) = {
     var e = edges.selectExpr("a AS src", "b AS dst")
       .unionByName(edges.selectExpr("b AS src", "a AS dst"))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).fenced
     var n = e.count()
     var done = n == 0
     var depth = 0
@@ -1351,7 +1360,7 @@ object Graph {
       val e2 = e.join(keep, "src")
         .join(keep.selectExpr("src AS dst"), "dst")
         .select("src", "dst")
-        .repartition(col("src")).localCheckpoint(true)
+        .repartition(col("src")).fenced
       val n2 = e2.count()
       done = n2 == n
       e = e2; n = n2; depth += 1
@@ -1373,10 +1382,10 @@ object Graph {
     */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e = edges.toDF("src", "dst")
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).fenced
     var known = seeds.toDF("id").distinct()
       .withColumn("dist", lit(0L))
-      .repartition(col("id")).localCheckpoint(true)
+      .repartition(col("id")).fenced
     var frontier = known
     var h = 0
     var empty = frontier.isEmpty
@@ -1386,10 +1395,10 @@ object Graph {
         .selectExpr("dst AS id").distinct()
         .join(known.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(h.toLong))
-        .localCheckpoint(true)
+        .fenced
       empty = next.isEmpty
       if (!empty) {
-        known = known.unionByName(next).repartition(col("id")).localCheckpoint(true)
+        known = known.unionByName(next).repartition(col("id")).fenced
         frontier = next
       }
     }
@@ -1416,7 +1425,7 @@ object Graph {
     // consumer of an edge list pays once instead of per pass.
     val deg = edges.selectExpr("a AS v").unionByName(edges.selectExpr("b AS v"))
       .groupBy("v").agg(expr("cast(count(*) AS bigint) AS d"))
-      .localCheckpoint(true)
+      .fenced
     val oriented = edges
       .join(deg.selectExpr("v AS a", "d AS da"), "a")
       .join(deg.selectExpr("v AS b", "d AS db"), "b")
@@ -1424,7 +1433,7 @@ object Graph {
         "CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src",
         "CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst",
         "CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dd")
-      .localCheckpoint(true)
+      .fenced
     val tri = oriented.selectExpr("src", "dst AS v", "dd AS dv")
       .join(oriented.selectExpr("src", "dst AS w", "dd AS dw"), "src")
       .where("dv < dw OR (dv = dw AND v < w)")

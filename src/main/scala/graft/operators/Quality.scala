@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.graft.CheckpointOps.FenceSyntax
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -410,7 +411,7 @@ object Quality {
             "cast(floor(c_acctbal / 2000) AS bigint) AS bal_band", "c_mktsegment AS segment")
           .groupBy("nation", "bal_band", "segment")
           .agg(expr("cast(count(*) AS bigint) AS nc"))
-          .localCheckpoint(true) // class-bounded; feeds cls + segs + glob + grid
+          .fenced // class-bounded; feeds cls + segs + glob + grid
         val cls = cnt.groupBy("nation", "bal_band").agg(expr("cast(sum(nc) AS bigint) AS n"))
         val segs = cnt.select("segment").distinct()
         val glob = cnt.groupBy("segment").agg(expr("cast(sum(nc) AS bigint) AS ns"))
@@ -497,7 +498,7 @@ object Quality {
           .where("vm > 0")
           .selectExpr("cast(substring(cast(vm AS string), 1, 1) AS bigint) AS digit")
           .groupBy("digit").agg(expr("cast(count(*) AS bigint) AS n"))
-          .localCheckpoint(true)
+          .fenced
         digits
           .crossJoin(broadcast(digits.groupBy().agg(expr("cast(sum(n) AS bigint) AS total"))))
           .selectExpr("digit", "n",
@@ -541,23 +542,28 @@ object Quality {
     QueryDef(
       "dq_profile",
       (spark, dir) =>
-        // NO spread here, measured: the single fixture scan task does
-        // serialize the 6-way stringify (r15 profile, 0.87 s of a
-        // 1.65 s wall), but that task also runs the map-side combine
-        // over the unpivot fan-out — spreading first ships the rows and
-        // re-aggregates post-exchange, and min-of-3 measured it ~equal
-        // to slightly worse (1.54 s baseline vs 1.76–2.15 s spread
-        // under comparable load). Negative result recorded; the wide
-        // real scan parallelizes this naturally.
-        Tables.orders(spark, dir)
-          .selectExpr("""explode(array(
-              named_struct('col', 'o_orderkey', 'v', cast(o_orderkey AS string)),
-              named_struct('col', 'o_custkey', 'v', cast(o_custkey AS string)),
-              named_struct('col', 'o_orderstatus', 'v', o_orderstatus),
-              named_struct('col', 'o_totalprice', 'v', cast(cast(o_totalprice AS decimal(18,2)) AS string)),
-              named_struct('col', 'o_orderdate', 'v', cast(cast(cast(o_orderdate AS timestamp) AS long) AS string)),
-              named_struct('col', 'o_orderpriority', 'v', o_orderpriority))) AS c""")
-          .selectExpr("c.col AS col", "c.v AS v")
+        // r16: UNION of per-column scans instead of one explode-unpivot
+        // scan. Two prior attempts at the serialized single-task stage
+        // (the fixture parquet has one row group, so the explode scan
+        // could not split): spread-then-explode measured ~equal-to-
+        // worse in r15 (the exchange just moved the map-side combine).
+        // The union form gives each column its OWN scan leg — 6
+        // independent splits even on a 1-row-group file — and each leg
+        // reads ONLY its column (parquet pruning), so total bytes read
+        // stay ≈ one all-column scan while the stringify + partial
+        // aggregate parallelize 6-way. Same shuffle key (col, v), same
+        // rollup; the oracle was already written in union form.
+        Seq(
+          ("o_orderkey", "cast(o_orderkey AS string)"),
+          ("o_custkey", "cast(o_custkey AS string)"),
+          ("o_orderstatus", "o_orderstatus"),
+          ("o_totalprice", "cast(cast(o_totalprice AS decimal(18,2)) AS string)"),
+          ("o_orderdate", "cast(cast(cast(o_orderdate AS timestamp) AS long) AS string)"),
+          ("o_orderpriority", "o_orderpriority"))
+          .map { case (c, e) =>
+            Tables.orders(spark, dir).selectExpr(s"'$c' AS col", s"$e AS v")
+          }
+          .reduce(_ unionByName _)
           .groupBy("col", "v")
           .agg(expr("cast(count(*) AS bigint) AS cnt"))
           .groupBy("col")
@@ -716,7 +722,7 @@ object Quality {
           .selectExpr("n", "ndv_ck", "mn_p", "mx_p", "mn_d", "mx_d",
             "mn_p + (mx_p - mn_p) * 7 div 10 AS p70",
             "mn_d + (mx_d - mn_d) * 3 div 10 AS d30")
-          .localCheckpoint(true)
+          .fenced
         val act = o.crossJoin(broadcast(stats))
           .selectExpr(
             "CASE WHEN o_custkey = 42 THEN 1L ELSE 0L END AS f_eq",
