@@ -55,6 +55,21 @@ object Bench {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_SINK_BENCH=1: the timed lane for the side-effecting
+    // sink/source round trips (registry sinkBench flag). They are
+    // bench=false in the main lane — a temp-dir write would add I/O
+    // noise to operator-throughput rows — but that left the entire
+    // format-codec surface (the 2,700-line PdfText extractor, the
+    // RFC-4180 CSV sink/source, ORC, JSONL, zorder rewrite, small-file
+    // compaction, the store lifecycle) with NO timing signal: a 10×
+    // PdfText regression would land invisibly. This lane times them
+    // separately into bench/sink_<sf>.json, gated round-over-round by
+    // tools/bench_diff.py like the other artifacts.
+    sys.env.get("SPARK_GRAFT_SINK_BENCH").foreach { _ =>
+      sinkBench(spark, sfDir)
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_BPE_DEPTH=10,50,100: the tokenizer-trainer depth
     // grid — times bpeLearn at each merge depth on the target SF. The
     // vocab-bounded-rounds claim (corpus scanned once; merge cost flat
@@ -224,6 +239,64 @@ object Bench {
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
   }
 
+  /** The side-effecting sink/source round trips (registry sinkBench
+    * flag: PdfText fixture pipeline, CSV/ORC/JSONL round trips, zorder
+    * rewrite + banded scans, small-file compaction, store lifecycle,
+    * layout segmentation) timed as full write-then-read-back runs —
+    * min of 3 interleaved passes after the two-step warmup, same
+    * discipline as the main lane. Each plan build creates fresh
+    * `graft_*` temp dirs by design (the sink IS the measured work), so
+    * the lane sweeps dirs it created between passes — 5 runs per query
+    * would otherwise leave 5 corpus-sized copies each on disk.
+    */
+  private def sinkBench(spark: SparkSession, sfDir: String): Unit = {
+    val defs = Registry.all.filter(_.sinkBench)
+    val laneStart = System.currentTimeMillis()
+    def exhaust(d: QueryDef, dir: String): Unit =
+      d.run(spark, dir).write.mode("overwrite").format("noop").save()
+    // delete graft_* temp dirs created after lane start: only this
+    // lane's sink outputs can match the (prefix, mtime) window in this
+    // JVM — the memoized roots other queries keep (e.g. the release
+    // gate's lake copy) are never built here
+    def sweepTmp(): Unit = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      Option(tmp.listFiles()).foreach(_.foreach { f =>
+        if (f.isDirectory && f.getName.startsWith("graft_") &&
+            f.lastModified() >= laneStart - 1000) del(f)
+      })
+    }
+    defs.foreach(d => try exhaust(d, "/root/testdata/sf0.001") catch { case _: Throwable => () })
+    sweepTmp()
+    defs.foreach(d => try exhaust(d, sfDir) catch { case _: Throwable => () })
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    for (_ <- 1 to 3) {
+      sweepTmp()
+      System.gc()
+      defs.foreach { d =>
+        val t0 = System.nanoTime()
+        try {
+          exhaust(d, sfDir)
+          samples(d.name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(d.name, Nil)
+        } catch { case _: Throwable => () }
+      }
+    }
+    sweepTmp()
+    val results = defs.map(d =>
+      d.name -> samples.get(d.name).filter(_.nonEmpty).map(_.min).getOrElse(-1.0))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"sink_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    val sfName = new java.io.File(sfDir).getName
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench/sink_$sfName.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+  }
+
   /** Per-stage task aggregates for one profiled query run. */
   private final class StageAgg {
     var tasks = 0
@@ -298,7 +371,7 @@ object Bench {
       val stageRows = l.stages.toSeq.sortBy(_._1).map { case (sid, a) =>
         val avg = if (a.tasks > 0) a.sumMs.toDouble / a.tasks else 0.0
         val skew = if (avg > 0) a.maxMs / avg else 1.0
-        f"""{"stage":$sid,"name":"${l.names.getOrElse(sid, "").replaceAll("[\"\\\\]", " ").take(80)}","tasks":${a.tasks},"task_ms_sum":${a.sumMs},"task_ms_max":${a.maxMs},""" +
+        f"""{"stage":$sid,"name":"${l.names.getOrElse(sid, "").replaceAll("[\"\\\\]|\\p{Cntrl}", " ").take(80)}","tasks":${a.tasks},"task_ms_sum":${a.sumMs},"task_ms_max":${a.maxMs},""" +
           f""""skew":$skew%.2f,"input_mb":${a.inputB / 1048576L},"shuffle_read_mb":${a.shufReadB / 1048576L},""" +
           f""""shuffle_write_mb":${a.shufWriteB / 1048576L},"spill_mem_mb":${a.memSpillB / 1048576L},""" +
           f""""spill_disk_mb":${a.diskSpillB / 1048576L}}"""

@@ -18,6 +18,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *               every streaming twin at registration so a new twin can
   *               never be silently untimed — the lane derives its
   *               membership from this flag, not a hardcoded name list.
+  * @param sinkBench whether this query belongs to the side-effecting
+  *               sink/source timing lane (bench/sink_<sf>.json). These
+  *               queries are bench=false in the main lane (they write
+  *               temp-dir sinks, so the main lane would time tmpfs I/O
+  *               noise alongside pure operator throughput) — but
+  *               without a lane of their own the whole format-codec
+  *               surface (PdfText, CSV/ORC/JSONL round trips, zorder
+  *               rewrite, compaction) has NO perf regression signal.
+  *               Same flag-derived-membership rule as streamBench.
   * @param resetMemo for queries whose RESULT is memoized in a holder
   *               (gr_labelprop's label table, tp_bpe_train's merges,
   *               ml_train_linear's chain): drop + release the memo so a
@@ -32,6 +41,7 @@ final case class QueryDef(
     oracle: Option[String],
     bench: Boolean = true,
     streamBench: Boolean = false,
+    sinkBench: Boolean = false,
     resetMemo: Option[(SparkSession, String) => Unit] = None)
 
 /** Central registry: every module contributes its QueryDefs here. */

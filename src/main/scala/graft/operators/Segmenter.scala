@@ -183,7 +183,7 @@ object Segmenter {
           (5::BIGINT, 1::INT, 'Opening paragraph with enough length here. and its continuation stays attached to it.'),
           (6::BIGINT, 1::INT, 'only a stub')
         ) t(fix_id, paragraph_number, paragraph)"""),
-      bench = false),
+      bench = false, sinkBench = true),
 
     // The fallback splitter over documents, 1-based paragraph numbers
     // (`src/pdf_extractor.py:39`). The driver corpus is single-line text,

@@ -253,7 +253,7 @@ object ChunkStore {
           ('diff.pdf', 1::INT, 1::INT, 1::INT, NULL::INT,
            'Glyph name differences map café • — • codes to text.')
         ) t(source, page_number, paragraph_number, total_pages, chunk_number, text)"""),
-      bench = false),
+      bench = false, sinkBench = true),
 
     // S3+S4 — the CSV sink/source ROUND TRIP as an oracle-checked query:
     // chunk rows in the reference's flattened schema go out through the
@@ -292,7 +292,7 @@ object ChunkStore {
                sum(coalesce(chunk_number, 0))::BIGINT AS para_sum,
                (doc_id % 7 + 1)::INT AS max_page
         FROM chunks GROUP BY doc_id"""),
-      bench = false),
+      bench = false, sinkBench = true),
 
     // S3b — ORC sink/source round trip: the second columnar format a
     // lakehouse deployment actually negotiates (zlib ORC here; parquet
@@ -332,7 +332,7 @@ object ChunkStore {
               FROM documents)
         WHERE lang != 'zh'
         GROUP BY lang"""),
-      bench = false),
+      bench = false, sinkBench = true),
 
     // S3c — JSON Lines sink/source round trip over RAW text: where s7
     // checks the dump's counts, this row pins CONTENT fidelity through
@@ -366,7 +366,7 @@ object ChunkStore {
                md5((sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007)::BIGINT)::VARCHAR) AS content_fold
         FROM documents
         GROUP BY lang"""),
-      bench = false),
+      bench = false, sinkBench = true),
 
     // S10 — small-file compaction: the operational chore every
     // long-running lake hits (streaming sinks and per-executor writers
@@ -406,7 +406,7 @@ object ChunkStore {
                      regexp_replace(regexp_replace(text, '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS tc
               FROM documents)
         GROUP BY lang"""),
-      bench = false),
+      bench = false, sinkBench = true),
 
     // S5+S8+S6 — store lifecycle round trip: add the chunk table to a
     // fresh store (positional ids, stringified metadata, store-side
@@ -435,7 +435,7 @@ object ChunkStore {
         SELECT count(*)::BIGINT AS docs_before, 0::BIGINT AS docs_after,
                'graft_chunks' AS collection_name
         FROM chunks"""),
-      bench = false),
+      bench = false, sinkBench = true),
 
     // S7 — JSON dump round trip: store entries (id, text, stringified
     // metadata map) out through the JSON sink, back through a
@@ -470,7 +470,7 @@ object ChunkStore {
                sum(length(chunk_text))::BIGINT AS total_chars,
                (count(*) * 2)::BIGINT AS meta_entries
         FROM chunks"""),
-      bench = false),
+      bench = false, sinkBench = true),
 
     // S5 surface as a pure query: positional ids over the chunk table in
     // (doc_id, chunk_number) order + the stringification quirk — every

@@ -133,6 +133,6 @@ object Layout {
         SELECT 'day_band' AS band, event_type,
                $bandAggSql
         FROM e WHERE d BETWEEN 10 AND 12 GROUP BY event_type"""),
-      bench = false)
+      bench = false, sinkBench = true)
   )
 }
