@@ -250,4 +250,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("reliable-checkpoint mode: a full iterative operator is result-identical") {
+    // end-to-end durability parity, not just the CheckpointOps unit
+    // property: the SAME multi-round fenced loop (pageRank: per-round
+    // fences + checkpointHashPartitioned edges + release discipline)
+    // must produce bit-identical ranks when every fence is file-backed.
+    import spark.implicits._
+    val edges = ((1L to 4L).flatMap(l => Seq((0L, l), (l, 0L))) ++
+      Seq((5L, 0L), (1L, 5L), (5L, 2L))).toDF("src", "dst")
+    val local = Graph.pageRank(edges, 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_e2e").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try {
+      val reliable = Graph.pageRank(edges, 7).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local,
+        "file-backed fences changed an iterative result")
+    } finally spark.conf.set("spark.graft.checkpoint.reliable", "false")
+  }
+
 }

@@ -52,6 +52,12 @@ ACCEPTED = {
     "gr_labelprop": (8.0, "r14 memo reset: row times the 5-round propagation again"),
     "tp_bpe_train": (3.5, "r14 memo reset: row times the 10-merge learn again"),
     "ml_train_linear": (14.0, "r14 memo reset: row times the epoch chain again"),
+    # r16 restored the level-sequential posting (the stacked single-
+    # fence form OOMed executor hash aggregates at sf10): five
+    # sequential exchanges instead of one stacked one, bounded peak
+    # footprint. Measured 6.6 s idle solo at sf0.1 (caca485's own
+    # figure; PLANS.md "SUPERSEDED for dd_dup_profile").
+    "dd_dup_profile": (8.0, "r16 level-sequential posting: bounded peak footprint vs sf10 OOM"),
 }
 
 
