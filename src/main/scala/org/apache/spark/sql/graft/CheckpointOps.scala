@@ -68,17 +68,28 @@ object CheckpointOps {
   }
 
   /** The conf-gated lineage fence every iterative operator uses:
-    * `localCheckpoint(eager)` by default, `checkpoint(eager)` (reliable
-    * files + MEMORY_AND_DISK blocks) under
-    * `spark.graft.checkpoint.reliable=true`. Both flavors advertise
-    * `UnknownPartitioning` (use [[checkpointHashPartitioned]] when a
-    * downstream join/agg must reuse the layout) and both are
-    * releasable via [[release]].
+    * `localCheckpoint(eager)` by default; under
+    * `spark.graft.checkpoint.reliable=true` the rows persist
+    * MEMORY_AND_DISK (healthy-path reads stay block-speed) AND
+    * checkpoint to reliable files (recovery path) — NOT plain
+    * `Dataset.checkpoint`, whose healthy-path reads would re-read the
+    * checkpoint files from the object store on every downstream use.
+    * Both flavors advertise `UnknownPartitioning` (use
+    * [[checkpointHashPartitioned]] when a downstream join/agg must
+    * reuse the layout) and both are releasable via [[release]].
     */
   def fence[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
     if (reliableMode(ds.sparkSession)) {
       ensureCheckpointDir(ds.sparkSession)
-      ds.checkpoint(eager = true)
+      val cds = ds.asInstanceOf[Dataset[T]]
+      val spark = cds.sparkSession
+      val qe = cds.queryExecution
+      val rdd: RDD[InternalRow] = qe.toRdd.map(_.copy())
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+      rdd.count()
+      Dataset.ofRows(spark, LogicalRDD(qe.analyzed.output, rdd)(spark))
+        .as[T](cds.encoder)
     } else ds.localCheckpoint(eager = true)
 
   /** Postfix syntax for [[fence]]: `df.fenced` reads like the
