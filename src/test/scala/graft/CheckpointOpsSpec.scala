@@ -88,18 +88,20 @@ class CheckpointOpsSpec extends SparkSpec {
     release(f.toDF())
   }
 
-  // declared BEFORE any withReliable test: setCheckpointDir is
-  // context-global and has no unset API, so this must run while the
-  // shared context still has none
   test("reliable mode without a checkpoint dir fails with a clear message") {
     val s2 = spark.newSession() // session-scoped conf: the flip stays local
     s2.conf.set("spark.graft.checkpoint.reliable", "true")
     import s2.implicits._
     val df = Seq((1L, 2L)).toDF("k", "v")
-    if (s2.sparkContext.getCheckpointDir.isEmpty) {
+    // setCheckpointDir is context-global with no public unset; the
+    // test-only helper clears it so this assertion cannot depend on
+    // suite execution order, then restores whatever was there
+    val had = s2.sparkContext.getCheckpointDir
+    org.apache.spark.graft.TestSparkInternals.clearCheckpointDir(s2.sparkContext)
+    try {
       val e = intercept[IllegalStateException](fence(df))
       assert(e.getMessage.contains("spark.checkpoint.dir"))
-    } else cancel("shared context already has a checkpoint dir")
+    } finally had.foreach(s2.sparkContext.setCheckpointDir)
   }
 
   test("fence: reliable mode writes checkpoint FILES and release deletes them") {
