@@ -37,9 +37,11 @@ object Curation {
     val edges = pairs.toDF("doc_a", "doc_b")
       .unionByName(pairs.toDF("doc_a", "doc_b").selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
       .fenced
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+    import org.apache.spark.sql.graft.CheckpointOps.release
+    var curFence = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
       .fenced
+    var labels = curFence
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -47,19 +49,26 @@ object Curation {
         .join(labels.selectExpr("doc_id AS doc_b", "component AS nc"), "doc_b")
         .groupBy("doc_a").agg(expr("min(nc) AS nmin"))
         .selectExpr("doc_a AS doc_id", "nmin")
-      // carry the previous label through the checkpoint so convergence
-      // is a filter-count on the materialized rows — not a second join
-      // against the previous round (which doubled the per-round jobs)
+      // carry the previous label through the checkpoint AND count the
+      // changes as an observed metric ON the fence job itself — the
+      // r16 gr_hits discipline; the old formulation paid a separate
+      // filter-count job per round over the just-materialized blocks
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$rounds")
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .selectExpr("doc_id",
           "least(component, coalesce(nmin, component)) AS component",
           "component AS old")
+        .observe(obs,
+          expr("sum(CASE WHEN component != old THEN 1 ELSE 0 END) AS changed"))
         .fenced
-      val changed = next.where("component != old").count()
+      val changed = Option(obs.get("changed")).fold(0L)(_.asInstanceOf[Long])
+      release(curFence) // superseded round (next is materialized)
+      curFence = next
       labels = next.select("doc_id", "component")
       converged = changed == 0
       rounds += 1
     }
+    release(edges) // labels reads only the final round's fence
     labels
   }
 

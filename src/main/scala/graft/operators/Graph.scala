@@ -1348,21 +1348,30 @@ object Graph {
     * stabilizes) — the depth is what bounds the oracle's fixed unroll.
     */
   private[graft] def kCoreWithDepth(edges: DataFrame, k: Int): (DataFrame, Int) = {
+    // the surviving-edge count rides each round's eager fence as an
+    // observed metric (the gr_hits r16 discipline) — the old separate
+    // e.count() job per peel round re-read the O(E) blocks ~peel-depth
+    // times per run for one scalar
+    val obs0 = org.apache.spark.sql.Observation("kcore_n_0")
     var e = edges.selectExpr("a AS src", "b AS dst")
       .unionByName(edges.selectExpr("b AS src", "a AS dst"))
-      .repartition(col("src")).fenced
-    var n = e.count()
+      .repartition(col("src"))
+      .observe(obs0, expr("count(*) AS n")).fenced
+    var n = obs0.get("n").asInstanceOf[Long]
     var done = n == 0
     var depth = 0
     while (!done) {
       val keep = e.groupBy("src").agg(expr("count(*) AS d"))
         .where(s"d >= $k").select("src")
+      val obs = org.apache.spark.sql.Observation(s"kcore_n_${depth + 1}")
       val e2 = e.join(keep, "src")
         .join(keep.selectExpr("src AS dst"), "dst")
         .select("src", "dst")
-        .repartition(col("src")).fenced
-      val n2 = e2.count()
+        .repartition(col("src"))
+        .observe(obs, expr("count(*) AS n")).fenced
+      val n2 = obs.get("n").asInstanceOf[Long]
       done = n2 == n
+      release(e) // superseded peel round (e2 is already materialized)
       e = e2; n = n2; depth += 1
     }
     (e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS core_deg"))
@@ -1391,17 +1400,28 @@ object Graph {
     var empty = frontier.isEmpty
     while (h < maxHops && !empty) {
       h += 1
+      // frontier size rides the fence job (observed metric) instead of
+      // a separate isEmpty job per hop
+      val obs = org.apache.spark.sql.Observation(s"bfs_n_$h")
       val next = e.join(frontier.selectExpr("id AS src"), "src")
         .selectExpr("dst AS id").distinct()
         .join(known.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(h.toLong))
+        .observe(obs, expr("count(*) AS n"))
         .fenced
-      empty = next.isEmpty
+      empty = obs.get("n").asInstanceOf[Long] == 0L
       if (!empty) {
-        known = known.unionByName(next).repartition(col("id")).fenced
+        val grown = known.unionByName(next).repartition(col("id")).fenced
+        release(known) // superseded accumulator (grown is materialized)
+        if (frontier ne known) release(frontier) // h=1: same fence, once
+        known = grown
         frontier = next
+      } else {
+        release(next) // the empty terminal frontier's zero-row blocks
       }
     }
+    if (frontier ne known) release(frontier)
+    release(e)
     known
   }
 
