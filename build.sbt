@@ -32,3 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// extra -D flags for experiment lanes (e.g. SPARK_GRAFT_JAVA_OPTS=
+// "-Dspark.graft.fence.storageLevel=DISK_ONLY"); SparkSession reads
+// spark.* system properties, so engine confs flow into the forked JVM
+// without a build.sbt edit per experiment
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

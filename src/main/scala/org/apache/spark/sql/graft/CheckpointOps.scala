@@ -67,6 +67,28 @@ object CheckpointOps {
     }
   }
 
+  /** `spark.graft.fence.storageLevel=DISK_ONLY` (any
+    * `StorageLevel.fromString` name) overrides the block storage level
+    * of every fence in the engine. Unset — the default — keeps Spark's
+    * own localCheckpoint level (MEMORY_AND_DISK), byte-identical to
+    * the pre-conf behavior. The override exists for the
+    * memory-constrained regime PLANS.md's sf10 decade rows surfaced:
+    * a 16 GiB driver heap shared by 32 executor threads put the graph
+    * family's O(E) edge checkpoints and per-round O(V) fences into
+    * block-manager eviction churn (gr_hits sf10: 171 s at 16 g vs
+    * 65 s at 48 g). DISK_ONLY fences take the fence blocks out of the
+    * storage-memory pool entirely — rounds re-read them from local
+    * disk (page-cache-warm in practice) instead of competing with
+    * execution memory for the unified region. On a real cluster the
+    * same knob sizes down executor storage pressure when the fenced
+    * state per executor approaches its heap share.
+    */
+  private def fenceLevelOverride(
+      spark: org.apache.spark.sql.SparkSession): Option[org.apache.spark.storage.StorageLevel] =
+    spark.conf.getOption("spark.graft.fence.storageLevel")
+      .filter(_.nonEmpty)
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+
   /** The conf-gated lineage fence every iterative operator uses:
     * `localCheckpoint(eager)` by default; under
     * `spark.graft.checkpoint.reliable=true` the rows persist
@@ -77,6 +99,7 @@ object CheckpointOps {
     * Both flavors advertise `UnknownPartitioning` (use
     * [[checkpointHashPartitioned]] when a downstream join/agg must
     * reuse the layout) and both are releasable via [[release]].
+    * [[fenceLevelOverride]] applies to both flavors.
     */
   def fence[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
     if (reliableMode(ds.sparkSession)) {
@@ -85,12 +108,16 @@ object CheckpointOps {
       val spark = cds.sparkSession
       val qe = cds.queryExecution
       val rdd: RDD[InternalRow] = qe.toRdd.map(_.copy())
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.persist(fenceLevelOverride(spark)
+        .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       rdd.checkpoint()
       rdd.count()
       Dataset.ofRows(spark, LogicalRDD(qe.analyzed.output, rdd)(spark))
         .as[T](cds.encoder)
-    } else ds.localCheckpoint(eager = true)
+    } else fenceLevelOverride(ds.sparkSession) match {
+      case Some(lvl) => ds.localCheckpoint(eager = true, storageLevel = lvl)
+      case None => ds.localCheckpoint(eager = true)
+    }
 
   /** Postfix syntax for [[fence]]: `df.fenced` reads like the
     * `df.localCheckpoint(true)` it replaces at 60+ call sites.
@@ -120,9 +147,14 @@ object CheckpointOps {
       // persist BEFORE checkpointing: the post-job checkpoint write
       // then reads the cached blocks instead of recomputing the
       // repartition, and healthy-path consumers keep block-speed reads
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.persist(fenceLevelOverride(spark)
+        .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       rdd.checkpoint()
     } else {
+      // persist-before-mark: localCheckpoint() keeps a pre-set level
+      // (adding the disk flag it requires), so the override flows
+      // through; unset, localCheckpoint applies its own default
+      fenceLevelOverride(spark).foreach(rdd.persist(_))
       rdd.localCheckpoint()
     }
     rdd.count() // materialize NOW so every consumer reuses the blocks

@@ -155,6 +155,74 @@ class CheckpointOpsSpec extends SparkSpec {
     }
   }
 
+  /** Run `body` with the fence storage-level override set, restoring
+    * the unset default afterward (shared session — a leaked override
+    * would flip every other spec's fences to the overridden level).
+    */
+  private def withFenceLevel[A](level: String)(body: => A): A = {
+    spark.conf.set("spark.graft.fence.storageLevel", level)
+    try body
+    finally spark.conf.unset("spark.graft.fence.storageLevel")
+  }
+
+  private def blockLevel(df: org.apache.spark.sql.DataFrame): org.apache.spark.storage.StorageLevel =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getStorageLevel
+      case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+    }
+
+  test("fence storage-level override: DISK_ONLY fences hold no memory blocks " +
+      "and values still round-trip") {
+    withFenceLevel("DISK_ONLY") {
+      import spark.implicits._
+      val df = (0L until 1000L).map(i => (i % 7, i)).toDF("k", "v")
+      val f = fence(df).toDF()
+      val lvl = blockLevel(f)
+      assert(lvl.useDisk && !lvl.useMemory,
+        s"DISK_ONLY override must keep fence blocks out of storage memory, got $lvl")
+      assert(f.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+        (0L until 1000L).map(i => (i % 7, i)).sorted)
+      release(f)
+    }
+  }
+
+  test("fence storage-level override: checkpointHashPartitioned keeps the " +
+      "advertised layout (zero exchanges) at DISK_ONLY") {
+    withFenceLevel("DISK_ONLY") {
+      import spark.implicits._
+      val df = (0L until 5000L).map(i => (i % 97, i)).toDF("k", "v")
+      val cp = checkpointHashPartitioned(df, 8, "k")
+      val lvl = blockLevel(cp)
+      assert(lvl.useDisk && !lvl.useMemory,
+        s"override must flow through the persist-before-mark path, got $lvl")
+      val plan = cp.groupBy("k").agg(sum("v").as("s"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"advertised partitioning not honored under the level override:\n$plan")
+      val misplaced = cp
+        .withColumn("pid", spark_partition_id())
+        .withColumn("want", pmod(hash(col("k")), lit(8)))
+        .where("pid != want").count()
+      assert(misplaced == 0,
+        s"$misplaced rows not in their advertised partition at DISK_ONLY")
+      val got = cp.groupBy("k").agg(sum("v").as("s")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = (0L until 5000L).groupBy(_ % 97).map { case (k, vs) => (k, vs.sum) }
+      assert(got == want)
+      release(cp)
+    }
+  }
+
+  test("fence storage-level unset: fences keep Spark's own localCheckpoint default") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i % 7, i)).toDF("k", "v")
+    val f = fence(df).toDF()
+    val lvl = blockLevel(f)
+    assert(lvl.useDisk && lvl.useMemory,
+      s"unset override must leave the MEMORY_AND_DISK default intact, got $lvl")
+    release(f)
+  }
+
   test("unknown key is rejected") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("k", "v")
