@@ -247,27 +247,17 @@ object Bench {
     * discipline as the main lane. Each plan build creates fresh
     * `graft_*` temp dirs by design (the sink IS the measured work), so
     * the lane sweeps dirs it created between passes — 5 runs per query
-    * would otherwise leave 5 corpus-sized copies each on disk.
+    * would otherwise leave 5 corpus-sized copies each on disk. The
+    * sweep drains the [[TmpDirs]] registry (dirs THIS process
+    * created), never a prefix scan over the shared java.io.tmpdir —
+    * a concurrent graft JVM's live lake roots match any
+    * (prefix, mtime) heuristic.
     */
   private def sinkBench(spark: SparkSession, sfDir: String): Unit = {
     val defs = Registry.all.filter(_.sinkBench)
-    val laneStart = System.currentTimeMillis()
     def exhaust(d: QueryDef, dir: String): Unit =
       d.run(spark, dir).write.mode("overwrite").format("noop").save()
-    // delete graft_* temp dirs created after lane start: only this
-    // lane's sink outputs can match the (prefix, mtime) window in this
-    // JVM — the memoized roots other queries keep (e.g. the release
-    // gate's lake copy) are never built here
-    def sweepTmp(): Unit = {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
-      }
-      Option(tmp.listFiles()).foreach(_.foreach { f =>
-        if (f.isDirectory && f.getName.startsWith("graft_") &&
-            f.lastModified() >= laneStart - 1000) del(f)
-      })
-    }
+    def sweepTmp(): Unit = TmpDirs.sweepCreated()
     defs.foreach(d => try exhaust(d, "/root/testdata/sf0.001") catch { case _: Throwable => () })
     sweepTmp()
     defs.foreach(d => try exhaust(d, sfDir) catch { case _: Throwable => () })

@@ -2381,12 +2381,12 @@ object Curation {
     gateLakeCache.get((spark, dir)) match {
       case Some(r) => r
       case None =>
+        // NOT TmpDirs.create: this root is a session-lifetime memo the
+        // sink lane's sweep must never reclaim; the shutdown hook is
+        // its whole cleanup story
         val tmp = java.nio.file.Files.createTempDirectory("graft_gate")
         Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def del(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
-          }
-          del(tmp.toFile)
+          graft.TmpDirs.deleteRecursively(tmp.toFile)
         }))
         val root = tmp.toString + "/documents"
         graft.sources.Lake.commitVersion(spark, Tables.documents(spark, dir), root)

@@ -100,6 +100,7 @@ object Graph {
     val verts = checkpointHashPartitioned(
       e.select(col("src").as("id")).distinct(), w, "id")
     var r = verts.withColumn("r", lit(1000000L))
+    var loopFence: DataFrame = null
     (1 to iters).foreach { i =>
       val contrib = withDeg
         .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
@@ -110,8 +111,16 @@ object Graph {
       // a FIXED iteration count needs no per-round convergence action,
       // so lineage stays lazy — one job plans all rounds (materializing
       // every round tripled wall-clock); the fence only kicks in on
-      // walks deep enough for plan analysis to grow noticeable
-      if (i % 6 == 0 && i < iters) r = r.fenced
+      // walks deep enough for plan analysis to grow noticeable. Each
+      // fence supersedes the previous one — release it, or deep runs
+      // leak a fence per 6 rounds (blocks locally; corpus-sized FILE
+      // sets under the reliable mode)
+      if (i % 6 == 0 && i < iters) {
+        val prev = loopFence
+        r = r.fenced
+        loopFence = r
+        if (prev != null) release(prev)
+      }
     }
     // materialize INSIDE the guard so the rounds execute under the
     // iteration confs (returned lazily, they would plan at the
@@ -120,6 +129,7 @@ object Graph {
     // the result is materialized — drop the iteration-only checkpoint
     // blocks so repeated invocations (bench passes) don't pile dead
     // blocks into the block manager
+    if (loopFence != null) release(loopFence)
     release(withDeg); release(verts); release(e)
     out
     }
@@ -391,6 +401,7 @@ object Graph {
         .selectExpr("id", "coalesce(seed, false) AS seed"), w, "id")
     var r = verts.selectExpr("id", "seed",
       "CASE WHEN seed THEN 1000000L ELSE 0L END AS r")
+    var loopFence: DataFrame = null
     (1 to iters).foreach { i =>
       val contrib = withDeg
         .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
@@ -399,9 +410,16 @@ object Graph {
           Seq("id"), "left")
         .selectExpr("id", "seed",
           s"CASE WHEN seed THEN $BasePpm ELSE 0L END + ($Damping * coalesce(c, 0L)) div 100 AS r")
-      if (i % 6 == 0 && i < iters) r = r.fenced
+      // release superseded in-loop fences (see pageRank)
+      if (i % 6 == 0 && i < iters) {
+        val prev = loopFence
+        r = r.fenced
+        loopFence = r
+        if (prev != null) release(prev)
+      }
     }
     val out = checkpointHashPartitioned(r.select("id", "r"), w, "id")
+    if (loopFence != null) release(loopFence)
     release(withDeg); release(verts); release(e)
     out
     }
@@ -421,6 +439,7 @@ object Graph {
     val verts = checkpointHashPartitioned(
       e.select(col("src").as("id")).distinct(), wdt, "id")
     var r = verts.withColumn("r", lit(1000000L))
+    var loopFence: DataFrame = null
     (1 to iters).foreach { i =>
       val contrib = withW
         .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
@@ -428,9 +447,16 @@ object Graph {
       r = verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
           Seq("id"), "left")
         .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
-      if (i % 6 == 0 && i < iters) r = r.fenced
+      // release superseded in-loop fences (see pageRank)
+      if (i % 6 == 0 && i < iters) {
+        val prev = loopFence
+        r = r.fenced
+        loopFence = r
+        if (prev != null) release(prev)
+      }
     }
     val out = checkpointHashPartitioned(r, wdt, "id")
+    if (loopFence != null) release(loopFence)
     release(withW); release(verts); release(e)
     out
     }

@@ -207,7 +207,7 @@ object ChunkStore {
     QueryDef(
       "s2_pdf_pipeline",
       (spark, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_pdf_gate").toString
+        val tmp = graft.TmpDirs.create("graft_pdf_gate").toString
         PdfFixtures.writeFixtureDir(tmp)
         PdfText.extractChunks(spark, tmp)
           .selectExpr("source", "cast(page_number AS int) AS page_number",
@@ -274,7 +274,7 @@ object ChunkStore {
             "cast(coalesce(chunk_number, 0) AS int) AS paragraph_number",
             "cast(7 AS int) AS total_pages",
             "cast(coalesce(chunk_number, 0) AS int) AS chunk_number")
-        val path = java.nio.file.Files.createTempDirectory("graft_s3").toString + "/chunks_csv"
+        val path = graft.TmpDirs.create("graft_s3").toString + "/chunks_csv"
         writeCsv(chunks, path)
         readCsv(spark, path)
           .groupBy("source")
@@ -309,7 +309,7 @@ object ChunkStore {
         val docs = graft.Tables.documents(spark, dir)
           .selectExpr("doc_id", "lang", "source",
             "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-        val path = java.nio.file.Files.createTempDirectory("graft_s9").toString + "/docs_orc"
+        val path = graft.TmpDirs.create("graft_s9").toString + "/docs_orc"
         docs.write.mode("overwrite").option("compression", "zlib").orc(path)
         spark.read.orc(path)
           .where("lang != 'zh'") // pushes into the ORC reader
@@ -347,7 +347,7 @@ object ChunkStore {
       (spark, dir) => {
         val docs = graft.Tables.documents(spark, dir)
           .selectExpr("doc_id", "lang", "source", "text", "n_chars")
-        val path = java.nio.file.Files.createTempDirectory("graft_s12").toString + "/docs_jsonl"
+        val path = graft.TmpDirs.create("graft_s12").toString + "/docs_jsonl"
         docs.write.mode("overwrite").json(path)
         spark.read
           .schema("doc_id BIGINT, lang STRING, source STRING, text STRING, n_chars BIGINT")
@@ -384,7 +384,7 @@ object ChunkStore {
         val docs = graft.Tables.documents(spark, dir)
           .selectExpr("doc_id", "lang",
             "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-        val base = java.nio.file.Files.createTempDirectory("graft_s10").toString
+        val base = graft.TmpDirs.create("graft_s10").toString
         docs.repartition(64).write.mode("overwrite").parquet(s"$base/small")
         spark.read.parquet(s"$base/small")
           .repartition(4).write.mode("overwrite").parquet(s"$base/compact")
@@ -419,7 +419,7 @@ object ChunkStore {
         val chunks = graft.operators.Chunker.queries.head.run(spark, dir)
           .selectExpr("chunk_text AS text", "cast(doc_id AS string) AS doc_id_str",
             "cast(coalesce(chunk_number, 0) AS string) AS chunk_no_str")
-        val store = java.nio.file.Files.createTempDirectory("graft_s6").toString + "/store"
+        val store = graft.TmpDirs.create("graft_s6").toString + "/store"
         addDocuments(spark, chunks, store, Seq("doc_id_str", "chunk_no_str"))
         val stBefore = spark.read.parquet(store)
         val before = stats(stBefore, "graft_chunks")._1
@@ -450,7 +450,7 @@ object ChunkStore {
             "chunk_text AS text",
             """map('doc_id', cast(doc_id AS string),
                    'chunk_number', cast(coalesce(chunk_number, 0) AS string)) AS metadata""")
-        val path = java.nio.file.Files.createTempDirectory("graft_s7").toString + "/dump"
+        val path = graft.TmpDirs.create("graft_s7").toString + "/dump"
         dumpJson(store, path)
         val schema = StructType(Seq(
           StructField("id", StringType),

@@ -433,17 +433,18 @@ object Lake {
         .getOrElse(throw new IllegalArgumentException(s"no committed versions under $root"))
       val cur = readVersion(spark, root, Some(base))
       val cols = cur.columns
-      val su = Iterator.from(0).map(i => "_u" + ("_" * i))
-        .find(s => !cols.contains(s)).get
-      val sd = Iterator.from(0).map(i => "_del" + ("_" * i))
-        .find(s => !cols.contains(s)).get
-      // unique against BOTH sides: the predicate below references the
-      // marker unqualified-safe (b.$sb), but a source column with the
-      // same name would still shadow it in error messages — avoid the
-      // collision outright.
+      // every marker uniques against BOTH sides: su/sd are added to the
+      // SOURCE frame, so a source column literally named "_u"/"_del"
+      // would be silently overwritten by withColumn before deleteCond
+      // evaluates (a deleteCond referencing it would then read the
+      // constant marker — wrong rows deleted with no error); sb sits on
+      // the base side of the same join, same collision class.
       val allCols = cols ++ source.columns
-      val sb = Iterator.from(0).map(i => "_b" + ("_" * i))
-        .find(s => !allCols.contains(s)).get
+      def marker(stem: String): String = Iterator.from(0)
+        .map(i => stem + ("_" * i)).find(s => !allCols.contains(s)).get
+      val su = marker("_u")
+      val sd = marker("_del")
+      val sb = marker("_b")
       val src = source
         .withColumn(su, lit(1))
         .withColumn(sd, expr(deleteCond))

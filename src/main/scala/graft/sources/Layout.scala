@@ -108,7 +108,7 @@ object Layout {
         val ev = Tables.events(spark, dir).selectExpr(
           "event_id", "user_id", "event_type", "value",
           "cast(day(ts) AS int) AS d")
-        val base = java.nio.file.Files.createTempDirectory("graft_s11").toString
+        val base = graft.TmpDirs.create("graft_s11").toString
         zOrderWrite(ev, s"$base/z", 16, col("user_id"), col("d"))
         val zr = spark.read.parquet(s"$base/z")
         val userBand = zr.where("user_id BETWEEN 3 AND 5")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.classic.{Dataset, SparkSession}
-import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.{LogicalRDD, QueryExecution, SQLExecution}
 
 /** Checkpointing that KEEPS the partitioning contract.
   *
@@ -52,6 +52,15 @@ object CheckpointOps {
     * MEMORY_AND_DISK as well, so healthy-path reads never touch the
     * files. PLANS.md ("reliable checkpoint mode") records when a
     * deployment should flip it.
+    *
+    * File lifetime: [[release]] deletes a SUPERSEDED fence's files
+    * (every iterative loop releases its per-round and input fences),
+    * but query-FINAL fences live as long as the result does — a
+    * reliable-mode deployment should also set Spark's own
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
+    * ContextCleaner reclaims those file sets when the RDD is
+    * garbage-collected, instead of accumulating one per query for the
+    * application's lifetime.
     */
   private def reliableMode(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get("spark.graft.checkpoint.reliable", "false").toBoolean
@@ -89,6 +98,21 @@ object CheckpointOps {
       .filter(_.nonEmpty)
       .map(org.apache.spark.storage.StorageLevel.fromString)
 
+  /** Materialize a manually-built fence RDD under a REGISTERED SQL
+    * execution, the way `Dataset.withAction` does — a bare
+    * `rdd.count()` never posts `SparkListenerSQLExecutionEnd`, so no
+    * `QueryExecutionListener` fires for the plan and any
+    * `Dataset.observe` metric riding the fenced frame (the per-round
+    * scalars of gr_hits/k-core/BFS/connected components) would leave
+    * its `Observation` promise uncompleted — `obs.get` then blocks
+    * forever. Spark's `ExecutionListenerBus` converts the
+    * execution-end event into `onSuccess(name, qe, ..)` only when the
+    * execution carries a name, hence `Some(name)`.
+    */
+  private def materializeAsAction(qe: QueryExecution, name: String,
+                                  rdd: RDD[InternalRow]): Unit =
+    SQLExecution.withNewExecutionId(qe, Some(name)) { rdd.count(); () }
+
   /** The conf-gated lineage fence every iterative operator uses:
     * `localCheckpoint(eager)` by default; under
     * `spark.graft.checkpoint.reliable=true` the rows persist
@@ -111,7 +135,7 @@ object CheckpointOps {
       rdd.persist(fenceLevelOverride(spark)
         .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       rdd.checkpoint()
-      rdd.count()
+      materializeAsAction(qe, "fence", rdd)
       Dataset.ofRows(spark, LogicalRDD(qe.analyzed.output, rdd)(spark))
         .as[T](cds.encoder)
     } else fenceLevelOverride(ds.sparkSession) match {
@@ -157,7 +181,10 @@ object CheckpointOps {
       fenceLevelOverride(spark).foreach(rdd.persist(_))
       rdd.localCheckpoint()
     }
-    rdd.count() // materialize NOW so every consumer reuses the blocks
+    // materialize NOW so every consumer reuses the blocks — as a named
+    // SQL execution so observations on `df` complete (see
+    // materializeAsAction)
+    materializeAsAction(qe, "checkpointHashPartitioned", rdd)
     val output = qe.analyzed.output
     val keyAttrs = keys.map { k =>
       output.find(_.name == k).getOrElse(

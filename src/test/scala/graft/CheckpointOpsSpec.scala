@@ -155,6 +155,44 @@ class CheckpointOpsSpec extends SparkSpec {
     }
   }
 
+  /** The reliable fence materializes through a manual RDD path; it
+    * must still post the SQL-execution-end event, or a
+    * `Dataset.observe` metric riding the fence (the per-round scalars
+    * of gr_hits/k-core/BFS/connected components) never completes and
+    * `obs.get` blocks forever. Bounded with a timeout so a regression
+    * fails instead of hanging the suite.
+    */
+  test("reliable fence completes Observation metrics instead of deadlocking obs.get") {
+    withReliable { _ =>
+      import spark.implicits._
+      val obs = org.apache.spark.sql.Observation("ckpt_reliable_obs")
+      val df = (0L until 500L).map(i => (i % 7, i)).toDF("k", "v")
+        .observe(obs, sum("v").as("s"))
+      val f = fence(df).toDF()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val s = Await.result(Future(obs.get("s")), 60.seconds)
+      assert(s == (0L until 500L).sum,
+        "observed metric must carry the fence job's aggregate")
+      release(f)
+    }
+  }
+
+  test("checkpointHashPartitioned completes Observation metrics on its input") {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation("ckpt_hashpart_obs")
+    val df = (0L until 500L).map(i => (i % 7, i)).toDF("k", "v")
+      .observe(obs, count(lit(1)).as("n"))
+    val cp = checkpointHashPartitioned(df, 4, "k")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val n = Await.result(Future(obs.get("n")), 60.seconds)
+    assert(n == 500L)
+    release(cp)
+  }
+
   /** Run `body` with the fence storage-level override set, restoring
     * the unset default afterward (shared session — a leaked override
     * would flip every other spec's fences to the overridden level).

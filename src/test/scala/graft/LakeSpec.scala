@@ -733,4 +733,26 @@ class LakeSpec extends SparkSpec {
       "the extra source column must not leak into the table schema")
   }
 
+  test("MERGE: a source column literally named _u keeps its DATA when deleteCond reads it") {
+    val root = freshRoot()
+    Lake.commitVersion(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "name", "x"), root)
+    // the upsert marker used to be uniqued against BASE columns only:
+    // a source column named _u was silently overwritten by the lit(1)
+    // marker BEFORE deleteCond evaluated, so a condition reading _u
+    // saw the constant — wrong rows deleted/inserted, no error
+    val src = Seq(
+      (2L, "b2", 99L, 7L), // _u = 7 → DELETE key 2
+      (3L, "c2", 31L, 0L), // _u = 0 → UPDATE key 3
+      (4L, "d", 40L, 0L))  // _u = 0, unmatched → INSERT key 4
+      .toDF("k", "name", "x", "_u")
+    Lake.merge(spark, src, root, "k", "_u = 7")
+    val tip = Lake.readVersion(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tip == Set((1L, "a", 10L), (3L, "c2", 31L), (4L, "d", 40L)),
+      "deleteCond must see the source's own _u data, not the merge marker")
+    assert(!Lake.readVersion(spark, root).columns.contains("_u"),
+      "the extra source column must not leak into the table schema")
+  }
+
 }
