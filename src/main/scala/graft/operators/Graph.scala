@@ -70,11 +70,23 @@ object Graph {
     val conf = spark.conf
     val aqe = conf.get("spark.sql.adaptive.enabled")
     val wsc = conf.get("spark.sql.codegen.wholeStage")
+    val cp = conf.get("spark.sql.constraintPropagation.enabled")
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+    // constraint propagation re-derives the constraint set of every
+    // join/filter subtree on each round's fresh plan — pure optimizer
+    // inference (no plan it enables matters in these loops: the round
+    // joins are all hinted shuffle_hash on advertised partitionings)
+    // that grows with plan depth between fences. Paired back-to-back
+    // A/B on gr_pagerank_conv sf0.1 (r16): 44.6 -> 42.6 s and
+    // 43.2 -> 40.7 s with it off (~5%), same rows. Scoped to the
+    // iteration and restored after — global queries keep the
+    // inference (e.g. IsNotNull pushdown from join conditions).
+    conf.set("spark.sql.constraintPropagation.enabled", "false")
     try f finally {
       conf.set("spark.sql.adaptive.enabled", aqe)
       conf.set("spark.sql.codegen.wholeStage", wsc)
+      conf.set("spark.sql.constraintPropagation.enabled", cp)
     }
   }
 
@@ -328,7 +340,18 @@ object Graph {
     withIterConf(e.sparkSession) {
     val w = iterWidth(edges)
     val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
-    val withDeg = checkpointHashPartitioned(e.join(deg, "src"), w, "src")
+    // The stationary table a round re-reads is the 100 TB side and is
+    // re-scanned once PER ROUND — keep it as narrow as the algorithm
+    // allows (guide §2.3 "narrower types / project early", applied to
+    // the fence): (src, dst) only. outdeg moves to a V-sized
+    // checkpoint of its own, and each round divides r by outdeg on
+    // the O(V) score side BEFORE the edge join (same integer
+    // arithmetic, one div per vertex instead of one per edge), so the
+    // per-round E-sized work is join + sum only. Profiled before the
+    // split: 10.9 GB of fence-block re-reads per run at sf0.1 —
+    // dropping outdeg cuts the re-read payload by a third.
+    val eFence = checkpointHashPartitioned(e, w, "src")
+    val degF = checkpointHashPartitioned(deg, w, "src")
     val verts = checkpointHashPartitioned(
       e.select(col("src").as("id")).distinct(), w, "id")
     var r = checkpointHashPartitioned(
@@ -343,20 +366,38 @@ object Graph {
       // misreport the returned round)
       val block = math.min(checkEvery, maxIters - i)
       (1 to block).foreach { _ =>
-        val contrib = withDeg
-          .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
-          .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
+        // quotient on the V-sized side: scores and degrees are both
+        // hash(src, w) checkpoints, so this join is exchange-free
+        val q = r.selectExpr("id AS src", "r AS rs")
+          .join(degF.hint("shuffle_hash"), "src")
+          .selectExpr("src", "rs div outdeg AS q")
+        val contrib = eFence
+          .join(q.hint("shuffle_hash"), "src")
+          .groupBy("dst").agg(expr("cast(sum(q) AS bigint) AS c"))
         r = verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
             Seq("id"), "left")
           .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
       }
       i += block
-      // fence WITH the id-layout advertised: the cycle-detection join
-      // below and next fence's rounds then start from a co-partitioned
-      // state table instead of re-deriving the layout
-      r = checkpointHashPartitioned(r, w, "id")
-      cycled = r.join(prevFence.selectExpr("id", "r AS rp"), "id")
-        .where("r != rp").isEmpty
+      // fence WITH the id-layout advertised: the next block's rounds
+      // start from a co-partitioned state table instead of re-deriving
+      // the layout. The cycle check RIDES the fence job as an observed
+      // metric (the gr_hits/k-core r16 discipline): join the new state
+      // to the previous fence — both advertise hash(id, w), so the
+      // join is exchange-free, and shuffle_hash keeps it sort-free —
+      // and count differing rows while the fence materializes. The old
+      // shape paid a separate isEmpty JOB per block (~17 extra
+      // scheduler barriers over a 102-round run) that re-read both
+      // fenced block sets for one boolean. Both sides hold exactly one
+      // row per vertex id, so the inner join is row-preserving and
+      // d == 0 ⟺ the old "no row differs".
+      val obs = org.apache.spark.sql.Observation(s"prc_diff_$i")
+      r = checkpointHashPartitioned(
+        r.join(prevFence.selectExpr("id", "r AS rp").hint("shuffle_hash"), "id")
+          .observe(obs, expr("count_if(r != rp) AS d"))
+          .select("id", "r"),
+        w, "id")
+      cycled = obs.get("d").asInstanceOf[Long] == 0L
       if (prevFence ne r) release(prevFence) // superseded fence blocks
       prevFence = r
     }
@@ -377,7 +418,7 @@ object Graph {
       // 2026-08-13 testdata vintage moved sf0.1 detection 84 -> ~132)
       System.err.println(
         s"[graft] pageRankConverged: period-$checkEvery cycle detected at round $i")
-    release(withDeg); release(verts); release(e)
+    release(eFence); release(degF); release(verts); release(e)
     r
     }
   }
