@@ -20,6 +20,22 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
+      // Bypass-merge shuffle writes ONE FILE PER REDUCE PARTITION per
+      // map task (M×R creates); the sort-based writer writes one
+      // data+index pair per map task. The iterative operators shuffle
+      // small per-round state hundreds of times per run, and the
+      // per-round M×R file creation was measured as the DOMINANT cost
+      // of the graph family at sf0.1 (thread dumps: executor workers
+      // in FileOutputStream.open0 under BypassMergeSortShuffleWriter;
+      // gr_pagerank_conv 42.7 → 14.4 s, gr_hits 7.6 → 3.3 s,
+      // gr_labelprop 6.3 → 3.1 s solo with the sort writer). Scale-
+      // neutral by construction: any shuffle with > threshold reduce
+      // partitions — every real-cluster-sized exchange — already uses
+      // the sort writer regardless of this value; the threshold only
+      // governs small-R shuffles, exactly where M×R file creation is
+      // the pathology. Env-overridable for A/B lanes.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "16"))
       .getOrCreate()
     // ERROR, not WARN: the driver records the bench tail, and benign
     // per-run warnings (e.g. the documented single-partition window in

@@ -1337,8 +1337,19 @@ object Dedup {
       (spark, dir) => {
         import org.apache.spark.sql.graft.CheckpointOps.{checkpointHashPartitioned, release}
         graft.plans.VectorExprs.register(spark) // shingle_hashes
+        // the tokenized corpus is consumed SIX times (one posting per
+        // ladder level + the final n_tokens scan); fence it once so
+        // the parquet scan + regex cleanup + split run once, not per
+        // level (r16; measured solo at sf0.1 below). Plain fence — no
+        // repartition: every consumer either re-exchanges on h anyway
+        // (the level postings) or is doc-bounded (the join-back), so
+        // an advertised layout would add an exchange of the tokenized
+        // corpus for nothing. Peak footprint becomes toks + ONE
+        // level's posting — still bounded, unlike the rejected
+        // stacked-levels form (levels×tokens, OOM at sf10).
         val toks = exactSubstrCorpus(spark, dir)
           .selectExpr("doc_id", "split(tc, ' ') AS toks")
+          .fenced
         val perLevel = DupProfileLadder.map { l =>
           val post = checkpointHashPartitioned(
             toks.selectExpr("doc_id", s"explode(shingle_hashes(toks, $l)) AS h"),
