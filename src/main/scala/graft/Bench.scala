@@ -12,30 +12,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    // engine config (incl. the measured bypassMergeThreshold shuffle-
+    // writer fix) comes from the shared GraftSession builder so the
+    // benched config IS the shipped config
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.driver.maxResultSize", "2g")
-      // Bypass-merge shuffle writes ONE FILE PER REDUCE PARTITION per
-      // map task (M×R creates); the sort-based writer writes one
-      // data+index pair per map task. The iterative operators shuffle
-      // small per-round state hundreds of times per run, and the
-      // per-round M×R file creation was measured as the DOMINANT cost
-      // of the graph family at sf0.1 (thread dumps: executor workers
-      // in FileOutputStream.open0 under BypassMergeSortShuffleWriter;
-      // gr_pagerank_conv 42.7 → 14.4 s, gr_hits 7.6 → 3.3 s,
-      // gr_labelprop 6.3 → 3.1 s solo with the sort writer). Scale-
-      // neutral by construction: any shuffle with > threshold reduce
-      // partitions — every real-cluster-sized exchange — already uses
-      // the sort writer regardless of this value; the threshold only
-      // governs small-R shuffles, exactly where M×R file creation is
-      // the pathology. Env-overridable for A/B lanes.
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "16"))
       .getOrCreate()
     // ERROR, not WARN: the driver records the bench tail, and benign
     // per-run warnings (e.g. the documented single-partition window in
@@ -154,6 +135,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
+    // Compact summary AFTER the full line (additions-only; the full
+    // line stays the contract): the 257-query line is ~8 KB and every
+    // 2000-char stdout-tail capture r01–r15 truncated it to
+    // unparseable, losing the round-over-round totals. A short
+    // total-only line at the very end of stdout survives any tail.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     // Persist the complete line as a repo artifact: the round log keeps
     // only a truncated tail of stdout, which loses the total and early
     // per-query figures. The committed artifact is what

@@ -41,12 +41,9 @@ object Repl {
       if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft_repl").toString
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+    val spark = GraftSession
+      .builder(sys.env.getOrElse("SPARK_MASTER", "local[4]"), "4")
       .appName("graft-repl")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

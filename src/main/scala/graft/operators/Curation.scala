@@ -45,19 +45,11 @@ object Curation {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val neighborMin = edges
-        .join(labels.selectExpr("doc_id AS doc_b", "component AS nc"), "doc_b")
-        .groupBy("doc_a").agg(expr("min(nc) AS nmin"))
-        .selectExpr("doc_a AS doc_id", "nmin")
-      // carry the previous label through the checkpoint AND count the
-      // changes as an observed metric ON the fence job itself — the
+      // change count rides the fence job as an observed metric — the
       // r16 gr_hits discipline; the old formulation paid a separate
       // filter-count job per round over the just-materialized blocks
       val obs = org.apache.spark.sql.Observation(s"cc_changed_$rounds")
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .selectExpr("doc_id",
-          "least(component, coalesce(nmin, component)) AS component",
-          "component AS old")
+      val next = ccRound(edges, labels)
         .observe(obs,
           expr("sum(CASE WHEN component != old THEN 1 ELSE 0 END) AS changed"))
         .fenced
@@ -70,6 +62,45 @@ object Curation {
     }
     release(edges) // labels reads only the final round's fence
     labels
+  }
+
+  /** One lazy min-label-propagation round (pre-observe, pre-fence):
+    * per-vertex min neighbor label joined back onto the current
+    * labels, carrying the previous label through as `old` so the
+    * change count can ride the fence job. Shared by the loop and
+    * [[ccRoundPlanForSpec]].
+    */
+  private def ccRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val neighborMin = edges
+      .join(labels.selectExpr("doc_id AS doc_b", "component AS nc"), "doc_b")
+      .groupBy("doc_a").agg(expr("min(nc) AS nmin"))
+      .selectExpr("doc_a AS doc_id", "nmin")
+    labels.join(neighborMin, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "least(component, coalesce(nmin, component)) AS component",
+        "component AS old")
+  }
+
+  /** One connected-components round's executed-plan string — plan
+    * evidence for the fenced loop (the outer dump collapses to a
+    * checkpoint scan), built on the same fenced both-directions edge
+    * table and initial labels the loop starts from.
+    */
+  private[graft] def ccRoundPlanForSpec(pairs: DataFrame): String = {
+    import org.apache.spark.sql.graft.CheckpointOps.release
+    val edges = pairs.toDF("doc_a", "doc_b")
+      .unionByName(pairs.toDF("doc_a", "doc_b").selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
+      .fenced
+    val labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .fenced
+    val obs = org.apache.spark.sql.Observation("cc_changed_spec")
+    val s = ccRound(edges, labels)
+      .observe(obs,
+        expr("sum(CASE WHEN component != old THEN 1 ELSE 0 END) AS changed"))
+      .queryExecution.executedPlan.toString
+    release(edges); release(labels)
+    s
   }
 
   /** Cleaned text + md5 for the gate/dedup stages (shared fragment). */

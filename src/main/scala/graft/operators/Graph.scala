@@ -155,6 +155,42 @@ object Graph {
     * Returns one row per vertex with its role score at round 8
     * (hub score for customers, authority score for suppliers).
     */
+  /** The two lazy HITS half-rounds (pre-observe, pre-fence), factored
+    * so the loop and [[hitsRoundPlanForSpec]] share one definition:
+    * raw authority = per-dst sum of hub scores over the src-stationary
+    * edge fence; raw hub = per-src sum of authority scores over the
+    * dst-stationary fence. Both are shuffle_hash joins against the
+    * stationary checkpoints — no crossJoin, no BroadcastExchange (the
+    * r16 max-normalization rides the fence as an observed metric and
+    * divides by a literal).
+    */
+  private def hitsAuthRaw(eSrc: DataFrame, h: DataFrame): DataFrame =
+    eSrc.join(h.selectExpr("id AS src", "h AS hs").hint("shuffle_hash"), "src")
+      .groupBy("dst").agg(expr("cast(sum(hs) AS bigint) AS ar"))
+
+  private def hitsHubRaw(eDst: DataFrame, a: DataFrame): DataFrame =
+    eDst.join(a.selectExpr("id AS dst", "a AS av").hint("shuffle_hash"), "dst")
+      .groupBy("src").agg(expr("cast(sum(av) AS bigint) AS hrw"))
+
+  /** One HITS half-round's executed-plan string (authority pass with
+    * its riding max observation) — plan evidence for the fenced loop.
+    */
+  private[graft] def hitsRoundPlanForSpec(edges: DataFrame): String = {
+    val dirE = edges.toDF("src", "dst").where("src % 2 = 0").fenced
+    withIterConf(dirE.sparkSession) {
+      val w = iterWidth(dirE)
+      val eSrc = checkpointHashPartitioned(dirE, w, "src")
+      val h = eSrc.select(col("src").as("id")).distinct()
+        .withColumn("h", lit(1000000L))
+      val obs = org.apache.spark.sql.Observation("hits_amax_spec")
+      val s = hitsAuthRaw(eSrc, h)
+        .observe(obs, expr("max(ar) AS am"))
+        .queryExecution.executedPlan.toString
+      release(eSrc); release(dirE)
+      s
+    }
+  }
+
   def hits(edges: DataFrame, iters: Int = HitsIters): DataFrame = {
     require(iters >= 1, "hits needs at least one round")
     val dirE = edges.toDF("src", "dst").where("src % 2 = 0").fenced
@@ -181,18 +217,14 @@ object Graph {
         // round-trips across the run), and the normalization becomes a
         // row-local projection with a literal divisor.
         val obsA = org.apache.spark.sql.Observation(s"hits_amax_$i")
-        val araw = eSrc
-          .join(h.selectExpr("id AS src", "h AS hs").hint("shuffle_hash"), "src")
-          .groupBy("dst").agg(expr("cast(sum(hs) AS bigint) AS ar"))
+        val araw = hitsAuthRaw(eSrc, h)
           .observe(obsA, expr("max(ar) AS am"))
           .fenced
         fences += araw
         val am = obsA.get("am").asInstanceOf[Long]
         a = araw.selectExpr("dst AS id", s"ar * 1000000 div ${am}L AS a")
         val obsH = org.apache.spark.sql.Observation(s"hits_hmax_$i")
-        val hraw = eDst
-          .join(a.selectExpr("id AS dst", "a AS av").hint("shuffle_hash"), "dst")
-          .groupBy("src").agg(expr("cast(sum(av) AS bigint) AS hrw"))
+        val hraw = hitsHubRaw(eDst, a)
           .observe(obsH, expr("max(hrw) AS hm"))
           .fenced
         fences += hraw
@@ -334,6 +366,56 @@ object Graph {
     * lazy blocks pay per-stage lineage-serialization, shallower ones
     * pay fence+cycle-check jobs).
     */
+  /** One lazy pageRankConverged round over the stationary fences —
+    * quotient on the V-sized side (scores and degrees are both
+    * hash(src, w) checkpoints, so that join is exchange-free), then
+    * the contribution join + sum, then the rebind onto the vertex
+    * set. Shared by the iteration loop and [[prcRoundPlanForSpec]] so
+    * the dumped round plan IS the loop's plan.
+    */
+  private def prcRound(eFence: DataFrame, degF: DataFrame,
+                       verts: DataFrame, r: DataFrame): DataFrame = {
+    val q = r.selectExpr("id AS src", "r AS rs")
+      .join(degF.hint("shuffle_hash"), "src")
+      .selectExpr("src", "rs div outdeg AS q")
+    val contrib = eFence
+      .join(q.hint("shuffle_hash"), "src")
+      .groupBy("dst").agg(expr("cast(sum(q) AS bigint) AS c"))
+    verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
+        Seq("id"), "left")
+      .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
+  }
+
+  /** One pageRankConverged round PLUS the block-ending cycle-check
+    * join, executed-plan string — the plan-evidence seam for the
+    * fenced loop (the outer dump collapses to a checkpoint scan).
+    * Built exactly the way the loop builds it: stationary fences, one
+    * [[prcRound]], then the exchange-free hash(id,w)⋈hash(id,w)
+    * compare-to-previous-fence join whose count_if rides the fence
+    * job as an observed metric.
+    */
+  private[graft] def prcRoundPlanForSpec(edges: DataFrame): String = {
+    val e = edges.toDF("src", "dst").fenced
+    withIterConf(e.sparkSession) {
+      val w = iterWidth(edges)
+      val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
+      val eFence = checkpointHashPartitioned(e, w, "src")
+      val degF = checkpointHashPartitioned(deg, w, "src")
+      val verts = checkpointHashPartitioned(
+        e.select(col("src").as("id")).distinct(), w, "id")
+      val r0 = checkpointHashPartitioned(
+        verts.withColumn("r", lit(1000000L)), w, "id")
+      val obs = org.apache.spark.sql.Observation("prc_diff_spec")
+      val s = prcRound(eFence, degF, verts, r0)
+        .join(r0.selectExpr("id", "r AS rp").hint("shuffle_hash"), "id")
+        .observe(obs, expr("count_if(r != rp) AS d"))
+        .select("id", "r")
+        .queryExecution.executedPlan.toString
+      release(eFence); release(degF); release(verts); release(r0); release(e)
+      s
+    }
+  }
+
   def pageRankConverged(edges: DataFrame, maxIters: Int = 190,
                         checkEvery: Int = 6): DataFrame = {
     val e = edges.toDF("src", "dst").fenced
@@ -365,19 +447,7 @@ object Graph {
       // block would overshoot and the no-cycle diagnostic would
       // misreport the returned round)
       val block = math.min(checkEvery, maxIters - i)
-      (1 to block).foreach { _ =>
-        // quotient on the V-sized side: scores and degrees are both
-        // hash(src, w) checkpoints, so this join is exchange-free
-        val q = r.selectExpr("id AS src", "r AS rs")
-          .join(degF.hint("shuffle_hash"), "src")
-          .selectExpr("src", "rs div outdeg AS q")
-        val contrib = eFence
-          .join(q.hint("shuffle_hash"), "src")
-          .groupBy("dst").agg(expr("cast(sum(q) AS bigint) AS c"))
-        r = verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
-            Seq("id"), "left")
-          .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
-      }
+      (1 to block).foreach { _ => r = prcRound(eFence, degF, verts, r) }
       i += block
       // fence WITH the id-layout advertised: the next block's rounds
       // start from a co-partitioned state table instead of re-deriving
@@ -911,15 +981,7 @@ object Graph {
     // in bench/profile_sf0.1.json + PLANS.md.
     QueryDef(
       "gr_kcore",
-      (spark, dir) => {
-        val os = Tables.lineitem(spark, dir)
-          .where("l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'")
-          .selectExpr("l_orderkey AS ok", "l_partkey AS s").distinct()
-        val edges = os.selectExpr("ok", "s AS a")
-          .join(os.selectExpr("ok", "s AS b"), "ok")
-          .where("a < b").select("a", "b").distinct()
-        kCore(edges, 3)
-      },
+      (spark, dir) => kCore(kcoreEdges(spark, dir), 3),
       Some {
         // AS MATERIALIZED: each e_i is referenced three times; an
         // inlined CTE chain re-expands the whole prefix per reference
@@ -1404,6 +1466,19 @@ object Graph {
   private[graft] def kCore(edges: DataFrame, k: Int): DataFrame =
     kCoreWithDepth(edges, k)._1
 
+  /** gr_kcore's input: the 1996-shipments part co-purchase graph as a
+    * simple undirected `(a, b)`, `a < b` edge list — factored from the
+    * QueryDef so the plan-evidence seam peels the same graph.
+    */
+  private[graft] def kcoreEdges(spark: SparkSession, dir: String): DataFrame = {
+    val os = Tables.lineitem(spark, dir)
+      .where("l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'")
+      .selectExpr("l_orderkey AS ok", "l_partkey AS s").distinct()
+    os.selectExpr("ok", "s AS a")
+      .join(os.selectExpr("ok", "s AS b"), "ok")
+      .where("a < b").select("a", "b").distinct()
+  }
+
   /** Oracle-side fixed unroll for gr_kcore. Any value ≥ the true peel
     * depth is output-identical (peeling is idempotent at the fixpoint);
     * GraphSpec asserts measured depth ≤ this − 10 so corpus growth
@@ -1428,13 +1503,8 @@ object Graph {
     var done = n == 0
     var depth = 0
     while (!done) {
-      val keep = e.groupBy("src").agg(expr("count(*) AS d"))
-        .where(s"d >= $k").select("src")
       val obs = org.apache.spark.sql.Observation(s"kcore_n_${depth + 1}")
-      val e2 = e.join(keep, "src")
-        .join(keep.selectExpr("src AS dst"), "dst")
-        .select("src", "dst")
-        .repartition(col("src"))
+      val e2 = kcoreWave(e, k)
         .observe(obs, expr("count(*) AS n")).fenced
       val n2 = obs.get("n").asInstanceOf[Long]
       done = n2 == n
@@ -1443,6 +1513,36 @@ object Graph {
     }
     (e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS core_deg"))
       .selectExpr("src AS id", "core_deg"), depth)
+  }
+
+  /** One lazy k-core peel wave (pre-observe, pre-fence): recount
+    * degrees over the surviving edges, keep vertices still at ≥ k,
+    * semi-filter both edge endpoints against the keep set. Shared by
+    * the loop and [[kcoreRoundPlanForSpec]].
+    */
+  private def kcoreWave(e: DataFrame, k: Int): DataFrame = {
+    val keep = e.groupBy("src").agg(expr("count(*) AS d"))
+      .where(s"d >= $k").select("src")
+    e.join(keep, "src")
+      .join(keep.selectExpr("src AS dst"), "dst")
+      .select("src", "dst")
+      .repartition(col("src"))
+  }
+
+  /** One k-core peel wave's executed-plan string — plan evidence for
+    * the fenced loop, built on the same both-directions fenced edge
+    * table the loop starts from.
+    */
+  private[graft] def kcoreRoundPlanForSpec(edges: DataFrame, k: Int): String = {
+    val e = edges.selectExpr("a AS src", "b AS dst")
+      .unionByName(edges.selectExpr("b AS src", "a AS dst"))
+      .repartition(col("src"))
+      .fenced
+    val obs = org.apache.spark.sql.Observation("kcore_n_spec")
+    val s = kcoreWave(e, k).observe(obs, expr("count(*) AS n"))
+      .queryExecution.executedPlan.toString
+    release(e)
+    s
   }
 
   /** Multi-source BFS hop distances over a directed edge list — the
