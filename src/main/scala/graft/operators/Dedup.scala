@@ -1350,24 +1350,43 @@ object Dedup {
         val toks = exactSubstrCorpus(spark, dir)
           .selectExpr("doc_id", "split(tc, ' ') AS toks")
           .fenced
-        val perLevel = DupProfileLadder.map { l =>
-          val post = checkpointHashPartitioned(
-            toks.selectExpr("doc_id", s"explode(shingle_hashes(toks, $l)) AS h"),
-            Par, "h")
-          // cross-doc flag per h — min ≠ max over doc_id ⟺ held by
-          // ≥ 2 distinct docs; runs on the existing partitioning
-          val dup = post.groupBy("h")
-            .agg(expr("min(doc_id) AS mn"), expr("max(doc_id) AS mx"))
-            .where("mn != mx").select("h")
-          // only duplicated occurrences survive; the fold is doc-bounded
-          val flagged = post.join(dup, Seq("h"))
-            .groupBy("doc_id")
-            .agg(expr("cast(count(*) AS bigint) AS dup_windows"))
-            .selectExpr("doc_id", s"${l}L AS L", "dup_windows")
-            .fenced
-          release(post)
-          flagged
+        // levels are independent; submit their fence jobs from TWO
+        // driver threads (guide §2.6 — overlap independent jobs so the
+        // next level's stages back-fill the straggler tail of the
+        // previous one; the r16 level-sequential form serialized five
+        // full barriers). Concurrency is capped at 2 to KEEP the
+        // bounded-footprint guarantee the level-sequential form bought:
+        // at most two levels' postings live at once (each level still
+        // releases its posting before completing), vs the rejected
+        // stacked form's levels×tokens. FIFO scheduling runs the
+        // biggest level (4) first; ladder order is preserved by
+        // awaiting futures in order.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futs = DupProfileLadder.map { l =>
+          scala.concurrent.Future {
+            val post = checkpointHashPartitioned(
+              toks.selectExpr("doc_id", s"explode(shingle_hashes(toks, $l)) AS h"),
+              Par, "h")
+            // cross-doc flag per h — min ≠ max over doc_id ⟺ held by
+            // ≥ 2 distinct docs; runs on the existing partitioning
+            val dup = post.groupBy("h")
+              .agg(expr("min(doc_id) AS mn"), expr("max(doc_id) AS mx"))
+              .where("mn != mx").select("h")
+            // only duplicated occurrences survive; the fold is doc-bounded
+            val flagged = post.join(dup, Seq("h"))
+              .groupBy("doc_id")
+              .agg(expr("cast(count(*) AS bigint) AS dup_windows"))
+              .selectExpr("doc_id", s"${l}L AS L", "dup_windows")
+              .fenced
+            release(post)
+            flagged
+          }(ec)
         }
+        val perLevel = try
+          futs.map(f => scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf))
+        finally pool.shutdown()
         val best = perLevel.reduce(_ unionByName _)
           .withColumn("rk", expr("row_number() OVER (PARTITION BY doc_id ORDER BY L DESC)"))
           .where("rk = 1")

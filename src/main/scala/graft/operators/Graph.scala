@@ -94,32 +94,56 @@ object Graph {
     * vertex must appear as a source (undirected graphs: union both
     * directions); init score = 1e6 ppm.
     */
+  /** One lazy PageRank round over the stationary fences (shared by
+    * [[pageRank]], [[pageRankConverged]], and the plan-evidence
+    * seams). The score table CARRIES outdeg, so the per-round quotient
+    * is a row-local projection — no join against a degree table at
+    * all (r17; the r16 shape paid a V-sized shuffled-hash quotient
+    * join per round, and the pre-r16 shape carried outdeg on the
+    * E-sized edge fence and divided per edge). `sum(q)` with q =
+    * r div outdeg is bit-identical to the per-edge `sum(r div
+    * outdeg)`: every edge out of `src` contributes the same floored
+    * quotient. The score side keeps the shuffle_hash hint: the
+    * stationary edge fence streams against a per-partition hash map
+    * of the O(V/n) (id, outdeg, r) rows, never an E-sized sort.
+    */
+  private def prRound(eFence: DataFrame, vertsDeg: DataFrame,
+                      r: DataFrame): DataFrame = {
+    val q = r.selectExpr("id AS src", "r div outdeg AS q")
+    val contrib = eFence
+      .join(q.hint("shuffle_hash"), "src")
+      .groupBy("dst").agg(expr("cast(sum(q) AS bigint) AS c"))
+    vertsDeg.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
+        Seq("id"), "left")
+      .selectExpr("id", "outdeg",
+        s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
+  }
+
   def pageRank(edges: DataFrame, iters: Int = Iters): DataFrame = {
     val e = edges.toDF("src", "dst").fenced
     withIterConf(e.sparkSession) {
     val w = iterWidth(edges)
-    val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
     // hash-partition the edge table on src ONCE and checkpoint it with
     // the partitioning ADVERTISED (checkpointHashPartitioned — a plain
     // localCheckpoint forgets it under AQE and every round re-shuffled
     // the E-sized table), so every round's edge⋈score join reuses this
     // layout and only the O(V) score table moves — the edge list (the
-    // 100 TB side) never re-shuffles. The score side carries a
-    // shuffle_hash hint: the stationary edge side streams against a
-    // per-partition hash map of the O(V/n) scores, no per-round
-    // E-sized sort the way default SMJ would.
-    val withDeg = checkpointHashPartitioned(e.join(deg, "src"), w, "src")
-    val verts = checkpointHashPartitioned(
-      e.select(col("src").as("id")).distinct(), w, "id")
-    var r = verts.withColumn("r", lit(1000000L))
+    // 100 TB side) never re-shuffles. The fence is (src, dst) ONLY:
+    // outdeg lives on the V-sized vertex table and rides the score
+    // rows (see prRound), so the re-scanned-per-round payload carries
+    // no degree column (guide §2.3 — the r16 prc narrowing, now
+    // applied family-wide).
+    val eFence = checkpointHashPartitioned(e, w, "src")
+    // one V-sized table serves as both the vertex set and the degree
+    // table: group-by-src IS distinct-src here (every vertex appears
+    // as a source in the both-directions edge list)
+    val vertsDeg = checkpointHashPartitioned(
+      e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
+        .selectExpr("src AS id", "outdeg"), w, "id")
+    var r = vertsDeg.withColumn("r", lit(1000000L))
     var loopFence: DataFrame = null
     (1 to iters).foreach { i =>
-      val contrib = withDeg
-        .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
-        .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
-      r = verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
-          Seq("id"), "left")
-        .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
+      r = prRound(eFence, vertsDeg, r)
       // a FIXED iteration count needs no per-round convergence action,
       // so lineage stays lazy — one job plans all rounds (materializing
       // every round tripled wall-clock); the fence only kicks in on
@@ -137,12 +161,12 @@ object Graph {
     // materialize INSIDE the guard so the rounds execute under the
     // iteration confs (returned lazily, they would plan at the
     // caller's action with codegen+AQE back on)
-    val out = checkpointHashPartitioned(r, w, "id")
+    val out = checkpointHashPartitioned(r.select("id", "r"), w, "id")
     // the result is materialized — drop the iteration-only checkpoint
     // blocks so repeated invocations (bench passes) don't pile dead
     // blocks into the block manager
     if (loopFence != null) release(loopFence)
-    release(withDeg); release(verts); release(e)
+    release(eFence); release(vertsDeg); release(e)
     out
     }
   }
@@ -326,18 +350,15 @@ object Graph {
     val e = edges.toDF("src", "dst").fenced
     withIterConf(e.sparkSession) {
       val w = iterWidth(e)
-      val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
-      val withDeg = checkpointHashPartitioned(e.join(deg, "src"), w, "src")
-      val verts = checkpointHashPartitioned(
-        e.select(col("src").as("id")).distinct(), w, "id")
-      val r = verts.withColumn("r", lit(1000000L))
-      val contrib = withDeg
-        .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
-        .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
-      verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
-          Seq("id"), "left")
-        .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
+      val eFence = checkpointHashPartitioned(e, w, "src")
+      val vertsDeg = checkpointHashPartitioned(
+        e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
+          .selectExpr("src AS id", "outdeg"), w, "id")
+      val r = vertsDeg.withColumn("r", lit(1000000L))
+      val s = prRound(eFence, vertsDeg, r)
         .queryExecution.executedPlan.toString
+      release(eFence); release(vertsDeg); release(e)
+      s
     }
   }
 
@@ -366,52 +387,32 @@ object Graph {
     * lazy blocks pay per-stage lineage-serialization, shallower ones
     * pay fence+cycle-check jobs).
     */
-  /** One lazy pageRankConverged round over the stationary fences —
-    * quotient on the V-sized side (scores and degrees are both
-    * hash(src, w) checkpoints, so that join is exchange-free), then
-    * the contribution join + sum, then the rebind onto the vertex
-    * set. Shared by the iteration loop and [[prcRoundPlanForSpec]] so
-    * the dumped round plan IS the loop's plan.
-    */
-  private def prcRound(eFence: DataFrame, degF: DataFrame,
-                       verts: DataFrame, r: DataFrame): DataFrame = {
-    val q = r.selectExpr("id AS src", "r AS rs")
-      .join(degF.hint("shuffle_hash"), "src")
-      .selectExpr("src", "rs div outdeg AS q")
-    val contrib = eFence
-      .join(q.hint("shuffle_hash"), "src")
-      .groupBy("dst").agg(expr("cast(sum(q) AS bigint) AS c"))
-    verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
-        Seq("id"), "left")
-      .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
-  }
-
   /** One pageRankConverged round PLUS the block-ending cycle-check
     * join, executed-plan string — the plan-evidence seam for the
     * fenced loop (the outer dump collapses to a checkpoint scan).
     * Built exactly the way the loop builds it: stationary fences, one
-    * [[prcRound]], then the exchange-free hash(id,w)⋈hash(id,w)
-    * compare-to-previous-fence join whose count_if rides the fence
-    * job as an observed metric.
+    * shared [[prRound]] (quotient is a row-local projection — outdeg
+    * rides the score rows), then the exchange-free
+    * hash(id,w)⋈hash(id,w) compare-to-previous-fence join whose
+    * count_if rides the fence job as an observed metric.
     */
   private[graft] def prcRoundPlanForSpec(edges: DataFrame): String = {
     val e = edges.toDF("src", "dst").fenced
     withIterConf(e.sparkSession) {
       val w = iterWidth(edges)
-      val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
       val eFence = checkpointHashPartitioned(e, w, "src")
-      val degF = checkpointHashPartitioned(deg, w, "src")
-      val verts = checkpointHashPartitioned(
-        e.select(col("src").as("id")).distinct(), w, "id")
+      val vertsDeg = checkpointHashPartitioned(
+        e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
+          .selectExpr("src AS id", "outdeg"), w, "id")
       val r0 = checkpointHashPartitioned(
-        verts.withColumn("r", lit(1000000L)), w, "id")
+        vertsDeg.withColumn("r", lit(1000000L)), w, "id")
       val obs = org.apache.spark.sql.Observation("prc_diff_spec")
-      val s = prcRound(eFence, degF, verts, r0)
+      val s = prRound(eFence, vertsDeg, r0)
         .join(r0.selectExpr("id", "r AS rp").hint("shuffle_hash"), "id")
         .observe(obs, expr("count_if(r != rp) AS d"))
-        .select("id", "r")
+        .select("id", "outdeg", "r")
         .queryExecution.executedPlan.toString
-      release(eFence); release(degF); release(verts); release(r0); release(e)
+      release(eFence); release(vertsDeg); release(r0); release(e)
       s
     }
   }
@@ -421,23 +422,23 @@ object Graph {
     val e = edges.toDF("src", "dst").fenced
     withIterConf(e.sparkSession) {
     val w = iterWidth(edges)
-    val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
     // The stationary table a round re-reads is the 100 TB side and is
     // re-scanned once PER ROUND — keep it as narrow as the algorithm
     // allows (guide §2.3 "narrower types / project early", applied to
-    // the fence): (src, dst) only. outdeg moves to a V-sized
-    // checkpoint of its own, and each round divides r by outdeg on
-    // the O(V) score side BEFORE the edge join (same integer
-    // arithmetic, one div per vertex instead of one per edge), so the
-    // per-round E-sized work is join + sum only. Profiled before the
-    // split: 10.9 GB of fence-block re-reads per run at sf0.1 —
-    // dropping outdeg cuts the re-read payload by a third.
+    // the fence): (src, dst) only. Profiled before the r16 split:
+    // 10.9 GB of fence-block re-reads per run at sf0.1 — dropping
+    // outdeg cut the re-read payload by a third. r17 goes further:
+    // outdeg RIDES THE SCORE ROWS (vertsDeg is both the vertex set and
+    // the degree table; the periodic fence carries id, outdeg, r), so
+    // the per-round quotient is a row-local projection and the
+    // V-sized quotient join the r16 shape paid per round disappears —
+    // see prRound for the bit-identity argument.
     val eFence = checkpointHashPartitioned(e, w, "src")
-    val degF = checkpointHashPartitioned(deg, w, "src")
-    val verts = checkpointHashPartitioned(
-      e.select(col("src").as("id")).distinct(), w, "id")
+    val vertsDeg = checkpointHashPartitioned(
+      e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
+        .selectExpr("src AS id", "outdeg"), w, "id")
     var r = checkpointHashPartitioned(
-      verts.withColumn("r", lit(1000000L)), w, "id")
+      vertsDeg.withColumn("r", lit(1000000L)), w, "id")
     var prevFence = r
     var i = 0
     var cycled = false
@@ -447,7 +448,7 @@ object Graph {
       // block would overshoot and the no-cycle diagnostic would
       // misreport the returned round)
       val block = math.min(checkEvery, maxIters - i)
-      (1 to block).foreach { _ => r = prcRound(eFence, degF, verts, r) }
+      (1 to block).foreach { _ => r = prRound(eFence, vertsDeg, r) }
       i += block
       // fence WITH the id-layout advertised: the next block's rounds
       // start from a co-partitioned state table instead of re-deriving
@@ -465,7 +466,7 @@ object Graph {
       r = checkpointHashPartitioned(
         r.join(prevFence.selectExpr("id", "r AS rp").hint("shuffle_hash"), "id")
           .observe(obs, expr("count_if(r != rp) AS d"))
-          .select("id", "r"),
+          .select("id", "outdeg", "r"),
         w, "id")
       cycled = obs.get("d").asInstanceOf[Long] == 0L
       if (prevFence ne r) release(prevFence) // superseded fence blocks
@@ -488,8 +489,8 @@ object Graph {
       // 2026-08-13 testdata vintage moved sf0.1 detection 84 -> ~132)
       System.err.println(
         s"[graft] pageRankConverged: period-$checkEvery cycle detected at round $i")
-    release(eFence); release(degF); release(verts); release(e)
-    r
+    release(eFence); release(vertsDeg); release(e)
+    r.select("id", "r")
     }
   }
 
@@ -504,22 +505,28 @@ object Graph {
     val e = edges.toDF("src", "dst").fenced
     withIterConf(e.sparkSession) {
     val w = iterWidth(edges)
-    val deg = e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
-    val withDeg = checkpointHashPartitioned(e.join(deg, "src"), w, "src")
-    val verts = checkpointHashPartitioned(
-      e.select(col("src").as("id")).distinct()
+    // the pageRank r17 shape: narrow (src, dst) edge fence; outdeg and
+    // the seed flag ride the V-sized vertex/score rows so the per-round
+    // quotient is a row-local projection (see prRound's bit-identity
+    // argument — every edge out of src contributes the same floored
+    // quotient either way)
+    val eFence = checkpointHashPartitioned(e, w, "src")
+    val vertsDeg = checkpointHashPartitioned(
+      e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS outdeg"))
+        .selectExpr("src AS id", "outdeg")
         .join(seeds.toDF("id").withColumn("seed", lit(true)), Seq("id"), "left")
-        .selectExpr("id", "coalesce(seed, false) AS seed"), w, "id")
-    var r = verts.selectExpr("id", "seed",
+        .selectExpr("id", "outdeg", "coalesce(seed, false) AS seed"), w, "id")
+    var r = vertsDeg.selectExpr("id", "outdeg", "seed",
       "CASE WHEN seed THEN 1000000L ELSE 0L END AS r")
     var loopFence: DataFrame = null
     (1 to iters).foreach { i =>
-      val contrib = withDeg
-        .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
-        .groupBy("dst").agg(expr("cast(sum(rs div outdeg) AS bigint) AS c"))
-      r = verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
+      val q = r.selectExpr("id AS src", "r div outdeg AS q")
+      val contrib = eFence
+        .join(q.hint("shuffle_hash"), "src")
+        .groupBy("dst").agg(expr("cast(sum(q) AS bigint) AS c"))
+      r = vertsDeg.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
           Seq("id"), "left")
-        .selectExpr("id", "seed",
+        .selectExpr("id", "outdeg", "seed",
           s"CASE WHEN seed THEN $BasePpm ELSE 0L END + ($Damping * coalesce(c, 0L)) div 100 AS r")
       // release superseded in-loop fences (see pageRank)
       if (i % 6 == 0 && i < iters) {
@@ -531,7 +538,7 @@ object Graph {
     }
     val out = checkpointHashPartitioned(r.select("id", "r"), w, "id")
     if (loopFence != null) release(loopFence)
-    release(withDeg); release(verts); release(e)
+    release(eFence); release(vertsDeg); release(e)
     out
     }
   }
@@ -545,19 +552,27 @@ object Graph {
     val e = edges.toDF("src", "dst", "w").fenced
     withIterConf(e.sparkSession) {
     val wdt = iterWidth(edges)
-    val sw = e.groupBy("src").agg(expr("cast(sum(w) AS bigint) AS sw"))
-    val withW = checkpointHashPartitioned(e.join(sw, "src"), wdt, "src")
-    val verts = checkpointHashPartitioned(
-      e.select(col("src").as("id")).distinct(), wdt, "id")
-    var r = verts.withColumn("r", lit(1000000L))
+    // the pageRank r17 shape, weighted flavor: the stationary fence is
+    // (src, dst, w) — the per-source weight TOTAL rides the V-sized
+    // vertex/score rows instead of being duplicated onto every edge
+    // row (guide §2.3: one bigint column off the E-sized re-scanned-
+    // per-round payload). The per-edge contribution (rs · w) div sw is
+    // unchanged arithmetic; rs and sw arrive on the score side of the
+    // join instead of sw sitting on the edge side.
+    val eFence = checkpointHashPartitioned(e, wdt, "src")
+    val vertsSw = checkpointHashPartitioned(
+      e.groupBy("src").agg(expr("cast(sum(w) AS bigint) AS sw"))
+        .selectExpr("src AS id", "sw"), wdt, "id")
+    var r = vertsSw.withColumn("r", lit(1000000L))
     var loopFence: DataFrame = null
     (1 to iters).foreach { i =>
-      val contrib = withW
-        .join(r.selectExpr("id AS src", "r AS rs").hint("shuffle_hash"), "src")
+      val contrib = eFence
+        .join(r.selectExpr("id AS src", "r AS rs", "sw").hint("shuffle_hash"), "src")
         .groupBy("dst").agg(expr("cast(sum((rs * w) div sw) AS bigint) AS c"))
-      r = verts.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
+      r = vertsSw.join(contrib.selectExpr("dst AS id", "c").hint("shuffle_hash"),
           Seq("id"), "left")
-        .selectExpr("id", s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
+        .selectExpr("id", "sw",
+          s"$BasePpm + ($Damping * coalesce(c, 0L)) div 100 AS r")
       // release superseded in-loop fences (see pageRank)
       if (i % 6 == 0 && i < iters) {
         val prev = loopFence
@@ -566,9 +581,9 @@ object Graph {
         if (prev != null) release(prev)
       }
     }
-    val out = checkpointHashPartitioned(r, wdt, "id")
+    val out = checkpointHashPartitioned(r.select("id", "r"), wdt, "id")
     if (loopFence != null) release(loopFence)
-    release(withW); release(verts); release(e)
+    release(eFence); release(vertsSw); release(e)
     out
     }
   }
@@ -1307,8 +1322,11 @@ object Graph {
       "gr_linkpred",
       (spark, dir) => {
         val kept = linkpredKept(spark, dir)
+        // shuffle_hash: both sides are the same advertised-c-layout
+        // checkpoint, so the join is exchange-free; the hint keeps it
+        // sort-free too (default SMJ would sort the checkpoint twice)
         kept.selectExpr("c", "s AS s_a", "dc")
-          .join(kept.selectExpr("c", "s AS s_b"),
+          .join(kept.selectExpr("c", "s AS s_b").hint("shuffle_hash"),
             Seq("c"))
           .where("s_a < s_b")
           // shuffle the RAW wedge rows by pair BEFORE aggregating: a
@@ -1443,9 +1461,14 @@ object Graph {
       .fenced // degree counter + both wedge sides
     val deg = cs.groupBy("c").agg(expr("cast(count(*) AS bigint) AS dc"))
       .where(s"dc <= $cap")
-    cs.join(deg, "c")
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("c"))
-      .fenced
+    // checkpointHashPartitioned, not repartition+fenced: a plain fence
+    // FORGETS the c-layout, so both wedge self-join sides re-exchanged
+    // the kept table and re-read its 36 MB of blocks through separate
+    // shuffle stages (r17 profile: two ~6-8 s-task-time scan+shuffle
+    // stages feeding the join). With the layout advertised the
+    // self-join consumes the checkpoint in place, exchange-free.
+    checkpointHashPartitioned(cs.join(deg, "c"),
+      spark.sessionState.conf.numShufflePartitions, "c")
   }
 
   /** k-core decomposition membership: iteratively peel vertices of
@@ -1486,62 +1509,127 @@ object Graph {
     */
   private[graft] val KCoreUnroll = 60
 
-  /** [[kCore]] plus the measured peel depth (rounds until the edge set
-    * stabilizes) — the depth is what bounds the oracle's fixed unroll.
+  /** [[kCore]] plus the measured peel depth (waves that removed at
+    * least one vertex) — the depth is what bounds the oracle's fixed
+    * unroll.
+    *
+    * r17: DELTA PEELING. The r16 shape re-derived the whole state
+    * every wave — an O(E) degree aggregate, two O(E) semi-joins, an
+    * O(E) re-shuffle, and an O(E) re-checkpoint, × peel-depth waves.
+    * The delta form keeps the both-directions edge list STATIONARY
+    * for the entire peel (checkpointed once, laid out by dst) and
+    * maintains only the V-sized live-degree table: each wave takes
+    * the just-removed vertex set `rm` (vertices whose maintained
+    * degree fell below k), probes the stationary fence with it
+    * exchange-free (rm repartitions to the fence's dst layout — the
+    * only per-wave exchanges are the O(frontier) rm table and the
+    * matched-edge partial aggregate), and decrements survivors'
+    * degrees by their edge count into `rm`. Every edge is matched in
+    * EXACTLY the wave its dst is removed, so total per-wave join
+    * output across the whole peel is ≤ 2·E — the r16 shape shuffled
+    * and re-wrote Θ(E · depth). Equivalence to recount-from-scratch:
+    * a survivor's induced-subgraph degree = initial degree − edges
+    * into removed vertices, accumulated wave by wave; edges whose
+    * OTHER endpoint was removed earlier produce delta rows for
+    * removed sources, which the survivors-only join-back drops. The
+    * peel-frontier count rides each wave's fence as an observed
+    * metric, and termination (rm = 0) is known from the fence that
+    * produced the state — no extra job.
     */
   private[graft] def kCoreWithDepth(edges: DataFrame, k: Int): (DataFrame, Int) = {
-    // the surviving-edge count rides each round's eager fence as an
-    // observed metric (the gr_hits r16 discipline) — the old separate
-    // e.count() job per peel round re-read the O(E) blocks ~peel-depth
-    // times per run for one scalar
-    val obs0 = org.apache.spark.sql.Observation("kcore_n_0")
-    var e = edges.selectExpr("a AS src", "b AS dst")
-      .unionByName(edges.selectExpr("b AS src", "a AS dst"))
-      .repartition(col("src"))
-      .observe(obs0, expr("count(*) AS n")).fenced
-    var n = obs0.get("n").asInstanceOf[Long]
-    var done = n == 0
-    var depth = 0
-    while (!done) {
-      val obs = org.apache.spark.sql.Observation(s"kcore_n_${depth + 1}")
-      val e2 = kcoreWave(e, k)
-        .observe(obs, expr("count(*) AS n")).fenced
-      val n2 = obs.get("n").asInstanceOf[Long]
-      done = n2 == n
-      release(e) // superseded peel round (e2 is already materialized)
-      e = e2; n = n2; depth += 1
+    val spark = edges.sparkSession
+    val wMax = spark.sessionState.conf.numShufflePartitions
+    // SCALE-ADAPTIVE wave width (guide §2: derive partitioning from
+    // input size, never a constant tuned for one deployment): the
+    // peel runs O(depth) waves of stages over the stationary fence
+    // and the V-sized degree table, and a width fixed at the session
+    // parallelism makes every tiny wave pay 32-task scheduling for
+    // kilobytes of state (first delta cut measured 6.7 s vs 4.7 s
+    // baseline solo at sf0.1 from exactly that). ~250k edge rows per
+    // task, clamped to the session parallelism: sf0.1 → 1, sf10 → a
+    // dozen, production → the full cluster width. The count that
+    // feeds the sizing rides the one-time full-width materialization
+    // of the wedge join; when the adaptive width equals the session
+    // width (every at-scale run) the re-layout below is skipped, so
+    // the sizing costs nothing there, and at tiny SFs the re-layout
+    // is a block-to-block copy of a few MB.
+    val obsE = org.apache.spark.sql.Observation("kcore_edges")
+    var eDst = checkpointHashPartitioned(
+      edges.selectExpr("a AS src", "b AS dst")
+        .unionByName(edges.selectExpr("b AS src", "a AS dst"))
+        .observe(obsE, expr("count(*) AS n")),
+      wMax, "dst")
+    val nE = obsE.get("n").asInstanceOf[Long]
+    val w = math.max(1L, math.min(wMax.toLong, nE / 250000L + 1L)).toInt
+    if (w != wMax) {
+      val wide = eDst
+      eDst = checkpointHashPartitioned(wide, w, "dst")
+      release(wide)
     }
-    (e.groupBy("src").agg(expr("cast(count(*) AS bigint) AS core_deg"))
-      .selectExpr("src AS id", "core_deg"), depth)
+    val obs0 = org.apache.spark.sql.Observation("kcore_rm_0")
+    var deg = checkpointHashPartitioned(
+      eDst.groupBy("src").agg(expr("cast(count(*) AS bigint) AS d"))
+        .observe(obs0, expr(s"count_if(d < $k) AS rm")),
+      w, "src")
+    var nRm = obs0.get("rm").asInstanceOf[Long]
+    var depth = 0
+    // only the WAVES run under the iteration confs: the one-time setup
+    // above (the wedge-join materialization — the query's real compute)
+    // wants codegen and AQE; the waves are fresh tiny plans per round
+    // where per-round Janino compiles and AQE re-optimization are the
+    // dominant cost (the pageRank-family measurement)
+    withIterConf(spark) {
+    while (nRm > 0) {
+      depth += 1
+      val wave = kcoreWave(eDst, deg, k, w)
+      val obs = org.apache.spark.sql.Observation(s"kcore_rm_$depth")
+      val degNew = checkpointHashPartitioned(
+        wave.observe(obs, expr(s"count_if(d < $k) AS rm")), w, "src")
+      nRm = obs.get("rm").asInstanceOf[Long]
+      release(deg) // superseded live-degree table (degNew materialized)
+      deg = degNew
+    }
+    val out = deg.selectExpr("src AS id", "d AS core_deg").fenced
+    release(deg); release(eDst)
+    (out, depth)
+    }
   }
 
-  /** One lazy k-core peel wave (pre-observe, pre-fence): recount
-    * degrees over the surviving edges, keep vertices still at ≥ k,
-    * semi-filter both edge endpoints against the keep set. Shared by
-    * the loop and [[kcoreRoundPlanForSpec]].
+  /** One lazy delta-peel wave (pre-observe, pre-fence): the vertices
+    * whose maintained degree fell below k probe the stationary
+    * dst-partitioned edge fence (exchange-free after rm's own tiny
+    * repartition), the matched edges aggregate per surviving source,
+    * and survivors' degrees decrement. Shared by the loop and
+    * [[kcoreRoundPlanForSpec]].
     */
-  private def kcoreWave(e: DataFrame, k: Int): DataFrame = {
-    val keep = e.groupBy("src").agg(expr("count(*) AS d"))
-      .where(s"d >= $k").select("src")
-    e.join(keep, "src")
-      .join(keep.selectExpr("src AS dst"), "dst")
-      .select("src", "dst")
-      .repartition(col("src"))
+  private def kcoreWave(eDst: DataFrame, deg: DataFrame, k: Int,
+                        w: Int): DataFrame = {
+    val rm = deg.where(s"d < $k").selectExpr("src AS dst")
+      .repartition(w, col("dst"))
+    val delta = eDst.join(rm.hint("shuffle_hash"), "dst")
+      .groupBy("src").agg(expr("cast(count(*) AS bigint) AS dd"))
+    deg.where(s"d >= $k")
+      .join(delta.hint("shuffle_hash"), Seq("src"), "left")
+      .selectExpr("src", "d - coalesce(dd, 0L) AS d")
   }
 
-  /** One k-core peel wave's executed-plan string — plan evidence for
-    * the fenced loop, built on the same both-directions fenced edge
-    * table the loop starts from.
+  /** One delta-peel wave's executed-plan string — plan evidence for
+    * the fenced loop, built on the same stationary dst-layout edge
+    * fence and live-degree checkpoint the loop maintains.
     */
   private[graft] def kcoreRoundPlanForSpec(edges: DataFrame, k: Int): String = {
-    val e = edges.selectExpr("a AS src", "b AS dst")
-      .unionByName(edges.selectExpr("b AS src", "a AS dst"))
-      .repartition(col("src"))
-      .fenced
-    val obs = org.apache.spark.sql.Observation("kcore_n_spec")
-    val s = kcoreWave(e, k).observe(obs, expr("count(*) AS n"))
+    val spark = edges.sparkSession
+    val w = spark.sessionState.conf.numShufflePartitions
+    val eDst = checkpointHashPartitioned(
+      edges.selectExpr("a AS src", "b AS dst")
+        .unionByName(edges.selectExpr("b AS src", "a AS dst")), w, "dst")
+    val deg = checkpointHashPartitioned(
+      eDst.groupBy("src").agg(expr("cast(count(*) AS bigint) AS d")), w, "src")
+    val obs = org.apache.spark.sql.Observation("kcore_rm_spec")
+    val s = kcoreWave(eDst, deg, k, w)
+      .observe(obs, expr(s"count_if(d < $k) AS rm"))
       .queryExecution.executedPlan.toString
-    release(e)
+    release(deg); release(eDst)
     s
   }
 
@@ -1557,8 +1645,15 @@ object Graph {
     * are exact integers, nothing to converge).
     */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.toDF("src", "dst")
-      .repartition(col("src")).fenced
+    val spark = edges.sparkSession
+    val w = spark.sessionState.conf.numShufflePartitions
+    // src-layout ADVERTISED (r17): the old repartition+plain-fence
+    // forgot the partitioning, so every hop re-exchanged the O(E)
+    // edge table to join the frontier (profiled at sf0.1: one 9 MB
+    // edge shuffle per hop). With the layout advertised only the
+    // O(frontier) side moves per hop — the pageRank discipline,
+    // actually enforced.
+    val e = checkpointHashPartitioned(edges.toDF("src", "dst"), w, "src")
     var known = seeds.toDF("id").distinct()
       .withColumn("dist", lit(0L))
       .repartition(col("id")).fenced
@@ -1570,7 +1665,8 @@ object Graph {
       // frontier size rides the fence job (observed metric) instead of
       // a separate isEmpty job per hop
       val obs = org.apache.spark.sql.Observation(s"bfs_n_$h")
-      val next = e.join(frontier.selectExpr("id AS src"), "src")
+      val next = e.join(frontier.selectExpr("id AS src")
+            .repartition(w, col("src")).hint("shuffle_hash"), "src")
         .selectExpr("dst AS id").distinct()
         .join(known.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(h.toLong))

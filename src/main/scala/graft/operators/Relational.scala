@@ -1062,8 +1062,15 @@ object Relational {
     QueryDef(
       "q23_basket_pairs",
       (spark, dir) => {
+        // fenced: the distinct (order, part) reduction is consumed
+        // THREE times (item counts, the prune join's probe side, the
+        // order total) — unfenced, each consumer re-ran the lineitem
+        // scan + distinct exchange (r17 profile: two separate ~1 s
+        // distinct stages). One materialization serves all three.
+        import org.apache.spark.sql.graft.CheckpointOps.FenceSyntax
         val baskets = Tables.lineitem(spark, dir)
           .selectExpr("l_orderkey AS o", "l_partkey AS p").distinct()
+          .fenced
         val itemCnt = baskets.groupBy("p")
           .agg(expr("cast(count(*) AS bigint) AS item_cnt"))
           .where(s"item_cnt >= $MinItemSup")

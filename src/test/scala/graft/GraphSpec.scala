@@ -92,6 +92,24 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(path, 2).isEmpty)
   }
 
+  test("kCore delta peeling: same-wave pair removal decrements survivors exactly once") {
+    import spark.implicits._
+    // K4 plus a degree-2 pair {4,5} hanging off it (0–4, 1–5, 4–5).
+    // Wave 1 removes 4 AND 5 together: the 4–5 edge matches the removed
+    // set in both directions that wave, but neither decrement may reach
+    // a survivor; 0 and 1 each lose exactly ONE neighbor (4→3 core
+    // degree, still in the core). A double-count would evict 0/1; a
+    // missed decrement would report core_deg 4.
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val g = (k4 ++ Seq((0L, 4L), (1L, 5L), (4L, 5L))).toDF("a", "b")
+    val (core, depth) = Graph.kCoreWithDepth(g, 3)
+    val m = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // exactly one wave removes anything (the {4,5} pair); depth counts
+    // removing waves only — termination rides the wave's own fence
+    assert(depth == 1, s"expected a single removing wave, got $depth")
+  }
+
   test("bfsDistances: path hops, multi-seed min, maxHops cutoff, early exit") {
     import spark.implicits._
     // directed path 0→1→2→3→4, seed 0, maxHops 2: vertex 3/4 unreached
