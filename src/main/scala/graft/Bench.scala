@@ -106,7 +106,12 @@ object Bench {
     // throughput.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
-    for (_ <- 1 to 3) {
+    // SPARK_GRAFT_PASSES: probe lanes only (e.g. the sf3 core-scaling
+    // grid, where 3 passes × 2 core counts would cost hours for a
+    // RATIO measurement). Unset — every driver invocation — keeps the
+    // contract's min-of-3.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    for (_ <- 1 to passes) {
       System.gc() // start each pass from comparable heap pressure
       benched.foreach { d =>
         // drop output-level memos (label table, BPE merges, training
