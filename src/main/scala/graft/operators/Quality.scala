@@ -610,15 +610,23 @@ object Quality {
     QueryDef(
       "dq_referential",
       (spark, dir) => {
+        // ONE child pass per relation (r17): a LEFT join against the
+        // distinct parent keys is row-preserving, so n_child and the
+        // orphan count are two aggregates of the SAME scan — the old
+        // anti-join + separate count(*) crossJoin scanned every child
+        // table twice per leg (lineitem: six scans across its three
+        // legs; the oracle SQL always had this one-pass shape).
         def audit(rel: String, child: DataFrame, ck: String,
                   parent: DataFrame, pk: String,
                   broadcastParent: Boolean = true): DataFrame = {
           val keys = parent.selectExpr(s"$pk AS k").distinct()
-          val orphans = child.selectExpr(s"$ck AS k")
+            .withColumn("hit", lit(true))
+          child.selectExpr(s"$ck AS k")
             .join(if (broadcastParent) broadcast(keys) else keys,
-              Seq("k"), "left_anti")
-          child.groupBy().agg(expr("cast(count(*) AS bigint) AS n_child"))
-            .crossJoin(orphans.groupBy().agg(expr("cast(count(*) AS bigint) AS n_orphan")))
+              Seq("k"), "left")
+            .groupBy().agg(
+              expr("cast(count(*) AS bigint) AS n_child"),
+              expr("cast(count_if(hit IS NULL) AS bigint) AS n_orphan"))
             .selectExpr(s"'$rel' AS relation", "n_child", "n_orphan",
               "n_orphan * 1000000L div n_child AS orphan_ppm")
         }

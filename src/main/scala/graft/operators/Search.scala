@@ -477,15 +477,28 @@ object Search {
     QueryDef(
       "ts_prf",
       (spark, dir) => {
+        import org.apache.spark.sql.graft.CheckpointOps.FenceSyntax
         val cleaned = Tables.documents(spark, dir)
           .selectExpr("doc_id",
             "regexp_replace(regexp_replace(text, '\\\\s{2,}', ' '), '^\\\\s+|\\\\s+$', '') AS tc")
-        val toks = cleaned.selectExpr("doc_id", "split(tc, ' ') AS t")
+        // fenced: the regex-clean + tokenize corpus pass feeds THREE
+        // consumers (the distinct-token df mining, the final scoring
+        // explode, and the doc count) — unfenced, each re-ran the
+        // whole pass (r17 profile: a fully serialized 17×1-task chain,
+        // 3.1 s of single-core work at sf0.1). One materialization;
+        // layout stays the scan's natural split shape (no forced
+        // exchange of tokenized arrays — at 100 TB the scan's own
+        // splits carry the parallelism).
+        val toks = cleaned.selectExpr("doc_id", "split(tc, ' ') AS t").fenced
         val pool = bm25Scored(spark, dir)
           .orderBy(desc("bm25"), col("doc_id")).limit(PrfPool).select("doc_id")
         val expl = toks.selectExpr("doc_id", "explode(array_distinct(t)) AS w")
+        // vocab-bounded and consumed twice (candidate mining + the
+        // original-term idf lookup) — fence so the distinct-token
+        // explode + df aggregate run once
         val df = expl.groupBy("w").agg(expr("cast(count(*) AS bigint) AS df"))
-        val n = cleaned.groupBy().agg(expr("cast(count(*) AS bigint) AS n_docs"))
+          .fenced
+        val n = toks.groupBy().agg(expr("cast(count(*) AS bigint) AS n_docs"))
         val origList = Terms.map(t => s"'$t'").mkString(", ")
         val cand = expl.join(broadcast(pool), "doc_id")
           .groupBy("w").agg(expr("cast(count(*) AS bigint) AS pool_df"))
